@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-table loaders + cross-engine determinism helpers.
+  *
+  * The reference (elliot14A/karna, see SURVEY.md §0) declares tables as
+  * tabular files (CSV/TSV/Parquet — reference README.md:2); here every
+  * fixture is parquet under `sfDir` (TESTDATA.md). Two scan-level shims are
+  * load-bearing for the DuckDB differential oracle (SURVEY.md §1.4):
+  *
+  *  1. `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.x refuses it unless
+  *     `spark.sql.legacy.parquet.nanosAsLong=true`, after which we rebuild a
+  *     µs timestamp with integer division — exactly the truncation DuckDB
+  *     applies when it reads the same column.
+  *  2. `embeddings.embedding` is list<float>; cast to array<double> once at
+  *     scan so similarity math happens in the same precision in both engines.
+  */
+object Tables {
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, d: String)   = load(s, d, "region")
+  def nation(s: SparkSession, d: String)   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String) = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = load(s, d, "supplier")
+  def part(s: SparkSession, d: String)     = load(s, d, "part")
+  def orders(s: SparkSession, d: String)   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+
+  /** ns→µs canonical shim (SURVEY.md §1.4.1). Every events query MUST come
+    * through here. `ts div 1000` is integer division — `/1000` in double
+    * would lose precision at 1.7e18 ns epochs.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read
+      .parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** float→double vector cast at scan (SURVEY.md §1.4.2). */
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .parquet(path(dir, "embeddings"))
+      .withColumn("embedding", expr("transform(embedding, x -> cast(x as double))"))
+
+  // ---- determinism helpers (SURVEY.md §7.1) --------------------------------
+
+  /** Money/measure discipline: all arithmetic over double money columns is
+    * done in DECIMAL so sums are exact and partition-order-free.
+    */
+  val Money: DecimalType = DecimalType(18, 4)
+
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Final-output decimal: both Spark and the DuckDB oracle emit aggregated
+    * decimals as round(x,4)::DECIMAL(18,4). The round() is load-bearing:
+    * DuckDB's decimal→decimal CAST *truncates* excess scale while Spark's
+    * rounds HALF_UP (verified divergence on sum_charge); both engines'
+    * round() are half-away-from-zero, so rounding first makes the cast
+    * exact in both.
+    */
+  def outDec(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+
+  /** ≈-valued outputs (SURVEY.md §7.1.2): double, rounded to 4 places in
+    * both engines.
+    */
+  def r4(c: Column): Column = round(c.cast(DoubleType), 4)
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.4 aggregations (SURVEY.md). Money sums run the DECIMAL discipline
+  * (§7.1.1) so results are exact and partition-order-free; unavoidably-float
+  * aggregates (stddev/corr/percentile) are ≈-rows rounded to 4 places in
+  * both engines (§7.1.2).
+  */
+object Aggregates {
+
+  /** TPC-H-Q1-shaped flagship (SURVEY.md §7.2): filter → multi-key group →
+    * decimal sums → sort. This is also `SparkEntry.entry`.
+    *
+    * Scale note: single shuffle on the two low-cardinality group keys with
+    * map-side partial aggregation (HashAggregateExec partial/final) — the
+    * canonical 100TB-safe shape: reduce cardinality before the exchange.
+    */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val disc1 = lit(1).cast(Money) - dec(col("l_discount"))           // (19,4) exact
+    // rate factors use NARROW decimals: with (18,4) inputs the product
+    // (1-d)*(1+t) would hit precision 39 > 38 and Spark silently drops to
+    // scale 7 (rounding!) while DuckDB keeps scale 8 — a verified 1-ulp
+    // divergence. (6,4) inputs keep the product at (15,8): exact in both.
+    val small  = DecimalType(6, 4)
+    val disc1n = lit(1).cast(small) - col("l_discount").cast(small)   // (8,4) exact
+    val tax1n  = lit(1).cast(small) + col("l_tax").cast(small)        // (8,4) exact
+    val factor = (disc1n * tax1n).cast(DecimalType(9, 8))             // (17,8)→(9,8) exact
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outDec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        outDec(sum(dec(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
+        outDec(sum(dec(col("l_extendedprice")) * factor)).as("sum_charge"),
+        r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val flagshipOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DECIMAL(18,4)) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_group_multi" -> (flagship _),
+    "agg_count_star" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+    "agg_count_col" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(count(nullif(col("o_orderstatus"), lit("P"))).as("cnt_nonp"))
+        .orderBy("o_orderpriority")),
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")),
+    "agg_sum_minmax" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("first_ship"))
+        .orderBy("l_returnflag")),
+    "agg_avg" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_linestatus")
+        .agg(
+          r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"))
+        .orderBy("l_linestatus")),
+    "agg_having" -> ((s, d) =>
+      orders(s, d).groupBy("o_custkey")
+        .agg(outDec(sum(dec(col("o_totalprice")))).as("total"))
+        .filter(col("total") > lit(1000000))
+        .orderBy("o_custkey")),
+    "agg_filtered" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          outDec(sum(when(col("l_discount") > 0.05, dec(col("l_quantity"))))).as("qty_hi_disc"),
+          count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"))
+        .orderBy("l_returnflag")),
+    "agg_rollup" -> ((s, d) =>
+      orders(s, d).rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+             grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+    "agg_cube" -> ((s, d) =>
+      lineitem(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+    "agg_stats" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_quantity"))).as("var_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"))
+        .orderBy("l_returnflag")),
+    "agg_collect_sorted" -> ((s, d) =>
+      nation(s, d).groupBy("n_regionkey")
+        .agg(to_json(sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")),
+    "agg_string_concat" -> ((s, d) =>
+      customer(s, d).groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"))
+        .orderBy("c_nationkey")),
+    "agg_approx_distinct" -> ((s, d) =>
+      // ⊘ approximate by design (HLL) — no SQL oracle; bounds property-tested
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+    "agg_percentile" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          r4(expr("percentile(l_quantity, 0.25)")).as("p25_qty"),
+          r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_group_multi" -> flagshipOracle,
+    "agg_count_star" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST",
+    "agg_count_col" ->
+      """SELECT o_orderpriority, count(nullif(o_orderstatus,'P')) AS cnt_nonp
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""",
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_sum_minmax" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         min(l_shipdate) AS first_ship
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
+    "agg_avg" ->
+      """SELECT l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
+         FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""",
+    "agg_having" ->
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+         FROM orders GROUP BY 1
+         HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 1000000
+         ORDER BY o_custkey NULLS FIRST""",
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,4)) AS qty_hi_disc,
+         count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_quantity), 4) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey, to_json(list(n_name ORDER BY n_name)) AS names
+         FROM nation GROUP BY 1 ORDER BY n_regionkey NULLS FIRST""",
+    "agg_string_concat" ->
+      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+         FROM customer GROUP BY 1 ORDER BY c_nationkey NULLS FIRST""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+         round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST"""
+  )
+}

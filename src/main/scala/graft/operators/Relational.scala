@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.1 scans/sources/sinks, §2.2 projections/filters, §2.6 sorts/limits,
+  * §2.7 set operations. (SURVEY.md — all derived from the reference's SQL
+  * surface, README.md:2; reference implements none of it, karna-core stub.)
+  *
+  * Determinism: every query ends in an explicit total order (SURVEY.md
+  * §7.1.3) and the DuckDB oracle orders identically with explicit NULLS
+  * FIRST (Spark's asc default) so row streams hash-match.
+  */
+object Relational {
+
+  /** Writable scratch dir for derived CSV/TSV fixtures + sink round-trips
+    * (FIXTURES.md: no CSV fixtures exist; derive once from parquet).
+    */
+  val exportDir = "/tmp/graft_export"
+
+  /** Export `nation` once as a single deterministic CSV/TSV file (sorted by
+    * pk, driver-side — 25 rows) so Spark and DuckDB scan the *same* file.
+    */
+  private def ensureNationText(s: SparkSession, dir: String, sep: String, ext: String): String = {
+    val out = new java.io.File(s"$exportDir/nation.$ext")
+    if (!out.exists()) {
+      out.getParentFile.mkdirs()
+      val rows = nation(s, dir)
+        .orderBy("n_nationkey")
+        .collect()
+        .map(r => s"${r.getInt(0)}$sep${r.getString(1)}$sep${r.getInt(2)}")
+      val body = (s"n_nationkey${sep}n_name${sep}n_regionkey" +: rows).mkString("\n")
+      java.nio.file.Files.writeString(out.toPath, body + "\n")
+    }
+    out.getPath
+  }
+
+  // DuckDB read_csv infers BIGINT for integer columns; align Spark's
+  // inferred IntegerType up to LongType so schemas agree cross-engine.
+  private def scanText(s: SparkSession, dir: String, sep: String, ext: String): DataFrame = {
+    val p = ensureNationText(s, dir, sep, ext)
+    s.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("sep", sep)
+      .csv(p)
+      .select(
+        col("n_nationkey").cast(LongType).as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast(LongType).as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans / sinks ------------------------------------------------
+    "scan_parquet" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
+    "scan_csv" -> ((s, d) => scanText(s, d, ",", "csv")),
+    "scan_tsv" -> ((s, d) => scanText(s, d, "\t", "tsv")),
+    "scan_multifile" -> ((s, d) => {
+      val out = s"$exportDir/orders_multi"
+      orders(s, d).repartition(4).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderkey")
+    }),
+    "sink_parquet" -> ((s, d) => {
+      val out = s"$exportDir/region_sink"
+      region(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("r_regionkey")
+    }),
+    "sink_csv" -> ((s, d) => {
+      val out = s"$exportDir/customer_sink"
+      customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out).orderBy("c_custkey")
+    }),
+
+    // ---- §2.2 projections / filters ---------------------------------------
+    "project" -> ((s, d) =>
+      customer(s, d).select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")),
+    "project_expr" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        outDec(dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))).as("net"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "project_alias" -> ((s, d) =>
+      part(s, d).select(col("p_partkey").as("id"), col("p_name").as("part_name"))
+        .withColumnRenamed("part_name", "pname").orderBy("id")),
+    "filter_compare" -> ((s, d) =>
+      part(s, d).filter(col("p_size") > 40).select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")),
+    "filter_between" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast(TimestampType),
+                                           lit("1996-12-31").cast(TimestampType)))
+        .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")),
+    "filter_in" -> ((s, d) =>
+      nation(s, d).filter(col("n_name").isin("FRANCE", "GERMANY", "KENYA"))
+        .orderBy("n_nationkey")),
+    "filter_like" -> ((s, d) =>
+      part(s, d).filter(col("p_type").like("%BRASS%")).select("p_partkey", "p_type")
+        .orderBy("p_partkey")),
+    "filter_null" -> ((s, d) =>
+      // fixtures carry no physical NULLs; manufacture them with nullif so
+      // three-valued logic is actually exercised (same expr in the oracle)
+      orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .filter(col("st").isNotNull).orderBy("o_orderkey")),
+    "filter_boolean" -> ((s, d) =>
+      part(s, d)
+        .filter((col("p_size") > 20 && col("p_brand") === "Brand#11") ||
+                !(col("p_retailprice") > lit(1200.0)))
+        .select("p_partkey", "p_brand", "p_size").orderBy("p_partkey")),
+    "distinct" -> ((s, d) =>
+      orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // ---- §2.6 sorts / limits / top-k --------------------------------------
+    "sort_multi" -> ((s, d) =>
+      customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_mktsegment").desc_nulls_last, col("c_acctbal").asc_nulls_first,
+                 col("c_custkey"))),
+    "limit" -> ((s, d) => orders(s, d).orderBy("o_orderkey").limit(20)),
+    "topk" -> ((s, d) =>
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey")).limit(10)),
+    "offset" -> ((s, d) =>
+      customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey").offset(30).limit(10)),
+
+    // ---- §2.7 set operations ----------------------------------------------
+    "set_union_all" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+        .unionByName(o.filter(col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus"))
+        .orderBy("o_orderkey", "o_orderstatus")
+    }),
+    "set_union" -> ((s, d) => {
+      val c = customer(s, d)
+      c.select("c_nationkey").unionByName(nation(s, d).select(col("n_nationkey").as("c_nationkey")))
+        .distinct().orderBy("c_nationkey")
+    }),
+    "set_intersect" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")),
+    "set_except" -> ((s, d) =>
+      customer(s, d).select("c_custkey")
+        .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
+    "scan_csv" ->
+      s"SELECT * FROM read_csv('$exportDir/nation.csv', header=true) ORDER BY n_nationkey NULLS FIRST",
+    "scan_tsv" ->
+      s"SELECT * FROM read_csv('$exportDir/nation.tsv', header=true, delim='\t') ORDER BY n_nationkey NULLS FIRST",
+    "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
+    "sink_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
+    "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",
+    "project" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey NULLS FIRST",
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS net
+         FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
+    "project_alias" ->
+      "SELECT p_partkey AS id, p_name AS pname FROM part ORDER BY id NULLS FIRST",
+    "filter_compare" ->
+      "SELECT p_partkey, p_name, p_size FROM part WHERE p_size > 40 ORDER BY p_partkey NULLS FIRST",
+    "filter_between" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+         ORDER BY o_orderkey NULLS FIRST""",
+    "filter_in" ->
+      "SELECT * FROM nation WHERE n_name IN ('FRANCE','GERMANY','KENYA') ORDER BY n_nationkey NULLS FIRST",
+    "filter_like" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey NULLS FIRST",
+    "filter_null" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders
+         WHERE nullif(o_orderstatus, 'P') IS NOT NULL ORDER BY o_orderkey NULLS FIRST""",
+    "filter_boolean" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+         WHERE (p_size > 20 AND p_brand = 'Brand#11') OR NOT (p_retailprice > 1200.0)
+         ORDER BY p_partkey NULLS FIRST""",
+    "distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "sort_multi" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         ORDER BY c_mktsegment DESC NULLS LAST, c_acctbal ASC NULLS FIRST, c_custkey NULLS FIRST""",
+    "limit" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 20",
+    "topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 10""",
+    "offset" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey NULLS FIRST LIMIT 10 OFFSET 30",
+    "set_union_all" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000)
+         ORDER BY o_orderkey NULLS FIRST, o_orderstatus NULLS FIRST""",
+    "set_union" ->
+      """SELECT * FROM (
+           SELECT c_nationkey FROM customer
+           UNION
+           SELECT n_nationkey AS c_nationkey FROM nation)
+         ORDER BY c_nationkey NULLS FIRST""",
+    "set_intersect" ->
+      """SELECT * FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         ORDER BY o_custkey NULLS FIRST""",
+    "set_except" ->
+      """SELECT * FROM (
+           SELECT c_custkey FROM customer
+           EXCEPT
+           SELECT o_custkey AS c_custkey FROM orders)
+         ORDER BY c_custkey NULLS FIRST"""
+  )
+}
