@@ -21,7 +21,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (Aggregates.queries, Aggregates.oracles)
+      (Aggregates.queries, Aggregates.oracles),
+      (Joins.queries, Joins.oracles),
+      (Windows.queries, Windows.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

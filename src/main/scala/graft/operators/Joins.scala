@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.3 joins + subqueries (SURVEY.md). All joins are declared logically and
+  * physically planned by Catalyst's JoinSelection; `join_broadcast` pins the
+  * broadcast-hash strategy explicitly — at 100 TB the dimension tables
+  * (region/nation/supplier, and customer after filters) are exactly the
+  * sides you broadcast to avoid shuffling the fact table.
+  */
+object Joins {
+
+  /** As-of join (SURVEY.md §2.3 `join_asof`, §4.3): each `click` event is
+    * enriched with the latest `purchase` event of the same user at/before
+    * its timestamp. Spark has no native ASOF; we compose a range join +
+    * per-left-row top-1 window — the standard Spark formulation. At scale
+    * the range join would be bucketed by (user, time-bucket); at fixture
+    * scale Catalyst picks a broadcast/shuffled hash join on user_id with
+    * the time predicate as a post-join filter.
+    */
+  def asof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_id", "user_id", "ts", "event_type", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") && col("p_ts") <= col("ts"), "left")
+    val w = Window.partitionBy("event_id").orderBy(col("p_ts").desc_nulls_last)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts").as("last_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> ((s, d) =>
+      orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")),
+    "join_multikey" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val dim = li.groupBy(col("l_partkey").as("d_partkey"), col("l_suppkey").as("d_suppkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      li.join(dim,
+          col("l_partkey") === col("d_partkey") && col("l_suppkey") === col("d_suppkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "min_price")
+        // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is the minimal
+        // unique lineitem key in the fixture
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+    "join_left" -> ((s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+    "join_right" -> ((s, d) =>
+      orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+    "join_full" -> ((s, d) => {
+      val big = orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+      val rich = customer(s, d).filter(col("c_acctbal") > 8000)
+        .select("c_custkey", "c_acctbal")
+      big.join(rich, col("o_custkey") === col("c_custkey"), "full")
+        .select("o_custkey", "n_orders", "c_custkey", "c_acctbal")
+        .orderBy(col("o_custkey").asc_nulls_first, col("c_custkey").asc_nulls_first)
+    }),
+    "join_semi" -> ((s, d) =>
+      customer(s, d).join(
+          orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "join_anti" -> ((s, d) =>
+      customer(s, d).join(
+          orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")),
+    "join_theta" -> ((s, d) =>
+      part(s, d).join(supplier(s, d),
+          col("s_acctbal") < col("p_retailprice") &&
+          col("p_retailprice") <= col("s_acctbal") + 2000)
+        .select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
+        .orderBy("p_partkey", "s_suppkey")),
+    "join_broadcast" -> ((s, d) =>
+      customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name").orderBy("c_custkey")),
+    "join_asof" -> (asof _),
+    "subq_in" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+               ORDER BY o_orderkey""")
+    }),
+    "subq_scalar" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      // l_quantity is integral: the double avg is exact in both engines
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+               WHERE l_quantity > 1.8 * (SELECT avg(l_quantity) FROM lineitem)
+               ORDER BY l_orderkey, l_linenumber, l_quantity""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey NULLS FIRST""",
+    "join_multikey" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, min_price
+         FROM lineitem JOIN (
+           SELECT l_partkey AS d_partkey, l_suppkey AS d_suppkey,
+                  min(l_extendedprice) AS min_price
+           FROM lineitem GROUP BY 1, 2) dim
+         ON l_partkey = d_partkey AND l_suppkey = d_suppkey
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                  l_partkey NULLS FIRST, l_suppkey NULLS FIRST""",
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey ASC NULLS FIRST""",
+    "join_right" ->
+      """SELECT c_custkey, o_orderkey
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey ASC NULLS FIRST""",
+    "join_full" ->
+      """SELECT o_custkey, n_orders, c_custkey, c_acctbal
+         FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1 HAVING count(*) >= 12) big
+         FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000) rich
+         ON o_custkey = c_custkey
+         ORDER BY o_custkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey NULLS FIRST""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey NULLS FIRST""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
+         ORDER BY r_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+    "join_theta" ->
+      """SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
+         FROM part JOIN supplier
+         ON s_acctbal < p_retailprice AND p_retailprice <= s_acctbal + 2000
+         ORDER BY p_partkey NULLS FIRST, s_suppkey NULLS FIRST""",
+    "join_broadcast" ->
+      """SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey NULLS FIRST""",
+    "join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id NULLS FIRST""",
+    "subq_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         ORDER BY o_orderkey NULLS FIRST""",
+    "subq_scalar" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 1.8 * (SELECT avg(l_quantity) FROM lineitem)
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST"""
+  )
+}

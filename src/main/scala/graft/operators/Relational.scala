@@ -85,7 +85,9 @@ object Relational {
       lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         outDec(dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))).as("net"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — tie-break
+        // on the value column so the emitted row order is total
+        .orderBy("l_orderkey", "l_linenumber", "net")),
     "project_alias" -> ((s, d) =>
       part(s, d).select(col("p_partkey").as("id"), col("p_name").as("part_name"))
         .withColumnRenamed("part_name", "pname").orderBy("id")),
@@ -167,7 +169,7 @@ object Relational {
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS net
-         FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
+         FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, net NULLS FIRST""",
     "project_alias" ->
       "SELECT p_partkey AS id, p_name AS pname FROM part ORDER BY id NULLS FIRST",
     "filter_compare" ->

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.5 window functions (SURVEY.md). Determinism rule §7.1.3/§7.4: every
+  * ORDER BY inside a window spec is made total by tie-breaking on a primary
+  * key wherever the function is order-sensitive (row_number, ntile, lag,
+  * running sums); count-based functions (rank, percent_rank, cume_dist)
+  * are tie-insensitive by definition. Windowed money sums stay DECIMAL so
+  * the frame arithmetic is exact in both engines.
+  */
+object Windows {
+
+  private def ordersW = Window.partitionBy("o_custkey")
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_row_number" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(ordersW).as("rn"))
+        .orderBy("o_orderkey")),
+    "win_rank" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          rank().over(Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")).as("rnk"),
+          dense_rank().over(Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")).as("drnk"))
+        .orderBy("o_orderkey")),
+    "win_ntile" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+        .orderBy("o_orderkey")),
+    "win_percent" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          r4(percent_rank().over(Window.partitionBy("o_orderstatus").orderBy("o_totalprice"))).as("pr"),
+          r4(cume_dist().over(Window.partitionBy("o_orderstatus").orderBy("o_totalprice"))).as("cd"))
+        .orderBy("o_orderkey")),
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+    "win_running_sum" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          outDec(sum(dec(col("o_totalprice")))
+            .over(ordersW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("run_total"))
+        .orderBy("o_orderkey")),
+    "win_moving_avg" -> ((s, d) => {
+      // window order must be TOTAL within the partition: (l_orderkey,
+      // l_linenumber, l_partkey) is unique within an l_suppkey partition
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(-3, 0)
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(sum(dec(col("l_quantity"))).over(w).cast(DoubleType) /
+             count(lit(1)).over(w)).as("mavg_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "mavg_qty")
+    }),
+    "win_range_frame" -> ((s, d) => {
+      val ev = events(s, d).withColumn("es", expr("unix_micros(ts) div 1000000"))
+      val w = Window.partitionBy("event_type").orderBy(col("es")).rangeBetween(-300, 0)
+      ev.select(col("event_id"), col("event_type"), col("es"),
+          outDec(sum(dec(col("value"))).over(w)).as("sum_5min"))
+        .orderBy("event_id")
+    }),
+    "win_first_last" -> ((s, d) => {
+      val w = ordersW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy("o_orderkey")
+    }),
+    "win_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_row_number" ->
+      """SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "win_rank" ->
+      """SELECT o_orderkey,
+         rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
+         dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "win_ntile" ->
+      """SELECT o_orderkey,
+         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "win_percent" ->
+      """SELECT o_orderkey,
+         round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS pr,
+         round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS cd
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         FROM events ORDER BY event_id NULLS FIRST""",
+    "win_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS run_total
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "win_moving_avg" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) /
+               count(*) OVER w, 4) AS mavg_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_partkey
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, mavg_qty NULLS FIRST""",
+    "win_range_frame" ->
+      """SELECT event_id, event_type, es,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           PARTITION BY event_type ORDER BY es
+           RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS sum_5min
+         FROM (SELECT event_id, event_type, epoch_us(ts)//1000000 AS es, value FROM events)
+         ORDER BY event_id NULLS FIRST""",
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+         first_value(o_orderkey) OVER w AS first_order,
+         last_value(o_orderkey) OVER w AS last_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey NULLS FIRST""",
+    "win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST"""
+  )
+}
