@@ -23,7 +23,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Aggregates.queries, Aggregates.oracles),
       (Joins.queries, Joins.oracles),
-      (Windows.queries, Windows.oracles)
+      (Windows.queries, Windows.oracles),
+      (graft.functions.Scalars.queries, graft.functions.Scalars.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

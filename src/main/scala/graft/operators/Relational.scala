@@ -100,10 +100,10 @@ object Relational {
                                            lit("1996-12-31").cast(TimestampType)))
         .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")),
     "filter_in" -> ((s, d) =>
-      nation(s, d).filter(col("n_name").isin("FRANCE", "GERMANY", "KENYA"))
+      nation(s, d).filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_19"))
         .orderBy("n_nationkey")),
     "filter_like" -> ((s, d) =>
-      part(s, d).filter(col("p_type").like("%BRASS%")).select("p_partkey", "p_type")
+      part(s, d).filter(col("p_name").like("%dget%")).select("p_partkey", "p_name")
         .orderBy("p_partkey")),
     "filter_null" -> ((s, d) =>
       // fixtures carry no physical NULLs; manufacture them with nullif so
@@ -179,9 +179,9 @@ object Relational {
          WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
          ORDER BY o_orderkey NULLS FIRST""",
     "filter_in" ->
-      "SELECT * FROM nation WHERE n_name IN ('FRANCE','GERMANY','KENYA') ORDER BY n_nationkey NULLS FIRST",
+      "SELECT * FROM nation WHERE n_name IN ('NATION_3','NATION_7','NATION_19') ORDER BY n_nationkey NULLS FIRST",
     "filter_like" ->
-      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey NULLS FIRST",
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%dget%' ORDER BY p_partkey NULLS FIRST",
     "filter_null" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders
          WHERE nullif(o_orderstatus, 'P') IS NOT NULL ORDER BY o_orderkey NULLS FIRST""",
