@@ -35,6 +35,11 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = sorted(p for p in Path(out_dir).iterdir() if p.is_dir())
     n_pass = n_fail = 0
+    present = {p.name for p in results}
+    for key in sorted(set(oracle) - present):
+        if not only or key in only:
+            print(f"[MISSING  ] {key:24s} no result dir (query failed in Verify?)")
+            n_fail += 1
     for rd in results:
         key = rd.name
         if only and key not in only:

@@ -24,7 +24,11 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracles),
       (Joins.queries, Joins.oracles),
       (Windows.queries, Windows.oracles),
-      (graft.functions.Scalars.queries, graft.functions.Scalars.oracles)
+      (graft.functions.Scalars.queries, graft.functions.Scalars.oracles),
+      (Streams.queries, Streams.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (VectorOps.queries, VectorOps.oracles),
+      (graft.functions.Custom.queries, graft.functions.Custom.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

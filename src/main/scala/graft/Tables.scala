@@ -22,8 +22,19 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** The fixture parquet carries isAdjustedToUTC=false timestamps; Spark 4
+    * would infer TIMESTAMP_NTZ (and whether it does can vary with session
+    * conf touched by other queries). Pin inference OFF so every scan yields
+    * TimestampType in the UTC session — one stable type everywhere, equal
+    * to DuckDB's naive-µs reading of the same columns.
+    */
+  private def pin(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    s
+  }
+
   def load(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(path(dir, name))
+    pin(s).read.parquet(path(dir, name))
 
   def region(s: SparkSession, d: String)   = load(s, d, "region")
   def nation(s: SparkSession, d: String)   = load(s, d, "nation")
@@ -40,14 +51,14 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
+    pin(s).read
       .parquet(path(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** float→double vector cast at scan (SURVEY.md §1.4.2). */
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read
+    pin(s).read
       .parquet(path(dir, "embeddings"))
       .withColumn("embedding", expr("transform(embedding, x -> cast(x as double))"))
 

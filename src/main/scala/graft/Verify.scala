@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any partial/stale output so a failed query can never be
+        // mistaken for a (previously written) passing one
+        val dir = new java.io.File(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.11 custom-function surfaces (SURVEY.md §4.3): the three extension
+  * mechanisms a user of the engine reaches for, each demonstrated against a
+  * built-in oracle-checkable twin:
+  *
+  *  - `udf_scalar`: a Scala UDF (Levenshtein DP) next to the codegen'd
+  *    built-in `levenshtein` — same values, so the oracle checks both; the
+  *    perf ordering (native Expression > UDF) is the §4.3 guidance.
+  *  - `udaf_typed`: numerically-stable Welford variance as an
+  *    `Aggregator[IN, BUF, OUT]` registered via `functions.udaf` — the
+  *    typed custom-aggregate surface (merge() is the partition-combine
+  *    path that makes it distribution-correct).
+  *  - `mm_meta` / `mm_decode_stub`: multimodal-column plumbing — text
+  *    bytes stand in for image/audio payloads (no codec libs in this
+  *    container, SURVEY/driver contract): a `binary` payload column with
+  *    typed metadata, and a partition-batched decode via `mapPartitions`
+  *    whose fake feature extraction is deterministic so the DuckDB oracle
+  *    can still check the plumbing end-to-end.
+  */
+object Custom {
+
+  /** Classic DP Levenshtein — the Scala-UDF exemplar. */
+  def levenshteinScala(a: String, b: String): Int = {
+    val (m, n) = (a.length, b.length)
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
+  /** Welford/Chan parallel variance buffer. */
+  case class WelfordBuf(n: Long, mean: Double, m2: Double)
+
+  /** Sample variance via Welford updates + Chan's pairwise merge — the
+    * order-insensitive formulation that stays stable across any partition
+    * split (unlike naive sum-of-squares).
+    */
+  object WelfordVar extends Aggregator[Double, WelfordBuf, Double] {
+    def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
+    def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+      val n = b.n + 1
+      val delta = x - b.mean
+      val mean = b.mean + delta / n
+      WelfordBuf(n, mean, b.m2 + delta * (x - mean))
+    }
+    def merge(a: WelfordBuf, b: WelfordBuf): WelfordBuf = {
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val delta = b.mean - a.mean
+        WelfordBuf(n,
+          a.mean + delta * b.n / n,
+          a.m2 + b.m2 + delta * delta * a.n * b.n / n)
+      }
+    }
+    def finish(r: WelfordBuf): Double =
+      if (r.n < 2) Double.NaN else r.m2 / (r.n - 1)
+    def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar" -> ((s, d) => {
+      val lev = udf(levenshteinScala _)
+      val target = lit("Customer#000000042")
+      customer(s, d).select(
+          col("c_custkey"),
+          levenshtein(col("c_name"), target).cast(LongType).as("lev_native"),
+          lev(col("c_name"), target).cast(LongType).as("lev_udf"))
+        .orderBy("c_custkey")
+    }),
+
+    "udaf_typed" -> ((s, d) => {
+      val welford = udaf(WelfordVar)
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          r4(welford(col("l_quantity"))).as("var_welford"),
+          r4(var_samp(col("l_quantity"))).as("var_builtin"))
+        .orderBy("l_returnflag")
+    }),
+
+    "mm_meta" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(
+          col("doc_id"),
+          expr("octet_length(payload)").cast(LongType).as("n_bytes"),
+          ascii(col("text")).cast(LongType).as("first_byte"),
+          md5(col("payload")).as("content_hash"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"))
+        .orderBy("doc_id")),
+
+    "mm_decode_stub" -> ((s, d) => {
+      // partition-batched "decode": binary in → typed features out via
+      // mapPartitions (the Spark-side shape a real image/audio decoder
+      // plugs into; the byte math is the deterministic stand-in)
+      val src = documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      implicit val enc: Encoder[(Long, Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      src.mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val head = bytes.take(8).map(_.toLong & 0xffL).sum
+          (id, bytes.length.toLong, if (bytes.isEmpty) -1L else (bytes(0).toLong & 0xffL), head)
+        }
+      }.toDF("doc_id", "n_bytes", "first_byte", "checksum8")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_scalar" ->
+      """SELECT c_custkey,
+         levenshtein(c_name, 'Customer#000000042') AS lev_native,
+         levenshtein(c_name, 'Customer#000000042') AS lev_udf
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
+    "udaf_typed" ->
+      """SELECT l_returnflag,
+         round(var_samp(l_quantity), 4) AS var_welford,
+         round(var_samp(l_quantity), 4) AS var_builtin
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
+    "mm_meta" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(text) AS first_byte,
+         md5(text) AS content_hash,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind
+         FROM documents ORDER BY doc_id NULLS FIRST""",
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         ascii(text) AS first_byte,
+         list_sum(list_transform(range(1, least(8, length(text)) + 1),
+                                 i -> ascii(substr(text, i, 1)))) AS checksum8
+         FROM documents ORDER BY doc_id NULLS FIRST"""
+  )
+}

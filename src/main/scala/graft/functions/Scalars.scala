@@ -167,7 +167,7 @@ object Scalars {
          year(o_orderdate) AS y, month(o_orderdate) AS m,
          dayofmonth(o_orderdate) AS dom,
          dayofweek(o_orderdate) + 1 AS dow1,
-         date_trunc('month', o_orderdate) AS month_start,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
          CAST(o_orderdate AS DATE) + 30 AS plus30,
          datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
          last_day(CAST(o_orderdate AS DATE)) AS eom,

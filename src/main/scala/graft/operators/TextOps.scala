@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.11 text-analysis + dedup operators over `documents` (SURVEY.md;
+  * driver-mandated training-data-pipeline extensions).
+  *
+  * Scale design: everything here is shuffle-light — tokenize/quality/
+  * fingerprint are per-row map work; wordcount/tfidf shuffle only
+  * (token)-keyed partial aggregates; dedup_near blocks candidate pairs on
+  * shared shingles (never an all-pairs cross join), the standard blocking
+  * that keeps near-dup detection tractable at 100 TB. dedup_minhash is the
+  * sketch-based scale path (bounded signature per doc, LSH band join).
+  */
+object TextOps {
+
+  private val L = LongType
+
+  /** doc_id + lowercase whitespace tokens. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+
+  /** Distinct 3-word shingles per doc — the dedup_near candidate unit. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    toks(s, d)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    "dedup_near" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("i"))
+      val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(jacc >= 0.5)
+        .select(col("a"), col("b"), r4(jacc).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_minhash" -> ((s, d) => {
+      // ⊘ MinHash-LSH scale path (no oracle — xxhash64 is engine-specific;
+      // recall vs exact Jaccard is property-tested). 16 minhashes, 4 bands
+      // of 4: band-signature join yields candidates without an all-pairs
+      // scan — THE way near-dup runs at 100 TB.
+      val sh = shingles(s, d)
+      val seeds = explode(expr("sequence(0, 15)")).as("seed")
+      val minh = sh.select(col("doc_id"), col("shingle"), seeds)
+        .groupBy("doc_id", "seed")
+        .agg(min(xxhash64(col("seed"), col("shingle"))).as("mh"))
+      val bands = minh
+        .groupBy(col("doc_id"), (col("seed") / 4).cast(IntegerType).as("band"))
+        .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"))
+        .distinct()
+        .orderBy("a", "b", "band")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      // ⊘ 16-bit SimHash per doc (xxhash64 token hashes → no oracle);
+      // near-dup candidates = identical/close signatures, property-tested
+      val bits = explode(expr("sequence(0, 15)")).as("bit")
+      toks(s, d)
+        .select(col("doc_id"), explode(col("t")).as("token"))
+        .select(col("doc_id"), col("token"), bits)
+        .groupBy("doc_id", "bit")
+        .agg(sum(expr(
+          "CASE WHEN (shiftright(xxhash64(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("w"))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("simhash16"))
+        .orderBy("doc_id")
+    }),
+
+    "text_tokenize" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .orderBy("doc_id", "token")),
+
+    "text_wordcount" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc_nulls_last, col("token"))
+        .limit(100)),
+
+    "text_tfidf" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"),
+          r4(col("tf") * log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)))
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    "text_lang_stats" -> ((s, d) =>
+      documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          r4(sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
+    "text_langid" -> ((s, d) => {
+      // keyword-list argmax classifier (the n-gram-heuristic language-ID
+      // shape; lists are fixture-vocab topic sets, labels arbitrary)
+      val t = toks(s, d)
+      val sA = size(array_intersect(col("t"), array(lit("scan"), lit("agg"), lit("join"), lit("merge")))).cast(L)
+      val sB = size(array_intersect(col("t"), array(lit("table"), lit("row"), lit("column"), lit("line")))).cast(L)
+      val sC = size(array_intersect(col("t"), array(lit("fast"), lit("slow"), lit("query"), lit("stream")))).cast(L)
+      t.select(col("doc_id"), sA.as("score_a"), sB.as("score_b"), sC.as("score_c"),
+          when(sA >= sB && sA >= sC, "a").when(sB >= sC, "b").otherwise("c").as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, d) => {
+      val t = toks(s, d)
+      val n = size(col("t"))
+      t.select(col("doc_id"),
+          n.cast(L).as("n_tokens"),
+          r4(expr("aggregate(t, 0, (a, x) -> a + length(x))").cast(DoubleType) / n).as("avg_word_len"),
+          r4(size(expr("filter(t, x -> x = 'a' OR x = 'the')")).cast(DoubleType) / n).as("stopword_ratio"),
+          r4(size(array_distinct(col("t"))).cast(DoubleType) / n).as("type_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, d) =>
+      // position-weighted rolling fingerprint (order-sensitive, exact
+      // BIGINT arithmetic → oracle-identical) + normalized-content md5
+      toks(s, d)
+        .select(col("doc_id"), posexplode(col("t")))
+        .groupBy("doc_id")
+        .agg(sum((col("pos") + 1) *
+          (ascii(col("col")) + lit(7) * length(col("col")) + 13)).as("fp"))
+        .join(documents(s, d).select(col("doc_id"),
+          md5(concat_ws(" ", split(lower(col("text")), " "))).as("content_md5")), "doc_id")
+        .select("doc_id", "fp", "content_md5")
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash NULLS FIRST""",
+    "dedup_near" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+         ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "text_tokenize" ->
+      """SELECT doc_id, token FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         ORDER BY doc_id NULLS FIRST, token NULLS FIRST""",
+    "text_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+         GROUP BY 1 ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 100""",
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4) AS tfidf
+         FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+         ORDER BY tf.doc_id NULLS FIRST, tf.token NULLS FIRST""",
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         s AS (SELECT doc_id,
+           len(list_intersect(t, ['scan','agg','join','merge'])) AS score_a,
+           len(list_intersect(t, ['table','row','column','line'])) AS score_b,
+           len(list_intersect(t, ['fast','slow','query','stream'])) AS score_c
+           FROM t)
+         SELECT doc_id, score_a, score_b, score_c,
+           CASE WHEN score_a >= score_b AND score_a >= score_c THEN 'a'
+                WHEN score_b >= score_c THEN 'b' ELSE 'c' END AS pred
+         FROM s ORDER BY doc_id NULLS FIRST""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         SELECT doc_id,
+           len(t) AS n_tokens,
+           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS avg_word_len,
+           round(CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS type_token_ratio
+         FROM t ORDER BY doc_id NULLS FIRST""",
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         SELECT p.doc_id,
+           sum(p.i * (ascii(p.tok) + 7 * length(p.tok) + 13)) AS fp,
+           any_value(m.content_md5) AS content_md5
+         FROM (SELECT doc_id, t[i] AS tok, i FROM
+                 (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM t)) p
+         JOIN (SELECT doc_id, md5(array_to_string(string_split(lower(text), ' '), ' ')) AS content_md5
+               FROM documents) m ON p.doc_id = m.doc_id
+         GROUP BY p.doc_id
+         ORDER BY p.doc_id NULLS FIRST"""
+  )
+}

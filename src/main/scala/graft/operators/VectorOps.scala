@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** §2.11 vector-similarity operators over `embeddings` (SURVEY.md;
+  * driver-mandated ANN/near-dup extensions).
+  *
+  * Precision discipline: vectors are float→double cast once at scan
+  * (§1.4.2); dot products fold left-to-right over the 64 dims so Spark and
+  * DuckDB hit identical IEEE operation sequences; ranking keys are
+  * round(cos, 6) with vec_id tie-break so top-k selection can't flip on a
+  * last-ulp divergence; displayed similarity is the ≈-rule round(·, 4).
+  *
+  * Scale design: brute-force paths are query-set × corpus (never corpus²
+  * unless the operator is explicitly all-pairs); the 100 TB path is
+  * `sim_ann_lsh` — sign-random-projection buckets turn top-k into a
+  * per-bucket local search, the IVF/LSH pattern.
+  */
+object VectorOps {
+
+  /** dot(a, b) as a left-to-right fold (IEEE-stable across engines). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+
+  private def cos(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Selection-stable ranking key (see class doc). */
+  private def rankKey(c: Column): Column = round(c, 6)
+
+  private def emb(s: SparkSession, d: String) = embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = emb(s, d).select(col("vec_id"), col("embedding").as("cv"))
+      val scored = q.join(c, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cos("qv", "cv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "knn_label" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label").as("true_label"))
+      val c = emb(s, d).filter(col("vec_id") % 25 =!= 0)
+        .select(col("vec_id"), col("embedding").as("cv"), col("label"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(cos("qv", "cv")).desc, col("vec_id"))
+      val top5 = q.crossJoin(c)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      top5.groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"), col("label").as("pred_label"), col("votes"))
+        .orderBy("q_id")
+    }),
+
+    "dedup_embed" -> ((s, d) => {
+      // all-pairs cosine near-dup: top-20 most-similar pairs (a<b). The
+      // corpus² scan is the exact small-N baseline; sim_ann_lsh is the
+      // bucketed variant that replaces it at scale.
+      val a = emb(s, d).select(col("vec_id").as("a"), col("embedding").as("av"))
+      val b = emb(s, d).select(col("vec_id").as("b"), col("embedding").as("bv"))
+      val w = Window.orderBy(rankKey(col("cos")).desc, col("a"), col("b"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos", cos("av", "bv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("a"), col("b"), r4(col("cos")).as("cos_sim"))
+        .orderBy("rank")
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // ⊘ approximate by design (sign-random-projection LSH; projections
+      // derive from xxhash64 parity → engine-specific, recall is
+      // property-tested vs the brute-force baseline)
+      val e = emb(s, d).select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("i"), col("col").as("v"))
+      val planes = e.select(col("vec_id"), col("i"), col("v"),
+          explode(expr("sequence(0, 7)")).as("p"))
+        .withColumn("r", expr("CASE WHEN (xxhash64(p * 64 + i) & 1) = 1 THEN 1.0 ELSE -1.0 END"))
+      val sig = planes.groupBy("vec_id", "p")
+        .agg(sum(col("v") * col("r")).as("proj"))
+        .groupBy("vec_id")
+        .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END")).as("sig"))
+      val withVec = sig.join(emb(s, d), "vec_id")
+      val q = withVec.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("qv"))
+      val c = withVec.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      q.join(c, col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cos("qv", "cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  // DuckDB mirror of the fold-based dot product (index loop, same order)
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(%A) + 1), i -> CAST(%A[i] AS DOUBLE) * CAST(%B[i] AS DOUBLE)))"
+
+  private def dSql(a: String, b: String) = dotSql.replace("%A", a).replace("%B", b)
+
+  private def cosSql(a: String, b: String) =
+    s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id, ${cosSql("q.qv", "c.embedding")} AS cos
+           FROM q JOIN embeddings c ON q.q_id != c.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         FROM ranked WHERE rank <= 5
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
+    "knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
+                     FROM embeddings WHERE vec_id % 25 = 0),
+         c AS (SELECT vec_id, embedding AS cv, label FROM embeddings WHERE vec_id % 25 != 0),
+         scored AS (
+           SELECT q.q_id, q.true_label, c.vec_id, c.label,
+             ${cosSql("q.qv", "c.cv")} AS cos
+           FROM q CROSS JOIN c),
+         top5 AS (
+           SELECT * FROM (
+             SELECT q_id, true_label, vec_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             FROM scored)
+           WHERE rank <= 5),
+         votes AS (
+           SELECT q_id, true_label, label, count(*) AS votes FROM top5 GROUP BY 1, 2, 3)
+         SELECT q_id, true_label, label AS pred_label, votes FROM (
+           SELECT q_id, true_label, label, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+           FROM votes)
+         WHERE vr = 1
+         ORDER BY q_id NULLS FIRST""",
+    "dedup_embed" ->
+      s"""WITH pairs AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             ${cosSql("x.embedding", "y.embedding")} AS cos
+           FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id),
+         ranked AS (
+           SELECT a, b, cos,
+             row_number() OVER (ORDER BY round(cos, 6) DESC, a, b) AS rank
+           FROM pairs)
+         SELECT rank, a, b, round(cos, 4) AS cos_sim
+         FROM ranked WHERE rank <= 20
+         ORDER BY rank NULLS FIRST"""
+  )
+}
