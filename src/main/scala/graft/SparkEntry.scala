@@ -28,7 +28,8 @@ object SparkEntry {
       (Streams.queries, Streams.oracles),
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
-      (graft.functions.Custom.queries, graft.functions.Custom.oracles)
+      (graft.functions.Custom.queries, graft.functions.Custom.oracles),
+      (Dialects.queries, Dialects.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,97 @@
+package graft.dialects
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.TableRegistry
+
+/** Natural-language dialect front-end (SURVEY.md §2.9, §3.2 EP3): the
+  * reference's third declared query language (reference README.md:2).
+  *
+  * Deterministic grammar/template translator over the fixture catalog — no
+  * LLM in-harness (SURVEY.md §2.9: the interface is the seam an LLM
+  * translator would plug into; `translate` is referentially transparent so
+  * the oracle can replay its output). The generated SQL stays inside the
+  * Spark∩DuckDB common dialect: the SQL string itself IS the oracle.
+  */
+object NlToSql {
+
+  /** Catalog nouns → relations/columns the grammar understands. */
+  private val measures = Map(
+    "order price" -> ("orders", "o_totalprice"),
+    "quantity" -> ("lineitem", "l_quantity"),
+    "account balance" -> ("customer", "c_acctbal"),
+    "event value" -> ("events", "value"))
+
+  private val entities = Map(
+    "customers" -> ("customer", "c_custkey", "c_name"),
+    "suppliers" -> ("supplier", "s_suppkey", "s_name"),
+    "parts" -> ("part", "p_partkey", "p_name"))
+
+  private val dims = Map(
+    "status" -> ("orders", "o_orderstatus"),
+    "priority" -> ("orders", "o_orderpriority"),
+    "market segment" -> ("customer", "c_mktsegment"),
+    "return flag" -> ("lineitem", "l_returnflag"),
+    "language" -> ("documents", "lang"),
+    "event type" -> ("events", "event_type"))
+
+  /** How an entity table reaches a measure's fact table. */
+  private val joinPath = Map(
+    ("customer", "orders") -> "orders JOIN customer ON o_custkey = c_custkey",
+    ("supplier", "lineitem") -> "lineitem JOIN supplier ON l_suppkey = s_suppkey",
+    ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey")
+
+  private val TopN = """top (\d+) (\w+) by total ([a-z ]+)""".r
+  private val CountBy = """(?:number|count) of (\w+) by ([a-z ]+)""".r
+  private val AvgBy = """average ([a-z ]+) by ([a-z ]+)""".r
+  private val TotalBy = """total ([a-z ]+) by ([a-z ]+)""".r
+
+  /** NL question → SQL in the Spark∩DuckDB common dialect.
+    * Unrecognized input fails loudly (no silent guessing).
+    */
+  def translate(question: String): String = question.trim.toLowerCase match {
+    case TopN(n, entity, measure) =>
+      val (table, pk, nameCol) = entities.getOrElse(entity,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val from = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         FROM $from
+         GROUP BY $pk, $nameCol
+         ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
+         LIMIT $n"""
+    case CountBy(entity, dim) =>
+      val (table, dcol) = dims.getOrElse(dim.trim,
+        throw new IllegalArgumentException(s"unknown dimension: $dim"))
+      s"""SELECT $dcol, count(*) AS cnt FROM $table
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case AvgBy(measure, dim) =>
+      val (fact, mcol) = measures.getOrElse(measure.trim,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dims.getOrElse(dim.trim,
+        throw new IllegalArgumentException(s"unknown dimension: $dim"))
+      require(table == fact, s"dimension $dim not on $fact")
+      s"""SELECT $dcol,
+         round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_val
+         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalBy(measure, dim) =>
+      val (fact, mcol) = measures.getOrElse(measure.trim,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dims.getOrElse(dim.trim,
+        throw new IllegalArgumentException(s"unknown dimension: $dim"))
+      require(table == fact, s"dimension $dim not on $fact")
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case other =>
+      throw new IllegalArgumentException(s"cannot translate: '$other'")
+  }
+
+  /** Translate and execute through the SQL entry point (EP2). */
+  def run(s: SparkSession, dir: String, question: String): DataFrame = {
+    TableRegistry.registerAll(s, dir)
+    s.sql(translate(question))
+  }
+}
