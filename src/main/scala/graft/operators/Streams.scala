@@ -15,48 +15,28 @@ import graft.Tables._
   */
 object Streams {
 
+  // One plan definition serves batch and stream: bodies live in
+  // graft.streaming.Streams; here they run on the batch scan (ordered for
+  // the oracle), there on readStream (proved by the streaming specs).
+  import graft.streaming.{Streams => P}
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, d) =>
-      events(s, d)
-        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
-        .select(col("window.start").as("w_start"), col("event_type"), col("cnt"), col("sum_val"))
-        .orderBy("w_start", "event_type")),
+      P.tumbling(events(s, d)).orderBy("w_start", "event_type")),
     "stream_sliding" -> ((s, d) =>
-      events(s, d)
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-        .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
-        .select(col("window.start").as("w_start"), col("cnt"), col("sum_val"))
-        .orderBy("w_start")),
+      P.sliding(events(s, d)).orderBy("w_start")),
     "stream_session" -> ((s, d) =>
-      events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-                col("last_ts"), col("n_events"))
-        .orderBy("user_id", "session_start")),
-    "stream_dedup" -> ((s, d) => {
+      P.session(events(s, d)).orderBy("user_id", "session_start")),
+    "stream_dedup" -> ((s, d) =>
       // deterministic stateful-dedup semantics: keep the EARLIEST event per
       // (user_id, event_type) — dropDuplicates' keep-arbitrary-first is not
       // replayable, so the operator is defined order-explicitly
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts"), col("event_id"))
-      events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("user_id", "event_type", "event_id", "ts")
-        .orderBy("user_id", "event_type")
-    }),
+      P.dedupBatch(events(s, d)).orderBy("user_id", "event_type")),
     "stream_watermark" -> ((s, d) =>
       // withWatermark is a no-op in batch (late-drop semantics are
       // stream-only — covered by the MemoryStream spec); the plan is still
       // the real watermarked plan and its batch result oracles as tumbling
-      events(s, d)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "5 minutes"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("window.start").as("w_start"), col("cnt"))
-        .orderBy("w_start"))
+      P.watermarkedTumblingCount(events(s, d)).orderBy("w_start"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -57,16 +57,17 @@ object TextOps {
 
     "dedup_minhash" -> ((s, d) => {
       // ⊘ MinHash-LSH scale path (no oracle — xxhash64 is engine-specific;
-      // recall vs exact Jaccard is property-tested). 16 minhashes, 4 bands
-      // of 4: band-signature join yields candidates without an all-pairs
-      // scan — THE way near-dup runs at 100 TB.
+      // recall vs exact Jaccard is property-tested). 16 minhashes, 8 bands
+      // of 2 (P[candidate | J=0.8] ≈ 0.9997): band-signature join yields
+      // candidates without an all-pairs scan — THE way near-dup runs at
+      // 100 TB.
       val sh = shingles(s, d)
       val seeds = explode(expr("sequence(0, 15)")).as("seed")
       val minh = sh.select(col("doc_id"), col("shingle"), seeds)
         .groupBy("doc_id", "seed")
         .agg(min(xxhash64(col("seed"), col("shingle"))).as("mh"))
       val bands = minh
-        .groupBy(col("doc_id"), (col("seed") / 4).cast(IntegerType).as("band"))
+        .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
         .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

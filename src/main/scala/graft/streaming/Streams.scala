@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.{dec, outDec}
+
+/** §2.10 streaming plans (SURVEY.md §1.3 batch/stream symmetry): each plan
+  * is ONE function over an events DataFrame — `operators.Streams` runs them
+  * on the batch scan (DuckDB-oracled), the `readStream` builders below run
+  * the *same* functions on a file-stream source, and the MemoryStream specs
+  * prove stream-mode behavior (incl. watermark late-drop, which batch can't
+  * express).
+  */
+object Streams {
+
+  // ---- the plans (input: events with µs TimestampType `ts`) ----------------
+
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"), col("sum_val"))
+
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("cnt"), col("sum_val"))
+
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("last_ts"), col("n_events"))
+
+  /** Batch form of stateful dedup: earliest row per key, order-explicit.
+    * The stream form is `dropDuplicates` + watermark (state-bounded).
+    */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+  }
+
+  def watermarkedTumblingCount(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("cnt"))
+
+  // ---- readStream source for the fixture events table ----------------------
+
+  /** Raw parquet schema under the ns→µs shim (`ts` arrives as LongType ns
+    * with spark.sql.legacy.parquet.nanosAsLong=true — SURVEY.md §1.4.1).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source over a directory of events part-files, normalized
+    * through the same shim as the batch scan.
+    */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming plan over a directory source with Trigger.AvailableNow
+    * into a memory sink; returns the completed result. Demonstrates the
+    * full readStream → transform → writeStream loop on the same plan the
+    * batch oracle checked.
+    */
+  def runAvailableNow(s: SparkSession, sourceDir: String,
+                      plan: DataFrame => DataFrame, name: String): DataFrame = {
+    val q = plan(readEventsStream(s, sourceDir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

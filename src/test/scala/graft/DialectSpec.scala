@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dialects.{GraphQL, NlToSql}
+import graft.sources.TableRegistry
+
+/** §2.9 dialect front-ends: translator behavior incl. failure modes. */
+class DialectSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+
+  test("GraphQL parses filters, orderBy, limit, nesting") {
+    val f = GraphQL.parse(
+      """{ orders(filter: {o_orderstatus: {eq: "O"}}, limit: 5) {
+           o_orderkey customer { c_name } } }""")
+    assert(f.name === "orders")
+    assert(f.args.map(_._1) === List("filter", "limit"))
+    assert(f.selections.map(_.name) === List("o_orderkey", "customer"))
+    assert(f.selections(1).selections.map(_.name) === List("c_name"))
+  }
+
+  test("GraphQL executes: filter + nested join + limit") {
+    val out = GraphQL.run(spark, d,
+      """{ orders(filter: {o_totalprice: {gt: 100000}}, orderBy: ["o_orderkey"], limit: 7) {
+           o_orderkey o_totalprice customer { c_name } } }""")
+    val rows = out.collect()
+    assert(rows.length === 7)
+    assert(out.columns.toSeq === Seq("o_orderkey", "o_totalprice", "c_name"))
+    assert(rows.forall(_.getDouble(1) > 100000))
+  }
+
+  test("GraphQL IN and LIKE ops") {
+    val out = GraphQL.run(spark, d,
+      """{ nation(filter: {n_name: {in: ["NATION_1", "NATION_2"]}}) { n_nationkey n_name } }""")
+    assert(out.count() === 2)
+    val like = GraphQL.run(spark, d,
+      """{ part(filter: {p_name: {like: "%dget%"}}) { p_partkey p_name } }""")
+    assert(like.count() > 0)
+  }
+
+  test("GraphQL rejects malformed input and unknown relations") {
+    assertThrows[IllegalArgumentException](GraphQL.parse("{ orders"))
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, "{ orders { o_orderkey part { p_name } } }"))
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, """{ orders(filter: {o_orderkey: {zz: 1}}) { o_orderkey } }"""))
+  }
+
+  test("NL translator covers its grammar; SQL runs in Spark") {
+    val sqls = Seq(
+      "top 3 customers by total order price",
+      "count of orders by status",
+      "average quantity by return flag",
+      "total order price by priority").map(NlToSql.translate)
+    TableRegistry.registerAll(spark, d)
+    sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
+  }
+
+  test("NL translator fails loudly on unknown input") {
+    assertThrows[IllegalArgumentException](NlToSql.translate("delete everything"))
+    assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
+  }
+
+  test("TableRegistry loads every fixture table; unknown name errors") {
+    TableRegistry.tables.keys.foreach { t =>
+      assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")
+    }
+    assertThrows[IllegalArgumentException](TableRegistry.load(spark, d, "nope"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.functions.Custom
+
+/** §2.11 extension semantics: properties the ⊘ (no-oracle) keys rely on
+  * (SURVEY.md §5.2.3) — sketch recall vs exact baselines, custom-function
+  * equivalence with built-ins.
+  */
+class ExtensionSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val d = TestSpark.sfDir
+
+  test("dedup_exact is idempotent and keeps the min doc_id") {
+    val once = TextOps.queries("dedup_exact")(spark, d)
+    assert(once.groupBy("content_hash").count().filter($"count" > 1).count() === 0)
+    val keeps = once.select("keep_id").as[Long].collect().toSet
+    val mins = Tables.documents(spark, d)
+      .groupBy(md5(lower(trim($"text")))).agg(min($"doc_id").as("m"))
+      .select("m").as[Long].collect().toSet
+    assert(keeps === mins)
+  }
+
+  test("levenshtein UDF matches Spark's native expression") {
+    val out = Custom.queries("udf_scalar")(spark, d)
+      .filter($"lev_native" =!= $"lev_udf")
+    assert(out.count() === 0)
+    assert(Custom.levenshteinScala("kitten", "sitting") === 3)
+    assert(Custom.levenshteinScala("", "abc") === 3)
+    assert(Custom.levenshteinScala("abc", "abc") === 0)
+  }
+
+  test("Welford UDAF agrees with var_samp to 1e-9 relative") {
+    val rows = Custom.queries("udaf_typed")(spark, d).collect()
+    rows.foreach { r =>
+      val (w, b) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(w - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+    }
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val approx = Aggregates.queries("agg_approx_distinct")(spark, d)
+      .select("o_orderstatus", "approx_cust").as[(String, Long)].collect().toMap
+    val exact = Tables.orders(spark, d).groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n"))
+      .select("o_orderstatus", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(2L, (n * 0.10).toLong),
+        s"status $k approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("MinHash-LSH candidates achieve full recall on high-Jaccard pairs") {
+    val exact = TextOps.queries("dedup_near")(spark, d)
+      .filter($"jaccard" >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cand = TextOps.queries("dedup_minhash")(spark, d)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand),
+      s"missed ${exact -- cand} of ${exact.size} high-sim pairs")
+  }
+
+  test("SimHash: exact duplicates collide; signature is 16-bit") {
+    val sh = TextOps.queries("dedup_simhash")(spark, d)
+    assert(sh.filter($"simhash16" < 0 || $"simhash16" > 0xffffL).count() === 0)
+    val docs = Tables.documents(spark, d)
+    val dup = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      .withColumn("lang", lit("x")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    dup.createOrReplaceTempView("dup_docs") // not used by op; direct check below
+    val toks = dup.select($"doc_id", split(lower($"text"), " ").as("t"))
+    val sig = toks.select($"doc_id", explode($"t").as("token"))
+      .select($"doc_id", $"token", explode(expr("sequence(0, 15)")).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(expr(
+        "CASE WHEN (shiftright(xxhash64(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")).as("s"))
+    val pairs = sig.as[(Long, Long)].collect().toMap
+    pairs.filterKeys(_ < 1000000).foreach { case (id, s) =>
+      pairs.get(id + 1000000).foreach(s2 => assert(s === s2, s"doc $id simhash differs"))
+    }
+  }
+
+  test("ANN-LSH neighbors are genuinely similar (sanity vs brute force)") {
+    val ann = VectorOps.queries("sim_ann_lsh")(spark, d)
+    assert(ann.count() > 0)
+    // every ANN hit's similarity must be <= the brute-force best for that query
+    val bf = VectorOps.queries("sim_cosine_topk")(spark, d)
+      .filter($"rank" === 1).select($"q_id", $"cos_sim".as("best")).as[(Long, Double)].collect().toMap
+    ann.select($"q_id", $"cos_sim").as[(Long, Double)].collect().foreach {
+      case (q, c) => bf.get(q).foreach(b => assert(c <= b + 1e-9))
+    }
+  }
+
+  test("knn_label predictions come from the 5 nearest candidate labels") {
+    val out = VectorOps.queries("knn_label")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)) // votes in [1,5]
+  }
+
+  test("tfidf: common-to-all terms get zero-ish idf, rare terms positive") {
+    val n = Tables.documents(spark, d).count()
+    val tf = TextOps.queries("text_tfidf")(spark, d)
+    val dfs = tf.select("token").distinct().count()
+    assert(dfs > 0)
+    val anyNeg = tf.filter($"tfidf" < -0.0001).count()
+    assert(anyNeg === 0, "idf of df<=N terms must be >= ln((N+1)/(N+1)) = 0")
+    assert(n > 0)
+  }
+
+  test("mm_decode_stub features equal SQL-computed equivalents") {
+    val stub = graft.functions.Custom.queries("mm_decode_stub")(spark, d)
+    val sql = Tables.documents(spark, d).select(
+      $"doc_id",
+      expr("octet_length(cast(text as binary))").cast("long").as("n2"),
+      ascii($"text").cast("long").as("f2"),
+      expr("aggregate(transform(sequence(1, least(8, length(text))), i -> ascii(substring(text, i, 1))), CAST(0 AS BIGINT), (a, x) -> a + x)").as("c2"))
+    val joined = stub.join(sql, "doc_id")
+      .filter($"n_bytes" =!= $"n2" || $"first_byte" =!= $"f2" || $"checksum8" =!= $"c2")
+    assert(joined.count() === 0)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Unit coverage per §2 operator category (SURVEY.md §5.2.2): handwritten
+  * expectations on tiny inputs + edge cases (nulls, empties, duplicate
+  * keys) that the fixture-scale oracle runs don't isolate.
+  */
+class OperatorSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  val d = TestSpark.sfDir
+
+  test("every declared query key has either an oracle or a documented ⊘") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("agg_approx_distinct", "fn_map", "dedup_minhash",
+      "dedup_simhash", "sim_ann_lsh"))
+  }
+
+  test("flagship runs and groups are complete") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 6) // {A,N,R} x {F,O}
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum > 0)
+  }
+
+  test("filter_null three-valued logic keeps no NULL rows") {
+    val out = Relational.queries("filter_null")(spark, d).collect()
+    assert(out.forall(!_.isNullAt(1)))
+  }
+
+  test("set ops on empty inputs") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val empty = Seq.empty[Int].toDF("x")
+    assert(a.unionByName(empty).count() === 3)
+    assert(a.intersect(empty).count() === 0)
+    assert(a.except(empty).orderBy("x").as[Int].collect().toSeq === Seq(1, 2, 3))
+  }
+
+  test("distinct collapses duplicate rows") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(df.distinct().count() === 2)
+  }
+
+  test("join null-extension: left join keeps unmatched left rows") {
+    val l = Seq((1, "x"), (2, "y")).toDF("id", "lv")
+    val r = Seq((1, "z")).toDF("id", "rv")
+    val out = l.join(r, Seq("id"), "left").orderBy("id").collect()
+    assert(out.length === 2 && out(1).isNullAt(2))
+  }
+
+  test("asof join matches latest purchase at/before click, null when none") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // user 1: purchases at 10, 20; clicks at 15, 25, 5
+    val ev = Seq(
+      (1L, 1L, ts(10), "purchase", 1.0), (2L, 1L, ts(20), "purchase", 1.0),
+      (3L, 1L, ts(15), "click", 0.0), (4L, 1L, ts(25), "click", 0.0),
+      (5L, 1L, ts(5), "click", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("asof_ev")
+    // reuse the operator's formulation on this tiny table via direct build
+    val clicks = ev.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val j = clicks.join(purchases, $"user_id" === $"p_user" && $"p_ts" <= $"ts", "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy($"p_ts".desc_nulls_last)
+    val out = j.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_id", $"p_ts").orderBy("event_id").collect()
+    assert(out(0).getTimestamp(1) === ts(10)) // click@15 -> purchase@10
+    assert(out(1).getTimestamp(1) === ts(20)) // click@25 -> purchase@20
+    assert(out(2).isNullAt(1))                // click@5  -> none
+  }
+
+  test("rollup emits grand total; cube emits all 4 grouping combos") {
+    val roll = Aggregates.queries("agg_rollup")(spark, d).collect()
+    assert(roll.count(r => r.isNullAt(0) && r.isNullAt(1)) === 1)
+    val cube = Aggregates.queries("agg_cube")(spark, d)
+      .select(col("l_returnflag").isNull, col("l_linestatus").isNull).distinct().count()
+    assert(cube === 4)
+  }
+
+  test("window row_number is a permutation of 1..n per partition") {
+    val out = Windows.queries("win_row_number")(spark, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), max("rn").as("mx"), min("rn").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(out.count() === 0)
+  }
+
+  test("running sum final value equals group total") {
+    val rs = Windows.queries("win_running_sum")(spark, d)
+    val finals = rs.groupBy("o_custkey").agg(max("run_total").as("final"))
+    val totals = Tables.orders(spark, d).groupBy("o_custkey")
+      .agg(Tables.outDec(sum(Tables.dec(col("o_totalprice")))).as("total"))
+    assert(finals.join(totals, "o_custkey")
+      .filter(col("final") =!= col("total")).count() === 0)
+  }
+
+  test("topk is a prefix of the full sort") {
+    val full = Relational.queries("sort_multi")(spark, d).collect()
+    val k = Tables.customer(spark, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy(col("c_mktsegment").desc_nulls_last, col("c_acctbal").asc_nulls_first,
+               col("c_custkey")).limit(10).collect()
+    assert(full.take(10).toSeq === k.toSeq)
+  }
+}

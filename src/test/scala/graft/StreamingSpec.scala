@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** §2.10 stream-mode proofs (SURVEY.md §5.2.4): the batch-oracled plans run
+  * unchanged under Structured Streaming, and watermark late-drop — the one
+  * semantics batch cannot express (`stream_watermark` ⊘) — is observed
+  * directly via MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int) = new Timestamp(min * 60000L)
+
+  test("tumbling counts via MemoryStream equal the batch plan on same data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val data = Seq(
+      Ev(1, t(0), 1, "click", 1.0), Ev(2, t(2), 1, "view", 2.0),
+      Ev(3, t(6), 2, "click", 3.0), Ev(4, t(11), 2, "click", 4.0))
+    mem.addData(data: _*)
+    val q = Streams.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumb_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("tumb_test").orderBy("w_start", "event_type").collect()
+    val batch = Streams.tumbling(data.toDF()).orderBy("w_start", "event_type").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("file-stream source runs the same tumbling plan as the batch scan") {
+    // the file-stream source monitors a DIRECTORY of part-files; stage the
+    // fixture file into one (the multi-file layout a stream would produce)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      srcDir.resolve("part-0000.parquet"))
+    val out = Streams.runAvailableNow(spark, srcDir.toString, Streams.tumbling, "tumb_file")
+      .orderBy("w_start", "event_type").collect()
+    val batch = Streams.tumbling(Tables.events(spark, TestSpark.sfDir))
+      .orderBy("w_start", "event_type").collect()
+    assert(out.toSeq === batch.toSeq)
+  }
+
+  test("watermark drops rows later than the watermark (stream-only semantics)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val plan = Streams.watermarkedTumblingCount(mem.toDF())
+    val q = plan.writeStream.format("memory").queryName("wm_test")
+      .outputMode("update").start()
+    // batch 1: events at 10:00 and 10:20 -> watermark advances to 10:10
+    mem.addData(Ev(1, t(600), 1, "click", 1.0), Ev(2, t(620), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: 10:05 is behind the 10:10 watermark (its 5-min window
+    // [10:05,10:10) closed) -> dropped; 10:30 is on time
+    mem.addData(Ev(3, t(605), 1, "click", 1.0), Ev(4, t(630), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("wm_test")
+      .select(col("w_start").cast("long").as("s"), col("cnt")).as[(Long, Long)]
+      .collect().toSeq
+    // the late row's window (10:05 -> 36300s) must never appear
+    assert(!wins.exists(_._1 == 605 * 60), s"late row leaked: $wins")
+    // on-time windows present
+    assert(wins.exists(_._1 == 600 * 60) && wins.exists(_._1 == 630 * 60))
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val df = Seq(
+      Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0),   // session 1 (gap 10m)
+      Ev(3, t(60), 1, "a", 0),                            // session 2 (gap 50m)
+      Ev(4, t(0), 2, "a", 0)                              // other user
+    ).toDF()
+    val out = Streams.session(df).orderBy("user_id", "session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(3) === 2) // user 1 first session has 2 events
+    assert(out(1).getLong(3) === 1)
+  }
+
+  test("stateful dedup keeps the earliest event per key") {
+    val df = Seq(
+      Ev(5, t(1), 1, "click", 0), Ev(3, t(1), 1, "click", 0), // ts tie -> min id
+      Ev(9, t(0), 1, "click", 0),                              // earliest
+      Ev(7, t(5), 2, "click", 0)
+    ).toDF()
+    val out = Streams.dedupBatch(df).orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 9) // earliest ts wins over id order
+  }
+}
