@@ -29,7 +29,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (VectorOps.queries, VectorOps.oracles),
       (graft.functions.Custom.queries, graft.functions.Custom.oracles),
-      (Dialects.queries, Dialects.oracles)
+      (Dialects.queries, Dialects.oracles),
+      (Layouts.queries, Layouts.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

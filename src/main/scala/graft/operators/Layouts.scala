@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Physical-layout operators (SURVEY.md §4.2 partition pruning / §2.1 sinks
+  * extended): the two storage-layout levers that matter most at 100 TB —
+  * bucketing (pre-shuffled tables ⇒ exchange-free co-located joins) and
+  * hive-style partitioning (directory pruning ⇒ scans skip data).
+  */
+object Layouts {
+
+  private val exportDir = Relational.exportDir
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** Both join sides written bucketed on the join key with the same
+      * bucket count ⇒ SortMergeJoin with NO Exchange on either side — the
+      * layout that turns the repeated fact⋈fact join from a 100 TB shuffle
+      * into local merges. (explain: no Exchange above either scan.)
+      */
+    "join_bucketed" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity")
+      li.write.mode("overwrite")
+        .bucketBy(8, "l_partkey").sortBy("l_partkey")
+        .option("path", s"$exportDir/li_bucketed").saveAsTable("li_bucketed")
+      part(s, d).select("p_partkey", "p_brand").write.mode("overwrite")
+        .bucketBy(8, "p_partkey").sortBy("p_partkey")
+        .option("path", s"$exportDir/part_bucketed").saveAsTable("part_bucketed")
+      s.table("li_bucketed")
+        .join(s.table("part_bucketed").hint("merge"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
+    /** Hive-partitioned sink + pruned re-scan: the reader lists only the
+      * o_orderstatus=F directory (explain: PartitionFilters, not a data
+      * filter) — at scale this is the difference between touching 1/3 and
+      * 3/3 of the table.
+      */
+    "sink_partitioned" -> ((s, d) => {
+      val out = s"$exportDir/orders_by_status"
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT p_brand,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_qty,
+         count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand NULLS FIRST""",
+    "sink_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' ORDER BY o_orderkey NULLS FIRST"""
+  )
+}

@@ -105,6 +105,40 @@ object VectorOps {
         .orderBy("rank")
     }),
 
+    "sim_ivf" -> ((s, d) => {
+      // IVF-style ANN with DETERMINISTIC coarse quantizer (centroids = the
+      // first 8 vectors, nearest-centroid assignment, nprobe=2) — unlike
+      // the hash-seeded LSH path this is exactly reproducible in SQL, so
+      // it ships with a full DuckDB oracle. At 100 TB: centroids from a
+      // sampled k-means sketch, assignment is one broadcast map-side pass,
+      // and each query touches |corpus|·nprobe/K instead of |corpus|.
+      val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
+      val cents = withNorm(s, d, "c_id", "cv", "cn").filter(col("c_id") < 8)
+        .select("c_id", "cv", "cn")
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(rankKey(col("ccos")).desc, col("c_id"))
+      // assignment feeds BOTH members and probes — cache the (tiny,
+      // |corpus| rows) ranked table so the quantizer pass runs once
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
+        .withColumn("crn", row_number().over(wAssign))
+        .cache()
+      val members = assign.filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("n"), col("c_id").as("cluster"))
+      val probes = assign.filter(col("crn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+                col("c_id").as("cluster"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      members.join(probes, Seq("cluster"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qn") * col("n")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // ⊘ approximate by design (sign-random-projection LSH; projections
       // derive from xxhash64 parity → engine-specific, recall is
@@ -143,6 +177,31 @@ object VectorOps {
     s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf" ->
+      s"""WITH assign AS (
+           SELECT vec_id, c_id, ccos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, c_id) AS crn
+           FROM (
+             SELECT b.vec_id, c.vec_id AS c_id,
+               ${cosSql("b.embedding", "c.embedding")} AS ccos
+             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c)),
+         members AS (SELECT vec_id, c_id AS cluster FROM assign WHERE crn = 1),
+         probes AS (SELECT vec_id AS q_id, c_id AS cluster FROM assign
+                    WHERE crn <= 2 AND vec_id < 10),
+         scored AS (
+           SELECT p.q_id, m.vec_id,
+             ${cosSql("q.embedding", "v.embedding")} AS cos
+           FROM probes p
+           JOIN members m ON m.cluster = p.cluster AND m.vec_id != p.q_id
+           JOIN embeddings q ON q.vec_id = p.q_id
+           JOIN embeddings v ON v.vec_id = m.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         FROM ranked WHERE rank <= 3
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          scored AS (
