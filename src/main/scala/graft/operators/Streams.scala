@@ -36,7 +36,11 @@ object Streams {
       // withWatermark is a no-op in batch (late-drop semantics are
       // stream-only — covered by the MemoryStream spec); the plan is still
       // the real watermarked plan and its batch result oracles as tumbling
-      P.watermarkedTumblingCount(events(s, d)).orderBy("w_start"))
+      P.watermarkedTumblingCount(events(s, d)).orderBy("w_start")),
+    "stream_custom_state" -> ((s, d) =>
+      // flatMapGroupsWithState custom-state op; batch form = one big
+      // micro-batch over empty state, so the per-user totals oracle exactly
+      P.runningUserStats(events(s, d)).orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +84,10 @@ object Streams {
     "stream_watermark" ->
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          count(*) AS cnt
-         FROM events GROUP BY 1 ORDER BY w_start NULLS FIRST"""
+         FROM events GROUP BY 1 ORDER BY w_start NULLS FIRST""",
+    "stream_custom_state" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total_value
+         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST"""
   )
 }

@@ -54,6 +54,41 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("cnt"))
 
+  /** Snapshot row emitted by the custom-state operator. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: BigDecimal)
+
+  /** Custom arbitrary-state operator (`flatMapGroupsWithState`): running
+    * per-user event count + exact decimal value total. The state is
+    * (count, BigDecimal-at-scale-4): per-row rounding mirrors Spark's
+    * double→DECIMAL(18,4) cast (shortest-repr HALF_UP), so the batch run
+    * is bit-exact against the DuckDB decimal-sum oracle AND the streaming
+    * run accumulates identically across micro-batches (proved in
+    * StreamingSpec). This is the §2.10 "custom state" surface — sessionizers,
+    * deduplicators, and CDC mergers at 100 TB are this same shape, state
+    * partitioned by key in the state store, bounded via timeouts/watermark.
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, BigDecimal)]) =>
+          var (n, tot) = state.getOption.getOrElse((0L, BigDecimal(0).setScale(4)))
+          rows.foreach { case (_, v) =>
+            n += 1
+            tot += BigDecimal(new java.math.BigDecimal(java.lang.Double.toString(v))
+              .setScale(4, java.math.RoundingMode.HALF_UP))
+          }
+          state.update((n, tot))
+          Iterator(UserStats(uid, n, tot))
+      }
+      .toDF()
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("total_value"))
+  }
+
   // ---- readStream source for the fixture events table ----------------------
 
   /** Raw parquet schema under the ns→µs shim (`ts` arrives as LongType ns

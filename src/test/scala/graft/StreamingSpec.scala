@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(wins.exists(_._1 == 600 * 60) && wins.exists(_._1 == 630 * 60))
   }
 
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.runningUserStats(mem.toDF())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    mem.addData(Ev(1, t(0), 7, "click", 1.5), Ev(2, t(1), 7, "click", 2.5))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t(2), 7, "click", 4.0), Ev(4, t(2), 8, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode sink: the LAST snapshot per user carries cumulative state
+    val last = spark.table("state_test")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tot"))
+      .orderBy("user_id").collect()
+    assert(last(0).getLong(1) === 3)                      // user 7: 2 + 1 events
+    assert(last(0).getDecimal(2).doubleValue() === 8.0)   // 1.5+2.5+4.0
+    assert(last(1).getLong(1) === 1)
+  }
+
+  test("custom-state batch form equals groupBy aggregation") {
+    val df = Seq(Ev(1, t(0), 1, "a", 1.25), Ev(2, t(1), 1, "a", 2.0),
+                 Ev(3, t(2), 2, "b", 0.5)).toDF()
+    val out = Streams.runningUserStats(df).orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 2 && out(0).getDecimal(2).doubleValue() === 3.25)
+  }
+
   test("session windows merge events within the 30-minute gap") {
     val df = Seq(
       Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0),   // session 1 (gap 10m)
