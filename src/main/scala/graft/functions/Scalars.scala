@@ -104,8 +104,10 @@ object Scalars {
         size(col("embedding")).cast(L).as("n_dims"),
         element_at(col("embedding"), 1).as("first_val"),
         element_at(col("embedding"), -1).as("last_val"),
-        r4(array_max(col("embedding"))).as("vmax"),
-        r4(array_min(col("embedding"))).as("vmin"),
+        // + 0.0 after rounding: IEEE-normalizes -0.0 → 0.0 (repr-identical
+        // across engines; Spark and DuckDB disagree on round(-1e-7, 4) sign)
+        (r4(array_max(col("embedding"))) + lit(0.0)).as("vmax"),
+        (r4(array_min(col("embedding"))) + lit(0.0)).as("vmin"),
         to_json(array_sort(array(col("vec_id"), col("vec_id") % 10, lit(5)))).as("sorted_arr"),
         array_contains(array(col("vec_id") % 10, lit(3)), 3).as("has3"),
         to_json(slice(sequence(lit(1), col("vec_id") % 5 + 2), 1, 2)).as("seq_head"))
@@ -117,7 +119,7 @@ object Scalars {
         r4(expr("aggregate(zip_with(embedding, embedding, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")).as("self_dot"),
         size(expr("filter(embedding, x -> x > 0)")).cast(L).as("n_pos"),
         expr("exists(embedding, x -> x > 0.2)").as("any_big"),
-        r4(element_at(expr("transform(embedding, x -> x * 2)"), 1)).as("first_x2"))
+        (r4(element_at(expr("transform(embedding, x -> x * 2)"), 1)) + lit(0.0)).as("first_x2"))
         .orderBy("vec_id")),
     "fn_map" -> ((s, d) =>
       // ⊘ no SQL oracle (DuckDB MAP dialect differs) — property-tested in
@@ -215,8 +217,8 @@ object Scalars {
          len(embedding) AS n_dims,
          CAST(embedding[1] AS DOUBLE) AS first_val,
          CAST(embedding[-1] AS DOUBLE) AS last_val,
-         round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
-         round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+         round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS vmax,
+         round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS vmin,
          to_json(list_sort([vec_id, vec_id % 10, 5])) AS sorted_arr,
          list_contains([vec_id % 10, 3], 3) AS has3,
          to_json((range(1, vec_id % 5 + 3))[1:2]) AS seq_head
@@ -227,7 +229,7 @@ object Scalars {
          round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot,
          len(list_filter(embedding, x -> x > 0)) AS n_pos,
          len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS any_big,
-         round(CAST(embedding[1] AS DOUBLE) * 2, 4) AS first_x2
+         round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS first_x2
          FROM embeddings ORDER BY vec_id NULLS FIRST""",
     "fn_json" ->
       """SELECT event_id,

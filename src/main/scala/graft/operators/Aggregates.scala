@@ -115,8 +115,8 @@ object Aggregates {
         .agg(
           r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
           r4(var_samp(col("l_quantity"))).as("var_qty"),
-          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-          r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"))
+          (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qp"),
+          (r4(covar_samp(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("cov_qp"))
         .orderBy("l_returnflag")),
     "agg_collect_sorted" -> ((s, d) =>
       nation(s, d).groupBy("n_regionkey")
@@ -190,8 +190,8 @@ object Aggregates {
       """SELECT l_returnflag,
          round(stddev_samp(l_quantity), 4) AS sd_qty,
          round(var_samp(l_quantity), 4) AS var_qty,
-         round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-         round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+         round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qp
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_collect_sorted" ->
       """SELECT n_regionkey, to_json(list(n_name ORDER BY n_name)) AS names
