@@ -37,6 +37,28 @@ object Layouts {
         .orderBy("p_brand")
     }),
 
+    /** Salted skew join (SURVEY.md §4.2 "salting for skew"): l_returnflag
+      * has 3 values ⇒ a shuffled join on it would put ~1/3 of the fact
+      * table on ONE reducer. Salt the fact side with pmod(l_orderkey, 8)
+      * and replicate the dim ×8; the join key becomes (flag, salt) with
+      * 24 evenly-sized groups. Result provably equals the unsalted join —
+      * the oracle IS the plain join.
+      */
+    "join_skew_salted" -> ((s, d) => {
+      val dim = lineitem(s, d).groupBy(col("l_returnflag").as("d_flag"))
+        .agg(min(col("l_quantity")).as("flag_min_qty"))
+        .withColumn("salt", explode(expr("sequence(0, 7)")))
+      val salted = lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)).cast("int"))
+      salted.join(dim,
+          salted("l_returnflag") === dim("d_flag") && salted("salt") === dim("salt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+             min(col("flag_min_qty")).as("flag_min_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Hive-partitioned sink + pruned re-scan: the reader lists only the
       * o_orderstatus=F directory (explain: PartitionFilters, not a data
       * filter) — at scale this is the difference between touching 1/3 and
@@ -54,6 +76,15 @@ object Layouts {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_qty,
+         min(flag_min_qty) AS flag_min_qty
+         FROM lineitem JOIN (
+           SELECT l_returnflag AS d_flag, min(l_quantity) AS flag_min_qty
+           FROM lineitem GROUP BY 1) dim
+         ON l_returnflag = d_flag
+         GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "join_bucketed" ->
       """SELECT p_brand,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_qty,

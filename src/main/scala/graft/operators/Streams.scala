@@ -40,7 +40,13 @@ object Streams {
     "stream_custom_state" -> ((s, d) =>
       // flatMapGroupsWithState custom-state op; batch form = one big
       // micro-batch over empty state, so the per-user totals oracle exactly
-      P.runningUserStats(events(s, d)).orderBy("user_id"))
+      P.runningUserStats(events(s, d)).orderBy("user_id")),
+    "stream_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      P.intervalJoin(ev.filter(col("event_type") === "click"),
+                     ev.filter(col("event_type") === "purchase"))
+        .orderBy("c_id", "p_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +94,14 @@ object Streams {
     "stream_custom_state" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total_value
-         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST"""
+         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
+    "stream_interval_join" ->
+      """SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts,
+              p.event_id AS p_id, p.ts AS p_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+           AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 10 MINUTE
+         ORDER BY c_id NULLS FIRST, p_id NULLS FIRST"""
   )
 }

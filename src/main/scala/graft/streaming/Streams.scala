@@ -54,6 +54,23 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("cnt"))
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * purchases in the 10 minutes before it. In stream mode both sides carry
+    * watermarks so the join state is bounded (purchases older than the
+    * watermark minus the interval are evicted); in batch the identical plan
+    * is a plain range join — `stream_interval_join`'s DuckDB oracle.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("c_ts") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+      .select("c_id", "user_id", "c_ts", "p_id", "p_ts")
+  }
+
   /** Snapshot row emitted by the custom-state operator. */
   case class UserStats(user_id: Long, n_events: Long, total_value: BigDecimal)
 

@@ -95,6 +95,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(1).getLong(1) === 1)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.intervalJoin(
+        clicks.toDF().withWatermark("ts", "10 minutes"),
+        purchases.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sj_test")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, t(20), 1, "click", 0), Ev(2, t(40), 1, "click", 0))
+    purchases.addData(Ev(10, t(15), 1, "purchase", 0),   // within 10m of click@20
+                      Ev(11, t(39), 1, "purchase", 0),   // within 10m of click@40
+                      Ev(12, t(100), 2, "purchase", 0))  // other user / out of range
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sj_test").select("c_id", "p_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("custom-state batch form equals groupBy aggregation") {
     val df = Seq(Ev(1, t(0), 1, "a", 1.25), Ev(2, t(1), 1, "a", 2.0),
                  Ev(3, t(2), 2, "b", 0.5)).toDF()
