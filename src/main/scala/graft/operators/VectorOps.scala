@@ -117,12 +117,13 @@ object VectorOps {
         .select("c_id", "cv", "cn")
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(rankKey(col("ccos")).desc, col("c_id"))
-      // assignment feeds BOTH members and probes — cache the (tiny,
-      // |corpus| rows) ranked table so the quantizer pass runs once
+      // assignment feeds BOTH members and probes — materialize the (tiny,
+      // |corpus| rows) ranked table eagerly so the quantizer pass runs
+      // exactly once (lazy .cache() under AQE recomputed it per consumer)
       val assign = base.crossJoin(broadcast(cents))
         .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
         .withColumn("crn", row_number().over(wAssign))
-        .cache()
+        .localCheckpoint()
       val members = assign.filter(col("crn") === 1)
         .select(col("vec_id"), col("v"), col("n"), col("c_id").as("cluster"))
       val probes = assign.filter(col("crn") <= 2 && col("vec_id") < 10)
