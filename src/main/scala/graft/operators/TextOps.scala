@@ -152,6 +152,20 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_token_count" -> ((s, d) => {
+      // token counting both ways (driver contract): whitespace tokens and a
+      // BPE-ish regex segmentation (letter runs | digit runs | single
+      // punctuation) — the pattern subset behaves identically in Java
+      // regex (Spark) and RE2 (DuckDB)
+      val bpe = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      documents(s, d).select(
+          col("doc_id"),
+          size(split(lower(col("text")), " ")).cast(L).as("n_ws_tokens"),
+          size(bpe).cast(L).as("n_bpe_tokens"),
+          size(array_distinct(bpe)).cast(L).as("n_distinct_bpe"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       // position-weighted rolling fingerprint (order-sensitive, exact
       // BIGINT arithmetic → oracle-identical) + normalized-content md5
@@ -229,6 +243,12 @@ object TextOps {
            round(CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t), 4) AS stopword_ratio,
            round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS type_token_ratio
          FROM t ORDER BY doc_id NULLS FIRST""",
+    "text_token_count" ->
+      """SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS n_distinct_bpe
+         FROM documents ORDER BY doc_id NULLS FIRST""",
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
          SELECT p.doc_id,
