@@ -40,15 +40,49 @@ object NlToSql {
     ("supplier", "lineitem") -> "lineitem JOIN supplier ON l_suppkey = s_suppkey",
     ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey")
 
-  private val TopN = """top (\d+) (\w+) by total ([a-z ]+)""".r
-  private val CountBy = """(?:number|count) of (\w+) by ([a-z ]+)""".r
-  private val AvgBy = """average ([a-z ]+) by ([a-z ]+)""".r
-  private val TotalBy = """total ([a-z ]+) by ([a-z ]+)""".r
+  // (?i) case-insensitive keywords; captured VALUES keep their case (column
+  // values like status 'F' are case-sensitive), noun captures are
+  // lowercased before catalog lookup
+  private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
+  private val CountBy = """(?i)(?:number|count) of (\w+) by ([a-z ]+?)""".r
+  private val CountByWhere =
+    """(?i)(?:number|count) of (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TotalByWhere =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
+  private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
+
+  private def dim(name: String): (String, String) =
+    dims.getOrElse(name.trim.toLowerCase,
+      throw new IllegalArgumentException(s"unknown dimension: $name"))
+
+  private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** NL question → SQL in the Spark∩DuckDB common dialect.
     * Unrecognized input fails loudly (no silent guessing).
     */
-  def translate(question: String): String = question.trim.toLowerCase match {
+  def translate(question: String): String = question.trim match {
+    case CountByWhere(entity, d, fdim, value) =>
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(ftable == table, s"filter dimension $fdim not on $table")
+      s"""SELECT $dcol, count(*) AS cnt FROM $table
+         WHERE $fcol = ${sqlLit(value)}
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByWhere(measure, d, fdim, value) =>
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         FROM $fact WHERE $fcol = ${sqlLit(value)}
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case other => translateBase(other.toLowerCase)
+  }
+
+  private def translateBase(question: String): String = question match {
     case TopN(n, entity, measure) =>
       val (table, pk, nameCol) = entities.getOrElse(entity,
         throw new IllegalArgumentException(s"unknown entity: $entity"))

@@ -56,6 +56,29 @@ class DialectSpec extends AnyFunSuite {
     sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
   }
 
+  test("GraphQL resolves two-level nesting (orders -> customer -> nation)") {
+    val out = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+           o_orderkey customer { c_name nation { n_name } } } }""")
+    assert(out.columns.toSeq === Seq("o_orderkey", "c_name", "n_name"))
+    val rows = out.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.getString(2).startsWith("NATION_")))
+  }
+
+  test("NL where-clause patterns filter with case-preserved values") {
+    val sql = NlToSql.translate("count of orders by priority where status is F")
+    assert(sql.contains("o_orderstatus = 'F'"))
+    TableRegistry.registerAll(spark, d)
+    val out = spark.sql(sql).collect()
+    assert(out.nonEmpty)
+    val total = NlToSql.translate("total order price by priority where status is O")
+    assert(spark.sql(total).count() > 0)
+    // filter dimension must live on the grouped table
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("count of orders by priority where language is en"))
+  }
+
   test("NL translator fails loudly on unknown input") {
     assertThrows[IllegalArgumentException](NlToSql.translate("delete everything"))
     assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
