@@ -99,6 +99,25 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("final") =!= col("total")).count() === 0)
   }
 
+  test("TPC-H-Q3-analog golden: join+agg+topk matches DuckDB-generated expected rows") {
+    // golden rows generated ONCE from DuckDB 1.0.0 at sf0.001 (SURVEY §5.2.5)
+    val expected = Seq(
+      (785L, "574560.7464"), (297L, "560318.5810"), (1259L, "456252.9171"),
+      (825L, "447394.8346"), (655L, "412061.1388"), (104L, "398951.0329"),
+      (1303L, "394695.8466"), (214L, "386642.6692"), (1045L, "385856.8713"),
+      (1368L, "368836.9703"))
+    val revenue = Tables.outDec(sum(
+      Tables.dec(col("l_extendedprice")) * (lit(1).cast(Tables.Money) - Tables.dec(col("l_discount")))))
+    val got = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("o_orderkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toSeq
+    assert(got === expected)
+  }
+
   test("topk is a prefix of the full sort") {
     val full = Relational.queries("sort_multi")(spark, d).collect()
     val k = Tables.customer(spark, d)
