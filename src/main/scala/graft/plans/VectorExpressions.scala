@@ -83,9 +83,11 @@ object GraftFunctions {
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       GraftFunctions.vecDotBuilder))
+    e.injectOptimizerRule(_ => DimBroadcastRule)
+  }
 }
