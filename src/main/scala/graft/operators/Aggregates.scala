@@ -131,6 +131,30 @@ object Aggregates {
       orders(s, d).groupBy("o_orderstatus")
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
         .orderBy("o_orderstatus")),
+    "agg_pivot" -> ((s, d) =>
+      // pivot = grouped conditional aggregation; explicit value list keeps
+      // the schema static (Catalyst requires it to avoid a discovery pass —
+      // exactly what you want at scale anyway). coalesce(…,0): Spark pivot
+      // yields NULL for empty cells, the FILTER-count oracle yields 0.
+      orders(s, d).groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .select(col("o_orderstatus"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+        .orderBy("o_orderstatus")),
+    "unpivot" -> ((s, d) =>
+      // wide→long reshaping (melt); value columns unify to double
+      part(s, d)
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "val")
+        .orderBy("p_partkey", "metric")),
     "agg_percentile" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(
@@ -199,6 +223,20 @@ object Aggregates {
     "agg_string_concat" ->
       """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
          FROM customer GROUP BY 1 ORDER BY c_nationkey NULLS FIRST""",
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+         count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+         count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+         count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "unpivot" ->
+      """SELECT * FROM (
+           SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part)
+         ORDER BY p_partkey NULLS FIRST, metric NULLS FIRST""",
     "agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
