@@ -11,16 +11,28 @@ name, rows in emitted order — the strictest plausible driver behavior).
 import json
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
 
 
 def canon(v):
+    # Type-tagged canonical form. Round 1 taught us (ADVICE.md) that the
+    # driver's hash distinguishes Python Decimal (Spark parquet DECIMAL /
+    # DuckDB HUGEINT) from float/int renderings, so a repr-only compare
+    # passed locally while the driver failed. Tag the type class so any
+    # decimal-vs-double or hugeint-vs-bigint divergence fails HERE first.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, Decimal):
+        return f"Decimal({v})"
+    if isinstance(v, bool):
+        return f"bool({v})"
+    if isinstance(v, int):
+        return f"int({v})"
     return repr(v)
 
 

@@ -71,14 +71,22 @@ object Tables {
 
   def dec(c: Column): Column = c.cast(Money)
 
-  /** Final-output decimal: both Spark and the DuckDB oracle emit aggregated
-    * decimals as round(x,4)::DECIMAL(18,4). The round() is load-bearing:
-    * DuckDB's decimal→decimal CAST *truncates* excess scale while Spark's
-    * rounds HALF_UP (verified divergence on sum_charge); both engines'
-    * round() are half-away-from-zero, so rounding first makes the cast
-    * exact in both.
+  /** Final-output money/measure: aggregate in DECIMAL (exact,
+    * partition-order-free), round(x,4) in decimal, then emit DOUBLE.
+    *
+    * The round() is load-bearing: DuckDB's decimal→decimal CAST *truncates*
+    * excess scale while Spark's rounds HALF_UP (verified divergence on
+    * sum_charge); both engines' round() are half-away-from-zero, so rounding
+    * first makes the decimal exact in both. The final DOUBLE cast is equally
+    * load-bearing for the driver's hash compare (round-1 ADVICE.md): the
+    * driver canonicalizes Spark parquet DECIMAL columns and DuckDB
+    * DECIMAL/HUGEINT results through different Python renderings
+    * (Decimal('1.2000') vs 1.2), so any decimal-typed output column
+    * hash-mismatches even when values are identical. Both engines cast the
+    * same exact scale-4 decimal to its nearest double → bit-identical.
     */
-  def outDec(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+  def outDec(c: Column): Column =
+    round(c, 4).cast(DecimalType(18, 4)).cast(DoubleType)
 
   /** ≈-valued outputs (SURVEY.md §7.1.2): double, rounded to 4 places in
     * both engines.

@@ -76,7 +76,7 @@ object NlToSql {
       val (ftable, fcol) = dim(fdim)
       require(table == fact && ftable == fact, s"dimensions must be on $fact")
       s"""SELECT $dcol,
-         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case other => translateBase(other.toLowerCase)
@@ -91,7 +91,7 @@ object NlToSql {
       val from = joinPath.getOrElse((table, fact),
         throw new IllegalArgumentException(s"no join path $table -> $fact"))
       s"""SELECT $pk, $nameCol,
-         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $from
          GROUP BY $pk, $nameCol
          ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
@@ -117,7 +117,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown dimension: $dim"))
       require(table == fact, s"dimension $dim not on $fact")
       s"""SELECT $dcol,
-         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case other =>
       throw new IllegalArgumentException(s"cannot translate: '$other'")

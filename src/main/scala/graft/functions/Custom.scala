@@ -149,11 +149,20 @@ object Custom {
          (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind
          FROM documents ORDER BY doc_id NULLS FIRST""",
     "mm_decode_stub" ->
+      // byte-based (octet-level over encode(text), matching the Spark side's
+      // UTF-8 byte math) — round-1 ADVICE.md: the previous ascii/substr form
+      // was character-based and only agreed on ASCII-only fixtures, and
+      // list_sum over an empty range yields NULL (→ coalesce 0); integer
+      // list_sum returns HUGEINT (→ CAST BIGINT for the driver hash)
       """SELECT doc_id,
-         octet_length(encode(text)) AS n_bytes,
-         ascii(text) AS first_byte,
-         list_sum(list_transform(range(1, least(8, length(text)) + 1),
-                                 i -> ascii(substr(text, i, 1)))) AS checksum8
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+              ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT)
+              END AS BIGINT) AS first_byte,
+         CAST(coalesce(list_sum(list_transform(
+                range(1, least(8, octet_length(encode(text))) + 1),
+                i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS INT))),
+              0) AS BIGINT) AS checksum8
          FROM documents ORDER BY doc_id NULLS FIRST"""
   )
 }

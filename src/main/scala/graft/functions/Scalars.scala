@@ -64,7 +64,8 @@ object Scalars {
       customer(s, d).select(
         col("c_custkey"),
         abs(col("c_acctbal")).as("abs_bal"),
-        round(dec(col("c_acctbal")), 1).cast(DecimalType(18, 1)).as("bal_r1"),
+        round(dec(col("c_acctbal")), 1).cast(DecimalType(18, 1))
+          .cast(DoubleType).as("bal_r1"),
         floor(col("c_acctbal")).as("fl"),
         ceil(col("c_acctbal")).as("ce"),
         (col("c_custkey") % 7).as("mod7"),
@@ -92,7 +93,7 @@ object Scalars {
         col("c_custkey"),
         col("c_custkey").cast(StringType).as("key_str"),
         regexp_extract(col("c_name"), "([0-9]+)$", 1).cast(L).as("num_from_str"),
-        col("c_acctbal").cast(DecimalType(12, 2)).as("bal_dec"),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("bal_dec"),
         col("c_nationkey").cast(DoubleType).as("nk_dbl"),
         (col("c_acctbal") > 0).cast(L).as("is_pos"),
         lit("1996-07-01").cast(DateType).as("lit_date"),
@@ -180,7 +181,7 @@ object Scalars {
     "fn_math" ->
       """SELECT c_custkey,
          abs(c_acctbal) AS abs_bal,
-         CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS bal_r1,
+         CAST(CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 1) AS DECIMAL(18,1)) AS DOUBLE) AS bal_r1,
          CAST(floor(c_acctbal) AS BIGINT) AS fl,
          CAST(ceil(c_acctbal) AS BIGINT) AS ce,
          c_custkey % 7 AS mod7,
@@ -206,7 +207,7 @@ object Scalars {
       """SELECT c_custkey,
          CAST(c_custkey AS VARCHAR) AS key_str,
          CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS num_from_str,
-         CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
          CAST(c_nationkey AS DOUBLE) AS nk_dbl,
          CAST(c_acctbal > 0 AS BIGINT) AS is_pos,
          DATE '1996-07-01' AS lit_date,

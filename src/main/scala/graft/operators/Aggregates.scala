@@ -44,10 +44,10 @@ object Aggregates {
 
   val flagshipOracle: String =
     """SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DECIMAL(18,4)) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
        count(*) AS count_order
        FROM lineitem
@@ -176,7 +176,7 @@ object Aggregates {
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_sum_minmax" ->
       """SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
          min(l_shipdate) AS first_ship
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
@@ -186,13 +186,13 @@ object Aggregates {
          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
          FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""",
     "agg_having" ->
-      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders GROUP BY 1
          HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 1000000
          ORDER BY o_custkey NULLS FIRST""",
     "agg_filtered" ->
       """SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,4)) AS qty_hi_disc,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,
          count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_rollup" ->
@@ -203,7 +203,7 @@ object Aggregates {
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_grouping_sets" ->

@@ -78,7 +78,7 @@ object Layouts {
   val oracles: Map[String, String] = Map(
     "join_skew_salted" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_qty,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
          min(flag_min_qty) AS flag_min_qty
          FROM lineitem JOIN (
            SELECT l_returnflag AS d_flag, min(l_quantity) AS flag_min_qty
@@ -87,7 +87,7 @@ object Layouts {
          GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "join_bucketed" ->
       """SELECT p_brand,
-         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_qty,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
          count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand NULLS FIRST""",

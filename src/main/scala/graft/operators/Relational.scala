@@ -22,18 +22,20 @@ object Relational {
 
   /** Export `nation` once as a single deterministic CSV/TSV file (sorted by
     * pk, driver-side — 25 rows) so Spark and DuckDB scan the *same* file.
+    * Always overwritten from the CURRENT sfDir (round-1 ADVICE.md: a bare
+    * exists() check silently reused one sf's export at another, and stale
+    * /tmp state survived across rounds; the oracle SQL embeds this fixed
+    * path, so the file must always reflect the sf of the running Verify).
     */
   private def ensureNationText(s: SparkSession, dir: String, sep: String, ext: String): String = {
     val out = new java.io.File(s"$exportDir/nation.$ext")
-    if (!out.exists()) {
-      out.getParentFile.mkdirs()
-      val rows = nation(s, dir)
-        .orderBy("n_nationkey")
-        .collect()
-        .map(r => s"${r.getInt(0)}$sep${r.getString(1)}$sep${r.getInt(2)}")
-      val body = (s"n_nationkey${sep}n_name${sep}n_regionkey" +: rows).mkString("\n")
-      java.nio.file.Files.writeString(out.toPath, body + "\n")
-    }
+    out.getParentFile.mkdirs()
+    val rows = nation(s, dir)
+      .orderBy("n_nationkey")
+      .collect()
+      .map(r => s"${r.getInt(0)}$sep${r.getString(1)}$sep${r.getInt(2)}")
+    val body = (s"n_nationkey${sep}n_name${sep}n_regionkey" +: rows).mkString("\n")
+    java.nio.file.Files.writeString(out.toPath, body + "\n")
     out.getPath
   }
 
@@ -168,7 +170,7 @@ object Relational {
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey NULLS FIRST",
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-         CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS net
+         CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS net
          FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, net NULLS FIRST""",
     "project_alias" ->
       "SELECT p_partkey AS id, p_name AS pname FROM part ORDER BY id NULLS FIRST",

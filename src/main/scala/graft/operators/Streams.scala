@@ -53,7 +53,7 @@ object Streams {
     "stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          event_type, count(*) AS cnt,
-         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_val
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
          FROM events GROUP BY 1, 2
          ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""",
     "stream_sliding" ->
@@ -62,7 +62,7 @@ object Streams {
            UNION ALL
            SELECT make_timestamp((epoch_us(ts)//300000000)*300000000 - 300000000) AS w_start, value FROM events)
          SELECT w_start, count(*) AS cnt,
-           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS sum_val
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
          FROM buckets GROUP BY 1 ORDER BY w_start NULLS FIRST""",
     "stream_session" ->
       """WITH marked AS (
@@ -93,7 +93,7 @@ object Streams {
          FROM events GROUP BY 1 ORDER BY w_start NULLS FIRST""",
     "stream_custom_state" ->
       """SELECT user_id, count(*) AS n_events,
-         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(18,4)) AS total_value
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
     "stream_interval_join" ->
       """SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts,

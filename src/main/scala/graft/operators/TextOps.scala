@@ -220,7 +220,7 @@ object TextOps {
          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
          ORDER BY tf.doc_id NULLS FIRST, tf.token NULLS FIRST""",
     "text_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
          count(DISTINCT source) AS n_sources
          FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""",
@@ -252,7 +252,7 @@ object TextOps {
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
          SELECT p.doc_id,
-           sum(p.i * (ascii(p.tok) + 7 * length(p.tok) + 13)) AS fp,
+           CAST(sum(p.i * (ascii(p.tok) + 7 * length(p.tok) + 13)) AS BIGINT) AS fp,
            any_value(m.content_md5) AS content_md5
          FROM (SELECT doc_id, t[i] AS tok, i FROM
                  (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM t)) p

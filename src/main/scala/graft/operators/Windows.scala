@@ -122,7 +122,7 @@ object Windows {
       """SELECT o_orderkey, o_custkey,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS run_total
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS run_total
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_moving_avg" ->
       """SELECT l_orderkey, l_linenumber,
@@ -136,7 +136,7 @@ object Windows {
       """SELECT event_id, event_type, es,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
            PARTITION BY event_type ORDER BY es
-           RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS sum_5min
+           RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sum_5min
          FROM (SELECT event_id, event_type, epoch_us(ts)//1000000 AS es, value FROM events)
          ORDER BY event_id NULLS FIRST""",
     "win_first_last" ->

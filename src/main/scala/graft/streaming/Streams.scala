@@ -103,7 +103,9 @@ object Streams {
       }
       .toDF()
       .select(col("user_id"), col("n_events"),
-        col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("total_value"))
+        // decimal→double like Tables.outDec: exact scale-4 state, double out
+        col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
   }
 
   // ---- readStream source for the fixture events table ----------------------

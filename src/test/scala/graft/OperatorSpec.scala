@@ -114,7 +114,7 @@ class OperatorSpec extends AnyFunSuite {
       .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey").agg(revenue.as("revenue"))
       .orderBy(col("revenue").desc_nulls_last, col("o_orderkey")).limit(10)
-      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString)).toSeq
+      .collect().map(r => (r.getLong(0), f"${r.getDouble(1)}%.4f")).toSeq
     assert(got === expected)
   }
 

@@ -91,7 +91,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tot"))
       .orderBy("user_id").collect()
     assert(last(0).getLong(1) === 3)                      // user 7: 2 + 1 events
-    assert(last(0).getDecimal(2).doubleValue() === 8.0)   // 1.5+2.5+4.0
+    assert(last(0).getDouble(2) === 8.0)                  // 1.5+2.5+4.0
     assert(last(1).getLong(1) === 1)
   }
 
@@ -120,7 +120,7 @@ class StreamingSpec extends AnyFunSuite {
                  Ev(3, t(2), 2, "b", 0.5)).toDF()
     val out = Streams.runningUserStats(df).orderBy("user_id").collect()
     assert(out.length === 2)
-    assert(out(0).getLong(1) === 2 && out(0).getDecimal(2).doubleValue() === 3.25)
+    assert(out(0).getLong(1) === 2 && out(0).getDouble(2) === 3.25)
   }
 
   test("session windows merge events within the 30-minute gap") {
