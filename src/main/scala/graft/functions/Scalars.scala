@@ -123,16 +123,20 @@ object Scalars {
         (r4(element_at(expr("transform(embedding, x -> x * 2)"), 1)) + lit(0.0)).as("first_x2"))
         .orderBy("vec_id")),
     "fn_map" -> ((s, d) =>
-      // ⊘ no SQL oracle (DuckDB MAP dialect differs) — property-tested in
-      // ScalaTest; driver records rows-only
+      // map construction + introspection (map_from_arrays / element_at /
+      // map_keys / map explode), emitted as exploded (key, value) rows —
+      // DuckDB's MAP dialect differs, but the row form hash-checks exactly
       events(s, d).select(
         col("event_id"),
         map_from_arrays(array(lit("type"), lit("uid")),
           array(col("event_type"), col("user_id").cast(StringType))).as("m"))
-        .withColumn("m_type", element_at(col("m"), "type"))
-        .withColumn("n_keys", size(map_keys(col("m"))))
-        .drop("m")
-        .orderBy("event_id")),
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          size(map_keys(col("m"))).cast(LongType).as("n_keys"),
+          explode(col("m")))
+        .select("event_id", "key", "value", "m_type", "n_keys")
+        .orderBy("event_id", "key")),
     "fn_json" -> ((s, d) =>
       events(s, d).select(
         col("event_id"),
@@ -203,6 +207,14 @@ object Scalars {
          nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
          CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_word
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "fn_map" ->
+      """SELECT event_id, key, value, m_type, n_keys FROM (
+           SELECT event_id, 'type' AS key, event_type AS value,
+                  event_type AS m_type, CAST(2 AS BIGINT) AS n_keys FROM events
+           UNION ALL
+           SELECT event_id, 'uid', CAST(user_id AS VARCHAR),
+                  event_type, CAST(2 AS BIGINT) FROM events)
+         ORDER BY event_id NULLS FIRST, key NULLS FIRST""",
     "fn_cast" ->
       """SELECT c_custkey,
          CAST(c_custkey AS VARCHAR) AS key_str,

@@ -127,9 +127,15 @@ object Aggregates {
         .agg(concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"))
         .orderBy("c_nationkey")),
     "agg_approx_distinct" -> ((s, d) =>
-      // ⊘ approximate by design (HLL) — no SQL oracle; bounds property-tested
+      // HLL sketch (rsd 2%) next to the exact count: cross-engine sketch
+      // VALUES can't match, but the bounded-error contract can — the emitted
+      // approx_ok bit makes the approximation property itself hash-checkable
+      // (bounds additionally property-tested in ScalaTest)
       orders(s, d).groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+        .select(col("o_orderstatus"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1).as("approx_ok"))
         .orderBy("o_orderstatus")),
     "agg_pivot" -> ((s, d) =>
       // pivot = grouped conditional aggregation; explicit value list keeps
@@ -171,6 +177,10 @@ object Aggregates {
     "agg_count_col" ->
       """SELECT o_orderpriority, count(nullif(o_orderstatus,'P')) AS cnt_nonp
          FROM orders GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""",
+    "agg_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+         true AS approx_ok
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",

@@ -56,16 +56,19 @@ object TextOps {
     }),
 
     "dedup_minhash" -> ((s, d) => {
-      // ⊘ MinHash-LSH scale path (no oracle — xxhash64 is engine-specific;
-      // recall vs exact Jaccard is property-tested). 16 minhashes, 8 bands
-      // of 2 (P[candidate | J=0.8] ≈ 0.9997): band-signature join yields
+      // MinHash-LSH scale path. 16 minhashes, 8 bands of 2
+      // (P[candidate | J=0.8] ≈ 0.9997): band-signature join yields
       // candidates without an all-pairs scan — THE way near-dup runs at
-      // 100 TB.
+      // 100 TB. Hash family is md5-derived (low 60 bits of md5(seed:shingle)
+      // — engine-portable, so the whole pipeline has a full DuckDB oracle;
+      // recall vs exact Jaccard is additionally property-tested).
       val sh = shingles(s, d)
       val seeds = explode(expr("sequence(0, 15)")).as("seed")
       val minh = sh.select(col("doc_id"), col("shingle"), seeds)
         .groupBy("doc_id", "seed")
-        .agg(min(xxhash64(col("seed"), col("shingle"))).as("mh"))
+        .agg(min(expr(
+          "CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':', shingle)), 1, 15), 16, 10) AS BIGINT)"))
+          .as("mh"))
       val bands = minh
         .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
         .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
@@ -78,15 +81,19 @@ object TextOps {
     }),
 
     "dedup_simhash" -> ((s, d) => {
-      // ⊘ 16-bit SimHash per doc (xxhash64 token hashes → no oracle);
-      // near-dup candidates = identical/close signatures, property-tested
+      // 16-bit SimHash per doc; token hashes are md5-derived (60-bit,
+      // engine-portable → full DuckDB oracle; near-dup recall additionally
+      // property-tested). The token hash is computed ONCE per token row,
+      // then fanned out over the 16 bit positions.
       val bits = explode(expr("sequence(0, 15)")).as("bit")
       toks(s, d)
         .select(col("doc_id"), explode(col("t")).as("token"))
-        .select(col("doc_id"), col("token"), bits)
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)").as("th"))
+        .select(col("doc_id"), col("th"), bits)
         .groupBy("doc_id", "bit")
         .agg(sum(expr(
-          "CASE WHEN (shiftright(xxhash64(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+          "CASE WHEN (shiftright(th, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
           .as("w"))
         .groupBy("doc_id")
         .agg(sum(expr(
@@ -201,6 +208,41 @@ object TextOps {
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "dedup_minhash" ->
+      // same md5-derived 60-bit hash family as the Spark side:
+      // low-60-bits(md5(seed ':' shingle)) via hex prefix → BIGINT
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
+         mh AS (
+           SELECT doc_id, seed,
+             min(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             array_to_string(list_sort(list(mh)), ',') AS sig
+           FROM mh GROUP BY 1, 2)
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.band AS band
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         ORDER BY a NULLS FIRST, b NULLS FIRST, band NULLS FIRST""",
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         th AS (
+           SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS th FROM tok),
+         w AS (
+           SELECT doc_id, bit,
+             sum(CASE WHEN ((th >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS w
+           FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) bits
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash16
+         FROM w GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
     "text_tokenize" ->
       """SELECT doc_id, token FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)

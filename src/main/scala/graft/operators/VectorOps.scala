@@ -141,25 +141,22 @@ object VectorOps {
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
-      // ⊘ approximate by design (sign-random-projection LSH; projections
-      // derive from xxhash64 parity → engine-specific, recall is
-      // property-tested vs the brute-force baseline)
-      val e = emb(s, d).select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("i"), col("col").as("v"))
-      val planes = e.select(col("vec_id"), col("i"), col("v"),
-          explode(expr("sequence(0, 7)")).as("p"))
-        .withColumn("r", expr("CASE WHEN (xxhash64(p * 64 + i) & 1) = 1 THEN 1.0 ELSE -1.0 END"))
-      val sig = planes.groupBy("vec_id", "p")
-        .agg(sum(col("v") * col("r")).as("proj"))
-        .groupBy("vec_id")
-        .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END")).as("sig"))
-      val withVec = sig.join(emb(s, d), "vec_id")
-      val q = withVec.filter(col("vec_id") < 10)
+      // sign-random-projection LSH: 8 md5-derived hyperplanes (parity of
+      // the 60-bit md5 hash of plane*64+dim — engine-portable, so the whole
+      // bucketed-ANN pipeline has a full DuckDB oracle; recall vs the
+      // brute-force baseline is additionally property-tested). The 8-bit
+      // signature is computed as an IN-ROW fold over the vector (no
+      // explode/shuffle, deterministic left-to-right double accumulation) —
+      // at 100 TB this is one narrow map pass, then candidates co-locate by
+      // signature in a single shuffle.
+      val sig = emb(s, d).select(col("vec_id"), col("embedding"),
+        expr(lshSigSpark).as("sig"))
+      val q = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("qv"))
-      val c = withVec.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
+      val c = sig.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
       val w = Window.partitionBy("q_id")
         .orderBy(rankKey(col("cos")).desc, col("vec_id"))
-      q.join(c, col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
+      c.join(broadcast(q), col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
         .withColumn("cos", cos("qv", "cv"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -167,6 +164,29 @@ object VectorOps {
         .orderBy("q_id", "rank")
     })
   )
+
+  /** Hyperplane sign for (plane p, dim i): parity of the md5-derived 60-bit
+    * hash of p*64+i — identical formula on both engines (see lshSigDuck).
+    */
+  private def lshProjSpark(p: Int): String =
+    s"aggregate(transform(embedding, (x, i) -> x * CASE WHEN " +
+    s"(CAST(conv(substr(md5(CAST($p * 64 + i AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1) = 1 " +
+    s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), " +
+    s"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+
+  private val lshSigSpark: String = (0 until 8).map(p =>
+    s"(CASE WHEN ${lshProjSpark(p)} > 0 THEN CAST(${1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  private def lshProjDuck(p: Int): String =
+    s"list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
+    s"CAST(embedding[i] AS DOUBLE) * CASE WHEN " +
+    s"(CAST(concat('0x', substr(md5(CAST($p * 64 + (i - 1) AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 " +
+    s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
+
+  private val lshSigDuck: String = (0 until 8).map(p =>
+    s"(CASE WHEN ${lshProjDuck(p)} > 0 THEN CAST(${1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
 
   // DuckDB mirror of the fold-based dot product (index loop, same order)
   private val dotSql =
@@ -237,6 +257,21 @@ object VectorOps {
            FROM votes)
          WHERE vr = 1
          ORDER BY q_id NULLS FIRST""",
+    "sim_ann_lsh" ->
+      s"""WITH sig AS (
+           SELECT vec_id, embedding, $lshSigDuck AS sig FROM embeddings),
+         q AS (SELECT vec_id AS q_id, sig AS q_sig, embedding AS qv
+               FROM sig WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id, ${cosSql("q.qv", "c.embedding")} AS cos
+           FROM q JOIN sig c ON c.sig = q.q_sig AND q.q_id != c.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         FROM ranked WHERE rank <= 3
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "dedup_embed" ->
       s"""WITH pairs AS (
            SELECT x.vec_id AS a, y.vec_id AS b,

@@ -14,10 +14,11 @@ class OperatorSpec extends AnyFunSuite {
   import spark.implicits._
   val d = TestSpark.sfDir
 
-  test("every declared query key has either an oracle or a documented ⊘") {
+  test("every declared query key has a DuckDB oracle") {
+    // round 2: the formerly-⊘ keys (md5-portable hashing / exploded maps /
+    // bounded-error bits) are fully oracled — the set must stay empty
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_distinct", "fn_map", "dedup_minhash",
-      "dedup_simhash", "sim_ann_lsh"))
+    assert(noOracle === Set.empty[String])
   }
 
   test("flagship runs and groups are complete") {
