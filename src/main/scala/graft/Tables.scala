@@ -62,6 +62,21 @@ object Tables {
       .parquet(path(dir, "embeddings"))
       .withColumn("embedding", expr("transform(embedding, x -> cast(x as double))"))
 
+  /** Fan a small scan out to the session's full parallelism before
+    * CPU-heavy per-row expansion (shingling, n-gram explode, minhash).
+    *
+    * The fixture tables arrive as ONE parquet file → one input partition, so
+    * every generator/projection upstream of the first shuffle would run on
+    * a single core (measured: dedup_ngram 9.5s → 3s at sf0.1 from this
+    * alone). At real scale the scan already has ≥ parallelism partitions
+    * and this is a no-op — the guard keeps the extra shuffle from ever
+    * touching a big input.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---- determinism helpers (SURVEY.md §7.1) --------------------------------
 
   /** Money/measure discipline: all arithmetic over double money columns is

@@ -127,10 +127,45 @@ object Custom {
         }
       }.toDF("doc_id", "n_bytes", "first_byte", "checksum8")
         .orderBy("doc_id")
-    })
+    }),
+
+    "mm_frame_sample" -> ((s, d) =>
+      // multimodal frame sampling: treat the payload as an opaque "video"
+      // byte stream and sample up to 4 fixed-width (16-byte) frames at a
+      // payload-proportional stride — the Spark-side plumbing (schema,
+      // per-frame fan-out, deterministic offsets, per-frame digest) is
+      // real; a codec would replace the hex/md5 digest step. One narrow
+      // projection + generator: embarrassingly parallel at 100 TB.
+      documents(s, d)
+        .select(col("doc_id"),
+          hex(col("text").cast(BinaryType)).as("h"),
+          expr("octet_length(cast(text as binary))").cast(LongType).as("n_bytes"))
+        .withColumn("stride", greatest(lit(16L), expr("n_bytes div 4")))
+        .select(col("doc_id"), col("h"), col("stride"),
+          explode(expr("filter(sequence(0, 3), f -> f * stride < n_bytes)")).as("f"))
+        .select(col("doc_id"),
+          col("f").cast(LongType).as("frame_idx"),
+          (col("f") * col("stride")).cast(LongType).as("frame_off"),
+          md5(expr("substring(h, cast(f * stride * 2 + 1 as int), 32)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             greatest(CAST(16 AS BIGINT),
+                      CAST(octet_length(encode(text)) AS BIGINT) // 4) AS stride
+           FROM documents),
+         f AS (
+           SELECT doc_id, h, stride,
+             unnest(list_filter(range(0, 4), f -> f * stride < n_bytes)) AS f
+           FROM b)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * stride AS BIGINT) AS frame_off,
+           md5(substr(h, CAST(f * stride * 2 + 1 AS INT), 32)) AS frame_md5
+         FROM f ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""",
     "udf_scalar" ->
       """SELECT c_custkey,
          levenshtein(c_name, 'Customer#000000042') AS lev_native,

@@ -122,6 +122,33 @@ object Scalars {
         expr("exists(embedding, x -> x > 0.2)").as("any_big"),
         (r4(element_at(expr("transform(embedding, x -> x * 2)"), 1)) + lit(0.0)).as("first_x2"))
         .orderBy("vec_id")),
+    "fn_bitwise" -> ((s, d) =>
+      // bitwise family: & | xor ~ shifts popcount (DuckDB dialect: ^ is
+      // POWER there, so the oracle uses xor(); bit_count is TINYINT there,
+      // BIGINT-cast on both sides)
+      customer(s, d).select(
+        col("c_custkey"),
+        expr("c_custkey & 255").as("b_and"),
+        expr("c_custkey | 4096").as("b_or"),
+        expr("c_custkey ^ 1365").as("b_xor"),
+        expr("~c_custkey").as("b_not"),
+        expr("shiftleft(c_custkey, 3)").as("b_shl"),
+        expr("shiftright(c_custkey, 2)").as("b_shr"),
+        expr("bit_count(c_custkey)").cast(LongType).as("b_popcnt"))
+        .orderBy("c_custkey")),
+
+    "fn_struct" -> ((s, d) =>
+      // struct family: named_struct construction, field access, JSON
+      // rendering (both engines emit compact {"k":v} with insertion order)
+      customer(s, d)
+        .select(col("c_custkey"),
+          expr("named_struct('key', c_custkey, 'segment', c_mktsegment)").as("st"))
+        .select(col("c_custkey"),
+          col("st.key").as("st_key"),
+          col("st.segment").as("st_segment"),
+          to_json(col("st")).as("st_json"))
+        .orderBy("c_custkey")),
+
     "fn_map" -> ((s, d) =>
       // map construction + introspection (map_from_arrays / element_at /
       // map_keys / map explode), emitted as exploded (key, value) rows —
@@ -207,6 +234,22 @@ object Scalars {
          nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
          CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_word
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "fn_bitwise" ->
+      """SELECT c_custkey,
+         c_custkey & 255 AS b_and,
+         c_custkey | 4096 AS b_or,
+         xor(c_custkey, 1365) AS b_xor,
+         ~c_custkey AS b_not,
+         c_custkey << 3 AS b_shl,
+         c_custkey >> 2 AS b_shr,
+         CAST(bit_count(c_custkey) AS BIGINT) AS b_popcnt
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
+    "fn_struct" ->
+      """SELECT c_custkey,
+         c_custkey AS st_key,
+         c_mktsegment AS st_segment,
+         CAST(to_json(struct_pack(key := c_custkey, segment := c_mktsegment)) AS VARCHAR) AS st_json
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
     "fn_map" ->
       """SELECT event_id, key, value, m_type, n_keys FROM (
            SELECT event_id, 'type' AS key, event_type AS value,

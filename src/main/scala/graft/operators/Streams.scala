@@ -41,6 +41,10 @@ object Streams {
       // flatMapGroupsWithState custom-state op; batch form = one big
       // micro-batch over empty state, so the per-user totals oracle exactly
       P.runningUserStats(events(s, d)).orderBy("user_id")),
+    "stream_tws" -> ((s, d) =>
+      // Spark 4 transformWithState (ValueState processor); batch form =
+      // one pass over empty state → per-user totals oracle exactly
+      P.userRunningMax(events(s, d)).orderBy("user_id")),
     "stream_interval_join" -> ((s, d) => {
       val ev = events(s, d)
       P.intervalJoin(ev.filter(col("event_type") === "click"),
@@ -94,6 +98,9 @@ object Streams {
     "stream_custom_state" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
+    "stream_tws" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
     "stream_interval_join" ->
       """SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts,

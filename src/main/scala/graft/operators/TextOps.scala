@@ -19,9 +19,12 @@ object TextOps {
 
   private val L = LongType
 
-  /** doc_id + lowercase whitespace tokens. */
+  /** doc_id + lowercase whitespace tokens, fanned out to full parallelism
+    * (the one-file fixture scan would otherwise run every downstream
+    * explode/hash single-core — Tables.fanout).
+    */
   private def toks(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    fanout(documents(s, d)).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
   /** Distinct 3-word shingles per doc — the dedup_near candidate unit. */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -102,6 +105,55 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_ngram" -> ((s, d) => {
+      // char-5-gram Jaccard near-dup with RARE-gram candidate blocking:
+      // a naive gram self-join is O(sum df²) — measured 1.5e9 pair rows at
+      // sf0.1 (vs 2e4 after blocking on grams with document frequency ≤ 20).
+      // Frequent grams carry no dedup signal, so candidates come from rare
+      // grams only; exact Jaccard is then computed over the FULL gram sets
+      // of the surviving candidate pairs. This is the shape that holds at
+      // 100 TB: df-filter is one partial-agg pass, the candidate join
+      // touches only rare-gram postings, and the verify join is
+      // |candidates| × gram-set, never corpus².
+      // gram extraction stays OUT of HOF lambdas (higher-order functions
+      // are interpreted, not codegen'd): explode the index sequence, then
+      // substring as a codegen'd projection. No cache — with the scan
+      // fanned out, recomputing the distinct costs less than a columnar
+      // cache fill of 1.5M string rows.
+      val g = fanout(documents(s, d)).filter(length(col("text")) >= 5)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(1, length(t) - 4)")).as("i"))
+        .select(col("doc_id"), expr("substring(t, i, 5)").as("gram"))
+        .distinct()
+      // posting-list pair generation: ONE groupBy(gram) builds each rare
+      // gram's sorted doc list, and the a<b pairs explode in-row — no
+      // rare⋈rare shuffle join over the full gram table
+      val cand = g.groupBy("gram")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 20))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      // verify stage touches only the CANDIDATE docs' gram sets (a broadcast
+      // semi-join cuts the 1M-row gram table to the ~1% that matters)
+      val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      val gc = g.join(broadcast(candDocs), "doc_id")
+      val sizes = gc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(gc.as("ga"), col("ga.doc_id") === col("a"))
+        .join(gc.as("gb"), col("gb.doc_id") === col("b") && col("gb.gram") === col("ga.gram"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(jac >= 0.7)
+        .select(col("a"), col("b"), r4(jac).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
     "text_tokenize" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
@@ -115,7 +167,7 @@ object TextOps {
         .limit(100)),
 
     "text_tfidf" -> ((s, d) => {
-      val tok = documents(s, d)
+      val tok = fanout(documents(s, d))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tok.select("doc_id", "token").distinct()
@@ -243,6 +295,27 @@ object TextOps {
          SELECT doc_id,
            CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash16
          FROM w GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+    "dedup_ngram" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(lower(text)) - 3),
+                                   i -> substr(lower(text), i, 5))) AS gram
+           FROM documents WHERE length(text) >= 5),
+         dfreq AS (SELECT gram, count(*) AS n_df FROM g GROUP BY 1),
+         rare AS (SELECT g.doc_id, g.gram FROM g JOIN dfreq USING (gram) WHERE n_df <= 20),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS i
+           FROM cand c
+           JOIN g ga ON ga.doc_id = c.a
+           JOIN g gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+           GROUP BY 1, 2)
+         SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+         ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "text_tokenize" ->
       """SELECT doc_id, token FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)

@@ -108,6 +108,52 @@ object Streams {
           .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
   }
 
+  /** Spark 4 `transformWithState` processor (the arbitrary-state API that
+    * supersedes flatMapGroupsWithState): per-user running (event count,
+    * max value) held in two `ValueState` cells. Streaming mode accumulates
+    * across micro-batches against the RocksDB state store (proved in
+    * StreamingSpec); batch mode runs the same processor over empty state in
+    * one pass, which is the DuckDB-oracled `stream_tws` form.
+    */
+  class UserRunningMax extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var mState: ValueState[Double] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", E.scalaLong, TTLConfig.NONE)
+      mState = getHandle.getValueState[Double]("mx", E.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var mx = if (mState.exists()) mState.get() else Double.NegativeInfinity
+      rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+      nState.update(n)
+      mState.update(mx)
+      Iterator((key, n, mx))
+    }
+  }
+
+  def userRunningMax(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    // transformWithState requires the RocksDB state store provider (the
+    // default HDFS-backed store can't host the TWS column families), and in
+    // batch mode the StateStoreCoordinator endpoint must be registered
+    // up-front (streaming queries get it from StreamExecution)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftStateStoreBootstrap.ensureCoordinator()
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserRunningMax, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   // ---- readStream source for the fixture events table ----------------------
 
   /** Raw parquet schema under the ns→µs shim (`ts` arrives as LongType ns

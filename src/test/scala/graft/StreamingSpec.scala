@@ -115,6 +115,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("transformWithState accumulates ValueState across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.userRunningMax(mem.toDF())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("update").start()
+    mem.addData(Ev(1, t(0), 7, "click", 1.5), Ev(2, t(1), 7, "click", 2.5))
+    q.processAllAvailable()
+    mem.addData(Ev(3, t(2), 7, "click", 0.5), Ev(4, t(2), 8, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode sink: the LAST snapshot per user carries cumulative state
+    val last = spark.table("tws_test")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("max_value").as("mx"))
+      .orderBy("user_id").collect()
+    assert(last(0).getLong(1) === 3)          // user 7: 2 + 1 events
+    assert(last(0).getDouble(2) === 2.5)      // max(1.5, 2.5, 0.5)
+    assert(last(1).getLong(1) === 1)
+  }
+
   test("custom-state batch form equals groupBy aggregation") {
     val df = Seq(Ev(1, t(0), 1, "a", 1.25), Ev(2, t(1), 1, "a", 2.0),
                  Ev(3, t(2), 2, "b", 0.5)).toDF()
