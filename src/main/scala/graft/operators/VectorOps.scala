@@ -37,7 +37,9 @@ object VectorOps {
 
   private def emb(s: SparkSession, d: String) = {
     graft.plans.GraftFunctions.register(s) // vec_dot available to every query
-    embeddings(s, d)
+    // one-file scan → one partition: fan out so pair joins / signature
+    // folds use every core (no-op on already-parallel inputs)
+    fanout(embeddings(s, d))
   }
 
   /** Vectors with their norm precomputed ONCE — an all-pairs scan that
