@@ -189,8 +189,51 @@ object GraphQL {
   }
 
   /** Translate + execute one parsed query against the registry. */
+  /** Aggregation root: `{ <table>_agg(groupBy: ["k", ...], filter: ...,
+    * orderBy: ...) { k count sum_<col> avg_<col> min_<col> max_<col> } }`
+    * — grouped aggregation through the same front-end, lowering onto
+    * groupBy/agg with the §7 money discipline (sums in DECIMAL, DOUBLE
+    * out; avg = round(sum/count, 4)).
+    */
+  private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
+    import graft.Tables.{dec, outDec, r4}
+    val table = root.name.stripSuffix("_agg")
+    var df = TableRegistry.load(s, dir, table)
+    root.args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
+      .foreach {
+        case (colName, VObj(List((op, v)))) => df = df.filter(predicate(colName, op, v))
+        case (colName, v) => df = df.filter(predicate(colName, "eq", v))
+      }
+    val keys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
+      cols.map { case VString(c) => c
+                 case o => throw new IllegalArgumentException(s"bad groupBy key: $o") }
+    }.getOrElse(throw new IllegalArgumentException(s"${root.name}: groupBy required"))
+    val aggs = root.selections.filterNot(f => keys.contains(f.name)).map { f =>
+      f.name match {
+        case "count" => count(lit(1)).as("count")
+        case n if n.startsWith("sum_") => outDec(sum(dec(col(n.stripPrefix("sum_"))))).as(n)
+        case n if n.startsWith("avg_") =>
+          r4(sum(dec(col(n.stripPrefix("avg_")))).cast("double") / count(lit(1))).as(n)
+        case n if n.startsWith("min_") => min(col(n.stripPrefix("min_"))).as(n)
+        case n if n.startsWith("max_") => max(col(n.stripPrefix("max_"))).as(n)
+        case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+      }
+    }
+    require(aggs.nonEmpty, s"${root.name}: at least one aggregate selection")
+    val grouped = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(root.selections.map(f => col(f.name)): _*)
+    val ordered = root.args.collectFirst {
+      case ("orderBy", VList(cols)) =>
+        grouped.orderBy(cols.map { case VString(c) => col(c); case o => litOf(o) }: _*)
+      case ("orderBy", VString(c)) => grouped.orderBy(col(c))
+    }.getOrElse(grouped)
+    root.args.collectFirst { case ("limit", VInt(n)) => ordered.limit(n.toInt) }
+      .getOrElse(ordered)
+  }
+
   def run(s: SparkSession, dir: String, q: String): DataFrame = {
     val root = parse(q)
+    if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     var df = TableRegistry.load(s, dir, root.name)
 
     root.args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)

@@ -27,6 +27,14 @@ object Dialects {
                   orderBy: ["c_custkey"], offset: 20, limit: 15) {
          c_custkey c_name c_mktsegment } }"""
 
+  /** Grouped aggregation through the GraphQL front-end (§7 money
+    * discipline: decimal sums emitted as DOUBLE, avg = round(sum/count,4)).
+    */
+  val gqlAggQuery: String =
+    """{ orders_agg(groupBy: ["o_orderstatus"], filter: {o_totalprice: {gt: 1000}},
+                    orderBy: ["o_orderstatus"]) {
+         o_orderstatus count sum_o_totalprice avg_o_totalprice max_o_totalprice } }"""
+
   val nlQuestion: String = "top 10 customers by total order price"
   val nlAvgQuestion: String = "average event value by event type"
   val nlCountWhereQuestion: String = "number of orders by status where priority is 1-URGENT"
@@ -36,6 +44,7 @@ object Dialects {
     "gql_select" -> ((s, d) => GraphQL.run(s, d, gqlQuery)),
     "gql_nested" -> ((s, d) => GraphQL.run(s, d, gqlNestedQuery)),
     "gql_paginate" -> ((s, d) => GraphQL.run(s, d, gqlPaginateQuery)),
+    "gql_agg" -> ((s, d) => GraphQL.run(s, d, gqlAggQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -60,6 +69,13 @@ object Dialects {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 1000
          ORDER BY c_custkey NULLS FIRST LIMIT 15 OFFSET 20""",
+    "gql_agg" ->
+      """SELECT o_orderstatus, count(*) AS "count",
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_o_totalprice,
+         max(o_totalprice) AS max_o_totalprice
+         FROM orders WHERE o_totalprice > 1000
+         GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),

@@ -44,6 +44,21 @@ class DialectSpec extends AnyFunSuite {
       GraphQL.run(spark, d, "{ orders { o_orderkey part { p_name } } }"))
     assertThrows[IllegalArgumentException](
       GraphQL.run(spark, d, """{ orders(filter: {o_orderkey: {zz: 1}}) { o_orderkey } }"""))
+    // unterminated string literal must raise, not spin (round-1 ADVICE.md)
+    assertThrows[IllegalArgumentException](
+      GraphQL.parse("""{ orders(filter: {o_orderstatus: {eq: "O}) { o_orderkey } }"""))
+  }
+
+  test("GraphQL aggregation root groups, filters, and applies money discipline") {
+    val rows = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+           o_orderstatus count sum_o_totalprice } }""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum > 0)
+    val direct = Tables.orders(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum === direct) // counts partition the table
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, "{ orders_agg(groupBy: [\"o_orderstatus\"]) { o_orderstatus wat_x } }"))
   }
 
   test("NL translator covers its grammar; SQL runs in Spark") {
