@@ -137,6 +137,23 @@ object Aggregates {
         .select(col("o_orderstatus"), col("n_exact"),
           (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1).as("approx_ok"))
         .orderBy("o_orderstatus")),
+    "agg_approx_quantile" -> ((s, d) =>
+      // KLL/GK-style quantile sketch (percentile_approx, accuracy 10000)
+      // next to the exact interpolated percentile — same pattern as
+      // agg_approx_distinct: the cross-engine sketch VALUE can't match, the
+      // bounded-error contract can. Rank error ≤ n/accuracy ⇒ 1% value
+      // tolerance is generous at every fixture sf.
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(
+          r4(expr("percentile(o_totalprice, 0.5)")).as("p50_exact"),
+          r4(expr("percentile(o_totalprice, 0.9)")).as("p90_exact"),
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("a50"),
+          expr("percentile_approx(o_totalprice, 0.9, 10000)").as("a90"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
+          (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
+           abs(col("a90") - col("p90_exact")) <= col("p90_exact") * 0.01).as("approx_ok"))
+        .orderBy("o_orderstatus")),
+
     "agg_pivot" -> ((s, d) =>
       // pivot = grouped conditional aggregation; explicit value list keeps
       // the schema static (Catalyst requires it to avoid a discovery pass —
@@ -177,6 +194,12 @@ object Aggregates {
     "agg_count_col" ->
       """SELECT o_orderpriority, count(nullif(o_orderstatus,'P')) AS cnt_nonp
          FROM orders GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""",
+    "agg_approx_quantile" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+         true AS approx_ok
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_approx_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
          true AS approx_ok

@@ -94,6 +94,30 @@ object Joins {
       customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name").orderBy("c_custkey")),
     "join_asof" -> (asof _),
+    "merge_upsert" -> ((s, d) => {
+      // CDC upsert (MERGE INTO semantics, storage-format-free): changes =
+      // deterministic derivation from the fixture (updates: +10% price on
+      // key%10=0; inserts: key%17=0 re-keyed past the id space), applied
+      // via full-outer join + coalesce — change side wins. At scale this
+      // is a sort-merge on the key with AQE; table formats (Delta/Iceberg)
+      // layer file-level pruning on the same logical plan.
+      val base = orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", r4(col("o_totalprice") * 1.1))
+      val inserts = base.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      val changes = updates.unionByName(inserts)
+        .select(col("o_orderkey").as("c_key"), col("o_custkey").as("c_cust"),
+          col("o_orderstatus").as("c_status"), col("o_totalprice").as("c_price"))
+      base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+          coalesce(col("c_cust"), col("o_custkey")).as("o_custkey"),
+          coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("c_price"), col("o_totalprice")).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "subq_in" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("orders")
       customer(s, d).createOrReplaceTempView("customer")
@@ -111,6 +135,22 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         changes AS (
+           SELECT o_orderkey AS c_key, o_custkey AS c_cust,
+             o_orderstatus AS c_status, round(o_totalprice * 1.1, 4) AS c_price
+           FROM base WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+           FROM base WHERE o_orderkey % 17 = 0)
+         SELECT coalesce(o_orderkey, c_key) AS o_orderkey,
+           coalesce(c_cust, o_custkey) AS o_custkey,
+           coalesce(c_status, o_orderstatus) AS o_orderstatus,
+           coalesce(c_price, o_totalprice) AS o_totalprice
+         FROM base FULL JOIN changes ON o_orderkey = c_key
+         ORDER BY o_orderkey NULLS FIRST""",
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey

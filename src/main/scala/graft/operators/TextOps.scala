@@ -154,6 +154,22 @@ object TextOps {
         .orderBy("a", "b")
     }),
 
+    "split_assign" -> ((s, d) =>
+      // deterministic train/valid/test split (80/10/10) by id-hash: the
+      // reproducible-split primitive every training pipeline needs — pure
+      // map work (no shuffle, no RNG state), identical on re-run and on
+      // any cluster size, and portable to the oracle via the md5-derived
+      // 60-bit hash family
+      documents(s, d)
+        .select(col("doc_id"), expr(
+          "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
     "text_tokenize" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
@@ -316,6 +332,13 @@ object TextOps {
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "split_assign" ->
+      """SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+               FROM documents)
+         ORDER BY doc_id NULLS FIRST""",
     "text_tokenize" ->
       """SELECT doc_id, token FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
