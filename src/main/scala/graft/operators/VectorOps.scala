@@ -117,20 +117,25 @@ object VectorOps {
       val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
       val cents = withNorm(s, d, "c_id", "cv", "cn").filter(col("c_id") < 8)
         .select("c_id", "cv", "cn")
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(rankKey(col("ccos")).desc, col("c_id"))
-      // assignment feeds BOTH members and probes — materialize the (tiny,
-      // |corpus| rows) ranked table eagerly so the quantizer pass runs
-      // exactly once (lazy .cache() under AQE recomputed it per consumer)
+      // per-vector top-2 centroids WITHOUT a window: one groupBy collects
+      // the 8 scored centroids as sortable (-roundedCos, c_id) structs and
+      // slices the head — same ordering as the old
+      // row_number().over(orderBy(rankKey desc, c_id)) but one exchange
+      // fewer and no localCheckpoint materialization job (the old form
+      // needed one so the windowed pass ran once per consumer)
       val assign = base.crossJoin(broadcast(cents))
         .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
-        .withColumn("crn", row_number().over(wAssign))
-        .localCheckpoint()
-      val members = assign.filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("n"), col("c_id").as("cluster"))
-      val probes = assign.filter(col("crn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id"), col("v"), col("n"),
+          struct((lit(0d) - rankKey(col("ccos"))).as("nk"), col("c_id")).as("sc"))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+          slice(sort_array(collect_list(col("sc"))), 1, 2).as("top2"))
+      val members = assign
+        .select(col("vec_id"), col("v"), col("n"),
+          expr("top2[0].c_id").as("cluster"))
+      val probes = assign.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
-                col("c_id").as("cluster"))
+          explode(expr("transform(top2, t -> t.c_id)")).as("cluster"))
       val wTop = Window.partitionBy("q_id")
         .orderBy(rankKey(col("cos")).desc, col("vec_id"))
       members.join(probes, Seq("cluster"))
