@@ -39,6 +39,25 @@ object Relational {
     out.getPath
   }
 
+  /** Deterministic JSONL export (same pattern as the nation CSV): both
+    * engines scan the SAME file; doubles render via Double.toString whose
+    * shortest-repr round-trips identically in both JSON parsers.
+    */
+  private def ensureSupplierJsonl(s: SparkSession, dir: String): String = {
+    val out = new java.io.File(s"$exportDir/supplier.jsonl")
+    out.getParentFile.mkdirs()
+    val rows = supplier(s, dir)
+      .orderBy("s_suppkey")
+      .collect()
+      .map { r =>
+        val name = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"s_suppkey": ${r.getLong(0)}, "s_name": "$name", """ +
+          s""""s_nationkey": ${r.getInt(2)}, "s_acctbal": ${r.getDouble(3)}}"""
+      }
+    java.nio.file.Files.writeString(out.toPath, rows.mkString("\n") + "\n")
+    out.getPath
+  }
+
   // DuckDB read_csv infers BIGINT for integer columns; align Spark's
   // inferred IntegerType up to LongType so schemas agree cross-engine.
   private def scanText(s: SparkSession, dir: String, sep: String, ext: String): DataFrame = {
@@ -60,6 +79,15 @@ object Relational {
     "scan_parquet" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
     "scan_csv" -> ((s, d) => scanText(s, d, ",", "csv")),
     "scan_tsv" -> ((s, d) => scanText(s, d, "\t", "tsv")),
+    "scan_jsonl" -> ((s, d) => {
+      val p = ensureSupplierJsonl(s, d)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(p)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
     "scan_multifile" -> ((s, d) => {
       val out = s"$exportDir/orders_multi"
       orders(s, d).repartition(4).write.mode("overwrite").parquet(out)
@@ -163,6 +191,10 @@ object Relational {
       s"SELECT * FROM read_csv('$exportDir/nation.csv', header=true) ORDER BY n_nationkey NULLS FIRST",
     "scan_tsv" ->
       s"SELECT * FROM read_csv('$exportDir/nation.tsv', header=true, delim='\t') ORDER BY n_nationkey NULLS FIRST",
+    "scan_jsonl" ->
+      s"""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+         FROM read_json_auto('$exportDir/supplier.jsonl')
+         ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
     "sink_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",
