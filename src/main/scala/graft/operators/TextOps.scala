@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -152,6 +153,33 @@ object TextOps {
         .filter(jac >= 0.7)
         .select(col("a"), col("b"), r4(jac).as("jaccard"))
         .orderBy("a", "b")
+    }),
+
+    "pipeline_corpus" -> ((s, d) => {
+      // END-TO-END training-corpus pipeline in one plan: quality filter →
+      // exact dedup (keep min doc_id per normalized-content hash) → hash
+      // split → per-split stats. The composite is what a user of this
+      // library actually runs at 100 TB: every stage is a narrow map or a
+      // single keyed shuffle, and the whole thing stays one Catalyst plan
+      // (predicate pushdown reaches the scan; no intermediate
+      // materialization).
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      fanout(documents(s, d))
+        .filter(col("n_chars") >= 100 &&
+          size(split(lower(col("text")), " ")) >= 10)
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("split", {
+          val b = expr(
+            "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        })
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(lower(col("text")), " ")).cast(L)).as("total_tokens"),
+          r4(sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy("split")
     }),
 
     "split_assign" -> ((s, d) =>
@@ -332,6 +360,23 @@ object TextOps {
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "pipeline_corpus" ->
+      """WITH kept AS (
+           SELECT doc_id, text, n_chars,
+             row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+           FROM documents
+           WHERE n_chars >= 100 AND len(string_split(lower(text), ' ')) >= 10),
+         dedup AS (SELECT * FROM kept WHERE rn = 1),
+         assigned AS (
+           SELECT doc_id, text, n_chars,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+           FROM (SELECT *,
+                   CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+                 FROM dedup))
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+         FROM assigned GROUP BY 1 ORDER BY split NULLS FIRST""",
     "split_assign" ->
       """SELECT doc_id,
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split

@@ -68,6 +68,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("split_assign partitions the corpus deterministically, train largest") {
+    val d = TestSpark.sfDir
+    val out = graft.operators.TextOps.queries("split_assign")(spark, d)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === graft.Tables.documents(spark, d).count())
+    assert(counts("train") > counts.getOrElse("valid", 0L))
+    assert(counts("train") > counts.getOrElse("test", 0L))
+    // re-run identical (no RNG state)
+    val again = graft.operators.TextOps.queries("split_assign")(spark, d).collect()
+    assert(out.collect().toSeq === again.toSeq)
+  }
+
+  test("merge_upsert: row count = base + inserts; updated keys get new price") {
+    val d = TestSpark.sfDir
+    val base = graft.Tables.orders(spark, d)
+    val merged = graft.operators.Joins.queries("merge_upsert")(spark, d)
+    val nBase = base.count()
+    val nIns = base.filter($"o_orderkey" % 17 === 0).count()
+    assert(merged.count() === nBase + nIns)
+    val k = base.filter($"o_orderkey" % 10 === 0).select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].head()
+    val got = merged.filter($"o_orderkey" === k._1).select("o_totalprice")
+      .as[Double].head()
+    assert(math.abs(got - BigDecimal(k._2 * 1.1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("window row_number over shuffled input is input-order independent") {
     samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 1000))), 3)
       .foreach { rows =>
