@@ -49,6 +49,8 @@ object NlToSql {
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalByWhere =
     """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TotalByCompare =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is (above|below) (\d+)""".r
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
 
@@ -62,6 +64,21 @@ object NlToSql {
     * Unrecognized input fails loudly (no silent guessing).
     */
   def translate(question: String): String = question.trim match {
+    case TotalByCompare(measure, d, fmeasure, dir, n) =>
+      // numeric-comparison filter on a (possibly different) measure of the
+      // same fact table: "total order price by status where order price is
+      // above 100000"
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (ftable, fcol) = measures.getOrElse(fmeasure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown filter measure: $fmeasure"))
+      val (table, dcol) = dim(d)
+      require(table == fact && ftable == fact, s"terms must be on $fact")
+      val op = if (dir.toLowerCase == "above") ">" else "<"
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact WHERE $fcol $op $n
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case CountByWhere(entity, d, fdim, value) =>
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)

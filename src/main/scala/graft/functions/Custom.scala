@@ -129,6 +129,30 @@ object Custom {
         .orderBy("doc_id")
     }),
 
+    "mm_window_energy" -> ((s, d) =>
+      // audio-feature plumbing: OVERLAPPING windows (width 16 bytes, hop 8
+      // — the STFT shape) over the opaque payload, per-window "energy" =
+      // sum of byte values (the deterministic stand-in where a DSP kernel
+      // would plug in). First 5 windows per doc keep the fixture output
+      // bounded; generator + codegen'd hex arithmetic, no shuffle until
+      // the final sort.
+      documents(s, d)
+        .select(col("doc_id"),
+          hex(col("text").cast(BinaryType)).as("h"),
+          expr("octet_length(cast(text as binary))").cast(LongType).as("n_bytes"))
+        .select(col("doc_id"), col("h"), col("n_bytes"),
+          explode(expr("filter(sequence(0, 4), w -> w * 8 < n_bytes)")).as("w"))
+        .select(col("doc_id"),
+          col("w").cast(LongType).as("win_idx"),
+          (col("w") * 8).cast(LongType).as("win_off"),
+          expr("""CAST(coalesce(aggregate(
+                    transform(sequence(1, 16), i -> CASE
+                      WHEN (w * 8 + i) * 2 <= length(h)
+                      THEN CAST(conv(substring(h, CAST((w * 8 + i - 1) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END),
+                    CAST(0 AS BIGINT), (a, v) -> a + v), 0) AS BIGINT)""").as("energy"))
+        .orderBy("doc_id", "win_idx")),
+
     "mm_frame_sample" -> ((s, d) =>
       // multimodal frame sampling: treat the payload as an opaque "video"
       // byte stream and sample up to 4 fixed-width (16-byte) frames at a
@@ -151,6 +175,22 @@ object Custom {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_window_energy" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+         w AS (
+           SELECT doc_id, h, n_bytes,
+             unnest(list_filter(range(0, 5), w -> w * 8 < n_bytes)) AS w
+           FROM b)
+         SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+           CAST(w * 8 AS BIGINT) AS win_off,
+           CAST(coalesce(list_sum(list_transform(range(1, 17), i -> CASE
+                  WHEN (w * 8 + i) * 2 <= length(h)
+                  THEN CAST(concat('0x', substr(h, CAST((w * 8 + i - 1) * 2 + 1 AS INT), 2)) AS INT)
+                  ELSE 0 END)), 0) AS BIGINT) AS energy
+         FROM w ORDER BY doc_id NULLS FIRST, win_idx NULLS FIRST""",
     "mm_frame_sample" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS h,

@@ -39,6 +39,7 @@ object Dialects {
   val nlAvgQuestion: String = "average event value by event type"
   val nlCountWhereQuestion: String = "number of orders by status where priority is 1-URGENT"
   val nlTotalWhereQuestion: String = "total order price by status where priority is 2-HIGH"
+  val nlAboveQuestion: String = "total order price by status where order price is above 100000"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gql_select" -> ((s, d) => GraphQL.run(s, d, gqlQuery)),
@@ -48,7 +49,8 @@ object Dialects {
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
-    "nl_total_where" -> ((s, d) => NlToSql.run(s, d, nlTotalWhereQuestion))
+    "nl_total_where" -> ((s, d) => NlToSql.run(s, d, nlTotalWhereQuestion)),
+    "nl_compare" -> ((s, d) => NlToSql.run(s, d, nlAboveQuestion))
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +81,7 @@ object Dialects {
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),
-    "nl_total_where" -> NlToSql.translate(nlTotalWhereQuestion)
+    "nl_total_where" -> NlToSql.translate(nlTotalWhereQuestion),
+    "nl_compare" -> NlToSql.translate(nlAboveQuestion)
   )
 }
