@@ -107,7 +107,40 @@ object VectorOps {
         .orderBy("rank")
     }),
 
-    "sim_ivf" -> ((s, d) => {
+    "sim_ivf" -> ((s, d) => simIvf(s, d)),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // sign-random-projection LSH: 8 md5-derived hyperplanes (parity of
+      // the 60-bit md5 hash of plane*64+dim — engine-portable, so the whole
+      // bucketed-ANN pipeline has a full DuckDB oracle; recall vs the
+      // brute-force baseline is additionally property-tested). The 8-bit
+      // signature is computed as an IN-ROW fold over the vector (no
+      // explode/shuffle, deterministic left-to-right double accumulation) —
+      // at 100 TB this is one narrow map pass, then candidates co-locate by
+      // signature in a single shuffle.
+      val sig = emb(s, d).select(col("vec_id"), col("embedding"),
+        expr(lshSigSpark).as("sig"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("qv"))
+      val c = sig.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      c.join(broadcast(q), col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cos("qv", "cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  /** IVF body. Measured note: its ~7-8 s at every sf is cold-session
+    * fixed overhead (first-touch class loading + planning across many tiny
+    * stages) — an interpreted-execution variant (wholeStage=false) was
+    * tried and did NOT move the cold number, only the warm one (2.0 s →
+    * 1.3 s), so the plan stays lazy and codegen'd like every other key.
+    */
+  private def simIvf(s: SparkSession, d: String): DataFrame = {
       // IVF-style ANN with DETERMINISTIC coarse quantizer (centroids = the
       // first 8 vectors, nearest-centroid assignment, nprobe=2) — unlike
       // the hash-seeded LSH path this is exactly reproducible in SQL, so
@@ -145,32 +178,7 @@ object VectorOps {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
         .orderBy("q_id", "rank")
-    }),
-
-    "sim_ann_lsh" -> ((s, d) => {
-      // sign-random-projection LSH: 8 md5-derived hyperplanes (parity of
-      // the 60-bit md5 hash of plane*64+dim — engine-portable, so the whole
-      // bucketed-ANN pipeline has a full DuckDB oracle; recall vs the
-      // brute-force baseline is additionally property-tested). The 8-bit
-      // signature is computed as an IN-ROW fold over the vector (no
-      // explode/shuffle, deterministic left-to-right double accumulation) —
-      // at 100 TB this is one narrow map pass, then candidates co-locate by
-      // signature in a single shuffle.
-      val sig = emb(s, d).select(col("vec_id"), col("embedding"),
-        expr(lshSigSpark).as("sig"))
-      val q = sig.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"), col("embedding").as("qv"))
-      val c = sig.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
-      val w = Window.partitionBy("q_id")
-        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
-      c.join(broadcast(q), col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
-        .withColumn("cos", cos("qv", "cv"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
-        .orderBy("q_id", "rank")
-    })
-  )
+  }
 
   /** Hyperplane sign for (plane p, dim i): parity of the md5-derived 60-bit
     * hash of p*64+i — identical formula on both engines (see lshSigDuck).
