@@ -44,10 +44,17 @@ object TextOps {
         .orderBy("content_hash")),
 
     "dedup_near" -> ((s, d) => {
-      val sh = shingles(s, d).cache()
+      // shingles join on their portable 60-bit md5 hash, not the string:
+      // the 2.8M-pair self-join (measured, sf0.1) shuffles and compares
+      // longs instead of ~20-char strings; the oracle applies the same
+      // hash so any (negligible, ~1e-7) collision agrees cross-engine
+      val sh = shingles(s, d)
+        .select(col("doc_id"), expr(
+          "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+        .cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("i"))
       val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
@@ -292,13 +299,17 @@ object TextOps {
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 3),
-         sh AS (
+         shs AS (
            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
            FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
+         sh AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+           FROM shs),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
            GROUP BY 1, 2)
          SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
