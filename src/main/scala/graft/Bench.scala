@@ -8,10 +8,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated key subset for targeted profiling
     val only = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -79,6 +79,19 @@ object Tables {
 
   // ---- determinism helpers (SURVEY.md §7.1) --------------------------------
 
+  /** Engine-portable 60-bit hash family — the keystone of every oracled
+    * hash-dependent operator (minhash/simhash/LSH/splits/shingle joins):
+    * low 60 bits of md5(x), byte-identical across engines. Defined ONCE
+    * per engine so the two spellings cannot drift; any collision (~1e-7
+    * birthday odds at 1M keys) is shared by both engines, so the
+    * differential gate is unaffected.
+    */
+  def h60Spark(x: String): String =
+    s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  def h60Duck(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
   /** Money/measure discipline: all arithmetic over double money columns is
     * done in DECIMAL so sums are exact and partition-order-free.
     */
@@ -99,6 +112,13 @@ object Tables {
     * (Decimal('1.2000') vs 1.2), so any decimal-typed output column
     * hash-mismatches even when values are identical. Both engines cast the
     * same exact scale-4 decimal to its nearest double → bit-identical.
+    *
+    * Scale caveat: the bit-identical claim holds while |value|·10⁴ < 2⁵³
+    * (≈ 9e11 in value) — Spark rounds the decimal→double conversion once,
+    * DuckDB converts the scaled integer then divides (two roundings), and
+    * the two can differ by 1 ulp beyond that. Fixture sums sit orders of
+    * magnitude below the bound; a TB-scale deployment aggregating past it
+    * should emit decimals as strings (or split sums) instead.
     */
   def outDec(c: Column): Column =
     round(c, 4).cast(DecimalType(18, 4)).cast(DoubleType)

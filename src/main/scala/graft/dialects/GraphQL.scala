@@ -188,22 +188,42 @@ object GraphQL {
     (df, out.toList)
   }
 
-  /** Translate + execute one parsed query against the registry. */
-  /** Aggregation root: `{ <table>_agg(groupBy: ["k", ...], filter: ...,
-    * orderBy: ...) { k count sum_<col> avg_<col> min_<col> max_<col> } }`
-    * — grouped aggregation through the same front-end, lowering onto
-    * groupBy/agg with the §7 money discipline (sums in DECIMAL, DOUBLE
-    * out; avg = round(sum/count, 4)).
+  /** Shared arg-application stages: both roots (plain and `_agg`) apply
+    * filter → orderBy → offset → limit identically, so the two paths can't
+    * drift on supported arguments.
     */
-  private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
-    import graft.Tables.{dec, outDec, r4}
-    val table = root.name.stripSuffix("_agg")
-    var df = TableRegistry.load(s, dir, table)
-    root.args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
+  private def applyFilters(df0: DataFrame, args: List[(String, Value)]): DataFrame = {
+    var df = df0
+    args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
       .foreach {
         case (colName, VObj(List((op, v)))) => df = df.filter(predicate(colName, op, v))
         case (colName, v) => df = df.filter(predicate(colName, "eq", v))
       }
+    df
+  }
+
+  private def applyOrderPage(df: DataFrame, args: List[(String, Value)]): DataFrame = {
+    val ordered = args.collectFirst {
+      case ("orderBy", VList(cols)) =>
+        df.orderBy(cols.map { case VString(c) => col(c); case o => litOf(o) }: _*)
+      case ("orderBy", VString(c)) => df.orderBy(col(c))
+    }.getOrElse(df)
+    val offset = args.collectFirst { case ("offset", VInt(n)) => n.toInt }
+    val paged = offset.map(ordered.offset).getOrElse(ordered)
+    args.collectFirst { case ("limit", VInt(n)) => paged.limit(n.toInt) }
+      .getOrElse(paged)
+  }
+
+  /** Aggregation root: `{ <table>_agg(groupBy: ["k", ...], filter: ...,
+    * orderBy: ..., offset: N, limit: N) { k count sum_<col> avg_<col>
+    * min_<col> max_<col> } }` — grouped aggregation through the same
+    * front-end, lowering onto groupBy/agg with the §7 money discipline
+    * (sums in DECIMAL, DOUBLE out; avg = round(sum/count, 4)).
+    */
+  private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
+    import graft.Tables.{dec, outDec, r4}
+    val table = root.name.stripSuffix("_agg")
+    val df = applyFilters(TableRegistry.load(s, dir, table), root.args)
     val keys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
       cols.map { case VString(c) => c
                  case o => throw new IllegalArgumentException(s"bad groupBy key: $o") }
@@ -222,40 +242,19 @@ object GraphQL {
     require(aggs.nonEmpty, s"${root.name}: at least one aggregate selection")
     val grouped = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .select(root.selections.map(f => col(f.name)): _*)
-    val ordered = root.args.collectFirst {
-      case ("orderBy", VList(cols)) =>
-        grouped.orderBy(cols.map { case VString(c) => col(c); case o => litOf(o) }: _*)
-      case ("orderBy", VString(c)) => grouped.orderBy(col(c))
-    }.getOrElse(grouped)
-    root.args.collectFirst { case ("limit", VInt(n)) => ordered.limit(n.toInt) }
-      .getOrElse(ordered)
+    applyOrderPage(grouped, root.args)
   }
 
+  /** Translate + execute one parsed query against the registry. */
   def run(s: SparkSession, dir: String, q: String): DataFrame = {
     val root = parse(q)
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
-    var df = TableRegistry.load(s, dir, root.name)
-
-    root.args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
-      .foreach {
-        case (colName, VObj(List((op, v)))) => df = df.filter(predicate(colName, op, v))
-        case (colName, v) => df = df.filter(predicate(colName, "eq", v))
-      }
+    val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 
     // resolve selections: scalars project, relations left-join and flatten
-    val (resolved, scalarCols) = attach(s, dir, df, root.name, root.selections)
-    df = resolved
-    if (scalarCols.nonEmpty) df = df.select(scalarCols.distinct.map(col): _*)
-
-    val ordered = root.args.collectFirst {
-      case ("orderBy", VList(cols)) =>
-        df.orderBy(cols.map { case VString(c) => col(c); case o => litOf(o) }: _*)
-      case ("orderBy", VString(c)) => df.orderBy(col(c))
-    }.getOrElse(df)
-
-    val offset = root.args.collectFirst { case ("offset", VInt(n)) => n.toInt }
-    val limited0 = offset.map(ordered.offset).getOrElse(ordered)
-    root.args.collectFirst { case ("limit", VInt(n)) => limited0.limit(n.toInt) }
-      .getOrElse(limited0)
+    val (resolved, scalarCols) = attach(s, dir, filtered, root.name, root.selections)
+    val df = if (scalarCols.nonEmpty) resolved.select(scalarCols.distinct.map(col): _*)
+             else resolved
+    applyOrderPage(df, root.args)
   }
 }

@@ -146,7 +146,10 @@ object Scalars {
         .select(col("c_custkey"),
           col("st.key").as("st_key"),
           col("st.segment").as("st_segment"),
-          to_json(col("st")).as("st_json"))
+          // pin null rendering: Spark's default drops null fields while
+          // DuckDB's to_json emits "field":null — fixture has no nulls
+          // today, but the contract must not depend on that
+          to_json(col("st"), Map("ignoreNullFields" -> "false")).as("st_json"))
         .orderBy("c_custkey")),
 
     "fn_map" -> ((s, d) =>

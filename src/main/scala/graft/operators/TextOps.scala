@@ -49,8 +49,7 @@ object TextOps {
       // longs instead of ~20-char strings; the oracle applies the same
       // hash so any (negligible, ~1e-7) collision agrees cross-engine
       val sh = shingles(s, d)
-        .select(col("doc_id"), expr(
-          "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+        .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
         .cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"),
@@ -77,8 +76,7 @@ object TextOps {
       val seeds = explode(expr("sequence(0, 15)")).as("seed")
       val minh = sh.select(col("doc_id"), col("shingle"), seeds)
         .groupBy("doc_id", "seed")
-        .agg(min(expr(
-          "CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':', shingle)), 1, 15), 16, 10) AS BIGINT)"))
+        .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)")))
           .as("mh"))
       val bands = minh
         .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
@@ -100,7 +98,7 @@ object TextOps {
       toks(s, d)
         .select(col("doc_id"), explode(col("t")).as("token"))
         .select(col("doc_id"),
-          expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)").as("th"))
+          expr(h60Spark("token")).as("th"))
         .select(col("doc_id"), col("th"), bits)
         .groupBy("doc_id", "bit")
         .agg(sum(expr(
@@ -179,7 +177,7 @@ object TextOps {
         .filter(col("rn") === 1)
         .withColumn("split", {
           val b = expr(
-            "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+            h60Spark("concat('split:', CAST(doc_id AS STRING))") + " % 100")
           when(b < 80, "train").when(b < 90, "valid").otherwise("test")
         })
         .groupBy("split")
@@ -197,7 +195,7 @@ object TextOps {
       // 60-bit hash family
       documents(s, d)
         .select(col("doc_id"), expr(
-          "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100")
+          h60Spark("concat('split:', CAST(doc_id AS STRING))") + " % 100")
           .as("bucket"))
         .select(col("doc_id"),
           when(col("bucket") < 80, "train")
@@ -296,7 +294,7 @@ object TextOps {
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash NULLS FIRST""",
     "dedup_near" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 3),
          shs AS (
@@ -304,7 +302,7 @@ object TextOps {
            FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
          sh AS (
            SELECT doc_id,
-             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS sh
+             ${h60Duck("shingle")} AS sh
            FROM shs),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
@@ -316,9 +314,8 @@ object TextOps {
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "dedup_minhash" ->
-      // same md5-derived 60-bit hash family as the Spark side:
-      // low-60-bits(md5(seed ':' shingle)) via hex prefix → BIGINT
-      """WITH toks AS (
+      // same md5-derived 60-bit hash family as the Spark side
+      s"""WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 3),
          sh AS (
@@ -326,7 +323,7 @@ object TextOps {
            FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
          mh AS (
            SELECT doc_id, seed,
-             min(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS mh
+             min(${h60Duck("concat(CAST(seed AS VARCHAR), ':', shingle)")}) AS mh
            FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
            GROUP BY 1, 2),
          bands AS (
@@ -338,10 +335,10 @@ object TextOps {
            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          ORDER BY a NULLS FIRST, b NULLS FIRST, band NULLS FIRST""",
     "dedup_simhash" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
          th AS (
-           SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS th FROM tok),
+           SELECT doc_id, ${h60Duck("token")} AS th FROM tok),
          w AS (
            SELECT doc_id, bit,
              sum(CASE WHEN ((th >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS w
@@ -372,7 +369,7 @@ object TextOps {
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "pipeline_corpus" ->
-      """WITH kept AS (
+      s"""WITH kept AS (
            SELECT doc_id, text, n_chars,
              row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
            FROM documents
@@ -382,17 +379,17 @@ object TextOps {
            SELECT doc_id, text, n_chars,
              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
            FROM (SELECT *,
-                   CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+                   ${h60Duck("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b
                  FROM dedup))
          SELECT split, count(*) AS n_docs,
            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
          FROM assigned GROUP BY 1 ORDER BY split NULLS FIRST""",
     "split_assign" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
          FROM (SELECT doc_id,
-                 CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b
+                 ${h60Duck("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b
                FROM documents)
          ORDER BY doc_id NULLS FIRST""",
     "text_tokenize" ->

@@ -185,7 +185,7 @@ object VectorOps {
     */
   private def lshProjSpark(p: Int): String =
     s"aggregate(transform(embedding, (x, i) -> x * CASE WHEN " +
-    s"(CAST(conv(substr(md5(CAST($p * 64 + i AS STRING)), 1, 15), 16, 10) AS BIGINT) & 1) = 1 " +
+    s"(${h60Spark(s"CAST($p * 64 + i AS STRING)")} & 1) = 1 " +
     s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), " +
     s"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
 
@@ -196,7 +196,7 @@ object VectorOps {
   private def lshProjDuck(p: Int): String =
     s"list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
     s"CAST(embedding[i] AS DOUBLE) * CASE WHEN " +
-    s"(CAST(concat('0x', substr(md5(CAST($p * 64 + (i - 1) AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 " +
+    s"(${h60Duck(s"CAST($p * 64 + (i - 1) AS VARCHAR)")} & 1) = 1 " +
     s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
 
   private val lshSigDuck: String = (0 until 8).map(p =>

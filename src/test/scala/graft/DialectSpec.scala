@@ -59,6 +59,11 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === direct) // counts partition the table
     assertThrows[IllegalArgumentException](
       GraphQL.run(spark, d, "{ orders_agg(groupBy: [\"o_orderstatus\"]) { o_orderstatus wat_x } }"))
+    // offset paginates the grouped result (shared applyOrderPage path)
+    val paged = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"],
+           offset: 1, limit: 1) { o_orderstatus count } }""").collect()
+    assert(paged.length === 1 && paged(0).getString(0) === rows(1).getString(0))
   }
 
   test("NL translator covers its grammar; SQL runs in Spark") {

@@ -75,7 +75,9 @@ class ExtensionSpec extends AnyFunSuite {
       .select($"doc_id", $"token", explode(expr("sequence(0, 15)")).as("bit"))
       .groupBy("doc_id", "bit")
       .agg(sum(expr(
-        "CASE WHEN (shiftright(xxhash64(token), CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("w"))
+        // mirror the PRODUCTION md5-derived 60-bit token hash (TextOps),
+        // so a broken h60 would fail here too
+        s"CASE WHEN (shiftright(${graft.Tables.h60Spark("token")}, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END")).as("w"))
       .groupBy("doc_id")
       .agg(sum(expr(
         "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END")).as("s"))
