@@ -60,6 +60,19 @@ object Scalars {
         col("o_orderdate").cast(DateType).as("as_date"),
         unix_micros(col("o_orderdate")).as("epoch_us"))
         .orderBy("o_orderkey")),
+    "fn_trig" -> ((s, d) =>
+      // trigonometric family over small integral arguments (≈-rule r4:
+      // JVM Math vs libm can differ by an ulp, invisible at 4 decimals)
+      customer(s, d).select(
+        col("c_custkey"),
+        r4(sin(col("c_custkey") % 7)).as("sin_v"),
+        r4(cos(col("c_custkey") % 7)).as("cos_v"),
+        r4(tan(col("c_custkey") % 5)).as("tan_v"),
+        r4(atan2((col("c_custkey") % 3).cast(DoubleType), lit(2.0))).as("atan2_v"),
+        r4(degrees(col("c_custkey") % 4)).as("deg_v"),
+        r4(radians(col("c_custkey") % 360)).as("rad_v"))
+        .orderBy("c_custkey")),
+
     "fn_math" -> ((s, d) =>
       customer(s, d).select(
         col("c_custkey"),
@@ -212,6 +225,15 @@ object Scalars {
          CAST(o_orderdate AS DATE) AS as_date,
          epoch_us(o_orderdate) AS epoch_us
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "fn_trig" ->
+      """SELECT c_custkey,
+         round(sin(c_custkey % 7), 4) AS sin_v,
+         round(cos(c_custkey % 7), 4) AS cos_v,
+         round(tan(c_custkey % 5), 4) AS tan_v,
+         round(atan2(CAST(c_custkey % 3 AS DOUBLE), 2.0), 4) AS atan2_v,
+         round(degrees(c_custkey % 4), 4) AS deg_v,
+         round(radians(c_custkey % 360), 4) AS rad_v
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
     "fn_math" ->
       """SELECT c_custkey,
          abs(c_acctbal) AS abs_bal,

@@ -182,7 +182,13 @@ object Relational {
     "set_except" -> ((s, d) =>
       customer(s, d).select("c_custkey")
         .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+    "set_except_all" -> ((s, d) =>
+      // multiset difference: each customer occurrence cancels ONE order
+      // occurrence (bag semantics — distinct from set_except)
+      orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(customer(s, d).select(col("c_custkey").as("k")))
+        .orderBy("k"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,6 +264,12 @@ object Relational {
            SELECT c_custkey FROM customer
            EXCEPT
            SELECT o_custkey AS c_custkey FROM orders)
-         ORDER BY c_custkey NULLS FIRST"""
+         ORDER BY c_custkey NULLS FIRST""",
+    "set_except_all" ->
+      """SELECT * FROM (
+           SELECT o_custkey AS k FROM orders
+           EXCEPT ALL
+           SELECT c_custkey FROM customer)
+         ORDER BY k NULLS FIRST"""
   )
 }

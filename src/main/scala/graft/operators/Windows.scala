@@ -83,6 +83,17 @@ object Windows {
           last(col("o_orderkey")).over(w).as("last_order"))
         .orderBy("o_orderkey")
     }),
+    "win_nth_value" -> ((s, d) => {
+      // nth_value needs the full-partition frame (default frame stops at
+      // CURRENT ROW and would yield NULL until row n) — same in DuckDB
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_orderkey")
+    }),
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
@@ -147,6 +158,12 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey NULLS FIRST""",
+    "win_nth_value" ->
+      """SELECT o_orderkey, o_custkey,
+         nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
