@@ -13,7 +13,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated key subset for targeted profiling
-    val only = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_KEYS")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     only.foreach { ks =>
       val unknown = ks -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")

@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
-    val only: Set[String] = rest.toSet // optional key filter for debugging
+    // optional key filter for debugging (blank tokens ignored)
+    val only: Set[String] = rest.iterator.map(_.trim).filter(_.nonEmpty).toSet
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
