@@ -92,6 +92,19 @@ object Tables {
   def h60Duck(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
+  /** Deterministic 80/10/10 train/valid/test split, defined ONCE and
+    * shared by `split_assign` and `pipeline_corpus` (Spark side and both
+    * oracles) so the assignment formula cannot drift between them.
+    */
+  def splitBucketSpark: String =
+    h60Spark("concat('split:', CAST(doc_id AS STRING))") + " % 100"
+
+  def splitBucketDuck: String =
+    h60Duck("concat('split:', CAST(doc_id AS VARCHAR))") + " % 100"
+
+  def splitCase(bucket: String): String =
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'valid' ELSE 'test' END"
+
   /** Money/measure discipline: all arithmetic over double money columns is
     * done in DECIMAL so sums are exact and partition-order-free.
     */

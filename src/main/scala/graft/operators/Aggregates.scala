@@ -135,7 +135,10 @@ object Aggregates {
         .agg(countDistinct(col("o_custkey")).as("n_exact"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
         .select(col("o_orderstatus"), col("n_exact"),
-          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.1).as("approx_ok"))
+          // small-count floor: a 1-2 absolute error on a tiny group is
+          // normal HLL behavior that a pure 10% bound would reject
+          (abs(col("approx") - col("n_exact")) <=
+            greatest(lit(2.0), col("n_exact") * 0.1)).as("approx_ok"))
         .orderBy("o_orderstatus")),
     "agg_approx_quantile" -> ((s, d) =>
       // KLL/GK-style quantile sketch (percentile_approx, accuracy 10000)

@@ -175,11 +175,7 @@ object TextOps {
         .withColumn("h", md5(lower(trim(col("text")))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .withColumn("split", {
-          val b = expr(
-            h60Spark("concat('split:', CAST(doc_id AS STRING))") + " % 100")
-          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-        })
+        .withColumn("split", expr(splitCase(s"($splitBucketSpark)")))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(lower(col("text")), " ")).cast(L)).as("total_tokens"),
@@ -194,13 +190,8 @@ object TextOps {
       // any cluster size, and portable to the oracle via the md5-derived
       // 60-bit hash family
       documents(s, d)
-        .select(col("doc_id"), expr(
-          h60Spark("concat('split:', CAST(doc_id AS STRING))") + " % 100")
-          .as("bucket"))
-        .select(col("doc_id"),
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "valid")
-            .otherwise("test").as("split"))
+        .select(col("doc_id"), expr(splitBucketSpark).as("bucket"))
+        .select(col("doc_id"), expr(splitCase("bucket")).as("split"))
         .orderBy("doc_id")),
 
     "text_tokenize" -> ((s, d) =>
@@ -376,21 +367,15 @@ object TextOps {
            WHERE n_chars >= 100 AND len(string_split(lower(text), ' ')) >= 10),
          dedup AS (SELECT * FROM kept WHERE rn = 1),
          assigned AS (
-           SELECT doc_id, text, n_chars,
-             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
-           FROM (SELECT *,
-                   ${h60Duck("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b
-                 FROM dedup))
+           SELECT doc_id, text, n_chars, ${splitCase("b")} AS split
+           FROM (SELECT *, $splitBucketDuck AS b FROM dedup))
          SELECT split, count(*) AS n_docs,
            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
            round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
          FROM assigned GROUP BY 1 ORDER BY split NULLS FIRST""",
     "split_assign" ->
-      s"""SELECT doc_id,
-         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
-         FROM (SELECT doc_id,
-                 ${h60Duck("concat('split:', CAST(doc_id AS VARCHAR))")} % 100 AS b
-               FROM documents)
+      s"""SELECT doc_id, ${splitCase("b")} AS split
+         FROM (SELECT doc_id, $splitBucketDuck AS b FROM documents)
          ORDER BY doc_id NULLS FIRST""",
     "text_tokenize" ->
       """SELECT doc_id, token FROM (

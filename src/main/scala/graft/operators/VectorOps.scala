@@ -64,7 +64,7 @@ object VectorOps {
         .orderBy(rankKey(col("cos")).desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
         .orderBy("q_id", "rank")
     }),
 
@@ -103,7 +103,7 @@ object VectorOps {
         .limit(20)
       val w = Window.orderBy(rankKey(col("cos")).desc, col("a"), col("b"))
       top.withColumn("rank", row_number().over(w)) // 20 rows — trivial window
-        .select(col("rank"), col("a"), col("b"), r4(col("cos")).as("cos_sim"))
+        .select(col("rank"), col("a"), col("b"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
         .orderBy("rank")
     }),
 
@@ -129,7 +129,7 @@ object VectorOps {
         .withColumn("cos", cos("qv", "cv"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
         .orderBy("q_id", "rank")
     })
   )
@@ -176,7 +176,7 @@ object VectorOps {
         .withColumn("cos", dot("qv", "v") / (col("qn") * col("n")))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank"), col("vec_id"), r4(col("cos")).as("cos_sim"))
+        .select(col("q_id"), col("rank"), col("vec_id"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
         .orderBy("q_id", "rank")
   }
 
@@ -235,7 +235,7 @@ object VectorOps {
            SELECT q_id, vec_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "sim_cosine_topk" ->
@@ -247,7 +247,7 @@ object VectorOps {
            SELECT q_id, vec_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 5
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "knn_label" ->
@@ -284,7 +284,7 @@ object VectorOps {
            SELECT q_id, vec_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
            FROM scored)
-         SELECT q_id, rank, vec_id, round(cos, 4) AS cos_sim
+         SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "dedup_embed" ->
@@ -296,7 +296,7 @@ object VectorOps {
            SELECT a, b, cos,
              row_number() OVER (ORDER BY round(cos, 6) DESC, a, b) AS rank
            FROM pairs)
-         SELECT rank, a, b, round(cos, 4) AS cos_sim
+         SELECT rank, a, b, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 20
          ORDER BY rank NULLS FIRST"""
   )
