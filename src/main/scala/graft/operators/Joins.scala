@@ -131,8 +131,37 @@ object Joins {
       s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
                WHERE l_quantity > 1.8 * (SELECT avg(l_quantity) FROM lineitem)
                ORDER BY l_orderkey, l_linenumber, l_quantity""")
+    }),
+    "subq_exists" -> ((s, d) => {
+      // correlated EXISTS — decorrelated by Catalyst into a left-semi join
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    }),
+    "subq_not_in" -> ((s, d) => {
+      // NOT IN three-valued semantics, both branches in one row: with a
+      // manufactured NULL in the list every candidate is UNKNOWN → count 0
+      // (Catalyst plans a null-aware anti join — semantics plain LEFT ANTI
+      // can't express); the NULL-free branch counts normally
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(notInSql)
     })
   )
+
+  /** Identical text runs on both engines — it IS the oracle. */
+  private val notInSql =
+    """SELECT
+       (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_custkey % 2 = 0 THEN NULL ELSE o_custkey END
+           FROM orders WHERE o_orderstatus = 'F')) AS n_with_null,
+       (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+           WHERE o_orderstatus = 'F' AND o_custkey % 2 <> 0)) AS n_no_null"""
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" ->
@@ -210,6 +239,13 @@ object Joins {
     "subq_scalar" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity > 1.8 * (SELECT avg(l_quantity) FROM lineitem)
-         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST"""
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST""",
+    "subq_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+         ORDER BY c_custkey NULLS FIRST""",
+    "subq_not_in" -> notInSql
   )
 }
