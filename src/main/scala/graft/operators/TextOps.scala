@@ -44,18 +44,39 @@ object TextOps {
         .orderBy("content_hash")),
 
     "dedup_near" -> ((s, d) => {
-      // shingles join on their portable 60-bit md5 hash, not the string:
-      // the 2.8M-pair self-join (measured, sf0.1) shuffles and compares
-      // longs instead of ~20-char strings; the oracle applies the same
-      // hash so any (negligible, ~1e-7) collision agrees cross-engine
+      // 3-word-shingle Jaccard near-dup with RARE-shingle candidate
+      // blocking (round-2 verdict: an uncapped shingle self-join emits k²
+      // pair rows for a k-doc shingle — boilerplate text makes that
+      // quadratic at 100 TB). Frequent shingles carry no dedup signal, so
+      // candidates come only from shingles with document frequency in
+      // [2, 20] — via the same bounded two-pass shape as dedup_ngram
+      // (count-filter FIRST, so no aggregation buffer exceeds the cap) —
+      // and exact Jaccard is then computed over the FULL shingle sets of
+      // the surviving candidate pairs. Shingles join on their portable
+      // 60-bit md5 hash, not the string: the blocking join shuffles and
+      // compares longs instead of ~20-char strings; the oracle applies the
+      // same hash so any (negligible, ~1e-7) collision agrees cross-engine.
       val sh = shingles(s, d)
         .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
         .cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("i"))
+      val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
+        .filter(col("n_df").between(2, 20))
+        .select("sh")
+      val cand = sh.join(rareSh, Seq("sh"), "left_semi")
+        .groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      // verify stage touches only the CANDIDATE docs' full shingle sets
+      val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      val shc = sh.join(broadcast(candDocs), "doc_id")
+      val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(shc.as("xa"), col("xa.doc_id") === col("a"))
+        .join(shc.as("xb"), col("xb.doc_id") === col("b") && col("xb.sh") === col("xa.sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
       val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
       inter
         .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -132,12 +153,19 @@ object TextOps {
           explode(expr("sequence(1, length(t) - 4)")).as("i"))
         .select(col("doc_id"), expr("substring(t, i, 5)").as("gram"))
         .distinct()
-      // posting-list pair generation: ONE groupBy(gram) builds each rare
-      // gram's sorted doc list, and the a<b pairs explode in-row — no
-      // rare⋈rare shuffle join over the full gram table
-      val cand = g.groupBy("gram")
+      // posting-list pair generation in TWO passes so no aggregation buffer
+      // ever exceeds the df cap (round-2 verdict): pass 1 is a partial-agg
+      // count that keeps only rare grams (df ≤ 20) — a gram in 10M docs
+      // costs one counter, never a 10M-element array; pass 2 semi-joins the
+      // postings down to rare grams and THEN collects, so every
+      // collect_list buffer holds ≤ 20 doc_ids by construction. The a<b
+      // pairs explode in-row — no rare⋈rare shuffle join over the gram table
+      val rareGrams = g.groupBy("gram").agg(count(lit(1)).as("n_df"))
+        .filter(col("n_df").between(2, 20))
+        .select("gram")
+      val cand = g.join(rareGrams, Seq("gram"), "left_semi")
+        .groupBy("gram")
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, 20))
         .select(explode(expr(
           "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> named_struct('a', x, 'b', y))))")).as("p"))
@@ -295,10 +323,17 @@ object TextOps {
            SELECT doc_id,
              ${h60Duck("shingle")} AS sh
            FROM shs),
+         dfreq AS (SELECT sh, count(*) AS n_df FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s
+                  JOIN dfreq f ON s.sh = f.sh WHERE f.n_df BETWEEN 2 AND 20),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           SELECT c.a, c.b, count(*) AS i
+           FROM cand c
+           JOIN sh xa ON xa.doc_id = c.a
+           JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
            GROUP BY 1, 2)
          SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id

@@ -69,9 +69,14 @@ object VectorOps {
     }),
 
     "knn_label" -> ((s, d) => {
-      val q = withNorm(s, d, "q_id", "qv", "q_norm").filter(col("q_id") % 25 === 0)
+      // FIXED-SIZE query set (20 held-out vectors), not a corpus fraction:
+      // the broadcast side must stay O(1) in the corpus so the plan holds at
+      // 100 TB — a %-of-corpus query set would grow the broadcast linearly
+      // with the data and OOM every executor (round-2 verdict). The corpus
+      // side streams map-side against the 20-row broadcast: no shuffle.
+      val q = withNorm(s, d, "q_id", "qv", "q_norm").filter(col("q_id") < 20)
         .select(col("q_id"), col("qv"), col("q_norm"), col("label").as("true_label"))
-      val c = withNorm(s, d, "vec_id", "cv", "c_norm").filter(col("vec_id") % 25 =!= 0)
+      val c = withNorm(s, d, "vec_id", "cv", "c_norm").filter(col("vec_id") >= 20)
       val w = Window.partitionBy("q_id")
         .orderBy(rankKey(col("cos")).desc, col("vec_id"))
       val top5 = c.crossJoin(broadcast(q))
@@ -252,8 +257,8 @@ object VectorOps {
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "knn_label" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS true_label
-                     FROM embeddings WHERE vec_id % 25 = 0),
-         c AS (SELECT vec_id, embedding AS cv, label FROM embeddings WHERE vec_id % 25 != 0),
+                     FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding AS cv, label FROM embeddings WHERE vec_id >= 20),
          scored AS (
            SELECT q.q_id, q.true_label, c.vec_id, c.label,
              ${cosSql("q.qv", "c.cv")} AS cos
