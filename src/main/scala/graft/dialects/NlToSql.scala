@@ -40,10 +40,22 @@ object NlToSql {
     ("supplier", "lineitem") -> "lineitem JOIN supplier ON l_suppkey = s_suppkey",
     ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey")
 
+  /** The canonical event-time column of each fact table (date-range
+    * productions).
+    */
+  private val dateCols = Map(
+    "orders" -> "o_orderdate",
+    "lineitem" -> "l_shipdate",
+    "events" -> "ts")
+
   // (?i) case-insensitive keywords; captured VALUES keep their case (column
   // values like status 'F' are case-sensitive), noun captures are
   // lowercased before catalog lookup
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
+  private val TopNWhere =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TotalByDateRange =
+    """(?i)total ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val CountBy = """(?i)(?:number|count) of (\w+) by ([a-z ]+?)""".r
   private val CountByWhere =
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
@@ -64,6 +76,39 @@ object NlToSql {
     * Unrecognized input fails loudly (no silent guessing).
     */
   def translate(question: String): String = question.trim match {
+    case TopNWhere(n, entity, measure, fdim, value) =>
+      // top-k with a dimension filter on the fact table: "top 5 customers
+      // by total order price where status is F" (value keeps its case)
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (ftable, fcol) = dim(fdim)
+      require(ftable == fact, s"filter dimension $fdim not on $fact")
+      val from = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from
+         WHERE $fcol = ${sqlLit(value)}
+         GROUP BY $pk, $nameCol
+         ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
+         LIMIT $n"""
+    case TotalByDateRange(measure, d, from, to) =>
+      // inclusive calendar-date range on the fact's canonical event-time
+      // column: "total order price by status between 1995-01-01 and
+      // 1996-06-30" (TIMESTAMP literals — identical semantics both engines)
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      require(table == fact, s"dimension $d not on $fact")
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact
+         WHERE $dateCol BETWEEN TIMESTAMP '$from 00:00:00' AND TIMESTAMP '$to 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByCompare(measure, d, fmeasure, dir, n) =>
       // numeric-comparison filter on a (possibly different) measure of the
       // same fact table: "total order price by status where order price is

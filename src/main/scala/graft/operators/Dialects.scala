@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dialects.{GraphQL, NlToSql}
+import graft.server.Server
 
 /** §2.9 dialect keys (SURVEY.md): fixed exemplar queries through the
   * GraphQL and NL front-ends. Both lower onto the same operator space —
@@ -40,6 +41,18 @@ object Dialects {
   val nlCountWhereQuestion: String = "number of orders by status where priority is 1-URGENT"
   val nlTotalWhereQuestion: String = "total order price by status where priority is 2-HIGH"
   val nlAboveQuestion: String = "total order price by status where order price is above 100000"
+  val nlTopkWhereQuestion: String = "top 5 customers by total order price where status is F"
+  val nlDateRangeQuestion: String =
+    "total order price by status between 1995-01-01 and 1996-06-30"
+
+  /** SQL exemplar for the serving seam: stays in the Spark∩DuckDB common
+    * dialect (round-before-double-cast money discipline), so the request
+    * string itself is the oracle.
+    */
+  val serveSqlQuery: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gql_select" -> ((s, d) => GraphQL.run(s, d, gqlQuery)),
@@ -50,7 +63,17 @@ object Dialects {
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
     "nl_total_where" -> ((s, d) => NlToSql.run(s, d, nlTotalWhereQuestion)),
-    "nl_compare" -> ((s, d) => NlToSql.run(s, d, nlAboveQuestion))
+    "nl_compare" -> ((s, d) => NlToSql.run(s, d, nlAboveQuestion)),
+    "nl_topk_where" -> ((s, d) => NlToSql.run(s, d, nlTopkWhereQuestion)),
+    "nl_date_range" -> ((s, d) => NlToSql.run(s, d, nlDateRangeQuestion)),
+    // the serving seam end-to-end: each dialect routed through
+    // graft.server.Server.handle — the same path the HTTP API and CLI use
+    "serve_sql" -> ((s, d) =>
+      Server.handle(s, Server.ServeRequest("sql", serveSqlQuery, d))),
+    "serve_gql" -> ((s, d) =>
+      Server.handle(s, Server.ServeRequest("graphql", gqlQuery, d))),
+    "serve_nl" -> ((s, d) =>
+      Server.handle(s, Server.ServeRequest("nl", nlQuestion, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +105,15 @@ object Dialects {
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),
     "nl_total_where" -> NlToSql.translate(nlTotalWhereQuestion),
-    "nl_compare" -> NlToSql.translate(nlAboveQuestion)
+    "nl_compare" -> NlToSql.translate(nlAboveQuestion),
+    "nl_topk_where" -> NlToSql.translate(nlTopkWhereQuestion),
+    "nl_date_range" -> NlToSql.translate(nlDateRangeQuestion),
+    "serve_sql" -> serveSqlQuery,
+    "serve_gql" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_acctbal
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 50""",
+    "serve_nl" -> NlToSql.translate(nlQuestion)
   )
 }

@@ -1,0 +1,134 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dialects.{GraphQL, NlToSql}
+import graft.sources.TableRegistry
+
+/** The serving seam (reference README.md:2 — "a blazingly fast web
+  * interface to query tabular files"; karna-server/src/lib.rs:1-14 is the
+  * reference's dedicated-but-stub server crate).
+  *
+  * `handle` is the in-process request→result function a server wraps: one
+  * request names a dialect (`sql` | `graphql` | `nl`), a query string, and
+  * a data directory; all three dialects lower onto the same registry-backed
+  * operator space, so the full engine surface is reachable through it.
+  * `HttpApi` is the thin HTTP wrapper (JDK built-in `com.sun.net.httpserver`
+  * — no extra dependency): POST /query with a JSON body, JSON rows back.
+  *
+  * Scale note: serving is driver-side *control* plane only — the query
+  * itself still executes as a distributed Spark plan. The only collect is
+  * the response materialization, which is capped (`maxRows`, default 1000)
+  * so an unbounded SELECT can never OOM the serving JVM.
+  */
+object Server {
+
+  val DefaultMaxRows = 1000
+
+  final case class ServeRequest(
+      dialect: String,
+      query: String,
+      dir: String,
+      maxRows: Int = DefaultMaxRows)
+
+  /** Route one request through the matching dialect front-end. Returns the
+    * (lazy, distributed) DataFrame — callers choose how to consume it.
+    */
+  def handle(s: SparkSession, req: ServeRequest): DataFrame =
+    req.dialect.toLowerCase match {
+      case "sql" =>
+        TableRegistry.registerAll(s, req.dir)
+        s.sql(req.query)
+      case "graphql" => GraphQL.run(s, req.dir, req.query)
+      case "nl"      => NlToSql.run(s, req.dir, req.query)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown dialect: '$other' (expected sql | graphql | nl)")
+    }
+
+  private val mapper = new ObjectMapper()
+
+  /** JSON request → JSON response (the HTTP body protocol, also usable
+    * in-process). Request: {"dialect": "...", "query": "...", "dir": "...",
+    * "maxRows": N?}. Response: {"columns": [...], "rows": [[...]],
+    * "rowCount": N, "truncated": bool} or {"error": "..."}.
+    */
+  def handleJson(s: SparkSession, body: String): String = {
+    try {
+      val node = mapper.readTree(body)
+      def req(f: String): String = {
+        val v = node.get(f)
+        require(v != null && v.isTextual, s"missing string field '$f'")
+        v.asText
+      }
+      val maxRows =
+        if (node.has("maxRows")) node.get("maxRows").asInt else DefaultMaxRows
+      require(maxRows > 0, "maxRows must be positive")
+      val df = handle(s, ServeRequest(req("dialect"), req("query"), req("dir"), maxRows))
+      render(df, maxRows)
+    } catch {
+      case e: Throwable =>
+        val err = mapper.createObjectNode()
+        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        mapper.writeValueAsString(err)
+    }
+  }
+
+  /** Driver-safe JSON rendering: fetch maxRows+1 to detect truncation,
+    * serialize via the row's JSON encoder (types faithful: timestamps as
+    * ISO strings, arrays as arrays).
+    */
+  private def render(df: DataFrame, maxRows: Int): String = {
+    val cols = df.columns
+    val rows = df.limit(maxRows + 1).toJSON.collect()
+    val truncated = rows.length > maxRows
+    val out: ObjectNode = mapper.createObjectNode()
+    val colArr: ArrayNode = out.putArray("columns")
+    cols.foreach(colArr.add)
+    val rowArr: ArrayNode = out.putArray("rows")
+    rows.take(maxRows).foreach(r => rowArr.add(mapper.readTree(r)))
+    out.put("rowCount", math.min(rows.length, maxRows))
+    out.put("truncated", truncated)
+    mapper.writeValueAsString(out)
+  }
+
+  /** Thin HTTP wrapper. `port = 0` binds an ephemeral port (tests);
+    * `boundPort` reports it. POST /query runs a request; GET /health for
+    * liveness.
+    */
+  final class HttpApi(spark: SparkSession, port: Int) {
+    private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+    http.createContext("/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          if (ex.getRequestMethod == "POST") {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            handleJson(spark, body)
+          } else """{"error":"POST a JSON request to /query"}"""
+        reply(ex, 200, resp)
+      }
+    })
+    http.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = reply(ex, 200, """{"status":"ok"}""")
+    })
+
+    private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+
+    def start(): Unit = http.start()
+    def boundPort: Int = http.getAddress.getPort
+    def stop(): Unit = http.stop(0)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dialects
+import graft.server.Server
+import graft.sources.CatalogStore
+
+/** The serving surfaces: in-process request routing, the HTTP API
+  * end-to-end, the CLI, and the persistent dataset catalog.
+  */
+class ServingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+  private val mapper = new ObjectMapper()
+
+  // ---- Server.handle routing -------------------------------------------
+
+  test("handle routes sql / graphql / nl to the same engine") {
+    val sql = Server.handle(spark, Server.ServeRequest("sql", Dialects.serveSqlQuery, d))
+    assert(sql.columns.toSeq === Seq("o_orderstatus", "n_orders", "total_price"))
+    assert(sql.count() > 0)
+
+    val gql = Server.handle(spark, Server.ServeRequest("graphql", Dialects.gqlQuery, d))
+    assert(gql.columns.toSeq === Seq("o_orderkey", "o_totalprice", "c_name", "c_acctbal"))
+
+    val nl = Server.handle(spark, Server.ServeRequest("nl", Dialects.nlQuestion, d))
+    assert(nl.count() === 10)
+  }
+
+  test("handle fails loudly on an unknown dialect") {
+    val e = intercept[IllegalArgumentException] {
+      Server.handle(spark, Server.ServeRequest("cypher", "MATCH (n)", d))
+    }
+    assert(e.getMessage.contains("unknown dialect"))
+  }
+
+  test("handleJson renders rows and caps at maxRows") {
+    val resp = mapper.readTree(Server.handleJson(spark,
+      s"""{"dialect":"sql","query":"SELECT o_orderkey FROM orders ORDER BY o_orderkey","dir":"$d","maxRows":3}"""))
+    assert(resp.get("columns").get(0).asText === "o_orderkey")
+    assert(resp.get("rowCount").asInt === 3)
+    assert(resp.get("truncated").asBoolean)
+    val firstKey = Server.handle(spark, Server.ServeRequest(
+      "sql", "SELECT o_orderkey FROM orders ORDER BY o_orderkey", d))
+      .limit(1).collect()(0).getLong(0)
+    assert(resp.get("rows").get(0).get("o_orderkey").asLong === firstKey)
+  }
+
+  test("handleJson reports errors as JSON, not exceptions") {
+    val bad = mapper.readTree(Server.handleJson(spark, """{"dialect":"sql"}"""))
+    assert(bad.get("error").asText.contains("query"))
+    val badSql = mapper.readTree(Server.handleJson(spark,
+      s"""{"dialect":"sql","query":"SELECT FROM nothing","dir":"$d"}"""))
+    assert(badSql.has("error"))
+  }
+
+  // ---- HTTP E2E ---------------------------------------------------------
+
+  test("HTTP API answers /health and runs all three dialects over POST /query") {
+    val api = new Server.HttpApi(spark, 0)
+    api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String): com.fasterxml.jackson.databind.JsonNode = {
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${api.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      }
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${api.boundPort}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(mapper.readTree(health).get("status").asText === "ok")
+
+      val q = Dialects.serveSqlQuery.replace("\"", "\\\"").replace("\n", " ")
+      val sql = post(s"""{"dialect":"sql","query":"$q","dir":"$d"}""")
+      assert(sql.get("columns").get(2).asText === "total_price")
+      // HTTP result equals the direct in-process plan's result
+      val direct = Server.handle(spark,
+        Server.ServeRequest("sql", Dialects.serveSqlQuery, d)).collect()
+      assert(sql.get("rowCount").asInt === direct.length)
+
+      val gq = Dialects.gqlQuery.replace("\"", "\\\"").replace("\n", " ")
+      val gql = post(s"""{"dialect":"graphql","query":"$gq","dir":"$d"}""")
+      assert(gql.get("columns").get(0).asText === "o_orderkey")
+      assert(gql.get("rowCount").asInt > 0)
+
+      val nl = post(s"""{"dialect":"nl","query":"${Dialects.nlQuestion}","dir":"$d"}""")
+      assert(nl.get("rowCount").asInt === 10)
+
+      val err = post("""{"dialect":"sql"}""")
+      assert(err.has("error"))
+    } finally api.stop()
+  }
+
+  // ---- CLI --------------------------------------------------------------
+
+  test("CLI parses args and runs each dialect") {
+    val a = Cli.parseArgs(Array("sql", "SELECT 1 AS one", d, "--json", "--max-rows=7"))
+    assert(a.json && a.maxRows === 7 && a.dialect === "sql")
+    intercept[IllegalArgumentException] { Cli.parseArgs(Array("sql", "q")) }
+
+    val textOut = Cli.run(spark,
+      Cli.CliArgs("nl", Dialects.nlQuestion, d, json = false, maxRows = 100))
+    assert(textOut.contains("c_name") && textOut.linesIterator.size > 10)
+
+    val jsonOut = mapper.readTree(Cli.run(spark,
+      Cli.CliArgs("graphql", Dialects.gqlQuery, d, json = true, maxRows = 5)))
+    assert(jsonOut.get("rowCount").asInt === 5 && jsonOut.get("truncated").asBoolean)
+
+    val sqlOut = Cli.run(spark,
+      Cli.CliArgs("sql", "SELECT count(*) AS n FROM orders", d, json = false, maxRows = 10))
+    assert(sqlOut.contains("| n "))
+  }
+
+  // ---- persistent catalog ----------------------------------------------
+
+  test("CatalogStore registrations survive a brand-new session") {
+    val file = Files.createTempFile("graft_catalog", ".json")
+    Files.delete(file)
+    CatalogStore.register(file,
+      CatalogStore.Entry("my_orders", s"$d/orders.parquet", "parquet"))
+    CatalogStore.register(file,
+      CatalogStore.Entry("my_nation", s"$d/nation.parquet", "parquet",
+        Map("mergeSchema" -> "false")))
+    // replace wins, no duplicate
+    CatalogStore.register(file,
+      CatalogStore.Entry("my_orders", s"$d/orders.parquet", "parquet"))
+    assert(CatalogStore.load(file).map(_.name).sorted === Seq("my_nation", "my_orders"))
+
+    // the restart path: a NEW session (fresh temp-view catalog) + registerAll
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("my_orders"))
+    CatalogStore.registerAll(fresh, file)
+    assert(fresh.table("my_orders").count() === spark.read.parquet(s"$d/orders.parquet").count())
+
+    CatalogStore.unregister(file, "my_orders")
+    assert(CatalogStore.load(file).map(_.name) === Seq("my_nation"))
+    Files.delete(file)
+  }
+}
