@@ -228,14 +228,25 @@ object GraphQL {
       cols.map { case VString(c) => c
                  case o => throw new IllegalArgumentException(s"bad groupBy key: $o") }
     }.getOrElse(throw new IllegalArgumentException(s"${root.name}: groupBy required"))
+    // DECIMAL-typed sources must still emit DOUBLE (driver-hash discipline:
+    // DOUBLE/BIGINT outputs only); identity on every other type. min/max of
+    // a DECIMAL(p,s≤4) is an exact input value, so round(,4)+double matches
+    // the oracle's CAST(... AS DOUBLE) bit-for-bit.
+    def noDec(c: org.apache.spark.sql.Column, src: String): org.apache.spark.sql.Column =
+      df.schema.fields.find(_.name == src).map(_.dataType) match {
+        case Some(_: org.apache.spark.sql.types.DecimalType) => outDec(c)
+        case _ => c
+      }
     val aggs = root.selections.filterNot(f => keys.contains(f.name)).map { f =>
       f.name match {
         case "count" => count(lit(1)).as("count")
         case n if n.startsWith("sum_") => outDec(sum(dec(col(n.stripPrefix("sum_"))))).as(n)
         case n if n.startsWith("avg_") =>
           r4(sum(dec(col(n.stripPrefix("avg_")))).cast("double") / count(lit(1))).as(n)
-        case n if n.startsWith("min_") => min(col(n.stripPrefix("min_"))).as(n)
-        case n if n.startsWith("max_") => max(col(n.stripPrefix("max_"))).as(n)
+        case n if n.startsWith("min_") =>
+          val c = n.stripPrefix("min_"); noDec(min(col(c)), c).as(n)
+        case n if n.startsWith("max_") =>
+          val c = n.stripPrefix("max_"); noDec(max(col(c)), c).as(n)
         case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
       }
     }

@@ -50,7 +50,12 @@ object Relational {
       .orderBy("s_suppkey")
       .collect()
       .map { r =>
-        val name = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        val name = r.getString(1).flatMap {
+          case '\\'         => "\\\\"
+          case '"'          => "\\\""
+          case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars would split/break JSONL lines
+          case c            => c.toString
+        }
         s"""{"s_suppkey": ${r.getLong(0)}, "s_name": "$name", """ +
           s""""s_nationkey": ${r.getInt(2)}, "s_acctbal": ${r.getDouble(3)}}"""
       }

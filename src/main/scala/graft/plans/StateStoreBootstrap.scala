@@ -17,8 +17,13 @@ import org.apache.spark.sql.internal.SQLConf
   * `org.apache.spark.sql` package.
   */
 object GraftStateStoreBootstrap {
+  // validated against Spark 4.1.2 (the pinned /opt/spark/jars version):
+  // forDriver is idempotent — it returns the existing endpoint when one is
+  // registered, so session conf here only affects FIRST registration
   def ensureCoordinator(): Unit = {
-    StateStoreCoordinatorRef.forDriver(SparkEnv.get, new SQLConf)
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.conf).getOrElse(new SQLConf)
+    StateStoreCoordinatorRef.forDriver(SparkEnv.get, conf)
     ()
   }
 }

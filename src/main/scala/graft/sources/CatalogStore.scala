@@ -63,14 +63,18 @@ object CatalogStore {
     }.toSeq
   }
 
+  /** Missing or zero-byte file reads as an empty catalog (a fresh
+    * `createTempFile` target must be registrable).
+    */
+  private def loadIfAny(file: Path): Seq[Entry] =
+    if (Files.exists(file) && Files.size(file) > 0) load(file) else Seq.empty
+
   /** Add-or-replace one registration (read-modify-write on the file). */
-  def register(file: Path, entry: Entry): Unit = {
-    val existing = if (Files.exists(file)) load(file) else Seq.empty
-    save(file, existing.filterNot(_.name == entry.name) :+ entry)
-  }
+  def register(file: Path, entry: Entry): Unit =
+    save(file, loadIfAny(file).filterNot(_.name == entry.name) :+ entry)
 
   def unregister(file: Path, name: String): Unit =
-    if (Files.exists(file)) save(file, load(file).filterNot(_.name == name))
+    save(file, loadIfAny(file).filterNot(_.name == name))
 
   /** Project every cataloged dataset into the session as a temp view —
     * the restart path: a brand-new SparkSession + this call reproduces the

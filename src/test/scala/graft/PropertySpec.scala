@@ -95,6 +95,70 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(got - BigDecimal(k._2 * 1.1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  /** Seeded synthetic corpus with planted near-duplicates, written as a
+    * documents.parquet fixture so the production operators run unmodified.
+    * Returns (dir, docs) — docs as id → word sequence.
+    */
+  private def plantedCorpus(): (String, Map[Long, Seq[String]]) = {
+    val rng = new scala.util.Random(4242)
+    // diverse 7-letter words: char-5-grams are mostly word-local, so gram
+    // document frequencies stay inside the [2, 20] blocking band
+    val vocab = Vector.fill(500)((1 to 7).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    def doc(): Seq[String] = Seq.fill(30 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+    val bases = (0 until 60).map(i => i.toLong -> doc()).toMap
+    val dups = (0 until 20).map { i =>
+      val mutated = bases(i.toLong).map(w =>
+        if (rng.nextDouble() < 0.06) vocab(rng.nextInt(vocab.size)) else w)
+      (1000L + i) -> mutated
+    }.toMap
+    val all = bases ++ dups
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    all.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (dir, all)
+  }
+
+  private def exactPairs(all: Map[Long, Seq[String]], grams: Seq[String] => Set[String],
+                         thresh: Double): Map[(Long, Long), Double] = {
+    val sets = all.map { case (id, ws) => id -> grams(ws) }
+    val ids = all.keys.toSeq.sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size
+      jac = inter.toDouble / (sets(i).size + sets(j).size - inter)
+      if jac >= thresh
+    } yield (i, j) -> jac).toMap
+  }
+
+  test("dedup_near blocking drops no pair above the 0.5 Jaccard threshold") {
+    val (dir, all) = plantedCorpus()
+    val expected = exactPairs(all, ws => ws.sliding(3).map(_.mkString(" ")).toSet, 0.5)
+    assert(expected.size >= 15, s"corpus should plant many near-dup pairs, got ${expected.size}")
+    val got = graft.operators.TextOps.queries("dedup_near")(spark, dir)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val missed = expected.keySet -- got.keySet
+    assert(missed.isEmpty, s"blocking dropped true pairs: $missed")
+    expected.foreach { case (p, j) =>
+      assert(math.abs(got(p) - BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"pair $p jaccard ${got(p)} != expected $j")
+    }
+  }
+
+  test("dedup_ngram blocking drops no pair above the 0.7 Jaccard threshold") {
+    val (dir, all) = plantedCorpus()
+    val expected = exactPairs(all,
+      ws => ws.mkString(" ").sliding(5).filter(_.length == 5).toSet, 0.7)
+    assert(expected.size >= 10, s"corpus should plant many near-dup pairs, got ${expected.size}")
+    val got = graft.operators.TextOps.queries("dedup_ngram")(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val missed = expected.keySet -- got
+    assert(missed.isEmpty, s"blocking dropped true pairs: $missed")
+  }
+
   test("window row_number over shuffled input is input-order independent") {
     samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 1000))), 3)
       .foreach { rows =>

@@ -144,4 +144,29 @@ class ServingSpec extends AnyFunSuite {
     assert(CatalogStore.load(file).map(_.name) === Seq("my_nation"))
     Files.delete(file)
   }
+
+  // ---- object-store scheme routing --------------------------------------
+
+  test("engine reads/writes through a non-file scheme (s3a wiring, config-only)") {
+    // register the mock object-store FS exactly the way s3a would be:
+    // one Hadoop conf key naming the FileSystem impl for the scheme
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock3a.impl", classOf[MockObjectStoreFs].getName)
+    val dir = Files.createTempDirectory("graft_mock3a")
+    val uri = s"mock3a:${dir.toAbsolutePath}/orders_subset.parquet"
+
+    val src = spark.read.parquet(s"$d/orders.parquet").limit(100)
+    src.write.mode("overwrite").parquet(uri)
+    val back = spark.read.parquet(uri)
+    assert(back.count() === 100)
+    assert(back.columns.toSeq === src.columns.toSeq)
+
+    // and the persistent catalog can point a dataset at the object store
+    val cat = Files.createTempFile("graft_catalog_s3", ".json")
+    CatalogStore.register(cat, CatalogStore.Entry("s3_orders", uri, "parquet"))
+    val fresh = spark.newSession()
+    CatalogStore.registerAll(fresh, cat)
+    assert(fresh.sql("SELECT count(*) AS n FROM s3_orders").collect()(0).getLong(0) === 100)
+    Files.delete(cat)
+  }
 }
