@@ -251,7 +251,19 @@ object GraphQL {
       }
     }
     require(aggs.nonEmpty, s"${root.name}: at least one aggregate selection")
-    val grouped = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // having filters on the EMITTED aggregate columns (post money
+    // discipline — a sum_ predicate compares the rounded DOUBLE, exactly
+    // what the oracle's outer WHERE sees), so it stays a plain Filter over
+    // the aggregate: Catalyst keeps partial aggregation underneath
+    val having = root.args.collectFirst { case ("having", VObj(conds)) =>
+      conds.map {
+        case (aggName, VObj(ops)) =>
+          ops.map { case (op, v) => predicate(aggName, op, v) }.reduce(_ && _)
+        case other => throw new IllegalArgumentException(s"bad having condition: $other")
+      }.reduce(_ && _)
+    }
+    val aggregated = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = having.fold(aggregated)(aggregated.filter)
       .select(root.selections.map(f => col(f.name)): _*)
     applyOrderPage(grouped, root.args)
   }

@@ -36,6 +36,15 @@ object Dialects {
                     orderBy: ["o_orderstatus"]) {
          o_orderstatus count sum_o_totalprice avg_o_totalprice max_o_totalprice } }"""
 
+  /** HAVING through the GraphQL aggregation root: predicates on the
+    * emitted aggregate columns (count = BIGINT, sum_ = rounded DOUBLE).
+    */
+  val gqlHavingQuery: String =
+    """{ orders_agg(groupBy: ["o_orderpriority"], filter: {o_orderstatus: {eq: "O"}},
+                    having: {count: {gt: 1000}, sum_o_totalprice: {gt: 248000000.0}},
+                    orderBy: ["o_orderpriority"]) {
+         o_orderpriority count sum_o_totalprice } }"""
+
   val nlQuestion: String = "top 10 customers by total order price"
   val nlAvgQuestion: String = "average event value by event type"
   val nlCountWhereQuestion: String = "number of orders by status where priority is 1-URGENT"
@@ -59,6 +68,7 @@ object Dialects {
     "gql_nested" -> ((s, d) => GraphQL.run(s, d, gqlNestedQuery)),
     "gql_paginate" -> ((s, d) => GraphQL.run(s, d, gqlPaginateQuery)),
     "gql_agg" -> ((s, d) => GraphQL.run(s, d, gqlAggQuery)),
+    "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -101,6 +111,13 @@ object Dialects {
          max(o_totalprice) AS max_o_totalprice
          FROM orders WHERE o_totalprice > 1000
          GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "gql_having" ->
+      """SELECT * FROM (
+           SELECT o_orderpriority, count(*) AS "count",
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+         WHERE "count" > 1000 AND sum_o_totalprice > 248000000.0
+         ORDER BY o_orderpriority NULLS FIRST""",
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),
