@@ -187,11 +187,36 @@ object Aggregates {
           r4(expr("percentile(l_quantity, 0.25)")).as("p25_qty"),
           r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
           r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "agg_mode" -> ((s, d) => {
+      // exact per-group mode with an EXPLICIT deterministic tie-break
+      // (count DESC, then value ASC) — the engines' built-in mode() pick
+      // arbitrary ties, so the operator is defined via counted ranking:
+      // one partial-aggregating count shuffle + a window over the (tiny)
+      // per-group value-count table, never the raw rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      orders(s, d).groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("mode_count"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   val oracles: Map[String, String] = Map(
     "agg_group_multi" -> flagshipOracle,
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+         FROM (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY 1, 2)
+         WHERE rn = 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_count_star" ->
       "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST",
     "agg_count_col" ->

@@ -42,6 +42,59 @@ object TextOps {
           .as("shingle"))
       .distinct()
 
+  /** MinHash band signatures per doc (16 minhashes / 8 bands of 2) — shared
+    * by `dedup_minhash` (candidate pairs) and `dedup_cluster` (components
+    * over those pairs). Hash family is the engine-portable md5-derived
+    * 60-bit one, so both consumers keep full DuckDB oracles.
+    */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val seeds = explode(expr("sequence(0, 15)")).as("seed")
+    shingles(s, d).select(col("doc_id"), col("shingle"), seeds)
+      .groupBy("doc_id", "seed")
+      .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)")))
+        .as("mh"))
+      .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
+      .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
+  }
+
+  /** Connected components by hash-min label propagation: every vertex
+    * starts labeled with its own id; each round a vertex takes the min of
+    * its own and its neighbors' labels, until a full round changes nothing.
+    * Converges in ≤ diameter rounds (near-dup clusters are band-join
+    * cliques, so 1-2 rounds in practice; the classic O(log n) variants —
+    * large-star/small-star, Kiveris et al. 2014 — swap in here if a graph
+    * with long chains ever shows up). Each round is ONE keyed shuffle
+    * (union + min-aggregate) over (vertex, label) pairs — state is bounded
+    * by |V| + |E|, never materialized driver-side; `cache`+`unpersist`
+    * truncate the iteration's lineage so plans don't grow with rounds.
+    *
+    * `edges` must have two id columns (src, dst), one row per undirected
+    * edge; returns (doc_id, label) with label = min id in the component.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val bidir = edges.toDF("src", "dst")
+    val e = bidir.union(bidir.select(col("dst"), col("src"))).toDF("src", "dst").cache()
+    var labels = e.select(col("src").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = e.join(labels, e("src") === labels("doc_id"))
+        .select(e("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .cache()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"connectedComponents: not converged after $rounds rounds")
+    e.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       documents(s, d)
@@ -112,21 +165,36 @@ object TextOps {
       // 100 TB. Hash family is md5-derived (low 60 bits of md5(seed:shingle)
       // — engine-portable, so the whole pipeline has a full DuckDB oracle;
       // recall vs exact Jaccard is additionally property-tested).
-      val sh = shingles(s, d)
-      val seeds = explode(expr("sequence(0, 15)")).as("seed")
-      val minh = sh.select(col("doc_id"), col("shingle"), seeds)
-        .groupBy("doc_id", "seed")
-        .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)")))
-          .as("mh"))
-      val bands = minh
-        .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
-        .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
+      val bands = minhashBands(s, d)
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"))
         .distinct()
         .orderBy("a", "b", "band")
+    }),
+
+    "dedup_cluster" -> ((s, d) => {
+      // The stage a real dedup pipeline runs AFTER candidate generation:
+      // LSH candidate pairs form a graph whose connected components are the
+      // duplicate clusters; each doc gets its component's min doc_id as
+      // cluster_id (= the canonical copy to keep). Pairs come from the same
+      // minhash band join as dedup_minhash; components via hash-min label
+      // propagation (see connectedComponents — one keyed shuffle per round,
+      // rounds ≤ cluster diameter). The oracle computes the identical
+      // transitive closure with a recursive CTE (fine at fixture scale;
+      // the Spark side is the one that has to — and does — scale).
+      val bands = minhashBands(s, d)
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val labels = connectedComponents(pairs)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     "dedup_simhash" -> ((s, d) => {
@@ -241,6 +309,46 @@ object TextOps {
         .select(col("doc_id"), expr(splitCase("bucket")).as("split"))
         .orderBy("doc_id")),
 
+    "sample_stratified" -> ((s, d) => {
+      // per-stratum deterministic downsampling — the rebalancing primitive
+      // for over-represented languages in a training corpus (keep 20% of
+      // 'en', 60% of everything else). Membership is decided per row by the
+      // portable 60-bit hash, so the sample is pure map work: reproducible
+      // across re-runs, cluster sizes, and engines (no RNG state, no
+      // sampleBy seed drift), and composable with split_assign because the
+      // two use different hash salts.
+      val bucket = expr(h60Spark("concat('sample:', CAST(doc_id AS STRING))") + " % 100")
+      documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < when(col("lang") === "en", 20).otherwise(60))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_redact" -> ((s, d) =>
+      // regex scan-and-redact with an audit count — the PII-scrubbing shape
+      // (emails/phones/ids in production; fixture-vocab words here since
+      // the synthetic text has no digits). Word-boundary \b behaves
+      // identically in Java regex and RE2 over this ASCII corpus; the
+      // redacted text is emitted as md5 so the oracle hash stays compact.
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\b(customer|value)\\b")).cast(L).as("n_hits"),
+          md5(regexp_replace(col("text"), "\\b(customer|value)\\b", "<REDACTED>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    "text_bigrams" -> ((s, d) =>
+      // corpus bigram frequency (the n-gram LM counting shape): index
+      // explode + plain-projection concat (codegen'd, not a HOF lambda),
+      // one keyed shuffle for the count, TakeOrdered for the top slice
+      toks(s, d).filter(size(col("t")) >= 2)
+        .select(col("t"), explode(expr("sequence(0, size(t)-2)")).as("i"))
+        .select(concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc_nulls_last, col("bigram"))
+        .limit(100)),
+
     "text_tokenize" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
@@ -326,6 +434,27 @@ object TextOps {
         .orderBy("doc_id"))
   )
 
+  /** MinHash band-signature CTE chain (DuckDB), shared by the
+    * dedup_minhash and dedup_cluster oracles so the candidate definition
+    * cannot drift between them.
+    */
+  private val mhBandCtes: String =
+    s"""toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
+         mh AS (
+           SELECT doc_id, seed,
+             min(${h60Duck("concat(CAST(seed AS VARCHAR), ':', shingle)")}) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             array_to_string(list_sort(list(mh)), ',') AS sig
+           FROM mh GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
@@ -363,25 +492,31 @@ object TextOps {
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "dedup_minhash" ->
       // same md5-derived 60-bit hash family as the Spark side
-      s"""WITH toks AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-           WHERE len(string_split(lower(text), ' ')) >= 3),
-         sh AS (
-           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
-         mh AS (
-           SELECT doc_id, seed,
-             min(${h60Duck("concat(CAST(seed AS VARCHAR), ':', shingle)")}) AS mh
-           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-           GROUP BY 1, 2),
-         bands AS (
-           SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-             array_to_string(list_sort(list(mh)), ',') AS sig
-           FROM mh GROUP BY 1, 2)
+      s"""WITH $mhBandCtes
          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.band AS band
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          ORDER BY a NULLS FIRST, b NULLS FIRST, band NULLS FIRST""",
+    "dedup_cluster" ->
+      // identical band-join candidates, then the transitive closure as a
+      // recursive CTE: reach(v, r) = all ids r reachable from v over the
+      // undirected pair graph; cluster_id = min reachable id
+      s"""WITH RECURSIVE $mhBandCtes,
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         edges AS (SELECT a AS s, b AS t FROM pairs
+                   UNION SELECT b AS s, a AS t FROM pairs),
+         reach AS (
+           SELECT DISTINCT s AS v, s AS r FROM edges
+           UNION
+           SELECT q.v, e.t FROM reach q JOIN edges e ON e.s = q.r),
+         comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         SELECT comp.doc_id, comp.cluster_id, csize.cluster_size
+         FROM comp JOIN csize USING (cluster_id)
+         ORDER BY doc_id NULLS FIRST""",
     "dedup_simhash" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
@@ -434,6 +569,25 @@ object TextOps {
       s"""SELECT doc_id, ${splitCase("b")} AS split
          FROM (SELECT doc_id, $splitBucketDuck AS b FROM documents)
          ORDER BY doc_id NULLS FIRST""",
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             ${h60Duck("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+           FROM documents)
+         WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+         ORDER BY doc_id NULLS FIRST""",
+    "text_pii_redact" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\b(customer|value)\b', 0)) AS n_hits,
+         md5(regexp_replace(text, '\b(customer|value)\b', '<REDACTED>', 'g')) AS redacted_md5
+         FROM documents ORDER BY doc_id NULLS FIRST""",
+    "text_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+           SELECT t[i] || ' ' || t[i+1] AS bigram
+           FROM (SELECT t, unnest(range(1, len(t))) AS i
+                 FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+                 WHERE len(t) >= 2))
+         GROUP BY 1 ORDER BY cnt DESC NULLS LAST, bigram NULLS FIRST LIMIT 100""",
     "text_tokenize" ->
       """SELECT doc_id, token FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)

@@ -90,6 +90,35 @@ object Windows {
           nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
         .orderBy("o_orderkey")
     }),
+    "sessionize" -> ((s, d) => {
+      // batch sessionization with per-session feature attribution — the
+      // gaps-and-islands companion to stream_session (which checks the
+      // 30-min session-window aggregate): a 4-hour inactivity gap opens a
+      // new session; each session emits entry/exit event types (min_by/
+      // max_by over the unique per-user ts), exact µs duration, and the
+      // decimal-disciplined value total. Two keyed shuffles total (the
+      // per-user window sort, then the session-key aggregate) — both on
+      // user-sized partitions, never a global sort.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapUs = 4L * 3600 * 1000000L
+      val us = unix_micros(col("ts"))
+      events(s, d)
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (max(us) - min(us)).as("duration_us"),
+          count(lit(1)).as("n_events"),
+          min_by(col("event_type"), col("ts")).as("entry_type"),
+          max_by(col("event_type"), col("ts")).as("exit_type"),
+          outDec(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
@@ -208,6 +237,29 @@ object Windows {
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
+    "sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, event_type, value,
+             lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
+           FROM marked),
+         numbered AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+           count(*) AS n_events,
+           arg_min(event_type, ts) AS entry_type,
+           arg_max(event_type, ts) AS exit_type,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY 1, 2
+         ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
     "win_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -106,6 +106,41 @@ class ExtensionSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)) // votes in [1,5]
   }
 
+  test("sessionize: sessions split exactly at >4h gaps, cover all events") {
+    val gapUs = 4L * 3600 * 1000000L
+    val sess = Windows.queries("sessionize")(spark, d)
+      .select($"user_id", $"session_seq", unix_micros($"session_start").as("s"),
+        unix_micros($"session_end").as("e"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per user: consecutive sessions are > gap apart, seqs are 1..n dense
+    sess.groupBy(_._1).foreach { case (_, ss) =>
+      val byTime = ss.sortBy(_._3)
+      assert(byTime.map(_._2).toSeq === (1L to byTime.length).toSeq)
+      byTime.sliding(2).foreach {
+        case Array(p, n) => assert(n._3 - p._4 > gapUs, s"adjacent sessions within gap: $p $n")
+        case _ =>
+      }
+    }
+    assert(sess.map(_._5).sum === Tables.events(spark, d).count())
+  }
+
+  test("dedup_cluster: cluster ids are min members; sizes consistent; covers all pair docs") {
+    val pairs = TextOps.queries("dedup_minhash")(spark, d)
+      .select($"a", $"b").distinct().as[(Long, Long)].collect()
+    val clusters = TextOps.queries("dedup_cluster")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every doc in a candidate pair is clustered, both ends together
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b) && label(a) === label(b))
+    }
+    // cluster_id is a member of its own cluster and its minimum
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.forall(_._3 === members.length))
+    }
+  }
+
   test("tfidf: common-to-all terms get zero-ish idf, rare terms positive") {
     val n = Tables.documents(spark, d).count()
     val tf = TextOps.queries("text_tfidf")(spark, d)

@@ -159,6 +159,32 @@ class PropertySpec extends AnyFunSuite {
     assert(missed.isEmpty, s"blocking dropped true pairs: $missed")
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      // reference: classic union-find over the same edge list
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical component id = min member id, matching hash-min's label
+      val expected = verts.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      val got = graft.operators.TextOps
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
   test("window row_number over shuffled input is input-order independent") {
     samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 1000))), 3)
       .foreach { rows =>
