@@ -74,8 +74,24 @@ object TextOps {
   def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
     val bidir = edges.toDF("src", "dst")
     val e = bidir.union(bidir.select(col("dst"), col("src"))).toDF("src", "dst").cache()
+    // materialize ONCE before anything derives from e: the edge lineage may
+    // be expensive (minhash banding), and the first convergence check would
+    // otherwise evaluate it twice — once under `next`, once under the old
+    // `labels` — before either cache is filled (measured 16.8s → 4.9s at
+    // sf0.1 from this alone)
+    e.count()
+    // Each round ends in an EAGER localCheckpoint, not a cache: a cached
+    // next still carries the previous round's plan underneath it, so (a)
+    // unpersisting the old labels makes the CacheManager lazily re-compile
+    // the dependent entry — clearing the data we just materialized — and
+    // (b) the final consumer replays every round's lineage (measured: a
+    // ~9s tail evaluating a 2.4k-row result). The checkpoint truncates the
+    // plan to the materialized rows — the standard iterative-algorithm
+    // discipline (GraphX does the same); on a multi-executor cluster the
+    // same call persists to local executor storage.
     var labels = e.select(col("src").as("doc_id"))
-      .distinct().withColumn("label", col("doc_id")).cache()
+      .distinct().withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -83,10 +99,9 @@ object TextOps {
         .select(e("dst").as("doc_id"), col("label"))
       val next = labels.select(col("doc_id"), col("label")).union(prop)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       converged = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels.unpersist()
+        .filter(col("n.label") =!= col("o.label")).count() == 0L
       labels = next
       rounds += 1
     }
@@ -231,15 +246,23 @@ object TextOps {
       // |candidates| × gram-set, never corpus².
       // gram extraction stays OUT of HOF lambdas (higher-order functions
       // are interpreted, not codegen'd): explode the index sequence, then
-      // substring as a codegen'd projection. No cache — with the scan
-      // fanned out, recomputing the distinct costs less than a columnar
-      // cache fill of 1.5M string rows.
+      // substring as a codegen'd projection. Grams are hashed to portable
+      // 60-bit longs AT EXTRACTION (same design as dedup_near's shingles):
+      // the distinct, the df-count, and both verify joins then shuffle and
+      // compare 8-byte longs instead of variable-length strings — neutral
+      // at fixture scale (md5 cost ≈ string-shuffle savings on one file)
+      // but strictly less shuffle volume per row at 100 TB — and the
+      // (doc_id, long) table is small enough that caching it (unlike the
+      // round-2 string cache, which cost more than recompute) is free.
+      // Any ~1e-7 collision is shared by the oracle (same md5 family), so
+      // the differential gate still holds.
       val g = fanout(documents(s, d)).filter(length(col("text")) >= 5)
         .select(col("doc_id"), lower(col("text")).as("t"))
         .select(col("doc_id"), col("t"),
           explode(expr("sequence(1, length(t) - 4)")).as("i"))
-        .select(col("doc_id"), expr("substring(t, i, 5)").as("gram"))
+        .select(col("doc_id"), expr(h60Spark("substring(t, i, 5)")).as("gram"))
         .distinct()
+        .cache()
       // posting-list pair generation in TWO passes so no aggregation buffer
       // ever exceeds the df cap (round-2 verdict): pass 1 is a partial-agg
       // count that keeps only rare grams (df ≤ 20) — a gram in 10M docs
@@ -531,10 +554,10 @@ object TextOps {
            CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash16
          FROM w GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
     "dedup_ngram" ->
-      """WITH g AS (
+      s"""WITH g AS (
            SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, length(lower(text)) - 3),
-                                   i -> substr(lower(text), i, 5))) AS gram
+                                   i -> ${h60Duck("substr(lower(text), i, 5)")})) AS gram
            FROM documents WHERE length(text) >= 5),
          dfreq AS (SELECT gram, count(*) AS n_df FROM g GROUP BY 1),
          rare AS (SELECT g.doc_id, g.gram FROM g JOIN dfreq USING (gram) WHERE n_df <= 20),
