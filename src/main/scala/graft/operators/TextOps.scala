@@ -137,8 +137,17 @@ object TextOps {
       // 60-bit md5 hash, not the string: the blocking join shuffles and
       // compares longs instead of ~20-char strings; the oracle applies the
       // same hash so any (negligible, ~1e-7) collision agrees cross-engine.
-      val sh = shingles(s, d)
-        .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
+      // hash at EXTRACTION (before the distinct), so the dedup shuffle
+      // moves (doc_id, long) rows instead of ~20-char shingle strings —
+      // dedup_minhash keeps the string form because its hash family needs
+      // the raw shingle under each seed
+      val sh = toks(s, d)
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("t"), explode(expr("sequence(0, size(t)-3)")).as("i"))
+        .select(col("doc_id"),
+          expr(h60Spark(
+            "concat_ws(' ', t[i], t[i + 1], t[i + 2])")).as("sh"))
+        .distinct()
         .cache()
       val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
         .filter(col("n_df").between(2, 20))
