@@ -204,11 +204,31 @@ object Aggregates {
         .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
           col("cnt").as("mode_count"))
         .orderBy("o_orderstatus")
-    })
+    }),
+    "agg_regr" -> ((s, d) =>
+      // bivariate statistics family (corr / covar / least-squares fit) —
+      // single partial-aggregating shuffle (all four are co-moment
+      // sketches: constant state per group, map-side combinable). round(,4)
+      // + negative-zero pinning absorb the engines' different double
+      // accumulation orders.
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qp"),
+          (r4(covar_samp(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("covar_qp"),
+          (r4(regr_slope(col("l_extendedprice"), col("l_quantity"))) + lit(0.0)).as("slope_pq"),
+          (r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))) + lit(0.0)).as("icept_pq"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
     "agg_group_multi" -> flagshipOracle,
+    "agg_regr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qp,
+         round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_pq,
+         round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept_pq
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
          FROM (

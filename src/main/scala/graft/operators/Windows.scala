@@ -119,6 +119,31 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    "funnel_conversion" -> ((s, d) => {
+      // ordered event funnel (view → click-after-view → purchase-after-
+      // click): each stage is the min event time STRICTLY AFTER the user's
+      // previous-stage time — the sequence constraint real funnel analytics
+      // needs (a click before any view doesn't count). Three keyed
+      // aggregates chained by user_id joins: every stage shuffles on the
+      // same key, each conversion set only shrinks, and nothing is global —
+      // the shape that holds when events are 100 TB.
+      val ev = events(s, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click_after_view").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
@@ -260,6 +285,20 @@ object Windows {
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY 1, 2
          ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+         SELECT * FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL SELECT '2_click_after_view', count(*) FROM c
+           UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+         ORDER BY stage NULLS FIRST""",
     "win_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
