@@ -68,6 +68,44 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    "cluster_kmeans" -> ((s, d) => {
+      // k-means (k=4, TWO unrolled Lloyd iterations, deterministic seeds =
+      // vec_id < 4) — the training-loop shape on top of the ANN family.
+      // Per iteration: broadcast the k centroids, one map-side distance
+      // pass (codegen'd vec_dot via d² = |v|² − 2·v·c + |c|², |v|²
+      // precomputed once, clamped ≥0 against float cancellation), argmin
+      // on the 6dp-rounded distance with centroid-id tie-break (sim_ivf's
+      // selection-stable ranking), then the UPDATE step as ONE
+      // (cluster, dim) keyed aggregate re-assembled into arrays. Centroid
+      // state stays O(k·dim) everywhere; the corpus is touched in straight
+      // map passes; nothing is driver-side. Per-dim means are rounded to
+      // 6dp so the next iteration's inputs are engine-identical doubles.
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        dot("embedding", "embedding").as("vv"))
+      def assign(cent: DataFrame): DataFrame = {
+        val scored = e.crossJoin(broadcast(cent))
+          .withColumn("d2", greatest(
+            col("vv") - lit(2.0) * expr("vec_dot(embedding, cvec)") + col("cc"),
+            lit(0.0)))
+        val w = Window.partitionBy("vec_id").orderBy(rankKey(col("d2")), col("cid"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("embedding")))
+          .groupBy("cid", "pos").agg(round(avg(col("col")), 6).as("m"))
+          .groupBy("cid")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+            .as("cvec"))
+          .withColumn("cc", dot("cvec", "cvec"))
+      val c0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("vv").as("cc"))
+      val a2 = assign(update(assign(c0)))
+      a2.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (r4(avg(sqrt(col("d2")))) + lit(0.0)).as("avg_dist"))
+        .orderBy("cluster_id")
+    }),
+
     "knn_label" -> ((s, d) => {
       // FIXED-SIZE query set (20 held-out vectors), not a corpus fraction:
       // the broadcast side must stay O(1) in the corpus so the plan holds at
@@ -219,6 +257,33 @@ object VectorOps {
     s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "cluster_kmeans" ->
+      // identical two-iteration unroll: same fold-based dots, same rounded
+      // ranking, same 6dp-rounded per-dim means (list(m ORDER BY i)
+      // re-assembles centroids in dimension order, as sort_array does)
+      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT vec_id, v, ${dSql("v", "v")} AS vv FROM emb0),
+         c0 AS (SELECT vec_id AS cid, v AS cvec, vv AS cc FROM e WHERE vec_id < 4),
+         s1 AS (SELECT e.vec_id, e.v, c.cid,
+                  greatest(e.vv - 2 * ${dSql("e.v", "c.cvec")} + c.cc, 0) AS d2
+                FROM e CROSS JOIN c0 c),
+         a1 AS (SELECT vec_id, v, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(d2, 6), cid) AS rn FROM s1) WHERE rn = 1),
+         m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m FROM (
+                  SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a1)
+                GROUP BY 1, 2),
+         c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1),
+         c1n AS (SELECT cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
+         s2 AS (SELECT e.vec_id, c.cid,
+                  greatest(e.vv - 2 * ${dSql("e.v", "c.cvec")} + c.cc, 0) AS d2
+                FROM e CROSS JOIN c1n c),
+         a2 AS (SELECT vec_id, cid, d2 FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY round(d2, 6), cid) AS rn FROM s2) WHERE rn = 1)
+         SELECT cid AS cluster_id, count(*) AS n_vecs,
+           round(avg(sqrt(d2)), 4) + 0.0 AS avg_dist
+         FROM a2 GROUP BY 1 ORDER BY cluster_id NULLS FIRST""",
     "sim_ivf" ->
       s"""WITH assign AS (
            SELECT vec_id, c_id, ccos,

@@ -141,6 +141,13 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster_kmeans: partitions the corpus, nonneg distances, k <= 4") {
+    val out = VectorOps.queries("cluster_kmeans")(spark, d).collect()
+    assert(out.length <= 4 && out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum === Tables.embeddings(spark, d).count())
+    out.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
   test("tfidf: common-to-all terms get zero-ish idf, rare terms positive") {
     val n = Tables.documents(spark, d).count()
     val tf = TextOps.queries("text_tfidf")(spark, d)
