@@ -94,6 +94,34 @@ object Joins {
       customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name").orderBy("c_custkey")),
     "join_asof" -> (asof _),
+    "join_range_bucket" -> ((s, d) => {
+      // non-equi time-range join done the scale way: a naive date-in-range
+      // theta join plans as a nested-loop cross product (fine when one side
+      // is tiny, quadratic at big×big). Bucketing the time axis turns it
+      // into an EQUI join: each 7-day range overlaps ≤2 week buckets
+      // (exploded — bounded ×2 duplication), each probe row maps to exactly
+      // ONE bucket, the join shuffles on the bucket key, and the true
+      // containment predicate verifies inside matched buckets. This is the
+      // range-join optimization commercial engines apply automatically,
+      // hand-lowered onto Catalyst; the oracle is the PLAIN theta join, so
+      // result equality proves the bucketing loses nothing.
+      val wk = 7L * 86400L * 1000000L
+      val r = orders(s, d).filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("range_id"),
+          unix_micros(col("o_orderdate")).as("s_us"))
+        .withColumn("bucket",
+          explode(expr(s"sequence(s_us div $wk, (s_us + $wk - 1) div $wk)")))
+      val li = lineitem(s, d)
+        .select(col("l_quantity"), unix_micros(col("l_shipdate")).as("ship_us"))
+        .withColumn("bucket", expr(s"ship_us div $wk"))
+      li.join(r, Seq("bucket"))
+        .filter(col("ship_us") >= col("s_us") && col("ship_us") < col("s_us") + lit(wk))
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n_lines"),
+          outDec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("range_id")
+    }),
+
     "merge_upsert" -> ((s, d) => {
       // CDC upsert (MERGE INTO semantics, storage-format-free): changes =
       // deterministic derivation from the fixture (updates: +10% price on
@@ -164,6 +192,17 @@ object Joins {
            WHERE o_orderstatus = 'F' AND o_custkey % 2 <> 0)) AS n_no_null"""
 
   val oracles: Map[String, String] = Map(
+    "join_range_bucket" ->
+      // deliberately the NAIVE theta formulation (DuckDB's IEJoin handles
+      // it at fixture scale): equality with the bucketed plan proves the
+      // bucket decomposition exact
+      """WITH r AS (SELECT o_orderkey AS range_id, epoch_us(o_orderdate) AS s_us
+                    FROM orders WHERE o_orderkey % 1000 = 0)
+         SELECT range_id, count(*) AS n_lines,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+         FROM r JOIN lineitem
+           ON epoch_us(l_shipdate) >= s_us AND epoch_us(l_shipdate) < s_us + 604800000000
+         GROUP BY 1 ORDER BY range_id NULLS FIRST""",
     "merge_upsert" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

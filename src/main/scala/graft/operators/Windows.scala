@@ -119,6 +119,21 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    "scd2_history" -> ((s, d) => {
+      // SCD Type-2 temporal versioning — the warehouse history-building
+      // shape: each order opens a new version for its customer;
+      // valid_to = the next version's valid_from (exclusive), NULL marks
+      // the open (current) version. One window per customer partition,
+      // totally ordered by (date, pk); no global operator.
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     "funnel_conversion" -> ((s, d) => {
       // ordered event funnel (view → click-after-view → purchase-after-
       // click): each stage is the min event time STRICTLY AFTER the user's
@@ -285,6 +300,13 @@ object Windows {
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY 1, 2
          ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
+    "scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from,
+         lead(o_orderdate, 1) OVER w AS valid_to,
+         lead(o_orderdate, 1) OVER w IS NULL AS is_current
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey NULLS FIRST, valid_from NULLS FIRST, o_orderkey NULLS FIRST""",
     "funnel_conversion" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                     WHERE event_type = 'view' GROUP BY 1),
