@@ -33,14 +33,16 @@ object TextOps {
     * higher-order-function lambda (interpreted — measured 3.5× slower
     * cold, 1.4× warm at sf0.1).
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
     toks(s, d)
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("t"), explode(expr("sequence(0, size(t)-3)")).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1), col("t")(col("i") + 2))
           .as("shingle"))
-      .distinct()
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).distinct()
 
   /** MinHash band signatures per doc (16 minhashes / 8 bands of 2) — shared
     * by `dedup_minhash` (candidate pairs) and `dedup_cluster` (components
@@ -57,6 +59,17 @@ object TextOps {
       .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
   }
 
+  /** Band-signature candidate pairs (a < b, distinct) — THE candidate
+    * definition, defined once so dedup_minhash and dedup_cluster cannot
+    * drift (the SQL side shares it the same way via mhBandCtes). Keeps
+    * the band column so dedup_minhash can report which band matched.
+    */
+  private def bandPairs(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"))
+
   /** Connected components by hash-min label propagation: every vertex
     * starts labeled with its own id; each round a vertex takes the min of
     * its own and its neighbors' labels, until a full round changes nothing.
@@ -65,13 +78,14 @@ object TextOps {
     * large-star/small-star, Kiveris et al. 2014 — swap in here if a graph
     * with long chains ever shows up). Each round is ONE keyed shuffle
     * (union + min-aggregate) over (vertex, label) pairs — state is bounded
-    * by |V| + |E|, never materialized driver-side; `cache`+`unpersist`
-    * truncate the iteration's lineage so plans don't grow with rounds.
+    * by |V| + |E|, never materialized driver-side. The default maxRounds
+    * of 60 leaves 2× margin over the property test's worst generatable
+    * case (a 30-vertex path needs 29 rounds + 1 no-change round).
     *
     * `edges` must have two id columns (src, dst), one row per undirected
     * edge; returns (doc_id, label) with label = min id in the component.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
     val bidir = edges.toDF("src", "dst")
     val e = bidir.union(bidir.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     // materialize ONCE before anything derives from e: the edge lineage may
@@ -140,13 +154,10 @@ object TextOps {
       // hash at EXTRACTION (before the distinct), so the dedup shuffle
       // moves (doc_id, long) rows instead of ~20-char shingle strings —
       // dedup_minhash keeps the string form because its hash family needs
-      // the raw shingle under each seed
-      val sh = toks(s, d)
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), col("t"), explode(expr("sequence(0, size(t)-3)")).as("i"))
-        .select(col("doc_id"),
-          expr(h60Spark(
-            "concat_ws(' ', t[i], t[i + 1], t[i + 2])")).as("sh"))
+      // the raw shingle under each seed. Shingle definition comes from the
+      // SAME shingleRows projection dedup_minhash uses (single-sourced).
+      val sh = shingleRows(s, d)
+        .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
         .distinct()
         .cache()
       val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
@@ -189,11 +200,7 @@ object TextOps {
       // 100 TB. Hash family is md5-derived (low 60 bits of md5(seed:shingle)
       // — engine-portable, so the whole pipeline has a full DuckDB oracle;
       // recall vs exact Jaccard is additionally property-tested).
-      val bands = minhashBands(s, d)
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"))
+      bandPairs(minhashBands(s, d))
         .distinct()
         .orderBy("a", "b", "band")
     }),
@@ -208,12 +215,7 @@ object TextOps {
       // rounds ≤ cluster diameter). The oracle computes the identical
       // transitive closure with a recursive CTE (fine at fixture scale;
       // the Spark side is the one that has to — and does — scale).
-      val bands = minhashBands(s, d)
-      val pairs = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
+      val pairs = bandPairs(minhashBands(s, d)).select("a", "b").distinct()
       val labels = connectedComponents(pairs)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
@@ -500,7 +502,10 @@ object TextOps {
            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
            FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
          sh AS (
-           SELECT doc_id,
+           -- DISTINCT on the HASH, mirroring the Spark side's
+           -- hash-then-distinct: a within-doc 60-bit collision must
+           -- collapse to one row in both engines or sizes/df drift
+           SELECT DISTINCT doc_id,
              ${h60Duck("shingle")} AS sh
            FROM shs),
          dfreq AS (SELECT sh, count(*) AS n_df FROM sh GROUP BY 1),

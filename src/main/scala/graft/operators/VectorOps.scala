@@ -91,8 +91,17 @@ object VectorOps {
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       }
       def update(assigned: DataFrame): DataFrame =
+        // per-dim means over EXACT scaled-integer sums, not avg(double):
+        // a double sum accumulates in partition order, and a mean landing
+        // within an ulp of a rounding boundary would flip a centroid
+        // coordinate — which the next Lloyd iteration then AMPLIFIES into
+        // different assignments (single-shot r4 outputs tolerate that ulp;
+        // an iterated input cannot). round(x·10⁶) to BIGINT is exact and
+        // order-free; the final divide runs on exact integers.
         assigned.select(col("cid"), posexplode(col("embedding")))
-          .groupBy("cid", "pos").agg(round(avg(col("col")), 6).as("m"))
+          .groupBy("cid", "pos")
+          .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
+            (count(lit(1)) * lit(1000000.0)), 6).as("m"))
           .groupBy("cid")
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
             .as("cvec"))
@@ -270,7 +279,9 @@ object VectorOps {
          a1 AS (SELECT vec_id, v, cid FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY round(d2, 6), cid) AS rn FROM s1) WHERE rn = 1),
-         m1 AS (SELECT cid, i, round(avg(v[i]), 6) AS m FROM (
+         m1 AS (SELECT cid, i,
+                  round(sum(CAST(round(v[i] * 1000000, 0) AS BIGINT)) /
+                        (count(*) * 1000000.0), 6) AS m FROM (
                   SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a1)
                 GROUP BY 1, 2),
          c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1),

@@ -113,8 +113,15 @@ object Windows {
           max(col("ts")).as("session_end"),
           (max(us) - min(us)).as("duration_us"),
           count(lit(1)).as("n_events"),
-          min_by(col("event_type"), col("ts")).as("entry_type"),
-          max_by(col("event_type"), col("ts")).as("exit_type"),
+          // entry/exit via lexicographic struct min/max, NOT min_by(x, ts):
+          // (ts, event_id) is the session's total order — a bare ts key
+          // would pick an arbitrary event_type between tied timestamps
+          // (none in this fixture, but the same "documented-unique"
+          // assumption already broke once for lineitem)
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"),
           outDec(sum(dec(col("value")))).as("sum_value"))
         .orderBy("user_id", "session_seq")
     }),
@@ -295,8 +302,8 @@ object Windows {
            min(ts) AS session_start, max(ts) AS session_end,
            max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
            count(*) AS n_events,
-           arg_min(event_type, ts) AS entry_type,
-           arg_max(event_type, ts) AS exit_type,
+           min({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS entry_type,
+           max({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS exit_type,
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY 1, 2
          ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
