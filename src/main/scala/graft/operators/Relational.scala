@@ -103,6 +103,16 @@ object Relational {
       region(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("r_regionkey")
     }),
+    "sink_orc" -> ((s, d) => {
+      // ORC round-trip: Spark-native columnar writer + reader (the third
+      // columnar format next to parquet and csv/jsonl text). DuckDB cannot
+      // read ORC, so the oracle checks CONTENT equality against the same
+      // rows' parquet source — the write+read path itself is the system
+      // under test, exactly like sink_parquet.
+      val out = s"$exportDir/supplier_orc"
+      supplier(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("s_suppkey")
+    }),
     "sink_csv" -> ((s, d) => {
       val out = s"$exportDir/customer_sink"
       customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
@@ -208,6 +218,7 @@ object Relational {
          ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
     "sink_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
+    "sink_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey NULLS FIRST",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",
     "project" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey NULLS FIRST",
