@@ -205,6 +205,14 @@ object Aggregates {
           col("cnt").as("mode_count"))
         .orderBy("o_orderstatus")
     }),
+    "agg_bool" -> ((s, d) =>
+      // boolean aggregate family (every/any/conditional count) — partial-
+      // aggregating single shuffle like the numeric aggregates
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(bool_and(col("o_totalprice") > 100).as("all_above_100"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          expr("count_if(o_totalprice > 200000)").as("n_big"))
+        .orderBy("o_orderstatus")),
     "agg_regr" -> ((s, d) =>
       // bivariate statistics family (corr / covar / least-squares fit) —
       // single partial-aggregating shuffle (all four are co-moment
@@ -222,6 +230,12 @@ object Aggregates {
 
   val oracles: Map[String, String] = Map(
     "agg_group_multi" -> flagshipOracle,
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+         bool_and(o_totalprice > 100) AS all_above_100,
+         bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+         count_if(o_totalprice > 200000) AS n_big
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_regr" ->
       """SELECT l_returnflag,
          round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,

@@ -126,6 +126,24 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    "win_fill_forward" -> ((s, d) => {
+      // time-series gap-fill: sparse readings carried forward — the
+      // sensor/metrics-pipeline staple. NULLs are synthesized
+      // deterministically (error events report no value); then
+      // last(IGNORE NULLS) over the per-user ordered frame forward-fills
+      // and lag(IGNORE NULLS) exposes the previous real reading. One
+      // per-key window, no global operator.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wf).as("v_filled"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_reading"))
+        .orderBy("event_id")
+    }),
+
     "scd2_history" -> ((s, d) => {
       // SCD Type-2 temporal versioning — the warehouse history-building
       // shape: each order opens a new version for its customer;
@@ -307,6 +325,14 @@ object Windows {
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY 1, 2
          ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
+    "win_fill_forward" ->
+      """SELECT event_id, user_id, v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         lag(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_reading
+         FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+               FROM events)
+         ORDER BY event_id NULLS FIRST""",
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from,
          lead(o_orderdate, 1) OVER w AS valid_to,
