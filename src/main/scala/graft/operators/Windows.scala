@@ -159,30 +159,7 @@ object Windows {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
-    "funnel_conversion" -> ((s, d) => {
-      // ordered event funnel (view → click-after-view → purchase-after-
-      // click): each stage is the min event time STRICTLY AFTER the user's
-      // previous-stage time — the sequence constraint real funnel analytics
-      // needs (a click before any view doesn't count). Three keyed
-      // aggregates chained by user_id joins: every stage shuffles on the
-      // same key, each conversion set only shrinks, and nothing is global —
-      // the shape that holds when events are 100 TB.
-      val ev = events(s, d)
-      def stage(t: String) = ev.filter(col("event_type") === t)
-      val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
-      val c = stage("click").join(v, "user_id")
-        .filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-      val p = stage("purchase").join(c, "user_id")
-        .filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
-        .unionByName(c.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click_after_view").as("stage"), col("n_users")))
-        .unionByName(p.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
-        .orderBy("stage")
-    }),
+    "funnel_conversion" -> ((s, d) => funnel(events(s, d))),
 
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -194,6 +171,32 @@ object Windows {
         .orderBy("o_custkey", "rn")
     })
   )
+
+  /** Ordered event funnel (view → click-after-view → purchase-after-
+    * click): each stage is the min event time STRICTLY AFTER the user's
+    * previous-stage time — the sequence constraint real funnel analytics
+    * needs (a click before any view doesn't count). Three keyed
+    * aggregates chained by user_id joins: every stage shuffles on the
+    * same key, each conversion set only shrinks, and nothing is global —
+    * the shape that holds when events are 100 TB. Takes the event frame
+    * as a parameter so specs can feed crafted orderings.
+    */
+  def funnel(ev: DataFrame): DataFrame = {
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click_after_view").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
 
   /** Global ntile(4) WITHOUT a global single-partition window (round-2
     * verdict: `ntile(k).over(Window.orderBy(...))` forces the whole table

@@ -141,6 +141,24 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: strict event ordering — out-of-order stages don't convert") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // A: view->click->purchase in order (full funnel)
+    // B: purchase, click, THEN view (nothing after the view -> view only)
+    // C: view->click, no purchase
+    // D: click at the SAME instant as view (strictly-after excludes it)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"),
+      (2L, t(0), "purchase"), (2L, t(1), "click"), (2L, t(2), "view"),
+      (3L, t(0), "view"), (3L, t(5), "click"),
+      (4L, t(0), "view"), (4L, t(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Windows.funnel(ev).as[(String, Long)].collect().toMap
+    assert(got === Map("1_view" -> 4L, "2_click_after_view" -> 2L,
+      "3_purchase_after_click" -> 1L))
+  }
+
   test("cluster_kmeans: partitions the corpus, nonneg distances, k <= 4") {
     val out = VectorOps.queries("cluster_kmeans")(spark, d).collect()
     assert(out.length <= 4 && out.nonEmpty)
