@@ -161,6 +161,55 @@ object Windows {
 
     "funnel_conversion" -> ((s, d) => funnel(events(s, d))),
 
+    "resample_ohlc" -> ((s, d) => {
+      // time-series downsampling to daily OHLC bars per event_type — the
+      // metrics/finance resample shape. open/close are picked by
+      // lexicographic struct min/max over (ts, event_id, value): event_id
+      // makes the order total, so the bar is deterministic even with tied
+      // timestamps (same discipline as sessionize's entry/exit). ONE keyed
+      // aggregate — at 100 TB this is a single partial-aggregating shuffle
+      // on (type, bar); no window, no sort until the final output order.
+      events(s, d)
+        .withColumn("bar", date_trunc("day", col("ts")))
+        .groupBy("event_type", "bar")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n_events"),
+          outDec(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("event_type", "bar")
+    }),
+
+    "win_ewma" -> ((s, d) => {
+      // exponentially weighted moving average (α=0.5, 8-term truncated
+      // kernel) per user — the smoothing primitive for metric streams.
+      // A true infinite-history EWMA is a sequential recurrence (hostile
+      // to distributed evaluation AND to cross-engine determinism); the
+      // 8-term truncation expresses it as a FIXED bundle of lag() reads
+      // over one per-key window: weights (1-α)^i are exact dyadic doubles,
+      // and the numerator/denominator fold is written in the same
+      // left-associated order in both engines so the double arithmetic is
+      // bit-identical. One window shuffle on user_id; everything else is
+      // map-side codegen.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 8).map { i =>
+        val x = if (i == 0) col("value") else lag(col("value"), i).over(w)
+        (x, lit(math.pow(0.5, i)))
+      }
+      val num = terms.map { case (x, wt) =>
+        when(x.isNotNull, x * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+      val den = terms.map { case (x, wt) =>
+        when(x.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          r4(num / den).as("ewma"))
+        .orderBy("event_id")
+    }),
+
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
@@ -364,6 +413,52 @@ object Windows {
                ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
            FROM orders)
          WHERE rn <= 3
-         ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST"""
+         ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
+    "resample_ohlc" ->
+      // DuckDB date_trunc('day', ts) yields DATE (Spark yields TIMESTAMP) —
+      // the CAST re-aligns the bar type; struct min/max picks open/close
+      // with the same (ts, event_id) total order as the Spark side
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar,
+         min({'ts': ts, 'event_id': event_id, 'value': value}).value AS open,
+         max(value) AS high, min(value) AS low,
+         max({'ts': ts, 'event_id': event_id, 'value': value}).value AS close,
+         count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2
+         ORDER BY event_type NULLS FIRST, bar NULLS FIRST""",
+    "win_ewma" ->
+      // identical 8-term truncated kernel, identical left-associated fold:
+      // weights are exact dyadics so every product/sum is the same double
+      // in both engines; explicit DOUBLE casts keep DuckDB's decimal
+      // literal inference out of the arithmetic
+      """WITH t AS (
+           SELECT event_id, user_id, value,
+             lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2,
+             lag(value, 3) OVER w AS x3, lag(value, 4) OVER w AS x4,
+             lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
+             lag(value, 7) OVER w AS x7
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, value,
+           round((
+               CASE WHEN value IS NOT NULL THEN value * CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x1 IS NOT NULL THEN x1 * CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x2 IS NOT NULL THEN x2 * CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x3 IS NOT NULL THEN x3 * CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x4 IS NOT NULL THEN x4 * CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x5 IS NOT NULL THEN x5 * CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x6 IS NOT NULL THEN x6 * CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x7 IS NOT NULL THEN x7 * CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           ) / (
+               CASE WHEN value IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x1 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x2 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x3 IS NOT NULL THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x4 IS NOT NULL THEN CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x5 IS NOT NULL THEN CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x6 IS NOT NULL THEN CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN x7 IS NOT NULL THEN CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           ), 4) AS ewma
+         FROM t ORDER BY event_id NULLS FIRST"""
   )
 }

@@ -159,6 +159,43 @@ class ExtensionSpec extends AnyFunSuite {
       "3_purchase_after_click" -> 1L))
   }
 
+  test("resample_ohlc: bar invariants hold and open/close follow ts order") {
+    val bars = Windows.queries("resample_ohlc")(spark, d).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= o && h >= c && l <= o && l <= c && h >= l)
+    }
+    // bar event counts partition the events table
+    assert(bars.map(_.getLong(6)).sum === Tables.events(spark, d).count())
+    // recompute one bar's open/close by explicit (ts, event_id) sort
+    val r0 = bars.head
+    val ev = Tables.events(spark, d)
+      .filter($"event_type" === r0.getString(0) &&
+        date_trunc("day", $"ts") === r0.getTimestamp(1))
+      .orderBy($"ts", $"event_id")
+      .select("value").as[Double].collect()
+    assert(ev.head === r0.getDouble(2) && ev.last === r0.getDouble(5))
+  }
+
+  test("win_ewma: first event per user equals value; kernel matches hand fold") {
+    val out = Windows.queries("win_ewma")(spark, d)
+    val ev = Tables.events(spark, d)
+    // pick a user, recompute the 8-term truncated kernel by hand
+    val uid = ev.select("user_id").as[Long].head()
+    val vals = ev.filter($"user_id" === uid).orderBy($"ts", $"event_id")
+      .select($"event_id", $"value").as[(Long, Double)].collect()
+    val got = out.filter($"user_id" === uid)
+      .select($"event_id", $"ewma").as[(Long, Double)].collect().toMap
+    assert(got(vals.head._1) === math.rint(vals.head._2 * 1e4) / 1e4)
+    vals.zipWithIndex.foreach { case ((eid, _), i) =>
+      val terms = (0 to math.min(i, 7)).map(k => (vals(i - k)._2, math.pow(0.5, k)))
+      val expect = terms.map { case (x, w) => x * w }.foldLeft(0.0)(_ + _) /
+        terms.map(_._2).foldLeft(0.0)(_ + _)
+      assert(math.abs(got(eid) - expect) <= 5e-5, s"eid=$eid i=$i")
+    }
+  }
+
   test("cluster_kmeans: partitions the corpus, nonneg distances, k <= 4") {
     val out = VectorOps.queries("cluster_kmeans")(spark, d).collect()
     assert(out.length <= 4 && out.nonEmpty)
