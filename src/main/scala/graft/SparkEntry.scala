@@ -30,7 +30,9 @@ object SparkEntry {
       (VectorOps.queries, VectorOps.oracles),
       (graft.functions.Custom.queries, graft.functions.Custom.oracles),
       (Dialects.queries, Dialects.oracles),
-      (Layouts.queries, Layouts.oracles)
+      (Layouts.queries, Layouts.oracles),
+      (GraphOps.queries, GraphOps.oracles),
+      (Profiling.queries, Profiling.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

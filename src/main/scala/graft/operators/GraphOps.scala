@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables._
+
+/** Graph analytics over the order graph (reference intent: karna-core's
+  * declared "analytics engine" surface, /root/reference/README.md:2 — no
+  * graph code exists in the skeleton; shape chosen to exercise Spark's
+  * iterative keyed-shuffle pattern).
+  *
+  * The graph is the customer↔supplier bipartite graph induced by
+  * orders ⋈ lineitem: node ids are disjoint by parity (customer k → 2k,
+  * supplier k → 2k+1), edges are undirected (both directions emitted).
+  *
+  * 100 TB design: each PageRank iteration is ONE join (rank onto edges,
+  * both sides hash-partitioned on the edge source) plus ONE keyed
+  * aggregation (contribution sum on the edge target) — the canonical
+  * Pregel-as-joins formulation. Nothing is ever collected to the driver;
+  * the edge list is localCheckpoint'd once so the 3 fixed iterations
+  * don't re-derive it (at cluster scale: per-iteration checkpoints to cut
+  * lineage growth, same discipline as dedup_cluster).
+  *
+  * Cross-engine determinism: the whole iteration runs in FIXED-POINT
+  * integer arithmetic — ranks are BIGINT micro-units (1.0 = 1e6), the
+  * per-edge contribution is a truncating integer division, and damping
+  * 0.85 is the exact rational 17/20 — so every intermediate is an exact
+  * integer in both engines (a first cut that rounded doubles to a
+  * 9-decimal grid each iteration flipped one sf0.1 value by 1 ulp:
+  * engines snap doubles to decimal grids differently at .5 boundaries).
+  * The only float op is the final exact CAST/1e6, which is the same
+  * correctly-rounded IEEE division everywhere.
+  */
+object GraphOps {
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize the (small: one row per distinct trade pair, both
+    // directions) edge+degree list once; 3 iterations reuse it
+    val ed = edges.join(deg, "src").localCheckpoint()
+    val nodes = customer(s, d).select((col("c_custkey") * 2).as("node"))
+      .union(supplier(s, d).select((col("s_suppkey") * 2 + 1).as("node")))
+    var ranks = nodes.withColumn("rank_u", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst"), expr("rank_u DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("cs"))
+      // isolated nodes (no in-edges) keep the teleport mass 0.15
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (lit(150000L) + expr("(17 * coalesce(cs, 0)) DIV 20")).as("rank_u"))
+    }
+    ranks.select(col("node"),
+        (col("rank_u").cast(DoubleType) / 1000000.0).as("rank"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) => pagerank(s, d))
+  )
+
+  // one contribution CTE + one rank CTE per iteration — textually unrolled
+  // (the oracle runs on DuckDB, which has no iterative CTE shorthand that
+  // matches fixed-k semantics more directly)
+  private def iterSql(i: Int, prev: String): String =
+    s"""c$i AS (SELECT ed.dst, sum(r.rank_u // ed.deg) AS cs
+                FROM ed JOIN $prev r ON r.node = ed.src GROUP BY 1),
+        r$i AS (SELECT n.node, 150000 + (17 * coalesce(c.cs, 0)) // 20 AS rank_u
+                FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+          nodes AS (SELECT c_custkey * 2 AS node FROM customer
+                    UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u FROM nodes),
+          ${iterSql(1, "r0")},
+          ${iterSql(2, "r1")},
+          ${iterSql(3, "r2")}
+          SELECT node, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank
+          FROM r3 ORDER BY node NULLS FIRST"""
+  )
+}

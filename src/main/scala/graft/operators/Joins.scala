@@ -170,6 +170,36 @@ object Joins {
                                AND o.o_totalprice > 400000)
                ORDER BY c_custkey""")
     }),
+    "cte_recursive" -> ((s, d) => {
+      // WITH RECURSIVE (Spark 4 finally ships it): generate a 60-day
+      // calendar spine, LEFT JOIN the fact so empty days survive as 0 —
+      // the gap-free time-dimension pattern. The recursion materializes
+      // 60 rows on the driver side of the plan (broadcast-size by
+      // construction); the fact side stays a single scan + hash agg.
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""WITH RECURSIVE days(d) AS (
+                 SELECT TIMESTAMP '1995-01-01 00:00:00'
+                 UNION ALL
+                 SELECT d + INTERVAL 1 DAY FROM days
+                 WHERE d < TIMESTAMP '1995-03-01 00:00:00')
+               SELECT d, count(o_orderkey) AS n_orders
+               FROM days LEFT JOIN orders ON date_trunc('DAY', o_orderdate) = d
+               GROUP BY d ORDER BY d""")
+    }),
+    "join_lateral" -> ((s, d) => {
+      // correlated LATERAL with ORDER BY + LIMIT — top-2 orders per
+      // customer as the SQL-surface twin of win_topk_group. Catalyst
+      // decorrelates to a partitioned rank filter, so the plan is one
+      // shuffle on the correlation key, never a per-row re-execution.
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+               FROM customer c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
     "subq_not_in" -> ((s, d) => {
       // NOT IN three-valued semantics, both branches in one row: with a
       // manufactured NULL in the list every candidate is UNKNOWN → count 0
@@ -192,6 +222,23 @@ object Joins {
            WHERE o_orderstatus = 'F' AND o_custkey % 2 <> 0)) AS n_no_null"""
 
   val oracles: Map[String, String] = Map(
+    "cte_recursive" ->
+      """WITH RECURSIVE days(d) AS (
+           SELECT TIMESTAMP '1995-01-01 00:00:00'
+           UNION ALL
+           SELECT d + INTERVAL 1 DAY FROM days
+           WHERE d < TIMESTAMP '1995-03-01 00:00:00')
+         SELECT d, count(o_orderkey) AS n_orders
+         FROM days LEFT JOIN orders ON date_trunc('day', o_orderdate) = d
+         GROUP BY d ORDER BY d NULLS FIRST""",
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey NULLS FIRST, o_totalprice DESC NULLS LAST,
+                  o_orderkey NULLS FIRST""",
     "join_range_bucket" ->
       // deliberately the NAIVE theta formulation (DuckDB's IEJoin handles
       // it at fixture scale): equality with the bucketed plan proves the

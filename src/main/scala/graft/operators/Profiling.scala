@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables._
+
+/** Data-quality profiling + outlier screening — the hygiene pass a
+  * training-data pipeline runs before anything else (reference intent:
+  * karna's "analytics over tabular files", /root/reference/README.md:2).
+  *
+  * 100 TB design notes per operator are on the keys below; the common
+  * principle is ONE full pass over the fact table, all cross-row state in
+  * partial-aggregating shuffles, per-group results broadcast back.
+  *
+  * Cross-engine determinism: all moments are summed as DECIMAL of inputs
+  * pre-rounded to 4 decimals, so the sums are exact and order-independent;
+  * every decimal total stays below 2^53 ulps, so the final cast to DOUBLE
+  * is exact, and the downstream double arithmetic (mean, variance, z) is
+  * written in the same association order in both engines.
+  */
+object Profiling {
+
+  /** value rounded into money decimal — exact, summation-order-proof. */
+  private def v4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+
+  private val d = (c: Column) => c.cast(DoubleType)
+
+  private def zscore(s: SparkSession, dir: String): DataFrame = {
+    // pass 1: exact per-type moments (5 groups — a broadcast-size result).
+    // sum/sumsq as exact decimals: at sf0.1 |sum| ≤ 5.6e7 → 5.6e11 ulps,
+    // |sumsq| ≤ 3.1e10 → 3.1e14 ulps, both < 2^53, so DOUBLE casts are
+    // exact and mean/var/sd are bit-identical across engines.
+    val stats = events(s, dir).groupBy(col("event_type").as("et")).agg(
+      count(lit(1)).as("n"),
+      sum(v4(col("value"))).as("sv"),
+      sum(round(v4(col("value")) * v4(col("value")), 4).cast(DecimalType(30, 4))).as("svv"))
+    val st = stats.select(col("et"), col("n"),
+      (d(col("sv")) / d(col("n"))).as("mean"),
+      sqrt((d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n"))) / (d(col("n")) - lit(1.0)))
+        .as("sd"))
+    // pass 2: map-side z against the broadcast stats — no second shuffle
+    events(s, dir).join(broadcast(st), col("event_type") === col("et"))
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val profCols =
+    Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def profile(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan: count/min/max fold map-side; the 6 exact count-distincts
+    // plan as a single Expand (6× row blowup into one partial-aggregating
+    // shuffle) — at 100 TB you'd swap countDistinct for approx_count_distinct
+    // per column (same plan shape, sketch-sized state; cf. agg_approx_distinct)
+    val aggs = profCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c"))
+    }
+    val one = lineitem(s, dir).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // pivot the single row to one row per column WITHOUT re-reading the
+    // scan (explode of an inline struct array, not a union of 6 selects)
+    val rows = profCols.map { c =>
+      struct(lit(c).as("column"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_zscore" -> ((s, dir) => zscore(s, dir)),
+    "profile_columns" -> ((s, dir) => profile(s, dir))
+  )
+
+  private def profOracle: String = {
+    val aggs = profCols.zipWithIndex.map { case (c, i) =>
+      s"count($c) AS nn$i, count(DISTINCT $c) AS nd$i, " +
+        s"CAST(min($c) AS DOUBLE) AS mn$i, CAST(max($c) AS DOUBLE) AS mx$i"
+    }.mkString(",\n             ")
+    val arms = profCols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS \"column\", n_rows - nn$i AS n_nulls, nd$i AS n_distinct, " +
+        s"mn$i AS min_v, mx$i AS max_v FROM a"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH a AS (SELECT count(*) AS n_rows,
+             $aggs
+           FROM lineitem)
+         SELECT * FROM ($arms)
+         ORDER BY "column" NULLS FIRST"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "anomaly_zscore" ->
+      """WITH m AS (
+           SELECT event_type AS et, count(*) AS n,
+             sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sv,
+             sum(CAST(round(CAST(round(value, 4) AS DECIMAL(18,4))
+                            * CAST(round(value, 4) AS DECIMAL(18,4)), 4)
+                      AS DECIMAL(30,4))) AS svv
+           FROM events GROUP BY 1),
+         st AS (
+           SELECT et,
+             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
+           FROM m)
+         SELECT event_id, event_type, value,
+           round((value - mean) / sd, 4) AS z
+         FROM events JOIN st ON event_type = et
+         WHERE abs((value - mean) / sd) > 3.0
+         ORDER BY event_id NULLS FIRST""",
+    "profile_columns" -> profOracle
+  )
+}

@@ -210,6 +210,26 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    "win_distinct_count" -> ((s, d) => {
+      // running COUNT(DISTINCT event_type) per user — Spark (like most
+      // engines) rejects DISTINCT aggregates in a window frame, so it is
+      // re-expressed scale-safely: mark each (user, type)'s FIRST
+      // occurrence with one window, running-sum the 0/1 marks with a
+      // second window on the same user partitioning (both windows shuffle
+      // on user_id once — Catalyst reuses the exchange; no per-frame set
+      // state, unlike a naive collect_set-over-window which would carry
+      // O(|types|) per row)
+      val first = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("rn", row_number().over(first))
+        .select(col("event_id"), col("user_id"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).over(run).as("n_types"))
+        .orderBy("event_id")
+    }),
+
     "win_topk_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey"))
@@ -414,6 +434,16 @@ object Windows {
            FROM orders)
          WHERE rn <= 3
          ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
+    "win_distinct_count" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+         FROM (SELECT event_id, user_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+               FROM events)
+         ORDER BY event_id NULLS FIRST""",
     "resample_ohlc" ->
       // DuckDB date_trunc('day', ts) yields DATE (Spark yields TIMESTAMP) —
       // the CAST re-aligns the bar type; struct min/max picks open/close

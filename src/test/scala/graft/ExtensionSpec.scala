@@ -196,6 +196,70 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank: teleport floor, bounded total mass, full node coverage") {
+    val out = GraphOps.queries("graph_pagerank")(spark, d).collect()
+    val n = Tables.customer(spark, d).count() + Tables.supplier(spark, d).count()
+    assert(out.length === n)
+    out.foreach(r => assert(r.getDouble(1) >= 0.15 - 1e-9))
+    // damped mass conservation: total <= n (truncating fixed-point only loses mass)
+    assert(out.map(_.getDouble(1)).sum <= n.toDouble + 1e-6)
+  }
+
+  test("anomaly_zscore: flagged rows really are >3 sd from their type mean") {
+    val out = Profiling.queries("anomaly_zscore")(spark, d)
+    assert(out.count() > 0)
+    assert(out.filter(abs($"z") <= 3.0).count() === 0)
+    // cross-check one type's mean/sd against Spark's own avg/stddev_samp
+    val agg = Tables.events(spark, d).groupBy("event_type")
+      .agg(avg($"value").as("m"), stddev_samp($"value").as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.collect().foreach { r =>
+      val (m, sd) = agg(r.getString(1))
+      assert(math.abs((r.getDouble(2) - m) / sd) > 2.99, r.toString)
+    }
+  }
+
+  test("profile_columns: one row per column, distincts bounded, min <= max") {
+    val out = Profiling.queries("profile_columns")(spark, d).collect()
+    assert(out.length === 6)
+    val n = Tables.lineitem(spark, d).count()
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L) // fixture has no nulls in these columns
+      assert(r.getLong(2) > 0L && r.getLong(2) <= n)
+      assert(r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
+  test("win_distinct_count: non-decreasing per user, capped by type universe") {
+    val out = Windows.queries("win_distinct_count")(spark, d)
+    val nTypes = Tables.events(spark, d).select("event_type").distinct().count()
+    assert(out.filter($"n_types" < 1 || $"n_types" > nTypes).count() === 0)
+    // per user the running count never decreases and ends at the user's
+    // exact distinct-type count
+    val fin = out.groupBy("user_id").agg(max($"n_types").as("mx"))
+    val truth = Tables.events(spark, d).groupBy("user_id")
+      .agg(countDistinct($"event_type").as("nd"))
+    assert(fin.join(truth, "user_id").filter($"mx" =!= $"nd").count() === 0)
+  }
+
+  test("cte_recursive: gap-free 60-day spine partitions the window's orders") {
+    val out = Joins.queries("cte_recursive")(spark, d).collect()
+    assert(out.length === 60)
+    val inWindow = Tables.orders(spark, d)
+      .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1995-03-02")
+      .count()
+    assert(out.map(_.getLong(1)).sum === inWindow)
+  }
+
+  test("join_lateral: at most 2 orders per customer and they are the top-2") {
+    val out = Joins.queries("join_lateral")(spark, d)
+    assert(out.groupBy("c_custkey").count().filter($"count" > 2).count() === 0)
+    val best = out.groupBy("c_custkey").agg(max($"o_totalprice").as("got"))
+    val truth = Tables.orders(spark, d).groupBy($"o_custkey".as("c_custkey"))
+      .agg(max($"o_totalprice").as("want"))
+    assert(best.join(truth, "c_custkey").filter($"got" =!= $"want").count() === 0)
+  }
+
   test("cluster_kmeans: partitions the corpus, nonneg distances, k <= 4") {
     val out = VectorOps.queries("cluster_kmeans")(spark, d).collect()
     assert(out.length <= 4 && out.nonEmpty)
