@@ -140,6 +140,27 @@ object Aggregates {
           (abs(col("approx") - col("n_exact")) <=
             greatest(lit(2.0), col("n_exact") * 0.1)).as("approx_ok"))
         .orderBy("o_orderstatus")),
+    "agg_hll_partial" -> ((s, d) => {
+      // RE-AGGREGATABLE sketch merge — the two-level shape that matters at
+      // 100 TB: build a KB-sized HLL sketch per shard (here: order-month),
+      // then hll_union_agg merges the partials into the global distinct
+      // WITHOUT re-touching raw rows. This is how count-distinct rolls up
+      // across 1000 executors / pre-aggregated partitions; the exact
+      // countDistinct runs alongside only to power the bounded-error
+      // contract (cf. agg_approx_distinct — sketch values can't hash-match
+      // cross-engine, the error bound can).
+      val partials = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("shard"))
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      val merged = partials.agg(
+        count(lit(1)).as("n_shards"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = orders(s, d).agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.crossJoin(merged).select(
+        col("n_exact"), col("n_shards"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(2.0), col("n_exact") * 0.02)).as("approx_ok"))
+    }),
     "agg_approx_quantile" -> ((s, d) =>
       // KLL/GK-style quantile sketch (percentile_approx, accuracy 10000)
       // next to the exact interpolated percentile — same pattern as
@@ -262,6 +283,11 @@ object Aggregates {
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
          true AS approx_ok
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_hll_partial" ->
+      """SELECT count(DISTINCT o_custkey) AS n_exact,
+         count(DISTINCT date_trunc('month', o_orderdate)) AS n_shards,
+         true AS approx_ok
+         FROM orders""",
     "agg_approx_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
          true AS approx_ok

@@ -45,6 +45,11 @@ object Streams {
       // Spark 4 transformWithState (ValueState processor); batch form =
       // one pass over empty state → per-user totals oracle exactly
       P.userRunningMax(events(s, d)).orderBy("user_id")),
+    "stream_join_static" -> ((s, d) =>
+      // stream-static dim enrichment (state-free; dim broadcast per batch);
+      // batch form = the same join over the full scan
+      P.staticEnrich(events(s, d), customer(s, d))
+        .orderBy("c_mktsegment", "event_type")),
     "stream_interval_join" -> ((s, d) => {
       val ev = events(s, d)
       P.intervalJoin(ev.filter(col("event_type") === "click"),
@@ -54,6 +59,12 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join_static" ->
+      """SELECT c_mktsegment, event_type, count(*) AS cnt,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2
+         ORDER BY c_mktsegment NULLS FIRST, event_type NULLS FIRST""",
     "stream_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          event_type, count(*) AS cnt,

@@ -39,6 +39,18 @@ object Streams {
   /** Batch form of stateful dedup: earliest row per key, order-explicit.
     * The stream form is `dropDuplicates` + watermark (state-bounded).
     */
+  /** Stream-static enrichment: every micro-batch hash-joins against the
+    * static dimension. The dim is broadcast (re-planned per batch, so a
+    * refreshed dim snapshot is picked up batch-to-batch) — the standard
+    * lookup-table enrichment shape; state-free, unlike stream-stream joins.
+    */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
+
   def dedupBatch(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))

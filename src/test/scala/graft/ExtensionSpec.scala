@@ -196,6 +196,35 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_partial: sharded sketch union estimates exactly like a direct sketch") {
+    val row = Aggregates.queries("agg_hll_partial")(spark, d).collect().head
+    assert(row.getBoolean(2), s"contract violated: $row")
+    // merge invariance — the property that makes sketches re-aggregatable:
+    // union of per-shard sketches has the same registers as one global sketch
+    val direct = Tables.orders(spark, d)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))")).head().getLong(0)
+    val sharded = Tables.orders(spark, d)
+      .groupBy(date_trunc("month", $"o_orderdate")).agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+    assert(direct === sharded)
+  }
+
+  test("sink_partitioned readback pushes the partition filter into the scan") {
+    // force the partitioned write, then assert the filtered readback scans
+    // only the o_orderstatus=F partition (partition pruning, not a full scan)
+    Layouts.queries("sink_partitioned")(spark, d).count()
+    val read = spark.read.parquet(s"${operators.Relational.exportDir}/orders_by_status")
+      .filter($"o_orderstatus" === "F")
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty, "partition filter not pushed")
+    val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(dirs.nonEmpty && dirs.forall(_.contains("o_orderstatus=F")),
+      s"pruning read beyond the F partition: $dirs")
+  }
+
   test("graph_pagerank: teleport floor, bounded total mass, full node coverage") {
     val out = GraphOps.queries("graph_pagerank")(spark, d).collect()
     val n = Tables.customer(spark, d).count() + Tables.supplier(spark, d).count()

@@ -52,6 +52,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq === batch.toSeq)
   }
 
+  test("stream-static join enriches micro-batches from the static dim") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, t(0), 10, "click", 1.5), Ev(2, t(1), 10, "view", 2.0),
+      Ev(3, t(2), 20, "click", 3.0), Ev(4, t(3), 99, "click", 4.0)) // 99: no dim row
+    val dim = Seq((10L, "AUTO"), (20L, "STEEL"))
+      .toDF("c_custkey", "c_mktsegment")
+    val q = Streams.staticEnrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_test")
+      .orderBy("c_mktsegment", "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("AUTO", "click", 1L, 1.5), ("AUTO", "view", 1L, 2.0),
+      ("STEEL", "click", 1L, 3.0)))
+  }
+
   test("watermark drops rows later than the watermark (stream-only semantics)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
