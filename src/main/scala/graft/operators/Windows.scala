@@ -218,12 +218,17 @@ object Windows {
       // second window on the same user partitioning (both windows shuffle
       // on user_id once — Catalyst reuses the exchange; no per-frame set
       // state, unlike a naive collect_set-over-window which would carry
-      // O(|types|) per row)
+      // O(|types|) per row). The explicit repartition on user_id ALONE
+      // serves both windows: HashPartitioning(user_id) satisfies the
+      // (user_id, event_type) window's ClusteredDistribution (subset
+      // rule), so the plan has ONE exchange + two local sorts instead of
+      // two full shuffles — at 100 TB that halves the movement.
       val first = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))
       val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
+        .repartition(col("user_id"))
         .withColumn("rn", row_number().over(first))
         .select(col("event_id"), col("user_id"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).over(run).as("n_types"))
