@@ -140,6 +140,26 @@ object Aggregates {
           (abs(col("approx") - col("n_exact")) <=
             greatest(lit(2.0), col("n_exact") * 0.1)).as("approx_ok"))
         .orderBy("o_orderstatus")),
+    "agg_entropy" -> ((s, d) => {
+      // per-user label-distribution (Shannon) entropy — the class-balance
+      // health metric a training pipeline monitors. The 5 event types are
+      // pivoted STATICALLY (fixed literal order; cf. agg_pivot's
+      // explicit-value-list rule), so the Σ -p·ln p fold is the same
+      // left-associated double chain in both engines — a dynamic sum over
+      // group rows would accumulate in partition order and drift.
+      // One partial-aggregating shuffle; entropy math is map-side.
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val cnts = types.map(t => count(when(col("event_type") === t, 1)).as(s"c_$t"))
+      val g = events(s, d).groupBy("user_id").agg(cnts.head, cnts.tail: _*)
+        .withColumn("n_events", types.map(t => col(s"c_$t")).reduce(_ + _))
+      val terms = types.map { t =>
+        val p = col(s"c_$t").cast(DoubleType) / col("n_events").cast(DoubleType)
+        when(col(s"c_$t") > 0, -(p * log(p))).otherwise(lit(0.0))
+      }
+      g.select(col("user_id"), col("n_events"),
+          r4(terms.reduce(_ + _)).as("entropy"))
+        .orderBy("user_id")
+    }),
     "agg_hll_partial" -> ((s, d) => {
       // RE-AGGREGATABLE sketch merge — the two-level shape that matters at
       // 100 TB: build a KB-sized HLL sketch per shard (here: order-month),
@@ -283,6 +303,21 @@ object Aggregates {
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
          true AS approx_ok
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_entropy" -> {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val cnts = types.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS c_$t").mkString(", ")
+      val term = (t: String) =>
+        s"""CASE WHEN c_$t > 0
+            THEN -((CAST(c_$t AS DOUBLE) / CAST(n_events AS DOUBLE))
+                   * ln(CAST(c_$t AS DOUBLE) / CAST(n_events AS DOUBLE)))
+            ELSE CAST(0.0 AS DOUBLE) END"""
+      s"""WITH g AS (SELECT user_id, $cnts FROM events GROUP BY 1),
+          n AS (SELECT *, ${types.map(t => s"c_$t").mkString(" + ")} AS n_events FROM g)
+          SELECT user_id, n_events,
+            round(${types.map(term).mkString(" + ")}, 4) AS entropy
+          FROM n ORDER BY user_id NULLS FIRST"""
+    },
     "agg_hll_partial" ->
       """SELECT count(DISTINCT o_custkey) AS n_exact,
          count(DISTINCT date_trunc('month', o_orderdate)) AS n_shards,

@@ -37,7 +37,29 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: earliest `purchase` at/after each click — the "time to
+    * next conversion" shape. Same composition as [[asof]] with the
+    * inequality and pick order flipped; only `p_ts` is emitted, so equal-ts
+    * ties cannot affect the result (mirrors DuckDB ASOF's tie freedom).
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_id", "user_id", "ts", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left")
+    val w = Window.partitionBy("event_id").orderBy(col("p_ts").asc_nulls_last)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts").as("next_purchase_ts"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_forward" -> (asofForward _),
     "join_inner" -> ((s, d) =>
       orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
         .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
@@ -222,6 +244,12 @@ object Joins {
            WHERE o_orderstatus = 'F' AND o_custkey % 2 <> 0)) AS n_no_null"""
 
   val oracles: Map[String, String] = Map(
+    "join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts
+         FROM (SELECT * FROM events WHERE event_type = 'click') e
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON e.user_id = p.user_id AND e.ts <= p.ts
+         ORDER BY e.event_id NULLS FIRST""",
     "cte_recursive" ->
       """WITH RECURSIVE days(d) AS (
            SELECT TIMESTAMP '1995-01-01 00:00:00'

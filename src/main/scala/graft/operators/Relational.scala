@@ -98,6 +98,21 @@ object Relational {
       orders(s, d).repartition(4).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("o_orderkey")
     }),
+    "scan_schema_evolution" -> ((s, d) => {
+      // schema-evolved multi-file read — at 100 TB, datasets accrete
+      // columns over years of writers; mergeSchema unions the per-file
+      // footers (a metadata operation) and old files surface NULL for
+      // columns they predate. Fixture: v1 files lack n_regionkey.
+      val out = s"$exportDir/nation_evolving"
+      val n = nation(s, d)
+      n.filter(col("n_nationkey") < 13).select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      n.filter(col("n_nationkey") >= 13).select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
     "sink_parquet" -> ((s, d) => {
       val out = s"$exportDir/region_sink"
       region(s, d).write.mode("overwrite").parquet(out)
@@ -217,6 +232,13 @@ object Relational {
          FROM read_json_auto('$exportDir/supplier.jsonl')
          ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
+    "scan_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+         FROM nation WHERE n_nationkey < 13
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey
+         FROM nation WHERE n_nationkey >= 13
+         ORDER BY n_nationkey NULLS FIRST""",
     "sink_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
     "sink_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey NULLS FIRST",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",

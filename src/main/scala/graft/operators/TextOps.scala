@@ -359,6 +359,24 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "sample_weighted" -> ((s, d) => {
+      // importance sampling: per-doc acceptance probability w ∝ length
+      // (capped at 1) — the upweight-long-documents shape. Acceptance is
+      // h60(salted id) % 1e6 < w·1e6: the hash side is an exact integer,
+      // the weight side the same IEEE double in both engines, so
+      // membership is reproducible across engines/cluster sizes with no
+      // RNG state (composable with split_assign/sample_stratified via
+      // distinct salts). Pure map work — no shuffle except the
+      // presentation sort.
+      val w = least(lit(1.0), length(col("text")).cast(DoubleType) / 400.0)
+      documents(s, d)
+        .withColumn("weight", w)
+        .filter(expr(h60Spark("concat('wsample:', CAST(doc_id AS STRING))") +
+          " % 1000000") < col("weight") * 1000000.0)
+        .select(col("doc_id"), col("lang"), r4(col("weight")).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     "text_pii_redact" -> ((s, d) =>
       // regex scan-and-redact with an audit count — the PII-scrubbing shape
       // (emails/phones/ids in production; fixture-vocab words here since
@@ -612,6 +630,14 @@ object TextOps {
              ${h60Duck("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
            FROM documents)
          WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+         ORDER BY doc_id NULLS FIRST""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, round(weight, 4) AS weight FROM (
+           SELECT doc_id, lang,
+             least(CAST(1.0 AS DOUBLE), CAST(len(text) AS DOUBLE) / 400.0) AS weight,
+             ${h60Duck("concat('wsample:', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
+           FROM documents)
+         WHERE h < weight * 1000000.0
          ORDER BY doc_id NULLS FIRST""",
     "text_pii_redact" ->
       """SELECT doc_id,

@@ -210,6 +210,19 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    "win_share" -> ((s, d) => {
+      // percent-of-total within a group: line revenue / exact group total.
+      // The denominator is an unbounded-frame decimal window sum — EXACT,
+      // so the share is order- and parallelism-independent (a double sum
+      // over a 100 TB partition would differ run to run). One shuffle on
+      // the group key; output ordered by every emitted column because
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture.
+      val w = Window.partitionBy("l_returnflag")
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          r4(col("l_extendedprice") /
+            sum(dec(col("l_extendedprice"))).over(w).cast(DoubleType)).as("share"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "share")
+    }),
     "win_distinct_count" -> ((s, d) => {
       // running COUNT(DISTINCT event_type) per user — Spark (like most
       // engines) rejects DISTINCT aggregates in a window frame, so it is
@@ -439,6 +452,13 @@ object Windows {
            FROM orders)
          WHERE rn <= 3
          ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
+    "win_share" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+         round(l_extendedprice / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+           OVER (PARTITION BY l_returnflag) AS DOUBLE), 4) AS share
+         FROM lineitem
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                  l_returnflag NULLS FIRST, share NULLS FIRST""",
     "win_distinct_count" ->
       """SELECT event_id, user_id,
          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (

@@ -196,6 +196,56 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_forward: one row per click, next purchase never precedes it") {
+    val out = Joins.queries("join_asof_forward")(spark, d)
+    val nClicks = Tables.events(spark, d).filter($"event_type" === "click").count()
+    assert(out.count() === nClicks)
+    assert(out.filter($"next_purchase_ts" < $"ts").count() === 0)
+    // forward pick is minimal: no purchase strictly between ts and the pick
+    val p = Tables.events(spark, d).filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val gaps = out.filter($"next_purchase_ts".isNotNull)
+      .join(p, $"user_id" === $"pu" && $"pts" >= $"ts" && $"pts" < $"next_purchase_ts")
+    assert(gaps.count() === 0)
+  }
+
+  test("scan_schema_evolution: old files surface NULL for the late column") {
+    val out = Relational.queries("scan_schema_evolution")(spark, d).collect()
+    assert(out.length === 25)
+    out.foreach { r =>
+      if (r.getInt(0) < 13) assert(r.isNullAt(2), r.toString)
+      else assert(!r.isNullAt(2), r.toString)
+    }
+  }
+
+  test("agg_entropy: bounded by ln(5), zero for single-type users") {
+    val out = Aggregates.queries("agg_entropy")(spark, d)
+    assert(out.filter($"entropy" < 0 || $"entropy" > math.log(5.0) + 1e-4).count() === 0)
+    val single = Tables.events(spark, d).groupBy("user_id")
+      .agg(countDistinct($"event_type").as("nd")).filter($"nd" === 1)
+    assert(out.join(single, "user_id").filter($"entropy" =!= 0.0).count() === 0)
+  }
+
+  test("win_share: shares are [0,1] and sum to ~1 per group") {
+    val out = Windows.queries("win_share")(spark, d)
+    // tiny lines round to share 0.0000 at 4dp — zero is legitimate
+    assert(out.filter($"share" < 0 || $"share" > 1).count() === 0)
+    val sums = out.groupBy("l_returnflag").agg(sum($"share").as("s"), count(lit(1)).as("n"))
+    sums.collect().foreach { r =>
+      // r4 rounding error accumulates at most 5e-5 per row
+      assert(math.abs(r.getDouble(1) - 1.0) <= 5e-5 * r.getLong(2), r.toString)
+    }
+  }
+
+  test("sample_weighted: weight-1 docs always kept; sample is a subset") {
+    val out = TextOps.queries("sample_weighted")(spark, d)
+    val docs = Tables.documents(spark, d)
+    val longDocs = docs.filter(length($"text") >= 400).count()
+    assert(out.filter($"weight" === 1.0).count() === longDocs)
+    assert(out.join(docs, "doc_id").count() === out.count())
+    assert(out.count() < docs.count()) // some short doc is dropped
+  }
+
   test("agg_hll_partial: sharded sketch union estimates exactly like a direct sketch") {
     val row = Aggregates.queries("agg_hll_partial")(spark, d).collect().head
     assert(row.getBoolean(2), s"contract violated: $row")
