@@ -64,6 +64,23 @@ object Layouts {
       * filter) — at scale this is the difference between touching 1/3 and
       * 3/3 of the table.
       */
+    "sink_compact" -> ((s, d) => {
+      // small-file compaction — THE recurring maintenance job at 100 TB
+      // (streaming/parallel writers leave thousands of KB-files; scans pay
+      // per-file open + scheduling cost). Rewrite the fragmented dataset
+      // with a target file count; here 4 fragments → 1 file via coalesce
+      // (a repartition-free narrow merge; at scale you'd coalesce to
+      // ceil(bytes / maxPartitionBytes) or use maxRecordsPerFile).
+      // The readback proves compaction is content-neutral.
+      val frag = s"$exportDir/orders_fragmented"
+      val out = s"$exportDir/orders_compacted"
+      orders(s, d).repartition(4).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(1).write.mode("overwrite").parquet(out)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      require(nFiles == 1, s"compaction left $nFiles files")
+      s.read.parquet(out).orderBy("o_orderkey")
+    }),
     "sink_partitioned" -> ((s, d) => {
       val out = s"$exportDir/orders_by_status"
       orders(s, d).write.mode("overwrite")
@@ -91,6 +108,7 @@ object Layouts {
          count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand NULLS FIRST""",
+    "sink_compact" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
     "sink_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' ORDER BY o_orderkey NULLS FIRST"""
