@@ -140,6 +140,53 @@ object Aggregates {
           (abs(col("approx") - col("n_exact")) <=
             greatest(lit(2.0), col("n_exact") * 0.1)).as("approx_ok"))
         .orderBy("o_orderstatus")),
+    "agg_cms_topk" -> ((s, d) => {
+      // heavy-hitter detection via Count-Min sketch — the skew probe that
+      // justifies salting (cf. join_skew_salted): the sketch is
+      // O(1/eps · ln 1/δ) bytes, built in ONE distributed pass, then
+      // queried on the driver (a KB-sized object — this is the one
+      // legitimate collect-the-AGGREGATE shape, never collect-the-rows).
+      // CMS never under-counts; over-count is bounded by eps·N — the
+      // emitted contract (cf. agg_approx_distinct).
+      val li = lineitem(s, d)
+      val cms = li.stat.countMinSketch(col("l_suppkey"), 0.001, 0.99, 1)
+      val n = li.count()
+      val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_suppkey")).limit(5).collect()
+      val rows = top.map { r =>
+        val k = r.getLong(0); val ex = r.getLong(1)
+        val est = cms.estimateCount(k)
+        (k, ex, est >= ex && est <= ex + (0.001 * n).toLong + 1)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("l_suppkey", "n_exact", "within_bound").orderBy("l_suppkey")
+    }),
+    "agg_bloom_filter" -> ((s, d) => {
+      // membership filter — the runtime-filter / semi-join-pushdown
+      // primitive: ONE aggregation folds the fact's join keys into a 32 KB
+      // bitmap; probing the dim is then pure map work (might_contain).
+      // Contract: Bloom filters have NO false negatives; the FP rate is
+      // bounded by the bits/key sizing (262144 bits for ≤20k keys ⇒ ≪5%).
+      // build/probe are Spark's own runtime-filter Catalyst expressions,
+      // surfaced as SQL functions by GraftFunctions.register.
+      graft.plans.GraftFunctions.register(s)
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""
+        WITH bf AS (SELECT bloom_filter_agg(xxhash64(o_custkey),
+                      CAST(20000 AS BIGINT), CAST(262144 AS BIGINT)) AS f
+                    FROM orders),
+        probe AS (SELECT c_custkey,
+            might_contain((SELECT f FROM bf), xxhash64(c_custkey)) AS hit,
+            EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS member
+          FROM customer)
+        SELECT count(*) AS n_customers,
+          CAST(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+            AS false_negatives,
+          sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) <= 0.05 * count(*)
+            AS fp_rate_ok
+        FROM probe""")
+    }),
     "agg_entropy" -> ((s, d) => {
       // per-user label-distribution (Shannon) entropy — the class-balance
       // health metric a training pipeline monitors. The 5 event types are
@@ -303,6 +350,16 @@ object Aggregates {
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
          true AS approx_ok
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_cms_topk" ->
+      """SELECT l_suppkey, n_exact, true AS within_bound FROM (
+           SELECT l_suppkey, count(*) AS n_exact FROM lineitem GROUP BY 1
+           ORDER BY n_exact DESC, l_suppkey LIMIT 5)
+         ORDER BY l_suppkey NULLS FIRST""",
+    "agg_bloom_filter" ->
+      """SELECT count(*) AS n_customers,
+         CAST(0 AS BIGINT) AS false_negatives,
+         true AS fp_rate_ok
+         FROM customer""",
     "agg_entropy" -> {
       val types = Seq("view", "click", "purchase", "signup", "error")
       val cnts = types.map(t =>

@@ -73,10 +73,35 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"vec_dot expects 2 args, got ${other.size}")
   }
 
+  /** Spark ships Bloom-filter build/probe as INTERNAL Catalyst expressions
+    * (used by its own InjectRuntimeFilter rule) without SQL registration;
+    * exposing them makes the runtime-filter primitive a first-class user
+    * function (agg_bloom_filter). Arguments follow the internal contract:
+    * the build/probe child must be `xxhash64(key)`.
+    */
+  private[plans] val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c, n, b) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"bloom_filter_agg expects (xxhash64(col), nItems, nBits), got ${other.size} args")
+  }
+  private[plans] val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(f, v) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(f, v)
+    case other =>
+      throw new IllegalArgumentException(s"might_contain expects 2 args, got ${other.size}")
+  }
+
   /** Session-level registration (idempotent) → usable as `expr("vec_dot(a,b)")`. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", vecDotBuilder, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAggBuilder, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook — the library-user path:

@@ -246,6 +246,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.count() < docs.count()) // some short doc is dropped
   }
 
+  test("agg_cms_topk: sketch never under-counts the heavy hitters") {
+    val out = Aggregates.queries("agg_cms_topk")(spark, d).collect()
+    assert(out.length === 5)
+    out.foreach(r => assert(r.getBoolean(2), r.toString))
+    // the probed keys really are the top-5 by exact count
+    val want = Tables.lineitem(spark, d).groupBy("l_suppkey").count()
+      .orderBy($"count".desc, $"l_suppkey").limit(5)
+      .select("l_suppkey").as[Long].collect().toSet
+    assert(out.map(_.getLong(0)).toSet === want)
+  }
+
+  test("bloom runtime-filter functions: members always hit, strangers mostly miss") {
+    graft.plans.GraftFunctions.register(spark)
+    val row = Aggregates.queries("agg_bloom_filter")(spark, d).collect().head
+    assert(row.getLong(1) === 0L, s"bloom produced false negatives: $row")
+    assert(row.getBoolean(2), s"fp rate above bound: $row")
+    // direct expression-level check: might_contain requires the sketch as
+    // a scalar subquery (the same contract Spark's runtime filter uses)
+    spark.range(100).createOrReplaceTempView("bf_ids")
+    val hit = spark.sql(
+      """SELECT might_contain(
+           (SELECT bloom_filter_agg(xxhash64(id), 100L, 8192L) FROM bf_ids),
+           xxhash64(42L)) AS hit""").head()
+    assert(hit.getBoolean(0) === true)
+  }
+
   test("agg_hll_partial: sharded sketch union estimates exactly like a direct sketch") {
     val row = Aggregates.queries("agg_hll_partial")(spark, d).collect().head
     assert(row.getBoolean(2), s"contract violated: $row")
