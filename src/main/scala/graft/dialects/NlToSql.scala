@@ -144,6 +144,15 @@ object NlToSql {
     case other => translateBase(other.toLowerCase)
   }
 
+  /** Resolve the FROM clause for a (dimension table, fact) pair: same
+    * table → plain scan; otherwise the declared star-schema join path
+    * ("total order price by market segment" ⇒ orders ⋈ customer).
+    */
+  private def factFrom(dimTable: String, fact: String): String =
+    if (dimTable == fact) fact
+    else joinPath.getOrElse((dimTable, fact),
+      throw new IllegalArgumentException(s"no join path $dimTable -> $fact"))
+
   private def translateBase(question: String): String = question match {
     case TopN(n, entity, measure) =>
       val (table, pk, nameCol) = entities.getOrElse(entity,
@@ -168,19 +177,17 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dims.getOrElse(dim.trim,
         throw new IllegalArgumentException(s"unknown dimension: $dim"))
-      require(table == fact, s"dimension $dim not on $fact")
       s"""SELECT $dcol,
          round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_val
-         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+         FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalBy(measure, dim) =>
       val (fact, mcol) = measures.getOrElse(measure.trim,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dims.getOrElse(dim.trim,
         throw new IllegalArgumentException(s"unknown dimension: $dim"))
-      require(table == fact, s"dimension $dim not on $fact")
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+         FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case other =>
       throw new IllegalArgumentException(s"cannot translate: '$other'")
   }

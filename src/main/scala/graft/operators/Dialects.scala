@@ -53,6 +53,9 @@ object Dialects {
   val nlTopkWhereQuestion: String = "top 5 customers by total order price where status is F"
   val nlDateRangeQuestion: String =
     "total order price by status between 1995-01-01 and 1996-06-30"
+  // cross-table group-by: the dimension lives on customer, the measure on
+  // orders — the translator routes FROM through the declared join path
+  val nlJoinQuestion: String = "total order price by market segment"
 
   /** SQL exemplar for the serving seam: stays in the Spark∩DuckDB common
     * dialect (round-before-double-cast money discipline), so the request
@@ -76,6 +79,7 @@ object Dialects {
     "nl_compare" -> ((s, d) => NlToSql.run(s, d, nlAboveQuestion)),
     "nl_topk_where" -> ((s, d) => NlToSql.run(s, d, nlTopkWhereQuestion)),
     "nl_date_range" -> ((s, d) => NlToSql.run(s, d, nlDateRangeQuestion)),
+    "nl_group_join" -> ((s, d) => NlToSql.run(s, d, nlJoinQuestion)),
     // the serving seam end-to-end: each dialect routed through
     // graft.server.Server.handle — the same path the HTTP API and CLI use
     "serve_sql" -> ((s, d) =>
@@ -125,6 +129,7 @@ object Dialects {
     "nl_compare" -> NlToSql.translate(nlAboveQuestion),
     "nl_topk_where" -> NlToSql.translate(nlTopkWhereQuestion),
     "nl_date_range" -> NlToSql.translate(nlDateRangeQuestion),
+    "nl_group_join" -> NlToSql.translate(nlJoinQuestion),
     "serve_sql" -> serveSqlQuery,
     "serve_gql" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_acctbal

@@ -71,9 +71,17 @@ class DialectSpec extends AnyFunSuite {
       "top 3 customers by total order price",
       "count of orders by status",
       "average quantity by return flag",
-      "total order price by priority").map(NlToSql.translate)
+      "total order price by priority",
+      "total order price by market segment", // cross-table: joins customer
+      "average account balance by market segment").map(NlToSql.translate)
     TableRegistry.registerAll(spark, d)
     sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
+    // the cross-table production emits the declared join path
+    assert(NlToSql.translate("total order price by market segment")
+      .contains("orders JOIN customer ON o_custkey = c_custkey"))
+    // an unreachable dimension still fails loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("total event value by market segment"))
   }
 
   test("GraphQL resolves two-level nesting (orders -> customer -> nation)") {
