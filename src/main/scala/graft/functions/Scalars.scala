@@ -112,6 +112,23 @@ object Scalars {
         lit("1996-07-01").cast(DateType).as("lit_date"),
         lit("1996-07-01 12:30:00").cast(TimestampType).as("lit_ts"))
         .orderBy("c_custkey")),
+    "fn_try" -> ((s, d) =>
+      // error-safe expression family: malformed input degrades to NULL
+      // instead of failing the job — at 100 TB a single dirty row must
+      // never kill a 10-hour pipeline; try_* is the per-expression
+      // equivalent of PERMISSIVE scan mode (cf. scan_csv_malformed)
+      customer(s, d).select(
+        col("c_custkey"),
+        // parses for even keys (numeric string), NULL for names
+        expr("try_cast(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS STRING) " +
+          "ELSE c_name END AS BIGINT)").as("tc"),
+        // NULL where the divisor cycles through 0
+        r4(expr("try_divide(c_acctbal, CAST(c_custkey % 3 AS DOUBLE))")).as("td"),
+        // 1-based element_at: indices 3,4 overrun the 2-element list → NULL
+        // (index 0 is rejected EAGERLY even by try_element_at, so the
+        // cycle is 1..4, never 0)
+        expr("try_element_at(array('a','b'), CAST(c_custkey % 4 + 1 AS INT))").as("te"))
+        .orderBy("c_custkey")),
     "fn_array" -> ((s, d) =>
       embeddings(s, d).select(
         col("vec_id"),
@@ -283,6 +300,14 @@ object Scalars {
            SELECT event_id, 'uid', CAST(user_id AS VARCHAR),
                   event_type, CAST(2 AS BIGINT) FROM events)
          ORDER BY event_id NULLS FIRST, key NULLS FIRST""",
+    "fn_try" ->
+      """SELECT c_custkey,
+         TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey AS VARCHAR)
+                  ELSE c_name END AS BIGINT) AS tc,
+         round(CASE WHEN c_custkey % 3 = 0 THEN NULL
+               ELSE c_acctbal / CAST(c_custkey % 3 AS DOUBLE) END, 4) AS td,
+         list_extract(['a','b'], CAST(c_custkey % 4 + 1 AS INT)) AS te
+         FROM customer ORDER BY c_custkey NULLS FIRST""",
     "fn_cast" ->
       """SELECT c_custkey,
          CAST(c_custkey AS VARCHAR) AS key_str,

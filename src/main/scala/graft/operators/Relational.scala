@@ -39,8 +39,21 @@ object Relational {
     out.getPath
   }
 
+  /** PERMISSIVE read of the corrupted nation CSV (shared by the
+    * scan_csv_malformed key and its quarantine-count spec). Explicit
+    * schema + _corrupt_record: clean rows parse, type-corrupt rows keep
+    * their raw line in the corrupt column.
+    */
+  def malformedScan(s: SparkSession): DataFrame =
+    s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$exportDir/nation_malformed.csv")
+
   /** Deterministic JSONL export (same pattern as the nation CSV): both
-    * engines scan the SAME file; doubles render via Double.toString whose
+    * engines scan the *same* file; doubles render via Double.toString whose
     * shortest-repr round-trips identically in both JSON parsers.
     */
   private def ensureSupplierJsonl(s: SparkSession, dir: String): String = {
@@ -97,6 +110,28 @@ object Relational {
       val out = s"$exportDir/orders_multi"
       orders(s, d).repartition(4).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("o_orderkey")
+    }),
+    "scan_csv_malformed" -> ((s, d) => {
+      // PERMISSIVE ingestion: dirty rows land in _corrupt_record instead of
+      // failing the scan — at 100 TB one malformed line must never kill the
+      // job (the scan-level twin of fn_try). The export is the clean
+      // deterministic nation CSV plus two type-corrupt lines; the operator
+      // keeps the clean rows (so the oracle is simply `nation`) and the
+      // spec asserts exactly 2 quarantined rows.
+      val clean = java.nio.file.Paths.get(ensureNationText(s, d, ",", "csv"))
+      val out = java.nio.file.Paths.get(s"$exportDir/nation_malformed.csv")
+      java.nio.file.Files.writeString(out,
+        java.nio.file.Files.readString(clean) +
+          "notanint,BADLAND,9\n77,GOODNAME,notanint\n")
+      // clean-row predicate on the PARSED columns, not _corrupt_record:
+      // a type-corrupt line leaves its failed fields NULL (and nation has
+      // none), and referencing only the corrupt column after pruning — as
+      // a downstream count() would — is rejected by Spark outright
+      malformedScan(s)
+        .filter(col("n_nationkey").isNotNull && col("n_name").isNotNull &&
+          col("n_regionkey").isNotNull)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
     }),
     "scan_schema_evolution" -> ((s, d) => {
       // schema-evolved multi-file read — at 100 TB, datasets accrete
@@ -232,6 +267,9 @@ object Relational {
          FROM read_json_auto('$exportDir/supplier.jsonl')
          ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
+    "scan_csv_malformed" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey NULLS FIRST""",
     "scan_schema_evolution" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
          FROM nation WHERE n_nationkey < 13

@@ -209,6 +209,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(gaps.count() === 0)
   }
 
+  test("scan_csv_malformed quarantines exactly the two corrupt lines") {
+    // run the key first (it writes the corrupted export)
+    val good = Relational.queries("scan_csv_malformed")(spark, d)
+    assert(good.count() === 25)
+    // Spark disallows queries whose referenced columns are ONLY
+    // _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — collect the
+    // 27-row scan whole and inspect the quarantine column in Scala
+    val lines = Relational.malformedScan(spark).collect()
+      .filter(!_.isNullAt(3)).map(_.getString(3)).sorted
+    assert(lines.length === 2)
+    assert(lines.exists(_.startsWith("notanint,")) && lines.exists(_.startsWith("77,")))
+  }
+
+  test("fn_try: NULLs exactly where the unsafe form would raise") {
+    val out = graft.functions.Scalars.queries("fn_try")(spark, d)
+    // try_cast: even keys parse to themselves, odd names → NULL
+    assert(out.filter($"c_custkey" % 2 === 0 && ($"tc".isNull || $"tc" =!= $"c_custkey")).count() === 0)
+    assert(out.filter($"c_custkey" % 2 === 1 && $"tc".isNotNull).count() === 0)
+    // try_divide: NULL iff divisor cycles to 0
+    assert(out.filter(($"c_custkey" % 3 === 0) =!= $"td".isNull).count() === 0)
+    // try_element_at: NULL iff index overruns the 2-element list
+    assert(out.filter(($"c_custkey" % 4 >= 2) =!= $"te".isNull).count() === 0)
+  }
+
   test("scan_schema_evolution: old files surface NULL for the late column") {
     val out = Relational.queries("scan_schema_evolution")(spark, d).collect()
     assert(out.length === 25)
