@@ -223,11 +223,31 @@ object GraphQL {
   private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
     import graft.Tables.{dec, outDec, r4}
     val table = root.name.stripSuffix("_agg")
-    val df = applyFilters(TableRegistry.load(s, dir, table), root.args)
-    val keys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
+    val base = applyFilters(TableRegistry.load(s, dir, table), root.args)
+    val rawKeys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
       cols.map { case VString(c) => c
                  case o => throw new IllegalArgumentException(s"bad groupBy key: $o") }
     }.getOrElse(throw new IllegalArgumentException(s"${root.name}: groupBy required"))
+    // dotted groupBy keys ("customer.c_mktsegment") group by a RELATED
+    // table's column: resolve through the same fk graph gql_nested uses,
+    // left-join each referenced relation once, and emit the key under the
+    // dot-flattened alias (selection field names cannot contain dots).
+    // Mirrors nl_group_join for the GraphQL surface.
+    var df = base
+    var joinedRels = Set.empty[String]
+    val keyCols = rawKeys.map { k =>
+      if (k.contains(".")) {
+        val Array(rel, c) = k.split("\\.", 2)
+        val (target, lk, rk) = TableRegistry.relations.getOrElse((table, rel),
+          throw new IllegalArgumentException(s"unknown relation $table.$rel"))
+        if (!joinedRels(rel)) {
+          df = df.join(TableRegistry.load(s, dir, target), col(lk) === col(rk), "left")
+          joinedRels += rel
+        }
+        col(c).as(k.replace('.', '_'))
+      } else col(k)
+    }
+    val keys = rawKeys.map(_.replace('.', '_'))
     // DECIMAL-typed sources must still emit DOUBLE (driver-hash discipline:
     // DOUBLE/BIGINT outputs only); identity on every other type. min/max of
     // a DECIMAL(p,s≤4) is an exact input value, so round(,4)+double matches
@@ -262,7 +282,7 @@ object GraphQL {
         case other => throw new IllegalArgumentException(s"bad having condition: $other")
       }.reduce(_ && _)
     }
-    val aggregated = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val aggregated = df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val grouped = having.fold(aggregated)(aggregated.filter)
       .select(root.selections.map(f => col(f.name)): _*)
     applyOrderPage(grouped, root.args)

@@ -57,6 +57,15 @@ object Dialects {
   // orders — the translator routes FROM through the declared join path
   val nlJoinQuestion: String = "total order price by market segment"
 
+  /** Aggregation over a JOINED dimension through the GraphQL front-end —
+    * the dotted groupBy key resolves through the fk graph (the GraphQL
+    * twin of nl_group_join).
+    */
+  val gqlAggJoinQuery: String =
+    """{ orders_agg(groupBy: ["customer.c_mktsegment"],
+                    orderBy: ["customer_c_mktsegment"]) {
+         customer_c_mktsegment count sum_o_totalprice } }"""
+
   /** SQL exemplar for the serving seam: stays in the Spark∩DuckDB common
     * dialect (round-before-double-cast money discipline), so the request
     * string itself is the oracle.
@@ -72,6 +81,7 @@ object Dialects {
     "gql_paginate" -> ((s, d) => GraphQL.run(s, d, gqlPaginateQuery)),
     "gql_agg" -> ((s, d) => GraphQL.run(s, d, gqlAggQuery)),
     "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
+    "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -122,6 +132,12 @@ object Dialects {
            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
          WHERE "count" > 1000 AND sum_o_totalprice > 248000000.0
          ORDER BY o_orderpriority NULLS FIRST""",
+    "gql_agg_join" ->
+      """SELECT c_mktsegment AS customer_c_mktsegment, count(*) AS "count",
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+           AS sum_o_totalprice
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY customer_c_mktsegment NULLS FIRST""",
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),

@@ -59,6 +59,17 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === direct) // counts partition the table
     assertThrows[IllegalArgumentException](
       GraphQL.run(spark, d, "{ orders_agg(groupBy: [\"o_orderstatus\"]) { o_orderstatus wat_x } }"))
+    // dotted groupBy joins the related dim; counts still partition the fact
+    val joined = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["customer.c_mktsegment"],
+                      orderBy: ["customer_c_mktsegment"]) {
+           customer_c_mktsegment count } }""").collect()
+    assert(joined.map(_.getLong(1)).sum === direct)
+    assert(joined.length === Tables.customer(spark, d)
+      .select("c_mktsegment").distinct().count())
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d,
+        "{ orders_agg(groupBy: [\"moon.m_x\"]) { moon_m_x count } }"))
     // offset paginates the grouped result (shared applyOrderPage path)
     val paged = GraphQL.run(spark, d,
       """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"],
