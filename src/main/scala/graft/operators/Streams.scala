@@ -45,6 +45,22 @@ object Streams {
       // Spark 4 transformWithState (ValueState processor); batch form =
       // one pass over empty state → per-user totals oracle exactly
       P.userRunningMax(events(s, d)).orderBy("user_id")),
+    "stream_foreach_batch" -> ((s, d) => {
+      // a REAL streaming execution end-to-end: file-stream source over the
+      // staged fixture, the tumbling plan, and a foreachBatch parquet sink
+      // (the production write path — per-batch idempotent overwrite), then
+      // the sink is read back for the oracle compare. AvailableNow drains
+      // the source and terminates, so the key is deterministic.
+      val src = new java.io.File(s"${Relational.exportDir}/events_stream")
+      src.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(graft.Tables.path(d, "events")),
+        src.toPath.resolve("part-0000.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.streaming.Streams.runForeachBatch(s, src.getPath, P.tumbling,
+          s"${Relational.exportDir}/events_stream_sink")
+        .orderBy("w_start", "event_type")
+    }),
     "stream_join_static" -> ((s, d) =>
       // stream-static dim enrichment (state-free; dim broadcast per batch);
       // batch form = the same join over the full scan
@@ -59,6 +75,13 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical tumbling semantics — the sink path is what's under test
+    "stream_foreach_batch" ->
+      """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
+         event_type, count(*) AS cnt,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
+         FROM events GROUP BY 1, 2
+         ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""",
     "stream_join_static" ->
       """SELECT c_mktsegment, event_type, count(*) AS cnt,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val

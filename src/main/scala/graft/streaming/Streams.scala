@@ -204,4 +204,24 @@ object Streams {
     q.awaitTermination()
     s.table(name)
   }
+
+  /** The same loop through a `foreachBatch` sink — THE production write
+    * path (idempotent-by-batch-id writes into any batch-capable target:
+    * parquet/JDBC/upsert). Each micro-batch df arrives with its batchId;
+    * in complete mode the latest batch is the authoritative state, so the
+    * writer overwrites the target — a deterministic, replay-safe sink.
+    */
+  def runForeachBatch(s: SparkSession, sourceDir: String,
+                      plan: DataFrame => DataFrame, outDir: String): DataFrame = {
+    val q = plan(readEventsStream(s, sourceDir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
 }

@@ -52,6 +52,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq === batch.toSeq)
   }
 
+  test("foreachBatch sink lands the complete-mode state; re-runs are idempotent") {
+    val run1 = operators.Streams.queries("stream_foreach_batch")(spark, TestSpark.sfDir).collect()
+    val run2 = operators.Streams.queries("stream_foreach_batch")(spark, TestSpark.sfDir).collect()
+    assert(run1.toSeq === run2.toSeq)
+    val batch = Streams.tumbling(Tables.events(spark, TestSpark.sfDir))
+      .orderBy("w_start", "event_type").collect()
+    assert(run1.toSeq === batch.toSeq)
+  }
+
   test("stream-static join enriches micro-batches from the static dim") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
