@@ -140,6 +140,25 @@ object Aggregates {
           (abs(col("approx") - col("n_exact")) <=
             greatest(lit(2.0), col("n_exact") * 0.1)).as("approx_ok"))
         .orderBy("o_orderstatus")),
+    "agg_bitmap_distinct" -> ((s, d) => {
+      // EXACT distinct count via bucketed bitmaps — the exact counterpart
+      // to agg_hll_partial's sketch rollup: keys are bucketed into 32k-bit
+      // bitmap segments (bitmap_bucket_number/bit_position), each segment
+      // folds to one bitmap in a partial-aggregating shuffle, and distinct
+      // = Σ bitmap popcounts. Unlike HLL this is exact, so the oracle is a
+      // plain COUNT(DISTINCT) — and unlike COUNT(DISTINCT) the partials
+      // are mergeable bytes (bitmap_or_agg), so per-shard bitmaps roll up
+      // without re-touching rows: the dense-integer-domain rollup shape.
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, CAST(sum(cnt) AS BIGINT) AS n_cust
+        FROM (SELECT o_orderstatus,
+                bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+              FROM orders
+              GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey))
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }),
     "agg_cms_topk" -> ((s, d) => {
       // heavy-hitter detection via Count-Min sketch — the skew probe that
       // justifies salting (cf. join_skew_salted): the sketch is
@@ -349,6 +368,9 @@ object Aggregates {
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
          true AS approx_ok
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_cms_topk" ->
       """SELECT l_suppkey, n_exact, true AS within_bound FROM (

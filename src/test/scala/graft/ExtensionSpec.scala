@@ -270,6 +270,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.count() < docs.count()) // some short doc is dropped
   }
 
+  test("bitmap distinct: per-shard bitmaps OR-merge to the exact global count") {
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    val merged = spark.sql(
+      """SELECT CAST(sum(bitmap_count(bm)) AS BIGINT) FROM (
+           SELECT bucket, bitmap_or_agg(bm) AS bm FROM (
+             SELECT date_trunc('month', o_orderdate) AS shard,
+                    bitmap_bucket_number(o_custkey) AS bucket,
+                    bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+             FROM orders GROUP BY 1, 2)
+           GROUP BY bucket)""").head().getLong(0)
+    val exact = Tables.orders(spark, d).select("o_custkey").distinct().count()
+    assert(merged === exact)
+  }
+
   test("agg_cms_topk: sketch never under-counts the heavy hitters") {
     val out = Aggregates.queries("agg_cms_topk")(spark, d).collect()
     assert(out.length === 5)
