@@ -87,6 +87,17 @@ object Aggregates {
         .agg(outDec(sum(dec(col("o_totalprice")))).as("total"))
         .filter(col("total") > lit(1000000))
         .orderBy("o_custkey")),
+    "agg_histogram" -> ((s, d) =>
+      // fixed-width-bin histogram (the profiling primitive next to
+      // profile_columns): bin index is a pure map-side floor-div, so the
+      // whole histogram is ONE partial-aggregating keyed shuffle over ≤
+      // |range|/width rows — no sort, no window. floor(double/25000.0) is
+      // the same IEEE double op in both engines, so bins agree exactly.
+      orders(s, d)
+        .select(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * 25000).cast("double").as("bin_lo"), col("n"))
+        .orderBy("bin")),
     "agg_filtered" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(
@@ -425,6 +436,11 @@ object Aggregates {
          FROM orders GROUP BY 1
          HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) > 1000000
          ORDER BY o_custkey NULLS FIRST""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000 AS DOUBLE) AS bin_lo,
+         count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY bin NULLS FIRST""",
     "agg_filtered" ->
       """SELECT l_returnflag,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,

@@ -222,6 +222,17 @@ object Joins {
                         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
                ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
     }),
+    "subq_correlated" -> ((s, d) => {
+      // correlated scalar subquery in the SELECT list — Catalyst
+      // decorrelates it into a left outer aggregate join, and the COUNT
+      // edge case (an empty correlated group yields 0, not NULL) is the
+      // classic decorrelation trap both engines must agree on
+      nation(s, d).createOrReplaceTempView("nation")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql("""SELECT n_nationkey, n_name,
+                 (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
+               FROM nation ORDER BY n_nationkey""")
+    }),
     "subq_not_in" -> ((s, d) => {
       // NOT IN three-valued semantics, both branches in one row: with a
       // manufactured NULL in the list every candidate is UNKNOWN → count 0
@@ -360,6 +371,10 @@ object Joins {
                        WHERE o.o_custkey = c.c_custkey
                          AND o.o_totalprice > 400000)
          ORDER BY c_custkey NULLS FIRST""",
+    "subq_correlated" ->
+      """SELECT n_nationkey, n_name,
+         (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
+         FROM nation ORDER BY n_nationkey NULLS FIRST""",
     "subq_not_in" -> notInSql
   )
 }

@@ -253,6 +253,14 @@ object Relational {
       // occurrence (bag semantics — distinct from set_except)
       orders(s, d).select(col("o_custkey").as("k"))
         .exceptAll(customer(s, d).select(col("c_custkey").as("k")))
+        .orderBy("k")),
+    "set_intersect_all" -> ((s, d) =>
+      // bag intersection: each custkey survives min(multiplicity-in-F,
+      // multiplicity-in-O) times (distinct from set_intersect's set form);
+      // plans as one keyed shuffle with partial counts on both sides
+      orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .intersectAll(
+          orders(s, d).filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
         .orderBy("k"))
   )
 
@@ -346,6 +354,12 @@ object Relational {
            SELECT o_custkey AS k FROM orders
            EXCEPT ALL
            SELECT c_custkey FROM customer)
+         ORDER BY k NULLS FIRST""",
+    "set_intersect_all" ->
+      """SELECT * FROM (
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT ALL
+           SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
          ORDER BY k NULLS FIRST"""
   )
 }

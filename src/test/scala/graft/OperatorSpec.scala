@@ -119,6 +119,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("set_intersect_all keeps min multiplicity per key") {
+    val out = Relational.queries("set_intersect_all")(spark, d)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val o = Tables.orders(spark, d)
+    val f = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("nf"))
+    val open = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("no"))
+    val joined = out.join(f, "k").join(open, "k")
+      .filter(col("n") =!= least(col("nf"), col("no")))
+    assert(joined.count() === 0)
+  }
+
+  test("subq_correlated counts 0 (not NULL) for nations with no customers") {
+    val out = Joins.queries("subq_correlated")(spark, d).collect()
+    assert(out.length === 25)
+    assert(out.forall(!_.isNullAt(2))) // COUNT decorrelation edge: empty → 0
+    val total = out.map(_.getLong(2)).sum
+    assert(total === Tables.customer(spark, d).count())
+  }
+
+  test("agg_histogram bins partition the table exactly") {
+    val out = Aggregates.queries("agg_histogram")(spark, d).collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("n"))).sum ===
+      Tables.orders(spark, d).count())
+    // bin_lo is consistent with the bin index
+    assert(out.forall(r => r.getDouble(1) === r.getLong(0) * 25000.0))
+  }
+
   test("topk is a prefix of the full sort") {
     val full = Relational.queries("sort_multi")(spark, d).collect()
     val k = Tables.customer(spark, d)
