@@ -203,7 +203,22 @@ object Scalars {
         get_json_object(col("props"), "$.k").as("k_str"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
           .getField("k").as("k_int"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    "fn_url" -> ((s, d) =>
+      // URL component extraction (host / path / one query param) — the
+      // scalar web-corpus primitive. The URL is synthesized per customer
+      // row from fixture columns so both engines parse the SAME strings;
+      // Spark uses the codegen'd parse_url expression, the oracle the
+      // equivalent component regexes.
+      customer(s, d)
+        .withColumn("url",
+          concat(lit("https://"), lower(col("c_mktsegment")), lit(".example.com/c/"),
+            col("c_custkey"), lit("?id="), col("c_custkey") % 13, lit("&ref=mail")))
+        .select(col("c_custkey"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'id')").as("id_param"))
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +356,17 @@ object Scalars {
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
-         FROM events ORDER BY event_id NULLS FIRST"""
+         FROM events ORDER BY event_id NULLS FIRST""",
+    "fn_url" ->
+      """SELECT c_custkey, url,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+         FROM (SELECT c_custkey,
+                 'https://' || lower(c_mktsegment) || '.example.com/c/' ||
+                 CAST(c_custkey AS VARCHAR) || '?id=' ||
+                 CAST(c_custkey % 13 AS VARCHAR) || '&ref=mail' AS url
+               FROM customer)
+         ORDER BY c_custkey NULLS FIRST"""
   )
 }

@@ -131,6 +131,33 @@ object TextOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_hash")),
 
+    "dedup_url" -> ((s, d) => {
+      // crawl-URL canonicalization dedup — the pre-fetch dedup every web
+      // pipeline runs BEFORE content dedup: scheme (http→https), case,
+      // www-prefix, trailing-slash, query-string and fragment variants of
+      // a page collapse to one canonical URL via a pure map-side regex
+      // chain (codegen'd, no UDF), then ONE keyed shuffle counts copies.
+      // Variant URLs are synthesized from order rows so both engines
+      // canonicalize the SAME strings. Every regex here matches at most
+      // once per string, so Spark's replace-all vs DuckDB's
+      // replace-first-by-default semantics cannot diverge.
+      val base = concat(lit("shop-"), col("o_custkey") % 50,
+        lit(".example.com/p/"), col("o_orderkey") % 500)
+      val raw = orders(s, d).withColumn("url",
+        when(col("o_orderkey") % 4 === 0, concat(lit("https://"), base))
+          .when(col("o_orderkey") % 4 === 1, concat(lit("http://www."), base, lit("/")))
+          .when(col("o_orderkey") % 4 === 2,
+            concat(lit("https://"), base, lit("?utm_source=feed&utm_id="), col("o_orderkey")))
+          .otherwise(concat(lit("HTTPS://WWW."), upper(base), lit("#top"))))
+      val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(col("url")), "#.*$", ""), "\\?.*$", ""),
+        "^http://", "https://"), "^https://www\\.", "https://"), "/$", "")
+      raw.select(canon.as("canon_url"), col("url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_variants"))
+        .orderBy("canon_url")
+    }),
+
     "dedup_near" -> ((s, d) => {
       // 3-word-shingle Jaccard near-dup with RARE-shingle candidate
       // blocking (round-2 verdict: an uncapped shingle self-join emits k²
@@ -512,6 +539,25 @@ object TextOps {
       """SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash NULLS FIRST""",
+    "dedup_url" ->
+      """WITH raw AS (
+           SELECT CASE CAST(o_orderkey % 4 AS INTEGER)
+             WHEN 0 THEN 'https://' || base
+             WHEN 1 THEN 'http://www.' || base || '/'
+             WHEN 2 THEN 'https://' || base || '?utm_source=feed&utm_id=' || CAST(o_orderkey AS VARCHAR)
+             ELSE 'HTTPS://WWW.' || upper(base) || '#top' END AS url
+           FROM (SELECT o_orderkey, o_custkey,
+                   'shop-' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/p/' ||
+                   CAST(o_orderkey % 500 AS VARCHAR) AS base
+                 FROM orders)),
+         canon AS (
+           SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(lower(url), '#.*$', ''), '\?.*$', ''),
+                    '^http://', 'https://'), '^https://www\.', 'https://'), '/$', '') AS canon_url,
+                  url
+           FROM raw)
+         SELECT canon_url, count(*) AS n_pages, count(DISTINCT url) AS n_variants
+         FROM canon GROUP BY 1 ORDER BY canon_url NULLS FIRST""",
     "dedup_near" ->
       s"""WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -14,6 +14,27 @@ class ExtensionSpec extends AnyFunSuite {
   import spark.implicits._
   val d = TestSpark.sfDir
 
+  test("dedup_url canonical forms carry no scheme/case/www/query/fragment variance") {
+    val out = TextOps.queries("dedup_url")(spark, d)
+    val canon = out.select("canon_url").as[String].collect()
+    assert(canon.nonEmpty)
+    assert(canon.forall(u => u.startsWith("https://") && !u.startsWith("https://www.")))
+    assert(canon.forall(u => !u.contains("?") && !u.contains("#") && !u.endsWith("/")))
+    assert(canon.forall(u => u == u.toLowerCase))
+    // every canonical URL collapses all 4 synthetic variants of itself:
+    // n_pages >= n_variants always, and some URL really deduped >1 form
+    assert(out.filter($"n_pages" < $"n_variants").count() === 0)
+    assert(out.filter($"n_variants" > 1).count() > 0)
+  }
+
+  test("fn_url components recompose to the original URL") {
+    val out = graft.functions.Scalars.queries("fn_url")(spark, d)
+    val bad = out.filter(
+      concat(lit("https://"), col("host"), col("path"),
+        lit("?id="), col("id_param"), lit("&ref=mail")) =!= col("url"))
+    assert(bad.count() === 0)
+  }
+
   test("dedup_exact is idempotent and keeps the min doc_id") {
     val once = TextOps.queries("dedup_exact")(spark, d)
     assert(once.groupBy("content_hash").count().filter($"count" > 1).count() === 0)
