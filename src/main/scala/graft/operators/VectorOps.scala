@@ -53,6 +53,31 @@ object VectorOps {
       col("label"), sqrt(dot("embedding", "embedding")).as(norm))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_quantize" -> ((s, d) =>
+      // int8 scalar quantization — the embedding-compression step a 100 TB
+      // vector pipeline runs before ANN indexing (4× smaller than float32,
+      // 8× than float64). Per-vector max-abs scale, q_i = round(x_i·127/s),
+      // reconstruction error bounded by s/254 per element. Everything is
+      // per-row higher-order-function work (transform/zip_with/aggregate)
+      // — zero shuffles, fully codegen-friendly, no UDF. Both engines run
+      // the same IEEE double ops in the same order, so q and the error
+      // stats agree bit-for-bit; round() is half-away-from-zero for
+      // doubles in both.
+      embeddings(s, d)
+        .withColumn("scale",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .filter(col("scale") > 0)
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))"))
+        .select(
+          col("vec_id"),
+          r4(col("scale")).as("scale_r"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("CAST(array_max(transform(q, x -> abs(x))) AS BIGINT)").as("q_absmax"),
+          r4(expr(
+            "array_max(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) * scale / 127.0)))"))
+            .as("max_err"))
+        .orderBy("vec_id")),
     "sim_cosine_topk" -> ((s, d) => {
       val q = withNorm(s, d, "q_id", "qv", "q_norm").filter(col("q_id") < 10)
         .select("q_id", "qv", "q_norm")
@@ -266,6 +291,24 @@ object VectorOps {
     s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "vec_quantize" ->
+      """WITH sc AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+           FROM embeddings WHERE
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0),
+         qq AS (
+           SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS q
+           FROM sc)
+         SELECT vec_id,
+           round(scale, 4) AS scale_r,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS q_absmax,
+           round(list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale / 127.0))), 4) AS max_err
+         FROM qq ORDER BY vec_id NULLS FIRST""",
     "cluster_kmeans" ->
       // identical two-iteration unroll: same fold-based dots, same rounded
       // ranking, same 6dp-rounded per-dim means (list(m ORDER BY i)

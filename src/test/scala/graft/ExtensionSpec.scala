@@ -35,6 +35,14 @@ class ExtensionSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("vec_quantize: int8 range respected, reconstruction error within half-step") {
+    val out = VectorOps.queries("vec_quantize")(spark, d)
+    assert(out.count() === Tables.embeddings(spark, d).count())
+    assert(out.filter($"q_absmax" > 127).count() === 0)
+    // round-to-nearest half-step bound |x - q·s/127| ≤ s/254 (+ r4 slack)
+    assert(out.filter($"max_err" > $"scale_r" / 254.0 + 0.0001).count() === 0)
+  }
+
   test("dedup_exact is idempotent and keeps the min doc_id") {
     val once = TextOps.queries("dedup_exact")(spark, d)
     assert(once.groupBy("content_hash").count().filter($"count" > 1).count() === 0)
