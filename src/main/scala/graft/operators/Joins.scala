@@ -144,6 +144,41 @@ object Joins {
         .orderBy("range_id")
     }),
 
+    "join_spatial_grid" -> ((s, d) => {
+      // 2-D ε-distance self-join via grid-cell blocking — the spatial
+      // sibling of join_range_bucket: a naive distance predicate plans as
+      // an O(n²) nested loop; snapping points to ε-sized cells and
+      // replicating ONE side to its 3×3 cell neighborhood (bounded ×9)
+      // turns candidate generation into an EQUI join on the cell key —
+      // any pair within ε differs by ≤1 in each cell coordinate, so no
+      // true pair escapes the blocking. The exact distance predicate then
+      // verifies inside matched cells. Oracle is the plain theta join, so
+      // result equality proves the grid loses nothing. Points are derived
+      // deterministically from customer columns; identical IEEE double
+      // distance math on both sides keeps the ε boundary bit-agreed.
+      val eps = 50.0
+      val pts = customer(s, d).select(
+        col("c_custkey").as("id"),
+        col("c_acctbal").cast("double").as("x"),
+        ((col("c_custkey") * 7919) % 10000).cast("double").as("y"))
+      def cx(c: org.apache.spark.sql.Column) = floor(c / eps).cast("long")
+      val left = pts
+        .withColumn("cellx", cx(col("x"))).withColumn("celly", cx(col("y")))
+        .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+          col("cellx"), col("celly"))
+      val right = pts
+        .withColumn("cellx", explode(array(cx(col("x")) - 1, cx(col("x")), cx(col("x")) + 1)))
+        .withColumn("celly", explode(array(cx(col("y")) - 1, cx(col("y")), cx(col("y")) + 1)))
+        .select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+          col("cellx"), col("celly"))
+      val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb"))
+      left.join(right, Seq("cellx", "celly"))
+        .filter(col("id_a") < col("id_b") && d2 <= eps * eps)
+        .select(col("id_a"), col("id_b"), r4(sqrt(d2)).as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "merge_upsert" -> ((s, d) => {
       // CDC upsert (MERGE INTO semantics, storage-format-free): changes =
       // deterministic derivation from the fixture (updates: +10% price on
@@ -375,6 +410,19 @@ object Joins {
       """SELECT n_nationkey, n_name,
          (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
          FROM nation ORDER BY n_nationkey NULLS FIRST""",
+    "join_spatial_grid" ->
+      // deliberately the NAIVE all-pairs theta formulation: equality with
+      // the grid-blocked Spark plan proves the blocking is lossless
+      """WITH p AS (
+           SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x,
+                  CAST((c_custkey * 7919) % 10000 AS DOUBLE) AS y
+           FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+         FROM p a, p b
+         WHERE a.id < b.id
+           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500.0
+         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""",
     "subq_not_in" -> notInSql
   )
 }
