@@ -233,7 +233,12 @@ object GraphQL {
     // left-join each referenced relation once, and emit the key under the
     // dot-flattened alias (selection field names cannot contain dots).
     // Mirrors nl_group_join for the GraphQL surface.
-    var df = base
+    // alias the base and every joined relation so key/join columns are
+    // resolved THROUGH the alias — unqualified col(lk)===col(rk) becomes
+    // ambiguous the moment a relation shares a column name with the base
+    // (or two relations share one); qualification makes resolution
+    // side-deterministic regardless of schema overlap.
+    var df = base.as("_base")
     var joinedRels = Set.empty[String]
     val keyCols = rawKeys.map { k =>
       if (k.contains(".")) {
@@ -241,11 +246,12 @@ object GraphQL {
         val (target, lk, rk) = TableRegistry.relations.getOrElse((table, rel),
           throw new IllegalArgumentException(s"unknown relation $table.$rel"))
         if (!joinedRels(rel)) {
-          df = df.join(TableRegistry.load(s, dir, target), col(lk) === col(rk), "left")
+          df = df.join(TableRegistry.load(s, dir, target).as(rel),
+            col(s"_base.$lk") === col(s"$rel.$rk"), "left")
           joinedRels += rel
         }
-        col(c).as(k.replace('.', '_'))
-      } else col(k)
+        col(s"$rel.$c").as(k.replace('.', '_'))
+      } else col(s"_base.$k")
     }
     val keys = rawKeys.map(_.replace('.', '_'))
     // DECIMAL-typed sources must still emit DOUBLE (driver-hash discipline:
