@@ -63,7 +63,34 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> ((s, d) => pagerank(s, d))
+    "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+
+    "graph_triangles" -> ((s, d) => {
+      // per-vertex triangle counts over the minhash CANDIDATE graph — the
+      // graph-health metric for dedup clusters: triangle-dense
+      // neighborhoods are near-clique duplicate families (safe to collapse
+      // to one canonical doc), while triangle-free stars are hub false
+      // positives (one doc banding with many mutually-dissimilar docs —
+      // collapse would over-delete). Edges are THE bandPairs candidate
+      // definition (single-sourced with dedup_minhash/dedup_cluster).
+      // Distributed shape: vertex-ordered triangle enumeration — edges are
+      // kept a<b, so e(a,b) ⋈ e(b,c) builds the a<b<c wedge and e(a,c)
+      // closes it: two equi-join shuffles on vertex keys, each triangle
+      // found exactly once, no direction double-count. At true scale the
+      // standard refinement is degree-ordering (orient edges low→high
+      // degree) to cap wedge fan-out at hub vertices; the id-ordering here
+      // is the same join shape.
+      val e = TextOps.bandPairs(TextOps.minhashBands(s, d))
+        .select("a", "b").distinct().cache()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    })
   )
 
   // one contribution CTE + one rank CTE per iteration — textually unrolled
@@ -89,6 +116,20 @@ object GraphOps {
           ${iterSql(2, "r1")},
           ${iterSql(3, "r2")}
           SELECT node, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank
-          FROM r3 ORDER BY node NULLS FIRST"""
+          FROM r3 ORDER BY node NULLS FIRST""",
+    "graph_triangles" ->
+      s"""WITH ${TextOps.mhBandCtes},
+          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM pairs e1
+                  JOIN pairs e2 ON e2.a = e1.b
+                  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+          verts AS (SELECT x AS doc_id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+          SELECT doc_id, count(*) AS n_triangles
+          FROM verts GROUP BY 1 ORDER BY doc_id NULLS FIRST"""
   )
 }

@@ -116,6 +116,39 @@ object Joins {
       customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name").orderBy("c_custkey")),
     "join_asof" -> (asof _),
+    "join_fuzzy" -> ((s, d) => {
+      // entity resolution by BLOCKED edit distance — the dirty-name-to-
+      // reference-dictionary match every ingestion pipeline runs. A dirty
+      // variant of each distinct part name is synthesized deterministically
+      // (drop the (h60(name) % len)+1-th char — the same
+      // synthesize-from-fixture precedent as dedup_url), then matched
+      // back: block on the first 2 chars (an EQUI join — never a cross
+      // join), verify levenshtein ≤ 2 map-side, keep the best match (min
+      // distance, then name) per dirty string. 100 TB posture: matching
+      // runs on the DISTINCT NAME DICTIONARY, not the row stream — a
+      // dictionary is orders of magnitude smaller than the table (here
+      // ~10² names vs 10⁵ rows), so Σ|block|² stays tiny and the resolved
+      // mapping then broadcast-joins back onto rows for free. A deletion
+      // in the first 2 chars escapes its block (bounded, deterministic
+      // recall loss both engines share) — the standard
+      // blocking-recall trade; multi-pass blocking (first-2 + last-2)
+      // would close it at scale.
+      val names = part(s, d).select(col("p_name").as("name")).distinct()
+      val drop = s"CAST(${h60Spark("name")} % length(name) AS INT)" // 0-based
+      val dirty = names
+        .select(expr(s"concat(substring(name, 1, $drop), " +
+          s"substring(name, $drop + 2))").as("dirty"))
+        .distinct()
+      val cand = dirty.withColumn("blk", substring(col("dirty"), 1, 2))
+        .join(names.withColumn("blk", substring(col("name"), 1, 2)), "blk")
+        .withColumn("lev", levenshtein(col("dirty"), col("name")))
+        .filter(col("lev") <= 2)
+      val w = Window.partitionBy("dirty").orderBy(col("lev"), col("name"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dirty"), col("name").as("matched"),
+          col("lev").cast("bigint").as("distance"))
+        .orderBy("dirty")
+    }),
     "join_range_bucket" -> ((s, d) => {
       // non-equi time-range join done the scale way: a naive date-in-range
       // theta join plans as a nested-loop cross product (fine when one side
@@ -290,6 +323,21 @@ object Joins {
            WHERE o_orderstatus = 'F' AND o_custkey % 2 <> 0)) AS n_no_null"""
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy" ->
+      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+         dirty AS (SELECT DISTINCT
+             concat(substr(name, 1, CAST(${h60Duck("name")} % length(name) AS INT)),
+                    substr(name, CAST(${h60Duck("name")} % length(name) AS INT) + 2))
+               AS dirty
+           FROM names),
+         cand AS (SELECT d.dirty, n.name, levenshtein(d.dirty, n.name) AS lev
+           FROM dirty d JOIN names n ON substr(d.dirty, 1, 2) = substr(n.name, 1, 2)
+           WHERE levenshtein(d.dirty, n.name) <= 2),
+         best AS (SELECT dirty, name, lev,
+             row_number() OVER (PARTITION BY dirty ORDER BY lev, name) AS rn
+           FROM cand)
+         SELECT dirty, name AS matched, CAST(lev AS BIGINT) AS distance
+         FROM best WHERE rn = 1 ORDER BY dirty NULLS FIRST""",
     "join_asof_forward" ->
       """SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts
          FROM (SELECT * FROM events WHERE event_type = 'click') e

@@ -44,12 +44,64 @@ object TextOps {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleRows(s, d).distinct()
 
+  /** Distinct (doc_id, 60-bit-hashed shingle) rows — the hashed-set form
+    * shared by dedup_near / sim_containment / corpus_decontam: hashing at
+    * EXTRACTION (before the distinct) means every downstream shuffle moves
+    * 8-byte longs instead of ~20-char strings.
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
+      .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
+      .distinct()
+
+  /** Rare-shingle candidate pairs with exact set statistics — the shared
+    * verify machinery for dedup_near (symmetric Jaccard) and
+    * sim_containment (asymmetric containment), so blocking cannot drift
+    * between the two variants. Returns (a, b, i, na, nb): candidate doc
+    * pairs (blocked on shingles with document frequency in [2, 20], ≥ 2
+    * shared — see dedup_near's rationale) with the exact intersection size
+    * and both full shingle-set sizes. Candidate generation is the bounded
+    * two-pass shape (count-filter FIRST, so no aggregation buffer exceeds
+    * the df cap); the verify stage ships each candidate doc's full shingle
+    * set ONCE as a sorted array and intersects in-row — peaks at
+    * |pairs| × 2 bounded arrays, never corpus².
+    */
+  private def shinglePairStats(s: SparkSession, d: String): DataFrame = {
+    val sh = hashedShingles(s, d).cache()
+    val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
+      .filter(col("n_df").between(2, 20))
+      .select("sh")
+    val cand = sh.join(rareSh, Seq("sh"), "left_semi")
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+        "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select("a", "b")
+      .cache() // consumed twice (candDocs + verify join); ~2 longs/row
+    // verify stage ships only the CANDIDATE docs' full shingle sets.
+    // No broadcast hint: candidate docs are corpus-proportional in the
+    // worst case, so the semi-join must stay shuffle-based at scale.
+    val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
+    cand
+      .join(docSets.select(col("doc_id").as("a"), col("set").as("sa")), "a")
+      .join(docSets.select(col("doc_id").as("b"), col("set").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(L).as("i"),
+        size(col("sa")).cast(L).as("na"), size(col("sb")).cast(L).as("nb"))
+  }
+
   /** MinHash band signatures per doc (16 minhashes / 8 bands of 2) — shared
     * by `dedup_minhash` (candidate pairs) and `dedup_cluster` (components
     * over those pairs). Hash family is the engine-portable md5-derived
     * 60-bit one, so both consumers keep full DuckDB oracles.
     */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashBands(s: SparkSession, d: String): DataFrame = {
     val seeds = explode(expr("sequence(0, 15)")).as("seed")
     shingles(s, d).select(col("doc_id"), col("shingle"), seeds)
       .groupBy("doc_id", "seed")
@@ -64,7 +116,7 @@ object TextOps {
     * drift (the SQL side shares it the same way via mhBandCtes). Keeps
     * the band column so dedup_minhash can report which band matched.
     */
-  private def bandPairs(bands: DataFrame): DataFrame =
+  private[operators] def bandPairs(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -182,42 +234,57 @@ object TextOps {
       // moves (doc_id, long) rows instead of ~20-char shingle strings —
       // dedup_minhash keeps the string form because its hash family needs
       // the raw shingle under each seed. Shingle definition comes from the
-      // SAME shingleRows projection dedup_minhash uses (single-sourced).
-      val sh = shingleRows(s, d)
-        .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
-        .distinct()
-        .cache()
-      val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
-        .filter(col("n_df").between(2, 20))
-        .select("sh")
-      val cand = sh.join(rareSh, Seq("sh"), "left_semi")
-        .groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(expr(
-          "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
-          "y -> named_struct('a', x, 'b', y))))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .select("a", "b")
-        .cache() // consumed twice (candDocs + verify join); ~2 longs/row
-      // verify stage ships only the CANDIDATE docs' full shingle sets,
-      // one sorted array per doc (bounded by doc length — never corpus²).
-      // No broadcast hint: candidate docs are corpus-proportional in the
-      // worst case, so the semi-join must stay shuffle-based at scale.
-      val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-      val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
+      // SAME shingleRows projection dedup_minhash uses (single-sourced),
+      // and the candidate+verify machinery is shinglePairStats — shared
+      // with sim_containment so the two variants cannot drift.
       val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
-      cand
-        .join(docSets.select(col("doc_id").as("a"), col("set").as("sa")), "a")
-        .join(docSets.select(col("doc_id").as("b"), col("set").as("sb")), "b")
-        .select(col("a"), col("b"),
-          size(array_intersect(col("sa"), col("sb"))).cast(L).as("i"),
-          size(col("sa")).cast(L).as("na"), size(col("sb")).cast(L).as("nb"))
+      shinglePairStats(s, d)
         .filter(jacc >= 0.5)
         .select(col("a"), col("b"), r4(jacc).as("jaccard"))
         .orderBy("a", "b")
+    }),
+
+    "sim_containment" -> ((s, d) => {
+      // asymmetric near-dup: containment C = |A∩B| / min(|A|, |B|) flags a
+      // short doc embedded in a longer one (quotes, boilerplate wrappers,
+      // doc-in-doc) that Jaccard structurally misses — J = i/(na+nb-i)
+      // shrinks as the size ratio grows while C stays at 1.0 for a true
+      // subset. The Broder containment-vs-resemblance distinction; a
+      // training pipeline runs BOTH (near-dup removal AND quote/subset
+      // detection). Shares the rare-shingle candidate machinery with
+      // dedup_near (shinglePairStats) — same 100 TB posture: bounded
+      // blocking, per-pair in-row verify. Jaccard is emitted alongside so
+      // the asymmetric pairs (high C, low J) are visible in the output.
+      val cont = col("i").cast(DoubleType) / least(col("na"), col("nb"))
+      val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+      shinglePairStats(s, d)
+        .filter(cont >= 0.8)
+        .select(col("a"), col("b"), r4(cont).as("containment"), r4(jacc).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    "corpus_decontam" -> ((s, d) => {
+      // benchmark decontamination — the training-corpus hygiene pass every
+      // LLM pipeline runs (GPT-3/PaLM-style n-gram overlap): flag train
+      // docs sharing any shingle with a held-out eval set (doc_id % 100
+      // == 0, ~1% of the corpus, standing in for an external benchmark
+      // suite). Output per contaminated train doc: how many of its
+      // shingles hit the eval set and how many distinct eval docs it
+      // overlaps — the evidence a removal decision is made on.
+      // 100 TB shape: the EVAL side is the small one (benchmark suites
+      // are corpus-independent, MBs not TBs), so its shingle set is
+      // broadcast and the corpus is probed MAP-SIDE in a single scan —
+      // no shuffle proportional to corpus size; the final per-doc
+      // aggregate shuffles only the (rare) hit rows.
+      val sh = hashedShingles(s, d)
+      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("sh"), col("doc_id").as("eval_id"))
+      sh.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_hit_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
     }),
 
     "dedup_minhash" -> ((s, d) => {
@@ -517,7 +584,46 @@ object TextOps {
     * dedup_minhash and dedup_cluster oracles so the candidate definition
     * cannot drift between them.
     */
-  private val mhBandCtes: String =
+  /** Hashed-shingle CTE chain (DuckDB) — the oracle twin of
+    * `hashedShingles`, shared by the dedup_near / sim_containment /
+    * corpus_decontam oracles so the shingle+hash definition cannot drift.
+    * DISTINCT is applied on the HASH, mirroring the Spark side's
+    * hash-then-distinct: a within-doc 60-bit collision must collapse to
+    * one row in both engines or sizes/df drift.
+    */
+  private val shingleCtes: String =
+    s"""toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 3),
+         shs AS (
+           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
+         sh AS (
+           SELECT DISTINCT doc_id, ${h60Duck("shingle")} AS sh FROM shs)"""
+
+  /** Rare-shingle candidate + exact-intersection CTE chain (DuckDB) — the
+    * oracle twin of `shinglePairStats`, shared by dedup_near and
+    * sim_containment. Exposes `inter (a, b, i)` and `sizes (doc_id, n)`.
+    */
+  private val shinglePairCtes: String =
+    s"""$shingleCtes,
+         dfreq AS (SELECT sh, count(*) AS n_df FROM sh GROUP BY 1),
+         rare AS (SELECT s.doc_id, s.sh FROM sh s
+                  JOIN dfreq f ON s.sh = f.sh WHERE f.n_df BETWEEN 2 AND 20),
+         cand AS (SELECT a, b FROM (
+                    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+                    FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+                  WHERE n_shared >= 2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS i
+           FROM cand c
+           JOIN sh xa ON xa.doc_id = c.a
+           JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
+           GROUP BY 1, 2)"""
+
+  private[operators] val mhBandCtes: String =
     s"""toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 3),
@@ -559,38 +665,28 @@ object TextOps {
          SELECT canon_url, count(*) AS n_pages, count(DISTINCT url) AS n_variants
          FROM canon GROUP BY 1 ORDER BY canon_url NULLS FIRST""",
     "dedup_near" ->
-      s"""WITH toks AS (
-           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-           WHERE len(string_split(lower(text), ' ')) >= 3),
-         shs AS (
-           SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-           FROM (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i FROM toks)),
-         sh AS (
-           -- DISTINCT on the HASH, mirroring the Spark side's
-           -- hash-then-distinct: a within-doc 60-bit collision must
-           -- collapse to one row in both engines or sizes/df drift
-           SELECT DISTINCT doc_id,
-             ${h60Duck("shingle")} AS sh
-           FROM shs),
-         dfreq AS (SELECT sh, count(*) AS n_df FROM sh GROUP BY 1),
-         rare AS (SELECT s.doc_id, s.sh FROM sh s
-                  JOIN dfreq f ON s.sh = f.sh WHERE f.n_df BETWEEN 2 AND 20),
-         cand AS (SELECT a, b FROM (
-                    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
-                    FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
-                    GROUP BY 1, 2)
-                  WHERE n_shared >= 2),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         inter AS (
-           SELECT c.a, c.b, count(*) AS i
-           FROM cand c
-           JOIN sh xa ON xa.doc_id = c.a
-           JOIN sh xb ON xb.doc_id = c.b AND xb.sh = xa.sh
-           GROUP BY 1, 2)
+      s"""WITH $shinglePairCtes
          SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "sim_containment" ->
+      s"""WITH $shinglePairCtes
+         SELECT a, b,
+           round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+         ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "corpus_decontam" ->
+      s"""WITH $shingleCtes,
+         ev AS (SELECT sh, doc_id AS eval_id FROM sh WHERE doc_id % 100 = 0),
+         tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0)
+         SELECT tr.doc_id,
+           count(DISTINCT tr.sh) AS n_hit_shingles,
+           count(DISTINCT ev.eval_id) AS n_eval_docs
+         FROM tr JOIN ev ON tr.sh = ev.sh
+         GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
     "dedup_minhash" ->
       // same md5-derived 60-bit hash family as the Spark side
       s"""WITH $mhBandCtes

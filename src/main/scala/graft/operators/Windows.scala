@@ -144,6 +144,58 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    "ts_interpolate" -> ((s, d) => {
+      // two-sided LINEAR interpolation onto a dense per-user hourly grid —
+      // the gap-filling counterpart to win_fill_forward's step function
+      // (metrics/sensor pipelines run both; linear is the resampling
+      // default). Hourly means of PURCHASE events only, so the grid has
+      // real gaps at every fixture scale; the grid spans each user's
+      // observed [min, max] hour via sequence() explode (bounded by the
+      // fixture time span — at scale, by the retention window), so every
+      // gap row has both a previous and a next observation by
+      // construction. Plan: ONE keyed agg to hourly means, one keyed agg
+      // for the per-user span, two partition-local IGNORE-NULLS window
+      // passes — no global window, partitioned by user throughout.
+      // Determinism: the whole interpolation runs in FIXED-POINT integer
+      // arithmetic (the graph_pagerank discipline) — hourly means are
+      // BIGINT 1e-4 units (exact decimal sum, truncating integer
+      // division), the gap value is pv + ((nv-pv)·dt) DIV dn over exact
+      // epoch-second longs (both engines truncate integer division toward
+      // zero), and the only float op is the final CAST/1e4 — the same
+      // correctly-rounded IEEE division everywhere. A first cut that
+      // interpolated in doubles + round(,4) hit the engines' divergent
+      // double-rounding at .5 boundaries (Spark rounds the decimal
+      // STRING, DuckDB the binary double) on 4 of 4k rows.
+      val hourly = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)" +
+          " DIV count(*)").as("v_u"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      val wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"), col("v_u"),
+          last(col("v_u"), ignoreNulls = true).over(wb).as("pv"),
+          last(when(col("v_u").isNotNull, col("hour")), ignoreNulls = true)
+            .over(wb).as("ph"),
+          first(col("v_u"), ignoreNulls = true).over(wa).as("nv"),
+          first(when(col("v_u").isNotNull, col("hour")), ignoreNulls = true)
+            .over(wa).as("nh"))
+        .select(col("user_id"), col("hour"),
+          (when(col("v_u").isNotNull, col("v_u"))
+            .otherwise(col("pv") + expr("((nv - pv) * " +
+              "(unix_timestamp(hour) - unix_timestamp(ph))) DIV " +
+              "(unix_timestamp(nh) - unix_timestamp(ph))"))
+            .cast(DoubleType) / 10000.0).as("v_interp"),
+          col("v_u").isNull.as("is_gap"))
+        .orderBy("user_id", "hour")
+    }),
+
     "scd2_history" -> ((s, d) => {
       // SCD Type-2 temporal versioning — the warehouse history-building
       // shape: each order opens a new version for its customer;
@@ -423,6 +475,43 @@ object Windows {
          FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
                FROM events)
          ORDER BY event_id NULLS FIRST""",
+    "ts_interpolate" ->
+      """WITH hourly AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) // count(*)
+               AS v_u
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         grid AS (
+           SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                 FROM hourly GROUP BY 1)),
+         j AS (
+           SELECT g.user_id, g.hour, h.v_u,
+             last_value(h.v_u IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN h.v_u IS NOT NULL THEN g.hour END IGNORE NULLS)
+               OVER wb AS ph,
+             first_value(h.v_u IGNORE NULLS) OVER wa AS nv,
+             first_value(CASE WHEN h.v_u IS NOT NULL THEN g.hour END IGNORE NULLS)
+               OVER wa AS nh
+           FROM grid g LEFT JOIN hourly h
+             ON h.user_id = g.user_id AND h.hour = g.hour
+           WINDOW
+             wb AS (PARTITION BY g.user_id ORDER BY g.hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wa AS (PARTITION BY g.user_id ORDER BY g.hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, hour,
+           CAST(CASE WHEN v_u IS NOT NULL THEN v_u
+             -- epoch() is DOUBLE in DuckDB (and // on doubles is plain
+             -- division) — CAST to BIGINT (exact: whole-hour timestamps)
+             -- so the division is the same truncating integer DIV Spark runs
+             ELSE pv + ((nv - pv) *
+                    (CAST(epoch(hour) AS BIGINT) - CAST(epoch(ph) AS BIGINT)))
+                    // (CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT))
+             END AS DOUBLE) / 10000.0
+             AS v_interp,
+           v_u IS NULL AS is_gap
+         FROM j ORDER BY user_id NULLS FIRST, hour NULLS FIRST""",
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from,
          lead(o_orderdate, 1) OVER w AS valid_to,

@@ -156,4 +156,57 @@ class OperatorSpec extends AnyFunSuite {
                col("c_custkey")).limit(10).collect()
     assert(full.take(10).toSeq === k.toSeq)
   }
+
+  test("sim_containment dominates jaccard and respects its threshold") {
+    val out = TextOps.queries("sim_containment")(spark, d).collect()
+    assert(out.nonEmpty)
+    // C = i/min(na,nb) ≥ J = i/(na+nb-i) always; filter keeps C ≥ 0.8
+    assert(out.forall(r => r.getDouble(2) >= r.getDouble(3) - 1e-9))
+    assert(out.forall(_.getDouble(2) >= 0.8))
+    assert(out.forall(r => r.getLong(0) < r.getLong(1))) // canonical a < b
+  }
+
+  test("corpus_decontam flags only train docs, with real eval overlap") {
+    val out = TextOps.queries("corpus_decontam")(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 100 != 0)) // never an eval doc itself
+    assert(out.forall(_.getLong(1) >= 1)) // ≥1 shared shingle
+    assert(out.forall(_.getLong(2) >= 1)) // ≥1 eval doc hit
+  }
+
+  test("graph_triangles vertex counts sum to a multiple of 3") {
+    val out = GraphOps.queries("graph_triangles")(spark, d).collect()
+    assert(out.nonEmpty)
+    // each triangle contributes exactly one count to each of its 3 vertices
+    assert(out.map(_.getLong(1)).sum % 3 === 0)
+    assert(out.forall(_.getLong(1) >= 1))
+  }
+
+  test("ts_interpolate grid is dense and gap values are bounded by neighbors") {
+    val out = Windows.queries("ts_interpolate")(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(2))) // grid spans observed range → no edge NULLs
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      // dense hourly grid: row count == span hours + 1
+      val hours = rows.map(_.getTimestamp(1).getTime).sorted
+      assert(hours.length === (hours.last - hours.head) / 3600000L + 1)
+      // linear interpolation never escapes the observed value envelope
+      val obs = rows.filter(!_.getBoolean(3)).map(_.getDouble(2))
+      val (lo, hi) = (obs.min, obs.max)
+      assert(rows.forall { r =>
+        r.getDouble(2) >= lo - 1e-9 && r.getDouble(2) <= hi + 1e-9
+      })
+    }
+  }
+
+  test("join_fuzzy resolves each dirty name once within edit distance 2") {
+    val out = Joins.queries("join_fuzzy")(spark, d).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) <= 2))
+    val dirty = out.map(_.getString(0))
+    assert(dirty.distinct.length === dirty.length) // best-match: one row per name
+    // sanity: a single-char deletion should usually resolve at distance 1
+    assert(out.count(_.getLong(2) === 1L) > out.length / 2)
+  }
 }
