@@ -80,8 +80,13 @@ object GraphOps {
       // standard refinement is degree-ordering (orient edges low→high
       // degree) to cap wedge fan-out at hub vertices; the id-ordering here
       // is the same join shape.
+      // EAGER localCheckpoint, not a lazy cache: the three self-join
+      // branches below otherwise race to fill the cache inside one action
+      // and each re-derives the (expensive) minhash band join — the same
+      // materialize-once discipline as connectedComponents (measured
+      // 193 s → seconds at sf0.1 from this alone).
       val e = TextOps.bandPairs(TextOps.minhashBands(s, d))
-        .select("a", "b").distinct().cache()
+        .select("a", "b").distinct().localCheckpoint(true)
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
         .join(e.as("e3"),

@@ -67,7 +67,11 @@ object TextOps {
     * |pairs| × 2 bounded arrays, never corpus².
     */
   private def shinglePairStats(s: SparkSession, d: String): DataFrame = {
-    val sh = hashedShingles(s, d).cache()
+    // EAGER localCheckpoint (the connectedComponents discipline), not a
+    // lazy cache: sh is consumed by THREE branches (df-count, candDocs
+    // semi-join, docSets) that otherwise race to fill the cache inside
+    // one action, each re-deriving the md5 shingle extraction.
+    val sh = hashedShingles(s, d).localCheckpoint(true)
     val rareSh = sh.groupBy("sh").agg(count(lit(1)).as("n_df"))
       .filter(col("n_df").between(2, 20))
       .select("sh")
@@ -81,7 +85,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select("a", "b")
-      .cache() // consumed twice (candDocs + verify join); ~2 longs/row
+      .localCheckpoint(true) // consumed twice (candDocs + verify join); ~2 longs/row
     // verify stage ships only the CANDIDATE docs' full shingle sets.
     // No broadcast hint: candidate docs are corpus-proportional in the
     // worst case, so the semi-join must stay shuffle-based at scale.
@@ -367,7 +371,7 @@ object TextOps {
           explode(expr("sequence(1, length(t) - 4)")).as("i"))
         .select(col("doc_id"), expr(h60Spark("substring(t, i, 5)")).as("gram"))
         .distinct()
-        .cache()
+        .localCheckpoint(true) // eager: 3 consumers (df-count, candDocs join, gc)
       // posting-list pair generation in TWO passes so no aggregation buffer
       // ever exceeds the df cap (round-2 verdict): pass 1 is a partial-agg
       // count that keeps only rare grams (df ≤ 20) — a gram in 10M docs
