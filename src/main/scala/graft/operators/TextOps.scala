@@ -196,7 +196,11 @@ object TextOps {
       // Variant URLs are synthesized from order rows so both engines
       // canonicalize the SAME strings. Every regex here matches at most
       // once per string, so Spark's replace-all vs DuckDB's
-      // replace-first-by-default semantics cannot diverge.
+      // replace-first-by-default semantics cannot diverge. THREE fused
+      // passes, not five (round 5: regex execution dominates this key —
+      // 600k URLs/pass): [#?].*$ strips fragment+query together (the
+      // canonical form keeps neither, so first-of-either is equivalent),
+      // and ^https?://(www\.)? folds the scheme upgrade and www-strip.
       val base = concat(lit("shop-"), col("o_custkey") % 50,
         lit(".example.com/p/"), col("o_orderkey") % 500)
       val raw = orders(s, d).withColumn("url",
@@ -205,9 +209,9 @@ object TextOps {
           .when(col("o_orderkey") % 4 === 2,
             concat(lit("https://"), base, lit("?utm_source=feed&utm_id="), col("o_orderkey")))
           .otherwise(concat(lit("HTTPS://WWW."), upper(base), lit("#top"))))
-      val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(lower(col("url")), "#.*$", ""), "\\?.*$", ""),
-        "^http://", "https://"), "^https://www\\.", "https://"), "/$", "")
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+        lower(col("url")), "[#?].*$", ""),
+        "^https?://(www\\.)?", "https://"), "/$", "")
       raw.select(canon.as("canon_url"), col("url"))
         .groupBy("canon_url")
         .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_variants"))
@@ -650,7 +654,7 @@ object TextOps {
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash NULLS FIRST""",
     "dedup_url" ->
-      """WITH raw AS (
+      s"""WITH raw AS (
            SELECT CASE CAST(o_orderkey % 4 AS INTEGER)
              WHEN 0 THEN 'https://' || base
              WHEN 1 THEN 'http://www.' || base || '/'
@@ -661,12 +665,13 @@ object TextOps {
                    CAST(o_orderkey % 500 AS VARCHAR) AS base
                  FROM orders)),
          canon AS (
-           SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                    regexp_replace(lower(url), '#.*$', ''), '\?.*$', ''),
-                    '^http://', 'https://'), '^https://www\.', 'https://'), '/$', '') AS canon_url,
+           SELECT regexp_replace(regexp_replace(regexp_replace(
+                    lower(url), '[#?].*${"$"}', ''),
+                    '^https?://(www\\.)?', 'https://'), '/${"$"}', '') AS canon_url,
                   url
            FROM raw)
-         SELECT canon_url, count(*) AS n_pages, count(DISTINCT url) AS n_variants
+         SELECT canon_url, count(*) AS n_pages,
+           count(DISTINCT url) AS n_variants
          FROM canon GROUP BY 1 ORDER BY canon_url NULLS FIRST""",
     "dedup_near" ->
       s"""WITH $shinglePairCtes
