@@ -339,6 +339,44 @@ object Aggregates {
           bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
           expr("count_if(o_totalprice > 200000)").as("n_big"))
         .orderBy("o_orderstatus")),
+    "agg_moments" -> ((s, d) =>
+      // higher-moment family (skewness / excess kurtosis) — built from
+      // EXACT integer power sums rather than the engines' built-ins:
+      // Spark's skewness/kurtosis are population formulas while DuckDB's
+      // are sample-corrected, and both accumulate doubles in partition
+      // order. l_quantity is integral, so Σq..Σq⁴ are exact BIGINTs
+      // (bounded: 50⁴·|rows| ≪ 2⁶³) folded in ONE partial-aggregating
+      // shuffle; both engines then run the identical double formula on
+      // identical integers. Population formulas (m-central moments):
+      // skew = m3/m2^1.5, kurt = m4/m2² − 3.
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+        .select(col("l_returnflag"),
+          expr("""round(
+            ((s3 - 3.0*s2*(s1/CAST(n AS DOUBLE)) + 2.0*n*pow(s1/CAST(n AS DOUBLE), 3))/n)
+            / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 1.5), 4) + 0.0""").as("skew"),
+          expr("""round(
+            ((s4 - 4.0*s3*(s1/CAST(n AS DOUBLE)) + 6.0*s2*pow(s1/CAST(n AS DOUBLE), 2)
+              - 3.0*n*pow(s1/CAST(n AS DOUBLE), 4))/n)
+            / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 2) - 3.0, 4) + 0.0""").as("kurt"))
+        .orderBy("l_returnflag")),
+    "agg_weighted_avg" -> ((s, d) =>
+      // weighted mean — Σ(w·x)/Σw with the money discipline: the product
+      // and both sums are exact DECIMAL (l_quantity integral, price
+      // scale-4), one keyed shuffle, final divide in double. The VWAP /
+      // weighted-metric shape; a plain avg() weights every row equally.
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4((sum(dec(col("l_extendedprice")) * col("l_quantity").cast("bigint"))
+            .cast(DoubleType)) /
+          sum(col("l_quantity").cast("bigint")).cast(DoubleType)).as("wavg_price"),
+          sum(col("l_quantity").cast("bigint")).as("total_qty"))
+        .orderBy("l_returnflag")),
     "agg_regr" -> ((s, d) =>
       // bivariate statistics family (corr / covar / least-squares fit) —
       // single partial-aggregating shuffle (all four are co-moment
@@ -362,6 +400,29 @@ object Aggregates {
          bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
          CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "agg_moments" ->
+      // identical formula text over identical exact integer sums — see the
+      // Spark side for why the built-ins can't be differentially compared
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n, sum(q) AS s1, sum(q*q) AS s2,
+             sum(q*q*q) AS s3, sum(q*q*q*q) AS s4
+           FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                 FROM lineitem) GROUP BY 1)
+         SELECT l_returnflag,
+           round(
+             ((s3 - 3.0*s2*(s1/CAST(n AS DOUBLE)) + 2.0*n*pow(s1/CAST(n AS DOUBLE), 3))/n)
+             / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 1.5), 4) + 0.0 AS skew,
+           round(
+             ((s4 - 4.0*s3*(s1/CAST(n AS DOUBLE)) + 6.0*s2*pow(s1/CAST(n AS DOUBLE), 2)
+               - 3.0*n*pow(s1/CAST(n AS DOUBLE), 4))/n)
+             / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 2) - 3.0, 4) + 0.0 AS kurt
+         FROM g ORDER BY l_returnflag NULLS FIRST""",
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS wavg_price,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_regr" ->
       """SELECT l_returnflag,
          round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,

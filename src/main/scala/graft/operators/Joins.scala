@@ -177,6 +177,46 @@ object Joins {
         .orderBy("range_id")
     }),
 
+    "join_interval_overlap" -> ((s, d) => {
+      // interval×interval OVERLAP join (a.s < b.e AND b.s < a.e) — the
+      // sibling of join_range_bucket's point-in-interval: both sides are
+      // ranges (order validity windows × shipment windows). Same
+      // bucketed-equi-join lowering: each interval explodes to the week
+      // buckets it touches (7-day and 3-day intervals → ≤2 each, bounded
+      // duplication), the join shuffles on the bucket key, the exact
+      // overlap predicate verifies inside the bucket — and the pair is
+      // emitted ONLY in the canonical bucket containing the overlap start
+      // (bucket == greatest(a.s, b.s) div W), so a pair matching in two
+      // buckets surfaces exactly once WITHOUT a distinct: dedup by
+      // construction, no second shuffle. Oracle = the naive theta join,
+      // proving the decomposition exact.
+      val wk = 7L * 86400L * 1000000L
+      val aDur = 7L * 86400L * 1000000L
+      val bDur = 3L * 86400L * 1000000L
+      val a = orders(s, d).filter(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          unix_micros(col("o_orderdate")).as("a_s"))
+        .withColumn("a_e", col("a_s") + lit(aDur))
+        .withColumn("bucket",
+          explode(expr(s"sequence(a_s div $wk, (a_e - 1) div $wk)")))
+      val b = lineitem(s, d).filter(col("l_orderkey") % 100 === 0 &&
+          col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("b_id"),
+          unix_micros(col("l_shipdate")).as("b_s"))
+        .withColumn("b_e", col("b_s") + lit(bDur))
+        .withColumn("bucket",
+          explode(expr(s"sequence(b_s div $wk, (b_e - 1) div $wk)")))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          col("bucket") === expr(s"greatest(a_s, b_s) div $wk"))
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture, so a
+        // b_id can carry two ship windows: overlap_us completes the order
+        .orderBy("a_id", "b_id", "overlap_us")
+    }),
+
     "join_spatial_grid" -> ((s, d) => {
       // 2-D ε-distance self-join via grid-cell blocking — the spatial
       // sibling of join_range_bucket: a naive distance predicate plans as
@@ -361,6 +401,19 @@ object Joins {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          ORDER BY c_custkey NULLS FIRST, o_totalprice DESC NULLS LAST,
                   o_orderkey NULLS FIRST""",
+    "join_interval_overlap" ->
+      // the NAIVE overlap theta join (DuckDB IEJoin): equality with the
+      // bucketed plan proves the canonical-bucket dedup loses nothing
+      """WITH a AS (SELECT o_orderkey AS a_id, epoch_us(o_orderdate) AS a_s,
+                      epoch_us(o_orderdate) + 604800000000 AS a_e
+                    FROM orders WHERE o_orderkey % 200 = 0),
+         b AS (SELECT l_orderkey AS b_id, epoch_us(l_shipdate) AS b_s,
+                 epoch_us(l_shipdate) + 259200000000 AS b_e
+               FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1)
+         SELECT a_id, b_id,
+           least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+         FROM a JOIN b ON a_s < b_e AND b_s < a_e
+         ORDER BY a_id NULLS FIRST, b_id NULLS FIRST, overlap_us NULLS FIRST""",
     "join_range_bucket" ->
       // deliberately the NAIVE theta formulation (DuckDB's IEJoin handles
       // it at fixture scale): equality with the bucketed plan proves the

@@ -53,6 +53,24 @@ object VectorOps {
       col("label"), sqrt(dot("embedding", "embedding")).as(norm))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_centroid_label" -> ((s, d) =>
+      // per-label mean embedding — the class-prototype primitive (nearest-
+      // centroid classification, per-class drift monitoring, prototype
+      // seeding for kmeans). ONE (label, dim) keyed aggregate after a
+      // posexplode; centroid state is O(labels · dims) regardless of
+      // corpus size — the same update shape as cluster_kmeans' Lloyd
+      // step, emitted as exploded (label, pos, m) rows so the output is
+      // engine-portable without array re-assembly. Means use the EXACT
+      // scaled-integer sum discipline (round(x·10⁶) → BIGINT, sum, one
+      // final divide): a double sum accumulates in partition order and
+      // cannot be hash-compared cross-engine.
+      emb(s, d).select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
+          (count(lit(1)) * lit(1000000.0)), 6).as("m"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos")),
+
     "vec_quantize" -> ((s, d) =>
       // int8 scalar quantization — the embedding-compression step a 100 TB
       // vector pipeline runs before ANN indexing (4× smaller than float32,
@@ -291,6 +309,16 @@ object VectorOps {
     s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
 
   val oracles: Map[String, String] = Map(
+    "vec_centroid_label" ->
+      // same exact scaled-integer mean as cluster_kmeans' update step
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT label, i - 1 AS pos,
+                 CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
+               FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e))
+         SELECT label, pos,
+           round(sum(su) / (count(*) * 1000000.0), 6) AS m,
+           count(*) AS n_vecs
+         FROM x GROUP BY 1, 2 ORDER BY label NULLS FIRST, pos NULLS FIRST""",
     "vec_quantize" ->
       """WITH sc AS (
            SELECT vec_id, embedding,

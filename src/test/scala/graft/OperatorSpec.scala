@@ -200,6 +200,56 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_centroid_label emits labels × dims rows with bounded means") {
+    val out = VectorOps.queries("vec_centroid_label")(spark, d).collect()
+    assert(out.nonEmpty)
+    val dims = out.map(_.getLong(1)).max + 1
+    val labels = out.map(_.getInt(0)).distinct.length
+    assert(out.length === labels * dims) // full (label, dim) grid
+    // a mean of unit-scale embedding coords stays in their envelope
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6))
+    assert(out.forall(_.getLong(3) >= 1))
+  }
+
+  test("agg_moments matches a direct two-pass computation") {
+    val out = Aggregates.queries("agg_moments")(spark, d).collect()
+    assert(out.nonEmpty)
+    val qs = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      .collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      val xs = qs(r.getString(0)).map(_.getDouble(1))
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(math.abs(r.getDouble(1) - m3 / math.pow(m2, 1.5)) < 1e-3)
+      assert(math.abs(r.getDouble(2) - (m4 / (m2 * m2) - 3.0)) < 1e-3)
+    }
+  }
+
+  test("agg_weighted_avg lies within each group's price range") {
+    val out = Aggregates.queries("agg_weighted_avg")(spark, d).collect()
+    assert(out.nonEmpty)
+    val ranges = Tables.lineitem(spark, d).groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (lo, hi) = ranges(r.getString(0))
+      assert(r.getDouble(1) >= lo - 1e-6 && r.getDouble(1) <= hi + 1e-6)
+    }
+  }
+
+  test("join_interval_overlap emits each pair once with positive bounded overlap") {
+    val out = Joins.queries("join_interval_overlap")(spark, d).collect()
+    // overlap is positive and can never exceed the shorter (3-day) interval
+    assert(out.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 3L * 86400L * 1000000L))
+    // canonical-bucket dedup: (a, b, overlap) triples are unique
+    val trips = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trips.distinct.length === trips.length)
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)
