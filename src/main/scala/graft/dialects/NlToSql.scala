@@ -34,6 +34,14 @@ object NlToSql {
     "language" -> ("documents", "lang"),
     "event type" -> ("events", "event_type"))
 
+  /** The fact table's fk for each entity — distinct-count productions
+    * count the fk directly (fk values ARE the entity's pk), so no join.
+    */
+  private val entityFk = Map(
+    "customers" -> ("orders", "o_custkey"),
+    "suppliers" -> ("lineitem", "l_suppkey"),
+    "parts" -> ("lineitem", "l_partkey"))
+
   /** How an entity table reaches a measure's fact table. */
   private val joinPath = Map(
     ("customer", "orders") -> "orders JOIN customer ON o_custkey = c_custkey",
@@ -57,6 +65,8 @@ object NlToSql {
   private val TotalByDateRange =
     """(?i)total ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val CountBy = """(?i)(?:number|count) of (\w+) by ([a-z ]+?)""".r
+  private val DistinctCountBy =
+    """(?i)(?:number|count) of (?:unique|distinct) (\w+) by ([a-z ]+)""".r
   private val CountByWhere =
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalByWhere =
@@ -76,6 +86,18 @@ object NlToSql {
     * Unrecognized input fails loudly (no silent guessing).
     */
   def translate(question: String): String = question.trim match {
+    case DistinctCountBy(entity, dname) =>
+      // "number of unique customers by status" — distinct entities per
+      // fact dimension; counts the fact's fk (fk values ARE the entity
+      // pks), so the plan is one distinct-aggregate, no join. Matched
+      // before CountBy (whose single-word entity capture cannot swallow
+      // "unique customers", so the two productions cannot shadow).
+      val (fact, fk) = entityFk.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (dt, dcol) = dim(dname)
+      require(dt == fact, s"dimension $dname not on $fact")
+      s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
+         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TopNWhere(n, entity, measure, fdim, value) =>
       // top-k with a dimension filter on the fact table: "top 5 customers
       // by total order price where status is F" (value keeps its case)

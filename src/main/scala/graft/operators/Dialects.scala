@@ -56,6 +56,7 @@ object Dialects {
   // cross-table group-by: the dimension lives on customer, the measure on
   // orders — the translator routes FROM through the declared join path
   val nlJoinQuestion: String = "total order price by market segment"
+  val nlDistinctQuestion: String = "number of unique customers by status"
 
   /** Aggregation over a JOINED dimension through the GraphQL front-end —
     * the dotted groupBy key resolves through the fk graph (the GraphQL
@@ -90,6 +91,7 @@ object Dialects {
     "nl_topk_where" -> ((s, d) => NlToSql.run(s, d, nlTopkWhereQuestion)),
     "nl_date_range" -> ((s, d) => NlToSql.run(s, d, nlDateRangeQuestion)),
     "nl_group_join" -> ((s, d) => NlToSql.run(s, d, nlJoinQuestion)),
+    "nl_distinct_count" -> ((s, d) => NlToSql.run(s, d, nlDistinctQuestion)),
     // the serving seam end-to-end: each dialect routed through
     // graft.server.Server.handle — the same path the HTTP API and CLI use
     "serve_sql" -> ((s, d) =>
@@ -146,6 +148,7 @@ object Dialects {
     "nl_topk_where" -> NlToSql.translate(nlTopkWhereQuestion),
     "nl_date_range" -> NlToSql.translate(nlDateRangeQuestion),
     "nl_group_join" -> NlToSql.translate(nlJoinQuestion),
+    "nl_distinct_count" -> NlToSql.translate(nlDistinctQuestion),
     "serve_sql" -> serveSqlQuery,
     "serve_gql" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_acctbal

@@ -461,6 +461,51 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "sample_per_group" -> ((s, d) => {
+      // fixed-k per-stratum sample ("keep 25 docs per language") — the
+      // quota counterpart to sample_stratified's fractional keep: caps
+      // EVERY stratum at the same absolute size regardless of its share,
+      // which is what a balanced eval set needs. Selection ranks rows
+      // within each stratum by the portable 60-bit hash (RNG-free,
+      // engine/reproducible, distinct salt → composable with the other
+      // sampling keys) — a per-stratum window, partitioned by language:
+      // no global window, and at 100 TB the rank-k cutoff is the same
+      // per-key top-k shape as win_topk_group (bounded heap per stratum).
+      val w = Window.partitionBy("lang")
+        .orderBy(expr(h60Spark("concat('pergroup:', CAST(doc_id AS STRING))")),
+          col("doc_id"))
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("doc_id"), col("lang"), col("rn").cast("bigint").as("rn"))
+        .orderBy("doc_id")
+    }),
+
+    "text_bigram_prob" -> ((s, d) => {
+      // bigram conditional probabilities P(w2|w1) = c(w1 w2)/c(w1 ∙) —
+      // text_bigrams' counting extended to the actual n-gram LM estimate.
+      // Both counts come from the SAME exploded pass (the bigram count and
+      // its left-unigram context count), joined on the context word: two
+      // keyed aggregates + one equi-join, all on token keys. Exact integer
+      // counts; the probability is FIXED-POINT (c_bi·10⁶ DIV c_w1 — exact
+      // rationals like 1/800 land exactly on round()'s .5 boundary where
+      // the engines' double-rounding diverges; truncating integer division
+      // cannot). Top-100 by probability with full tie-break (count,
+      // bigram) so the slice is deterministic.
+      val bi = toks(s, d).filter(size(col("t")) >= 2)
+        .select(col("t"), explode(expr("sequence(0, size(t)-2)")).as("i"))
+        .select(col("t")(col("i")).as("w1"),
+          concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
+      val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
+      val ctxCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+      biCnt.join(ctxCnt, "w1")
+        .filter(col("c_w1") >= 10) // MLE over thin contexts is noise
+        .select(col("bigram"), col("c_bi"), col("c_w1"),
+          (expr("(c_bi * 1000000) DIV c_w1").cast(DoubleType) / 1000000.0).as("p"))
+        .orderBy(col("p").desc_nulls_last, col("c_bi").desc_nulls_last, col("bigram"))
+        .limit(100)
+    }),
+
     "sample_weighted" -> ((s, d) => {
       // importance sampling: per-doc acceptance probability w ∝ length
       // (capped at 1) — the upweight-long-documents shape. Acceptance is
@@ -795,6 +840,28 @@ object TextOps {
          len(regexp_extract_all(text, '\b(customer|value)\b', 0)) AS n_hits,
          md5(regexp_replace(text, '\b(customer|value)\b', '<REDACTED>', 'g')) AS redacted_md5
          FROM documents ORDER BY doc_id NULLS FIRST""",
+    "sample_per_group" ->
+      s"""SELECT doc_id, lang, rn FROM (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY ${h60Duck("concat('pergroup:', CAST(doc_id AS VARCHAR))")},
+                 doc_id) AS BIGINT) AS rn
+           FROM documents)
+         WHERE rn <= 25 ORDER BY doc_id NULLS FIRST""",
+    "text_bigram_prob" ->
+      """WITH tk AS (
+           SELECT string_split(lower(text), ' ') AS t FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 2),
+         bi AS (SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)),
+         bc AS (SELECT w1, bigram, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+         cc AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY 1)
+         SELECT bigram, c_bi, c_w1,
+           CAST((c_bi * 1000000) // c_w1 AS DOUBLE) / 1000000.0 AS p
+         FROM bc JOIN cc USING (w1)
+         WHERE c_w1 >= 10
+         ORDER BY p DESC NULLS LAST, c_bi DESC NULLS LAST, bigram NULLS FIRST
+         LIMIT 100""",
     "text_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
            SELECT t[i] || ' ' || t[i+1] AS bigram

@@ -84,6 +84,7 @@ class DialectSpec extends AnyFunSuite {
       "average quantity by return flag",
       "total order price by priority",
       "total order price by market segment", // cross-table: joins customer
+      "number of unique customers by status", // distinct-count, no join
       "average account balance by market segment").map(NlToSql.translate)
     TableRegistry.registerAll(spark, d)
     sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
@@ -93,6 +94,12 @@ class DialectSpec extends AnyFunSuite {
     // an unreachable dimension still fails loudly
     assertThrows[IllegalArgumentException](
       NlToSql.translate("total event value by market segment"))
+    // distinct-count counts the fk directly — no join in the emitted SQL
+    val dc = NlToSql.translate("number of unique customers by status")
+    assert(dc.contains("count(DISTINCT o_custkey)") && !dc.contains("JOIN"))
+    // a dimension off the entity's fact table fails loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("number of unique customers by return flag"))
   }
 
   test("GraphQL resolves two-level nesting (orders -> customer -> nation)") {

@@ -250,6 +250,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(trips.distinct.length === trips.length)
   }
 
+  test("sample_per_group caps every stratum at 25 with dense ranks") {
+    val out = TextOps.queries("sample_per_group")(spark, d).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 25)
+      // ranks are exactly 1..k within each stratum
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("text_bigram_prob probabilities are consistent with their counts") {
+    val out = TextOps.queries("text_bigram_prob")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cBi, cW1, p) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cBi <= cW1 && cW1 >= 10)
+      assert(p > 0.0 && p <= 1.0)
+      assert(math.abs(p - (cBi * 1000000L / cW1) / 1e6) < 1e-12)
+    }
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)
