@@ -177,6 +177,29 @@ object Joins {
         .orderBy("range_id")
     }),
 
+    "join_asof_tolerance" -> ((s, d) => {
+      // as-of with a MAX-GAP tolerance — the production variant of
+      // join_asof ("latest purchase at/before the click, but only if
+      // within 24 h"): stale matches are no better than no match for
+      // attribution. The tolerance tightens the range join's lower bound,
+      // which SHRINKS the candidate set (at scale it is what makes the
+      // time-bucketed formulation bounded: candidates live in ≤2 24 h
+      // buckets instead of all history). Only max(p_ts) is emitted, so
+      // the aggregate formulation replaces the per-row top-1 window —
+      // one keyed aggregate, tie-free by construction.
+      val ev = events(s, d).select("event_id", "user_id", "ts", "event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") && col("p_ts") <= col("ts") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 24 HOURS"), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(max(col("p_ts")).as("last_purchase_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_interval_overlap" -> ((s, d) => {
       // interval×interval OVERLAP join (a.s < b.e AND b.s < a.e) — the
       // sibling of join_range_bucket's point-in-interval: both sides are
@@ -401,6 +424,16 @@ object Joins {
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          ORDER BY c_custkey NULLS FIRST, o_totalprice DESC NULLS LAST,
                   o_orderkey NULLS FIRST""",
+    "join_asof_tolerance" ->
+      // correlated-aggregate formulation (max within the tolerance
+      // window) — semantically identical to tolerance-bounded ASOF
+      """SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(p.ts) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 24 HOURS)
+             AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'click'
+         ORDER BY e.event_id NULLS FIRST""",
     "join_interval_overlap" ->
       // the NAIVE overlap theta join (DuckDB IEJoin): equality with the
       // bucketed plan proves the canonical-bucket dedup loses nothing

@@ -73,9 +73,36 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("column")
   }
 
+  private val topkCols = Seq("o_orderstatus", "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> ((s, dir) => zscore(s, dir)),
-    "profile_columns" -> ((s, dir) => profile(s, dir))
+    "profile_columns" -> ((s, dir) => profile(s, dir)),
+
+    "profile_topk_values" -> ((s, dir) => {
+      // frequent-value profile (profile_columns' companion): top-3 values
+      // + counts per profiled column — the skew/default-value detector a
+      // pre-ingest audit runs (a value covering 90% of a column is either
+      // a default or a join-key hazard). Per column: one partial-agg
+      // keyed shuffle + a bounded top-k window over the DISTINCT VALUE
+      // counts (group count ≪ rows — never a window over the row stream);
+      // the per-column unions are independent branches of one job. At
+      // 100 TB swap the exact counts for CMS estimates (agg_cms_topk).
+      import org.apache.spark.sql.expressions.Window
+      val ord = orders(s, dir)
+      val perCol = topkCols.map { c =>
+        val w = Window.partitionBy("col_name")
+          .orderBy(col("cnt").desc, col("value"))
+        ord.groupBy(col(c).cast("string").as("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("col_name", lit(c)) // "column" is reserved in DuckDB
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 3)
+      }
+      perCol.reduce(_ unionByName _)
+        .select("col_name", "value", "cnt", "rn")
+        .orderBy("col_name", "rn")
+    })
   )
 
   private def profOracle: String = {
@@ -95,6 +122,16 @@ object Profiling {
   }
 
   val oracles: Map[String, String] = Map(
+    "profile_topk_values" ->
+      topkCols.map { c =>
+        s"""SELECT col_name, value, cnt, rn FROM (
+              SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
+                count(*) AS cnt,
+                CAST(row_number() OVER (ORDER BY count(*) DESC,
+                  CAST($c AS VARCHAR)) AS BIGINT) AS rn
+              FROM orders GROUP BY $c)
+            WHERE rn <= 3"""
+      }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name NULLS FIRST, rn NULLS FIRST"),
     "anomaly_zscore" ->
       """WITH m AS (
            SELECT event_type AS et, count(*) AS n,

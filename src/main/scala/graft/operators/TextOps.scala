@@ -411,6 +411,32 @@ object TextOps {
         .orderBy("a", "b")
     }),
 
+    "pipeline_incremental" -> ((s, d) => {
+      // incremental-ingest dedup — the shape a DAILY crawl batch runs
+      // against the historical corpus: each new doc (batch = doc_id % 10
+      // == 9 standing in for today's arrivals) is classified dup_hist
+      // (content already in history — skip), dup_batch (duplicate of an
+      // earlier doc in the SAME batch — keep one), or unique. 100 TB
+      // posture: history is touched ONLY as a distinct-hash semi-join
+      // input (hashes, never text, move through the shuffle), and the
+      // window runs over the BATCH side alone — per-day work scales with
+      // the batch, not the corpus; at scale the historical hash set is a
+      // bucketed table the daily join co-locates against.
+      val withH = documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      val hist = withH.filter(col("doc_id") % 10 =!= 9)
+        .select("h").distinct().withColumn("in_hist", lit(true))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      withH.filter(col("doc_id") % 10 === 9)
+        .withColumn("rn", row_number().over(w))
+        .join(hist, Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("in_hist"), "dup_hist")
+            .when(col("rn") > 1, "dup_batch")
+            .otherwise("unique").as("status"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_corpus" -> ((s, d) => {
       // END-TO-END training-corpus pipeline in one plan: quality filter →
       // exact dedup (keep min doc_id per normalized-content hash) → hash
@@ -802,6 +828,17 @@ object TextOps {
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "pipeline_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+         hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 9),
+         batch AS (SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+           FROM d WHERE doc_id % 10 = 9)
+         SELECT b.doc_id,
+           CASE WHEN b.h IN (SELECT h FROM hist) THEN 'dup_hist'
+                WHEN b.rn > 1 THEN 'dup_batch'
+                ELSE 'unique' END AS status
+         FROM batch b ORDER BY b.doc_id NULLS FIRST""",
     "pipeline_corpus" ->
       s"""WITH kept AS (
            SELECT doc_id, text, n_chars,

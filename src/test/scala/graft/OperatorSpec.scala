@@ -272,6 +272,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_tolerance nulls matches older than 24h; never newer than the click") {
+    val out = Joins.queries("join_asof_tolerance")(spark, d).collect()
+    assert(out.nonEmpty)
+    val matched = out.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty)
+    matched.foreach { r =>
+      val gap = r.getTimestamp(2).getTime - r.getTimestamp(3).getTime
+      assert(gap >= 0 && gap <= 24L * 3600 * 1000)
+    }
+    // the plain asof finds strictly more (or equal) matches
+    val plain = Joins.queries("join_asof")(spark, d).collect()
+    assert(plain.count(!_.isNullAt(3)) >= matched.length)
+  }
+
+  test("profile_topk_values ranks are 1..3 and counts are non-increasing") {
+    val out = Profiling.queries("profile_topk_values")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_.getLong(3))
+      assert(byRn.map(_.getLong(3)).toSeq == (1L to byRn.length))
+      assert(byRn.sliding(2).forall {
+        case Array(a, b) => a.getLong(2) >= b.getLong(2)
+        case _ => true
+      })
+    }
+  }
+
+  test("pipeline_incremental covers the whole batch and statuses are consistent") {
+    val out = TextOps.queries("pipeline_incremental")(spark, d).collect()
+    val batchN = Tables.documents(spark, d).filter(col("doc_id") % 10 === 9).count()
+    assert(out.length === batchN) // every new doc classified exactly once
+    val statuses = out.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("dup_hist", "dup_batch", "unique")))
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)
