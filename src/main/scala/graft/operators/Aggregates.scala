@@ -202,14 +202,25 @@ object Aggregates {
       // bounded by bits/key sizing derived FROM THE FIXTURE, not a
       // constant — expected items ≤ the order count (distinct custkeys
       // can't exceed rows; one driver-side scalar), 16 bits/key ⇒ FP ≪5%
-      // at ANY scale factor. build/probe are Spark's own runtime-filter
-      // Catalyst expressions, surfaced as SQL by GraftFunctions.register.
+      // while the sizing is unclamped. Spark's BloomFilterAggregate
+      // REJECTS sizes above the session's runtime-bloom-filter maxima
+      // (maxNumItems 4M / maxNumBits 64M by default), so both are clamped
+      // to those confs: past ~4M keys (sf ≳ 3) the filter stays VALID
+      // (no false negatives, the query runs) but bits/key — and with it
+      // the FP guarantee — degrades; at that scale you raise the confs
+      // or shard the filter per partition. build/probe are Spark's own
+      // runtime-filter Catalyst expressions, surfaced as SQL by
+      // GraftFunctions.register.
       graft.plans.GraftFunctions.register(s)
       val ord = orders(s, d)
       ord.createOrReplaceTempView("orders")
       customer(s, d).createOrReplaceTempView("customer")
-      val nKeys = math.max(ord.count(), 1L)
-      val nBits = math.max(262144L, 16L * nKeys)
+      val maxItems = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val nKeys = math.min(math.max(ord.count(), 1L), maxItems)
+      val nBits = math.min(math.max(262144L, 16L * nKeys), maxBits)
       s.sql(s"""
         WITH bf AS (SELECT bloom_filter_agg(xxhash64(o_custkey),
                       CAST($nKeys AS BIGINT), CAST($nBits AS BIGINT)) AS f

@@ -73,25 +73,49 @@ object GraphOps {
       // positives (one doc banding with many mutually-dissimilar docs —
       // collapse would over-delete). Edges are THE bandPairs candidate
       // definition (single-sourced with dedup_minhash/dedup_cluster).
-      // Distributed shape: vertex-ordered triangle enumeration — edges are
-      // kept a<b, so e(a,b) ⋈ e(b,c) builds the a<b<c wedge and e(a,c)
-      // closes it: two equi-join shuffles on vertex keys, each triangle
-      // found exactly once, no direction double-count. At true scale the
-      // standard refinement is degree-ordering (orient edges low→high
-      // degree) to cap wedge fan-out at hub vertices; the id-ordering here
-      // is the same join shape.
-      // EAGER localCheckpoint, not a lazy cache: the three self-join
-      // branches below otherwise race to fill the cache inside one action
-      // and each re-derives the (expensive) minhash band join — the same
-      // materialize-once discipline as connectedComponents (measured
-      // 193 s → seconds at sf0.1 from this alone).
-      val e = TextOps.bandPairs(TextOps.minhashBands(s, d))
+      // Distributed shape: DEGREE-ORDERED wedge enumeration (the standard
+      // hub-capping refinement — Cohen 2009 / Suri-Vassilvitskii 2011):
+      // orient every edge from lower to higher (degree, id) in that total
+      // order, then build wedges anchored at each edge pair's SHARED
+      // LOW-ORDER endpoint and close them with the third oriented edge.
+      // A vertex anchors at most its out-degree² wedges, and out-degrees
+      // under degree-ordering are bounded by O(√|E|) — so a hub with
+      // degree d stops anchoring d²/2 wedges (it only ever appears as the
+      // high end). Total wedge count drops to Σ min-deg² ≤ O(|E|^1.5).
+      // Each triangle has exactly one lowest-(deg,id) vertex → counted
+      // exactly once; per-vertex counts are orientation-independent, so
+      // the id-ordered oracle is unchanged. Two equi-join shuffles on
+      // vertex keys, same as before.
+      // EAGER localCheckpoint, not a lazy cache: the degree agg + three
+      // self-join branches below otherwise race to fill the cache inside
+      // one action and each re-derives the (expensive) minhash band join —
+      // the same materialize-once discipline as connectedComponents
+      // (measured 193 s → seconds at sf0.1 from this alone).
+      val e0 = TextOps.bandPairs(TextOps.minhashBands(s, d))
         .select("a", "b").distinct().localCheckpoint(true)
+      val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      // field names aliased identically so both CASE branches carry the
+      // same struct type
+      val ka = struct(col("da").as("d"), col("a").as("i"))
+      val kb = struct(col("db").as("d"), col("b").as("i"))
+      val e = e0
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+        .select(
+          when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+          when(ka < kb, col("b")).otherwise(col("a")).as("dst"),
+          when(ka < kb, kb).otherwise(ka).as("kdst"))
+        .localCheckpoint(true)
+      // e1.kdst < e2.kdst ⇒ the closing edge, if present, is oriented
+      // exactly (e1.dst → e2.dst) — one membership probe, no direction
+      // double-count
       val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
         .join(e.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
         .orderBy("doc_id")

@@ -15,46 +15,53 @@ object Joins {
 
   /** As-of join (SURVEY.md §2.3 `join_asof`, §4.3): each `click` event is
     * enriched with the latest `purchase` event of the same user at/before
-    * its timestamp. Spark has no native ASOF; we compose a range join +
-    * per-left-row top-1 window — the standard Spark formulation. At scale
-    * the range join would be bucketed by (user, time-bucket); at fixture
-    * scale Catalyst picks a broadcast/shuffled hash join on user_id with
-    * the time predicate as a post-join filter.
+    * its timestamp. Spark has no native ASOF; the scale formulation is NOT
+    * a range join (clicks ⋈ all-prior-purchases fans out
+    * |clicks_u|×|purchases_u| per user — one hot user makes a key
+    * quadratic at 100 TB) but a MERGE over one per-user event stream:
+    * union both event kinds, order by (ts, kind), and forward-fill the
+    * purchase timestamp with last(..., ignoreNulls) over
+    * rows-unbounded-preceding — the win_fill_forward machinery. One
+    * shuffle on user_id, one sort, ZERO fan-out: each input row is
+    * touched exactly once regardless of per-user history length.
+    *
+    * Tie discipline: at equal ts a purchase sorts BEFORE the click
+    * (kind 0 < 1), so the `p_ts <= ts` boundary is inclusive — matching
+    * DuckDB ASOF's `>=` bound. Only p_ts is emitted, so order among
+    * equal-ts purchases (same p_ts value) cannot affect the result.
     */
   def asof(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select("event_id", "user_id", "ts", "event_type", "value")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") && col("p_ts") <= col("ts"), "left")
-    val w = Window.partitionBy("event_id").orderBy(col("p_ts").desc_nulls_last)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts").as("last_purchase_ts"))
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+    val kind = when(col("event_type") === "purchase", 0).otherwise(1)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), kind)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
       .orderBy("event_id")
   }
 
   /** Forward as-of: earliest `purchase` at/after each click — the "time to
-    * next conversion" shape. Same composition as [[asof]] with the
-    * inequality and pick order flipped; only `p_ts` is emitted, so equal-ts
-    * ties cannot affect the result (mirrors DuckDB ASOF's tie freedom).
+    * next conversion" shape. [[asof]] mirrored: same single per-user
+    * stream, `first(..., ignoreNulls)` over rows
+    * current-row-to-unbounded-following, with the tie order flipped (a
+    * click sorts BEFORE an equal-ts purchase, so `p_ts >= ts` stays
+    * inclusive). Same zero-fan-out plan: one shuffle, one sort.
     */
   def asofForward(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select("event_id", "user_id", "ts", "event_type")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left")
-    val w = Window.partitionBy("event_id").orderBy(col("p_ts").asc_nulls_last)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("ts"), col("p_ts").as("next_purchase_ts"))
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+    val kind = when(col("event_type") === "purchase", 1).otherwise(0)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), kind)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("next_purchase_ts", first(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_purchase_ts"))
       .orderBy("event_id")
   }
 

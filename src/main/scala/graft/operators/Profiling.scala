@@ -128,7 +128,7 @@ object Profiling {
               SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
                 count(*) AS cnt,
                 CAST(row_number() OVER (ORDER BY count(*) DESC,
-                  CAST($c AS VARCHAR)) AS BIGINT) AS rn
+                  CAST($c AS VARCHAR) NULLS FIRST) AS BIGINT) AS rn
               FROM orders GROUP BY $c)
             WHERE rn <= 3"""
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name NULLS FIRST, rn NULLS FIRST"),

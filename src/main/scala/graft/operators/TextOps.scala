@@ -119,12 +119,34 @@ object TextOps {
     * definition, defined once so dedup_minhash and dedup_cluster cannot
     * drift (the SQL side shares it the same way via mhBandCtes). Keeps
     * the band column so dedup_minhash can report which band matched.
+    *
+    * Hot buckets are CAPPED at df ∈ [2, 20] — the same discipline as
+    * dedup_near's shingle blocking (TextOps.scala:75-77) applied to band
+    * signatures: a signature shared by k docs emits k(k-1)/2 pairs from
+    * the self-join, and the near-identical boilerplate (license headers,
+    * templated pages) that forms hot buckets at 100 TB is exactly what
+    * would make one bucket quadratic. A bucket that hot carries no
+    * discrimination (its members band-collide on MANY signatures — the
+    * information-theoretic argument dedup_near already documents), and a
+    * true near-dup pair inside a dropped bucket still has 7 other bands
+    * to collide in (recall is property-tested in PropertySpec). The ≥2
+    * bound additionally prunes singleton buckets BEFORE the self-join.
+    * The cap count is one partial-aggregated pass on (band, sig) — the
+    * same key the join shuffles on, so the semi-join is co-partitioned.
     */
-  private[operators] def bandPairs(bands: DataFrame): DataFrame =
-    bands.as("x").join(bands.as("y"),
+  private[operators] val bandBucketCap = 20
+
+  private[operators] def bandPairs(bands: DataFrame): DataFrame = {
+    val okBuckets = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("n_bkt"))
+      .filter(col("n_bkt").between(2, bandBucketCap))
+      .select("band", "sig")
+    val capped = bands.join(okBuckets, Seq("band", "sig"), "left_semi")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.band").as("band"))
+  }
 
   /** Connected components by hash-min label propagation: every vertex
     * starts labeled with its own id; each round a vertex takes the min of
@@ -274,20 +296,24 @@ object TextOps {
     "corpus_decontam" -> ((s, d) => {
       // benchmark decontamination — the training-corpus hygiene pass every
       // LLM pipeline runs (GPT-3/PaLM-style n-gram overlap): flag train
-      // docs sharing any shingle with a held-out eval set (doc_id % 100
-      // == 0, ~1% of the corpus, standing in for an external benchmark
-      // suite). Output per contaminated train doc: how many of its
+      // docs sharing any shingle with a held-out eval set, standing in
+      // for an external benchmark suite. The eval slice is FIXED-SIZE by
+      // construction (doc_id % 100 == 0 AND doc_id < 2000 — at most 20
+      // docs no matter how large the corpus grows; the id cap never binds
+      // at fixture scale, so results are unchanged at sf ≤ 0.1), because
+      // that is what a real benchmark suite is: corpus-INDEPENDENT, MBs
+      // not TBs. Output per contaminated train doc: how many of its
       // shingles hit the eval set and how many distinct eval docs it
       // overlaps — the evidence a removal decision is made on.
-      // 100 TB shape: the EVAL side is the small one (benchmark suites
-      // are corpus-independent, MBs not TBs), so its shingle set is
-      // broadcast and the corpus is probed MAP-SIDE in a single scan —
-      // no shuffle proportional to corpus size; the final per-doc
+      // 100 TB shape: the EVAL side is the bounded one, so its shingle
+      // set is broadcast and the corpus is probed MAP-SIDE in a single
+      // scan — no shuffle proportional to corpus size; the final per-doc
       // aggregate shuffles only the (rare) hit rows.
       val sh = hashedShingles(s, d)
-      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+      val isEval = col("doc_id") % 100 === 0 && col("doc_id") < 2000
+      val evalSh = sh.filter(isEval)
         .select(col("sh"), col("doc_id").as("eval_id"))
-      sh.filter(col("doc_id") % 100 =!= 0)
+      sh.filter(!isEval)
         .join(broadcast(evalSh), "sh")
         .groupBy("doc_id")
         .agg(countDistinct(col("sh")).as("n_hit_shingles"),
@@ -714,10 +740,16 @@ object TextOps {
              min(${h60Duck("concat(CAST(seed AS VARCHAR), ':', shingle)")}) AS mh
            FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
            GROUP BY 1, 2),
-         bands AS (
+         bands0 AS (
            SELECT doc_id, CAST(seed // 2 AS INT) AS band,
              array_to_string(list_sort(list(mh)), ',') AS sig
-           FROM mh GROUP BY 1, 2)"""
+           FROM mh GROUP BY 1, 2),
+         bcap AS (
+           SELECT band, sig FROM bands0 GROUP BY band, sig
+           HAVING count(*) BETWEEN 2 AND 20),
+         bands AS (
+           SELECT b.doc_id, b.band, b.sig
+           FROM bands0 b JOIN bcap USING (band, sig))"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -760,8 +792,10 @@ object TextOps {
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "corpus_decontam" ->
       s"""WITH $shingleCtes,
-         ev AS (SELECT sh, doc_id AS eval_id FROM sh WHERE doc_id % 100 = 0),
-         tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0)
+         ev AS (SELECT sh, doc_id AS eval_id FROM sh
+                WHERE doc_id % 100 = 0 AND doc_id < 2000),
+         tr AS (SELECT doc_id, sh FROM sh
+                WHERE NOT (doc_id % 100 = 0 AND doc_id < 2000))
          SELECT tr.doc_id,
            count(DISTINCT tr.sh) AS n_hit_shingles,
            count(DISTINCT ev.eval_id) AS n_eval_docs

@@ -346,16 +346,18 @@ object Windows {
     *      — each partition holds a contiguous, disjoint key range — and
     *      rank locally per partition (window partitioned by partition id,
     *      so every window frame is bounded by a range-partition's size);
-    *   2. per-partition row counts (≤ #partitions rows) turn local ranks
-    *      into exact global ranks via broadcast cumulative offsets, and the
-    *      SQL-standard ntile bucket formula (first n%k buckets get
+    *   2. per-partition row counts (≤ #partitions rows — bounded by
+    *      cluster width, not data size) are collected and turned into
+    *      cumulative offsets DRIVER-SIDE (the same bounded driver work
+    *      AQE itself does with per-partition stats), then broadcast back;
+    *      the SQL-standard ntile bucket formula (first n%k buckets get
     *      ⌊n/k⌋+1 rows) maps global rank → quartile map-side.
     *
     * Correctness does not depend on where the sampled range boundaries
     * fall: global rank = offset + local rank is exact for any contiguous
     * ordered partitioning, and the sort key is total (o_orderkey unique).
-    * The only single-partition window runs over the ≤ #partitions count
-    * rows — bounded by cluster width, not data size.
+    * No single-partition exchange or global window appears ANYWHERE in
+    * the plan — PlanEvidenceSpec asserts this over every Window subtree.
     */
   private def winNtile(s: SparkSession, d: String): DataFrame = {
     val k = 4
@@ -365,15 +367,21 @@ object Windows {
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("pid")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // EAGER checkpoint before the two consumers (counts collect + final
+    // join): repartitionByRange SAMPLES its range boundaries per job, so
+    // without materialization the two jobs could land rows in different
+    // partitions and the broadcast offsets would be off at the boundaries
+    // (observed as ±1 quartile flips at sf0.01). Checkpointing also means
+    // the big sort runs ONCE, reused by both passes.
     val local = ranged.withColumn("lrn", row_number().over(wLocal))
-    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offs = counts
-      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-      .select("pid", "off", "n")
+      .localCheckpoint(true)
+    val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    var acc = 0L
+    val offRows = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o, n) }
+    import s.implicits._
+    val offs = offRows.toSeq.toDF("pid", "off", "n")
     local.join(broadcast(offs), "pid")
       .withColumn("rn", col("off") + col("lrn"))
       .withColumn("quartile", expr(

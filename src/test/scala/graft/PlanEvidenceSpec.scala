@@ -49,10 +49,28 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // range-partitioned re-plan must not (the final result orderBy is a
     // range exchange, which is fine — it sorts k rows per partition in
     // parallel, not through one task feeding a Window)
-    val bad = p.linesIterator.zipWithNext.exists { case (a, b) =>
-      a.contains("Window") && b.exists(_.contains("SinglePartition"))
+    // a regression plans Window <- Sort <- Exchange SinglePartition, so the
+    // Exchange may sit several lines below the Window: scan the Window's
+    // whole SUBTREE (following lines at strictly deeper tree indentation),
+    // not just the next line
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+    val bad = lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window") && {
+        val wi = indent(l)
+        lines.drop(i + 1).takeWhile(x => indent(x) > wi)
+          .exists(_.contains("Exchange SinglePartition"))
+      }
     }
-    assert(!bad, s"single-partition Window found:\n$p")
+    assert(!bad, s"single-partition Exchange feeding a Window:\n$p")
+  }
+
+  test("join_asof plans one window over a single per-user stream — no join, no fan-out") {
+    val p = plan(Joins.queries("join_asof")(spark, d))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of must not plan a range join (per-user fan-out):\n$p")
+    val pf = plan(Joins.queries("join_asof_forward")(spark, d))
+    assert(pf.contains("Window") && !pf.contains("Join"), pf)
   }
 
   test("sink_partitioned read prunes to the selected partition") {
@@ -60,16 +78,4 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"), p)
   }
 
-  private implicit class IterNext[A](it: Iterator[A]) {
-    def zipWithNext: Iterator[(A, Option[A])] = {
-      val buf = it.buffered
-      new Iterator[(A, Option[A])] {
-        def hasNext: Boolean = buf.hasNext
-        def next(): (A, Option[A]) = {
-          val a = buf.next()
-          (a, if (buf.hasNext) Some(buf.head) else None)
-        }
-      }
-    }
-  }
 }

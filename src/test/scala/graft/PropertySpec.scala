@@ -159,6 +159,44 @@ class PropertySpec extends AnyFunSuite {
     assert(missed.isEmpty, s"blocking dropped true pairs: $missed")
   }
 
+  test("minhash band-bucket cap drops no planted near-dup pair (recall gate)") {
+    // the bandPairs df∈[2,20] bucket cap must sacrifice recall ONLY in
+    // hot (information-free) buckets — every planted pair with 3-word
+    // shingle Jaccard ≥ 0.7 must still band-collide. Corpus and md5 hash
+    // family are both deterministic, so this is a fixed gate, not a
+    // flaky probabilistic one.
+    val (dir, all) = plantedCorpus()
+    val expected = exactPairs(all, ws => ws.sliding(3).map(_.mkString(" ")).toSet, 0.7)
+    assert(expected.size >= 10, s"corpus should plant many near-dup pairs, got ${expected.size}")
+    val got = graft.operators.TextOps.queries("dedup_minhash")(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val missed = expected.keySet -- got
+    assert(missed.isEmpty, s"bucket cap dropped true near-dup pairs: $missed")
+  }
+
+  private def uniformCorpus(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    (0 until n).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bandPairs: hot buckets are dropped entirely; small families fully paired") {
+    // 30 identical docs put 30 > cap(20) in every band bucket → the cap
+    // must suppress ALL pairs (the bounded-pairs-per-bucket invariant:
+    // no bucket ever emits more than cap·(cap-1)/2 pairs); 5 identical
+    // docs stay under the cap → all C(5,2) pairs emitted
+    val hot = graft.operators.TextOps.queries("dedup_minhash")(spark, uniformCorpus(30))
+    assert(hot.count() == 0L,
+      "a 30-doc identical family exceeds the bucket cap and must emit no pairs")
+    val small = graft.operators.TextOps.queries("dedup_minhash")(spark, uniformCorpus(5))
+      .select("a", "b").distinct()
+    assert(small.count() == 10L, "a 5-doc identical family must emit all C(5,2) pairs")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
       .map(_.filter { case (a, b) => a != b })
