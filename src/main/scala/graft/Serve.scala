@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.server.Server
+
+/** Start the serving surface: the HTTP JSON API plus the browser console
+  * at GET / (the reference's headline "web interface to query tabular
+  * files", README.md:2). Usage: `graft.Serve [port]` — default 8080,
+  * `0` binds an ephemeral port; the bound URL is printed on stdout.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val api = new Server.HttpApi(spark, port)
+    api.start()
+    println(s"graft console: http://localhost:${api.boundPort}/")
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -98,12 +98,33 @@ object Server {
     mapper.writeValueAsString(out)
   }
 
+  /** The browser console (the reference's headline surface — "a blazingly
+    * fast web interface to query tabular files", README.md:2): one
+    * self-contained static page, shipped as a classpath resource, that
+    * drives the same POST /query JSON protocol every other client uses.
+    * No build step, no external assets — the page is the whole UI.
+    */
+  lazy val consoleHtml: String = {
+    val in = getClass.getResourceAsStream("/graft/console.html")
+    require(in != null, "console.html missing from classpath")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
   /** Thin HTTP wrapper. `port = 0` binds an ephemeral port (tests);
-    * `boundPort` reports it. POST /query runs a request; GET /health for
-    * liveness.
+    * `boundPort` reports it. GET / serves the query console; POST /query
+    * runs a request; GET /health for liveness.
     */
   final class HttpApi(spark: SparkSession, port: Int) {
     private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+    http.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        // the root context is also the fall-through for unknown paths —
+        // serve the console only at exactly "/" so typos 404 loudly
+        if (ex.getRequestURI.getPath == "/")
+          reply(ex, 200, consoleHtml, "text/html; charset=utf-8")
+        else reply(ex, 404, """{"error":"not found"}""")
+    })
 
     http.createContext("/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -119,9 +140,10 @@ object Server {
       override def handle(ex: HttpExchange): Unit = reply(ex, 200, """{"status":"ok"}""")
     })
 
-    private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    private def reply(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(code, bytes.length)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()

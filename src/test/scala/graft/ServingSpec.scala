@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dialects
 import graft.server.Server
-import graft.sources.CatalogStore
+import graft.sources.{CatalogStore, JdbcCatalog}
 
 /** The serving surfaces: in-process request routing, the HTTP API
   * end-to-end, the CLI, and the persistent dataset catalog.
@@ -99,6 +99,38 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("browser console is served at GET / and drives the /query protocol") {
+    val api = new Server.HttpApi(spark, 0)
+    api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${api.boundPort}$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val page = get("/")
+      assert(page.statusCode === 200)
+      assert(page.headers.firstValue("Content-Type").orElse("").startsWith("text/html"))
+      val html = page.body()
+      assert(html.contains("<html") && html.contains("fetch('/query'"),
+        "the console page must drive the POST /query protocol")
+      // round-trip a query exactly the way the page's JS submits it
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${api.boundPort}/query"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"dialect":"sql","query":"SELECT count(*) AS n FROM orders","dir":"$d","maxRows":100}"""))
+        .build()
+      val resp = mapper.readTree(
+        client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      assert(resp.get("columns").get(0).asText === "n")
+      assert(resp.get("rows").get(0).get("n").asLong > 0)
+      // unknown paths 404 loudly instead of silently serving the console
+      assert(get("/nope").statusCode === 404)
+    } finally api.stop()
+  }
+
   // ---- CLI --------------------------------------------------------------
 
   test("CLI parses args and runs each dialect") {
@@ -143,6 +175,50 @@ class ServingSpec extends AnyFunSuite {
     CatalogStore.unregister(file, "my_orders")
     assert(CatalogStore.load(file).map(_.name) === Seq("my_nation"))
     Files.delete(file)
+  }
+
+  test("JDBC catalog (embedded Derby): migrations, concurrent writers, restart") {
+    val dbDir = Files.createTempDirectory("graft_jdbc_cat").resolve("db").toString
+    // two concurrent clients — separate connections, interleaved writers
+    // over OVERLAPPING names: the serializable upsert must lose no rows
+    // and produce no duplicate-key failures
+    val c1 = JdbcCatalog.connect(dbDir)
+    val c2 = JdbcCatalog.connect(dbDir)
+    try {
+      def writer(c: java.sql.Connection, names: Seq[String]): Thread = {
+        val t = new Thread(() => names.foreach { n =>
+          JdbcCatalog.register(c,
+            CatalogStore.Entry(n, s"$d/orders.parquet", "parquet",
+              Map("mergeSchema" -> "false")))
+        })
+        t.start(); t
+      }
+      val names = (1 to 12).map(i => s"ds_$i")
+      val (t1, t2) = (writer(c1, names), writer(c2, names.reverse))
+      t1.join(60000); t2.join(60000)
+      assert(JdbcCatalog.load(c1).map(_.name) === names.sorted,
+        "concurrent upserts must converge to exactly one row per name")
+
+      // replace-wins + unregister through a different connection
+      JdbcCatalog.register(c2,
+        CatalogStore.Entry("ds_1", s"$d/nation.parquet", "parquet"))
+      assert(JdbcCatalog.load(c1).find(_.name == "ds_1").get.path.endsWith("nation.parquet"))
+      JdbcCatalog.unregister(c1, "ds_2")
+      assert(!JdbcCatalog.load(c2).map(_.name).contains("ds_2"))
+    } finally { c1.close(); c2.close() }
+
+    // the restart path: fresh connection (re-runs the migration ladder as
+    // a no-op) + brand-new session reproduces the queryable catalog
+    val c3 = JdbcCatalog.connect(dbDir)
+    try {
+      val fresh = spark.newSession()
+      assert(!fresh.catalog.tableExists("ds_3"))
+      JdbcCatalog.registerAll(fresh, c3)
+      assert(fresh.table("ds_3").count() ===
+        spark.read.parquet(s"$d/orders.parquet").count())
+      assert(fresh.table("ds_1").count() ===
+        spark.read.parquet(s"$d/nation.parquet").count())
+    } finally c3.close()
   }
 
   // ---- object-store scheme routing --------------------------------------
