@@ -27,8 +27,16 @@ object GraphQL {
   case class VBool(v: Boolean) extends Value
   case class VList(v: List[Value]) extends Value
   case class VObj(v: List[(String, Value)]) extends Value
+  /** A `$name` variable reference — resolved by [[bind]] before planning. */
+  case class VVar(name: String) extends Value
 
   case class Field(name: String, args: List[(String, Value)], selections: List[Field])
+
+  /** One `$name: Type = default` declaration from the operation header
+    * (the type name is parsed and discarded — values arrive already typed
+    * through the variables map / JSON document).
+    */
+  case class VarDecl(name: String, default: Option[Value])
 
   // ---- tokenizer + recursive-descent parser --------------------------------
   private class Parser(input: String) {
@@ -77,6 +85,9 @@ object GraphQL {
           while (peek != '}') { val k = ident(); expect(':'); fields += (k -> value()); ws() }
           pos += 1
           VObj(fields.toList)
+        case '$' =>
+          pos += 1
+          VVar(ident())
         case c if c == 't' || c == 'f' =>
           val id = ident()
           VBool(id == "true")
@@ -114,17 +125,79 @@ object GraphQL {
       Field(name, args, sels)
     }
 
-    def query(): Field = {
+    /** Optional `query ($a: Type = default, ...)` operation header. */
+    private def varDecls(): List[VarDecl] = {
+      ws()
+      if (!input.startsWith("query", pos)) return Nil
+      pos += 5
+      ws()
+      if (peek != '(') return Nil
+      pos += 1
+      val decls = scala.collection.mutable.ListBuffer[VarDecl]()
+      ws()
+      while (peek != ')') {
+        expect('$')
+        val name = ident()
+        expect(':')
+        ident() // type name, discarded
+        ws()
+        if (peek == '!') pos += 1 // non-null marker, ditto
+        ws()
+        val default = if (peek == '=') { pos += 1; Some(value()) } else None
+        decls += VarDecl(name, default)
+        ws()
+      }
+      pos += 1
+      decls.toList
+    }
+
+    def query(): (List[VarDecl], Field) = {
+      val decls = varDecls()
       expect('{')
       val f = field()
       expect('}')
       ws()
       if (pos != input.length) fail("trailing input")
-      f
+      (decls, f)
     }
   }
 
-  def parse(q: String): Field = new Parser(q).query()
+  def parse(q: String): Field = parseOperation(q)._2
+
+  def parseOperation(q: String): (List[VarDecl], Field) = new Parser(q).query()
+
+  /** Substitute every `$var` reference from `vars` (declared defaults
+    * already folded in by [[resolveVars]]); unbound references fail
+    * loudly — a typo can never plan as a NULL literal.
+    */
+  private def bindValue(v: Value, vars: Map[String, Value]): Value = v match {
+    case VVar(n) => vars.getOrElse(n,
+      throw new IllegalArgumentException(s"unbound GraphQL variable: $$$n"))
+    case VList(xs) => VList(xs.map(bindValue(_, vars)))
+    case VObj(fs) => VObj(fs.map { case (k, x) => k -> bindValue(x, vars) })
+    case other => other
+  }
+
+  private def bind(f: Field, vars: Map[String, Value]): Field =
+    Field(f.name, f.args.map { case (k, v) => k -> bindValue(v, vars) },
+      f.selections.map(bind(_, vars)))
+
+  /** Declared defaults ∪ provided values, with strictness both ways:
+    * a provided variable must be declared, and a declared variable with
+    * no default must be provided.
+    */
+  private def resolveVars(
+      decls: List[VarDecl], provided: Map[String, Value]): Map[String, Value] = {
+    val declared = decls.map(_.name).toSet
+    val unknown = provided.keySet -- declared
+    require(unknown.isEmpty, s"undeclared GraphQL variable(s): ${unknown.mkString(", ")}")
+    val defaults = decls.flatMap(d => d.default.map(d.name -> _)).toMap
+    val bound = defaults ++ provided
+    val missing = declared -- bound.keySet
+    require(missing.isEmpty,
+      s"missing GraphQL variable(s) with no default: ${missing.mkString(", ")}")
+    bound
+  }
 
   // ---- planner: AST → DataFrame -------------------------------------------
   private def litOf(v: Value): Column = v match {
@@ -295,8 +368,20 @@ object GraphQL {
   }
 
   /** Translate + execute one parsed query against the registry. */
-  def run(s: SparkSession, dir: String, q: String): DataFrame = {
-    val root = parse(q)
+  def run(s: SparkSession, dir: String, q: String): DataFrame =
+    runWithVariables(s, dir, q, Map.empty)
+
+  /** Run an operation with GraphQL variables: the standard
+    * `query($x: Type = default) { ... field(arg: $x) ... }` surface.
+    * Values arrive as [[Value]]s (or via the JSON form below); binding is
+    * a pure AST substitution, so the planner is untouched — variables
+    * compose with every existing argument (filter/orderBy/limit/offset/
+    * groupBy/having).
+    */
+  def runWithVariables(
+      s: SparkSession, dir: String, q: String, vars: Map[String, Value]): DataFrame = {
+    val (decls, rawRoot) = parseOperation(q)
+    val root = bind(rawRoot, resolveVars(decls, vars))
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 

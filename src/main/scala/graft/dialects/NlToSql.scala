@@ -73,6 +73,12 @@ object NlToSql {
     """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalByCompare =
     """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is (above|below) (\d+)""".r
+  private val TotalByNumRange =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is between (\d+(?:\.\d+)?) and (\d+(?:\.\d+)?)""".r
+  private val TotalByTwoDims =
+    """(?i)total ([a-z ]+) by ([a-z ]+) and ([a-z ]+)""".r
+  private val CountByTwoDims =
+    """(?i)(?:number|count) of (\w+) by ([a-z ]+) and ([a-z ]+)""".r
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
 
@@ -131,6 +137,47 @@ object NlToSql {
          FROM $fact
          WHERE $dateCol BETWEEN TIMESTAMP '$from 00:00:00' AND TIMESTAMP '$to 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByNumRange(measure, d, fmeasure, lo, hi) =>
+      // inclusive numeric range on a measure of the same fact table:
+      // "total order price by status where order price is between 150000
+      // and 300000". Matched before TotalByWhere (whose single-token value
+      // capture cannot span "between X and Y") and before TotalByTwoDims
+      // (digits are outside its dimension character class).
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (ftable, fcol) = measures.getOrElse(fmeasure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown filter measure: $fmeasure"))
+      val (table, dcol) = dim(d)
+      require(table == fact && ftable == fact, s"terms must be on $fact")
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact WHERE $fcol BETWEEN $lo AND $hi
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByTwoDims(measure, d1, d2) =>
+      // multi-dimension group-by: "total order price by market segment
+      // and status" — dimensions may live on the fact table or one
+      // declared star-schema hop away (the join path resolves it)
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (t1, c1) = dim(d1)
+      val (t2, c2) = dim(d2)
+      val offFact = Set(t1, t2) - fact
+      require(offFact.size <= 1,
+        s"dimensions must share at most one non-fact table, got $offFact")
+      val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
+      s"""SELECT $c1, $c2,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from GROUP BY $c1, $c2
+         ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
+    case CountByTwoDims(_, d1, d2) =>
+      // "number of orders by status and priority" — both dimensions must
+      // live on one table (no measure anchors a join here)
+      val (t1, c1) = dim(d1)
+      val (t2, c2) = dim(d2)
+      require(t1 == t2, s"dimensions $d1 and $d2 must be on one table")
+      s"""SELECT $c1, $c2, count(*) AS cnt FROM $t1
+         GROUP BY $c1, $c2
+         ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
     case TotalByCompare(measure, d, fmeasure, dir, n) =>
       // numeric-comparison filter on a (possibly different) measure of the
       // same fact table: "total order price by status where order price is

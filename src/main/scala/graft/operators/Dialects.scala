@@ -57,6 +57,12 @@ object Dialects {
   // orders — the translator routes FROM through the declared join path
   val nlJoinQuestion: String = "total order price by market segment"
   val nlDistinctQuestion: String = "number of unique customers by status"
+  val nlBetweenQuestion: String =
+    "total order price by status where order price is between 150000 and 300000"
+  // two group-by dimensions, one a star-schema hop away (customer) — the
+  // translator routes FROM through the declared join path
+  val nlTwoDimsQuestion: String = "total order price by market segment and status"
+  val nlCountTwoDimsQuestion: String = "number of orders by status and priority"
 
   /** Aggregation over a JOINED dimension through the GraphQL front-end —
     * the dotted groupBy key resolves through the fk graph (the GraphQL
@@ -66,6 +72,19 @@ object Dialects {
     """{ orders_agg(groupBy: ["customer.c_mktsegment"],
                     orderBy: ["customer_c_mktsegment"]) {
          customer_c_mktsegment count sum_o_totalprice } }"""
+
+  /** GraphQL variables (`query($x: Type = default)`): the parametrized-
+    * query surface every GraphQL client uses. One variable takes its
+    * declared default (status "O"), two are provided; binding is AST
+    * substitution, so variables compose with every argument kind.
+    */
+  val gqlVariablesQuery: String =
+    """query($status: String = "O", $minPrice: Float, $n: Int) {
+       orders(filter: {o_orderstatus: {eq: $status}, o_totalprice: {gt: $minPrice}},
+              orderBy: ["o_orderkey"], limit: $n) {
+         o_orderkey o_totalprice } }"""
+  val gqlVariablesVars: Map[String, GraphQL.Value] =
+    Map("minPrice" -> GraphQL.VFloat(200000.0), "n" -> GraphQL.VInt(25))
 
   /** SQL exemplar for the serving seam: stays in the Spark∩DuckDB common
     * dialect (round-before-double-cast money discipline), so the request
@@ -92,6 +111,11 @@ object Dialects {
     "nl_date_range" -> ((s, d) => NlToSql.run(s, d, nlDateRangeQuestion)),
     "nl_group_join" -> ((s, d) => NlToSql.run(s, d, nlJoinQuestion)),
     "nl_distinct_count" -> ((s, d) => NlToSql.run(s, d, nlDistinctQuestion)),
+    "nl_between" -> ((s, d) => NlToSql.run(s, d, nlBetweenQuestion)),
+    "nl_two_dims" -> ((s, d) => NlToSql.run(s, d, nlTwoDimsQuestion)),
+    "nl_count_two_dims" -> ((s, d) => NlToSql.run(s, d, nlCountTwoDimsQuestion)),
+    "gql_variables" -> ((s, d) =>
+      GraphQL.runWithVariables(s, d, gqlVariablesQuery, gqlVariablesVars)),
     // the serving seam end-to-end: each dialect routed through
     // graft.server.Server.handle — the same path the HTTP API and CLI use
     "serve_sql" -> ((s, d) =>
@@ -149,6 +173,13 @@ object Dialects {
     "nl_date_range" -> NlToSql.translate(nlDateRangeQuestion),
     "nl_group_join" -> NlToSql.translate(nlJoinQuestion),
     "nl_distinct_count" -> NlToSql.translate(nlDistinctQuestion),
+    "nl_between" -> NlToSql.translate(nlBetweenQuestion),
+    "nl_two_dims" -> NlToSql.translate(nlTwoDimsQuestion),
+    "nl_count_two_dims" -> NlToSql.translate(nlCountTwoDimsQuestion),
+    "gql_variables" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 25""",
     "serve_sql" -> serveSqlQuery,
     "serve_gql" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_acctbal

@@ -130,6 +130,43 @@ class DialectSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
   }
 
+  test("GraphQL variables: defaults fold in, strict binding both ways") {
+    import graft.operators.Dialects
+    // exemplar: $status takes its declared default, $minPrice/$n provided
+    val df = GraphQL.runWithVariables(spark, d,
+      Dialects.gqlVariablesQuery, Dialects.gqlVariablesVars)
+    val rows = df.collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getDouble(1) > 200000.0))
+    // a declared variable with no default must be provided
+    assertThrows[IllegalArgumentException](GraphQL.runWithVariables(spark, d,
+      Dialects.gqlVariablesQuery, Dialects.gqlVariablesVars - "minPrice"))
+    // a provided variable must be declared
+    assertThrows[IllegalArgumentException](GraphQL.runWithVariables(spark, d,
+      Dialects.gqlVariablesQuery, Dialects.gqlVariablesVars +
+        ("typo" -> GraphQL.VInt(1))))
+    // an undeclared $reference in the body fails loudly, never plans NULL
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(filter: {o_totalprice: {gt: $nope}}, limit: 1) { o_orderkey } }"""))
+  }
+
+  test("NL multi-dimension and numeric-between productions") {
+    // both dims on the fact table
+    assert(NlToSql.translate("number of orders by status and priority")
+      .contains("GROUP BY o_orderstatus, o_orderpriority"))
+    // one dim a star-schema hop away routes through the join path
+    val twoDim = NlToSql.translate("total order price by market segment and status")
+    assert(twoDim.contains("JOIN customer") &&
+      twoDim.contains("GROUP BY c_mktsegment, o_orderstatus"))
+    // numeric between
+    assert(NlToSql.translate(
+        "total order price by status where order price is between 150000 and 300000")
+      .contains("BETWEEN 150000 AND 300000"))
+    // dims on two different non-fact tables still fail loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("number of orders by market segment and language"))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")
