@@ -74,7 +74,24 @@ object Tables {
     */
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Metadata-only parallelism probe: every fanout caller passes a file
+    // scan, whose split count is ≥ its file count, so `inputFiles.length`
+    // (resolved from the FileIndex during analysis) is a sound lower bound.
+    // Few-but-huge files (count < target) still split by maxPartitionBytes,
+    // so only then refine with byte sizes — stat-ing < target files is
+    // cheap. The previous `df.rdd.getNumPartitions` forced full physical
+    // planning + RDD lineage per call (round-5 carried-over nit) just to
+    // read the same number.
+    val files = df.inputFiles
+    if (files.length >= target) return df
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val splits = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
+    if (splits < target) df.repartition(target) else df
   }
 
   // ---- determinism helpers (SURVEY.md §7.1) --------------------------------
