@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 import graft.Tables._
 
 /** §2.3 joins + subqueries (SURVEY.md). All joins are declared logically and
@@ -122,6 +123,64 @@ object Joins {
     "join_broadcast" -> ((s, d) =>
       customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name").orderBy("c_custkey")),
+    "join_star" -> ((s, d) => {
+      // TPC-H Q5-shaped star join — the headline multi-dimension
+      // analytics plan: fact (lineitem) × fact (orders) × three
+      // dimensions + region filter, revenue per nation. Scale shape:
+      // lineitem⋈orders is the one genuine fact-fact shuffle (on the
+      // join key; bucketed co-location — join_bucketed — removes even
+      // that); customer/nation/region are broadcast-joined so the fact
+      // stream is never re-shuffled for a dimension, and the final
+      // aggregate exchanges only (n_name) partials. Supplier closes the
+      // Q5 cycle (s_nationkey = c_nationkey) map-side off a broadcast.
+      val disc1 = lit(1).cast(Money) - dec(col("l_discount"))
+      lineitem(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+              col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(outDec(sum(dec(col("l_extendedprice")) * disc1)).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name")
+    }),
+    "join_temporal_snapshot" -> ((s, d) => {
+      // Point-in-time (temporal snapshot) join — the consumer side of
+      // scd2_history: probe each fact timestamp against the dimension
+      // version valid at that instant. Probes are the same orders
+      // shifted 30 days back, so they hit HISTORICAL versions, not just
+      // the open one. Versions per key are non-overlapping half-open
+      // ranges [valid_from, valid_to), so the key-EQUI join fans out to
+      // at most versions-per-key rows (tens, bounded by entity change
+      // rate — never |facts|×|history|) before the range predicate keeps
+      // exactly one — THE standard warehouse temporal-join plan; no
+      // theta join, no per-row window over history.
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val dim = orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey").as("d_custkey"),
+          col("o_orderkey").as("version_key"),
+          col("o_totalprice").as("version_price"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      val probe = orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_orderkey").as("fact_key"), col("o_custkey"),
+          (col("o_orderdate") - expr("INTERVAL 30 DAY")).as("snap_ts"))
+      probe.join(dim,
+          probe("o_custkey") === dim("d_custkey") &&
+          probe("snap_ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || probe("snap_ts") < dim("valid_to")),
+          "left")
+        .select(col("fact_key"), col("snap_ts"),
+          col("version_key"), col("version_price"))
+        .orderBy("fact_key")
+    }),
     "join_asof" -> (asof _),
     "join_fuzzy" -> ((s, d) => {
       // entity resolution by BLOCKED edit distance — the dirty-name-to-
@@ -533,6 +592,37 @@ object Joins {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
          ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id NULLS FIRST""",
+    "join_star" ->
+      """SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+         count(*) AS n_lineitems
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY n_name NULLS FIRST""",
+    "join_temporal_snapshot" ->
+      """WITH v AS (
+           SELECT o_custkey AS d_custkey, o_orderkey AS version_key,
+             o_totalprice AS version_price, o_orderdate AS valid_from,
+             lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to
+           FROM orders WHERE o_custkey < 50),
+         p AS (
+           SELECT o_orderkey AS fact_key, o_custkey,
+             o_orderdate - INTERVAL 30 DAY AS snap_ts
+           FROM orders WHERE o_custkey < 50)
+         SELECT fact_key, snap_ts, version_key, version_price
+         FROM p LEFT JOIN v ON p.o_custkey = v.d_custkey
+           AND p.snap_ts >= v.valid_from
+           AND (v.valid_to IS NULL OR p.snap_ts < v.valid_to)
+         ORDER BY fact_key NULLS FIRST""",
     "subq_in" ->
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)

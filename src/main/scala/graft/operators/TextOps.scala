@@ -589,6 +589,109 @@ object TextOps {
             .as("redacted_md5"))
         .orderBy("doc_id")),
 
+    "text_line_dedup" -> ((s, d) => {
+      // C4/RefinedWeb-style cross-document line dedup: "lines" (8-token
+      // segments — the fixture corpus has no newlines) repeated across
+      // ≥25 documents are boilerplate; remove them from every doc and
+      // reassemble. Boilerplate is synthesized deterministically (docs
+      // with doc_id%5==0 get a fixed 8-token banner PREPENDED, so the
+      // repeated text aligns to a segment boundary) — the join_fuzzy
+      // dirty-data discipline, applied identically in the oracle.
+      // 100 TB shape: segment build is map work; detection is ONE
+      // (segment)-keyed partial-aggregating shuffle; removal is a
+      // segment-keyed equi join (no broadcast of anything
+      // corpus-proportional); reassembly is one doc-keyed agg with
+      // per-doc-bounded state. Exactly the line-hash-groupBy plan the
+      // C4 pipeline runs.
+      val banner = "subscribe to our newsletter for more updates today"
+      val segs = fanout(documents(s, d))
+        .withColumn("txt", when(col("doc_id") % 5 === 0,
+          concat_ws(" ", lit(banner), col("text"))).otherwise(col("text")))
+        .select(col("doc_id"), split(lower(col("txt")), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, (size(t)-1) div 8)")).as("si"))
+        .select(col("doc_id"), col("si"),
+          expr("concat_ws(' ', slice(t, si*8+1, 8))").as("seg"))
+      val dfCnt = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(dfCnt, "seg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(L).as("n_segs"),
+          sum(when(col("df") >= 25, 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ", expr(
+            "transform(filter(sort_array(collect_list(struct(si, seg, df)))," +
+            " x -> x.df < 25), x -> x.seg)"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style within-doc repetition screen: fraction of duplicate
+      // word trigrams per doc (the "remove pathologically repetitive
+      // docs" quality rule). Repetition is synthesized deterministically
+      // (doc_id%7==0 doubles its text → ~50% duplicate trigrams). All
+      // work is per-row map arithmetic — trigram array + in-row distinct;
+      // NO shuffle at any scale except the output sort. The ratio is
+      // exact fixed-point (n_tri-n_uniq)*10000 div n_tri: round() on
+      // exact rationals hits the engines' divergent .5 double-rounding
+      // (the text_bigram_prob lesson).
+      fanout(documents(s, d))
+        .withColumn("txt", when(col("doc_id") % 7 === 0,
+          concat_ws(" ", col("text"), col("text"))).otherwise(col("text")))
+        .withColumn("t", split(lower(col("txt")), " "))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(t)-3)," +
+          " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))").as("tri"))
+        .select(col("doc_id"),
+          size(col("tri")).cast(L).as("n_tri"),
+          size(array_distinct(col("tri"))).cast(L).as("n_uniq"))
+        .withColumn("dup_fp", expr("((n_tri - n_uniq) * 10000) div n_tri"))
+        .orderBy("doc_id")
+    }),
+
+    "pack_sequences" -> ((s, d) => {
+      // Fixed-budget sequence packing — the "pack documents into
+      // 512-token training sequences" preprocessing step: concatenate
+      // docs per language in doc_id order; each doc is assigned the pack
+      // and offset where its first token lands. The global per-lang
+      // running sum does NOT use a global window: winNtile's two-phase
+      // plan (Windows.scala) — range-partition on the total order
+      // (lang, doc_id), local cumsum per (partition, lang) window, and
+      // per-(partition, lang) token totals (≤ partitions × langs rows —
+      // bounded by cluster width, not data) collected into broadcast
+      // cumulative offsets. No single-partition exchange at any scale.
+      val budget = 512L
+      val parts = s.sparkContext.defaultParallelism
+      val toksz = fanout(documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast(L).as("n_tok"))
+      // EAGER checkpoint: repartitionByRange samples boundaries per job;
+      // the two consumers (offset collect + final join) must see the SAME
+      // partitioning (winNtile's observed ±1 flips otherwise)
+      val ranged = toksz.repartitionByRange(parts, col("lang"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wLoc = Window.partitionBy("pid", "lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = ranged.withColumn("lb",
+        coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
+      val sums = ranged.groupBy("pid", "lang").agg(sum(col("n_tok")).as("sm"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val offRows = sums.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, sm) =>
+          val o = acc; acc += sm; (pid, lang, o)
+        }
+      }
+      import s.implicits._
+      val offDf = offRows.toDF("pid", "lang", "off")
+      local.join(broadcast(offDf), Seq("pid", "lang"))
+        .withColumn("before", col("off") + col("lb"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr(s"before div $budget").as("pack_id"),
+          expr(s"before % $budget").as("pack_offset"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "text_bigrams" -> ((s, d) =>
       // corpus bigram frequency (the n-gram LM counting shape): index
       // explode + plain-projection concat (codegen'd, not a HOF lambda),
@@ -933,6 +1036,55 @@ object TextOps {
          WHERE c_w1 >= 10
          ORDER BY p DESC NULLS LAST, c_bi DESC NULLS LAST, bigram NULLS FIRST
          LIMIT 100""",
+    "text_line_dedup" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'subscribe to our newsletter for more updates today' || ' ' || text
+               ELSE text END AS txt
+           FROM documents),
+         t AS (SELECT doc_id, string_split(lower(txt), ' ') AS w FROM b),
+         segs AS (
+           SELECT doc_id, si, array_to_string(w[si*8+1 : si*8+8], ' ') AS seg
+           FROM (SELECT doc_id, w, unnest(range(0, (len(w)-1)//8 + 1)) AS si FROM t)),
+         d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (d.df >= 25) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             list(s.seg ORDER BY s.si) FILTER (d.df < 25), ' '), '')) AS clean_md5
+         FROM segs s JOIN d USING (seg)
+         GROUP BY s.doc_id ORDER BY s.doc_id NULLS FIRST""",
+    "text_repetition" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS txt
+           FROM documents),
+         t AS (SELECT doc_id, string_split(lower(txt), ' ') AS w FROM b),
+         g AS (
+           SELECT doc_id,
+             list_transform(range(0, len(w)-2),
+               i -> array_to_string(w[i+1 : i+3], ' ')) AS tri
+           FROM t WHERE len(w) >= 3)
+         SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+           CAST((len(tri) - len(list_distinct(tri))) * 10000 // len(tri) AS BIGINT)
+             AS dup_fp
+         FROM g ORDER BY doc_id NULLS FIRST""",
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS before
+           FROM t)
+         SELECT doc_id, lang, n_tok,
+           CAST(before // 512 AS BIGINT) AS pack_id,
+           CAST(before % 512 AS BIGINT) AS pack_offset
+         FROM c ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""",
     "text_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
            SELECT t[i] || ' ' || t[i+1] AS bigram

@@ -43,26 +43,52 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("win_ntile never funnels the table through a single-partition window") {
-    val p = plan(Windows.queries("win_ntile")(spark, d))
-    // a global ntile would plan Window after Exchange SinglePartition; the
-    // range-partitioned re-plan must not (the final result orderBy is a
-    // range exchange, which is fine — it sorts k rows per partition in
-    // parallel, not through one task feeding a Window)
-    // a regression plans Window <- Sort <- Exchange SinglePartition, so the
-    // Exchange may sit several lines below the Window: scan the Window's
-    // whole SUBTREE (following lines at strictly deeper tree indentation),
-    // not just the next line
+  // a global window plans Window <- Sort <- Exchange SinglePartition, so the
+  // Exchange may sit several lines below the Window: scan the Window's
+  // whole SUBTREE (following lines at strictly deeper tree indentation),
+  // not just the next line
+  private def hasSinglePartitionWindow(p: String): Boolean = {
     val lines = p.linesIterator.toVector
     def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
-    val bad = lines.zipWithIndex.exists { case (l, i) =>
+    lines.zipWithIndex.exists { case (l, i) =>
       l.contains("Window") && {
         val wi = indent(l)
         lines.drop(i + 1).takeWhile(x => indent(x) > wi)
           .exists(_.contains("Exchange SinglePartition"))
       }
     }
-    assert(!bad, s"single-partition Exchange feeding a Window:\n$p")
+  }
+
+  test("win_ntile never funnels the table through a single-partition window") {
+    val p = plan(Windows.queries("win_ntile")(spark, d))
+    // a global ntile would plan Window after Exchange SinglePartition; the
+    // range-partitioned re-plan must not (the final result orderBy is a
+    // range exchange, which is fine — it sorts k rows per partition in
+    // parallel, not through one task feeding a Window)
+    assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
+  }
+
+  test("pack_sequences computes its global running sum without a global window") {
+    val p = plan(TextOps.queries("pack_sequences")(spark, d))
+    assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
+  }
+
+  test("join_star broadcasts every dimension; the fact table is never broadcast") {
+    val df = Joins.queries("join_star")(spark, d)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only non-broadcast join is the lineitem⋈orders fact-fact join;
+    // lineitem itself must never sit under a BroadcastExchange
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+    val badBroadcast = lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("BroadcastExchange") && {
+        val bi = indent(l)
+        lines.drop(i + 1).takeWhile(x => indent(x) > bi)
+          .exists(_.contains("lineitem"))
+      }
+    }
+    assert(!badBroadcast, s"fact table under a BroadcastExchange:\n$p")
   }
 
   test("join_asof plans one window over a single per-user stream — no join, no fan-out") {
