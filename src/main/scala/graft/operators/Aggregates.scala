@@ -121,6 +121,22 @@ object Aggregates {
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
+    "agg_minmax_by" -> ((s, d) =>
+      // argmin/argmax aggregates (the min_by/max_by surface): WHICH
+      // order carried each customer's extreme price. Built-in
+      // min_by/max_by tie-break is arbitrary in both engines, so the
+      // extreme is picked via lexicographic struct min/max over
+      // (price, orderkey) — the resample_ohlc discipline:
+      // deterministic under any parallelism, still ONE
+      // partial-aggregating keyed shuffle.
+      orders(s, d).groupBy("o_custkey")
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("max_order"),
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("min_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
     "agg_stats" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(
@@ -541,6 +557,12 @@ object Aggregates {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_minmax_by" ->
+      """SELECT o_custkey,
+         max({'p': o_totalprice, 'k': o_orderkey}).k AS max_order,
+         min({'p': o_totalprice, 'k': o_orderkey}).k AS min_order,
+         count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_custkey NULLS FIRST""",
     "agg_stats" ->
       """SELECT l_returnflag,
          round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -692,6 +692,58 @@ object TextOps {
         .orderBy("lang", "doc_id")
     }),
 
+    "dedup_span" -> ((s, d) => {
+      // Lee-et-al-style substring-dedup signal: SLIDING 12-token spans
+      // at every offset — unlike text_line_dedup's aligned segments,
+      // this catches duplicated text at ANY alignment (the
+      // "deduplicating training data makes LMs better" shape, without
+      // the suffix array: span-hash counting finds the same shared
+      // substrings for fixed span length). Per doc: total distinct
+      // spans, spans shared with ≥1 other doc, duplicated fraction in
+      // exact fixed-point. Plan: span build is map work — n-k+1 HASHED
+      // spans per doc (the 60-bit portable hash; span strings never
+      // enter a shuffle); detection is one (span-hash)-keyed partial
+      // agg (count state only — no pair fan-out anywhere: the df count
+      // joins BACK to docs, it never self-joins); per-doc rollup is one
+      // doc-keyed agg. Three keyed shuffles, all linear in corpus size.
+      val spans = toks(s, d).filter(size(col("t")) >= 12)
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, size(t)-12)")).as("i"))
+        .select(col("doc_id"),
+          expr(h60Spark("concat_ws(' ', slice(t, i+1, 12))")).as("sp"))
+        .distinct()
+      val dfc = spans.groupBy("sp").agg(count(lit(1)).as("df"))
+      spans.join(dfc, "sp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(L).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("dup_fp", expr("(n_shared * 10000) div n_spans"))
+        .orderBy("doc_id")
+    }),
+
+    "split_leakage" -> ((s, d) => {
+      // Train/test contamination gate — the composition every training
+      // pipeline must run before shipping a split: near-dup pairs
+      // (dedup_near's EXACT machinery — shared shinglePairStats, so this
+      // gate cannot drift from what dedup actually finds) that STRADDLE
+      // split boundaries (split_assign's EXACT formula — shared
+      // splitBucketSpark) are leakage: training contains a near-copy of
+      // an eval doc. Plan: pair generation is the capped-blocking shape
+      // (scale-safe per dedup_near); split assignment is pure map work
+      // joined doc-keyed onto the small surviving pair list.
+      val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
+      val pairs = shinglePairStats(s, d).filter(jacc >= 0.5)
+        .select(col("a"), col("b"), r4(jacc).as("jaccard"))
+      val splits = documents(s, d)
+        .select(col("doc_id"), expr(splitCase(s"($splitBucketSpark)")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"), col("jaccard"))
+        .orderBy("a", "b")
+    }),
+
     "text_bigrams" -> ((s, d) =>
       // corpus bigram frequency (the n-gram LM counting shape): index
       // explode + plain-projection concat (codegen'd, not a HOF lambda),
@@ -1036,6 +1088,29 @@ object TextOps {
          WHERE c_w1 >= 10
          ORDER BY p DESC NULLS LAST, c_bi DESC NULLS LAST, bigram NULLS FIRST
          LIMIT 100""",
+    "dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         s AS (SELECT DISTINCT doc_id,
+                 ${h60Duck("array_to_string(w[i+1 : i+12], ' ')")} AS sp
+               FROM (SELECT doc_id, w, unnest(range(0, len(w)-11)) AS i FROM t
+                     WHERE len(w) >= 12)),
+         d AS (SELECT sp, count(*) AS df FROM s GROUP BY 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (d.df >= 2) AS BIGINT) AS n_shared,
+           CAST(count(*) FILTER (d.df >= 2) * 10000 // count(*) AS BIGINT) AS dup_fp
+         FROM s JOIN d USING (sp)
+         GROUP BY s.doc_id ORDER BY s.doc_id NULLS FIRST""",
+    "split_leakage" ->
+      s"""WITH $shinglePairCtes,
+         sp AS (SELECT doc_id, ${splitCase(s"($splitBucketDuck)")} AS split
+                FROM documents)
+         SELECT a, b, spa.split AS split_a, spb.split AS split_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         JOIN sp spa ON a = spa.doc_id JOIN sp spb ON b = spb.doc_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+           AND spa.split <> spb.split
+         ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "text_line_dedup" ->
       """WITH b AS (
            SELECT doc_id,
