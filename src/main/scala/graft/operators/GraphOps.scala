@@ -34,13 +34,21 @@ import graft.Tables._
   */
 object GraphOps {
 
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
+  /** Undirected customer↔supplier trade edges (both directions emitted) —
+    * shared by pagerank and the degree profile so the two metrics are
+    * guaranteed to describe the same graph.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = tradeEdges(s, d)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // materialize the (small: one row per distinct trade pair, both
     // directions) edge+degree list once; 3 iterations reuse it
@@ -64,6 +72,18 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+
+    "graph_degrees" -> ((s, d) =>
+      // degree distribution of the trade graph — the first thing you look
+      // at before running anything iterative on 100 TB of edges (hub
+      // detection: a heavy-tailed histogram says salt-or-cap before
+      // joining on vertex keys). Two keyed partial aggs (vertex degree,
+      // then degree histogram) — both map-side combinable, output rows
+      // bounded by the number of DISTINCT degrees, never vertices.
+      tradeEdges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("degree")),
 
     "graph_triangles" -> ((s, d) => {
       // per-vertex triangle counts over the minhash CANDIDATE graph — the
@@ -132,6 +152,13 @@ object GraphOps {
                 FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)"""
 
   val oracles: Map[String, String] = Map(
+    "graph_degrees" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
+         SELECT degree, count(*) AS n_vertices FROM deg
+         GROUP BY 1 ORDER BY degree NULLS FIRST""",
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
                       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -66,8 +66,48 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Nearest-neighbor as-of: the purchase closest IN EITHER DIRECTION to
+    * each click (backward ties win — the pandas merge_asof
+    * direction='nearest' contract). Both directional fills run over ONE
+    * window ordering (purchase sorts before an equal-ts click, so the
+    * backward frame is inclusive and an equal-ts purchase scores
+    * distance 0 through it; the forward frame starting AT the click
+    * correctly sees only later purchases): Catalyst plans a single
+    * exchange + sort for both window functions — same zero-fan-out
+    * posture as [[asof]], one shuffle regardless of history length. The
+    * distance compare is exact µs integers. Oracle is an INDEPENDENT
+    * formulation (per-user join + arg_min with the tie encoded into the
+    * scalar key), so the merge re-plan is differentially checked against
+    * the naive semantics, not against itself.
+    */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+    val kind = when(col("event_type") === "purchase", 0).otherwise(1)
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), kind, col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("b", last(col("p_ts"), ignoreNulls = true).over(back))
+      .withColumn("f", first(col("p_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "click")
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("b")))
+      .withColumn("df", unix_micros(col("f")) - unix_micros(col("ts")))
+      .withColumn("nearest_purchase_ts",
+        when(col("b").isNull, col("f"))
+          .when(col("f").isNull, col("b"))
+          .when(col("db") <= col("df"), col("b"))
+          .otherwise(col("f")))
+      .withColumn("dist_us", least(col("db"), col("df")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("nearest_purchase_ts"), col("dist_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_forward" -> (asofForward _),
+    "join_asof_nearest" -> (asofNearest _),
     "join_inner" -> ((s, d) =>
       orders(s, d).join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
         .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
@@ -592,6 +632,16 @@ object Joins {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
          ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id NULLS FIRST""",
+    "join_asof_nearest" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+         arg_min(p.ts, abs(epoch_us(p.ts) - epoch_us(c.ts)) * 2
+           + CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END) AS nearest_purchase_ts,
+         CAST(min(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT) AS dist_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           USING (user_id)
+         GROUP BY c.event_id, c.user_id, c.ts
+         ORDER BY c.event_id NULLS FIRST""",
     "join_star" ->
       """SELECT n_name,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))

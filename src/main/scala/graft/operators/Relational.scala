@@ -163,6 +163,21 @@ object Relational {
       supplier(s, d).write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("s_suppkey")
     }),
+    "sink_jsonl" -> ((s, d) => {
+      // JSONL export round-trip — the interchange sink next to
+      // sink_csv/sink_orc (training corpora ship as JSONL more often
+      // than anything else). Write is distributed (one file per task);
+      // the read-back pins an explicit schema: inference would both
+      // double-scan and type-guess — never acceptable at 100 TB.
+      val out = s"$exportDir/nation_jsonl"
+      nation(s, d).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
     "sink_csv" -> ((s, d) => {
       val out = s"$exportDir/customer_sink"
       customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
@@ -288,6 +303,7 @@ object Relational {
     "sink_parquet" -> "SELECT * FROM region ORDER BY r_regionkey NULLS FIRST",
     "sink_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey NULLS FIRST",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",
+    "sink_jsonl" -> "SELECT * FROM nation ORDER BY n_nationkey NULLS FIRST",
     "project" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey NULLS FIRST",
     "project_expr" ->

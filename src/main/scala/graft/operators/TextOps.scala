@@ -744,6 +744,94 @@ object TextOps {
         .orderBy("a", "b")
     }),
 
+    "text_perplexity" -> ((s, d) => {
+      // CCNet-style LM quality scoring: rank every doc by its surprisal
+      // under a bigram LM (CCNet filters CommonCrawl on KenLM perplexity;
+      // same signal, corpus-trained here — at 100 TB the LM counts would
+      // be a fixed broadcast table trained once on a clean reference
+      // corpus, turning the count joins into map work). Per-bigram
+      // surprisal is EXACT-INTEGER log2: the probability ratio
+      // c_w1/c_bi ≥ 1 in 2^20 fixed point, then floor(log2) via binary
+      // bit-length (length(bin(x))-1 — pure integer, bit-identical in
+      // both engines, where libm log() is not). Per-doc score = mean
+      // surprisal bits ×100, truncating division. High score = text the
+      // LM finds improbable → the removal candidate. Plan: bigram build
+      // is map work; LM training is two token-keyed partial aggs; scoring
+      // joins the bigram stream to the counts (both bigram-keyed — at
+      // scale, broadcast the fixed LM instead); rollup is one doc-keyed
+      // agg. Everything linear in corpus size, no fan-out anywhere.
+      val bi = toks(s, d).filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, size(t)-2)")).as("i"))
+        .select(col("doc_id"), col("t")(col("i")).as("w1"),
+          concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
+      val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
+      val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      bi.join(biCnt, Seq("w1", "bigram")).join(ctxCnt, "w1")
+        .withColumn("bits",
+          (length(expr("bin((c_w1 * 1048576) div c_bi)")) - 21).cast(L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(L).as("n_bigrams"),
+          sum(col("bits")).as("sum_bits"))
+        .withColumn("ppl_bits_x100", expr("(sum_bits * 100) div n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    "tokenizer_bpe" -> ((s, d) => {
+      // BPE tokenizer training, step 1: adjacent-symbol-pair frequencies
+      // weighted by word frequency — the merge-candidate table byte-pair
+      // encoding greedily consumes (Sennrich et al.; every GPT/Llama
+      // vocab starts exactly here). The scale trick is aggregating to the
+      // VOCABULARY first: pair explosion runs over distinct words (Heaps'
+      // law — vocab ≪ corpus), carrying each word's corpus count as the
+      // weight, so the quadratic-ish character fan-out touches thousands
+      // of rows, not billions. Plan: one token-keyed partial agg (word
+      // counts), map-side pair explode over the vocab, one pair-keyed
+      // agg, TakeOrdered for the merge table. Ties break on the pair
+      // string so the merge order is deterministic.
+      val wordCnt = toks(s, d)
+        .select(explode(col("t")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c_w"))
+      wordCnt.filter(length(col("word")) >= 2)
+        .select(col("word"), col("c_w"),
+          explode(expr("sequence(1, length(word)-1)")).as("i"))
+        .select(expr("substring(word, i, 2)").as("pair"), col("c_w"))
+        .groupBy("pair").agg(sum(col("c_w")).as("n"))
+        .orderBy(col("n").desc_nulls_last, col("pair"))
+        .limit(30)
+    }),
+
+    "mix_sources" -> ((s, d) => {
+      // Pile/Dolma-style corpus mixing: hit a TARGET language mixture
+      // (uniform 20% per language of a half-corpus token budget) by
+      // deterministic per-language downsampling. The acceptance rate per
+      // language is min(1, target_n / n_docs) in ppm — exact integer
+      // division off two counts — and membership is the salted-hash
+      // formula shared with sample_weighted/split_assign (composable,
+      // RNG-free, identical on any cluster size). Languages scarcer than
+      // their target keep everything (rate clamps at 1e6 ppm); the
+      // overrepresented language (en) is cut to the target. Plan: one
+      // per-lang count agg (5 groups), the tiny rate table broadcasts
+      // back onto the corpus, acceptance is map-side hash arithmetic, and
+      // the audit rollup is one 5-group agg — the corpus is scanned
+      // twice, shuffled never (beyond 5-row aggregates).
+      val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).as("total"))
+      val rates = counts.crossJoin(broadcast(total))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("((total div 2) div 5) * 1000000 div n_docs")))
+        .select(col("lang"), col("n_docs"), col("rate_ppm"))
+      documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("keep",
+          expr(h60Spark("concat('mix:', CAST(doc_id AS STRING))") +
+            " % 1000000") < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "text_bigrams" -> ((s, d) =>
       // corpus bigram frequency (the n-gram LM counting shape): index
       // explode + plain-projection concat (codegen'd, not a HOF lambda),
@@ -1160,6 +1248,43 @@ object TextOps {
            CAST(before // 512 AS BIGINT) AS pack_id,
            CAST(before % 512 AS BIGINT) AS pack_offset
          FROM c ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""",
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         b AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+               FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
+                     WHERE len(t) >= 2)),
+         bc AS (SELECT w1, bigram, count(*) AS c_bi FROM b GROUP BY 1, 2),
+         cc AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+         j AS (SELECT doc_id,
+                 length(format('{:b}', (c_w1 * 1048576) // c_bi)) - 21 AS bits
+               FROM b JOIN bc USING (w1, bigram) JOIN cc USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_bits_x100
+         FROM j GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
+    "tokenizer_bpe" ->
+      """WITH wc AS (
+           SELECT word, count(*) AS c_w FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           GROUP BY 1),
+         p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, c_w
+               FROM (SELECT word, c_w, unnest(range(1, length(word))) AS i
+                     FROM wc WHERE length(word) >= 2))
+         SELECT pair, CAST(sum(c_w) AS BIGINT) AS n FROM p GROUP BY 1
+         ORDER BY n DESC NULLS LAST, pair NULLS FIRST LIMIT 30""",
+    "mix_sources" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         r AS (SELECT lang, n_docs,
+                 least(1000000, ((SELECT sum(n_docs) FROM c) // 2 // 5)
+                   * 1000000 // n_docs) AS rate_ppm
+               FROM c)
+         SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+           CAST(count(*) FILTER (
+             ${h60Duck("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000000
+               < rate_ppm) AS BIGINT) AS n_kept
+         FROM documents JOIN r USING (lang)
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
     "text_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
            SELECT t[i] || ' ' || t[i+1] AS bigram

@@ -262,6 +262,27 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    "ts_autocorr" -> ((s, d) => {
+      // lag-1 autocorrelation per metric stream — the is-this-series-
+      // predictable diagnostic (near 0: noise; near 1: trending/sticky).
+      // Consecutive-pair formation is a lag() over each (user, type)
+      // series — HIGH-cardinality window keys, so the sort parallelizes
+      // across users at any scale — and the corr itself pools those
+      // pairs per event_type: a 4-group co-moment sketch (constant state,
+      // map-side combinable — the agg_regr discipline, including
+      // round+negative-zero pinning for cross-engine doubles). One window
+      // shuffle + one partial agg; nothing is ever per-type sorted.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          (r4(corr(col("value"), col("prev"))) + lit(0.0)).as("autocorr"))
+        .orderBy("event_type")
+    }),
+
     "win_share" -> ((s, d) => {
       // percent-of-total within a group: line revenue / exact group total.
       // The denominator is an unbounded-frame decimal window sum — EXACT,
@@ -549,6 +570,15 @@ object Windows {
            FROM orders)
          WHERE rn <= 3
          ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
+    "ts_autocorr" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(corr(value, prev), 4) + 0.0 AS autocorr
+         FROM (SELECT event_type, value,
+                 lag(value) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev
+               FROM events)
+         WHERE prev IS NOT NULL
+         GROUP BY 1 ORDER BY event_type NULLS FIRST""",
     "win_share" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
          round(l_extendedprice / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))

@@ -238,6 +238,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(gaps.count() === 0)
   }
 
+  test("join_asof_nearest: picks the closest purchase, backward on ties") {
+    val out = Joins.queries("join_asof_nearest")(spark, d)
+    val nClicks = Tables.events(spark, d).filter($"event_type" === "click").count()
+    assert(out.count() === nClicks)
+    // minimality: no purchase strictly closer than the pick
+    val p = Tables.events(spark, d).filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val closer = out.filter($"nearest_purchase_ts".isNotNull)
+      .join(p, $"user_id" === $"pu" &&
+        abs(unix_micros($"pts") - unix_micros($"ts")) < $"dist_us")
+    assert(closer.count() === 0)
+    // backward tie preference: if a purchase sits at exactly dist_us
+    // BEFORE the click, the pick must not be after the click
+    val tieFwd = out.filter($"nearest_purchase_ts" > $"ts")
+      .join(p, $"user_id" === $"pu" &&
+        unix_micros($"ts") - unix_micros($"pts") === $"dist_us")
+    assert(tieFwd.count() === 0)
+  }
+
   test("scan_csv_malformed quarantines exactly the two corrupt lines") {
     // run the key first (it writes the corrupted export)
     val good = Relational.queries("scan_csv_malformed")(spark, d)

@@ -97,6 +97,12 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"as-of must not plan a range join (per-user fan-out):\n$p")
     val pf = plan(Joins.queries("join_asof_forward")(spark, d))
     assert(pf.contains("Window") && !pf.contains("Join"), pf)
+    // nearest runs BOTH directional fills over one window ordering:
+    // still no join, and exactly one exchange feeds the window pair
+    val pn = plan(Joins.queries("join_asof_nearest")(spark, d))
+    assert(pn.contains("Window") && !pn.contains("Join"), pn)
+    assert(pn.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, // window + presentation sort
+      s"nearest as-of should reuse one exchange for both fills:\n$pn")
   }
 
   test("sink_partitioned read prunes to the selected partition") {
