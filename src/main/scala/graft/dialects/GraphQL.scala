@@ -32,6 +32,13 @@ object GraphQL {
 
   case class Field(name: String, args: List[(String, Value)], selections: List[Field])
 
+  /** A `fragment Name on table { ... }` document-level definition. The
+    * parser records spreads as placeholder fields named `...Name`;
+    * [[expand]] inlines them before planning, so the planner never sees a
+    * fragment.
+    */
+  case class FragDef(name: String, on: String, selections: List[Field])
+
   /** One `$name: Type = default` declaration from the operation header
     * (the type name is parsed and discarded — values arrive already typed
     * through the variables map / JSON document).
@@ -100,6 +107,19 @@ object GraphQL {
       }
     }
 
+    /** One entry in a selection set: a field, or a `...Name` fragment
+      * spread (recorded as a placeholder field named `...Name` for
+      * [[expand]] to inline).
+      */
+    private def selection(): Field = {
+      ws()
+      if (peek == '.') {
+        if (!input.startsWith("...", pos)) fail("expected '...'")
+        pos += 3
+        Field("..." + ident(), Nil, Nil)
+      } else field()
+    }
+
     private def field(): Field = {
       val name = ident()
       ws()
@@ -118,11 +138,28 @@ object GraphQL {
           pos += 1
           val fs = scala.collection.mutable.ListBuffer[Field]()
           ws()
-          while (peek != '}') { fs += field(); ws() }
+          while (peek != '}') { fs += selection(); ws() }
           pos += 1
           fs.toList
         } else Nil
       Field(name, args, sels)
+    }
+
+    /** `fragment Name on table { ... }` (the `fragment` keyword is
+      * already consumed by the document loop).
+      */
+    private def fragDef(): FragDef = {
+      val name = ident()
+      ws()
+      if (!input.startsWith("on", pos)) fail("expected 'on'")
+      pos += 2
+      val on = ident()
+      expect('{')
+      val fs = scala.collection.mutable.ListBuffer[Field]()
+      ws()
+      while (peek != '}') { fs += selection(); ws() }
+      pos += 1
+      FragDef(name, on, fs.toList)
     }
 
     /** Optional `query ($a: Type = default, ...)` operation header. */
@@ -151,20 +188,68 @@ object GraphQL {
       decls.toList
     }
 
-    def query(): (List[VarDecl], Field) = {
-      val decls = varDecls()
-      expect('{')
-      val f = field()
-      expect('}')
+    /** Document = one operation + any number of fragment definitions, in
+      * any order.
+      */
+    def query(): (List[VarDecl], Field, Map[String, FragDef]) = {
+      var op: Option[(List[VarDecl], Field)] = None
+      val frags = scala.collection.mutable.Map[String, FragDef]()
       ws()
-      if (pos != input.length) fail("trailing input")
-      (decls, f)
+      while (pos < input.length) {
+        if (input.startsWith("fragment", pos)) {
+          pos += 8
+          val fd = fragDef()
+          if (frags.contains(fd.name)) fail(s"duplicate fragment: ${fd.name}")
+          frags += (fd.name -> fd)
+        } else {
+          if (op.nonEmpty) fail("multiple operations")
+          val decls = varDecls()
+          expect('{')
+          val f = field()
+          expect('}')
+          op = Some((decls, f))
+        }
+        ws()
+      }
+      val (decls, f) = op.getOrElse(fail("no operation in document"))
+      (decls, f, frags.toMap)
     }
   }
 
+  /** Inline every `...Name` spread (strict: unknown fragments, spread
+    * cycles, and a type condition not matching the enclosing table all
+    * fail loudly — GraphQL's fragment-spread-is-possible rule, enforced
+    * rather than silently skipped). `table` is the relation target the
+    * selection set is read from, resolved through the same fk graph the
+    * planner uses, so `on` conditions are checked against real tables.
+    */
+  private def expand(table: String, sels: List[Field],
+                     frags: Map[String, FragDef], seen: Set[String]): List[Field] =
+    sels.flatMap {
+      case Field(n, _, _) if n.startsWith("...") =>
+        val fname = n.drop(3)
+        if (seen(fname))
+          throw new IllegalArgumentException(s"fragment spread cycle at: $fname")
+        val fr = frags.getOrElse(fname,
+          throw new IllegalArgumentException(s"unknown fragment: $fname"))
+        require(fr.on == table,
+          s"fragment $fname is on ${fr.on}, spread in a $table selection")
+        expand(table, fr.selections, frags, seen + fname)
+      case f if f.selections.nonEmpty =>
+        val target = TableRegistry.relations.get((table, f.name)).map(_._1)
+          .getOrElse(f.name) // root field: the table itself
+        List(Field(f.name, f.args, expand(target, f.selections, frags, seen)))
+      case f => List(f)
+    }
+
   def parse(q: String): Field = parseOperation(q)._2
 
-  def parseOperation(q: String): (List[VarDecl], Field) = new Parser(q).query()
+  def parseOperation(q: String): (List[VarDecl], Field) = {
+    val (decls, f, frags) = new Parser(q).query()
+    val rootTable = f.name.stripSuffix("_agg")
+    val inlined = expand(rootTable, f.selections, frags, Set.empty)
+    (decls, Field(f.name, f.args, inlined))
+  }
 
   /** Substitute every `$var` reference from `vars` (declared defaults
     * already folded in by [[resolveVars]]); unbound references fail

@@ -81,6 +81,9 @@ object NlToSql {
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) and ([a-z ]+)""".r
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
+  private val TotalByHaving =
+    """(?i)total ([a-z ]+) by ([a-z ]+) having total (above|below) (\d+(?:\.\d+)?)""".r
+  private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
 
   private def dim(name: String): (String, String) =
     dims.getOrElse(name.trim.toLowerCase,
@@ -153,6 +156,35 @@ object NlToSql {
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact WHERE $fcol BETWEEN $lo AND $hi
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByHaving(measure, d, dir, n) =>
+      // post-aggregation filter: "total order price by status having
+      // total above 200000000" — HAVING on the grouped sum. Matched
+      // before TotalByTwoDims ("having total" would otherwise parse as a
+      // second dimension). The predicate compares the EXACT decimal sum
+      // (not the rounded double presentation), so group membership can
+      // never flip on a rounding boundary.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      require(table == fact, s"dimension $d not on $fact")
+      val op = if (dir.toLowerCase == "above") ">" else "<"
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact GROUP BY $dcol
+         HAVING sum(CAST($mcol AS DECIMAL(18,4))) $op $n
+         ORDER BY $dcol NULLS FIRST"""
+    case MinMaxBy(which, measure, d) =>
+      // extremes per dimension: "maximum order price by status" — min/max
+      // are order- and parallelism-independent, so no decimal/rounding
+      // discipline is needed; the raw column value is exact in both
+      // engines.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      require(table == fact, s"dimension $d not on $fact")
+      val fn = if (which.toLowerCase == "maximum") "max" else "min"
+      s"""SELECT $dcol, $fn($mcol) AS extreme
+         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByTwoDims(measure, d1, d2) =>
       // multi-dimension group-by: "total order price by market segment
       // and status" — dimensions may live on the fact table or one

@@ -63,6 +63,22 @@ object Dialects {
   // translator routes FROM through the declared join path
   val nlTwoDimsQuestion: String = "total order price by market segment and status"
   val nlCountTwoDimsQuestion: String = "number of orders by status and priority"
+  val nlHavingQuestion: String =
+    "total order price by priority having total above 220000000"
+  val nlMinMaxQuestion: String = "maximum order price by status"
+
+  /** Fragment spreads (`...name` + document-level `fragment ... on table`):
+    * the reuse mechanism every real GraphQL client leans on. Two spreads
+    * at different nesting depths, inlined strictly before planning (type
+    * condition checked against the enclosing table; cycles and unknown
+    * names fail loudly).
+    */
+  val gqlFragmentsQuery: String =
+    """{ orders(filter: {o_orderstatus: {eq: "F"}},
+                orderBy: ["o_orderkey"], limit: 40) {
+         ...orderCore customer { ...custCore } } }
+       fragment orderCore on orders { o_orderkey o_totalprice }
+       fragment custCore on customer { c_name c_mktsegment }"""
 
   /** Aggregation over a JOINED dimension through the GraphQL front-end —
     * the dotted groupBy key resolves through the fk graph (the GraphQL
@@ -114,6 +130,9 @@ object Dialects {
     "nl_between" -> ((s, d) => NlToSql.run(s, d, nlBetweenQuestion)),
     "nl_two_dims" -> ((s, d) => NlToSql.run(s, d, nlTwoDimsQuestion)),
     "nl_count_two_dims" -> ((s, d) => NlToSql.run(s, d, nlCountTwoDimsQuestion)),
+    "nl_having" -> ((s, d) => NlToSql.run(s, d, nlHavingQuestion)),
+    "nl_minmax" -> ((s, d) => NlToSql.run(s, d, nlMinMaxQuestion)),
+    "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_variables" -> ((s, d) =>
       GraphQL.runWithVariables(s, d, gqlVariablesQuery, gqlVariablesVars)),
     // the serving seam end-to-end: each dialect routed through
@@ -173,6 +192,13 @@ object Dialects {
     "nl_date_range" -> NlToSql.translate(nlDateRangeQuestion),
     "nl_group_join" -> NlToSql.translate(nlJoinQuestion),
     "nl_distinct_count" -> NlToSql.translate(nlDistinctQuestion),
+    "nl_having" -> NlToSql.translate(nlHavingQuestion),
+    "nl_minmax" -> NlToSql.translate(nlMinMaxQuestion),
+    "gql_fragments" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey NULLS FIRST LIMIT 40""",
     "nl_between" -> NlToSql.translate(nlBetweenQuestion),
     "nl_two_dims" -> NlToSql.translate(nlTwoDimsQuestion),
     "nl_count_two_dims" -> NlToSql.translate(nlCountTwoDimsQuestion),

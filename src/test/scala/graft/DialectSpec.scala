@@ -167,6 +167,41 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("number of orders by market segment and language"))
   }
 
+  test("GraphQL fragments inline strictly: unknown, cycle, wrong type all fail") {
+    // spreads inline at both depths and execute
+    val rows = GraphQL.run(spark, d, graft.operators.Dialects.gqlFragmentsQuery).collect()
+    assert(rows.nonEmpty &&
+      rows.head.schema.fieldNames.toSet ==
+        Set("o_orderkey", "o_totalprice", "c_name", "c_mktsegment"))
+    // unknown fragment
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 1) { ...nope } }"""))
+    // type condition must match the enclosing table
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 1) { ...c } } fragment c on customer { c_name }"""))
+    // spread cycle
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 1) { ...a } }
+         fragment a on orders { ...b } fragment b on orders { ...a }"""))
+    // duplicate fragment names
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 1) { ...a } }
+         fragment a on orders { o_orderkey } fragment a on orders { o_orderkey }"""))
+  }
+
+  test("NL having and min/max productions") {
+    val having = NlToSql.translate(
+      "total order price by priority having total above 220000000")
+    assert(having.contains("HAVING sum(CAST(o_totalprice AS DECIMAL(18,4))) > 220000000"))
+    assert(NlToSql.translate("maximum order price by status")
+      .contains("max(o_totalprice)"))
+    assert(NlToSql.translate("minimum event value by event type")
+      .contains("min(value)"))
+    // a having filter on a dimension from another table fails loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("total order price by language having total above 5"))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")
