@@ -67,7 +67,16 @@ object Bench {
           failures += name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-key isolation: the dedup/graph keys eagerly localCheckpoint
+      // intermediates that would otherwise stay persisted for the REST of
+      // the run — ~200 keys of accumulated blocks turn into storage/GC
+      // pressure that lands on whichever heavy key runs late (observed:
+      // graph_triangles 5.9 s vs 48.7 s across two quiet-canary runs).
+      // Dropping them after timing makes keys independent of run order.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

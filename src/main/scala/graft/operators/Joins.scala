@@ -81,12 +81,16 @@ object Joins {
     * the naive semantics, not against itself.
     */
   def asofNearest(s: SparkSession, d: String): DataFrame = {
+    // kind is MATERIALIZED (not an inline ordering expression) so both
+    // window specs order by the same attributes and Catalyst drops the
+    // second local sort — one exchange, ONE sort for both fills
     val ev = events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        when(col("event_type") === "purchase", col("ts")).as("p_ts"))
-    val kind = when(col("event_type") === "purchase", 0).otherwise(1)
-    val ord = Window.partitionBy("user_id").orderBy(col("ts"), kind, col("event_id"))
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ev.withColumn("b", last(col("p_ts"), ignoreNulls = true).over(back))

@@ -23,26 +23,13 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, d) =>
       P.tumbling(events(s, d)).orderBy("w_start", "event_type")),
-    "stream_window_topk" -> ((s, d) => {
+    "stream_window_topk" -> ((s, d) =>
       // top-3 events per 5-minute tumbling window by value — the
       // windowed-leaderboard shape (trending items / top spenders per
-      // interval). Batch-equivalent formulation per the §2.10 contract;
-      // stream mode runs the same ranking inside
-      // flatMapGroupsWithState keyed by window (stream_custom_state
-      // demonstrates that machinery). The rank window partitions by the
-      // WINDOW BUCKET — frames are bounded by per-window row counts,
-      // never global; ties break on event_id so the leaderboard is
-      // deterministic under any parallelism.
-      val w = Window.partitionBy(col("win"))
-        .orderBy(col("value").desc, col("event_id"))
-      events(s, d)
-        .withColumn("win", window(col("ts"), "5 minutes"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("win").getField("start").as("w_start"),
-          col("event_id"), col("value"), col("rn"))
-        .orderBy("w_start", "rn")
-    }),
+      // interval). Batch form here (DuckDB-oracled); the STREAMING form
+      // is P.windowTopKStream — flatMapGroupsWithState with O(3) state
+      // per window — proved equal to this plan in StreamingSpec.
+      P.windowTopK(events(s, d)).orderBy("w_start", "rn")),
     "stream_sliding" -> ((s, d) =>
       P.sliding(events(s, d)).orderBy("w_start")),
     "stream_session" -> ((s, d) =>

@@ -54,6 +54,42 @@ object TextOps {
       .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
       .distinct()
 
+  /** Lee-et-al-style substring-dedup signal over a (doc_id, t: tokens)
+    * table: SLIDING 12-token spans at every offset — unlike
+    * text_line_dedup's aligned segments, this catches duplicated text at
+    * ANY alignment (the "deduplicating training data makes LMs better"
+    * shape, without the suffix array: span-hash counting finds the same
+    * shared substrings for fixed span length). Per doc: total distinct
+    * spans, spans shared with ≥1 other doc, duplicated fraction in exact
+    * fixed-point. Plan: span build is map work — n-k+1 HASHED spans per
+    * doc (the 60-bit portable hash; span strings never enter a shuffle);
+    * detection is one (span-hash)-keyed partial agg (count state only —
+    * no pair fan-out anywhere: the df count joins BACK to docs, it never
+    * self-joins); per-doc rollup is one doc-keyed agg. Three keyed
+    * shuffles, all linear in corpus size. Factored over an arbitrary
+    * token table so PropertySpec can gate recall on planted
+    * arbitrary-alignment duplicates.
+    */
+  def spanDedup(tokTable: DataFrame): DataFrame = {
+    // the distinct span table feeds BOTH the df count and the probe side
+    // of the join — eager localCheckpoint so its shuffle runs once, not
+    // once per consumer (the dedup_near/PERF §5f discipline)
+    val spans = tokTable.filter(size(col("t")) >= 12)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t)-12)")).as("i"))
+      .select(col("doc_id"),
+        expr(h60Spark("concat_ws(' ', slice(t, i+1, 12))")).as("sp"))
+      .distinct()
+      .localCheckpoint()
+    val dfc = spans.groupBy("sp").agg(count(lit(1)).as("df"))
+    spans.join(dfc, "sp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(L).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_fp", expr("(n_shared * 10000) div n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** Rare-shingle candidate pairs with exact set statistics — the shared
     * verify machinery for dedup_near (symmetric Jaccard) and
     * sim_containment (asymmetric containment), so blocking cannot drift
@@ -692,34 +728,7 @@ object TextOps {
         .orderBy("lang", "doc_id")
     }),
 
-    "dedup_span" -> ((s, d) => {
-      // Lee-et-al-style substring-dedup signal: SLIDING 12-token spans
-      // at every offset — unlike text_line_dedup's aligned segments,
-      // this catches duplicated text at ANY alignment (the
-      // "deduplicating training data makes LMs better" shape, without
-      // the suffix array: span-hash counting finds the same shared
-      // substrings for fixed span length). Per doc: total distinct
-      // spans, spans shared with ≥1 other doc, duplicated fraction in
-      // exact fixed-point. Plan: span build is map work — n-k+1 HASHED
-      // spans per doc (the 60-bit portable hash; span strings never
-      // enter a shuffle); detection is one (span-hash)-keyed partial
-      // agg (count state only — no pair fan-out anywhere: the df count
-      // joins BACK to docs, it never self-joins); per-doc rollup is one
-      // doc-keyed agg. Three keyed shuffles, all linear in corpus size.
-      val spans = toks(s, d).filter(size(col("t")) >= 12)
-        .select(col("doc_id"), col("t"),
-          explode(expr("sequence(0, size(t)-12)")).as("i"))
-        .select(col("doc_id"),
-          expr(h60Spark("concat_ws(' ', slice(t, i+1, 12))")).as("sp"))
-        .distinct()
-      val dfc = spans.groupBy("sp").agg(count(lit(1)).as("df"))
-      spans.join(dfc, "sp")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast(L).as("n_spans"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-        .withColumn("dup_fp", expr("(n_shared * 10000) div n_spans"))
-        .orderBy("doc_id")
-    }),
+    "dedup_span" -> ((s, d) => spanDedup(toks(s, d))),
 
     "split_leakage" -> ((s, d) => {
       // Train/test contamination gate — the composition every training

@@ -36,6 +36,61 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("last_ts"), col("n_events"))
 
+  /** Batch form of the per-window top-3 leaderboard (`stream_window_topk`):
+    * rank partitioned by the WINDOW BUCKET — frames bounded by per-window
+    * row counts, never global; ties break on event_id so the board is
+    * deterministic under any parallelism. [[windowTopKStream]] is the same
+    * leaderboard as an arbitrary-state streaming operator.
+    */
+  def windowTopK(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("win"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .withColumn("win", window(col("ts"), "5 minutes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("win").getField("start").as("w_start"),
+        col("event_id"), col("value"), col("rn"))
+  }
+
+  /** Leaderboard row emitted by [[windowTopKStream]]. */
+  case class TopkRow(w_start: java.sql.Timestamp, event_id: Long,
+                     value: Double, rn: Long)
+
+  /** Streaming form of the per-window top-3: `flatMapGroupsWithState`
+    * keyed by the tumbling bucket, state = the current top-3 (value,
+    * event_id) pairs — O(k) state per window regardless of event volume,
+    * re-emitted (update mode) whenever a micro-batch changes the board.
+    * The same (value desc, event_id) total order as the batch rank, so
+    * the converged board equals the batch plan row-for-row (proved in
+    * StreamingSpec). At 100 TB this is the trending-items shape: state
+    * partitioned by window key in the state store, bounded by watermark
+    * eviction in a production deployment.
+    */
+  def windowTopKStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    events
+      .select(window(col("ts"), "5 minutes").getField("start").as("w_start"),
+        col("event_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (w: java.sql.Timestamp, rows: Iterator[(java.sql.Timestamp, Long, Double)],
+         state: GroupState[List[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              rows.map { case (_, eid, v) => (v, eid) })
+            .sortBy { case (v, eid) => (-v, eid) }
+            .take(3)
+          state.update(merged)
+          merged.zipWithIndex.iterator.map { case ((v, eid), i) =>
+            TopkRow(w, eid, v, i + 1L)
+          }
+      }
+      .toDF()
+  }
+
   /** Batch form of stateful dedup: earliest row per key, order-explicit.
     * The stream form is `dropDuplicates` + watermark (state-bounded).
     */

@@ -349,7 +349,12 @@ class ExtensionSpec extends AnyFunSuite {
     assert(row.getLong(1) === 0L, s"bloom produced false negatives: $row")
     assert(row.getBoolean(2), s"fp rate above bound: $row")
     // direct expression-level check: might_contain requires the sketch as
-    // a scalar subquery (the same contract Spark's runtime filter uses)
+    // a scalar subquery (the same contract Spark's runtime filter uses).
+    // This probe trips Spark's BloomFilterMightContain codegen on the
+    // boxed literal ("java.lang.Long is not an rvalue") and falls back to
+    // interpreter mode — harmless and TEST-ONLY: the product key's plan
+    // (agg_bloom_filter) compiles clean (zero codegen errors in a full
+    // Verify sweep).
     spark.range(100).createOrReplaceTempView("bf_ids")
     val hit = spark.sql(
       """SELECT might_contain(

@@ -197,6 +197,30 @@ class PropertySpec extends AnyFunSuite {
     assert(small.count() == 10L, "a 5-doc identical family must emit all C(5,2) pairs")
   }
 
+  test("dedup_span flags planted duplicate substrings at ANY alignment") {
+    // doc pairs share a 14-token run copied to a RANDOM offset in an
+    // otherwise-unique doc; singles share nothing. Every planted doc must
+    // report n_shared ≥ 3 (a 14-token run contains 3 full 12-token
+    // spans); every clean doc must report n_shared = 0.
+    val offs = samples(Gen.chooseNum(0, 25), 8)
+    val docs = offs.zipWithIndex.flatMap { case (off, i) =>
+      val run = (0 until 14).map(j => s"run${i}_$j").mkString(" ")
+      val base = (0 until 40).map(j => s"a${i}_$j")
+      val host = (base.take(off) ++ run.split(" ") ++ base.drop(off)).mkString(" ")
+      Seq((i * 10L, run + " " + (0 until 26).map(j => s"b${i}_$j").mkString(" ")),
+        (i * 10L + 1, host))
+    } ++ Seq((9000L, (0 until 40).map(j => s"c_$j").mkString(" ")))
+    val toks = docs.toDF("doc_id", "text")
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+    val out = graft.operators.TextOps.spanDedup(toks).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    offs.zipWithIndex.foreach { case (_, i) =>
+      assert(out(i * 10L) >= 3, s"copy source ${i * 10} missed")
+      assert(out(i * 10L + 1) >= 3, s"host doc at random offset missed")
+    }
+    assert(out(9000L) === 0, "clean doc falsely flagged")
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
       .map(_.filter { case (a, b) => a != b })

@@ -103,6 +103,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(wins.exists(_._1 == 600 * 60) && wins.exists(_._1 == 630 * 60))
   }
 
+  test("windowed top-3 leaderboard: streaming state operator equals batch rank") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val data = (1 to 40).map(i =>
+      Ev(i, t(i % 14), i % 5, "click", (i * 37 % 19).toDouble))
+    // two chunks → the board must converge across micro-batches, not
+    // just within one
+    mem.addData(data.take(25): _*)
+    mem.addData(data.drop(25): _*)
+    val q = Streams.windowTopKStream(mem.toDF())
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode re-emits a window's board each batch that changes it:
+    // keep only the LAST emission per (window, rank) — explicit
+    // row_number over insertion order (dropDuplicates-after-sort keeps
+    // an arbitrary row, not the sorted-first one)
+    val wlast = org.apache.spark.sql.expressions.Window
+      .partitionBy($"w_start", $"rn").orderBy($"seq".desc)
+    val streamed = spark.table("topk_test")
+      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("k", row_number().over(wlast)).filter($"k" === 1)
+      .select("w_start", "event_id", "value", "rn")
+      .orderBy("w_start", "rn").collect()
+    val batch = Streams.windowTopK(data.toDF())
+      .orderBy("w_start", "rn").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
