@@ -111,6 +111,71 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }),
 
+    "vec_pq" -> ((s, d) => {
+      // product quantization (Jégou et al.) — THE vector-compression
+      // layout for ANN at 100 TB: split each 16-dim vector into 4
+      // subvectors of 4 dims, learn a k=4 codebook per subspace
+      // (cluster_kmeans' exact Lloyd machinery, seeds vec_id < 4), and
+      // store each vector as 4 small codes (here 8 bits total vs 64
+      // float bytes). Distances against a query then come from 4 tiny
+      // lookup tables instead of full-vector arithmetic. Scale shape:
+      // codebooks are O(nsub·k·dsub) — broadcast everywhere; assignment
+      // is map-side; the update step is one (sub, cid, dim) keyed
+      // aggregate in the same exact scaled-integer arithmetic as
+      // cluster_kmeans (iterated inputs may not ride on double summation
+      // order). Reconstruction error is emitted per vector in exact
+      // micro-units so the compression-quality audit is oracle-checkable.
+      val e = emb(s, d)
+        .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
+          col("embedding"))
+        .select(col("vec_id"), col("sub"),
+          expr("slice(embedding, sub * 4 + 1, 4)").as("sv"))
+        .withColumn("vv", dot("sv", "sv"))
+      def assign(cent: DataFrame): DataFrame = {
+        val scored = e.join(broadcast(cent), "sub")
+          .withColumn("d2", greatest(
+            col("vv") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cc"),
+            lit(0.0)))
+        val w = Window.partitionBy("vec_id", "sub")
+          .orderBy(rankKey(col("d2")), col("cid"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("sub"), col("cid"), posexplode(col("sv")))
+          .groupBy("sub", "cid", "pos")
+          .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
+            (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+          .groupBy("sub", "cid")
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+            .as("cvec"))
+          .withColumn("cc", dot("cvec", "cvec"))
+      val c0 = e.filter(col("vec_id") < 4)
+        .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cvec"),
+          col("vv").as("cc"))
+      assign(update(assign(c0)))
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("sub") === 0, col("cid"))).as("code0"),
+          max(when(col("sub") === 1, col("cid"))).as("code1"),
+          max(when(col("sub") === 2, col("cid"))).as("code2"),
+          max(when(col("sub") === 3, col("cid"))).as("code3"),
+          // reconstruction error ENTIRELY in integer micro-units: quantize
+          // each element and the matched codeword element to 6dp integers,
+          // square the differences, sum as BIGINT — the raw double d2
+          // differs across engines by ulps, and micro-rounding a 4-term
+          // double sum flips the 4th decimal; the integer path cannot
+          sum(expr("""aggregate(
+                zip_with(sv, cvec, (a, b) ->
+                  CAST(round(a * 1000000, 0) AS BIGINT)
+                    - CAST(round(b * 1000000, 0) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"""))
+            .as("sq_micro"))
+        .withColumn("recon_err",
+          r4(col("sq_micro").cast(DoubleType) / 1000000000000.0))
+        .drop("sq_micro")
+        .orderBy("vec_id")
+    }),
+
     "cluster_kmeans" -> ((s, d) => {
       // k-means (k=4, TWO unrolled Lloyd iterations, deterministic seeds =
       // vec_id < 4) — the training-loop shape on top of the ANN family.
@@ -337,6 +402,52 @@ object VectorOps {
            round(list_max(list_transform(range(1, len(embedding) + 1),
              i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) * scale / 127.0))), 4) AS max_err
          FROM qq ORDER BY vec_id NULLS FIRST""",
+    "vec_pq" ->
+      // the cluster_kmeans unroll with a `sub` subspace key threaded
+      // through every stage; codes pivot via the same MAX(CASE) both
+      // engines, reconstruction error summed in exact micro-units
+      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT vec_id, sub, v[sub*4+1 : sub*4+4] AS sv
+               FROM (SELECT vec_id, v, unnest(range(0, 4)) AS sub FROM emb0)),
+         e2 AS (SELECT vec_id, sub, sv, ${dSql("sv", "sv")} AS vv FROM e),
+         c0 AS (SELECT sub, vec_id AS cid, sv AS cvec, vv AS cc
+                FROM e2 WHERE vec_id < 4),
+         s1 AS (SELECT e2.vec_id, e2.sub, e2.sv, e2.vv, c.cid,
+                  greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
+                FROM e2 JOIN c0 c ON c.sub = e2.sub),
+         a1 AS (SELECT vec_id, sub, sv, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY round(d2, 6), cid) AS rn FROM s1) WHERE rn = 1),
+         m1 AS (SELECT sub, cid, i,
+                  round(sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT)) /
+                        (count(*) * 1000000.0), 6) AS m FROM (
+                  SELECT sub, cid, sv, unnest(range(1, len(sv) + 1)) AS i FROM a1)
+                GROUP BY 1, 2, 3),
+         c1 AS (SELECT sub, cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1, 2),
+         c1n AS (SELECT sub, cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
+         s2 AS (SELECT e2.vec_id, e2.sub, c.cid,
+                  greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
+                FROM e2 JOIN c1n c ON c.sub = e2.sub),
+         s2a AS (SELECT e2.vec_id, e2.sub, e2.sv, c.cid, c.cvec,
+                  greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
+                FROM e2 JOIN c1n c ON c.sub = e2.sub),
+         a2 AS (SELECT vec_id, sub, sv, cid, cvec FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY round(d2, 6), cid) AS rn FROM s2a) WHERE rn = 1),
+         q AS (SELECT vec_id, sub, cid,
+                 list_sum(list_transform(range(1, len(sv) + 1), i ->
+                   (CAST(round(sv[i] * 1000000, 0) AS BIGINT)
+                      - CAST(round(cvec[i] * 1000000, 0) AS BIGINT))
+                   * (CAST(round(sv[i] * 1000000, 0) AS BIGINT)
+                      - CAST(round(cvec[i] * 1000000, 0) AS BIGINT)))) AS sq
+               FROM a2)
+         SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN cid END) AS code0,
+           max(CASE WHEN sub = 1 THEN cid END) AS code1,
+           max(CASE WHEN sub = 2 THEN cid END) AS code2,
+           max(CASE WHEN sub = 3 THEN cid END) AS code3,
+           round(CAST(sum(sq) AS DOUBLE) / 1000000000000.0, 4) AS recon_err
+         FROM q GROUP BY 1 ORDER BY vec_id NULLS FIRST""",
     "cluster_kmeans" ->
       // identical two-iteration unroll: same fold-based dots, same rounded
       // ranking, same 6dp-rounded per-dim means (list(m ORDER BY i)
