@@ -30,7 +30,12 @@ object GraphQL {
   /** A `$name` variable reference — resolved by [[bind]] before planning. */
   case class VVar(name: String) extends Value
 
-  case class Field(name: String, args: List[(String, Value)], selections: List[Field])
+  /** `alias` is GraphQL's `outName: field` output renaming (scalar
+    * selections only; an aliased relation or `_agg` selection fails
+    * loudly in the planner).
+    */
+  case class Field(name: String, args: List[(String, Value)], selections: List[Field],
+                   alias: Option[String] = None)
 
   /** A `fragment Name on table { ... }` document-level definition. The
     * parser records spreads as placeholder fields named `...Name`;
@@ -117,11 +122,21 @@ object GraphQL {
         if (!input.startsWith("...", pos)) fail("expected '...'")
         pos += 3
         Field("..." + ident(), Nil, Nil)
-      } else field()
+      } else {
+        val first = ident()
+        ws()
+        // `outName: field` alias — ':' can follow a name here only as an
+        // alias separator (argument ':'s live inside parentheses)
+        if (peek == ':') {
+          pos += 1
+          field().copy(alias = Some(first))
+        } else fieldAfterName(first)
+      }
     }
 
-    private def field(): Field = {
-      val name = ident()
+    private def field(): Field = fieldAfterName(ident())
+
+    private def fieldAfterName(name: String): Field = {
       ws()
       val args =
         if (peek == '(') {
@@ -226,7 +241,7 @@ object GraphQL {
   private def expand(table: String, sels: List[Field],
                      frags: Map[String, FragDef], seen: Set[String]): List[Field] =
     sels.flatMap {
-      case Field(n, _, _) if n.startsWith("...") =>
+      case Field(n, _, _, _) if n.startsWith("...") =>
         val fname = n.drop(3)
         if (seen(fname))
           throw new IllegalArgumentException(s"fragment spread cycle at: $fname")
@@ -238,7 +253,7 @@ object GraphQL {
       case f if f.selections.nonEmpty =>
         val target = TableRegistry.relations.get((table, f.name)).map(_._1)
           .getOrElse(f.name) // root field: the table itself
-        List(Field(f.name, f.args, expand(target, f.selections, frags, seen)))
+        List(f.copy(selections = expand(target, f.selections, frags, seen)))
       case f => List(f)
     }
 
@@ -264,8 +279,8 @@ object GraphQL {
   }
 
   private def bind(f: Field, vars: Map[String, Value]): Field =
-    Field(f.name, f.args.map { case (k, v) => k -> bindValue(v, vars) },
-      f.selections.map(bind(_, vars)))
+    f.copy(args = f.args.map { case (k, v) => k -> bindValue(v, vars) },
+      selections = f.selections.map(bind(_, vars)))
 
   /** Declared defaults ∪ provided values, with strictness both ways:
     * a provided variable must be declared, and a declared variable with
@@ -320,12 +335,14 @@ object GraphQL {
     * orders { customer { nation { n_name } } }.
     */
   private def attach(s: SparkSession, dir: String, df0: DataFrame, table: String,
-                     sels: List[Field]): (DataFrame, List[String]) = {
+                     sels: List[Field]): (DataFrame, List[(String, String)]) = {
     var df = df0
-    val out = scala.collection.mutable.ListBuffer[String]()
+    val out = scala.collection.mutable.ListBuffer[(String, String)]()
     sels.foreach { sel =>
-      if (sel.selections.isEmpty) out += sel.name
+      if (sel.selections.isEmpty) out += (sel.name -> sel.alias.getOrElse(sel.name))
       else {
+        require(sel.alias.isEmpty,
+          s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
         val (target, lk, rk) = TableRegistry.relations.getOrElse(
           (table, sel.name),
           throw new IllegalArgumentException(s"unknown relation $table.${sel.name}"))
@@ -380,6 +397,10 @@ object GraphQL {
     */
   private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
     import graft.Tables.{dec, outDec, r4}
+    root.selections.find(_.alias.nonEmpty).foreach { f =>
+      throw new IllegalArgumentException(
+        s"alias on _agg selection ${f.name} unsupported")
+    }
     val table = root.name.stripSuffix("_agg")
     val base = applyFilters(TableRegistry.load(s, dir, table), root.args)
     val rawKeys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
@@ -470,10 +491,13 @@ object GraphQL {
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 
-    // resolve selections: scalars project, relations left-join and flatten
+    // resolve selections: scalars project (applying any `alias: field`
+    // output renames), relations left-join and flatten
     val (resolved, scalarCols) = attach(s, dir, filtered, root.name, root.selections)
-    val df = if (scalarCols.nonEmpty) resolved.select(scalarCols.distinct.map(col): _*)
-             else resolved
+    val df = if (scalarCols.nonEmpty)
+        resolved.select(scalarCols.distinct.map { case (src, out) =>
+          col(src).as(out) }: _*)
+      else resolved
     applyOrderPage(df, root.args)
   }
 }

@@ -81,6 +81,8 @@ object NlToSql {
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) and ([a-z ]+)""".r
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
+  private val TotalByYear =
+    """(?i)total ([a-z ]+) by ([a-z ]+) in (\d{4})""".r
   private val TotalByHaving =
     """(?i)total ([a-z ]+) by ([a-z ]+) having total (above|below) (\d+(?:\.\d+)?)""".r
   private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
@@ -155,6 +157,24 @@ object NlToSql {
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact WHERE $fcol BETWEEN $lo AND $hi
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByYear(measure, d, year) =>
+      // calendar-year filter on the fact's canonical event-time column:
+      // "total order price by status in 1995" — a half-open [Jan 1,
+      // next Jan 1) range, the form that stays sargable (pushes to the
+      // scan) where YEAR(col) = 1995 would not.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      require(table == fact, s"dimension $d not on $fact")
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val (y0, y1) = (year.toInt, year.toInt + 1)
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact
+         WHERE $dateCol >= TIMESTAMP '$y0-01-01 00:00:00'
+           AND $dateCol < TIMESTAMP '$y1-01-01 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByHaving(measure, d, dir, n) =>
       // post-aggregation filter: "total order price by status having

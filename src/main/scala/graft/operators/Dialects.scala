@@ -66,6 +66,14 @@ object Dialects {
   val nlHavingQuestion: String =
     "total order price by priority having total above 220000000"
   val nlMinMaxQuestion: String = "maximum order price by status"
+  val nlYearQuestion: String = "total order price by status in 1995"
+
+  /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
+    * column-renaming surface.
+    */
+  val gqlAliasQuery: String =
+    """{ orders(filter: {o_orderstatus: {eq: "O"}}, orderBy: ["id"], limit: 30) {
+         id: o_orderkey price: o_totalprice customer { name: c_name } } }"""
 
   /** Fragment spreads (`...name` + document-level `fragment ... on table`):
     * the reuse mechanism every real GraphQL client leans on. Two spreads
@@ -132,7 +140,9 @@ object Dialects {
     "nl_count_two_dims" -> ((s, d) => NlToSql.run(s, d, nlCountTwoDimsQuestion)),
     "nl_having" -> ((s, d) => NlToSql.run(s, d, nlHavingQuestion)),
     "nl_minmax" -> ((s, d) => NlToSql.run(s, d, nlMinMaxQuestion)),
+    "nl_year" -> ((s, d) => NlToSql.run(s, d, nlYearQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
+    "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_variables" -> ((s, d) =>
       GraphQL.runWithVariables(s, d, gqlVariablesQuery, gqlVariablesVars)),
     // the serving seam end-to-end: each dialect routed through
@@ -194,6 +204,12 @@ object Dialects {
     "nl_distinct_count" -> NlToSql.translate(nlDistinctQuestion),
     "nl_having" -> NlToSql.translate(nlHavingQuestion),
     "nl_minmax" -> NlToSql.translate(nlMinMaxQuestion),
+    "nl_year" -> NlToSql.translate(nlYearQuestion),
+    "gql_alias" ->
+      """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY id NULLS FIRST LIMIT 30""",
     "gql_fragments" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

@@ -189,6 +189,22 @@ class DialectSpec extends AnyFunSuite {
          fragment a on orders { o_orderkey } fragment a on orders { o_orderkey }"""))
   }
 
+  test("GraphQL aliases rename scalars; relation/_agg aliases fail loudly") {
+    val rows = GraphQL.run(spark, d, graft.operators.Dialects.gqlAliasQuery).collect()
+    assert(rows.head.schema.fieldNames.toSeq === Seq("id", "price", "name"))
+    // alias on a relation
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 1) { o_orderkey c: customer { c_name } } }"""))
+    // alias on an _agg selection
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderstatus"]) { o_orderstatus n: count } }"""))
+    // aliases compose with fragments (spread inlines an aliased scalar)
+    val viaFrag = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["k"], limit: 2) { ...f } }
+         fragment f on orders { k: o_orderkey }""").collect()
+    assert(viaFrag.head.schema.fieldNames.toSeq === Seq("k"))
+  }
+
   test("NL having and min/max productions") {
     val having = NlToSql.translate(
       "total order price by priority having total above 220000000")
