@@ -163,6 +163,25 @@ object Relational {
       supplier(s, d).write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("s_suppkey")
     }),
+    "scan_csv_gzip" -> ((s, d) => {
+      // compressed-text round-trip: gzip CSV is the lowest common
+      // denominator of data interchange (and how raw crawl dumps usually
+      // arrive). Write-side codec is a writer option; read-side
+      // decompression is transparent by extension. Caveat baked into the
+      // test: gzip is NOT splittable — each .csv.gz is one task's whole
+      // input, so at 100 TB the upstream job must bound individual file
+      // sizes (this writer: one file per task) or re-encode to a
+      // splittable layout on ingest.
+      val out = s"$exportDir/supplier_csv_gz"
+      supplier(s, d).write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(out)
+      require(new java.io.File(out).listFiles().exists(_.getName.endsWith(".csv.gz")),
+        "expected gzip-compressed part files")
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(out).orderBy("s_suppkey")
+    }),
     "sink_jsonl" -> ((s, d) => {
       // JSONL export round-trip — the interchange sink next to
       // sink_csv/sink_orc (training corpora ship as JSONL more often
@@ -304,6 +323,7 @@ object Relational {
     "sink_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey NULLS FIRST",
     "sink_csv" -> "SELECT * FROM customer ORDER BY c_custkey NULLS FIRST",
     "sink_jsonl" -> "SELECT * FROM nation ORDER BY n_nationkey NULLS FIRST",
+    "scan_csv_gzip" -> "SELECT * FROM supplier ORDER BY s_suppkey NULLS FIRST",
     "project" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey NULLS FIRST",
     "project_expr" ->

@@ -262,6 +262,29 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    "win_rolling_median" -> ((s, d) => {
+      // exact rolling median (±3-row frame) per user — the robust
+      // smoother where win_moving_avg is outlier-sensitive. Spark has no
+      // median window function; the frame's values are collected and
+      // sorted IN-ROW — state is O(frame)=7, constant, so this stays
+      // scale-safe where an unbounded-frame collect would not. Even-sized
+      // boundary frames average the two middle values (the engines' common
+      // median definition); both addends are the same exact doubles, so
+      // the average is bit-identical cross-engine. One user-keyed window
+      // shuffle.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 3)
+      events(s, d)
+        .withColumn("fr", sort_array(collect_list(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"),
+          r4(expr("""CASE WHEN size(fr) % 2 = 1
+                       THEN element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT))
+                       ELSE (element_at(fr, CAST(size(fr) DIV 2 AS INT))
+                             + element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT))) / 2.0
+                     END""")).as("med"))
+        .orderBy("event_id")
+    }),
+
     "ts_autocorr" -> ((s, d) => {
       // lag-1 autocorrelation per metric stream — the is-this-series-
       // predictable diagnostic (near 0: noise; near 1: trending/sticky).
@@ -570,6 +593,11 @@ object Windows {
            FROM orders)
          WHERE rn <= 3
          ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
+    "win_rolling_median" ->
+      """SELECT event_id, user_id,
+         round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med
+         FROM events ORDER BY event_id NULLS FIRST""",
     "ts_autocorr" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
          round(corr(value, prev), 4) + 0.0 AS autocorr
