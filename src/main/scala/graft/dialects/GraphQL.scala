@@ -474,6 +474,34 @@ object GraphQL {
   }
 
   /** Translate + execute one parsed query against the registry. */
+  /** Introspection root (`{ __schema { tables { name n_columns } } }`) —
+    * the discovery surface a real GraphQL client calls first. Lowered
+    * onto the same catalog the planner resolves against (TableRegistry),
+    * so introspection can never drift from what actually plans; column
+    * counts come from each table's real schema (scan metadata only — no
+    * data is read).
+    */
+  private def introspect(s: SparkSession, dir: String, root: Field): DataFrame = {
+    val wanted = root.selections match {
+      case List(Field("tables", Nil, sels, None)) if sels.nonEmpty =>
+        sels.map { f =>
+          require(f.selections.isEmpty && f.alias.isEmpty,
+            s"__schema.tables.${f.name}: plain scalar fields only")
+          f.name
+        }
+      case other => throw new IllegalArgumentException(
+        s"__schema supports exactly {tables {name n_columns}}, got $other")
+    }
+    val unknown = wanted.toSet -- Set("name", "n_columns")
+    require(unknown.isEmpty, s"unknown __schema field(s): ${unknown.mkString(", ")}")
+    import s.implicits._
+    TableRegistry.tables.keys.toSeq.sorted
+      .map(t => (t, TableRegistry.load(s, dir, t).schema.size.toLong))
+      .toDF("name", "n_columns")
+      .select(wanted.map(col): _*)
+      .orderBy("name")
+  }
+
   def run(s: SparkSession, dir: String, q: String): DataFrame =
     runWithVariables(s, dir, q, Map.empty)
 
@@ -488,6 +516,7 @@ object GraphQL {
       s: SparkSession, dir: String, q: String, vars: Map[String, Value]): DataFrame = {
     val (decls, rawRoot) = parseOperation(q)
     val root = bind(rawRoot, resolveVars(decls, vars))
+    if (root.name == "__schema") return introspect(s, dir, root)
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 

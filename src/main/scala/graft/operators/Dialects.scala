@@ -75,6 +75,13 @@ object Dialects {
     """{ orders(filter: {o_orderstatus: {eq: "O"}}, orderBy: ["id"], limit: 30) {
          id: o_orderkey price: o_totalprice customer { name: c_name } } }"""
 
+  /** Schema introspection — the first query a real GraphQL client issues.
+    * Resolved against the SAME catalog the planner uses, with column
+    * counts from each table's live schema; the oracle recomputes them via
+    * DuckDB's DESCRIBE, so the key is a cross-engine schema-parity check.
+    */
+  val gqlIntrospectQuery: String = "{ __schema { tables { name n_columns } } }"
+
   /** Fragment spreads (`...name` + document-level `fragment ... on table`):
     * the reuse mechanism every real GraphQL client leans on. Two spreads
     * at different nesting depths, inlined strictly before planning (type
@@ -143,6 +150,7 @@ object Dialects {
     "nl_year" -> ((s, d) => NlToSql.run(s, d, nlYearQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
+    "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
     "gql_variables" -> ((s, d) =>
       GraphQL.runWithVariables(s, d, gqlVariablesQuery, gqlVariablesVars)),
     // the serving seam end-to-end: each dialect routed through
@@ -210,6 +218,15 @@ object Dialects {
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
          ORDER BY id NULLS FIRST LIMIT 30""",
+    "gql_introspect" ->
+      // column counts recomputed from DuckDB's own schema view — the key
+      // asserts cross-engine schema parity, not a hardcoded list
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => s"""SELECT '$t' AS name, (SELECT CAST(count(*) AS BIGINT)
+               FROM (DESCRIBE SELECT * FROM $t)) AS n_columns""")
+        .mkString("SELECT name, n_columns FROM (", " UNION ALL ",
+          ") ORDER BY name NULLS FIRST"),
     "gql_fragments" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
