@@ -77,6 +77,46 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_zscore" -> ((s, dir) => zscore(s, dir)),
+
+    "anomaly_mad" -> ((s, dir) => {
+      // robust outlier detection: median absolute deviation instead of
+      // stddev — one fat-fingered value inflates a z-score denominator
+      // and HIDES other outliers; MAD is breakdown-50% robust. Both
+      // medians are LOWER medians selected by RANK (row_number at
+      // (n+1) div 2) — an exact element of the data, identical in both
+      // engines, where interpolating medians differ by ulps on even
+      // counts ((a+b)/2 vs a+0.5·(b-a)). The 1.4826 normal-consistency
+      // scaling is one double product of identical inputs, so the
+      // 3-sigma-equivalent cut is cross-engine deterministic. Plan: two
+      // rank windows + one broadcast join of the 4-row stats table; at
+      // 100 TB the window key is the series key (high-cardinality), as
+      // in ts_autocorr.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val w1 = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val n1 = Window.partitionBy("event_type")
+      val med = ev
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(n1))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+      val mad = dev
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("n", count(lit(1)).over(n1))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          r4(max(col("med"))).as("med"),
+          r4(max(col("mad"))).as("mad"),
+          sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
     "profile_columns" -> ((s, dir) => profile(s, dir)),
 
     "profile_topk_values" -> ((s, dir) => {
@@ -132,6 +172,27 @@ object Profiling {
               FROM orders GROUP BY $c)
             WHERE rn <= 3"""
       }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name NULLS FIRST, rn NULLS FIRST"),
+    "anomaly_mad" ->
+      """WITH r1 AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+         d AS (SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.med
+               FROM events e JOIN med m USING (event_type)),
+         r2 AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY dev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+         mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT event_type, count(*) AS n_rows,
+           round(max(med), 4) AS med, round(max(mad), 4) AS mad,
+           CAST(count(*) FILTER (dev > 3 * 1.4826 * mad) AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (event_type)
+         GROUP BY 1 ORDER BY event_type NULLS FIRST""",
     "anomaly_zscore" ->
       """WITH m AS (
            SELECT event_type AS et, count(*) AS n,

@@ -909,6 +909,57 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "quality_gopher" -> ((s, d) => {
+      // the Gopher rule battery (Rae et al. §A1.1) as per-rule flags +
+      // the composite keep decision — a training pipeline wants the
+      // BREAKDOWN (which rule fired) for filter auditing, not just the
+      // verdict. Every predicate is INTEGER arithmetic (sum-of-lengths
+      // bounds instead of mean-length doubles: 3n ≤ Σlen ≤ 10n;
+      // 5·distinct ≥ n for the type-token floor; stopword count ≥ 2) so
+      // cross-engine agreement is structural, not rounding-dependent.
+      // Thresholds are fixture-scaled versions of the paper's (which
+      // assume web pages, not 30-word synthetic docs). Pure map work —
+      // zero shuffles beyond the presentation sort.
+      val t = toks(s, d)
+      val n = size(col("t")).cast(L)
+      val sumLen = expr("CAST(aggregate(t, 0, (a, x) -> a + length(x)) AS BIGINT)")
+      val nStop = expr(
+        "CAST(size(filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)")
+      val nDist = size(array_distinct(col("t"))).cast(L)
+      t.select(col("doc_id"), n.as("n_tokens"),
+          (n >= 20 && n <= 10000).as("ok_count"),
+          (sumLen >= n * 3 && sumLen <= n * 10).as("ok_word_len"),
+          (nStop >= 2).as("ok_stopwords"),
+          (nDist * 5 >= n).as("ok_ttr"))
+        .withColumn("keep",
+          col("ok_count") && col("ok_word_len") && col("ok_stopwords") && col("ok_ttr"))
+        .orderBy("doc_id")
+    }),
+
+    "eval_coverage" -> ((s, d) => {
+      // memorization / leakage audit from the EVAL side — the complement
+      // of corpus_decontam (which flags train docs): for each held-out
+      // doc, what fraction of its shingles the training corpus already
+      // contains. High coverage = the benchmark is effectively in-corpus
+      // and its score is untrustworthy. Same eval-slice definition and
+      // hashed-shingle machinery as corpus_decontam (single-sourced, so
+      // the two audits can never disagree about what "eval" means).
+      // Plan: train shingles are DISTINCT hashed longs, semi-joined
+      // shingle-keyed onto the (tiny) eval shingle set — one keyed
+      // shuffle, linear in corpus; coverage ratio in exact fixed-point.
+      val sh = hashedShingles(s, d)
+      val isEval = col("doc_id") % 100 === 0 && col("doc_id") < 2000
+      val trainSh = sh.filter(!isEval).select("sh").distinct()
+        .withColumn("in_train", lit(true))
+      sh.filter(isEval)
+        .join(trainSh, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(L).as("n_shingles"),
+          sum(when(col("in_train"), 1L).otherwise(0L)).as("n_covered"))
+        .withColumn("cov_fp", expr("(n_covered * 10000) div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
     "text_token_count" -> ((s, d) => {
       // token counting both ways (driver contract): whitespace tokens and a
       // BPE-ish regex segmentation (letter runs | digit runs | single
@@ -1042,6 +1093,32 @@ object TextOps {
          FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
          WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
+    "quality_gopher" ->
+      """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         len(t) BETWEEN 20 AND 10000 AS ok_count,
+         list_sum(list_transform(t, x -> length(x)))
+           BETWEEN len(t) * 3 AND len(t) * 10 AS ok_word_len,
+         len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) >= 2
+           AS ok_stopwords,
+         len(list_distinct(t)) * 5 >= len(t) AS ok_ttr,
+         (len(t) BETWEEN 20 AND 10000
+           AND list_sum(list_transform(t, x -> length(x)))
+                 BETWEEN len(t) * 3 AND len(t) * 10
+           AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) >= 2
+           AND len(list_distinct(t)) * 5 >= len(t)) AS keep
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         ORDER BY doc_id NULLS FIRST""",
+    "eval_coverage" ->
+      s"""WITH $shingleCtes,
+         ev AS (SELECT doc_id, sh FROM sh
+                WHERE doc_id % 100 = 0 AND doc_id < 2000),
+         tr AS (SELECT DISTINCT sh FROM sh
+                WHERE NOT (doc_id % 100 = 0 AND doc_id < 2000))
+         SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(tr.sh) AS BIGINT) AS n_covered,
+           CAST(count(tr.sh) * 10000 // count(*) AS BIGINT) AS cov_fp
+         FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+         GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
     "corpus_decontam" ->
       s"""WITH $shingleCtes,
          ev AS (SELECT sh, doc_id AS eval_id FROM sh
