@@ -841,6 +841,44 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    "mix_temperature" -> ((s, d) => {
+      // temperature-scaled multilingual sampling (mT5/XLM-R α=0.5):
+      // sampling weight ∝ n^α flattens the language distribution —
+      // low-resource languages are upsampled RELATIVE to raw frequency
+      // without the uniform target mix_sources imposes. Determinism
+      // discipline: sqrt is IEEE-correctly-rounded (identical both
+      // engines), and the weight-sum folds LEFT-ASSOCIATIVELY over the
+      // lang-sorted list in both engines (aggregate-over-sorted-array
+      // here, list_reduce-over-ordered-list in the oracle — the win_ewma
+      // lesson: a 5-double sum in engine-chosen order differs by ulps and
+      // a floor() boundary amplifies that to ±1 ppm). The rate formula is
+      // the same arithmetic text in both dialects, so every intermediate
+      // double is bit-identical. Same plan shape as mix_sources: one
+      // 5-group agg, a broadcast rate table, map-side salted-hash
+      // acceptance.
+      val counts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum(col("n_docs")).as("total"),
+        expr("""aggregate(
+             transform(array_sort(collect_list(struct(lang, n_docs))),
+               t -> sqrt(CAST(t.n_docs AS DOUBLE))),
+             CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("w_sum"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L), expr(
+          """CAST(floor(((total DIV 2) * sqrt(CAST(n_docs AS DOUBLE)) / w_sum)
+                 * 1000000 / n_docs) AS BIGINT)""")))
+        .select(col("lang"), col("n_docs"), col("rate_ppm"))
+      documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("keep",
+          expr(h60Spark("concat('mixt:', CAST(doc_id AS STRING))") +
+            " % 1000000") < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "text_bigrams" -> ((s, d) =>
       // corpus bigram frequency (the n-gram LM counting shape): index
       // explode + plain-projection concat (codegen'd, not a HOF lambda),
@@ -1368,6 +1406,24 @@ object TextOps {
            CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
            CAST(count(*) FILTER (
              ${h60Duck("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000000
+               < rate_ppm) AS BIGINT) AS n_kept
+         FROM documents JOIN r USING (lang)
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
+    "mix_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+                   (a, x) -> a + x) AS w_sum
+               FROM c),
+         r AS (SELECT lang, n_docs,
+                 least(1000000,
+                   CAST(floor(((total // 2) * sqrt(CAST(n_docs AS DOUBLE)) / w_sum)
+                     * 1000000 / n_docs) AS BIGINT)) AS rate_ppm
+               FROM c, t)
+         SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+           CAST(count(*) FILTER (
+             ${h60Duck("concat('mixt:', CAST(doc_id AS VARCHAR))")} % 1000000
                < rate_ppm) AS BIGINT) AS n_kept
          FROM documents JOIN r USING (lang)
          GROUP BY lang ORDER BY lang NULLS FIRST""",

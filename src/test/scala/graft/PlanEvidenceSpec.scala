@@ -91,6 +91,35 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!badBroadcast, s"fact table under a BroadcastExchange:\n$p")
   }
 
+  test("corpus mixing broadcasts the tiny rate table; the corpus is never broadcast") {
+    def corpusNeverBroadcast(p: String): Boolean = {
+      val lines = p.linesIterator.toVector
+      def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+      !lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("BroadcastExchange") && {
+          val bi = indent(l)
+          // a broadcast subtree may read documents to COUNT it (5-row
+          // agg) but must never broadcast the doc rows themselves: flag
+          // only a documents scan with no aggregate between it and the
+          // broadcast
+          val sub = lines.drop(i + 1).takeWhile(x => indent(x) > bi)
+          sub.exists(_.contains("documents")) && !sub.exists(_.contains("HashAggregate"))
+        }
+      }
+    }
+    Seq("mix_sources", "mix_temperature").foreach { k =>
+      val p = plan(TextOps.queries(k)(spark, d))
+      assert(p.contains("BroadcastHashJoin"), s"$k: $p")
+      assert(corpusNeverBroadcast(p), s"$k broadcasts corpus rows:\n$p")
+    }
+  }
+
+  test("text_perplexity joins are all equi-joins — no cartesian fan-out") {
+    val p = plan(TextOps.queries("text_perplexity")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the LM scoring path:\n$p")
+  }
+
   test("join_asof plans one window over a single per-user stream — no join, no fan-out") {
     val p = plan(Joins.queries("join_asof")(spark, d))
     assert(p.contains("Window"), p)

@@ -33,6 +33,14 @@ class ServingSpec extends AnyFunSuite {
     assert(nl.count() === 10)
   }
 
+  test("schema introspection works through the serving seam") {
+    val intro = Server.handle(spark,
+      Server.ServeRequest("graphql", Dialects.gqlIntrospectQuery, d))
+    val names = intro.collect().map(_.getString(0)).toSeq
+    assert(names === names.sorted && names.contains("orders") &&
+      names.contains("documents"))
+  }
+
   test("handle fails loudly on an unknown dialect") {
     val e = intercept[IllegalArgumentException] {
       Server.handle(spark, Server.ServeRequest("cypher", "MATCH (n)", d))
