@@ -369,6 +369,43 @@ object TextOps {
         .orderBy("a", "b", "band")
     }),
 
+    "sim_minhash_est" -> ((s, d) => {
+      // the sketch-calibration audit: for every LSH candidate pair,
+      // MinHash's Jaccard estimate (matching signature positions / 16)
+      // NEXT TO the exact Jaccard — how a pipeline validates that its
+      // banding threshold actually separates dups from neighbors before
+      // trusting the sketch at 100 TB (E[est] = J; σ = √(J(1-J)/16)).
+      // Plan: signatures and exact sets are bounded per-doc arrays
+      // (16 longs; ≤ shingle-count longs), both eagerly checkpointed and
+      // equi-joined onto the (small, capped) candidate list; the
+      // estimate and the exact ratio are in-row array folds in exact
+      // fixed-point. No fan-out beyond the already-capped bandPairs.
+      val sigs = shingles(s, d).select(col("doc_id"), col("shingle"),
+          explode(expr("sequence(0, 15)")).as("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)"))).as("mh"))
+        .groupBy("doc_id")
+        .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), t -> t.mh)")
+          .as("sig"))
+        .localCheckpoint()
+      val sets = hashedShingles(s, d).groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("st"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      bandPairs(minhashBands(s, d)).select("a", "b").distinct()
+        .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+        .join(sets.select(col("doc_id").as("a"), col("st").as("sa"), col("n").as("na")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("st").as("sb"), col("n").as("nb")), "b")
+        .withColumn("n_match",
+          expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) AS BIGINT)"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast(L))
+        .select(col("a"), col("b"), col("n_match"),
+          expr("(n_match * 10000) div 16").as("est_fp"),
+          expr("(i * 10000) div (na + nb - i)").as("jacc_fp"))
+        .orderBy("a", "b")
+    }),
+
     "dedup_cluster" -> ((s, d) => {
       // The stage a real dedup pipeline runs AFTER candidate generation:
       // LSH candidate pairs form a graph whose connected components are the
@@ -1168,6 +1205,25 @@ object TextOps {
            count(DISTINCT ev.eval_id) AS n_eval_docs
          FROM tr JOIN ev ON tr.sh = ev.sh
          GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
+    "sim_minhash_est" ->
+      s"""WITH $mhBandCtes,
+         pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+         hsh AS (SELECT DISTINCT doc_id, ${h60Duck("shingle")} AS hs FROM sh),
+         hsets AS (SELECT doc_id, list(hs ORDER BY hs) AS st, count(*) AS n
+                   FROM hsh GROUP BY 1),
+         j AS (SELECT p.a, p.b,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
+                 len(list_intersect(ha.st, hb.st)) AS i, ha.n AS na, hb.n AS nb
+               FROM pairs p
+               JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b
+               JOIN hsets ha ON ha.doc_id = p.a JOIN hsets hb ON hb.doc_id = p.b)
+         SELECT a, b, CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_match * 10000 // 16 AS BIGINT) AS est_fp,
+           CAST(i * 10000 // (na + nb - i) AS BIGINT) AS jacc_fp
+         FROM j ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "dedup_minhash" ->
       // same md5-derived 60-bit hash family as the Spark side
       s"""WITH $mhBandCtes
