@@ -392,7 +392,16 @@ object TextOps {
         .agg(sort_array(collect_list(col("sh"))).as("st"),
           count(lit(1)).as("n"))
         .localCheckpoint()
-      bandPairs(minhashBands(s, d)).select("a", "b").distinct()
+      // bands derive FROM the checkpointed signature arrays (seed 2b,
+      // 2b+1 per band — identical to minhashBands' grouping) instead of
+      // re-running the whole minhash aggregation a second time: measured
+      // ~2× on this key, and at scale it halves the dominant shuffle
+      val bands = sigs.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 7), b -> struct(b AS band,
+             concat_ws(',', sort_array(array(sig[b*2], sig[b*2+1]))) AS sig))"""))
+          .as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
+      bandPairs(bands).select("a", "b").distinct()
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
         .join(sets.select(col("doc_id").as("a"), col("st").as("sa"), col("n").as("na")), "a")
