@@ -1069,7 +1069,101 @@ object TextOps {
         .join(documents(s, d).select(col("doc_id"),
           md5(concat_ws(" ", split(lower(col("text")), " "))).as("content_md5")), "doc_id")
         .select("doc_id", "fp", "content_md5")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "filter_blocklist" -> ((s, d) => {
+      // domain-blocklist filtering — the crawl-hygiene gate upstream of
+      // every content filter: each doc's origin URL is synthesized from
+      // fixture columns (so both engines see the SAME strings), the host
+      // comes out of the codegen'd parse_url expression, and docs whose
+      // host is listed are dropped. The blocklist is a FIXED curated
+      // table (spam/adult/SEO domains — corpus-INDEPENDENT, KBs not TBs),
+      // so it broadcasts and the corpus is filtered map-side inside its
+      // own scan: a broadcast left-anti join, zero corpus-row shuffles —
+      // the shape is unchanged at 100 TB. Survivors keep their host so
+      // downstream per-domain stats need no re-parse.
+      import s.implicits._
+      val urls = documents(s, d).select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+            col("doc_id")).as("url"))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+      val block = Seq("src3.example.com", "src7.example.com",
+        "src11.example.com", "src15.example.com").toDF("host")
+      urls.join(broadcast(block), Seq("host"), "left_anti")
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    }),
+
+    "text_normalize" -> ((s, d) => {
+      // text canonicalization — the FIRST pass of every ingest pipeline
+      // (before any dedup/hash sees the bytes): case-fold, fold common
+      // Latin-1 accents (translate — one table lookup per char, no regex
+      // backtracking), strip non-alphanumerics, collapse runs of spaces,
+      // trim. Emits the audit columns a cleaning stage is judged by: raw
+      // vs normalized length and the canonical md5 (the key exact dedup
+      // would then group on). Pure map work, whole-stage codegen'd, zero
+      // shuffles — at 100 TB this pass is I/O-bound, exactly as it should
+      // be. Both regexes are replace-ALL on both engines (DuckDB needs
+      // the explicit 'g' flag — its default is replace-first).
+      val folded = translate(lower(col("text")),
+        "àáâäèéêëìíîïòóôöùúûüñç",
+        "aaaaeeeeiiiioooouuuunc")
+      val norm = trim(regexp_replace(
+        regexp_replace(folded, "[^a-z0-9 ]", ""), " +", " "))
+      documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).cast(L).as("raw_len"),
+          length(norm).cast(L).as("norm_len"),
+          md5(norm).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_chunk" -> ((s, d) => {
+      // fixed-window token chunking with overlap (chunk=32, stride=24 →
+      // 8-token overlap) — how long documents become training sequences /
+      // retrieval units. Start offsets come from an index-sequence explode
+      // (bounded: ⌈n/stride⌉ chunks per doc, ≤5 at fixture token counts);
+      // the chunk itself is an in-row slice + concat (codegen'd — no HOF
+      // lambda, same lesson as shingleRows). Emits per chunk: token
+      // count and the chunk md5 (what downstream chunk-level dedup keys
+      // on). Pure map + bounded explode, zero shuffles beyond the
+      // presentation sort; at 100 TB output rows ∝ input tokens/stride.
+      toks(s, d)
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(0, (size(t)-1) div 24)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast(L).as("chunk_id"),
+          expr("slice(t, chunk_id * 24 + 1, 32)").as("c"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("c")).cast(L).as("n_tok"),
+          md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "vocab_oov" -> ((s, d) => {
+      // vocabulary-coverage / OOV-rate audit — given a bounded vocabulary
+      // (here: the corpus top-20 tokens by frequency, count-desc then
+      // token-asc so the cutoff is deterministic in both engines), score
+      // each document by how much of its token mass falls outside it.
+      // The tokenizer-fit signal every corpus report carries (high OOV =
+      // wrong tokenizer or wrong-language contamination). Plan: the vocab
+      // is top-k of a token-keyed partial agg (TakeOrderedAndProject — k
+      // rows reach the driver), then BROADCAST: per-doc scoring is one
+      // map-side probe + one doc-keyed agg. The corpus never shuffles by
+      // token for scoring; vocab size — not corpus size — bounds the
+      // broadcast, so the shape is unchanged at 100 TB. OOV rate in exact
+      // basis points (BIGINT div) — no float ratios near the gate.
+      val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc_nulls_last, col("token"))
+        .limit(20)
+        .select(col("token"), lit(true).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(L).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_bp", expr("(n_oov * 10000) div n_tok"))
+        .orderBy("doc_id")
+    })
   )
 
   /** MinHash band-signature CTE chain (DuckDB), shared by the
@@ -1557,6 +1651,54 @@ object TextOps {
          JOIN (SELECT doc_id, md5(array_to_string(string_split(lower(text), ' '), ' ')) AS content_md5
                FROM documents) m ON p.doc_id = m.doc_id
          GROUP BY p.doc_id
-         ORDER BY p.doc_id NULLS FIRST"""
+         ORDER BY p.doc_id NULLS FIRST""",
+    "filter_blocklist" ->
+      // independent formulation: the host is derived directly from the
+      // source column (what parse_url extracts from the synthesized URL)
+      """SELECT doc_id, source || '.example.com' AS host
+         FROM documents
+         WHERE source || '.example.com' NOT IN
+           ('src3.example.com', 'src7.example.com',
+            'src11.example.com', 'src15.example.com')
+         ORDER BY doc_id NULLS FIRST""",
+    "text_normalize" ->
+      // same fold→strip→collapse→trim chain; DuckDB regexp_replace needs
+      // the explicit 'g' flag (replace-first by default) to match Spark's
+      // replace-all
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_len,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_md5
+         FROM (SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(
+                   translate(lower(text),
+                     'àáâäèéêëìíîïòóôöùúûüñç', 'aaaaeeeeiiiioooouuuunc'),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents)
+         ORDER BY doc_id NULLS FIRST""",
+    "doc_chunk" ->
+      // range(0, k+1) is end-exclusive = Spark's inclusive sequence(0, k);
+      // DuckDB 1-based inclusive list slice clamps at the list end exactly
+      // like Spark's slice(arr, start, len)
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         c AS (SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_id FROM t)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_tok,
+           md5(array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""",
+    "vocab_oov" ->
+      // top-20 vocab cut by (count DESC, token ASC) — the same
+      // deterministic cutoff as the Spark side's orderBy().limit(20)
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         vocab AS (SELECT token FROM (
+           SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnts)
+           WHERE rn <= 20)
+         SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS oov_bp
+         FROM tok LEFT JOIN vocab v ON tok.token = v.token
+         GROUP BY tok.doc_id
+         ORDER BY tok.doc_id NULLS FIRST"""
   )
 }

@@ -269,6 +269,94 @@ object VectorOps {
 
     "sim_ivf" -> ((s, d) => simIvf(s, d)),
 
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023) — semantic dedup via cluster-bucketed
+      // cosine: assign every vector to its nearest coarse centroid (the
+      // sim_ivf deterministic quantizer: centroids = first 8 vectors), then
+      // compare pairs ONLY within a cluster and drop the higher id of any
+      // pair above the similarity threshold (min-id representative — the
+      // same keep rule as the hash-dedup family). The clustering is the
+      // entire scale story: k clusters cut candidate pairs from n²/2 to
+      // Σ|cluster|²/2, and at 100 TB k grows with the corpus so cluster
+      // size — and with it per-bucket pair fan-out — stays bounded (the
+      // same bucket-cap discipline as bandPairs' LSH buckets). τ = 0.35 is
+      // calibrated to the fixture's similarity tail (random embeddings —
+      // max pair cos ≈ 0.48, so a production 0.9 would fire never and test
+      // nothing); the THRESHOLD is fixture-specific, the plan is not.
+      // Comparison runs on the 6dp rank key, so the verdict can't flip on
+      // a last-ulp divergence.
+      val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
+      val cents = withNorm(s, d, "c_id", "cv", "cn").filter(col("c_id") < 8)
+        .select("c_id", "cv", "cn")
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
+        .select(col("vec_id"), col("v"), col("n"),
+          struct((lit(0d) - rankKey(col("ccos"))).as("nk"), col("c_id")).as("sc"))
+        .groupBy("vec_id")
+        .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+          expr("sort_array(collect_list(sc))[0].c_id").as("cluster"))
+        .localCheckpoint(true) // consumed three times (a-side, b-side, verdict)
+      val a = assign.select(col("cluster"), col("vec_id").as("a"),
+        col("v").as("av"), col("n").as("an"))
+      val b = assign.select(col("cluster"), col("vec_id").as("b"),
+        col("v").as("bv"), col("n").as("bn"))
+      val dups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+        .withColumn("cos", dot("av", "bv") / (col("an") * col("bn")))
+        .filter(rankKey(col("cos")) >= 0.35)
+        .select(col("b").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assign.select("vec_id", "cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(!col("dup"), lit(true)).as("keep"))
+        .orderBy("vec_id")
+    }),
+
+    "sim_rerank" -> ((s, d) => {
+      // two-stage ANN serving: an int8-quantized INTEGER-dot scan builds a
+      // 10-candidate shortlist per query, then exact double cosine reranks
+      // the shortlist to top-3 — the "compressed scan + exact rerank"
+      // shape every production vector store runs (PQ/int8 stage-1 cuts
+      // memory traffic 8×; stage-2 touches 10 rows per query, not the
+      // corpus). Quantization is vec_quantize's exact formula (per-vector
+      // max-abs scale, codes are BIGINTs → the stage-1 integer dot is
+      // EXACT, no float-order hazard); the de-scaled approx score and the
+      // stage-2 cosine rank on round(·,6) with vec_id tie-break. Queries
+      // (10 held-out vectors) broadcast; the corpus streams map-side
+      // through stage 1 — no shuffle bigger than 10 rows/query anywhere.
+      val e0 = emb(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("scale",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .filter(col("scale") > 0)
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))"))
+      val qs = e0.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("scale").as("q_s"), col("q").as("qq"))
+      val cs = e0.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding").as("cv"),
+          col("scale").as("c_s"), col("q").as("cq"))
+      val w1 = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("approx")).desc, col("vec_id"))
+      val short = cs.crossJoin(broadcast(qs))
+        .withColumn("idot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("approx",
+          col("idot").cast(DoubleType) * col("q_s") * col("c_s") / lit(16129.0))
+        .withColumn("srn", row_number().over(w1))
+        .filter(col("srn") <= 10)
+      val w2 = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      short
+        .withColumn("cos", dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv"))))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          (r4(col("cos")) + lit(0.0)).as("cos_sim"),
+          (r4(col("approx")) + lit(0.0)).as("approx_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // sign-random-projection LSH: 8 md5-derived hyperplanes (parity of
       // the 60-bit md5 hash of plane*64+dim — engine-portable, so the whole
@@ -501,6 +589,56 @@ object VectorOps {
            FROM scored)
          SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
+    "dedup_semantic" ->
+      // same nearest-centroid assignment CTE as sim_ivf (crn = 1), then
+      // within-cluster pairs above the 6dp-rounded threshold mark the
+      // higher id as a duplicate
+      s"""WITH assign AS (
+           SELECT vec_id, c_id AS cluster FROM (
+             SELECT b.vec_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(${cosSql("b.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS crn
+             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c)
+           WHERE crn = 1),
+         dup AS (
+           SELECT DISTINCT b.vec_id
+           FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE round(${cosSql("ea.embedding", "eb.embedding")}, 6) >= 0.35)
+         SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           (d.vec_id IS NULL) AS keep
+         FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id NULLS FIRST""",
+    "sim_rerank" ->
+      // identical int8 quantization (vec_quantize's formula), exact integer
+      // stage-1 dot, identically-ordered double de-scale, then the exact
+      // cosine rerank — both rank keys on round(·,6) with vec_id tie-break
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qz AS (SELECT vec_id, v, s,
+                  list_transform(v, x -> CAST(round(x * 127.0 / s) AS BIGINT)) AS q
+                FROM (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) AS s FROM e0)
+                WHERE s > 0),
+         qs AS (SELECT vec_id AS q_id, v AS qv, s AS q_s, q AS qq FROM qz WHERE vec_id < 10),
+         cs AS (SELECT vec_id, v AS cv, s AS c_s, q AS cq FROM qz WHERE vec_id >= 10),
+         st1 AS (SELECT q_id, vec_id, qv, cv,
+                   CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * cq[i])) AS DOUBLE)
+                     * q_s * c_s / 16129.0 AS approx
+                 FROM cs CROSS JOIN qs),
+         sh AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(approx, 6) DESC, vec_id) AS srn FROM st1)
+                WHERE srn <= 10),
+         rk AS (SELECT q_id, vec_id, approx, cos,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+                FROM (SELECT *, ${cosSql("qv", "cv")} AS cos FROM sh))
+         SELECT q_id, rank, vec_id,
+           round(cos, 4) + 0.0 AS cos_sim,
+           round(approx, 4) + 0.0 AS approx_sim
+         FROM rk WHERE rank <= 3
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

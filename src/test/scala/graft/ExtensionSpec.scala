@@ -492,6 +492,125 @@ class ExtensionSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("text_normalize: normalized form is idempotent and never longer") {
+    val out = TextOps.queries("text_normalize")(spark, d)
+    assert(out.count() === Tables.documents(spark, d).count())
+    assert(out.filter($"norm_len" > $"raw_len").count() === 0)
+    // idempotence: re-running the chain over the already-normalized text
+    // must not change it (the defining property of a canonicalizer) —
+    // verified via the md5: normalize(normalize(x)) has the same md5
+    val renorm = Tables.documents(spark, d).select(
+      $"doc_id",
+      md5(trim(regexp_replace(regexp_replace(
+        translate(lower(trim(regexp_replace(regexp_replace(
+          translate(lower($"text"), "àáâäèéêëìíîïòóôöùúûüñç", "aaaaeeeeiiiioooouuuunc"),
+          "[^a-z0-9 ]", ""), " +", " "))),
+          "àáâäèéêëìíîïòóôöùúûüñç", "aaaaeeeeiiiioooouuuunc"),
+        "[^a-z0-9 ]", ""), " +", " "))).as("md5_2"))
+    assert(out.join(renorm, "doc_id").filter($"norm_md5" =!= $"md5_2").count() === 0)
+  }
+
+  test("doc_chunk: strided chunks tile every document with bounded overlap") {
+    val out = TextOps.queries("doc_chunk")(spark, d).cache()
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n"))
+    // per doc: chunk count = ceil(n/24) with the last start at (n-1) div 24,
+    // every non-final chunk is full (32 tokens or runs to the end), and
+    // token coverage: sum of per-chunk sizes >= n (stride < chunk → overlap)
+    val per = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max($"chunk_id").as("max_id"),
+      sum($"n_tok").as("tok_sum"), min($"n_tok").as("min_tok"))
+    val j = per.join(docs, "doc_id")
+    assert(j.filter($"n_chunks" =!= ($"max_id" + 1)).count() === 0)
+    assert(j.filter($"max_id" =!= expr("(n - 1) div 24")).count() === 0)
+    assert(j.filter($"tok_sum" < $"n").count() === 0, "chunks must cover all tokens")
+    assert(out.filter($"n_tok" > 32).count() === 0)
+    out.unpersist()
+    ()
+  }
+
+  test("vocab_oov: rates bounded, vocab tokens score zero OOV") {
+    val out = TextOps.queries("vocab_oov")(spark, d)
+    assert(out.count() === Tables.documents(spark, d).count())
+    assert(out.filter($"n_oov" > $"n_tok" || $"n_oov" < 0).count() === 0)
+    assert(out.filter($"oov_bp" < 0 || $"oov_bp" > 10000).count() === 0)
+    // the corpus has 31 distinct tokens and vocab keeps 20 → some doc must
+    // carry OOV mass, and no doc can be 100% OOV (top-20 covers the head)
+    assert(out.filter($"n_oov" > 0).count() > 0)
+    assert(out.filter($"oov_bp" === 10000).count() === 0)
+  }
+
+  test("dedup_semantic: covers the corpus, cluster minima survive, verdicts match brute force") {
+    val out = VectorOps.queries("dedup_semantic")(spark, d).cache()
+    val n = Tables.embeddings(spark, d).count()
+    assert(out.count() === n)
+    // the min vec_id of every cluster has no smaller-id partner → must be kept
+    val minPerCluster = out.groupBy("cluster").agg(min($"vec_id").as("vec_id"))
+    assert(out.join(minPerCluster, Seq("cluster", "vec_id")).filter(!$"keep").count() === 0)
+    // the fixture-calibrated threshold actually fires, but never clears a cluster
+    assert(out.filter(!$"keep").count() > 0)
+    val clusters = out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(when($"keep", 1L).otherwise(0L)).as("n_keep"))
+    assert(clusters.filter($"n_keep" === 0).count() === 0)
+    // brute-force verdict recompute: removed ⟺ ∃ smaller-id same-cluster
+    // partner with round(cos,6) >= 0.35 (independent machinery: SQL join)
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.plans.GraftFunctions.register(spark)
+    out.join(e, "vec_id").createOrReplaceTempView("sem")
+    val mismatch = spark.sql(
+      """SELECT s.vec_id FROM sem s
+         LEFT JOIN (
+           SELECT DISTINCT b.vec_id FROM sem a JOIN sem b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE round(vec_dot(a.v, b.v) /
+             (sqrt(vec_dot(a.v, a.v)) * sqrt(vec_dot(b.v, b.v))), 6) >= 0.35) r
+         ON s.vec_id = r.vec_id
+         WHERE s.keep = (r.vec_id IS NOT NULL)""").count()
+    assert(mismatch === 0)
+    out.unpersist()
+    ()
+  }
+
+  test("sim_rerank: 3 ranked rows per query and high recall vs exact top-3") {
+    val out = VectorOps.queries("sim_rerank")(spark, d).cache()
+    assert(out.count() === 30)
+    assert(out.filter($"rank" < 1 || $"rank" > 3).count() === 0)
+    assert(out.filter(abs($"cos_sim") > 1.0001).count() === 0)
+    // exact top-3 over the same candidate split (queries <10, corpus >=10)
+    graft.plans.GraftFunctions.register(spark)
+    Tables.embeddings(spark, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .createOrReplaceTempView("rr_e")
+    val exact = spark.sql(
+      """SELECT q_id, vec_id FROM (
+           SELECT q.vec_id AS q_id, c.vec_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               round(vec_dot(q.v, c.v) /
+                 (sqrt(vec_dot(q.v, q.v)) * sqrt(vec_dot(c.v, c.v))), 6) DESC,
+               c.vec_id) AS rk
+           FROM rr_e q JOIN rr_e c ON q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rk <= 3""")
+    val hits = out.select("q_id", "vec_id").join(exact, Seq("q_id", "vec_id")).count()
+    // int8 shortlist of 10 then exact rerank: recall@3 should be near-perfect;
+    // require >= 2/3 overall so the gate survives quantization edge cases
+    assert(hits >= 20, s"rerank recall@3 too low: $hits/30")
+    out.unpersist()
+    ()
+  }
+
+  test("filter_blocklist: no blocked host survives, everything else does") {
+    val out = TextOps.queries("filter_blocklist")(spark, d)
+    val n = Tables.documents(spark, d).count()
+    val blocked = Set("src3.example.com", "src7.example.com",
+      "src11.example.com", "src15.example.com")
+    assert(out.filter($"host".isin(blocked.toSeq: _*)).count() === 0)
+    val expectedKept = Tables.documents(spark, d)
+      .filter(!concat($"source", lit(".example.com")).isin(blocked.toSeq: _*)).count()
+    assert(out.count() === expectedKept)
+    assert(out.count() > 0 && out.count() < n)
+  }
+
   test("mm_decode_stub features equal SQL-computed equivalents") {
     val stub = graft.functions.Custom.queries("mm_decode_stub")(spark, d)
     val sql = Tables.documents(spark, d).select(
