@@ -60,6 +60,8 @@ object NlToSql {
   // values like status 'F' are case-sensitive), noun captures are
   // lowercased before catalog lookup
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
+  private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
+  private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
   private val TopNWhere =
     """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalByDateRange =
@@ -301,6 +303,37 @@ object NlToSql {
       s"""SELECT $dcol,
          round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_val
          FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case BottomN(n, entity, measure) =>
+      // "bottom 5 customers by total order price" — the ascending mirror
+      // of TopN: same join routing, ORDER BY total ASC. NULLS FIRST on
+      // the ascending measure keeps both engines' (identical) default
+      // explicit.
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val from = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from
+         GROUP BY $pk, $nameCol
+         ORDER BY total ASC NULLS FIRST, $pk NULLS FIRST
+         LIMIT $n"""
+    case TotalByYearDim(measure) =>
+      // "total order price by year" — GROUP BY a DERIVED calendar bucket
+      // of the fact's canonical event-time column (nl_year filters one
+      // year; this production groups by all of them). Matched before
+      // TotalBy, whose dimension capture would swallow 'year' and fail
+      // the catalog lookup. CAST to BIGINT: Spark's year() yields INT,
+      // DuckDB's BIGINT — the cast unifies the output schema.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      s"""SELECT CAST(year($dateCol) AS BIGINT) AS yr,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact GROUP BY 1 ORDER BY yr NULLS FIRST"""
     case TotalBy(measure, dim) =>
       val (fact, mcol) = measures.getOrElse(measure.trim,
         throw new IllegalArgumentException(s"unknown measure: $measure"))

@@ -67,6 +67,9 @@ object Dialects {
     "total order price by priority having total above 220000000"
   val nlMinMaxQuestion: String = "maximum order price by status"
   val nlYearQuestion: String = "total order price by status in 1995"
+  val nlBottomQuestion: String = "bottom 5 customers by total order price"
+  // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
+  val nlByYearQuestion: String = "total order price by year"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -148,6 +151,8 @@ object Dialects {
     "nl_having" -> ((s, d) => NlToSql.run(s, d, nlHavingQuestion)),
     "nl_minmax" -> ((s, d) => NlToSql.run(s, d, nlMinMaxQuestion)),
     "nl_year" -> ((s, d) => NlToSql.run(s, d, nlYearQuestion)),
+    "nl_bottomk" -> ((s, d) => NlToSql.run(s, d, nlBottomQuestion)),
+    "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
@@ -213,6 +218,8 @@ object Dialects {
     "nl_having" -> NlToSql.translate(nlHavingQuestion),
     "nl_minmax" -> NlToSql.translate(nlMinMaxQuestion),
     "nl_year" -> NlToSql.translate(nlYearQuestion),
+    "nl_bottomk" -> NlToSql.translate(nlBottomQuestion),
+    "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

@@ -218,6 +218,22 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("total order price by language having total above 5"))
   }
 
+  test("NL bottom-k and by-year productions") {
+    val bottom = NlToSql.translate("bottom 5 customers by total order price")
+    assert(bottom.contains("ORDER BY total ASC NULLS FIRST"))
+    assert(bottom.contains("LIMIT 5"))
+    val byYear = NlToSql.translate("total order price by year")
+    assert(byYear.contains("CAST(year(o_orderdate) AS BIGINT)"))
+    assert(byYear.contains("GROUP BY 1"))
+    // 'by year' routes through the derived-bucket production, not the
+    // catalog-dimension one — an unknown plain dimension still fails
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("total order price by month"))
+    // bottom-k without a join path fails loudly like top-k does
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("bottom 3 widgets by total order price"))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")
