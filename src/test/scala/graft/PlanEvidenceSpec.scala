@@ -139,4 +139,26 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"), p)
   }
 
+  test("filter_blocklist plans a broadcast LEFT ANTI join; corpus scan prunes to 2 columns") {
+    val p = plan(TextOps.queries("filter_blocklist")(spark, d))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"the text column must be pruned from the blocklist scan: $readSchema")
+  }
+
+  test("vocab_oov builds its vocab via TakeOrderedAndProject and broadcasts it") {
+    val p = plan(TextOps.queries("vocab_oov")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
+  test("sim_rerank broadcasts the query side and group-limits both ranking windows") {
+    val p = plan(VectorOps.queries("sim_rerank")(spark, d))
+    assert(p.contains("BroadcastExchange"), p)
+    // both the shortlist and rerank windows must pre-filter per-partition
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected WindowGroupLimit on both ranking stages:\n$p")
+  }
+
 }
