@@ -129,6 +129,30 @@ object Custom {
         .orderBy("doc_id")
     }),
 
+    "mm_resize_stub" -> ((s, d) =>
+      // image-resize plumbing (the ViT/CLIP preprocessing shape): source
+      // dims come from payload metadata (deterministic stand-in where a
+      // header parse would plug in), the long edge is scaled to the 224
+      // budget with aspect preserved, and the patch count is what a
+      // vision encoder would tokenize into. EXACT integer arithmetic
+      // ((short·224) div long; ceil as (x+15) div 16) — the resize KERNEL
+      // is the stub; the schema, dim math, and per-row map-only plan are
+      // the real Spark-side work. Zero shuffles beyond the sort.
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("octet_length(cast(text as binary))").cast(LongType).as("n_bytes"),
+          ascii(col("text")).cast(LongType).as("fb"))
+        .select(col("doc_id"),
+          (lit(64L) + col("n_bytes") % 960L).as("src_w"),
+          (lit(64L) + col("fb") % 540L).as("src_h"))
+        .withColumn("dst_w",
+          expr("CASE WHEN src_w >= src_h THEN 224L ELSE (src_w * 224) div src_h END"))
+        .withColumn("dst_h",
+          expr("CASE WHEN src_h >= src_w THEN 224L ELSE (src_h * 224) div src_w END"))
+        .withColumn("n_patches",
+          expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)"))
+        .orderBy("doc_id")),
+
     "mm_window_energy" -> ((s, d) =>
       // audio-feature plumbing: OVERLAPPING windows (width 16 bytes, hop 8
       // — the STFT shape) over the opaque payload, per-window "energy" =
@@ -223,6 +247,19 @@ object Custom {
          md5(text) AS content_hash,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind
          FROM documents ORDER BY doc_id NULLS FIRST""",
+    "mm_resize_stub" ->
+      // identical integer dim math over the same payload metadata
+      """WITH m AS (SELECT doc_id,
+             64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS src_w,
+             64 + CAST(ascii(text) AS BIGINT) % 540 AS src_h
+           FROM documents),
+         r AS (SELECT doc_id, src_w, src_h,
+             CASE WHEN src_w >= src_h THEN 224 ELSE (src_w * 224) // src_h END AS dst_w,
+             CASE WHEN src_h >= src_w THEN 224 ELSE (src_h * 224) // src_w END AS dst_h
+           FROM m)
+         SELECT doc_id, src_w, src_h, dst_w, dst_h,
+           ((dst_w + 15) // 16) * ((dst_h + 15) // 16) AS n_patches
+         FROM r ORDER BY doc_id NULLS FIRST""",
     "mm_decode_stub" ->
       // byte-based (octet-level over encode(text), matching the Spark side's
       // UTF-8 byte math) — round-1 ADVICE.md: the previous ascii/substr form

@@ -1071,6 +1071,32 @@ object TextOps {
         .select("doc_id", "fp", "content_md5")
         .orderBy("doc_id")),
 
+    "mix_epochs" -> ((s, d) => {
+      // data-constrained epoch allocation (Muennighoff et al. 2023): when
+      // the token budget exceeds a source's size, REPEAT the source — up
+      // to 4 epochs, past which repeated data stops buying loss (the
+      // paper's R* ≈ 4 finding) — rather than over-sampling a bigger
+      // source. Budget share per source = 3× corpus tokens / n_sources
+      // (uniform target); epochs = min(4, ⌈target / n_tok⌉); allocated
+      // tokens = min(target, epochs·n_tok). EXACT integer arithmetic
+      // end-to-end (ceil as (t + n - 1) div n) — no float ratios near
+      // the gate, reproducible on any cluster shape. Plan: one per-doc
+      // map for token counts, one source-keyed partial agg (20 groups),
+      // the 1-row total broadcast back — the corpus is scanned once and
+      // never shuffled (the agg moves 20 rows/partition).
+      val tok = documents(s, d).select(col("source"),
+        size(split(lower(col("text")), " ")).cast(L).as("n"))
+      val counts = tok.groupBy("source").agg(sum(col("n")).as("n_tok"))
+      val totals = counts.agg(sum(col("n_tok")).as("total"),
+        count(lit(1)).as("n_src"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("target", expr("(total * 3) div n_src"))
+        .withColumn("epochs", expr("least(4L, (target + n_tok - 1) div n_tok)"))
+        .withColumn("alloc_tok", expr("least(target, epochs * n_tok)"))
+        .select("source", "n_tok", "target", "epochs", "alloc_tok")
+        .orderBy("source")
+    }),
+
     "filter_blocklist" -> ((s, d) => {
       // domain-blocklist filtering — the crawl-hygiene gate upstream of
       // every content filter: each doc's origin URL is synthesized from
@@ -1652,6 +1678,19 @@ object TextOps {
                FROM documents) m ON p.doc_id = m.doc_id
          GROUP BY p.doc_id
          ORDER BY p.doc_id NULLS FIRST""",
+    "mix_epochs" ->
+      // identical integer allocation; sum() casts pin DuckDB's HUGEINT
+      // aggregates back to BIGINT
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tok
+                    FROM documents GROUP BY 1),
+         g AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total, count(*) AS n_src FROM t)
+         SELECT source, n_tok,
+           (total * 3) // n_src AS target,
+           least(4, ((total * 3) // n_src + n_tok - 1) // n_tok) AS epochs,
+           least((total * 3) // n_src,
+             least(4, ((total * 3) // n_src + n_tok - 1) // n_tok) * n_tok) AS alloc_tok
+         FROM t CROSS JOIN g
+         ORDER BY source NULLS FIRST""",
     "filter_blocklist" ->
       // independent formulation: the host is derived directly from the
       // source column (what parse_url extracts from the synthesized URL)

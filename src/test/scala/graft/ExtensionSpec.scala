@@ -611,6 +611,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.count() > 0 && out.count() < n)
   }
 
+  test("mix_epochs: epochs in [1,4], allocation never exceeds target or capacity") {
+    val out = TextOps.queries("mix_epochs")(spark, d).cache()
+    assert(out.count() === Tables.documents(spark, d).select("source").distinct().count())
+    assert(out.filter($"epochs" < 1 || $"epochs" > 4).count() === 0)
+    assert(out.filter($"alloc_tok" > $"target").count() === 0)
+    assert(out.filter($"alloc_tok" > $"epochs" * $"n_tok").count() === 0)
+    // under-target allocation happens ONLY when the 4-epoch cap binds
+    assert(out.filter($"alloc_tok" < $"target" && $"epochs" =!= 4).count() === 0)
+    // a 3x budget over ~uniform sources must actually exercise repetition
+    assert(out.filter($"epochs" >= 2).count() > 0)
+    out.unpersist()
+    ()
+  }
+
+  test("mm_resize_stub: aspect preserved, long edge pinned to 224, patch grid consistent") {
+    val out = graft.functions.Custom.queries("mm_resize_stub")(spark, d).cache()
+    assert(out.count() === Tables.documents(spark, d).count())
+    assert(out.filter(greatest($"dst_w", $"dst_h") =!= 224).count() === 0)
+    assert(out.filter($"dst_w" > 224 || $"dst_h" > 224 || $"dst_w" < 1 || $"dst_h" < 1).count() === 0)
+    // aspect ordering preserved: wider-than-tall stays wider-than-tall
+    assert(out.filter(($"src_w" > $"src_h") && ($"dst_w" < $"dst_h")).count() === 0)
+    assert(out.filter(($"src_h" > $"src_w") && ($"dst_h" < $"dst_w")).count() === 0)
+    assert(out.filter($"n_patches" =!=
+      expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)")).count() === 0)
+    out.unpersist()
+    ()
+  }
+
   test("mm_decode_stub features equal SQL-computed equivalents") {
     val stub = graft.functions.Custom.queries("mm_decode_stub")(spark, d)
     val sql = Tables.documents(spark, d).select(
