@@ -27,6 +27,24 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     fanout(documents(s, d)).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
+  /** The four Gopher predicates (Rae et al. §A1.1) over a `t` tokens
+    * column, in order (count, word-len, stopwords, type-token) — defined
+    * ONCE so quality_gopher (per-doc rule breakdown) and
+    * crawl_domain_stats (per-domain keep rate) cannot drift. All-integer
+    * arithmetic; see quality_gopher for the threshold rationale.
+    */
+  private def gopherChecks: Seq[org.apache.spark.sql.Column] = {
+    val n = size(col("t")).cast(L)
+    val sumLen = expr("CAST(aggregate(t, 0, (a, x) -> a + length(x)) AS BIGINT)")
+    val nStop = expr(
+      "CAST(size(filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)")
+    val nDist = size(array_distinct(col("t"))).cast(L)
+    Seq(n >= 20 && n <= 10000,
+      sumLen >= n * 3 && sumLen <= n * 10,
+      nStop >= 2,
+      nDist * 5 >= n)
+  }
+
   /** Distinct 3-word shingles per doc — the dedup_near candidate unit.
     * Built by exploding an index sequence and concatenating in a plain
     * projection (whole-stage codegen'd) rather than inside a
@@ -430,6 +448,31 @@ object TextOps {
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
         .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_keep_best" -> ((s, d) => {
+      // the decision stage AFTER clustering: each duplicate cluster keeps
+      // exactly ONE representative — the longest copy (n_chars; doc_id
+      // breaks ties deterministically) — and every clustered doc gets an
+      // audit row saying who its keeper is and whether this copy
+      // survives. Real pipelines rank by a quality score; length is the
+      // fixture-expressible stand-in (swap the struct key to swap
+      // policy). Plan: same clusters as dedup_cluster (single-sourced
+      // via bandPairs + connectedComponents), doc-keyed join for
+      // n_chars, then the keeper via ONE partial-aggregated
+      // groupBy(label) arg-max — max(struct(n_chars, -doc_id)) — no
+      // per-cluster window/sort; the keeper table (|clusters| rows,
+      // corpus-proportional) joins back label-keyed, NOT broadcast.
+      val pairs = bandPairs(minhashBands(s, d)).select("a", "b").distinct()
+      val withLen = connectedComponents(pairs)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      val keeper = withLen.groupBy("label")
+        .agg(max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nd"))).as("k"))
+        .select(col("label"), (lit(0L) - col("k.nd")).as("keeper_id"))
+      withLen.join(keeper, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"), col("keeper_id"),
+          (col("doc_id") === col("keeper_id")).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -1006,18 +1049,45 @@ object TextOps {
       // zero shuffles beyond the presentation sort.
       val t = toks(s, d)
       val n = size(col("t")).cast(L)
-      val sumLen = expr("CAST(aggregate(t, 0, (a, x) -> a + length(x)) AS BIGINT)")
-      val nStop = expr(
-        "CAST(size(filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)")
-      val nDist = size(array_distinct(col("t"))).cast(L)
+      val Seq(okCount, okWordLen, okStopwords, okTtr) = gopherChecks
       t.select(col("doc_id"), n.as("n_tokens"),
-          (n >= 20 && n <= 10000).as("ok_count"),
-          (sumLen >= n * 3 && sumLen <= n * 10).as("ok_word_len"),
-          (nStop >= 2).as("ok_stopwords"),
-          (nDist * 5 >= n).as("ok_ttr"))
+          okCount.as("ok_count"),
+          okWordLen.as("ok_word_len"),
+          okStopwords.as("ok_stopwords"),
+          okTtr.as("ok_ttr"))
         .withColumn("keep",
           col("ok_count") && col("ok_word_len") && col("ok_stopwords") && col("ok_ttr"))
         .orderBy("doc_id")
+    }),
+
+    "crawl_domain_stats" -> ((s, d) => {
+      // the domain-level curation table every crawl pipeline maintains:
+      // per source (standing in for the registrable domain of a crawl
+      // URL), volume, language spread, and the Gopher keep rate — the
+      // evidence a domain-allowlist/blocklist decision is made on (cf.
+      // filter_blocklist, which CONSUMES such a list; this PRODUCES it).
+      // The keep predicate is gopherChecks — single-sourced with
+      // quality_gopher, so the audit and the per-doc filter can never
+      // disagree about what "keep" means. Plan: map-side tokenize +
+      // flags, then ONE partial-aggregated groupBy(source) — shuffle
+      // volume is |domains| (millions at 100 TB, each a few counters),
+      // never |docs|. avg/rate divisions are DOUBLE over exact integer
+      // sums (≪ 2^53), so the 4dp rounding is cross-engine stable.
+      val keep = gopherChecks.reduce(_ && _)
+      fanout(documents(s, d))
+        .select(col("source"), col("lang"), col("n_chars"),
+          split(lower(col("text")), " ").as("t"))
+        .select(col("source"), col("lang"), col("n_chars"), keep.as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("keep_rate",
+          (r4(col("n_keep").cast(DoubleType) / col("n_docs")) + lit(0.0)).as("keep_rate"))
+        .withColumn("avg_chars",
+          (r4(col("sum_chars").cast(DoubleType) / col("n_docs")) + lit(0.0)).as("avg_chars"))
+        .orderBy("source")
     }),
 
     "eval_coverage" -> ((s, d) => {
@@ -1380,6 +1450,51 @@ object TextOps {
          SELECT comp.doc_id, comp.cluster_id, csize.cluster_size
          FROM comp JOIN csize USING (cluster_id)
          ORDER BY doc_id NULLS FIRST""",
+    "dedup_keep_best" ->
+      // same transitive closure as dedup_cluster, then the keeper as a
+      // per-cluster rank window (arg-max by n_chars desc, doc_id asc —
+      // the independent formulation of the Spark side's struct-max)
+      s"""WITH RECURSIVE $mhBandCtes,
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         edges AS (SELECT a AS s, b AS t FROM pairs
+                   UNION SELECT b AS s, a AS t FROM pairs),
+         reach AS (
+           SELECT DISTINCT s AS v, s AS r FROM edges
+           UNION
+           SELECT q.v, e.t FROM reach q JOIN edges e ON e.s = q.r),
+         comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         keeper AS (
+           SELECT cluster_id, doc_id AS keeper_id FROM (
+             SELECT c.cluster_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+             FROM comp c JOIN documents d USING (doc_id))
+           WHERE rn = 1)
+         SELECT c.doc_id, c.cluster_id, k.keeper_id,
+           c.doc_id = k.keeper_id AS keep
+         FROM comp c JOIN keeper k USING (cluster_id)
+         ORDER BY doc_id NULLS FIRST""",
+    "crawl_domain_stats" ->
+      """WITH f AS (
+           SELECT source, lang, n_chars,
+             (len(t) BETWEEN 20 AND 10000
+              AND list_sum(list_transform(t, x -> length(x)))
+                    BETWEEN len(t) * 3 AND len(t) * 10
+              AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) >= 2
+              AND len(list_distinct(t)) * 5 >= len(t)) AS keep
+           FROM (SELECT source, lang, n_chars,
+                   string_split(lower(text), ' ') AS t FROM documents))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) + 0.0 AS keep_rate,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) + 0.0 AS avg_chars
+         FROM f GROUP BY source ORDER BY source NULLS FIRST""",
     "dedup_simhash" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),

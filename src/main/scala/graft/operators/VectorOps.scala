@@ -379,6 +379,93 @@ object VectorOps {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("rank"), col("vec_id"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
         .orderBy("q_id", "rank")
+    }),
+
+    "sim_ann_recall" -> ((s, d) => {
+      // the ANN quality gate: recall@3 of the LSH-bucketed candidate
+      // path against the exact brute-force ranking, per query — how a
+      // pipeline validates its index parameters (planes/bands/nprobe)
+      // BEFORE pointing them at the full corpus (the sketch-calibration
+      // pattern of sim_minhash_est, applied to ANN). Signature, rank
+      // key, and tie-break are shared verbatim with sim_ann_lsh /
+      // sim_cosine_topk, so this audits THOSE paths, not a lookalike.
+      // Plan: both rankings broadcast the same 10-row query side — the
+      // exact side streams the corpus map-side (fixture-scale ground
+      // truth; at 100 TB it runs over a held-out sample), the ANN side
+      // joins on signature equality; the final recall join then touches
+      // 3·|queries| rows.
+      val sig = emb(s, d).select(col("vec_id"), col("embedding"),
+        expr(lshSigSpark).as("sig"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"),
+          col("embedding").as("qv"))
+      val c = sig.select(col("vec_id"), col("sig"), col("embedding").as("cv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      val exact = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cos("qv", "cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "vec_id")
+      val ann = c.join(broadcast(q),
+          col("q_sig") === col("sig") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cos("qv", "cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          r4(col("n_hit").cast(DoubleType) / col("n_exact")) + lit(0.0))
+        .orderBy("q_id")
+    }),
+
+    "vec_outlier" -> ((s, d) => {
+      // embedding-health screen: flag off-manifold vectors (bad encoder
+      // shard, corrupted batch, wrong-model rows) by z-scored squared
+      // distance to the corpus centroid — the audit a pipeline runs on
+      // every embedding batch before letting it near an index. A norm
+      // screen is vacuous for normalized encoders (every norm is 1 —
+      // this fixture included), so the signal lives in DIRECTION:
+      // distance-to-centroid catches both degenerate lengths and
+      // directional outliers. Determinism: the centroid is the
+      // vec_centroid_label exact scaled-integer mean (6dp), d² is the
+      // codegen'd vec_dot identity |v|² − 2·v·c + |c|² rounded to 4dp,
+      // and corpus stats are exact DECIMAL sums of those 4dp values
+      // (≪ 2^53 → the DOUBLE casts, and with them mean/sd, are
+      // bit-identical across engines — the anomaly_zscore discipline).
+      // Plan: one (dim)-keyed aggregate for the centroid (state =
+      // dims·8B, broadcast back), one map pass for d², a 1-row stats
+      // aggregate, one map pass for z — the corpus never shuffles.
+      val e = emb(s, d)
+      val cent = e.select(posexplode(col("embedding")))
+        .groupBy(col("pos"))
+        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
+          (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
+          .as("cvec"))
+      val v = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          round(expr("vec_dot(embedding, embedding)")
+            - lit(2.0) * expr("vec_dot(embedding, cvec)")
+            + expr("vec_dot(cvec, cvec)"), 4).as("d2"))
+      val d2d = col("d2").cast(DecimalType(18, 4))
+      val stats = v.agg(count(lit(1)).as("n"), sum(d2d).as("sv"),
+        sum(round(d2d * d2d, 4).cast(DecimalType(30, 4))).as("svv"))
+      val dn = col("n").cast(DoubleType)
+      val st = stats.select(
+        (col("sv").cast(DoubleType) / dn).as("mean"),
+        sqrt((col("svv").cast(DoubleType)
+          - col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / dn)
+          / (dn - lit(1.0))).as("sd"))
+      v.crossJoin(broadcast(st))
+        .withColumn("z", (col("d2") - col("mean")) / col("sd"))
+        .select(col("vec_id"), (col("d2") + lit(0.0)).as("dist2"),
+          (round(col("z"), 4) + lit(0.0)).as("z"),
+          (abs(col("z")) > 2.0).as("is_outlier"))
+        .orderBy("vec_id")
     })
   )
 
@@ -689,6 +776,68 @@ object VectorOps {
          SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
          ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
+    "sim_ann_recall" ->
+      s"""WITH sig AS (
+           SELECT vec_id, embedding, $lshSigDuck AS sig FROM embeddings),
+         q AS (SELECT vec_id AS q_id, sig AS q_sig, embedding AS qv
+               FROM sig WHERE vec_id < 10),
+         exact AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             FROM (SELECT q.q_id, c.vec_id,
+                     ${cosSql("q.qv", "c.embedding")} AS cos
+                   FROM q JOIN sig c ON q.q_id != c.vec_id))
+           WHERE rank <= 3),
+         ann AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             FROM (SELECT q.q_id, c.vec_id,
+                     ${cosSql("q.qv", "c.embedding")} AS cos
+                   FROM q JOIN sig c
+                     ON c.sig = q.q_sig AND q.q_id != c.vec_id))
+           WHERE rank <= 3)
+         SELECT e.q_id, count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hit,
+           round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
+                      AS DOUBLE) / count(*), 4) + 0.0 AS recall
+         FROM exact e LEFT JOIN ann a
+           ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         GROUP BY 1 ORDER BY e.q_id NULLS FIRST""",
+    "vec_outlier" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT i - 1 AS pos, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
+               FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+         cm AS (SELECT pos, round(sum(su) / (count(*) * 1000000.0), 6) AS m
+                FROM x GROUP BY 1),
+         cent AS (SELECT list(m ORDER BY pos) AS cvec FROM cm),
+         vv AS (SELECT vec_id,
+                  round(${dSql("v", "v")}
+                        - 2.0 * ${dSql("v", "cvec")}
+                        + ${dSql("cvec", "cvec")}, 4) AS d2
+                FROM e CROSS JOIN cent),
+         m2 AS (
+           SELECT count(*) AS n,
+             sum(CAST(d2 AS DECIMAL(18,4))) AS sv,
+             sum(CAST(round(CAST(d2 AS DECIMAL(18,4))
+                            * CAST(d2 AS DECIMAL(18,4)), 4)
+                      AS DECIMAL(30,4))) AS svv
+           FROM vv),
+         st AS (
+           SELECT CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
+           FROM m2)
+         SELECT vec_id, d2 + 0.0 AS dist2,
+           round((d2 - mean) / sd, 4) + 0.0 AS z,
+           abs((d2 - mean) / sd) > 2.0 AS is_outlier
+         FROM vv CROSS JOIN st
+         ORDER BY vec_id NULLS FIRST""",
     "dedup_embed" ->
       s"""WITH pairs AS (
            SELECT x.vec_id AS a, y.vec_id AS b,
