@@ -352,6 +352,68 @@ object Windows {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
+    }),
+
+    "win_streaks" -> ((s, d) => {
+      // gaps-and-islands: per user, the longest run of CONSECUTIVE
+      // same-type events in their timeline (and how many runs there
+      // were) — the engagement-streak / repeated-failure shape. The
+      // classic two-row_number difference needs windows over two
+      // different partition keys (two exchanges); this is the one-key
+      // form: a lag-based change flag and its running sum — BOTH window
+      // functions share one (user_id)-partitioned, (ts, event_id)-
+      // ordered spec, so Catalyst plans ONE exchange + ONE sort, then
+      // two partial-aggregated groupBys. Total order per user is pinned
+      // by the event_id tie-break, so island ids — and with them streak
+      // lengths — are parallelism- and engine-independent.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("island",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "event_type", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id", "event_type")
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "cohort_retention" -> ((s, d) => {
+      // the weekly cohort-retention triangle — product analytics' core
+      // table: users cohorted by the week of their FIRST event; for
+      // each (cohort, week-offset), how many came back, and what share
+      // of the cohort that is. Plan: first-event week per user is one
+      // partial-aggregated groupBy(user) min — NOT a window over the
+      // event stream; per-user-week activity is a distinct on truncated
+      // weeks; the two join user-keyed. The final (cohort, offset)
+      // rollup is |weeks|² rows, and the offset-0 base table joined
+      // back for the rate is |cohorts| rows — time-bounded, not
+      // corpus-bounded, hence safely broadcast at any scale. Both
+      // engines truncate to ISO Monday weeks and the rate divides exact
+      // BIGINTs, so the 4dp rounding is stable.
+      val ev = events(s, d)
+      val cohort = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cw"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      // eager checkpoint: counts is consumed twice (rows + offset-0 base);
+      // without it the base branch re-derives the whole subtree — a second
+      // full pass over events. The table is |weeks|² rows — pennies.
+      val counts = active.join(cohort, "user_id")
+        .select(col("cw"), expr("datediff(w, cw) div 7").as("week_offset"))
+        .groupBy("cw", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .localCheckpoint(true)
+      val base = counts.filter(col("week_offset") === 0)
+        .select(col("cw"), col("n_users").as("base_users"))
+      counts.join(broadcast(base), "cw")
+        .select(col("cw").cast(DateType).as("cohort_week"), col("week_offset"),
+          col("n_users"), col("base_users"),
+          (r4(col("n_users").cast(DoubleType) / col("base_users")) + lit(0.0))
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -438,6 +500,45 @@ object Windows {
   }
 
   val oracles: Map[String, String] = Map(
+    "win_streaks" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+                  THEN 0 ELSE 1 END AS chg
+           FROM events),
+         i AS (
+           SELECT user_id, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+           FROM o),
+         r AS (SELECT user_id, event_type, island, count(*) AS len
+               FROM i GROUP BY 1, 2, 3)
+         SELECT user_id, event_type,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+         FROM r GROUP BY 1, 2
+         ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+    "cohort_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY 1),
+         active AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+         counts AS (
+           SELECT cw, date_diff('day', cw, w) // 7 AS week_offset,
+             count(*) AS n_users
+           FROM active JOIN cohort USING (user_id)
+           GROUP BY 1, 2),
+         base AS (
+           SELECT cw, n_users AS base_users FROM counts WHERE week_offset = 0)
+         SELECT CAST(c.cw AS DATE) AS cohort_week,
+           CAST(c.week_offset AS BIGINT) AS week_offset,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(b.base_users AS BIGINT) AS base_users,
+           round(CAST(c.n_users AS DOUBLE) / b.base_users, 4) + 0.0 AS retention
+         FROM counts c JOIN base b USING (cw)
+         ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""",
     "win_row_number" ->
       """SELECT o_orderkey, o_custkey,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
