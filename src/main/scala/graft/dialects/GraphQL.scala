@@ -34,8 +34,13 @@ object GraphQL {
     * selections only; an aliased relation or `_agg` selection fails
     * loudly in the planner).
     */
+  /** `directives` holds `@skip(if:)` / `@include(if:)` (values may be
+    * `$var` references until [[bind]]); selections they remove are pruned
+    * AFTER variable binding, before planning.
+    */
   case class Field(name: String, args: List[(String, Value)], selections: List[Field],
-                   alias: Option[String] = None)
+                   alias: Option[String] = None,
+                   directives: List[(String, Value)] = Nil)
 
   /** A `fragment Name on table { ... }` document-level definition. The
     * parser records spreads as placeholder fields named `...Name`;
@@ -112,6 +117,33 @@ object GraphQL {
       }
     }
 
+    /** `@skip(if: v)` / `@include(if: v)` — any number, after the
+      * argument list (the GraphQL grammar position). Only the `if`
+      * argument exists for these, so the form is fixed; unknown
+      * directive NAMES are deferred to prune-time (they may legitimately
+      * parse but must fail loudly before planning).
+      */
+    private def directives(): List[(String, Value)] = {
+      val ds = scala.collection.mutable.ListBuffer[(String, Value)]()
+      ws()
+      while (peek == '@') {
+        pos += 1
+        val dn = ident()
+        ws()
+        expect('(')
+        ws()
+        val k = ident()
+        if (k != "if") fail(s"directive @$dn takes only 'if', got: $k")
+        expect(':')
+        val v = value()
+        ws()
+        expect(')')
+        ds += (dn -> v)
+        ws()
+      }
+      ds.toList
+    }
+
     /** One entry in a selection set: a field, or a `...Name` fragment
       * spread (recorded as a placeholder field named `...Name` for
       * [[expand]] to inline).
@@ -147,6 +179,7 @@ object GraphQL {
           pos += 1
           as.toList
         } else Nil
+      val dirs = directives()
       ws()
       val sels =
         if (peek == '{') {
@@ -157,7 +190,7 @@ object GraphQL {
           pos += 1
           fs.toList
         } else Nil
-      Field(name, args, sels)
+      Field(name, args, sels, directives = dirs)
     }
 
     /** `fragment Name on table { ... }` (the `fragment` keyword is
@@ -241,7 +274,7 @@ object GraphQL {
   private def expand(table: String, sels: List[Field],
                      frags: Map[String, FragDef], seen: Set[String]): List[Field] =
     sels.flatMap {
-      case Field(n, _, _, _) if n.startsWith("...") =>
+      case Field(n, _, _, _, _) if n.startsWith("...") =>
         val fname = n.drop(3)
         if (seen(fname))
           throw new IllegalArgumentException(s"fragment spread cycle at: $fname")
@@ -280,7 +313,29 @@ object GraphQL {
 
   private def bind(f: Field, vars: Map[String, Value]): Field =
     f.copy(args = f.args.map { case (k, v) => k -> bindValue(v, vars) },
-      selections = f.selections.map(bind(_, vars)))
+      selections = f.selections.map(bind(_, vars)),
+      directives = f.directives.map { case (k, v) => k -> bindValue(v, vars) })
+
+  /** Apply `@skip` / `@include` AFTER variable binding: a field whose
+    * directives resolve to skip(true) or include(false) is removed, with
+    * its subtree. Strictness as everywhere in this dialect: unknown
+    * directive names and non-boolean `if` values fail loudly rather than
+    * planning a half-pruned query.
+    */
+  private def pruneDirectives(f: Field): Option[Field] = {
+    val keep = f.directives.forall {
+      case ("include", VBool(b)) => b
+      case ("skip", VBool(b)) => !b
+      case ("include", v) =>
+        throw new IllegalArgumentException(s"@include(if:) must be Boolean, got: $v")
+      case ("skip", v) =>
+        throw new IllegalArgumentException(s"@skip(if:) must be Boolean, got: $v")
+      case (n, _) =>
+        throw new IllegalArgumentException(s"unsupported directive: @$n")
+    }
+    if (!keep) None
+    else Some(f.copy(selections = f.selections.flatMap(pruneDirectives(_))))
+  }
 
   /** Declared defaults ∪ provided values, with strictness both ways:
     * a provided variable must be declared, and a declared variable with
@@ -483,7 +538,7 @@ object GraphQL {
     */
   private def introspect(s: SparkSession, dir: String, root: Field): DataFrame = {
     val wanted = root.selections match {
-      case List(Field("tables", Nil, sels, None)) if sels.nonEmpty =>
+      case List(Field("tables", Nil, sels, None, Nil)) if sels.nonEmpty =>
         sels.map { f =>
           require(f.selections.isEmpty && f.alias.isEmpty,
             s"__schema.tables.${f.name}: plain scalar fields only")
@@ -515,7 +570,11 @@ object GraphQL {
   def runWithVariables(
       s: SparkSession, dir: String, q: String, vars: Map[String, Value]): DataFrame = {
     val (decls, rawRoot) = parseOperation(q)
-    val root = bind(rawRoot, resolveVars(decls, vars))
+    val root = pruneDirectives(bind(rawRoot, resolveVars(decls, vars)))
+      .getOrElse(throw new IllegalArgumentException(
+        "the root selection was removed by @skip/@include"))
+    require(root.selections.nonEmpty,
+      "every selected field was removed by @skip/@include")
     if (root.name == "__schema") return introspect(s, dir, root)
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)

@@ -120,6 +120,26 @@ object Dialects {
   val gqlVariablesVars: Map[String, GraphQL.Value] =
     Map("minPrice" -> GraphQL.VFloat(200000.0), "n" -> GraphQL.VInt(25))
 
+  /** `@skip`/`@include` exercised in all three positions a client uses
+    * them: a scalar gated by a variable, a whole relation subtree gated
+    * by a variable, and a scalar statically removed. With the values
+    * below, o_totalprice and the customer join survive, c_acctbal does
+    * not.
+    */
+  val gqlDirectivesQuery: String =
+    """query($withCust: Boolean = true, $noPrice: Boolean!) {
+       orders(filter: {o_orderstatus: {eq: "F"}, o_totalprice: {gt: 250000}},
+              orderBy: ["o_orderkey"], limit: 30) {
+         o_orderkey
+         o_totalprice @skip(if: $noPrice)
+         customer @include(if: $withCust) {
+           c_name
+           c_acctbal @skip(if: true)
+         }
+       } }"""
+  val gqlDirectivesVars: Map[String, GraphQL.Value] =
+    Map("noPrice" -> GraphQL.VBool(false))
+
   /** SQL exemplar for the serving seam: stays in the Spark∩DuckDB common
     * dialect (round-before-double-cast money discipline), so the request
     * string itself is the oracle.
@@ -158,6 +178,8 @@ object Dialects {
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
     "gql_variables" -> ((s, d) =>
       GraphQL.runWithVariables(s, d, gqlVariablesQuery, gqlVariablesVars)),
+    "gql_directives" -> ((s, d) =>
+      GraphQL.runWithVariables(s, d, gqlDirectivesQuery, gqlDirectivesVars)),
     // the serving seam end-to-end: each dialect routed through
     // graft.server.Server.handle — the same path the HTTP API and CLI use
     "serve_sql" -> ((s, d) =>
@@ -246,6 +268,11 @@ object Dialects {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'O' AND o_totalprice > 200000
          ORDER BY o_orderkey NULLS FIRST LIMIT 25""",
+    "gql_directives" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 30""",
     "serve_sql" -> serveSqlQuery,
     "serve_gql" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_acctbal

@@ -38,6 +38,31 @@ class DialectSpec extends AnyFunSuite {
     assert(like.count() > 0)
   }
 
+  test("GraphQL @skip/@include prune fields, relations, and fail loudly") {
+    // static skip removes a scalar; include(false) removes a subtree
+    val out = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 3) {
+           o_orderkey
+           o_totalprice @skip(if: true)
+           customer @include(if: false) { c_name } } }""")
+    assert(out.columns.toSeq === Seq("o_orderkey"))
+    // variable-driven: the SAME document flips shape with its variables
+    val q = """query($c: Boolean!) { orders(orderBy: ["o_orderkey"], limit: 3) {
+               o_orderkey customer @include(if: $c) { c_name } } }"""
+    assert(GraphQL.runWithVariables(spark, d, q,
+      Map("c" -> GraphQL.VBool(true))).columns.toSeq === Seq("o_orderkey", "c_name"))
+    assert(GraphQL.runWithVariables(spark, d, q,
+      Map("c" -> GraphQL.VBool(false))).columns.toSeq === Seq("o_orderkey"))
+    // unknown directive name, non-boolean if, and a fully-pruned
+    // selection set must all raise, not plan half a query
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, "{ orders { o_orderkey @deprecated(if: true) } }"))
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, "{ orders { o_orderkey @skip(if: 1) } }"))
+    assertThrows[IllegalArgumentException](
+      GraphQL.run(spark, d, "{ orders { o_orderkey @skip(if: true) } }"))
+  }
+
   test("GraphQL rejects malformed input and unknown relations") {
     assertThrows[IllegalArgumentException](GraphQL.parse("{ orders"))
     assertThrows[IllegalArgumentException](
