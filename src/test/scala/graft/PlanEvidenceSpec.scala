@@ -59,6 +59,42 @@ class PlanEvidenceSpec extends AnyFunSuite {
     }
   }
 
+  test("win_streaks: both windows and both aggregates share ONE keyed exchange") {
+    val p = plan(Windows.queries("win_streaks")(spark, d))
+    // lag + running sum share a (user_id) window spec, and both groupBys'
+    // keys are supersets of user_id, so the single hash exchange feeds
+    // all four operators; only the presentation orderBy adds a range one
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(!hasSinglePartitionWindow(p), s"single-partition window:\n$p")
+  }
+
+  test("crawl_domain_stats: only keyed-aggregate shuffles, no window") {
+    val p = plan(TextOps.queries("crawl_domain_stats")(spark, d))
+    // exactly the countDistinct expansion: a (source, lang) partial
+    // dedup exchange + the (source) rollup exchange — both bounded by
+    // |domains|·|langs|, never |docs|
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 2, s"expected 2 hash exchanges, plan:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("cohort_retention broadcasts the time-bounded base table back") {
+    val p = plan(Windows.queries("cohort_retention")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sim_ann_recall broadcasts the query side in BOTH rankings; no cartesian") {
+    val p = plan(VectorOps.queries("sim_ann_recall")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
+  test("vec_outlier never shuffles the corpus: joins are broadcast, no sort-merge") {
+    val p = plan(VectorOps.queries("vec_outlier")(spark, d))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("win_ntile never funnels the table through a single-partition window") {
     val p = plan(Windows.queries("win_ntile")(spark, d))
     // a global ntile would plan Window after Exchange SinglePartition; the
