@@ -422,6 +422,54 @@ object VectorOps {
         .orderBy("q_id")
     }),
 
+    "mine_hard_negatives" -> ((s, d) => {
+      // contrastive-training data prep: for each anchor, the top-3 most
+      // similar vectors with a DIFFERENT label — the "hard negatives"
+      // that make embedding models actually learn (random negatives are
+      // too easy; same-label neighbors are false negatives). Same plan
+      // posture as sim_cosine_topk: the fixed anchor set broadcasts with
+      // its labels, the corpus streams map-side against the codegen'd
+      // vec_dot, the label-mismatch predicate filters BEFORE ranking,
+      // and per-anchor top-3 is a bounded window — no corpus shuffle.
+      val q = withNorm(s, d, "q_id", "qv", "qn").filter(col("q_id") < 10)
+        .select(col("q_id"), col("qv"), col("qn"), col("label").as("q_label"))
+      val c = withNorm(s, d, "vec_id", "cv", "cn")
+        .select(col("vec_id"), col("cv"), col("cn"), col("label"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      c.join(broadcast(q),
+          col("q_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+        .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("label").as("neg_label"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "sim_threshold_sweep" -> ((s, d) => {
+      // dedup-threshold calibration: over the LSH-bucketed candidate
+      // pairs (the SAME candidate set sim_ann_lsh / dedup_semantic
+      // consume), how many pairs clear each candidate τ — the curve a
+      // pipeline reads to set its dedup threshold before committing to
+      // a full run (cf. sim_minhash_est, which calibrates the sketch;
+      // this calibrates the CUT). Pairs come from signature-equality
+      // buckets, never corpus² — at 100 TB bucket sizes are bounded by
+      // the bandPairs cap discipline. Comparisons use the 6dp rank key
+      // so a boundary pair can't flip engines; the 4-row threshold grid
+      // explodes in-row (no join).
+      val sig = emb(s, d).select(col("vec_id"), col("embedding"),
+        expr(lshSigSpark).as("sig"))
+      val a = sig.select(col("sig"), col("vec_id").as("a"), col("embedding").as("av"))
+      val b = sig.select(col("sig"), col("vec_id").as("b"), col("embedding").as("bv"))
+      a.join(b, "sig").filter(col("a") < col("b"))
+        .select(rankKey(cos("av", "bv")).as("c6"),
+          explode(array(Seq(0.30, 0.35, 0.40, 0.45).map(lit): _*)).as("threshold"))
+        .groupBy("threshold")
+        .agg(sum(when(col("c6") >= col("threshold"), 1L).otherwise(0L)).as("n_pairs"))
+        .orderBy("threshold")
+    }),
+
     "vec_outlier" -> ((s, d) => {
       // embedding-health screen: flag off-manifold vectors (bad encoder
       // shard, corrupted batch, wrong-model rows) by z-scored squared
@@ -808,6 +856,34 @@ object VectorOps {
          FROM exact e LEFT JOIN ann a
            ON e.q_id = a.q_id AND e.vec_id = a.vec_id
          GROUP BY 1 ORDER BY e.q_id NULLS FIRST""",
+    "mine_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+                     FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.q_id, c.vec_id, c.label,
+             ${cosSql("q.qv", "c.embedding")} AS cos
+           FROM q JOIN embeddings c
+             ON q.q_id != c.vec_id AND c.label != q.q_label),
+         ranked AS (
+           SELECT q_id, vec_id, label, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           FROM scored)
+         SELECT q_id, rank, vec_id, label AS neg_label,
+           round(cos, 4) + 0.0 AS cos_sim
+         FROM ranked WHERE rank <= 3
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
+    "sim_threshold_sweep" ->
+      s"""WITH sig AS (
+           SELECT vec_id, embedding, $lshSigDuck AS sig FROM embeddings),
+         p AS (
+           SELECT round(${cosSql("x.embedding", "y.embedding")}, 6) AS c6
+           FROM sig x JOIN sig y ON x.sig = y.sig AND x.vec_id < y.vec_id),
+         t AS (SELECT CAST(unnest([0.30, 0.35, 0.40, 0.45]) AS DOUBLE) AS threshold)
+         SELECT threshold,
+           CAST(sum(CASE WHEN c6 >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         FROM p CROSS JOIN t
+         GROUP BY 1 ORDER BY threshold NULLS FIRST""",
     "vec_outlier" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          x AS (SELECT i - 1 AS pos, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
