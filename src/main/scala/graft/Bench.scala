@@ -74,7 +74,10 @@ object Bench {
       // pressure that lands on whichever heavy key runs late (observed:
       // graph_triangles 5.9 s vs 48.7 s across two quiet-canary runs).
       // Dropping them after timing makes keys independent of run order.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // BLOCKING unpersist: the async form lets block removal drift into
+      // the NEXT key's timing window (observed: dedup_cluster 29.6 s vs
+      // 12.4 s across two quiet-canary 251-key runs).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       name -> elapsed
     }
