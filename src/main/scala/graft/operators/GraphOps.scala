@@ -85,6 +85,40 @@ object GraphOps {
         .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
         .orderBy("degree")),
 
+    "graph_bfs" -> ((s, d) => {
+      // multi-source BFS hop distance over the trade graph (3 fixed
+      // rounds) — the reachability primitive behind "which suppliers are
+      // within k trade hops of these flagged customers" contamination /
+      // risk-propagation questions. Distributed shape: classic frontier
+      // BFS as iterative joins — per round ONE equi-join (frontier ×
+      // edges, both hash-partitioned on the edge source) plus ONE
+      // left-anti join against the visited set (so a node is expanded
+      // exactly once; without the prune the frontier re-expands every
+      // node at every level and the work goes multiplicative in round
+      // count). Each level is localCheckpoint'd: the next round and the
+      // final union both consume it, and lineage would otherwise double
+      // per round. Visited state is (node, dist) — O(|V|), never edges.
+      // Fixed round count ⇒ the oracle is the same search textually
+      // unrolled (the pagerank discipline); min() over level unions is
+      // belt-and-braces (levels are disjoint by construction).
+      val edges = tradeEdges(s, d).localCheckpoint(true)
+      val srcs = customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      var visited = srcs.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var frontier = visited
+      for (k <- 1 to 3) {
+        frontier = frontier.join(edges, frontier("node") === edges("src"))
+          .select(edges("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(k.toLong))
+          .localCheckpoint(true)
+        visited = visited.union(frontier).localCheckpoint(true)
+      }
+      visited.groupBy("node").agg(min(col("dist")).as("dist"))
+        .orderBy("node")
+    }),
+
     "graph_triangles" -> ((s, d) => {
       // per-vertex triangle counts over the minhash CANDIDATE graph — the
       // graph-health metric for dedup clusters: triangle-dense
@@ -173,6 +207,26 @@ object GraphOps {
           ${iterSql(3, "r2")}
           SELECT node, CAST(rank_u AS DOUBLE) / 1000000.0 AS rank
           FROM r3 ORDER BY node NULLS FIRST""",
+    "graph_bfs" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         d0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+                FROM customer WHERE c_custkey % 100 = 0),
+         f1 AS (SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS dist
+                FROM d0 JOIN edges e ON e.src = d0.node
+                WHERE e.dst NOT IN (SELECT node FROM d0)),
+         v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM f1),
+         f2 AS (SELECT DISTINCT e.dst AS node, CAST(2 AS BIGINT) AS dist
+                FROM f1 JOIN edges e ON e.src = f1.node
+                WHERE e.dst NOT IN (SELECT node FROM v1)),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+         f3 AS (SELECT DISTINCT e.dst AS node, CAST(3 AS BIGINT) AS dist
+                FROM f2 JOIN edges e ON e.src = f2.node
+                WHERE e.dst NOT IN (SELECT node FROM v2)),
+         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM f3)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM v3 GROUP BY 1 ORDER BY node NULLS FIRST""",
     "graph_triangles" ->
       s"""WITH ${TextOps.mhBandCtes},
           pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

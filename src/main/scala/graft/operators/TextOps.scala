@@ -27,6 +27,59 @@ object TextOps {
   private def toks(s: SparkSession, d: String): DataFrame =
     fanout(documents(s, d)).select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
+  /** CCNet-style per-doc LM surprisal scores — the text_perplexity
+    * pipeline, shared verbatim with quality_ccnet_bucket so the bucketing
+    * audits the exact scoring path. Rank every doc by its surprisal under
+    * a corpus-trained bigram LM (CCNet filters CommonCrawl on KenLM
+    * perplexity; at 100 TB the LM counts would be a fixed broadcast table
+    * trained once on a clean reference corpus, turning the count joins
+    * into map work). Per-bigram surprisal is EXACT-INTEGER log2: the
+    * probability ratio c_w1/c_bi ≥ 1 in 2^20 fixed point, then
+    * floor(log2) via binary bit-length (length(bin(x))-1 — pure integer,
+    * bit-identical in both engines, where libm log() is not). Per-doc
+    * score = mean surprisal bits ×100, truncating division. High score =
+    * text the LM finds improbable → the removal candidate. Plan: bigram
+    * build is map work; LM training is two token-keyed partial aggs;
+    * scoring joins the bigram stream to the counts (both bigram-keyed —
+    * at scale, broadcast the fixed LM instead); rollup is one doc-keyed
+    * agg. Everything linear in corpus size, no fan-out anywhere.
+    */
+  private def pplScores(s: SparkSession, d: String): DataFrame = {
+    val bi = toks(s, d).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t)-2)")).as("i"))
+      .select(col("doc_id"), col("t")(col("i")).as("w1"),
+        concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
+    val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
+    val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    bi.join(biCnt, Seq("w1", "bigram")).join(ctxCnt, "w1")
+      .withColumn("bits",
+        (length(expr("bin((c_w1 * 1048576) div c_bi)")) - 21).cast(L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(L).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("ppl_bits_x100", expr("(sum_bits * 100) div n_bigrams"))
+  }
+
+  /** DuckDB CTE chain mirroring [[pplScores]] — ends in `ppl(doc_id,
+    * n_bigrams, sum_bits, ppl_bits_x100)`; shared by the text_perplexity
+    * and quality_ccnet_bucket oracles exactly as the Scala helper is.
+    */
+  private val pplCtes: String =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       b AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+             FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
+                   WHERE len(t) >= 2)),
+       bc AS (SELECT w1, bigram, count(*) AS c_bi FROM b GROUP BY 1, 2),
+       cc AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+       j AS (SELECT doc_id,
+               length(format('{:b}', (c_w1 * 1048576) // c_bi)) - 21 AS bits
+             FROM b JOIN bc USING (w1, bigram) JOIN cc USING (w1)),
+       ppl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(bits) AS BIGINT) AS sum_bits,
+                 CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_bits_x100
+               FROM j GROUP BY 1)"""
+
   /** The four Gopher predicates (Rae et al. §A1.1) over a `t` tokens
     * column, in order (count, word-len, stopwords, type-token) — defined
     * ONCE so quality_gopher (per-doc rule breakdown) and
@@ -842,37 +895,98 @@ object TextOps {
         .orderBy("a", "b")
     }),
 
-    "text_perplexity" -> ((s, d) => {
-      // CCNet-style LM quality scoring: rank every doc by its surprisal
-      // under a bigram LM (CCNet filters CommonCrawl on KenLM perplexity;
-      // same signal, corpus-trained here — at 100 TB the LM counts would
-      // be a fixed broadcast table trained once on a clean reference
-      // corpus, turning the count joins into map work). Per-bigram
-      // surprisal is EXACT-INTEGER log2: the probability ratio
-      // c_w1/c_bi ≥ 1 in 2^20 fixed point, then floor(log2) via binary
-      // bit-length (length(bin(x))-1 — pure integer, bit-identical in
-      // both engines, where libm log() is not). Per-doc score = mean
-      // surprisal bits ×100, truncating division. High score = text the
-      // LM finds improbable → the removal candidate. Plan: bigram build
-      // is map work; LM training is two token-keyed partial aggs; scoring
-      // joins the bigram stream to the counts (both bigram-keyed — at
-      // scale, broadcast the fixed LM instead); rollup is one doc-keyed
-      // agg. Everything linear in corpus size, no fan-out anywhere.
-      val bi = toks(s, d).filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("t"),
-          explode(expr("sequence(0, size(t)-2)")).as("i"))
-        .select(col("doc_id"), col("t")(col("i")).as("w1"),
-          concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
-      val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
-      val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-      bi.join(biCnt, Seq("w1", "bigram")).join(ctxCnt, "w1")
-        .withColumn("bits",
-          (length(expr("bin((c_w1 * 1048576) div c_bi)")) - 21).cast(L))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast(L).as("n_bigrams"),
-          sum(col("bits")).as("sum_bits"))
-        .withColumn("ppl_bits_x100", expr("(sum_bits * 100) div n_bigrams"))
+    "text_perplexity" -> ((s, d) => pplScores(s, d).orderBy("doc_id")),
+
+    "quality_ccnet_bucket" -> ((s, d) => {
+      // CCNet's actual OUTPUT shape: every doc binned head/middle/tail by
+      // corpus perplexity terciles (Wenzek et al. publish the corpus in
+      // exactly these three buckets; most consumers train on head+middle).
+      // Scores are THE text_perplexity pipeline (shared pplScores helper —
+      // this audits the path, not a lookalike). Tercile cutoffs without a
+      // global sort: aggregate to per-SCORE-VALUE counts (bounded by the
+      // distinct ×100-fixed-point scores, never docs), running-sum over
+      // that value-ordered table (the profile_topk/rolling-median
+      // windows-over-values discipline), then cutoff k = min score whose
+      // cumulative count reaches ceil(k·n/3). Boundaries are defined on
+      // VALUES, so ties land in one bucket deterministically in both
+      // engines. The 1-row cutoff table cross-joins back broadcast; the
+      // corpus is never globally sorted and never shuffled beyond the
+      // score aggregation it already pays in text_perplexity.
+      val ppl = pplScores(s, d)
+        .select(col("doc_id"), col("ppl_bits_x100")).localCheckpoint(true)
+      val vc = ppl.groupBy("ppl_bits_x100").agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("ppl_bits_x100")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cum", sum(col("nv")).over(w))
+      val cuts = cum
+        .crossJoin(broadcast(vc.agg(sum(col("nv")).as("n"))))
+        .agg(
+          min(when(col("cum") >= expr("(n + 2) div 3"), col("ppl_bits_x100"))).as("c1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("ppl_bits_x100"))).as("c2"))
+      ppl.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("ppl_bits_x100"),
+          when(col("ppl_bits_x100") <= col("c1"), lit("head"))
+            .when(col("ppl_bits_x100") <= col("c2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
         .orderBy("doc_id")
+    }),
+
+    "tok_zipf" -> ((s, d) => {
+      // Zipf-law fit over the corpus token-frequency distribution — the
+      // one-row tokenizer-health panel: natural text follows freq ∝
+      // rank^s with s ≈ −1, and a slope far off that (or a poor R²)
+      // flags boilerplate-heavy or synthetic corpora before any
+      // training run. Plan: one token-keyed partial agg (vocab counts,
+      // Heaps-bounded), TakeOrderedAndProject to the top-100 head, and
+      // the rank window + least-squares fold run over those 100 rows —
+      // the post-limit bounded-window case (dedup_embed discipline).
+      // The fit itself is regr_slope/intercept/r2 on the log-log points:
+      // co-moment sketches, constant state. round(,4) + −0.0 pinning
+      // absorb the engines' accumulation-order and libm-ln ulps.
+      val top = toks(s, d)
+        .select(explode(col("t")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc_nulls_last, col("word")).limit(100)
+      top
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))).cast(L))
+        .agg(
+          count(lit(1)).cast(L).as("n_fit"),
+          (r4(regr_slope(log(col("c")), log(col("rnk")))) + lit(0.0)).as("zipf_slope"),
+          (r4(regr_intercept(log(col("c")), log(col("rnk")))) + lit(0.0)).as("zipf_icept"),
+          (r4(regr_r2(log(col("c")), log(col("rnk")))) + lit(0.0)).as("fit_r2"))
+    }),
+
+    "eval_ngram_f1" -> ((s, d) => {
+      // ROUGE-1-style unigram overlap F1 between paired documents — the
+      // generation-eval primitive (candidate vs reference summary/
+      // translation scoring). Pairs are (2k, 2k+1) by doc_id; overlap is
+      // the CLIPPED multiset intersection Σ_w min(c_cand, c_ref) — the
+      // exact ROUGE/BLEU clipping rule — and precision/recall/F1 stay in
+      // EXACT integer basis points (F1 = 2·ov/(lc+lr) algebraically, so
+      // no float ratio ever forms; engines agree bit-for-bit). Plan: map
+      // explode → ONE (pair, word)-keyed partial agg building both sides'
+      // counts in the same row (no self-join of candidate vs reference
+      // streams) → ONE pair-keyed rollup. Both aggs map-side combinable;
+      // at 100 TB pairs hash-partition independently — no skew shape.
+      val tk = toks(s, d)
+        .select(expr("doc_id div 2").as("pair_id"),
+          (col("doc_id") % 2).as("side"), explode(col("t")).as("word"))
+      tk.groupBy("pair_id", "word")
+        .agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"))
+        .groupBy("pair_id")
+        .agg(
+          sum(least(col("c0"), col("c1"))).as("overlap"),
+          sum(col("c0")).as("len_cand"),
+          sum(col("c1")).as("len_ref"))
+        .filter(col("len_cand") > 0 && col("len_ref") > 0)
+        .select(col("pair_id"), col("overlap"), col("len_cand"), col("len_ref"),
+          expr("overlap * 10000 div len_cand").as("p_bp"),
+          expr("overlap * 10000 div len_ref").as("r_bp"),
+          expr("overlap * 2 * 10000 div (len_cand + len_ref)").as("f1_bp"))
+        .orderBy("pair_id")
     }),
 
     "tokenizer_bpe" -> ((s, d) => {
@@ -1673,19 +1787,58 @@ object TextOps {
            CAST(before % 512 AS BIGINT) AS pack_offset
          FROM c ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""",
     "text_perplexity" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-         b AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
-               FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
-                     WHERE len(t) >= 2)),
-         bc AS (SELECT w1, bigram, count(*) AS c_bi FROM b GROUP BY 1, 2),
-         cc AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
-         j AS (SELECT doc_id,
-                 length(format('{:b}', (c_w1 * 1048576) // c_bi)) - 21 AS bits
-               FROM b JOIN bc USING (w1, bigram) JOIN cc USING (w1))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(bits) AS BIGINT) AS sum_bits,
-           CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_bits_x100
-         FROM j GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
+      s"""WITH $pplCtes
+         SELECT doc_id, n_bigrams, sum_bits, ppl_bits_x100
+         FROM ppl ORDER BY doc_id NULLS FIRST""",
+    "quality_ccnet_bucket" ->
+      s"""WITH $pplCtes,
+         vc AS (SELECT ppl_bits_x100, count(*) AS nv FROM ppl GROUP BY 1),
+         cum AS (SELECT ppl_bits_x100,
+                   sum(nv) OVER (ORDER BY ppl_bits_x100) AS cum FROM vc),
+         tot AS (SELECT sum(nv) AS n FROM vc),
+         cuts AS (SELECT
+                    min(CASE WHEN cum >= (n + 2) // 3
+                             THEN ppl_bits_x100 END) AS c1,
+                    min(CASE WHEN cum >= (2 * n + 2) // 3
+                             THEN ppl_bits_x100 END) AS c2
+                  FROM cum, tot)
+         SELECT doc_id, ppl_bits_x100,
+           CASE WHEN ppl_bits_x100 <= c1 THEN 'head'
+                WHEN ppl_bits_x100 <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM ppl, cuts ORDER BY doc_id NULLS FIRST""",
+    "tok_zipf" ->
+      """WITH wc AS (SELECT word, count(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS word
+             FROM documents) GROUP BY 1),
+         top AS (SELECT word, c FROM wc
+                 ORDER BY c DESC NULLS LAST, word NULLS FIRST LIMIT 100),
+         rk AS (SELECT c, CAST(row_number() OVER
+                   (ORDER BY c DESC, word) AS BIGINT) AS rnk FROM top)
+         SELECT CAST(count(*) AS BIGINT) AS n_fit,
+           round(regr_slope(ln(c), ln(rnk)), 4) + 0.0 AS zipf_slope,
+           round(regr_intercept(ln(c), ln(rnk)), 4) + 0.0 AS zipf_icept,
+           round(regr_r2(ln(c), ln(rnk)), 4) + 0.0 AS fit_r2
+         FROM rk""",
+    "eval_ngram_f1" ->
+      """WITH tk AS (SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         c AS (SELECT pair_id, word,
+                 sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+               FROM tk GROUP BY 1, 2),
+         p AS (SELECT pair_id, sum(least(c0, c1)) AS overlap,
+                 sum(c0) AS len_cand, sum(c1) AS len_ref
+               FROM c GROUP BY 1)
+         SELECT CAST(pair_id AS BIGINT) AS pair_id,
+           CAST(overlap AS BIGINT) AS overlap,
+           CAST(len_cand AS BIGINT) AS len_cand,
+           CAST(len_ref AS BIGINT) AS len_ref,
+           CAST(overlap * 10000 // len_cand AS BIGINT) AS p_bp,
+           CAST(overlap * 10000 // len_ref AS BIGINT) AS r_bp,
+           CAST(overlap * 2 * 10000 // (len_cand + len_ref) AS BIGINT) AS f1_bp
+         FROM p WHERE len_cand > 0 AND len_ref > 0
+         ORDER BY pair_id NULLS FIRST""",
     "tokenizer_bpe" ->
       """WITH wc AS (
            SELECT word, count(*) AS c_w FROM (

@@ -307,6 +307,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(statuses.subsetOf(Set("dup_hist", "dup_batch", "unique")))
   }
 
+  test("graph_bfs distances respect bipartite parity and start at the sources") {
+    val out = GraphOps.queries("graph_bfs")(spark, d).collect()
+    assert(out.nonEmpty)
+    // customer nodes are even ids, supplier nodes odd; sources are
+    // customers, so every even-hop node must be a customer and every
+    // odd-hop node a supplier
+    assert(out.forall(r => r.getLong(0) % 2 == r.getLong(1) % 2))
+    assert(out.filter(_.getLong(1) == 0L).forall(_.getLong(0) % 200 == 0))
+    assert(out.map(_.getLong(1)).max <= 3L)
+  }
+
+  test("quality_ccnet_bucket splits the corpus into value-boundary terciles") {
+    val out = TextOps.queries("quality_ccnet_bucket")(spark, d).collect()
+    val n = out.length
+    val byBucket = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // head must reach ceil(n/3) and cannot overshoot by more than the
+    // largest score-value tie group (boundaries are defined on values)
+    val maxTie = out.groupBy(_.getLong(1)).values.map(_.length).max
+    assert(byBucket("head") >= (n + 2) / 3 && byBucket("head") < (n + 2) / 3 + maxTie)
+    // buckets are value-monotone: every head score ≤ every middle ≤ every tail
+    def scores(b: String) = out.filter(_.getString(2) == b).map(_.getLong(1))
+    assert(scores("head").max <= scores("middle").min)
+    assert(scores("middle").max <= scores("tail").min)
+  }
+
+  test("eval_ngram_f1 basis points are bounded and F1 is the exact harmonic form") {
+    val out = TextOps.queries("eval_ngram_f1")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(ov, lc, lr, p, rc, f1) = (1 to 6).map(r.getLong)
+      assert(ov <= math.min(lc, lr)) // clipped overlap can't exceed either side
+      assert(p <= 10000 && rc <= 10000 && f1 <= 10000)
+      assert(f1 === 2 * ov * 10000 / (lc + lr))
+    }
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)

@@ -170,6 +170,36 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"nearest as-of should reuse one exchange for both fills:\n$pn")
   }
 
+  test("graph_bfs expands frontiers through equi-joins only — no nested-loop edges") {
+    val p = plan(GraphOps.queries("graph_bfs")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BFS must join frontier×edges on the edge key:\n$p")
+  }
+
+  test("eval_ngram_f1: two keyed-aggregate shuffles, no window, no self-join") {
+    val p = plan(TextOps.queries("eval_ngram_f1")(spark, d))
+    // (pair,word) count-both-sides agg + (pair) rollup — candidate and
+    // reference streams are never self-joined
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 2, s"expected 2 hash exchanges, plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("tok_zipf builds its vocab head via TakeOrderedAndProject, not a global sort") {
+    val p = plan(TextOps.queries("tok_zipf")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality_ccnet_bucket attaches its 1-row cutoffs broadcast; no corpus fan-out") {
+    val p = plan(TextOps.queries("quality_ccnet_bucket")(spark, d))
+    // both cross-joins carry 1-row sides (count total / cutoff pair) —
+    // they must plan as broadcast nested-loop, never CartesianProduct,
+    // and the tercile window runs over distinct score VALUES, so the
+    // corpus itself is never globally sorted
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"cartesian in cutoff attach:\n$p")
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     val p = plan(Layouts.queries("sink_partitioned")(spark, d))
     assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"), p)
