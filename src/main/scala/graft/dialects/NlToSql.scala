@@ -64,6 +64,8 @@ object NlToSql {
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
   private val TopNWhere =
     """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TopNPerDim =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+)""".r
   private val TotalByDateRange =
     """(?i)total ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val CountBy = """(?i)(?:number|count) of (\w+) by ([a-z ]+?)""".r
@@ -111,6 +113,35 @@ object NlToSql {
       require(dt == fact, s"dimension $dname not on $fact")
       s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
          FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TopNPerDim(n, entity, measure, dname) =>
+      // per-group top-k: "top 2 customers by total order price per
+      // status" — the grouped-leaderboard production, compiled to a
+      // rank-window subquery (the Spark∩DuckDB form; neither needs
+      // QUALIFY). Matched before TopN, whose greedy measure capture
+      // would swallow " per status" and fail the catalog lookup. The
+      // rank orders by the EXACT decimal sum with a pk tie-break, so
+      // group membership can never flip on a rounding boundary; Spark
+      // plans WindowGroupLimit both sides of the exchange for the rn
+      // filter (the win_topk_group shape).
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (dtable, dcol) = dim(dname)
+      require(dtable == fact, s"dimension $dname not on $fact")
+      val from = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      s"""SELECT $dcol, $pk, $nameCol, CAST(round(texact, 4) AS DOUBLE) AS total
+         FROM (
+           SELECT $dcol, $pk, $nameCol, texact,
+             row_number() OVER (PARTITION BY $dcol
+               ORDER BY texact DESC, $pk) AS rn
+           FROM (
+             SELECT $dcol, $pk, $nameCol,
+               sum(CAST($mcol AS DECIMAL(18,4))) AS texact
+             FROM $from GROUP BY $dcol, $pk, $nameCol) g) r
+         WHERE rn <= $n
+         ORDER BY $dcol NULLS FIRST, rn NULLS FIRST"""
     case TopNWhere(n, entity, measure, fdim, value) =>
       // top-k with a dimension filter on the fact table: "top 5 customers
       // by total order price where status is F" (value keeps its case)

@@ -68,6 +68,8 @@ object Dialects {
   val nlMinMaxQuestion: String = "maximum order price by status"
   val nlYearQuestion: String = "total order price by status in 1995"
   val nlBottomQuestion: String = "bottom 5 customers by total order price"
+  val nlTopkPerGroupQuestion: String =
+    "top 2 customers by total order price per status"
   // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
   val nlByYearQuestion: String = "total order price by year"
 
@@ -172,6 +174,7 @@ object Dialects {
     "nl_minmax" -> ((s, d) => NlToSql.run(s, d, nlMinMaxQuestion)),
     "nl_year" -> ((s, d) => NlToSql.run(s, d, nlYearQuestion)),
     "nl_bottomk" -> ((s, d) => NlToSql.run(s, d, nlBottomQuestion)),
+    "nl_topk_per_group" -> ((s, d) => NlToSql.run(s, d, nlTopkPerGroupQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
@@ -241,6 +244,7 @@ object Dialects {
     "nl_minmax" -> NlToSql.translate(nlMinMaxQuestion),
     "nl_year" -> NlToSql.translate(nlYearQuestion),
     "nl_bottomk" -> NlToSql.translate(nlBottomQuestion),
+    "nl_topk_per_group" -> NlToSql.translate(nlTopkPerGroupQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name

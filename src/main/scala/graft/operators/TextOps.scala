@@ -80,6 +80,20 @@ object TextOps {
                  CAST(sum(bits) * 100 // count(*) AS BIGINT) AS ppl_bits_x100
                FROM j GROUP BY 1)"""
 
+  /** Keyword-list argmax classifier (the n-gram-heuristic language-ID
+    * shape; lists are fixture-vocab topic sets, labels arbitrary) —
+    * shared by text_langid and the lang_confusion audit so the confusion
+    * matrix describes the exact deployed classifier. Pure map work.
+    */
+  private def langidPred(s: SparkSession, d: String): DataFrame = {
+    val t = toks(s, d)
+    val sA = size(array_intersect(col("t"), array(lit("scan"), lit("agg"), lit("join"), lit("merge")))).cast(L)
+    val sB = size(array_intersect(col("t"), array(lit("table"), lit("row"), lit("column"), lit("line")))).cast(L)
+    val sC = size(array_intersect(col("t"), array(lit("fast"), lit("slow"), lit("query"), lit("stream")))).cast(L)
+    t.select(col("doc_id"), sA.as("score_a"), sB.as("score_b"), sC.as("score_c"),
+      when(sA >= sB && sA >= sC, "a").when(sB >= sC, "b").otherwise("c").as("pred"))
+  }
+
   /** The four Gopher predicates (Rae et al. §A1.1) over a `t` tokens
     * column, in order (count, word-len, stopwords, type-token) — defined
     * ONCE so quality_gopher (per-doc rule breakdown) and
@@ -1127,16 +1141,45 @@ object TextOps {
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")),
 
-    "text_langid" -> ((s, d) => {
-      // keyword-list argmax classifier (the n-gram-heuristic language-ID
-      // shape; lists are fixture-vocab topic sets, labels arbitrary)
-      val t = toks(s, d)
-      val sA = size(array_intersect(col("t"), array(lit("scan"), lit("agg"), lit("join"), lit("merge")))).cast(L)
-      val sB = size(array_intersect(col("t"), array(lit("table"), lit("row"), lit("column"), lit("line")))).cast(L)
-      val sC = size(array_intersect(col("t"), array(lit("fast"), lit("slow"), lit("query"), lit("stream")))).cast(L)
-      t.select(col("doc_id"), sA.as("score_a"), sB.as("score_b"), sC.as("score_c"),
-          when(sA >= sB && sA >= sC, "a").when(sB >= sC, "b").otherwise("c").as("pred"))
-        .orderBy("doc_id")
+    "text_langid" -> ((s, d) => langidPred(s, d).orderBy("doc_id")),
+
+    "lang_confusion" -> ((s, d) => {
+      // declared-metadata vs classifier confusion matrix — the label-noise
+      // audit run before trusting either signal for mixing/filtering
+      // decisions (crawl metadata lies; classifiers drift): per (declared
+      // lang, predicted class) doc counts plus each cell's share of its
+      // declared language in exact basis points. Predictions are THE
+      // text_langid classifier (shared langidPred helper). Plan: classify
+      // map-side, one doc-keyed join to attach the declared label, one
+      // (lang, pred) agg — output bounded by |langs|·|classes|, and the
+      // per-lang totals derive from the CELLS (5-row agg, broadcast
+      // back), never a second corpus pass.
+      val cm = langidPred(s, d).select("doc_id", "pred")
+        .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+      val tot = cm.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+      cm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred"), col("n_docs"),
+          expr("n_docs * 10000 div n_lang").as("share_bp"))
+        .orderBy("lang", "pred")
+    }),
+
+    "doc_length_hist" -> ((s, d) => {
+      // token-length histogram in power-of-2 buckets — the length panel
+      // consulted before choosing packing sequence length / truncation
+      // cutoffs (doc_chunk, pack_sequences): bucket = floor(log2 n) via
+      // integer bit-length (length(bin(n))-1 — the text_perplexity
+      // discipline; no libm log), so bucket 5 = 32-63 tokens. Pure map
+      // work + ONE bounded agg (≤64 buckets ever exist); min/max/sum
+      // per bucket are order-independent exact integers.
+      fanout(documents(s, d))
+        .select(size(split(lower(col("text")), " ")).cast(L).as("n"))
+        .filter(col("n") >= 1)
+        .select(col("n"), (length(expr("bin(n)")) - 1).cast(L).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"), sum(col("n")).as("sum_tokens"))
+        .orderBy("bucket")
     }),
 
     "text_quality" -> ((s, d) => {
@@ -1921,6 +1964,34 @@ object TextOps {
            CASE WHEN score_a >= score_b AND score_a >= score_c THEN 'a'
                 WHEN score_b >= score_c THEN 'b' ELSE 'c' END AS pred
          FROM s ORDER BY doc_id NULLS FIRST""",
+    "lang_confusion" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         s AS (SELECT doc_id,
+           len(list_intersect(t, ['scan','agg','join','merge'])) AS score_a,
+           len(list_intersect(t, ['table','row','column','line'])) AS score_b,
+           len(list_intersect(t, ['fast','slow','query','stream'])) AS score_c
+           FROM t),
+         p AS (SELECT doc_id,
+           CASE WHEN score_a >= score_b AND score_a >= score_c THEN 'a'
+                WHEN score_b >= score_c THEN 'b' ELSE 'c' END AS pred
+           FROM s),
+         cm AS (SELECT d.lang, p.pred, count(*) AS n_docs
+                FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(n_docs) AS n_lang FROM cm GROUP BY 1)
+         SELECT cm.lang, cm.pred, CAST(cm.n_docs AS BIGINT) AS n_docs,
+           CAST(cm.n_docs * 10000 // t2.n_lang AS BIGINT) AS share_bp
+         FROM cm JOIN tot t2 USING (lang)
+         ORDER BY lang NULLS FIRST, pred NULLS FIRST""",
+    "doc_length_hist" ->
+      """WITH n AS (SELECT len(string_split(lower(text), ' ')) AS n
+                    FROM documents),
+         b AS (SELECT n, CAST(length(format('{:b}', n)) - 1 AS BIGINT) AS bucket
+               FROM n WHERE n >= 1)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
          SELECT doc_id,

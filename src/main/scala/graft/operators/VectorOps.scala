@@ -470,6 +470,38 @@ object VectorOps {
         .orderBy("threshold")
     }),
 
+    "vec_dim_stats" -> ((s, d) => {
+      // per-dimension embedding health panel (mean / sd / min / max per
+      // coordinate) — the dead-dimension and shard-drift audit: a
+      // near-zero-variance dim means wasted index capacity, a mean far
+      // off its siblings means one encoder shard normalized differently.
+      // Determinism: coordinates snap to the 6dp scaled-integer grid
+      // (the vec_centroid_label discipline), sums and sums-of-squares
+      // accumulate as exact BIGINTs (|su|≤1e6 ⇒ su²≤1e12; fixture-scale
+      // row counts keep Σsu² < 2^53 so the DOUBLE casts are exact — at
+      // larger sf the same shape re-aggregates per-partition DECIMAL
+      // partials), and mean/sd form from those exact values with only
+      // correctly-rounded IEEE ops — bit-identical in both engines.
+      // Plan: map-side explode + ONE (dim)-keyed partial agg; output
+      // rows = dims, never vectors.
+      emb(s, d).select(posexplode(col("embedding")))
+        .select(col("pos"), expr("CAST(round(col * 1000000, 0) AS BIGINT)").as("su"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum(col("su")).as("sv"),
+          sum(col("su") * col("su")).as("svv"),
+          min(col("su")).as("mn"), max(col("su")).as("mx"))
+        .select(col("pos").cast(LongType).as("dim"),
+          col("n").as("n_vecs"),
+          round(col("sv").cast(DoubleType) / (col("n") * lit(1000000.0)), 6).as("mean"),
+          round(sqrt((col("svv").cast(DoubleType)
+              - col("sv").cast(DoubleType) * col("sv").cast(DoubleType)
+                / col("n").cast(DoubleType))
+            / (col("n").cast(DoubleType) - lit(1.0))) / lit(1000000.0), 6).as("sd"),
+          (col("mn").cast(DoubleType) / lit(1000000.0)).as("min_v"),
+          (col("mx").cast(DoubleType) / lit(1000000.0)).as("max_v"))
+        .orderBy("dim")
+    }),
+
     "vec_outlier" -> ((s, d) => {
       // embedding-health screen: flag off-manifold vectors (bad encoder
       // shard, corrupted batch, wrong-model rows) by z-scored squared
@@ -884,6 +916,21 @@ object VectorOps {
            CAST(sum(CASE WHEN c6 >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
          FROM p CROSS JOIN t
          GROUP BY 1 ORDER BY threshold NULLS FIRST""",
+    "vec_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT i - 1 AS pos, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
+               FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+         a AS (SELECT pos, count(*) AS n, sum(su) AS sv, sum(su * su) AS svv,
+                 min(su) AS mn, max(su) AS mx
+               FROM x GROUP BY 1)
+         SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(sv AS DOUBLE) / (n * 1000000.0), 6) AS mean,
+           round(sqrt((CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0)) / 1000000.0, 6) AS sd,
+           CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+           CAST(mx AS DOUBLE) / 1000000.0 AS max_v
+         FROM a ORDER BY dim NULLS FIRST""",
     "vec_outlier" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          x AS (SELECT i - 1 AS pos, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su

@@ -259,6 +259,21 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("bottom 3 widgets by total order price"))
   }
 
+  test("NL per-group top-k production compiles to a rank-window subquery") {
+    val sql = NlToSql.translate("top 2 customers by total order price per status")
+    assert(sql.contains("row_number() OVER (PARTITION BY o_orderstatus"))
+    assert(sql.contains("WHERE rn <= 2"))
+    // ranks on the EXACT decimal sum, not the rounded presentation value
+    assert(sql.contains("ORDER BY texact DESC, c_custkey"))
+    // every status group carries exactly k rows with ranks led by rank 1
+    val rows = operators.Dialects.queries("nl_topk_per_group")(spark, d).collect()
+    val byStatus = rows.groupBy(_.getString(0))
+    assert(byStatus.nonEmpty && byStatus.values.forall(_.length == 2))
+    // an off-fact dimension fails loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("top 2 customers by total order price per language"))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")

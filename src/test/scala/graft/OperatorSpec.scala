@@ -344,6 +344,38 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("lang_confusion shares per declared language sum to ~10000 bp") {
+    val out = TextOps.queries("lang_confusion")(spark, d).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, d).count())
+    out.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val bp = cells.map(_.getLong(3)).sum
+      // truncating division: each cell loses < 1 bp
+      assert(bp <= 10000 && bp > 10000 - cells.length, s"$lang share sum $bp")
+    }
+  }
+
+  test("doc_length_hist buckets partition the corpus with power-of-2 bounds") {
+    val out = TextOps.queries("doc_length_hist")(spark, d).collect()
+    assert(out.map(_.getLong(1)).sum === Tables.documents(spark, d).count())
+    out.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"bucket $b range [$mn,$mx] outside [2^$b, 2^${b + 1})")
+    }
+  }
+
+  test("vec_dim_stats covers every dimension with coherent bounds") {
+    val out = VectorOps.queries("vec_dim_stats")(spark, d).collect()
+    assert(out.map(_.getLong(0)).toSeq === out.indices.map(_.toLong))
+    out.foreach { r =>
+      val (mean, sd, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= mean && mean <= mx)
+      assert(sd >= 0.0 && mx <= 1.0 && mn >= -1.0) // normalized embeddings
+    }
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)

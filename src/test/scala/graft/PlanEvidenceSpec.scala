@@ -200,6 +200,25 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in cutoff attach:\n$p")
   }
 
+  test("nl_topk_per_group plans WindowGroupLimit both sides of the exchange") {
+    val p = plan(operators.Dialects.queries("nl_topk_per_group")(spark, d))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filter must pre-limit per-partition before the shuffle:\n$p")
+  }
+
+  test("vec_dim_stats: one keyed aggregate over the explode, no join, no window") {
+    val p = plan(VectorOps.queries("vec_dim_stats")(spark, d))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("lang_confusion broadcasts its 5-row totals; the corpus joins once by doc_id") {
+    val p = plan(TextOps.queries("lang_confusion")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     val p = plan(Layouts.queries("sink_partitioned")(spark, d))
     assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"), p)
