@@ -153,6 +153,57 @@ object Custom {
           expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)"))
         .orderBy("doc_id")),
 
+    "mm_dedup_phash" -> ((s, d) => {
+      // perceptual-hash near-dup detection for the binary modality — the
+      // image-dedup shape (aHash/pHash → band → hamming verify): a 32-bit
+      // SimHash over 2-byte payload shingles stands in for the DCT hash
+      // (same banding/verify plumbing a real pHash feeds), bands of 8
+      // bits bucket candidates, and survivors verify on hamming ≤ 3 via
+      // a single codegen'd xor+bit_count. Scale discipline mirrors
+      // dedup_near/bandPairs: hot band buckets (>20 docs — boilerplate
+      // payloads) carry no discrimination and are dropped BEFORE the
+      // self-join, so pairs-per-bucket is bounded; the hash table is
+      // localCheckpoint'd once for its three consumers (bands + both
+      // verify probes). Everything before the band join is map work.
+      val hx = fanout(documents(s, d))
+        .select(col("doc_id"), hex(col("text").cast(BinaryType)).as("hx"))
+        .filter(length(col("hx")) >= 4)
+      val feats = hx
+        .select(col("doc_id"), col("hx"),
+          explode(expr("sequence(1, length(hx) - 3, 2)")).as("i"))
+        .select(col("doc_id"), expr(h60Spark("substring(hx, CAST(i AS INT), 4)")).as("th"))
+      val ph = feats
+        .select(col("doc_id"), col("th"), explode(expr("sequence(0, 31)")).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(expr(
+          "CASE WHEN (shiftright(th, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("w"))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("ph"))
+        .localCheckpoint(true)
+      val bands = ph
+        .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("ph"))
+        .select(col("doc_id"), col("band"),
+          expr("shiftright(ph, CAST(band * 8 AS INT)) & 255").as("bv"))
+      val kept = bands.join(
+        bands.groupBy("band", "bv").agg(count(lit(1)).as("n_df"))
+          .filter(col("n_df") <= 20),
+        Seq("band", "bv"))
+      val cand = kept.as("x").join(kept.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      cand
+        .join(ph.select(col("doc_id").as("a"), col("ph").as("pa")), "a")
+        .join(ph.select(col("doc_id").as("b"), col("ph").as("pb")), "b")
+        .select(col("a"), col("b"),
+          expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }),
+
     "mm_window_energy" -> ((s, d) =>
       // audio-feature plumbing: OVERLAPPING windows (width 16 bytes, hop 8
       // — the STFT shape) over the opaque payload, per-window "energy" =
@@ -199,6 +250,33 @@ object Custom {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup_phash" ->
+      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+                      WHERE length(hex(encode(text))) >= 4),
+         f AS (SELECT doc_id, ${h60Duck("substr(hx, CAST(i AS INT), 4)")} AS th
+               FROM (SELECT doc_id, hx,
+                       unnest(range(1, length(hx) - 2, 2)) AS i FROM hx)),
+         w AS (SELECT doc_id, bit,
+                 sum(CASE WHEN ((th >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS w
+               FROM f CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+               GROUP BY 1, 2),
+         p AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit
+                               ELSE 0 END) AS BIGINT) AS ph
+               FROM w GROUP BY 1),
+         bands AS (SELECT doc_id, band,
+                     (ph >> CAST(band * 8 AS INT)) & 255 AS bv
+                   FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+         cnt AS (SELECT band, bv, count(*) AS n_df FROM bands GROUP BY 1, 2),
+         kept AS (SELECT b.doc_id, b.band, b.bv FROM bands b
+                  JOIN cnt USING (band, bv) WHERE n_df <= 20),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM kept x JOIN kept y
+                    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         SELECT a, b, CAST(bit_count(xor(pa.ph, pb.ph)) AS BIGINT) AS hamming
+         FROM cand JOIN p pa ON pa.doc_id = a JOIN p pb ON pb.doc_id = b
+         WHERE bit_count(xor(pa.ph, pb.ph)) <= 3
+         ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "mm_window_energy" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS h,

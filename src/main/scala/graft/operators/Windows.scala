@@ -213,6 +213,74 @@ object Windows {
 
     "funnel_conversion" -> ((s, d) => funnel(events(s, d))),
 
+    "abc_analysis" -> ((s, d) => {
+      // Pareto / ABC inventory classification — rank customers by revenue
+      // and cut the cumulative share at 80%/95% into A/B/C classes (the
+      // "which 20% of accounts carry 80% of revenue" decision table).
+      // The global revenue-ordered running sum does NOT use a global
+      // window: winNtile's two-phase plan — range-partition on the total
+      // order (rev DESC, custkey), local cumsum per partition-id window,
+      // per-partition totals (≤ #partitions rows) collected into
+      // broadcast cumulative offsets. Class boundaries compare EXACT
+      // DECIMAL sums cross-multiplied (cum·100 ≤ total·80 — no float
+      // share ever forms, so membership can't flip on a rounding
+      // boundary, and decimal addition is associative so the partial
+      // sums are partition-order-free).
+      val parts = s.sparkContext.defaultParallelism
+      val rev = orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      // EAGER checkpoint: repartitionByRange samples boundaries per job;
+      // the offset collect and the final join must see the SAME
+      // partitioning (the pack_sequences discipline)
+      val ranged = rev.repartitionByRange(parts, col("rev").desc, col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val wLoc = Window.partitionBy("pid")
+        .orderBy(col("rev").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ranged.withColumn("lc", sum(col("rev")).over(wLoc))
+      val sums = ranged.groupBy("pid").agg(sum(col("rev")).as("sm"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+      var acc = java.math.BigDecimal.ZERO
+      val offRows = sums.sortBy(_._1).toSeq.map { case (pid, sm) =>
+        val o = acc; acc = acc.add(sm); (pid, o)
+      }
+      val total = acc
+      import s.implicits._
+      // pin the offset scale to 4 (the BigDecimal encoder defaults to
+      // (38,18), whose addition result would force a scale reduction)
+      val offDf = offRows.toDF("pid", "off")
+        .select(col("pid"), col("off").cast(DecimalType(38, 4)).as("off"))
+      local.join(broadcast(offDf), "pid")
+        .withColumn("cum", col("off") + col("lc"))
+        .select(col("o_custkey").as("c_custkey"),
+          outDec(col("rev")).as("revenue"),
+          when(col("cum") * 100 <= lit(total) * 80, "A")
+            .when(col("cum") * 100 <= lit(total) * 95, "B")
+            .otherwise("C").as("cls"))
+        .orderBy("c_custkey")
+    }),
+
+    "funnel_time_to_convert" -> ((s, d) => {
+      // conversion LATENCY per completed funnel — the companion decision
+      // table to funnel_conversion's stage counts (same funnelStages
+      // definition, so "how many converted" and "how fast" can never
+      // disagree): per user, seconds from first view to conversion and
+      // for the final hop. MICROSECOND-exact integer arithmetic
+      // (unix_micros / epoch_us — events carry sub-second components, and
+      // second-floor vs epoch-round would diverge between engines), then
+      // a truncating div to whole seconds. Plan: three user-keyed stage
+      // aggs + two user-keyed joins; everything partial-aggregates.
+      val (v, c, p) = funnelStages(events(s, d))
+      v.join(c, "user_id").join(p, "user_id")
+        .select(col("user_id"),
+          expr("(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000")
+            .as("total_secs"),
+          expr("(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000")
+            .as("last_hop_secs"))
+        .orderBy("user_id")
+    }),
+
     "resample_ohlc" -> ((s, d) => {
       // time-series downsampling to daily OHLC bars per event_type — the
       // metrics/finance resample shape. open/close are picked by
@@ -426,7 +494,12 @@ object Windows {
     * the shape that holds when events are 100 TB. Takes the event frame
     * as a parameter so specs can feed crafted orderings.
     */
-  def funnel(ev: DataFrame): DataFrame = {
+  /** Per-user first-time stage tables (view → first click after the view
+    * → first purchase after that click) — shared by funnel_conversion and
+    * funnel_time_to_convert so both describe the SAME funnel definition.
+    * Each stage is one user-keyed join + one user-keyed partial agg.
+    */
+  private def funnelStages(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def stage(t: String) = ev.filter(col("event_type") === t)
     val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
     val c = stage("click").join(v, "user_id")
@@ -435,6 +508,11 @@ object Windows {
     val p = stage("purchase").join(c, "user_id")
       .filter(col("ts") > col("t_click"))
       .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    (v, c, p)
+  }
+
+  def funnel(ev: DataFrame): DataFrame = {
+    val (v, c, p) = funnelStages(ev)
     v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
       .unionByName(c.agg(count(lit(1)).as("n_users"))
         .select(lit("2_click_after_view").as("stage"), col("n_users")))
@@ -498,6 +576,20 @@ object Windows {
       .select("o_orderkey", "quartile")
       .orderBy("o_orderkey")
   }
+
+  /** DuckDB CTE chain mirroring [[funnelStages]] — shared by the
+    * funnel_conversion and funnel_time_to_convert oracles exactly as the
+    * Scala helper is.
+    */
+  private val funnelCtes: String =
+    """v AS (SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS t_click
+             FROM events e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)"""
 
   val oracles: Map[String, String] = Map(
     "win_streaks" ->
@@ -673,19 +765,32 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey NULLS FIRST, valid_from NULLS FIRST, o_orderkey NULLS FIRST""",
     "funnel_conversion" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-                    WHERE event_type = 'view' GROUP BY 1),
-         c AS (SELECT e.user_id, min(e.ts) AS t_click
-               FROM events e JOIN v ON e.user_id = v.user_id
-               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
-         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-               FROM events e JOIN c ON e.user_id = c.user_id
-               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      s"""WITH $funnelCtes
          SELECT * FROM (
            SELECT '1_view' AS stage, count(*) AS n_users FROM v
            UNION ALL SELECT '2_click_after_view', count(*) FROM c
            UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
          ORDER BY stage NULLS FIRST""",
+    "abc_analysis" ->
+      """WITH r AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+                    FROM orders GROUP BY 1),
+         c AS (SELECT o_custkey, rev,
+                 sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM r),
+         t AS (SELECT sum(rev) AS total FROM r)
+         SELECT o_custkey AS c_custkey, CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls
+         FROM c, t ORDER BY c_custkey NULLS FIRST""",
+    "funnel_time_to_convert" ->
+      s"""WITH $funnelCtes
+         SELECT v.user_id,
+           (epoch_us(t_purchase) - epoch_us(t_view)) // 1000000 AS total_secs,
+           (epoch_us(t_purchase) - epoch_us(t_click)) // 1000000 AS last_hop_secs
+         FROM v JOIN c ON c.user_id = v.user_id
+                JOIN p ON p.user_id = v.user_id
+         ORDER BY v.user_id NULLS FIRST""",
     "win_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

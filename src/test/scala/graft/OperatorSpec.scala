@@ -376,6 +376,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("abc_analysis classes are monotone along the revenue order at the 80/95 cuts") {
+    val rows = Windows.queries("abc_analysis")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.map(_._3).toSet === Set("A", "B", "C"))
+    // in (revenue desc, custkey) order the class sequence never goes back
+    val ordered = rows.sortBy(t => (-t._2, t._1)).map(_._3)
+    assert(ordered.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+    // cumulative-share semantics: A stops at the first row crossing 80%
+    val total = rows.map(_._2).sum
+    val cumA = rows.filter(_._3 == "A").map(_._2).sum
+    val firstB = rows.filter(_._3 == "B").map(_._2).max // largest B revenue
+    assert(cumA <= 0.80 * total + 1e-6 && cumA + firstB > 0.80 * total - 1e-6)
+  }
+
+  test("funnel_time_to_convert covers exactly the stage-3 converters, coherently") {
+    val lat = Windows.queries("funnel_time_to_convert")(spark, d).collect()
+    val stage3 = Windows.queries("funnel_conversion")(spark, d).collect()
+      .find(_.getString(0) == "3_purchase_after_click").get.getLong(1)
+    assert(lat.length.toLong === stage3)
+    lat.foreach { r =>
+      val (tot, hop) = (r.getLong(1), r.getLong(2))
+      assert(tot >= 0 && hop >= 0 && hop <= tot)
+    }
+  }
+
+  test("mm_dedup_phash emits ordered pairs within the hamming radius") {
+    val out = graft.functions.Custom.queries("mm_dedup_phash")(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+    }
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)

@@ -219,6 +219,17 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mm_dedup_phash bands join on keys — no nested-loop pair blowup") {
+    val p = plan(graft.functions.Custom.queries("mm_dedup_phash")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must come from an equi-join:\n$p")
+  }
+
+  test("abc_analysis never funnels customers through a single-partition window") {
+    val p = plan(Windows.queries("abc_analysis")(spark, d))
+    assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
+  }
+
   test("sink_partitioned read prunes to the selected partition") {
     val p = plan(Layouts.queries("sink_partitioned")(spark, d))
     assert(p.contains("PartitionFilters:") && p.contains("o_orderstatus"), p)
