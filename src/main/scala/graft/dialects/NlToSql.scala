@@ -90,6 +90,7 @@ object NlToSql {
   private val TotalByHaving =
     """(?i)total ([a-z ]+) by ([a-z ]+) having total (above|below) (\d+(?:\.\d+)?)""".r
   private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
+  private val ShareBy = """(?i)share of (\w+) by ([a-z ]+)""".r
 
   private def dim(name: String): (String, String) =
     dims.getOrElse(name.trim.toLowerCase,
@@ -226,6 +227,20 @@ object NlToSql {
          FROM $fact GROUP BY $dcol
          HAVING sum(CAST($mcol AS DECIMAL(18,4))) $op $n
          ORDER BY $dcol NULLS FIRST"""
+    case ShareBy(_, dname) =>
+      // percent-of-total: "share of orders by status" — per-group count
+      // plus its share of the table in basis points. The share stays in
+      // the Spark∩DuckDB common dialect as floor(n·10000/total) over
+      // exact integer counts: the double quotient's ulp (~1e-12) is far
+      // below the 1/total gap between expressible ratios, so the floor
+      // is the true integer floor in both engines, and exact-multiple
+      // quotients are exactly representable. The 1-row total attaches by
+      // cross join (broadcast in Spark) — no second table pass per group.
+      val (dtable, dcol) = dim(dname)
+      s"""SELECT $dcol, count(*) AS cnt,
+         CAST(floor(count(*) * 10000.0 / t.total) AS BIGINT) AS share_bp
+         FROM $dtable CROSS JOIN (SELECT count(*) AS total FROM $dtable) t
+         GROUP BY $dcol, t.total ORDER BY $dcol NULLS FIRST"""
     case MinMaxBy(which, measure, d) =>
       // extremes per dimension: "maximum order price by status" — min/max
       // are order- and parallelism-independent, so no decimal/rounding

@@ -70,6 +70,7 @@ object Dialects {
   val nlBottomQuestion: String = "bottom 5 customers by total order price"
   val nlTopkPerGroupQuestion: String =
     "top 2 customers by total order price per status"
+  val nlShareQuestion: String = "share of orders by priority"
   // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
   val nlByYearQuestion: String = "total order price by year"
 
@@ -175,6 +176,7 @@ object Dialects {
     "nl_year" -> ((s, d) => NlToSql.run(s, d, nlYearQuestion)),
     "nl_bottomk" -> ((s, d) => NlToSql.run(s, d, nlBottomQuestion)),
     "nl_topk_per_group" -> ((s, d) => NlToSql.run(s, d, nlTopkPerGroupQuestion)),
+    "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
@@ -245,6 +247,7 @@ object Dialects {
     "nl_year" -> NlToSql.translate(nlYearQuestion),
     "nl_bottomk" -> NlToSql.translate(nlBottomQuestion),
     "nl_topk_per_group" -> NlToSql.translate(nlTopkPerGroupQuestion),
+    "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name

@@ -750,6 +750,29 @@ object TextOps {
         .limit(100)
     }),
 
+    "mix_quality_weighted" -> ((s, d) => {
+      // DCLM/FineWeb-Edu-style quality-weighted sampling: P(keep) is
+      // PROPORTIONAL to a per-doc quality score rather than a hard
+      // filter — soft curation keeps tail diversity while upweighting
+      // clean text. The score is the type-token ratio in exact integer
+      // basis points (the text_quality signal, integer-cast so the
+      // acceptance threshold is exact in both engines); membership is
+      // the salted-hash formula shared with sample_weighted/split_assign
+      // (h60 % 10000 < score_bp — RNG-free, cluster-size-independent,
+      // composable via distinct salts). Pure map work: the decision
+      // table (doc, score, verdict) emits for EVERY doc so the
+      // acceptance curve is auditable, not just the survivors.
+      toks(s, d)
+        .select(col("doc_id"),
+          expr("(CAST(size(array_distinct(t)) AS BIGINT) * 10000) div size(t)")
+            .as("score_bp"),
+          (expr(h60Spark("concat('mixq:', CAST(doc_id AS STRING))")) % 10000)
+            .as("h"))
+        .select(col("doc_id"), col("score_bp"),
+          (col("h") < col("score_bp")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "sample_weighted" -> ((s, d) => {
       // importance sampling: per-doc acceptance probability w ∝ length
       // (capped at 1) — the upweight-long-documents shape. Acceptance is
@@ -1722,6 +1745,14 @@ object TextOps {
            FROM documents)
          WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
          ORDER BY doc_id NULLS FIRST""",
+    "mix_quality_weighted" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         SELECT doc_id,
+           CAST(CAST(len(list_distinct(t)) AS BIGINT) * 10000 // len(t) AS BIGINT)
+             AS score_bp,
+           ${h60Duck("concat('mixq:', CAST(doc_id AS VARCHAR))")} % 10000
+             < CAST(len(list_distinct(t)) AS BIGINT) * 10000 // len(t) AS kept
+         FROM t ORDER BY doc_id NULLS FIRST""",
     "sample_weighted" ->
       s"""SELECT doc_id, lang, round(weight, 4) AS weight FROM (
            SELECT doc_id, lang,

@@ -213,6 +213,28 @@ object Windows {
 
     "funnel_conversion" -> ((s, d) => funnel(events(s, d))),
 
+    "event_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix over per-user event streams
+      // — the "what follows what" table behind next-action prediction and
+      // bot detection (a user whose click→click self-loop dominates is a
+      // crawler). ONE user-keyed window exchange (lead over (ts,
+      // event_id) — the sessionize total-order discipline) feeds a
+      // |types|²-bounded count agg; row totals derive from the MATRIX
+      // (25 rows, broadcast back), never a second event pass; transition
+      // probabilities are exact integer basis points.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      tr.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div n_from").as("p_bp"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "abc_analysis" -> ((s, d) => {
       // Pareto / ABC inventory classification — rank customers by revenue
       // and cut the cumulative share at 80%/95% into A/B/C classes (the
@@ -771,6 +793,18 @@ object Windows {
            UNION ALL SELECT '2_click_after_view', count(*) FROM c
            UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
          ORDER BY stage NULLS FIRST""",
+    "event_transitions" ->
+      """WITH n AS (SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+               FROM events),
+         tr AS (SELECT from_type, to_type, count(*) AS n FROM n
+                WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+           CAST(tr.n * 10000 // t.n_from AS BIGINT) AS p_bp
+         FROM tr JOIN tot t USING (from_type)
+         ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""",
     "abc_analysis" ->
       """WITH r AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
                     FROM orders GROUP BY 1),

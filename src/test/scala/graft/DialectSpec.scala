@@ -274,6 +274,16 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("top 2 customers by total order price per language"))
   }
 
+  test("NL share-of-total production sums to ~10000 bp") {
+    val sql = NlToSql.translate("share of orders by priority")
+    assert(sql.contains("CROSS JOIN") && sql.contains("10000.0"))
+    val rows = operators.Dialects.queries("nl_share_of_total")(spark, d).collect()
+    val bp = rows.map(_.getLong(2)).sum
+    assert(bp <= 10000 && bp > 10000 - rows.length)
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("share of orders by moon phase"))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")

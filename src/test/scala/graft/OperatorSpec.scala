@@ -410,6 +410,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("event_transitions rows sum to ~10000 bp per from_type") {
+    val out = Windows.queries("event_transitions")(spark, d).collect()
+    assert(out.nonEmpty && out.length <= 25) // |types|² bound
+    out.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val bp = rows.map(_.getLong(3)).sum
+      assert(bp <= 10000 && bp > 10000 - rows.length, s"$from sums to $bp")
+    }
+  }
+
+  test("mix_quality_weighted keeps in proportion to score") {
+    val out = TextOps.queries("mix_quality_weighted")(spark, d).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(out.forall { case (s, _) => s > 0 && s <= 10000 })
+    val kept = out.filter(_._2).map(_._1)
+    val dropped = out.filterNot(_._2).map(_._1)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    // acceptance ∝ score ⇒ the kept set's mean score exceeds the dropped's
+    assert(kept.sum.toDouble / kept.length > dropped.sum.toDouble / dropped.length)
+  }
+
   test("join_fuzzy resolves each dirty name once within edit distance 2") {
     val out = Joins.queries("join_fuzzy")(spark, d).collect()
     assert(out.nonEmpty)
