@@ -46,14 +46,20 @@ object Tables {
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
 
   /** ns→µs canonical shim (SURVEY.md §1.4.1). Every events query MUST come
-    * through here. `ts div 1000` is integer division — `/1000` in double
-    * would lose precision at 1.7e18 ns epochs.
+    * through here. The fixture has shipped `ts` two ways across driver
+    * rounds — TIMESTAMP(NANOS) (arrives as LongType ns under the legacy
+    * conf) and plain µs TIMESTAMP — so the shim is schema-adaptive: the ns
+    * form is rebuilt with integer division (`div 1000`, not `/1000` — a
+    * double would lose precision at 1.7e18 ns epochs), the µs form passes
+    * through. Both land on the same TimestampType column DuckDB sees.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    pin(s).read
-      .parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = pin(s).read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
   }
 
   /** float→double vector cast at scan (SURVEY.md §1.4.2). */

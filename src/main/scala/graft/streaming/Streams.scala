@@ -223,23 +223,20 @@ object Streams {
 
   // ---- readStream source for the fixture events table ----------------------
 
-  /** Raw parquet schema under the ns→µs shim (`ts` arrives as LongType ns
-    * with spark.sql.legacy.parquet.nanosAsLong=true — SURVEY.md §1.4.1).
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-stream source over a directory of events part-files, normalized
-    * through the same shim as the batch scan.
+    * through the same schema-adaptive ns→µs shim as the batch scan
+    * (Tables.events): a streaming source needs its schema upfront, so a
+    * one-file batch footer read supplies it — the fixture has shipped `ts`
+    * both as TIMESTAMP(NANOS) (LongType under the legacy conf) and as
+    * plain µs TIMESTAMP across driver rounds.
     */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = s.read.parquet(dir).schema
+    val raw = s.readStream.schema(fileSchema).parquet(dir)
+    if (fileSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Run a streaming plan over a directory source with Trigger.AvailableNow
