@@ -32,6 +32,7 @@ object SparkEntry {
       (Dialects.queries, Dialects.oracles),
       (Layouts.queries, Layouts.oracles),
       (GraphOps.queries, GraphOps.oracles),
+      (Analytics.queries, Analytics.oracles),
       (Profiling.queries, Profiling.oracles)
     )
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -565,14 +565,23 @@ object Windows {
     * No single-partition exchange or global window appears ANYWHERE in
     * the plan — PlanEvidenceSpec asserts this over every Window subtree.
     */
-  private def winNtile(s: SparkSession, d: String): DataFrame = {
-    val k = 4
+  /** Global NTILE(k) over a total order WITHOUT a single-partition window:
+    * range-repartition on the order columns, row_number within each range
+    * partition, then add broadcast per-partition offsets to recover the
+    * global rank and bucket it with the standard NTILE remainder formula
+    * (first n%k buckets get one extra row — DuckDB/ANSI semantics, hash-
+    * verified against NTILE in the win_ntile oracle). The only driver-side
+    * state is one count per partition (#partitions rows, never data).
+    * `order` must be a unique total order or the result is nondeterministic.
+    */
+  private[operators] def globalNtile(df: DataFrame, k: Int,
+                                     order: Seq[Column], out: String): DataFrame = {
+    val s = df.sparkSession
     val parts = s.sparkContext.defaultParallelism
-    val ranged = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
       .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wLocal = Window.partitionBy("pid").orderBy(order: _*)
     // EAGER checkpoint before the two consumers (counts collect + final
     // join): repartitionByRange SAMPLES its range boundaries per job, so
     // without materialization the two jobs could land rows in different
@@ -590,14 +599,19 @@ object Windows {
     val offs = offRows.toSeq.toDF("pid", "off", "n")
     local.join(broadcast(offs), "pid")
       .withColumn("rn", col("off") + col("lrn"))
-      .withColumn("quartile", expr(
+      .withColumn(out, expr(
         s"CAST(CASE WHEN rn <= (n % $k) * (n div $k + 1) " +
         s"THEN (rn - 1) div (n div $k + 1) + 1 " +
         s"ELSE (n % $k) + (rn - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1 " +
         s"END AS INT)"))
+      .drop("pid", "lrn", "off", "n", "rn")
+  }
+
+  private def winNtile(s: SparkSession, d: String): DataFrame =
+    globalNtile(orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
       .select("o_orderkey", "quartile")
       .orderBy("o_orderkey")
-  }
 
   /** DuckDB CTE chain mirroring [[funnelStages]] — shared by the
     * funnel_conversion and funnel_time_to_convert oracles exactly as the

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Invariant coverage for the Analytics module (market basket, skew
+  * audit, Gini, RFM) — the cross-engine hash gate proves value equality;
+  * these prove the MATH means what it claims on any fixture.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+
+  test("market_basket: pairs are ordered, support consistent, lift positive") {
+    val rows = Analytics.queries("market_basket")(spark, d).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, s"pair not canonical: $a,$b")
+      val (nAb, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nAb >= 2 && nAb <= nA && nAb <= nB,
+        s"support $nAb inconsistent with item counts $nA/$nB")
+      assert(r.getDouble(5) > 0.0)
+    }
+    // top-20 is sorted by lift descending
+    val lifts = rows.map(_.getDouble(5))
+    assert(lifts.zip(lifts.drop(1)).forall { case (x, y) => x >= y })
+  }
+
+  test("profile_key_skew: shares are percentages of the whole, ratio vs mean") {
+    val rows = Analytics.queries("profile_key_skew")(spark, d).collect()
+    assert(rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 100.0)
+      // a top-10 key is at or above the mean per-key count
+      assert(r.getDouble(3) >= 1.0, s"top key below mean: $r")
+    }
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.drop(1)).forall { case (x, y) => x >= y })
+  }
+
+  test("agg_gini: coefficients in [0,1); equal-spend toy group gives 0") {
+    val rows = Analytics.queries("agg_gini")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    // closed form sanity: n equal values => G = 0 exactly
+    // (2*sum(i*x)/(n*n*x) - (n+1)/n = (n+1)/n - (n+1)/n)
+    val n = 5
+    val s1 = (1 to n).map(_.toLong).sum // sum of ranks * x with x=1
+    val g0 = 2.0 * s1 / (n.toDouble * n.toDouble) - (n + 1.0) / n
+    assert(math.abs(g0) < 1e-12)
+  }
+
+  test("rfm_segments: quartiles 1..4, customer total preserved, cells disjoint") {
+    val rows = Analytics.queries("rfm_segments")(spark, d).collect()
+    rows.foreach { r =>
+      Seq(0, 1, 2).foreach { i =>
+        assert(r.getInt(i) >= 1 && r.getInt(i) <= 4, s"quartile out of range: $r")
+      }
+      assert(r.getLong(3) > 0 && r.getDouble(4) >= 1.0)
+    }
+    val totalCustomers = rows.map(_.getLong(3)).sum
+    val expected = graft.Tables.orders(spark, d)
+      .select("o_custkey").distinct().count()
+    assert(totalCustomers === expected,
+      s"segment cells don't partition the customer base: $totalCustomers vs $expected")
+    // each (r,f,m) cell appears once
+    val cells = rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(cells.distinct.length === cells.length)
+  }
+}
