@@ -156,7 +156,25 @@ object Analytics {
     "market_basket" -> (marketBasket _),
     "profile_key_skew" -> (keySkew _),
     "agg_gini" -> (gini _),
-    "rfm_segments" -> (rfm _)
+    "rfm_segments" -> (rfm _),
+
+    "ts_seasonality" -> ((s, dir) => {
+      // hour-of-day seasonality profile per event type — the diurnal
+      // fingerprint read before setting stream watermarks or anomaly
+      // baselines (a 3 a.m. spike is an incident; the same spike at noon
+      // is lunch). ONE partial-aggregating keyed shuffle; output bounded
+      // by |types|·24 forever. Sums are pre-rounded decimals (exact,
+      // partition-order-free — the anomaly_zscore discipline); the mean
+      // is one double quotient written identically in both engines.
+      events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value"), 4).cast(DecimalType(18, 4))).as("sv"))
+        .select(col("event_type"), col("hod"), col("n_events"),
+          r4(col("sv").cast(DoubleType) / col("n_events").cast(DoubleType))
+            .as("avg_value"))
+        .orderBy("event_type", "hod")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +242,12 @@ object Analytics {
              AS avg_frequency,
            round(CAST(sum(mon) AS DOUBLE) / count(*), 4) AS avg_monetary
          FROM q GROUP BY 1, 2, 3
-         ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST"""
+         ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST""",
+    "ts_seasonality" ->
+      """SELECT event_type, hour(ts) AS hod, count(*) AS n_events,
+         round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 4) AS avg_value
+         FROM events GROUP BY 1, 2
+         ORDER BY event_type NULLS FIRST, hod NULLS FIRST"""
   )
 }

@@ -173,6 +173,27 @@ object GraphOps {
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
         .orderBy("doc_id")
+    }),
+
+    "graph_components_hist" -> ((s, d) => {
+      // component-SIZE histogram of the near-dup graph — the one-page
+      // answer to "is dedup facing scattered pairs or a giant connected
+      // blob?" (a single huge component means boilerplate is chaining
+      // unrelated docs together and the minhash threshold needs raising;
+      // the classic web-dedup failure mode). Reuses the capped band join
+      // (TextOps.bandPairs) + hash-min label propagation
+      // (connectedComponents — one keyed shuffle per round, eager
+      // checkpoints); the histogram is two more partial aggs whose output
+      // is bounded by |distinct sizes|, never vertices. Singleton docs
+      // (no near-dup) are intentionally absent — the histogram reads
+      // duplication STRUCTURE, not corpus size.
+      val edges = TextOps.bandPairs(TextOps.minhashBands(s, d))
+        .select("a", "b").distinct()
+      TextOps.connectedComponents(edges)
+        .groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("component_size")
     })
   )
 
@@ -240,6 +261,23 @@ object GraphOps {
                     UNION ALL SELECT y FROM tri
                     UNION ALL SELECT z FROM tri)
           SELECT doc_id, count(*) AS n_triangles
-          FROM verts GROUP BY 1 ORDER BY doc_id NULLS FIRST"""
+          FROM verts GROUP BY 1 ORDER BY doc_id NULLS FIRST""",
+    "graph_components_hist" ->
+      // same transitive closure as the dedup_cluster oracle, folded to a
+      // size histogram
+      s"""WITH RECURSIVE ${TextOps.mhBandCtes},
+          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+          edges AS (SELECT a AS s, b AS t FROM pairs
+                    UNION SELECT b AS s, a AS t FROM pairs),
+          reach AS (
+            SELECT DISTINCT s AS v, s AS r FROM edges
+            UNION
+            SELECT q.v, e.t FROM reach q JOIN edges e ON e.s = q.r),
+          comp AS (SELECT v AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+          csize AS (SELECT label, count(*) AS sz FROM comp GROUP BY 1)
+          SELECT sz AS component_size, count(*) AS n_components
+          FROM csize GROUP BY 1 ORDER BY component_size NULLS FIRST"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1439,6 +1439,91 @@ object TextOps {
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
         .withColumn("oov_bp", expr("(n_oov * 10000) div n_tok"))
         .orderBy("doc_id")
+    }),
+
+    "tok_fertility" -> ((s, d) => {
+      // tokenizer fertility by language — tokens emitted per whitespace
+      // word (Ács 2019; the multilingual-tokenizer health metric: a BPE
+      // trained on English typically fragments other scripts, and a
+      // fertility spike per lang flags the vocab before a training run
+      // wastes sequence length). Both token counts are single-pass map
+      // work (the text_token_count definitions, single-sourced by the
+      // driver gate); ONE lang-keyed partial agg — 5 groups, map-side
+      // combinable, shuffle volume |langs| at any corpus size. Fertility
+      // is a double quotient of exact int64 sums — bit-identical
+      // cross-engine.
+      val bpe = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      fanout(documents(s, d))
+        .select(col("lang"),
+          size(split(lower(col("text")), " ")).cast(L).as("ws"),
+          size(bpe).cast(L).as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("n_words"),
+          sum(col("bpe")).as("n_tokens"))
+        .withColumn("fertility",
+          r4(col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType)))
+        .orderBy("lang")
+    }),
+
+    "mix_domain_cap" -> ((s, d) => {
+      // per-domain document cap — the source-diversity guard every
+      // curated mix applies (a crawl where one domain contributes 40% of
+      // documents trains a model on that domain's boilerplate; C4 caps
+      // URLs, The Pile caps per-set epochs — this caps docs per source).
+      // Keep priority is deterministic: longest docs first, doc_id
+      // tie-break. Plan: ONE source-keyed window (row_number) — the
+      // partition key is the domain, high-cardinality at crawl scale, so
+      // the sort parallelizes — then a source-keyed partial agg; nothing
+      // global anywhere. Kept/dropped counts per source are the audit a
+      // mix report publishes.
+      import org.apache.spark.sql.expressions.Window
+      val cap = 20
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      fanout(documents(s, d))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > cap, 1L).otherwise(0L)).as("n_dropped"),
+          min(when(col("rn") <= cap, col("n_chars"))).as("min_kept_chars"))
+        .orderBy("source")
+    }),
+
+    "vocab_coverage" -> ((s, d) => {
+      // vocabulary coverage curve — what share of all token OCCURRENCES
+      // the top-k vocabulary types cover, for k ∈ {10, 20, 30} (the
+      // truncation decision a tokenizer build makes: coverage .999 at
+      // k=32000 is why that's the classic vocab size; tok_zipf fits the
+      // law, this reads the integral). Plan: one token-keyed partial agg
+      // (Heaps-bounded vocab counts), rank over the VOCAB table (never
+      // rows) via one bounded window, then a single conditional-sum
+      // fold — robust to vocab < k (coverage saturates at 1.0). Output
+      // is ONE row; all shares are double quotients of exact int64s.
+      import org.apache.spark.sql.expressions.Window
+      val wc = toks(s, d).select(explode(col("t")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        // 2 consumers (totals + head): count the vocab once
+        .localCheckpoint(true)
+      val tot = wc.agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"))
+      // top-30 head via TakeOrderedAndProject (per-partition heaps, 30
+      // rows to the driver side of the exchange — never a vocab-wide
+      // sort); the rank window runs post-limit over 30 rows (the
+      // tok_zipf / dedup_embed bounded-window discipline)
+      val head = wc.orderBy(col("c").desc_nulls_last, col("word")).limit(30)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))).cast(L))
+      val d2 = (c: Column) => c.cast(DoubleType)
+      head.agg(
+          sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("c10"),
+          sum(when(col("rnk") <= 20, col("c")).otherwise(0L)).as("c20"),
+          sum(when(col("rnk") <= 30, col("c")).otherwise(0L)).as("c30"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_vocab"), col("n_tokens"),
+          r4(d2(col("c10")) / d2(col("n_tokens"))).as("cov10"),
+          r4(d2(col("c20")) / d2(col("n_tokens"))).as("cov20"),
+          r4(d2(col("c30")) / d2(col("n_tokens"))).as("cov30"))
     })
   )
 
@@ -2108,6 +2193,46 @@ object TextOps {
            CAST((sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS oov_bp
          FROM tok LEFT JOIN vocab v ON tok.token = v.token
          GROUP BY tok.doc_id
-         ORDER BY tok.doc_id NULLS FIRST"""
+         ORDER BY tok.doc_id NULLS FIRST""",
+    "tok_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_words,
+         CAST(sum(len(regexp_extract_all(lower(text),
+           '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS n_tokens,
+         round(CAST(sum(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS DOUBLE)
+           / CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE), 4)
+           AS fertility
+         FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""",
+    "mix_domain_cap" ->
+      """WITH r AS (SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           min(CASE WHEN rn <= 20 THEN n_chars END) AS min_kept_chars
+         FROM r GROUP BY 1 ORDER BY source NULLS FIRST""",
+    "vocab_coverage" ->
+      """WITH wc AS (SELECT word, count(*) AS c FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS word
+             FROM documents) GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                        CAST(sum(c) AS BIGINT) AS n_tokens FROM wc),
+         head AS (SELECT c, CAST(row_number() OVER
+               (ORDER BY c DESC, word) AS BIGINT) AS rnk
+             FROM (SELECT word, c FROM wc
+                   ORDER BY c DESC NULLS LAST, word NULLS FIRST LIMIT 30)),
+         cov AS (SELECT
+             sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS c10,
+             sum(CASE WHEN rnk <= 20 THEN c ELSE 0 END) AS c20,
+             sum(CASE WHEN rnk <= 30 THEN c ELSE 0 END) AS c30
+           FROM head)
+         SELECT n_vocab, n_tokens,
+           round(CAST(c10 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov10,
+           round(CAST(c20 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov20,
+           round(CAST(c30 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov30
+         FROM cov CROSS JOIN tot"""
   )
 }

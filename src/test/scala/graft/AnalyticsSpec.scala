@@ -70,4 +70,54 @@ class AnalyticsSpec extends AnyFunSuite {
     val cells = rows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
     assert(cells.distinct.length === cells.length)
   }
+
+  test("ts_seasonality: hours in 0..23, event counts partition the stream") {
+    val rows = Analytics.queries("ts_seasonality")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23, s"bad hour: $r")
+      assert(r.getLong(2) > 0)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.Tables.events(spark, d).count())
+  }
+
+  test("tok_fertility: every word yields at least one token; one row per lang") {
+    val rows = TextOps.queries("tok_fertility")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0, s"fertility below 1: $r")
+      assert(r.getLong(3) >= r.getLong(2), s"fewer tokens than words: $r")
+    }
+    val langs = rows.map(_.getString(0))
+    assert(langs.distinct.length === langs.length)
+  }
+
+  test("mix_domain_cap: kept never exceeds the cap and kept+dropped = docs") {
+    val rows = TextOps.queries("mix_domain_cap")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 20, s"cap exceeded: $r")
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), s"cap not a partition: $r")
+    }
+  }
+
+  test("vocab_coverage: monotone in k and bounded by 1") {
+    val r = TextOps.queries("vocab_coverage")(spark, d).collect().head
+    val (c10, c20, c30) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(c10 <= c20 && c20 <= c30 && c30 <= 1.0, s"coverage not monotone: $r")
+    assert(c10 > 0.0)
+  }
+
+  test("graph_components_hist: sizes >= 2 and vertices reconcile with the pair graph") {
+    val rows = GraphOps.queries("graph_components_hist")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2, s"component smaller than an edge: $r")
+      assert(r.getLong(1) >= 1)
+    }
+    val nVertices = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    // dedup_cluster emits one row per doc in the same pair graph — the
+    // histogram's total mass must equal its row count
+    val pairDocs = TextOps.queries("dedup_cluster")(spark, d).count()
+    assert(nVertices === pairDocs,
+      s"histogram mass $nVertices != docs in pair graph $pairDocs")
+  }
 }
