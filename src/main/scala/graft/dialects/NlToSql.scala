@@ -75,6 +75,10 @@ object NlToSql {
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalByWhere =
     """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TotalByWhereOr =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+) or ([\w-]+)""".r
+  private val TotalByMonthIn =
+    """(?i)total ([a-z ]+) by month in (\d{4})""".r
   private val TotalByCompare =
     """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is (above|below) (\d+)""".r
   private val TotalByNumRange =
@@ -191,6 +195,40 @@ object NlToSql {
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact WHERE $fcol BETWEEN $lo AND $hi
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByMonthIn(measure, year) =>
+      // monthly trend within a calendar year: "total order price by
+      // month in 1995" — GROUP BY a derived month bucket under a
+      // SARGABLE year range (the nl_year discipline; YEAR(col)=y would
+      // not push to the scan). Matched before TotalByYear, whose
+      // dimension capture would swallow 'month' and fail the catalog
+      // lookup. CAST to BIGINT unifies Spark's INT month() with
+      // DuckDB's BIGINT.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val (y0, y1) = (year.toInt, year.toInt + 1)
+      s"""SELECT CAST(month($dateCol) AS BIGINT) AS mth,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact
+         WHERE $dateCol >= TIMESTAMP '$y0-01-01 00:00:00'
+           AND $dateCol < TIMESTAMP '$y1-01-01 00:00:00'
+         GROUP BY 1 ORDER BY mth NULLS FIRST"""
+    case TotalByWhereOr(measure, d, fdim, v1, v2) =>
+      // disjunctive filter: "total order price by status where priority
+      // is 1-URGENT or 2-HIGH" — an IN list, the form both engines
+      // rewrite to an OR-of-equalities that pushes to the scan. Matched
+      // before TotalByWhere (whose single-value capture cannot span
+      // ' or ' anyway — the explicit order documents the intent).
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact WHERE $fcol IN (${sqlLit(v1)}, ${sqlLit(v2)})
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByYear(measure, d, year) =>
       // calendar-year filter on the fact's canonical event-time column:

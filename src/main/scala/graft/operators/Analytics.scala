@@ -174,6 +174,64 @@ object Analytics {
           r4(col("sv").cast(DoubleType) / col("n_events").cast(DoubleType))
             .as("avg_value"))
         .orderBy("event_type", "hod")
+    }),
+
+    "ts_pct_change" -> ((s, dir) => {
+      // month-over-month revenue growth per nation — the trend panel
+      // every revenue dashboard opens with. Monthly totals are exact
+      // decimal sums (one keyed partial agg, output bounded by
+      // |nations|·|months|); lag runs per-nation (the window key is the
+      // series key — parallelizes across nations at any scale); the
+      // growth rate is one double expression over exact decimals,
+      // written identically in both engines. First month per nation is
+      // NULL by construction (no prior period).
+      import org.apache.spark.sql.expressions.Window
+      val nat = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val monthly = orders(s, dir)
+        .join(customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        // trunc() emits DateType — DuckDB's date_trunc('month', ts) is a
+        // DATE, and Spark's date_trunc is a TIMESTAMP (schema mismatch)
+        .groupBy(col("n_name"), trunc(col("o_orderdate"), "month").as("mth"))
+        .agg(sum(dec(col("o_totalprice"))).as("t"))
+      val w = Window.partitionBy("n_name").orderBy("mth")
+      monthly.withColumn("p", lag(col("t"), 1).over(w))
+        .select(col("n_name"), col("mth"),
+          outDec(col("t")).as("total"),
+          r4((col("t") - col("p")).cast(DoubleType) / col("p").cast(DoubleType)
+            * lit(100.0)).as("pct_change"))
+        .orderBy("n_name", "mth")
+    }),
+
+    "agg_hhi" -> ((s, dir) => {
+      // supplier-concentration histogram: per part, the Herfindahl-
+      // Hirschman index of supplier revenue shares (HHI = Σ shareᵢ² —
+      // 1/k for k equal suppliers, 1.0 for sole-source), bucketed into
+      // deciles — single-source risk at a glance. The algebra avoids
+      // materializing shares: HHI = Σrᵢ²/ (Σrᵢ)², with rᵢ exact
+      // whole-unit BIGINTs (deterministically rounded decimals — both
+      // engines' round-half-away agree), so the double quotient is
+      // bit-identical cross-engine. Two keyed partial aggs (part,supp →
+      // part) + one ≤11-group rollup; squares stay < 2⁶³ through sf100
+      // (rᵢ ≤ ~4·10⁸ ⇒ rᵢ² ≤ 1.6·10¹⁷; beyond that, scale rᵢ to
+      // thousands — same determinism argument).
+      val rev = lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("r"))
+        .select(col("l_partkey"),
+          round(col("r"), 0).cast("bigint").as("ru"))
+      val hhi = rev.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("ru") * col("ru")).as("ssq"),
+          sum(col("ru")).as("tot"))
+        .withColumn("hhi", r4(col("ssq").cast(DoubleType) /
+          (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))))
+      hhi.groupBy(floor(col("hhi") * 10).cast("bigint").as("hhi_decile"))
+        .agg(count(lit(1)).as("n_parts"),
+          r4(min(col("hhi"))).as("min_hhi"),
+          r4(max(col("hhi"))).as("max_hhi"))
+        .orderBy("hhi_decile")
     })
   )
 
@@ -248,6 +306,36 @@ object Analytics {
          round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
                / CAST(count(*) AS DOUBLE), 4) AS avg_value
          FROM events GROUP BY 1, 2
-         ORDER BY event_type NULLS FIRST, hod NULLS FIRST"""
+         ORDER BY event_type NULLS FIRST, hod NULLS FIRST""",
+    "ts_pct_change" ->
+      """WITH m AS (
+           SELECT n_name, date_trunc('month', o_orderdate) AS mth,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS t
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         l AS (SELECT n_name, mth, t,
+             lag(t, 1) OVER (PARTITION BY n_name ORDER BY mth) AS p
+           FROM m)
+         SELECT n_name, mth,
+           CAST(round(t, 4) AS DOUBLE) AS total,
+           round(CAST(t - p AS DOUBLE) / CAST(p AS DOUBLE) * 100.0, 4) AS pct_change
+         FROM l ORDER BY n_name NULLS FIRST, mth NULLS FIRST""",
+    "agg_hhi" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 0) AS BIGINT) AS ru
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         h AS (
+           SELECT l_partkey, count(*) AS n_suppliers,
+             round(CAST(sum(ru * ru) AS DOUBLE)
+                   / (CAST(sum(ru) AS DOUBLE) * CAST(sum(ru) AS DOUBLE)), 4) AS hhi
+           FROM rev GROUP BY 1)
+         SELECT CAST(floor(hhi * 10) AS BIGINT) AS hhi_decile,
+           count(*) AS n_parts,
+           round(min(hhi), 4) AS min_hhi,
+           round(max(hhi), 4) AS max_hhi
+         FROM h GROUP BY 1 ORDER BY hhi_decile NULLS FIRST"""
   )
 }

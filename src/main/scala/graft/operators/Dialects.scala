@@ -73,6 +73,11 @@ object Dialects {
   val nlShareQuestion: String = "share of orders by priority"
   // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
   val nlByYearQuestion: String = "total order price by year"
+  // disjunctive filter — translates to a scan-pushable IN list
+  val nlOrQuestion: String =
+    "total order price by status where priority is 1-URGENT or 2-HIGH"
+  // monthly trend inside one calendar year (sargable range + month bucket)
+  val nlMonthQuestion: String = "total order price by month in 1995"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -178,6 +183,8 @@ object Dialects {
     "nl_topk_per_group" -> ((s, d) => NlToSql.run(s, d, nlTopkPerGroupQuestion)),
     "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
+    "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
+    "nl_month_trend" -> ((s, d) => NlToSql.run(s, d, nlMonthQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
@@ -249,6 +256,8 @@ object Dialects {
     "nl_topk_per_group" -> NlToSql.translate(nlTopkPerGroupQuestion),
     "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
+    "nl_or_filter" -> NlToSql.translate(nlOrQuestion),
+    "nl_month_trend" -> NlToSql.translate(nlMonthQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

@@ -120,4 +120,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nVertices === pairDocs,
       s"histogram mass $nVertices != docs in pair graph $pairDocs")
   }
+
+  test("ts_pct_change: first month per nation is NULL, growth matches totals") {
+    val rows = Analytics.queries("ts_pct_change")(spark, d).collect()
+    val byNation = rows.groupBy(_.getString(0))
+    byNation.values.foreach { series =>
+      assert(series.head.isNullAt(3), "first month must have no growth rate")
+      series.sliding(2).foreach {
+        case Array(prev, cur) if !cur.isNullAt(3) =>
+          val expect = (cur.getDouble(2) - prev.getDouble(2)) / prev.getDouble(2) * 100.0
+          assert(math.abs(cur.getDouble(3) - expect) < 0.01,
+            s"growth mismatch: ${cur.getDouble(3)} vs $expect")
+        case _ =>
+      }
+    }
+  }
+
+  test("agg_hhi: deciles bounded, sole-source parts land in decile 10") {
+    val rows = Analytics.queries("agg_hhi")(spark, d).collect()
+    rows.foreach { r =>
+      val dec = r.getLong(0)
+      assert(dec >= 0 && dec <= 10, s"bad decile: $r")
+      assert(r.getDouble(2) <= r.getDouble(3))
+      // HHI of k equal shares is 1/k, so any HHI is in (0, 1]
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // part count reconciles with the part universe that appears in lineitem
+    val nParts = rows.map(_.getLong(1)).sum
+    val expected = graft.Tables.lineitem(spark, d)
+      .select("l_partkey").distinct().count()
+    assert(nParts === expected)
+  }
 }

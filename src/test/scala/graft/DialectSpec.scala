@@ -110,7 +110,9 @@ class DialectSpec extends AnyFunSuite {
       "total order price by priority",
       "total order price by market segment", // cross-table: joins customer
       "number of unique customers by status", // distinct-count, no join
-      "average account balance by market segment").map(NlToSql.translate)
+      "average account balance by market segment",
+      "total order price by status where priority is 1-URGENT or 2-HIGH",
+      "total order price by month in 1995").map(NlToSql.translate)
     TableRegistry.registerAll(spark, d)
     sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
     // the cross-table production emits the declared join path
