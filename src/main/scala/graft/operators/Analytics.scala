@@ -232,6 +232,139 @@ object Analytics {
           r4(min(col("hhi"))).as("min_hhi"),
           r4(max(col("hhi"))).as("max_hhi"))
         .orderBy("hhi_decile")
+    }),
+
+    "cohort_ltv" -> ((s, dir) => {
+      // acquisition-cohort lifetime value: customers grouped by the year
+      // of their FIRST order; per cohort, customer count, total revenue
+      // to date, and average LTV — the panel behind "are newer cohorts
+      // worth less?". Plan: one customer-keyed partial agg (first-order
+      // year + per-customer decimal spend in the same pass — no second
+      // scan), then a |years|-group rollup. LTV is the exact decimal
+      // total over an int64 count, cast once.
+      val per = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate"))).cast("bigint").as("cohort_year"),
+          sum(dec(col("o_totalprice"))).as("spend"),
+          count(lit(1)).as("n_orders"))
+      per.groupBy("cohort_year")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_orders")).as("n_orders"),
+          outDec(sum(col("spend"))).as("total_revenue"),
+          r4(sum(col("spend")).cast(DoubleType) / count(lit(1))).as("avg_ltv"))
+        .orderBy("cohort_year")
+    }),
+
+    "repeat_rate" -> ((s, dir) => {
+      // repeat-purchase rate by market segment: share of customers with
+      // ≥2 orders — the retention scalar next to cohort_ltv's panel.
+      // Per-customer order counts (keyed partial agg), keyed join to the
+      // customer dim for the segment (|customers| rows — NOT broadcast),
+      // then a 5-group rollup. The rate is an exact int64 quotient in
+      // basis points plus a rounded double for reading.
+      val per = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      per.join(customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .withColumn("repeat_bp", expr("(n_repeat * 10000) div n_customers"))
+        .withColumn("repeat_rate",
+          r4(col("n_repeat").cast(DoubleType) / col("n_customers").cast(DoubleType)))
+        .orderBy("c_mktsegment")
+    }),
+
+    "order_size_hist" -> ((s, dir) => {
+      // basket-size distribution: how many orders have k line items —
+      // the first sanity read on the fact table (and the boundedness
+      // evidence market_basket's cap relies on). Two keyed partial aggs
+      // (order → size, size → count); output bounded by |distinct
+      // sizes|, never orders.
+      lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_lines")
+    }),
+
+    "aging_buckets" -> ((s, dir) => {
+      // open-order aging: orders not yet finalized (status 'O'),
+      // bucketed by days outstanding relative to the corpus max date —
+      // the receivables-style aging report. Bucket edges are integer
+      // day thresholds on an exact datediff, so membership can never
+      // flip on rounding; the 1-row max date broadcasts; one 4-group
+      // rollup. Buckets labeled with a sort-stable prefix.
+      val maxd = orders(s, dir).agg(max(col("o_orderdate")).as("dmax"))
+      orders(s, dir).filter(col("o_orderstatus") === "O")
+        .crossJoin(broadcast(maxd))
+        .withColumn("age_days", datediff(col("dmax"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age_days") <= 365, "a_0_365")
+            .when(col("age_days") <= 730, "b_366_730")
+            .when(col("age_days") <= 1460, "c_731_1460")
+            .otherwise("d_over_1460"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          outDec(sum(dec(col("o_totalprice")))).as("open_value"),
+          min(col("age_days")).cast("bigint").as("min_age"),
+          max(col("age_days")).cast("bigint").as("max_age"))
+        .orderBy("bucket")
+    }),
+
+    "concurrency_peak" -> ((s, dir) => {
+      // peak concurrent sessions — the capacity number behind "how many
+      // users were on at once?": sessionize's intervals become ±1 delta
+      // events whose GLOBAL running sum is the live-session count; its
+      // max is the peak. The global cumsum does NOT use a global window:
+      // the pack_sequences/winNtile two-phase plan — range-partition the
+      // deltas on their total order, local per-partition cumsum, and
+      // broadcast per-partition prefix offsets (#partitions rows, never
+      // data). Equal-timestamp ties order +1 before −1 (delta DESC), so
+      // touching intervals count as overlapping — and the (us, delta,
+      // user, seq) order is total, so the peak and its first-attained
+      // time are deterministic. Output is ONE row.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val gapUs = 4L * 3600 * 1000000L
+      val sess = events(s, dir)
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min(us).as("s_us"), max(us).as("e_us"))
+        .localCheckpoint(true) // 2 consumers: deltas below + n_sessions
+      val deltas = sess.select(col("user_id"), col("session_seq"),
+          col("s_us").as("us"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("user_id"), col("session_seq"),
+          col("e_us").as("us"), lit(-1L).as("delta")))
+      val parts = s.sparkContext.defaultParallelism
+      val ord = Seq(col("us"), col("delta").desc, col("user_id"), col("session_seq"))
+      val ranged = deltas.repartitionByRange(parts, ord: _*)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // boundaries are sampled per job (winNtile)
+      val wLoc = Window.partitionBy("pid").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ranged.withColumn("lc", sum(col("delta")).over(wLoc))
+      val sums = ranged.groupBy("pid").agg(sum(col("delta")).as("sm"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offRows = sums.map { case (pid, sm) => val o = acc; acc += sm; (pid, o) }
+      import s.implicits._
+      val offs = offRows.toSeq.toDF("pid", "off")
+      val run = local.join(broadcast(offs), "pid")
+        .withColumn("c", col("off") + col("lc"))
+        .localCheckpoint(true) // 2 consumers: peak agg + argmin filter
+      val peak = run.agg(max(col("c")).as("peak"))
+      val at = run.crossJoin(broadcast(peak)).filter(col("c") === col("peak"))
+        .agg(min(col("us")).as("at_us"))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      peak.crossJoin(at).crossJoin(nSess)
+        .select(col("peak").as("peak_concurrency"),
+          timestamp_micros(col("at_us")).as("at_ts"),
+          col("n_sessions"))
     })
   )
 
@@ -336,6 +469,82 @@ object Analytics {
            count(*) AS n_parts,
            round(min(hhi), 4) AS min_hhi,
            round(max(hhi), 4) AS max_hhi
-         FROM h GROUP BY 1 ORDER BY hhi_decile NULLS FIRST"""
+         FROM h GROUP BY 1 ORDER BY hhi_decile NULLS FIRST""",
+    "cohort_ltv" ->
+      """WITH per AS (
+           SELECT o_custkey,
+             CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_year,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend,
+             count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT cohort_year, count(*) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(round(sum(spend), 4) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(spend) AS DOUBLE) / count(*), 4) AS avg_ltv
+         FROM per GROUP BY 1 ORDER BY cohort_year NULLS FIRST""",
+    "repeat_rate" ->
+      """WITH per AS (
+           SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+         SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS repeat_bp,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS repeat_rate
+         FROM per JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""",
+    "order_size_hist" ->
+      """WITH per AS (
+           SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+         SELECT n_lines, count(*) AS n_orders
+         FROM per GROUP BY 1 ORDER BY n_lines NULLS FIRST""",
+    "aging_buckets" ->
+      """WITH dm AS (SELECT max(o_orderdate) AS dmax FROM orders),
+         a AS (SELECT o_totalprice,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(dmax AS DATE)) AS age_days
+           FROM orders CROSS JOIN dm WHERE o_orderstatus = 'O')
+         SELECT CASE WHEN age_days <= 365 THEN 'a_0_365'
+                     WHEN age_days <= 730 THEN 'b_366_730'
+                     WHEN age_days <= 1460 THEN 'c_731_1460'
+                     ELSE 'd_over_1460' END AS bucket,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS open_value,
+           CAST(min(age_days) AS BIGINT) AS min_age,
+           CAST(max(age_days) AS BIGINT) AS max_age
+         FROM a GROUP BY 1 ORDER BY bucket NULLS FIRST""",
+    "concurrency_peak" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         flagged AS (
+           SELECT *, CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
+           FROM marked),
+         numbered AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM flagged),
+         sess AS (
+           SELECT user_id, session_seq,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+           FROM numbered GROUP BY 1, 2),
+         deltas AS (
+           SELECT user_id, session_seq, s_us AS us, 1 AS delta FROM sess
+           UNION ALL
+           SELECT user_id, session_seq, e_us AS us, -1 AS delta FROM sess),
+         run AS (
+           SELECT us, CAST(sum(delta) OVER (
+               ORDER BY us, delta DESC, user_id, session_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+           FROM deltas),
+         pk AS (SELECT max(c) AS peak FROM run),
+         at AS (SELECT min(us) AS at_us FROM run JOIN pk ON c = peak),
+         ns AS (SELECT count(*) AS n_sessions FROM sess)
+         SELECT CAST(peak AS BIGINT) AS peak_concurrency,
+           make_timestamp(at_us) AS at_ts,
+           n_sessions
+         FROM pk CROSS JOIN at CROSS JOIN ns"""
   )
 }

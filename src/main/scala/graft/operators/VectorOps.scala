@@ -546,6 +546,28 @@ object VectorOps {
           (round(col("z"), 4) + lit(0.0)).as("z"),
           (abs(col("z")) > 2.0).as("is_outlier"))
         .orderBy("vec_id")
+    }),
+
+    "vec_norm_stats" -> ((s, d) => {
+      // L2-norm profile per label — the is-this-batch-normalized probe
+      // run before cosine math is trusted (an un-normalized shard makes
+      // every dot-product ranking silently wrong; vec_outlier catches
+      // direction, this catches length). Norms come from the codegen'd
+      // vec_dot self-product (sequential in-row fold — same accumulation
+      // order as the oracle's list_sum), rounded to 6dp into exact
+      // decimals so the per-label mean is partition-order-free. One map
+      // pass + one |labels|-group partial agg; nothing shuffles but the
+      // per-label sketch.
+      val nr = round(sqrt(expr("vec_dot(embedding, embedding)")), 6)
+        .cast(DecimalType(18, 6))
+      emb(s, d)
+        .select(col("label"), nr.as("nr"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          r4(sum(col("nr")).cast(DoubleType) / count(lit(1))).as("mean_norm"),
+          r4(min(col("nr"))).as("min_norm"),
+          r4(max(col("nr"))).as("max_norm"))
+        .orderBy("label")
     })
   )
 
@@ -972,6 +994,17 @@ object VectorOps {
            FROM pairs)
          SELECT rank, a, b, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 20
-         ORDER BY rank NULLS FIRST"""
+         ORDER BY rank NULLS FIRST""",
+    "vec_norm_stats" ->
+      s"""WITH n AS (
+           SELECT label,
+             CAST(round(sqrt(${dSql("embedding", "embedding")}), 6)
+                  AS DECIMAL(18,6)) AS nr
+           FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(nr) AS DOUBLE) / count(*), 4) AS mean_norm,
+           round(CAST(min(nr) AS DOUBLE), 4) AS min_norm,
+           round(CAST(max(nr) AS DOUBLE), 4) AS max_norm
+         FROM n GROUP BY 1 ORDER BY label NULLS FIRST"""
   )
 }

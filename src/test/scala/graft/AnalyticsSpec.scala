@@ -151,4 +151,63 @@ class AnalyticsSpec extends AnyFunSuite {
       .select("l_partkey").distinct().count()
     assert(nParts === expected)
   }
+
+  test("cohort_ltv: cohorts partition customers, revenue reconciles") {
+    val rows = Analytics.queries("cohort_ltv")(spark, d).collect()
+    val orders = graft.Tables.orders(spark, d)
+    assert(rows.map(_.getLong(1)).sum === orders.select("o_custkey").distinct().count())
+    assert(rows.map(_.getLong(2)).sum === orders.count())
+    rows.foreach { r =>
+      // avg_ltv * n_customers ~ total_revenue
+      assert(math.abs(r.getDouble(4) * r.getLong(1) - r.getDouble(3)) < 1.0, r.toString)
+    }
+  }
+
+  test("repeat_rate: bounded rates, customer total reconciles") {
+    val rows = Analytics.queries("repeat_rate")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.Tables.orders(spark, d).select("o_custkey").distinct().count())
+  }
+
+  test("order_size_hist: mass reconciles with both fact tables") {
+    val rows = Analytics.queries("order_size_hist")(spark, d).collect()
+    val li = graft.Tables.lineitem(spark, d)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === li.count())
+    assert(rows.map(_.getLong(1)).sum === li.select("l_orderkey").distinct().count())
+  }
+
+  test("aging_buckets: covers exactly the open orders, ranges sane") {
+    val rows = Analytics.queries("aging_buckets")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(4), r.toString)
+    }
+    val open = graft.Tables.orders(spark, d)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getLong(1)).sum === open)
+  }
+
+  test("vec_norm_stats: min <= mean <= max per label, vectors reconcile") {
+    val rows = VectorOps.queries("vec_norm_stats")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+        s"mean outside [min,max]: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.Tables.embeddings(spark, d).count())
+  }
+
+  test("concurrency_peak: bounded by live users, sessions reconcile") {
+    val r = Analytics.queries("concurrency_peak")(spark, d).collect().head
+    val users = graft.Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) >= 1 && r.getLong(0) <= users,
+      s"peak ${r.getLong(0)} outside [1, $users]")
+    assert(r.getLong(2) >= users, "every user has at least one session")
+    assert(!r.isNullAt(1))
+  }
 }
