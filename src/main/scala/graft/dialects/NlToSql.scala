@@ -88,6 +88,8 @@ object NlToSql {
   private val CountByTwoDims =
     """(?i)(?:number|count) of (\w+) by ([a-z ]+) and ([a-z ]+)""".r
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
+  private val AvgByWhere =
+    """(?i)average ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
   private val TotalByYear =
     """(?i)total ([a-z ]+) by ([a-z ]+) in (\d{4})""".r
@@ -337,6 +339,21 @@ object NlToSql {
       require(ftable == table, s"filter dimension $fdim not on $table")
       s"""SELECT $dcol, count(*) AS cnt FROM $table
          WHERE $fcol = ${sqlLit(value)}
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case AvgByWhere(measure, d, fdim, value) =>
+      // filtered mean: "average order price by status where priority is
+      // 1-URGENT" — the agg_avg money discipline (exact decimal sum cast
+      // DOUBLE once, then one division) under a scan-pushable equality.
+      // Matched before AvgBy, whose dimension capture would swallow the
+      // where-clause and fail the catalog lookup.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      s"""SELECT $dcol,
+         round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg
+         FROM $fact WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByWhere(measure, d, fdim, value) =>
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,

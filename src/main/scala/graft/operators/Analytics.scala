@@ -365,6 +365,41 @@ object Analytics {
         .select(col("peak").as("peak_concurrency"),
           timestamp_micros(col("at_us")).as("at_ts"),
           col("n_sessions"))
+    }),
+
+    "ts_interarrival" -> ((s, dir) => {
+      // inter-arrival-time profile per event type — the arrival-rate
+      // panel read before sizing stream watermarks and state stores
+      // (median gap sets the expected cadence; max gap bounds the
+      // lateness a watermark must tolerate). Gaps form per (user, type)
+      // series — HIGH-cardinality window keys, parallelizes at any
+      // scale (ts_autocorr's shape) — pooled per type. Mean is an exact
+      // µs-BIGINT quotient; the median is the LOWER median selected by
+      // rank (an exact element — the anomaly_mad discipline, identical
+      // in both engines where interpolating medians differ by ulps).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val gaps = events(s, dir)
+        .withColumn("gap_us", us - lag(us, 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      val wRank = Window.partitionBy("event_type")
+        .orderBy(col("gap_us"), col("event_id"))
+      val wN = Window.partitionBy("event_type")
+      val med = gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("gap_us").as("median_gap_us"))
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("sum(gap_us) div count(1)").as("mean_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .join(broadcast(med), "event_type")
+        .select(col("event_type"), col("n_gaps"), col("mean_gap_us"),
+          col("median_gap_us"), col("max_gap_us"))
+        .orderBy("event_type")
     })
   )
 
@@ -545,6 +580,26 @@ object Analytics {
          SELECT CAST(peak AS BIGINT) AS peak_concurrency,
            make_timestamp(at_us) AS at_ts,
            n_sessions
-         FROM pk CROSS JOIN at CROSS JOIN ns"""
+         FROM pk CROSS JOIN at CROSS JOIN ns""",
+    "ts_interarrival" ->
+      """WITH g AS (
+           SELECT event_type, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+         r AS (SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY gap_us, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM gaps),
+         med AS (SELECT event_type, gap_us AS median_gap_us
+                 FROM r WHERE rn = (n + 1) // 2)
+         SELECT g2.event_type, count(*) AS n_gaps,
+           CAST(sum(g2.gap_us) // count(*) AS BIGINT) AS mean_gap_us,
+           CAST(any_value(med.median_gap_us) AS BIGINT) AS median_gap_us,
+           CAST(max(g2.gap_us) AS BIGINT) AS max_gap_us
+         FROM gaps g2 JOIN med USING (event_type)
+         GROUP BY 1 ORDER BY event_type NULLS FIRST"""
   )
 }

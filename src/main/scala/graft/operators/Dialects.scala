@@ -78,6 +78,9 @@ object Dialects {
     "total order price by status where priority is 1-URGENT or 2-HIGH"
   // monthly trend inside one calendar year (sargable range + month bucket)
   val nlMonthQuestion: String = "total order price by month in 1995"
+  // filtered mean under the agg_avg money discipline
+  val nlAvgWhereQuestion: String =
+    "average order price by status where priority is 1-URGENT"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -185,6 +188,7 @@ object Dialects {
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
     "nl_month_trend" -> ((s, d) => NlToSql.run(s, d, nlMonthQuestion)),
+    "nl_avg_where" -> ((s, d) => NlToSql.run(s, d, nlAvgWhereQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
@@ -258,6 +262,7 @@ object Dialects {
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "nl_or_filter" -> NlToSql.translate(nlOrQuestion),
     "nl_month_trend" -> NlToSql.translate(nlMonthQuestion),
+    "nl_avg_where" -> NlToSql.translate(nlAvgWhereQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

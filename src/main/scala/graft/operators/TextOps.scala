@@ -1524,6 +1524,35 @@ object TextOps {
           r4(d2(col("c10")) / d2(col("n_tokens"))).as("cov10"),
           r4(d2(col("c20")) / d2(col("n_tokens"))).as("cov20"),
           r4(d2(col("c30")) / d2(col("n_tokens"))).as("cov30"))
+    }),
+
+    "text_keyterms" -> ((s, d) => {
+      // top-3 characteristic terms per document by TF-IDF — the
+      // "what is this doc about" extractive summary (and the per-doc
+      // view of text_tfidf's corpus-wide table; the scoring pipeline is
+      // the same tf/df/n joins, single-sourced with its oracle). The
+      // rank key is the 6dp-ROUNDED score with a token tie-break (the
+      // rankKey discipline: double scores from ln() can differ by an
+      // ulp across engines; ranking on the rounded value with a total
+      // tie-break makes the selection stable). The window partitions by
+      // doc_id — maximal-cardinality key, plans WindowGroupLimit — so
+      // top-3 state per doc is O(3) on both sides of the exchange.
+      import org.apache.spark.sql.expressions.Window
+      val tok = fanout(documents(s, d))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfq, "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w).cast(L))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"), r4(col("score")).as("tfidf"))
+        .orderBy("doc_id", "rn")
     })
   )
 
@@ -2233,6 +2262,25 @@ object TextOps {
            round(CAST(c10 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov10,
            round(CAST(c20 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov20,
            round(CAST(c30 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov30
-         FROM cov CROSS JOIN tot"""
+         FROM cov CROSS JOIN tot""",
+    "text_keyterms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+           FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS BIGINT) AS rn
+           FROM scored)
+         SELECT doc_id, rn, token, round(score, 4) AS tfidf
+         FROM ranked WHERE rn <= 3
+         ORDER BY doc_id NULLS FIRST, rn NULLS FIRST"""
   )
 }

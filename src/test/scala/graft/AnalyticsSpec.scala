@@ -201,6 +201,34 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.Tables.embeddings(spark, d).count())
   }
 
+  test("ts_interarrival: median <= max, gaps reconcile with series lengths") {
+    val rows = Analytics.queries("ts_interarrival")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, s"non-positive gap: $r")
+      assert(r.getLong(3) <= r.getLong(4), s"median above max: $r")
+    }
+    // n_gaps = n_events - n_series summed over types
+    val ev = graft.Tables.events(spark, d)
+    val nSeries = ev.select("user_id", "event_type").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === ev.count() - nSeries)
+  }
+
+  test("text_keyterms: <=3 per doc, scores non-increasing within a doc") {
+    val rows = TextOps.queries("text_keyterms")(spark, d).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { terms =>
+      assert(terms.length <= 3)
+      val sorted = terms.sortBy(_.getLong(1))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        s"scores increase within doc: ${sorted.mkString(",")}")
+      // distinct terms within a doc
+      val toks = sorted.map(_.getString(2))
+      assert(toks.distinct.length === toks.length)
+    }
+  }
+
   test("concurrency_peak: bounded by live users, sessions reconcile") {
     val r = Analytics.queries("concurrency_peak")(spark, d).collect().head
     val users = graft.Tables.events(spark, d)

@@ -112,7 +112,8 @@ class DialectSpec extends AnyFunSuite {
       "number of unique customers by status", // distinct-count, no join
       "average account balance by market segment",
       "total order price by status where priority is 1-URGENT or 2-HIGH",
-      "total order price by month in 1995").map(NlToSql.translate)
+      "total order price by month in 1995",
+      "average order price by status where priority is 1-URGENT").map(NlToSql.translate)
     TableRegistry.registerAll(spark, d)
     sqls.foreach(sql => assert(spark.sql(sql).count() > 0))
     // the cross-table production emits the declared join path
