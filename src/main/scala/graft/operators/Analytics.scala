@@ -400,6 +400,55 @@ object Analytics {
         .select(col("event_type"), col("n_gaps"), col("mean_gap_us"),
           col("median_gap_us"), col("max_gap_us"))
         .orderBy("event_type")
+    }),
+
+    "engagement_dau_wau" -> ((s, dir) => {
+      // DAU / trailing-7-day WAU / stickiness per day — the engagement
+      // panel every product dashboard opens with. WAU avoids windowed
+      // COUNT(DISTINCT) (rejected by both engines) and per-day set state:
+      // each (user, active-day) pair projects onto the ≤7 trailing days
+      // it keeps the user "weekly-active" for — a BOUNDED 7× explode of
+      // the deduped (user, day) table (≪ events), then one distinct +
+      // one keyed count. Stickiness = DAU/WAU, exact int64 quotient;
+      // output restricted to observed days by the dau join.
+      val ud = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint(true) // 2 consumers: dau + the 7-day projection
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .withColumn("stickiness",
+          r4(col("dau").cast(DoubleType) / col("wau").cast(DoubleType)))
+        .orderBy("day")
+    }),
+
+    "lead_time_stats" -> ((s, dir) => {
+      // order-to-ship lead time per supplier — the fulfillment SLA
+      // panel. The orders⋈lineitem equi-join is the canonical fact-fact
+      // shuffle (both sides keyed on orderkey — bucketing co-locates it
+      // at scale, join_bucketed shows the exchange-free form); lead days
+      // are exact integer datediffs (NEGATIVE leads exist in this
+      // synthetic fixture — ship/order dates are drawn independently —
+      // so no integer-division column: Spark's `div` truncates toward
+      // zero while DuckDB's `//` floors, and they disagree below zero;
+      // the mean stays a double quotient of exact int64s).
+      val j = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lead_days",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint"))
+      j.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          r4(sum(col("lead_days")).cast(DoubleType) / count(lit(1)))
+            .as("avg_lead_days"),
+          min(col("lead_days")).as("min_lead"),
+          max(col("lead_days")).as("max_lead"))
+        .orderBy("l_suppkey")
     })
   )
 
@@ -600,6 +649,27 @@ object Analytics {
            CAST(any_value(med.median_gap_us) AS BIGINT) AS median_gap_us,
            CAST(max(g2.gap_us) AS BIGINT) AS max_gap_us
          FROM gaps g2 JOIN med USING (event_type)
-         GROUP BY 1 ORDER BY event_type NULLS FIRST"""
+         GROUP BY 1 ORDER BY event_type NULLS FIRST""",
+    "engagement_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         ex AS (SELECT DISTINCT user_id, day + CAST(t.i AS INTEGER) AS day
+                FROM ud, range(0, 7) t(i)),
+         wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY 1)
+         SELECT dau.day, dau, wau,
+           round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day
+         ORDER BY dau.day NULLS FIRST""",
+    "lead_time_stats" ->
+      """WITH j AS (
+           SELECT l_suppkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT l_suppkey, count(*) AS n_lines,
+           round(CAST(sum(lead_days) AS DOUBLE) / count(*), 4) AS avg_lead_days,
+           min(lead_days) AS min_lead,
+           max(lead_days) AS max_lead
+         FROM j GROUP BY 1 ORDER BY l_suppkey NULLS FIRST"""
   )
 }

@@ -1544,11 +1544,17 @@ object TextOps {
       val dfq = tok.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // rank on the 6dp-ROUNDED score, but emit r4 of the RAW score:
+      // rounding twice (6 then 4) manufactures exact .xxxx50 half-way
+      // points at 4dp, where Spark's round (BigDecimal re-parse of the
+      // shortest decimal) and DuckDB's (binary-double) disagree —
+      // observed at sf0.1 (2.3075 vs 2.3074 on round4(2.30745)). A
+      // single round of the raw double is the proven text_tfidf path.
       val scored = tf.join(dfq, "token").crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf") * log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+          col("tf") * log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)))
       val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("token"))
+        .orderBy(round(col("score"), 6).desc, col("token"))
       scored.withColumn("rn", row_number().over(w).cast(L))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("token"), r4(col("score")).as("tfidf"))
@@ -2272,12 +2278,12 @@ object TextOps {
          n AS (SELECT count(*) AS n_docs FROM documents),
          scored AS (
            SELECT tf.doc_id, tf.token,
-             round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+             tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
          ranked AS (
            SELECT doc_id, token, score,
              CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, token) AS BIGINT) AS rn
+               ORDER BY round(score, 6) DESC, token) AS BIGINT) AS rn
            FROM scored)
          SELECT doc_id, rn, token, round(score, 4) AS tfidf
          FROM ranked WHERE rn <= 3

@@ -229,6 +229,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("engagement_dau_wau: wau >= dau, stickiness in (0,1]") {
+    val rows = Analytics.queries("engagement_dau_wau")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"dau above wau: $r")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("lead_time_stats: avg within [min,max], line totals reconcile") {
+    val rows = Analytics.queries("lead_time_stats")(spark, d).collect()
+    rows.foreach { r =>
+      // the synthetic fixture draws ship/order dates independently, so
+      // negative leads are legal — only the ordering invariants hold
+      assert(r.getLong(3) <= r.getLong(4), s"min above max: $r")
+      assert(r.getDouble(2) >= r.getLong(3) && r.getDouble(2) <= r.getLong(4),
+        s"avg outside [min,max]: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum === graft.Tables.lineitem(spark, d).count())
+  }
+
   test("concurrency_peak: bounded by live users, sessions reconcile") {
     val r = Analytics.queries("concurrency_peak")(spark, d).collect().head
     val users = graft.Tables.events(spark, d)

@@ -257,4 +257,36 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"expected WindowGroupLimit on both ranking stages:\n$p")
   }
 
+  test("rfm_segments: three global quartiles, zero single-partition windows") {
+    val p = plan(Analytics.queries("rfm_segments")(spark, d))
+    assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
+  }
+
+  test("concurrency_peak runs its global running count without a global window") {
+    val p = plan(Analytics.queries("concurrency_peak")(spark, d))
+    assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("market_basket: top-20 via TakeOrderedAndProject, no cartesian fan-out") {
+    val p = plan(Analytics.queries("market_basket")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_keyterms group-limits its per-doc ranking window") {
+    val p = plan(TextOps.queries("text_keyterms")(spark, d))
+    // no hasSinglePartitionWindow assert here: the 1-row corpus-count
+    // aggregate (broadcast into the scoring join) legitimately plans an
+    // Exchange SinglePartition inside the window's input subtree; the
+    // window itself partitions by doc_id, which WindowGroupLimit proves
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit on the per-doc top-3 window:\n$p")
+  }
+
+  test("engagement_dau_wau: keyed aggregates only — no window, no cartesian") {
+    val p = plan(Analytics.queries("engagement_dau_wau")(spark, d))
+    assert(!p.toLowerCase.contains("windowexec") && !p.contains("CartesianProduct"), p)
+  }
+
 }
