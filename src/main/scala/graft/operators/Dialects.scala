@@ -160,6 +160,14 @@ object Dialects {
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""
 
+  /** Named-parameter form (`:status`, `:minTotal`) — bound at serve time. */
+  val serveSqlParamQuery: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+       FROM orders
+       WHERE o_orderstatus = :status AND o_totalprice > :minTotal
+       GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gql_select" -> ((s, d) => GraphQL.run(s, d, gqlQuery)),
     "gql_nested" -> ((s, d) => GraphQL.run(s, d, gqlNestedQuery)),
@@ -203,7 +211,46 @@ object Dialects {
     "serve_gql" -> ((s, d) =>
       Server.handle(s, Server.ServeRequest("graphql", gqlQuery, d))),
     "serve_nl" -> ((s, d) =>
-      Server.handle(s, Server.ServeRequest("nl", nlQuestion, d)))
+      Server.handle(s, Server.ServeRequest("nl", nlQuestion, d))),
+
+    "serve_sql_param" -> ((s, d) =>
+      // parameterized serving — the prepared-statement surface every SQL
+      // endpoint needs: named `:markers` bound through Catalyst literal
+      // binding (injection-safe by construction — a quote in a value can
+      // never terminate a string because no string is ever spliced). The
+      // bound plan is identical to the literal plan, so pushdown/pruning
+      // are unchanged; the oracle runs the same query with the literals
+      // inlined.
+      Server.handle(s, Server.ServeRequest("sql", serveSqlParamQuery, d,
+        params = Map("status" -> "F", "minTotal" -> 200000)))),
+
+    "udf_sql" -> ((s, d) => {
+      // SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+      // expr`) — the third point on the extension spectrum after
+      // udf_scalar (opaque Scala closure) and vec_dot (native codegen'd
+      // Expression): a SQL UDF INLINES into the plan, so Catalyst sees
+      // through it (codegen, pushdown, constant folding all apply — the
+      // reason to prefer it over a JVM closure when the logic is
+      // expressible). Money discipline INSIDE the function body: the
+      // 2dp×2dp product is rounded in DECIMAL (exact — both engines'
+      // decimal round() is half-away-from-zero), not in DOUBLE, where
+      // the product's exact 4dp values sit ON the .xx5 half-way points
+      // and the engines' double-round semantics disagree (measured:
+      // ±0.1 drift over 20k rows at sf0.01). The 2dp result survives
+      // the DOUBLE cast losslessly, so the aggregation's decimal
+      // re-cast recovers it exactly.
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+                 p DOUBLE, disc DOUBLE) RETURNS DOUBLE
+               RETURN CAST(round(CAST(p AS DECIMAL(18,2))
+                                 * (1.00 - CAST(disc AS DECIMAL(18,2))), 2)
+                           AS DOUBLE)""")
+      graft.sources.TableRegistry.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+                 CAST(round(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+                                     AS DECIMAL(18,4))), 4) AS DOUBLE) AS disc_revenue,
+                 count(*) AS n_lines
+               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,6 +342,22 @@ object Dialects {
          WHERE o_orderstatus = 'F' AND o_totalprice > 250000
          ORDER BY o_orderkey NULLS FIRST LIMIT 30""",
     "serve_sql" -> serveSqlQuery,
+    "serve_sql_param" ->
+      // the bound literals inlined — what the prepared statement resolves to
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""",
+    "udf_sql" ->
+      // the SQL-UDF body inlined — Catalyst sees the same expression
+      """SELECT l_returnflag,
+         CAST(round(sum(CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                                        * (1.00 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                                  AS DOUBLE)
+                             AS DECIMAL(18,4))), 4) AS DOUBLE) AS disc_revenue,
+         count(*) AS n_lines
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "serve_gql" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_acctbal
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

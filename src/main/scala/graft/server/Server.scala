@@ -35,16 +35,26 @@ object Server {
       dialect: String,
       query: String,
       dir: String,
-      maxRows: Int = DefaultMaxRows)
+      maxRows: Int = DefaultMaxRows,
+      params: Map[String, Any] = Map.empty)
 
   /** Route one request through the matching dialect front-end. Returns the
     * (lazy, distributed) DataFrame — callers choose how to consume it.
+    *
+    * SQL requests may carry named parameters bound to `:name` markers —
+    * the injection-safe serving surface (values go through Catalyst
+    * literal binding, never string splicing); non-SQL dialects reject
+    * params loudly rather than ignore them.
     */
   def handle(s: SparkSession, req: ServeRequest): DataFrame =
     req.dialect.toLowerCase match {
       case "sql" =>
         TableRegistry.registerAll(s, req.dir)
-        s.sql(req.query)
+        if (req.params.isEmpty) s.sql(req.query)
+        else s.sql(req.query, req.params)
+      case _ if req.params.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"params are only supported for dialect 'sql', got '${req.dialect}'")
       case "graphql" => GraphQL.run(s, req.dir, req.query)
       case "nl"      => NlToSql.run(s, req.dir, req.query)
       case other =>
@@ -70,7 +80,29 @@ object Server {
       val maxRows =
         if (node.has("maxRows")) node.get("maxRows").asInt else DefaultMaxRows
       require(maxRows > 0, "maxRows must be positive")
-      val df = handle(s, ServeRequest(req("dialect"), req("query"), req("dir"), maxRows))
+      // optional {"params": {"name": scalar}} — bound, never spliced
+      val params: Map[String, Any] =
+        if (!node.has("params")) Map.empty
+        else {
+          val p = node.get("params")
+          require(p.isObject, "'params' must be an object of scalars")
+          val it = p.fields()
+          val b = Map.newBuilder[String, Any]
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue
+            require(v.isTextual || v.isNumber || v.isBoolean,
+              s"param '${e.getKey}' must be a string/number/boolean")
+            b += e.getKey -> (
+              if (v.isTextual) v.asText
+              else if (v.isBoolean) v.asBoolean
+              else if (v.isIntegralNumber) v.asLong
+              else v.asDouble)
+          }
+          b.result()
+        }
+      val df = handle(s,
+        ServeRequest(req("dialect"), req("query"), req("dir"), maxRows, params))
       render(df, maxRows)
     } catch {
       case e: Throwable =>

@@ -48,6 +48,34 @@ class ServingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown dialect"))
   }
 
+  test("sql params bind as literals — equivalent to inlining, injection-proof") {
+    val bound = Server.handle(spark, Server.ServeRequest("sql",
+      Dialects.serveSqlParamQuery, d,
+      params = Map("status" -> "F", "minTotal" -> 200000))).collect()
+    val inlined = spark.sql(Dialects.serveSqlParamQuery
+      .replace(":status", "'F'").replace(":minTotal", "200000")).collect()
+    assert(bound.toSeq === inlined.toSeq)
+    // a quote inside a bound value stays DATA (zero rows), never syntax
+    val sneaky = Server.handle(spark, Server.ServeRequest("sql",
+      Dialects.serveSqlParamQuery, d,
+      params = Map("status" -> "F' OR '1'='1", "minTotal" -> 0))).collect()
+    assert(sneaky.isEmpty)
+    // non-sql dialects reject params instead of silently dropping them
+    val e = intercept[IllegalArgumentException] {
+      Server.handle(spark, Server.ServeRequest("nl", Dialects.nlQuestion, d,
+        params = Map("x" -> 1)))
+    }
+    assert(e.getMessage.contains("params"))
+  }
+
+  test("handleJson binds params from the JSON body") {
+    val body = s"""{"dialect":"sql","dir":"$d","maxRows":10,
+      "query":"SELECT count(*) AS n FROM orders WHERE o_orderstatus = :st",
+      "params":{"st":"F"}}"""
+    val resp = Server.handleJson(spark, body)
+    assert(resp.contains("\"rowCount\":1") && !resp.contains("error"), resp)
+  }
+
   test("handleJson renders rows and caps at maxRows") {
     val resp = mapper.readTree(Server.handleJson(spark,
       s"""{"dialect":"sql","query":"SELECT o_orderkey FROM orders ORDER BY o_orderkey","dir":"$d","maxRows":3}"""))
