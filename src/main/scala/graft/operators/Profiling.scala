@@ -142,6 +142,31 @@ object Profiling {
       perCol.reduce(_ unionByName _)
         .select("col_name", "value", "cnt", "rn")
         .orderBy("col_name", "rn")
+    }),
+
+    "profile_corr_matrix" -> ((s, dir) => {
+      // pairwise Pearson correlations across the numeric measure columns
+      // — the multicollinearity read before any modeling/feature work
+      // (and the one-pass companion to agg_regr's single-pair fit). ALL
+      // six pairs fold in ONE scan: each corr is a constant-state
+      // co-moment sketch, partial-aggregated map-side; the 1×6 result
+      // pivots to rows via the profile_columns inline-struct explode —
+      // the fact table is never re-read. round+(-0.0 pin) absorbs the
+      // engines' accumulation-order ulps (the ts_autocorr discipline).
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        (r4(corr(col(a), col(b))) + lit(0.0)).as(s"c_${a}_$b")
+      }
+      val one = lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"c_${a}_$b").as("pearson_r"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -213,6 +238,17 @@ object Profiling {
          FROM events JOIN st ON event_type = et
          WHERE abs((value - mean) / sd) > 3.0
          ORDER BY event_id NULLS FIRST""",
-    "profile_columns" -> profOracle
+    "profile_columns" -> profOracle,
+    "profile_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val arms = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 4) + 0.0 AS pearson_r FROM lineitem"
+      }
+      arms.mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY col_a NULLS FIRST, col_b NULLS FIRST")
+    }
   )
 }

@@ -548,6 +548,52 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    "vec_pca_power" -> ((s, d) => {
+      // top principal component by power iteration — the dominant
+      // direction of the centered embedding cloud (what an IVF/PQ build
+      // inspects first: a single direction carrying most variance means
+      // anisotropic embeddings and poorly balanced partitions). Three
+      // fixed iterations of w ← Σ cx·(cx·v), v ← w/‖w‖ over rows
+      // centered on the exact 6dp scaled-integer centroid
+      // (vec_centroid_label's grid). Each iteration is ONE corpus scan:
+      // per-row dot against the broadcast-literal v (in-row L2R fold),
+      // per-dimension contributions rounded to the 1e-6 fixed-point grid
+      // so the (pos)-keyed partial-agg sums are EXACT int64s —
+      // partition-order-free; only dims·8B state per task. The
+      // normalize step runs driver-side over the collected 64-row w
+      // (the winNtile bounded-collect discipline) with the same L2R
+      // association the oracle's list_sum uses, so every double matches
+      // bit-for-bit; the oracle unrolls the identical three iterations
+      // textually (the graph_pagerank precedent).
+      val e = emb(s, d).localCheckpoint(true) // 4 consumers: centroid + 3 scans
+      val dims = 64
+      val mu: Array[Double] = e.select(posexplode(col("embedding")))
+        .groupBy("pos")
+        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
+          (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+      for (_ <- 1 to 3) {
+        val muCol = typedLit(mu.toSeq)
+        val vCol = typedLit(v.toSeq)
+        val w: Array[Double] = e
+          .select(expr("embedding").as("x"), muCol.as("mu"), vCol.as("vv"))
+          .select(expr("zip_with(x, mu, (a, b) -> a - b)").as("cx"), col("vv"))
+          .withColumn("t", expr("vec_dot(cx, vv)"))
+          .select(posexplode(expr(
+            "transform(cx, c -> CAST(round(c * t * 1000000, 0) AS BIGINT))")))
+          .groupBy("pos").agg(sum(col("col")).as("sw"))
+          .orderBy("pos").collect().map(r => r.getLong(1).toDouble / 1000000.0)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / norm)
+      }
+      import s.implicits._
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+        .toDF("pos", "raw")
+        .select(col("pos"), r4(col("raw")).as("loading"))
+        .orderBy("pos")
+    }),
+
     "vec_norm_stats" -> ((s, d) => {
       // L2-norm profile per label — the is-this-batch-normalized probe
       // run before cosine math is trusted (an un-normalized shard makes
@@ -995,6 +1041,36 @@ object VectorOps {
          SELECT rank, a, b, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 20
          ORDER BY rank NULLS FIRST""",
+    "vec_pca_power" -> {
+      // one textual block per iteration (the graph_pagerank unroll):
+      // rows → per-row dot t → fixed-point contributions → exact sums →
+      // renormalized list, each double op written exactly as the Spark
+      // side computes it (L2R list folds, CAST-then-divide)
+      def iter(k: Int, prev: String): String =
+        s"""r$k AS (SELECT cx, list_sum(list_transform(range(1, 65),
+                      i -> cx[i] * $prev.vv[i])) AS t
+                    FROM cxr, $prev),
+            c$k AS (SELECT i, sum(CAST(round(cx[i] * t * 1000000, 0) AS BIGINT)) AS sw
+                    FROM r$k, range(1, 65) r(i) GROUP BY i),
+            w$k AS (SELECT list(CAST(sw AS DOUBLE) / 1000000.0 ORDER BY i) AS w FROM c$k),
+            n$k AS (SELECT w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm FROM w$k),
+            v$k AS (SELECT list_transform(w, x -> x / nrm) AS vv FROM n$k)"""
+      s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+                     FROM embeddings),
+          mu0 AS (SELECT i,
+                    round(sum(CAST(round(x[i] * 1000000, 0) AS BIGINT))
+                          / (count(*) * 1000000.0), 6) AS m
+                  FROM e, range(1, 65) r(i) GROUP BY i),
+          mu AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+          v0 AS (SELECT list_transform(range(1, 65), i -> 1.0 / sqrt(64.0)) AS vv),
+          cxr AS (SELECT list_transform(range(1, 65), i -> e.x[i] - mu.mu[i]) AS cx
+                  FROM e, mu),
+          ${iter(1, "v0")},
+          ${iter(2, "v1")},
+          ${iter(3, "v2")}
+          SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 4) AS loading
+          FROM v3, range(1, 65) r(i) ORDER BY pos NULLS FIRST"""
+    },
     "vec_norm_stats" ->
       s"""WITH n AS (
            SELECT label,

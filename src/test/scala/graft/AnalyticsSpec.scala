@@ -250,6 +250,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === graft.Tables.lineitem(spark, d).count())
   }
 
+  test("vec_pca_power: unit-norm loadings, deterministic across runs") {
+    val r1 = VectorOps.queries("vec_pca_power")(spark, d).collect()
+    assert(r1.length === 64)
+    val norm2 = r1.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    // loadings are rounded to 4dp, so the squared norm is ~1 within 64*eps
+    assert(math.abs(norm2 - 1.0) < 0.01, s"not unit norm: $norm2")
+    // power iteration from a fixed start is deterministic
+    val r2 = VectorOps.queries("vec_pca_power")(spark, d).collect()
+    assert(r1.map(_.getDouble(1)).toSeq === r2.map(_.getDouble(1)).toSeq)
+    // the dominant direction is not degenerate (some spread across dims)
+    assert(r1.map(r => math.abs(r.getDouble(1))).max < 0.99)
+  }
+
+  test("profile_corr_matrix: bounded correlations, matches direct corr") {
+    val rows = Profiling.queries("profile_corr_matrix")(spark, d).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0, s"corr out of range: $r")
+    }
+    import org.apache.spark.sql.functions.{corr, round => rnd}
+    val direct = graft.Tables.lineitem(spark, d)
+      .agg(rnd(corr(org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_extendedprice")), 4))
+      .collect().head.getDouble(0)
+    val fromKey = rows.find(r =>
+      r.getString(0) == "l_quantity" && r.getString(1) == "l_extendedprice").get.getDouble(2)
+    assert(math.abs(fromKey - direct) < 1e-9)
+  }
+
   test("concurrency_peak: bounded by live users, sessions reconcile") {
     val r = Analytics.queries("concurrency_peak")(spark, d).collect().head
     val users = graft.Tables.events(spark, d)
