@@ -432,11 +432,18 @@ object GraphQL {
     df
   }
 
+  /** `"field"` sorts ascending; `"-field"` descending (the GraphQL list
+    * convention, e.g. Django/Hasura style). Applies at every depth the
+    * orderBy argument is legal.
+    */
+  private def orderKey(c: String): org.apache.spark.sql.Column =
+    if (c.startsWith("-")) col(c.drop(1)).desc else col(c)
+
   private def applyOrderPage(df: DataFrame, args: List[(String, Value)]): DataFrame = {
     val ordered = args.collectFirst {
       case ("orderBy", VList(cols)) =>
-        df.orderBy(cols.map { case VString(c) => col(c); case o => litOf(o) }: _*)
-      case ("orderBy", VString(c)) => df.orderBy(col(c))
+        df.orderBy(cols.map { case VString(c) => orderKey(c); case o => litOf(o) }: _*)
+      case ("orderBy", VString(c)) => df.orderBy(orderKey(c))
     }.getOrElse(df)
     val offset = args.collectFirst { case ("offset", VInt(n)) => n.toInt }
     val paged = offset.map(ordered.offset).getOrElse(ordered)

@@ -426,6 +426,66 @@ object Analytics {
         .orderBy("day")
     }),
 
+    "ts_rate_spike" -> ((s, dir) => {
+      // volume-anomaly screen: per (event_type, day) counts z-scored
+      // against that type's daily distribution — the pager alert behind
+      // "did traffic spike?" (anomaly_zscore reads VALUES; this reads
+      // RATES). Counts are exact int64s, so per-type mean/sd derive from
+      // exact Σ/Σ² — no decimal staging needed — and the z expression is
+      // written identically in both engines. Two keyed partial aggs
+      // (events → day cells → type stats) + one broadcast-back join;
+      // output bounded by |types|·|days|.
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val d2 = (c: Column) => c.cast(DoubleType)
+      val st = daily.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("sv"),
+          sum(col("n_events") * col("n_events")).as("svv"))
+        .select(col("et"),
+          (d2(col("sv")) / d2(col("n_days"))).as("mean"),
+          sqrt((d2(col("svv")) - d2(col("sv")) * d2(col("sv")) / d2(col("n_days")))
+            / (d2(col("n_days")) - lit(1.0))).as("sd"))
+      daily.join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("z", (d2(col("n_events")) - col("mean")) / col("sd"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          (round(col("z"), 4) + lit(0.0)).as("z"),
+          (abs(col("z")) > 2.0).as("is_spike"))
+        .orderBy("event_type", "day")
+    }),
+
+    "events_bot_score" -> ((s, dir) => {
+      // bot-likeness leaderboard: a composite of type-dominance (a bot
+      // hammers one endpoint) and event rate, in EXACT integer units —
+      // dominance in basis points of the user's top event type, rate in
+      // centi-events/day over the user's active span. The corpus-cleaning
+      // read before training on behavioral data (the dedup family's
+      // "drop the boilerplate" applied to actors). Two user-keyed
+      // partial aggs ((user,type) cells → user rollup) and a top-10 via
+      // TakeOrderedAndProject over the |users| table; every emitted
+      // number is an int64, so ranking can never diverge cross-engine.
+      val cells = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val spans = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("span_us"))
+      cells.groupBy("user_id")
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          max(col("c")).as("top_type_n"))
+        .join(spans, "user_id")
+        .filter(col("span_us") > 0)
+        .withColumn("dom_bp", expr("(top_type_n * 10000) div n_events"))
+        .withColumn("epd_c", expr("(n_events * 8640000000000) div span_us"))
+        .withColumn("bot_score", col("dom_bp") + col("epd_c"))
+        .orderBy(col("bot_score").desc, col("user_id")).limit(10)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("dom_bp"), col("epd_c"), col("bot_score"))
+    }),
+
     "lead_time_stats" -> ((s, dir) => {
       // order-to-ship lead time per supplier — the fulfillment SLA
       // panel. The orders⋈lineitem equi-join is the canonical fact-fact
@@ -660,6 +720,49 @@ object Analytics {
            round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
          FROM dau JOIN wau ON dau.day = wau.day
          ORDER BY dau.day NULLS FIRST""",
+    "ts_rate_spike" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type AS et, count(*) AS n_days,
+             sum(n_events) AS sv, sum(n_events * n_events) AS svv
+           FROM daily GROUP BY 1),
+         z AS (
+           SELECT event_type, day, n_events,
+             (CAST(n_events AS DOUBLE)
+              - CAST(sv AS DOUBLE) / CAST(n_days AS DOUBLE))
+             / sqrt((CAST(svv AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_days AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) - 1.0)) AS zv
+           FROM daily JOIN st ON event_type = et)
+         SELECT event_type, day, n_events,
+           round(zv, 4) + 0.0 AS z, abs(zv) > 2.0 AS is_spike
+         FROM z ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
+    "events_bot_score" ->
+      """WITH cells AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT cells.user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             count(*) AS n_types,
+             CAST(max(c) AS BIGINT) AS top_type_n,
+             any_value(span_us) AS span_us
+           FROM cells JOIN spans ON cells.user_id = spans.user_id
+           GROUP BY 1),
+         sc AS (
+           SELECT user_id, n_events, n_types,
+             CAST(top_type_n * 10000 // n_events AS BIGINT) AS dom_bp,
+             CAST(n_events * 8640000000000 // span_us AS BIGINT) AS epd_c
+           FROM u WHERE span_us > 0)
+         SELECT user_id, n_events, n_types, dom_bp, epd_c,
+           dom_bp + epd_c AS bot_score
+         FROM sc
+         ORDER BY dom_bp + epd_c DESC, user_id LIMIT 10""",
     "lead_time_stats" ->
       """WITH j AS (
            SELECT l_suppkey,

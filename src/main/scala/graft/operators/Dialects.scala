@@ -28,6 +28,15 @@ object Dialects {
                   orderBy: ["c_custkey"], offset: 20, limit: 15) {
          c_custkey c_name c_mktsegment } }"""
 
+  /** Descending sort via the `-field` list convention, mixed with an
+    * ascending tie-break — the leaderboard shape every GraphQL client
+    * paginates.
+    */
+  val gqlOrderDescQuery: String =
+    """{ orders(filter: {o_orderstatus: {eq: "F"}},
+                orderBy: ["-o_totalprice", "o_orderkey"], limit: 25) {
+         o_orderkey o_totalprice o_orderpriority } }"""
+
   /** Grouped aggregation through the GraphQL front-end (§7 money
     * discipline: decimal sums emitted as DOUBLE, avg = round(sum/count,4)).
     */
@@ -172,6 +181,7 @@ object Dialects {
     "gql_select" -> ((s, d) => GraphQL.run(s, d, gqlQuery)),
     "gql_nested" -> ((s, d) => GraphQL.run(s, d, gqlNestedQuery)),
     "gql_paginate" -> ((s, d) => GraphQL.run(s, d, gqlPaginateQuery)),
+    "gql_orderby_desc" -> ((s, d) => GraphQL.run(s, d, gqlOrderDescQuery)),
     "gql_agg" -> ((s, d) => GraphQL.run(s, d, gqlAggQuery)),
     "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
     "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
@@ -341,6 +351,10 @@ object Dialects {
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'F' AND o_totalprice > 250000
          ORDER BY o_orderkey NULLS FIRST LIMIT 30""",
+    "gql_orderby_desc" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
     "serve_sql" -> serveSqlQuery,
     "serve_sql_param" ->
       // the bound literals inlined — what the prepared statement resolves to

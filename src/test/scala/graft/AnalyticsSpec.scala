@@ -250,6 +250,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === graft.Tables.lineitem(spark, d).count())
   }
 
+  test("ts_rate_spike: z-scores center near zero per type, spikes = |z|>2") {
+    val rows = Analytics.queries("ts_rate_spike")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { ofType =>
+      val zs = ofType.map(_.getDouble(3))
+      assert(math.abs(zs.sum) < 0.05 * zs.length, "z not centered")
+      ofType.foreach { r =>
+        assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) > 2.0), r.toString)
+      }
+    }
+  }
+
+  test("events_bot_score: descending scores, components reconcile") {
+    val rows = Analytics.queries("events_bot_score")(spark, d).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val scores = rows.map(_.getLong(5))
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(5) === r.getLong(3) + r.getLong(4), s"score != sum: $r")
+      assert(r.getLong(3) >= 10000 / r.getLong(2), s"dominance below uniform: $r")
+    }
+  }
+
   test("vec_pca_power: unit-norm loadings, deterministic across runs") {
     val r1 = VectorOps.queries("vec_pca_power")(spark, d).collect()
     assert(r1.length === 64)

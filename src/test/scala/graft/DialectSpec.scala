@@ -3,11 +3,25 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.dialects.{GraphQL, NlToSql}
 import graft.sources.TableRegistry
+import graft.operators.Dialects
 
 /** §2.9 dialect front-ends: translator behavior incl. failure modes. */
 class DialectSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   val d = TestSpark.sfDir
+
+  test("GraphQL -field orderBy sorts descending with ascending tie-break") {
+    val out = GraphQL.run(spark, d, Dialects.gqlOrderDescQuery).collect()
+    assert(out.length === 25)
+    val prices = out.map(_.getDouble(1))
+    assert(prices.zip(prices.drop(1)).forall { case (a, b) => a >= b },
+      "prices not descending")
+    // a bare field still sorts ascending (no regression)
+    val asc = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""").collect()
+    val keys = asc.map(_.getLong(0))
+    assert(keys.toSeq === keys.sorted.toSeq)
+  }
 
   test("GraphQL parses filters, orderBy, limit, nesting") {
     val f = GraphQL.parse(
