@@ -91,6 +91,47 @@ object Layouts {
         .orderBy("o_orderkey")
     }),
 
+    /** Dynamic partition pruning — the 100 TB scan feature static
+      * PartitionFilters can't give you: WHICH partition values survive
+      * arrives at RUNTIME through the dim join, not as a literal on the
+      * fact. Catalyst broadcasts the dim, materializes its join keys,
+      * and injects a DynamicPruningExpression into the fact scan's
+      * partition filters, so the partitioned table lists only the
+      * surviving directories — at scale, the difference between touching
+      * 6/7 and 7/7 of the table with zero query rewrites. Plan-asserted
+      * in PlanEvidenceSpec.
+      */
+    "scan_dpp" -> ((s, d) => {
+      // partitioned by order YEAR: the complete-years dim excludes the
+      // fixture's partial 2001, so exactly one directory is pruned —
+      // at every sf, since the date span is scale-invariant
+      val out = s"$exportDir/orders_by_year_dpp"
+      orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      // the readback infers the partition directory values as INT; the
+      // dim side must join on the SAME type — a cast wrapped around the
+      // fact's join key hides the partition attribute from the
+      // PartitionPruning rule and silently forfeits DPP (observed)
+      val fact = s.read.parquet(out)
+      // the dim = the COMPLETE years, derived from data at runtime under
+      // a literal cutoff — PartitionPruning's isLikelySelective heuristic
+      // only fires on literal comparisons (an attribute-vs-attribute
+      // share predicate is ignored, observed), and the literal bound is
+      // what a real calendar dim would carry
+      val hot = orders(s, d)
+        .filter(col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+        .select(year(col("o_orderdate")).as("o_year")).distinct()
+      // explicit broadcast: DPP (reuseBroadcastOnly default) only injects
+      // the runtime partition filter when the dim side is a broadcast it
+      // can reuse — which is also the right plan: |years| rows
+      fact.join(broadcast(hot), "o_year")
+        .groupBy(col("o_year").cast("bigint").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          outDec(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy("o_year")
+    }),
+
     /** Z-order clustered sink (the Delta `OPTIMIZE ZORDER BY` layout): a
       * Morton bit-interleave of two quantized dimensions becomes the ONE
       * sort key, so files are simultaneously clustered on BOTH columns —
@@ -141,6 +182,17 @@ object Layouts {
   }
 
   val oracles: Map[String, String] = Map(
+    "scan_dpp" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+                    FROM orders),
+         hot AS (
+           SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS o_year
+           FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00')
+         SELECT o_year, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS total_price
+         FROM y SEMI JOIN hot USING (o_year)
+         GROUP BY 1 ORDER BY o_year NULLS FIRST""",
     "join_skew_salted" ->
       """SELECT l_returnflag, count(*) AS n_rows,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,

@@ -289,4 +289,11 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("windowexec") && !p.contains("CartesianProduct"), p)
   }
 
+  test("scan_dpp injects a runtime partition filter into the fact scan") {
+    val p = plan(Layouts.queries("scan_dpp")(spark, d))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected DynamicPruningExpression in PartitionFilters:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
 }
