@@ -163,16 +163,20 @@ object Analytics {
       // fingerprint read before setting stream watermarks or anomaly
       // baselines (a 3 a.m. spike is an incident; the same spike at noon
       // is lunch). ONE partial-aggregating keyed shuffle; output bounded
-      // by |types|·24 forever. Sums are pre-rounded decimals (exact,
-      // partition-order-free — the anomaly_zscore discipline); the mean
-      // is one double quotient written identically in both engines.
+      // by |types|·24 forever. The mean is rounded ENTIRELY in integer
+      // arithmetic (1e-4-unit sums, half-up at the 5th digit via
+      // +5-then-div) — round(double, 4) at the cell mean hit an exact
+      // half-point at sf0.001 where the engines' double-round semantics
+      // diverge (the text_keyterms/udf_sql trap, caught by the 3-sf
+      // gate); integer ops cannot. Values are non-negative, which the
+      // truncating-vs-flooring div equivalence relies on.
       events(s, dir)
         .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hod"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value"), 4).cast(DecimalType(18, 4))).as("sv"))
+          sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("su"))
         .select(col("event_type"), col("hod"), col("n_events"),
-          r4(col("sv").cast(DoubleType) / col("n_events").cast(DoubleType))
-            .as("avg_value"))
+          (expr("((su * 10) div n_events + 5) div 10").cast(DoubleType)
+            / lit(10000.0)).as("avg_value"))
         .orderBy("event_type", "hod")
     }),
 
@@ -580,8 +584,8 @@ object Analytics {
          ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST""",
     "ts_seasonality" ->
       """SELECT event_type, hour(ts) AS hod, count(*) AS n_events,
-         round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
-               / CAST(count(*) AS DOUBLE), 4) AS avg_value
+         CAST((sum(CAST(round(value * 10000, 0) AS BIGINT)) * 10 // count(*) + 5) // 10
+              AS DOUBLE) / 10000.0 AS avg_value
          FROM events GROUP BY 1, 2
          ORDER BY event_type NULLS FIRST, hod NULLS FIRST""",
     "ts_pct_change" ->

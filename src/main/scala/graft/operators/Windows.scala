@@ -574,7 +574,7 @@ object Windows {
     * state is one count per partition (#partitions rows, never data).
     * `order` must be a unique total order or the result is nondeterministic.
     */
-  private[operators] def globalNtile(df: DataFrame, k: Int,
+  private[graft] def globalNtile(df: DataFrame, k: Int,
                                      order: Seq[Column], out: String): DataFrame = {
     val s = df.sparkSession
     val parts = s.sparkContext.defaultParallelism

@@ -17,6 +17,30 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("globalNtile matches the reference NTILE on random tables (any k)") {
+    // the two-phase range-partition + broadcast-offsets plan must equal
+    // ANSI NTILE semantics (first n%k buckets one row larger) for every
+    // n, k, and value distribution — including heavy ties, where only
+    // the unique (value, id) total order keeps it deterministic
+    val cases = samples(Gen.zip(
+      Gen.chooseNum(1, 7), Gen.listOfN(83, Gen.chooseNum(0, 9))), 4)
+    cases.foreach { case (k, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (v.toLong, i.toLong) }
+        .toDF("v", "id")
+      val got = graft.operators.Windows
+        .globalNtile(df, k, Seq(col("v"), col("id")), "b")
+        .orderBy("v", "id").select("b").as[Int].collect().toSeq
+      // reference: rank rows in (v, id) order, bucket by the remainder rule
+      val n = vs.length
+      val (q, r) = (n / k, n % k)
+      val ref = (1 to n).map { rn =>
+        if (rn <= r * (q + 1)) (rn - 1) / (q + 1) + 1
+        else r + (rn - r * (q + 1) - 1) / q + 1
+      }
+      assert(got === ref, s"k=$k n=$n")
+    }
+  }
+
   test("filter commutes with projection (over random int tables)") {
     samples(Gen.listOfN(50, Gen.zip(Gen.chooseNum(-100, 100), Gen.chooseNum(-100, 100))), 5)
       .foreach { rows =>
