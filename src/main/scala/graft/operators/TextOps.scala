@@ -1526,6 +1526,61 @@ object TextOps {
           r4(d2(col("c30")) / d2(col("n_tokens"))).as("cov30"))
     }),
 
+    "tok_vocab_growth" -> ((s, d) => {
+      // Heaps'-law vocabulary growth: distinct token types at 25% / 50% /
+      // 100% corpus prefixes (deterministic doc_id order), plus the
+      // fitted exponent β (V ∝ N^β, natural text β ≈ 0.4-0.6) — how a
+      // tokenizer build decides whether vocab has saturated or the
+      // corpus needs more data. ONE scan: the three prefix vocabularies
+      // are conditional count-distincts planned as a single Expand (the
+      // profile_columns shape); β comes from the two largest prefixes'
+      // log-ratio. Token totals are exact int64s; β is one double
+      // expression over them.
+      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"))
+      val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("token"))
+        .crossJoin(broadcast(maxId))
+      val d2 = (c: Column) => c.cast(DoubleType)
+      tok.agg(
+          sum(when(col("doc_id") * 4 <= col("mx"), 1L).otherwise(0L)).as("n_tok_25"),
+          sum(when(col("doc_id") * 2 <= col("mx"), 1L).otherwise(0L)).as("n_tok_50"),
+          count(lit(1)).as("n_tok_100"),
+          countDistinct(when(col("doc_id") * 4 <= col("mx"), col("token"))).as("v_25"),
+          countDistinct(when(col("doc_id") * 2 <= col("mx"), col("token"))).as("v_50"),
+          countDistinct(col("token")).as("v_100"))
+        .select(col("n_tok_25"), col("n_tok_50"), col("n_tok_100"),
+          col("v_25"), col("v_50"), col("v_100"),
+          r4(log(d2(col("v_100")) / d2(col("v_50")))
+            / log(d2(col("n_tok_100")) / d2(col("n_tok_50")))).as("heaps_beta"))
+    }),
+
+    "dedup_rate_curve" -> ((s, d) => {
+      // duplication rate vs corpus growth — does doubling the crawl
+      // double the NEW content, or mostly re-fetch what you have? Exact
+      // content-hash duplicates at the same 25/50/100% prefixes (one
+      // row per prefix: docs, distinct hashes, dup rate in exact basis
+      // points). The inflection where dup_bp climbs is where further
+      // crawling stops paying. ONE scan, conditional distincts in a
+      // single Expand; md5 keys shuffle as the dedup_exact family does.
+      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"))
+      val h = fanout(documents(s, d))
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("hash"))
+        .crossJoin(broadcast(maxId))
+      val one = h.agg(
+        sum(when(col("doc_id") * 4 <= col("mx"), 1L).otherwise(0L)).as("d25"),
+        sum(when(col("doc_id") * 2 <= col("mx"), 1L).otherwise(0L)).as("d50"),
+        count(lit(1)).as("d100"),
+        countDistinct(when(col("doc_id") * 4 <= col("mx"), col("hash"))).as("u25"),
+        countDistinct(when(col("doc_id") * 2 <= col("mx"), col("hash"))).as("u50"),
+        countDistinct(col("hash")).as("u100"))
+      val rows = Seq(("a_25", "d25", "u25"), ("b_50", "d50", "u50"),
+        ("c_100", "d100", "u100")).map { case (lbl, dn, un) =>
+        struct(lit(lbl).as("prefix"), col(dn).as("n_docs"), col(un).as("n_unique"),
+          expr(s"(($dn - $un) * 10000) div $dn").as("dup_bp"))
+      }
+      one.select(explode(array(rows: _*)).as("p")).select("p.*")
+        .orderBy("prefix")
+    }),
+
     "text_keyterms" -> ((s, d) => {
       // top-3 characteristic terms per document by TF-IDF — the
       // "what is this doc about" extractive summary (and the per-doc
@@ -2269,6 +2324,43 @@ object TextOps {
            round(CAST(c20 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov20,
            round(CAST(c30 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov30
          FROM cov CROSS JOIN tot""",
+    "tok_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+         a AS (SELECT
+             CAST(sum(CASE WHEN doc_id * 4 <= mx THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_25,
+             CAST(sum(CASE WHEN doc_id * 2 <= mx THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_50,
+             count(*) AS n_tok_100,
+             count(DISTINCT CASE WHEN doc_id * 4 <= mx THEN token END) AS v_25,
+             count(DISTINCT CASE WHEN doc_id * 2 <= mx THEN token END) AS v_50,
+             count(DISTINCT token) AS v_100
+           FROM tok CROSS JOIN mx)
+         SELECT n_tok_25, n_tok_50, n_tok_100, v_25, v_50, v_100,
+           round(ln(CAST(v_100 AS DOUBLE) / CAST(v_50 AS DOUBLE))
+                 / ln(CAST(n_tok_100 AS DOUBLE) / CAST(n_tok_50 AS DOUBLE)), 4)
+             AS heaps_beta
+         FROM a""",
+    "dedup_rate_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         h AS (SELECT doc_id, md5(lower(trim(text))) AS hash
+               FROM documents),
+         a AS (SELECT
+             CAST(sum(CASE WHEN doc_id * 4 <= mx THEN 1 ELSE 0 END) AS BIGINT) AS d25,
+             CAST(sum(CASE WHEN doc_id * 2 <= mx THEN 1 ELSE 0 END) AS BIGINT) AS d50,
+             count(*) AS d100,
+             count(DISTINCT CASE WHEN doc_id * 4 <= mx THEN hash END) AS u25,
+             count(DISTINCT CASE WHEN doc_id * 2 <= mx THEN hash END) AS u50,
+             count(DISTINCT hash) AS u100
+           FROM h CROSS JOIN mx)
+         SELECT * FROM (
+           SELECT 'a_25' AS prefix, d25 AS n_docs, u25 AS n_unique,
+             CAST((d25 - u25) * 10000 // d25 AS BIGINT) AS dup_bp FROM a
+           UNION ALL
+           SELECT 'b_50', d50, u50, CAST((d50 - u50) * 10000 // d50 AS BIGINT) FROM a
+           UNION ALL
+           SELECT 'c_100', d100, u100, CAST((d100 - u100) * 10000 // d100 AS BIGINT) FROM a)
+         ORDER BY prefix NULLS FIRST""",
     "text_keyterms" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),

@@ -273,6 +273,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("tok_vocab_growth: vocab and tokens monotone in prefix, beta in (0,1]") {
+    val r = TextOps.queries("tok_vocab_growth")(spark, d).collect().head
+    assert(r.getLong(0) <= r.getLong(1) && r.getLong(1) <= r.getLong(2))
+    assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(5))
+    // beta = 0 is legal when the tiny fixture's vocab saturates before
+    // the 50% prefix (V100 = V50 => ln ratio 0)
+    val beta = r.getDouble(6)
+    assert(beta >= 0.0 && beta <= 1.0, s"implausible Heaps exponent: $beta")
+  }
+
+  test("dedup_rate_curve: unique <= docs, dup rate consistent, prefixes nested") {
+    val rows = TextOps.queries("dedup_rate_curve")(spark, d).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === (r.getLong(1) - r.getLong(2)) * 10000 / r.getLong(1))
+    }
+    val docs = rows.map(_.getLong(1))
+    assert(docs(0) <= docs(1) && docs(1) <= docs(2))
+  }
+
   test("vec_pca_power: unit-norm loadings, deterministic across runs") {
     val r1 = VectorOps.queries("vec_pca_power")(spark, d).collect()
     assert(r1.length === 64)
