@@ -112,6 +112,18 @@ object TextOps {
       nDist * 5 >= n)
   }
 
+  /** The composite Gopher keep predicate over a DuckDB `t` token list —
+    * the SQL twin of [[gopherChecks]].reduce(&&), shared by the
+    * crawl_domain_stats and corpus_datacard oracles so the keep rule
+    * cannot drift between the audit and the manifest.
+    */
+  private[operators] val gopherKeepDuck: String =
+    """(len(t) BETWEEN 20 AND 10000
+       AND list_sum(list_transform(t, x -> length(x)))
+             BETWEEN len(t) * 3 AND len(t) * 10
+       AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) >= 2
+       AND len(list_distinct(t)) * 5 >= len(t))"""
+
   /** Distinct 3-word shingles per doc — the dedup_near candidate unit.
     * Built by exploding an index sequence and concatenating in a plain
     * projection (whole-stage codegen'd) rather than inside a
@@ -1526,6 +1538,39 @@ object TextOps {
           r4(d2(col("c30")) / d2(col("n_tokens"))).as("cov30"))
     }),
 
+    "corpus_datacard" -> ((s, d) => {
+      // the data card — the per-(source, language) manifest a training
+      // run publishes (The Pile / Dolma style): raw docs, docs surviving
+      // exact-dedup (first copy by content hash) AND the Gopher quality
+      // battery, kept tokens, and each cell's share of the final token
+      // budget in exact basis points. Keep logic is single-sourced with
+      // dedup_exact (md5 content hash) and quality_gopher (gopherChecks)
+      // so the manifest can never disagree with the pipeline stages it
+      // summarizes. Plan: one hash-keyed window (first-copy rank —
+      // maximal-cardinality key), one (source, lang) partial agg, a
+      // 1-row token total broadcast back. No fact re-scan anywhere.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("hash").orderBy("doc_id")
+      val keepQ = gopherChecks.reduce(_ && _)
+      val flagged = fanout(documents(s, d))
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(lower(col("text")), " ").as("t"),
+          md5(lower(trim(col("text")))).as("hash"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("keep", col("rn") === 1 && keepQ)
+        .withColumn("n_tok", size(col("t")).cast(L))
+      val cell = flagged.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs_raw"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("n_tokens_kept"))
+      val tot = cell.agg(sum(col("n_tokens_kept")).as("tt"))
+      cell.crossJoin(broadcast(tot))
+        .withColumn("token_share_bp", expr("(n_tokens_kept * 10000) div tt"))
+        .select("source", "lang", "n_docs_raw", "n_docs_kept",
+          "n_tokens_kept", "token_share_bp")
+        .orderBy("source", "lang")
+    }),
+
     "tok_vocab_growth" -> ((s, d) => {
       // Heaps'-law vocabulary growth: distinct token types at 25% / 50% /
       // 100% corpus prefixes (deterministic doc_id order), plus the
@@ -1833,13 +1878,8 @@ object TextOps {
          FROM comp c JOIN keeper k USING (cluster_id)
          ORDER BY doc_id NULLS FIRST""",
     "crawl_domain_stats" ->
-      """WITH f AS (
-           SELECT source, lang, n_chars,
-             (len(t) BETWEEN 20 AND 10000
-              AND list_sum(list_transform(t, x -> length(x)))
-                    BETWEEN len(t) * 3 AND len(t) * 10
-              AND len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) >= 2
-              AND len(list_distinct(t)) * 5 >= len(t)) AS keep
+      s"""WITH f AS (
+           SELECT source, lang, n_chars, $gopherKeepDuck AS keep
            FROM (SELECT source, lang, n_chars,
                    string_split(lower(text), ' ') AS t FROM documents))
          SELECT source, count(*) AS n_docs,
@@ -2324,6 +2364,26 @@ object TextOps {
            round(CAST(c20 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov20,
            round(CAST(c30 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov30
          FROM cov CROSS JOIN tot""",
+    "corpus_datacard" ->
+      s"""WITH b AS (
+           SELECT doc_id, source, lang, string_split(lower(text), ' ') AS t,
+             md5(lower(trim(text))) AS hash
+           FROM documents),
+         f AS (SELECT *, row_number() OVER (PARTITION BY hash ORDER BY doc_id) AS rn
+               FROM b),
+         k AS (SELECT source, lang, CAST(len(t) AS BIGINT) AS n_tok,
+                 (rn = 1 AND $gopherKeepDuck) AS keep
+               FROM f),
+         cell AS (
+           SELECT source, lang, count(*) AS n_docs_raw,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
+           FROM k GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_tokens_kept) AS BIGINT) AS tt FROM cell)
+         SELECT source, lang, n_docs_raw, n_docs_kept, n_tokens_kept,
+           CAST(n_tokens_kept * 10000 // tt AS BIGINT) AS token_share_bp
+         FROM cell CROSS JOIN tot
+         ORDER BY source NULLS FIRST, lang NULLS FIRST""",
     "tok_vocab_growth" ->
       """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
          tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

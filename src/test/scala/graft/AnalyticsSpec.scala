@@ -273,6 +273,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_datacard: kept <= raw, shares sum to ~10000bp, manifest consistent") {
+    val rows = TextOps.queries("corpus_datacard")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"kept above raw: $r")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+    }
+    assert(rows.map(_.getLong(2)).sum ===
+      graft.Tables.documents(spark, d).count())
+    // floor(bp) sums to 10000 minus at most one bp per cell
+    val bpSum = rows.map(_.getLong(5)).sum
+    assert(bpSum <= 10000 && bpSum > 10000 - rows.length, s"bp sum: $bpSum")
+  }
+
   test("tok_vocab_growth: vocab and tokens monotone in prefix, beta in (0,1]") {
     val r = TextOps.queries("tok_vocab_growth")(spark, d).collect().head
     assert(r.getLong(0) <= r.getLong(1) && r.getLong(1) <= r.getLong(2))
