@@ -334,6 +334,48 @@ object Aggregates {
         .unpivot(Array(col("p_partkey")),
           Array(col("p_size"), col("p_retailprice")), "metric", "val")
         .orderBy("p_partkey", "metric")),
+    "agg_median" -> ((s, d) => {
+      // exact per-group median — the robust center beside agg_avg. LOWER
+      // median selected by RANK (an exact element of the data, identical
+      // in both engines — interpolating medians differ by ulps on even
+      // counts; the anomaly_mad discipline as a standalone aggregate).
+      // One rank window per group + a 3-row result; at scale the group
+      // key is the segmentation dimension, same as anomaly_mad.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wN = Window.partitionBy("o_orderstatus")
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderstatus"), col("n").as("n_orders"),
+          col("o_totalprice").as("median_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "fn_surrogate_key" -> ((s, d) => {
+      // deterministic surrogate keys — the dbt-style generate_surrogate_key
+      // over the natural composite key: md5 of the delimiter-joined parts
+      // with a NULL sentinel, so the key is stable across engines, runs,
+      // and cluster shapes (a monotonically_increasing_id would be none
+      // of those). Pure map work; the distinct-count audit proves
+      // collision-freedom on the fixture. The 16-byte hex doubles as the
+      // join/dedup key downstream systems store. The natural key is the
+      // FULL 4-column composite — (l_orderkey, l_linenumber) alone is
+      // NOT unique in this fixture (measured 45832 distinct of 60000),
+      // exactly the silent-collision trap the uniqueness spec exists for.
+      val sk = md5(concat_ws("||",
+        coalesce(col("l_orderkey").cast("string"), lit("@null@")),
+        coalesce(col("l_linenumber").cast("string"), lit("@null@")),
+        coalesce(col("l_partkey").cast("string"), lit("@null@")),
+        coalesce(col("l_suppkey").cast("string"), lit("@null@"))))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          sk.as("surrogate_key"))
+        .orderBy("l_orderkey", "l_linenumber", "surrogate_key")
+    }),
+
     "agg_percentile" -> ((s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(
@@ -590,6 +632,27 @@ object Aggregates {
            UNION ALL
            SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part)
          ORDER BY p_partkey NULLS FIRST, metric NULLS FIRST""",
+    "agg_median" ->
+      """WITH r AS (
+           SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+           FROM orders)
+         SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+           o_totalprice AS median_price
+         FROM r WHERE rn = (n + 1) // 2
+         ORDER BY o_orderstatus NULLS FIRST""",
+    "fn_surrogate_key" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         md5(concat_ws('||',
+           coalesce(CAST(l_orderkey AS VARCHAR), '@null@'),
+           coalesce(CAST(l_linenumber AS VARCHAR), '@null@'),
+           coalesce(CAST(l_partkey AS VARCHAR), '@null@'),
+           coalesce(CAST(l_suppkey AS VARCHAR), '@null@'))) AS surrogate_key
+         FROM lineitem
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+           surrogate_key NULLS FIRST""",
     "agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,

@@ -273,6 +273,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_median: the median is a data element splitting its group in half") {
+    val rows = Aggregates.queries("agg_median")(spark, d).collect()
+    val orders = graft.Tables.orders(spark, d)
+    rows.foreach { r =>
+      val (st, m) = (r.getString(0), r.getDouble(2))
+      import org.apache.spark.sql.functions.col
+      val below = orders.filter(col("o_orderstatus") === st &&
+        col("o_totalprice") < m).count()
+      val n = r.getLong(1)
+      // lower median: strictly-below count is under half, at-or-below at least half
+      assert(below < (n + 1) / 2, s"$st: $below below median of $n")
+      val atOrBelow = orders.filter(col("o_orderstatus") === st &&
+        col("o_totalprice") <= m).count()
+      assert(atOrBelow >= (n + 1) / 2)
+    }
+  }
+
+  test("fn_surrogate_key: collision-free and stable across runs") {
+    val df1 = Aggregates.queries("fn_surrogate_key")(spark, d)
+    // one key per DISTINCT natural key — the sf0.001 fixture contains a
+    // genuinely duplicated line (all four key columns equal), which the
+    // surrogate key must collapse, not distinguish
+    val naturalKeys = graft.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .distinct().count()
+    assert(df1.select("surrogate_key").distinct().count() === naturalKeys)
+    val k1 = df1.limit(5).collect().map(_.getString(2)).toSeq
+    val k2 = Aggregates.queries("fn_surrogate_key")(spark, d)
+      .limit(5).collect().map(_.getString(2)).toSeq
+    assert(k1 === k2)
+  }
+
   test("corpus_datacard: kept <= raw, shares sum to ~10000bp, manifest consistent") {
     val rows = TextOps.queries("corpus_datacard")(spark, d).collect()
     assert(rows.nonEmpty)
