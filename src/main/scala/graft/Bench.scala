@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Host-weather canary (BASELINE.md §3): a fixed serial-dependency LCG
+    * loop on ONE thread — no I/O, no Spark, no allocation — whose wall
+    * time depends only on host CPU pressure. The multiply→add chain is
+    * strictly data-dependent, so the JIT can neither vectorize nor
+    * strength-reduce it; iteration count is fixed so readings are
+    * comparable across runs and rounds. Run before AND after the timed
+    * loop and emitted in the bench JSON (`canary_pre_s`/`canary_post_s`)
+    * so any reader of BENCH_r{N}.json can tell a quiet-window measurement
+    * from a contended-host one without trusting out-of-band notes.
+    * Quiet band on this host: ~1.3-1.9 s (see BASELINE.md §3).
+    */
+  private[graft] def canarySeconds(): Double = {
+    val iters = sys.env.get("SPARK_GRAFT_CANARY_ITERS").map(_.toLong)
+      .getOrElse(1500000000L)
+    val t0 = System.nanoTime()
+    var s = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < iters) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (s == 0L) System.err.println("canary sink") // defeat dead-code elim
+    math.rint(secs * 1000) / 1000
+  }
+
   /** Tiny synthetic + fixture-touching query exercising the hot machinery. */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -38,13 +64,28 @@ object Bench {
       .orderBy(col("d").desc).limit(5).count()
     // minhash/shingle-family JIT warm (shingle explode + xxhash codegen,
     // band self-join, label-propagation loop): run the full pipeline once
-    // on the SMALLEST fixture (~1-2 s) so the ~8 s of one-time codegen
-    // doesn't land on whichever dedup/graph key the map happens to order
-    // first (observed: graph_components_hist 14.9 s cold vs 6.8 s warm at
-    // sf0.1 on a quiet host, identical plans).
-    val tiny = new java.io.File("/root/testdata/sf0.001")
-    if (tiny.isDirectory)
-      operators.TextOps.queries("dedup_cluster")(spark, tiny.getPath).count()
+    // on the SMALLEST available fixture (~1-2 s) so the ~8 s of one-time
+    // codegen doesn't land on whichever dedup/graph key the map happens to
+    // order first (observed: graph_components_hist 14.9 s cold vs 6.8 s
+    // warm at sf0.1 on a quiet host, identical plans). The tiny fixture is
+    // derived from the bench sf dir (sibling sf0.001) or overridden via
+    // SPARK_GRAFT_WARMUP_DIR, so non-default deployments still warm; a
+    // skipped warmup is logged so skewed per-key numbers stay attributable.
+    val tiny = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse {
+        Option(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
+          .map(p => new java.io.File(p, "sf0.001").getPath)
+      }
+      .filter(p => new java.io.File(p).isDirectory)
+    tiny match {
+      case Some(p) =>
+        operators.TextOps.queries("dedup_cluster")(spark, p).count()
+      case None =>
+        System.err.println(
+          "BENCH WARNING: minhash warmup skipped (no sf0.001 sibling of " +
+            s"$sfDir and no SPARK_GRAFT_WARMUP_DIR); the first dedup/graph " +
+            "key will absorb ~8 s of one-time JIT")
+    }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
 
@@ -68,6 +109,7 @@ object Bench {
       require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val canaryPre = canarySeconds()
     warmup(spark, sfDir)
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
@@ -91,11 +133,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
+    val canaryPost = canarySeconds()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.map(k => "\"" + k + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
