@@ -33,7 +33,8 @@ object SparkEntry {
       (Layouts.queries, Layouts.oracles),
       (GraphOps.queries, GraphOps.oracles),
       (Analytics.queries, Analytics.oracles),
-      (Profiling.queries, Profiling.oracles)
+      (Profiling.queries, Profiling.oracles),
+      (Composites.queries, Composites.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

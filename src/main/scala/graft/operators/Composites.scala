@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** TPC-H-shaped composite analyst queries (SURVEY.md §5.2.5): multi-join +
+  * aggregate + top-k END-TO-END compositions of the §2 operator families,
+  * adapted to the fixture star schema (FIXTURES.md — no partsupp table, no
+  * o_shippriority/l_commitdate columns, so Q3/Q10 use the nearest declared
+  * column). Every single-operator key proves one shape in isolation; these
+  * prove the shapes compose into the queries a karna analyst would actually
+  * run against `README.md:2`'s SQL surface.
+  *
+  * Scale design (the 100 TB story, identical across the five):
+  *  - dimensions (region/nation/customer/supplier — KB-to-GB at any SF)
+  *    carry explicit `broadcast()` hints: dim→fact joins are map-side, no
+  *    dim shuffle ever;
+  *  - the two fact tables (orders/lineitem) join on their shared key via
+  *    one keyed shuffle (AQE may further convert at small SF — fine);
+  *  - date-range predicates sit directly on scan columns → parquet
+  *    PushedFilters + row-group pruning (asserted in PlanEvidenceSpec);
+  *  - aggregates reduce BEFORE any top-k; top-k plans
+  *    TakeOrderedAndProject (never a global sort);
+  *  - money math runs the §7.1 DECIMAL discipline end-to-end.
+  */
+object Composites {
+
+  private val revenueSpark =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount"))))
+
+  private val revenueDuck =
+    "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))"
+
+  private def ts(s: String) = lit(s).cast(TimestampType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1 analog: full pricing summary (flagship + avg_price/avg_disc) --
+    "q_pricing_summary" -> ((s, d) => {
+      val disc1 = lit(1).cast(Money) - dec(col("l_discount"))
+      val small  = DecimalType(6, 4)
+      val disc1n = lit(1).cast(small) - col("l_discount").cast(small)
+      val tax1n  = lit(1).cast(small) + col("l_tax").cast(small)
+      val factor = (disc1n * tax1n).cast(DecimalType(9, 8)) // exact, see flagship
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+          outDec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          outDec(sum(dec(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
+          outDec(sum(dec(col("l_extendedprice")) * factor)).as("sum_charge"),
+          r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          r4(sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- Q3 analog: shipping priority (segment dim-filter → 3-way join →
+    // group → top-10 by revenue). o_orderpriority stands in for the
+    // fixture-absent o_shippriority. Deterministic top-k tiebreak on the
+    // unique group key.
+    "q_shipping_priority" -> ((s, d) =>
+      broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+        .join(orders(s, d).filter(col("o_orderdate") < ts("1996-06-15")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_shipdate") > ts("1996-06-15")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(outDec(revenueSpark).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // ---- Q5 analog: local-supplier volume (region-filtered 6-way star
+    // join where customer and supplier must share a nation; one group key).
+    "q_local_supplier_volume" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                    col("o_orderdate") <  ts("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(outDec(revenueSpark).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)),
+
+    // ---- Q15 analog: top supplier (derived revenue-per-supplier agg,
+    // scalar-max subquery as a broadcast 1-row join — no second corpus
+    // pass, no window; equality on outDec doubles is exact cross-engine
+    // per the Tables.outDec contract).
+    "q_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") <  ts("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(outDec(revenueSpark).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      broadcast(supplier(s, d))
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q10 analog: returned items (quarter of orders × returned lines ×
+    // customer/nation dims → per-customer revenue → top-20).
+    "q_returned_items" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                    col("o_orderdate") <  ts("1996-04-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(outDec(revenueSpark).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DOUBLE) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1996-06-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+    "q_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q_top_supplier" ->
+      s"""WITH revenue AS (
+           SELECT l_suppkey, CAST(round($revenueDuck, 4) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = l_suppkey
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20"""
+  )
+}

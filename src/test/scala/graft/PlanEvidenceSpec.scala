@@ -296,4 +296,78 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  // ---- TPC-H-shaped composites: dims broadcast, fact never broadcast,
+  // date predicates pushed to the fact scan, top-k never a global sort ----
+
+  /** Plan with size-based auto-broadcast OFF: at fixture scale Spark's
+    * stats would broadcast even the filtered FACT side, hiding whether our
+    * explicit hints put the broadcast where a 1000-executor cluster needs
+    * it. With the threshold at -1 only the `broadcast()` hints in
+    * Composites survive — the test asserts OUR placement, i.e. the 100 TB
+    * plan, not AQE's small-SF shortcut.
+    */
+  private def planNoAutoBroadcast(df: => DataFrame): String = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try plan(df) finally spark.conf.set(k, prev)
+  }
+
+  private def factNeverBroadcast(p: String): Boolean = {
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+    !lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("BroadcastExchange") && {
+        val bi = indent(l)
+        // a broadcast subtree may READ lineitem to aggregate it down (the
+        // q_top_supplier 1-row max); it must never broadcast raw fact
+        // rows — flag only a lineitem scan with no aggregate in between
+        val sub = lines.drop(i + 1).takeWhile(x => indent(x) > bi)
+        sub.exists(_.contains("lineitem")) && !sub.exists(_.contains("HashAggregate"))
+      }
+    }
+  }
+
+  test("q_pricing_summary pushes the shipdate filter and prunes unused fact columns") {
+    val p = plan(Composites.queries("q_pricing_summary")(spark, d))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"unused columns must be pruned from the scan: $readSchema")
+  }
+
+  test("q_shipping_priority: dim broadcast, fact not broadcast, top-10 via TakeOrderedAndProject") {
+    val p = planNoAutoBroadcast(Composites.queries("q_shipping_priority")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"shipdate predicate must reach the fact scan:\n$p")
+  }
+
+  test("q_local_supplier_volume: all four dims broadcast; lineitem never broadcast") {
+    val p = planNoAutoBroadcast(Composites.queries("q_local_supplier_volume")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
+      s"supplier/nation/region must broadcast via their explicit hints:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_top_supplier attaches the scalar max as a broadcast 1-row join, no second fact pass") {
+    val p = planNoAutoBroadcast(Composites.queries("q_top_supplier")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    // one scan computes revenue; the max re-reads the AGGREGATE (10-ish
+    // rows), so at most 2 lineitem scans appear (Spark reuses or re-plans
+    // the shared agg) and neither is broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_returned_items: returnflag+daterange pushed down; top-20 via TakeOrderedAndProject") {
+    val p = planNoAutoBroadcast(Composites.queries("q_returned_items")(spark, d))
+    assert(p.contains("PushedFilters:") && p.contains("l_returnflag"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+  }
+
 }
