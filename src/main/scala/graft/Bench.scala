@@ -111,6 +111,20 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val canaryPre = canarySeconds()
     warmup(spark, sfDir)
+    // Materialize the shared minhash-candidate artifact ONCE, timed
+    // separately (the Derived seam): per-key numbers then measure each
+    // consumer's own plan, and the derivation cost stays visible in the
+    // JSON instead of landing on whichever consumer runs first. Skipped
+    // when a SPARK_GRAFT_KEYS subset contains no consumer.
+    val bandPairsConsumers = Set("dedup_minhash", "dedup_cluster",
+      "dedup_keep_best", "sim_minhash_est", "graph_triangles",
+      "graph_components_hist")
+    val derivedS: Option[Double] =
+      if (selected.keysIterator.exists(bandPairsConsumers)) {
+        val t0 = System.nanoTime()
+        operators.Derived.bandPairs(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } else None
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -137,8 +151,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
+    val ds = derivedS.map(v => s""""band_pairs":$v""").mkString("{", ",", "}")
+    // total = per-key sum + the shared derivation: the one-time prefix is
+    // real work this run did, so the 2×-gate total keeps counting it
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) + derivedS.getOrElse(0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -145,7 +145,7 @@ object GraphOps {
       // one action and each re-derives the (expensive) minhash band join —
       // the same materialize-once discipline as connectedComponents
       // (measured 193 s → seconds at sf0.1 from this alone).
-      val e0 = TextOps.bandPairs(TextOps.minhashBands(s, d))
+      val e0 = Derived.bandPairs(s, d)
         .select("a", "b").distinct().localCheckpoint(true)
       val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -187,7 +187,7 @@ object GraphOps {
       // is bounded by |distinct sizes|, never vertices. Singleton docs
       // (no near-dup) are intentionally absent — the histogram reads
       // duplication STRUCTURE, not corpus size.
-      val edges = TextOps.bandPairs(TextOps.minhashBands(s, d))
+      val edges = Derived.bandPairs(s, d)
         .select("a", "b").distinct()
       TextOps.connectedComponents(edges)
         .groupBy("label").agg(count(lit(1)).as("sz"))

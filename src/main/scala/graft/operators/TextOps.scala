@@ -461,7 +461,9 @@ object TextOps {
       // 100 TB. Hash family is md5-derived (low 60 bits of md5(seed:shingle)
       // — engine-portable, so the whole pipeline has a full DuckDB oracle;
       // recall vs exact Jaccard is additionally property-tested).
-      bandPairs(minhashBands(s, d))
+      // Candidates come from the materialize-once seam (Derived.bandPairs)
+      // — same definition, derived once per sf dir, scanned here.
+      Derived.bandPairs(s, d)
         .distinct()
         .orderBy("a", "b", "band")
     }),
@@ -489,16 +491,11 @@ object TextOps {
         .agg(sort_array(collect_list(col("sh"))).as("st"),
           count(lit(1)).as("n"))
         .localCheckpoint()
-      // bands derive FROM the checkpointed signature arrays (seed 2b,
-      // 2b+1 per band — identical to minhashBands' grouping) instead of
-      // re-running the whole minhash aggregation a second time: measured
-      // ~2× on this key, and at scale it halves the dominant shuffle
-      val bands = sigs.select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 7), b -> struct(b AS band,
-             concat_ws(',', sort_array(array(sig[b*2], sig[b*2+1]))) AS sig))"""))
-          .as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
-      bandPairs(bands).select("a", "b").distinct()
+      // candidate pairs come from the materialize-once seam — the same
+      // capped band join dedup_minhash scans (Derived.bandPairs), so the
+      // band self-join is not re-derived here at all; this key pays only
+      // for the per-doc signature/set arrays it uniquely needs
+      Derived.bandPairs(s, d).select("a", "b").distinct()
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
         .join(sets.select(col("doc_id").as("a"), col("st").as("sa"), col("n").as("na")), "a")
@@ -522,7 +519,7 @@ object TextOps {
       // rounds ≤ cluster diameter). The oracle computes the identical
       // transitive closure with a recursive CTE (fine at fixture scale;
       // the Spark side is the one that has to — and does — scale).
-      val pairs = bandPairs(minhashBands(s, d)).select("a", "b").distinct()
+      val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
       val labels = connectedComponents(pairs)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
@@ -543,7 +540,7 @@ object TextOps {
       // groupBy(label) arg-max — max(struct(n_chars, -doc_id)) — no
       // per-cluster window/sort; the keeper table (|clusters| rows,
       // corpus-proportional) joins back label-keyed, NOT broadcast.
-      val pairs = bandPairs(minhashBands(s, d)).select("a", "b").distinct()
+      val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
       val withLen = connectedComponents(pairs)
         .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       val keeper = withLen.groupBy("label")
