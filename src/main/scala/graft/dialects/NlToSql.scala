@@ -56,6 +56,22 @@ object NlToSql {
     "lineitem" -> "l_shipdate",
     "events" -> "ts")
 
+  /** Fixture-contract "now" per fact table — the EXCLUSIVE upper bound of
+    * each fact's event-time domain (day after its max date; verified
+    * identical across sf0.001/0.01/0.1, FIXTURES.md date domains).
+    * Relative-time productions ("in the last N days") anchor here so the
+    * translation is referentially transparent — the SQL string is still
+    * the oracle, with no runtime max() subquery whose value the plan
+    * can't see. A fact without a declared anchor fails loudly (the
+    * unknown-anchor discipline: no silent "now = wall clock" guessing —
+    * wall-clock now against a 2001-dated fixture would silently return
+    * empty).
+    */
+  private val nowAnchor = Map(
+    "events" -> "2024-01-31",
+    "orders" -> "2001-08-02",
+    "lineitem" -> "2001-11-05")
+
   // (?i) case-insensitive keywords; captured VALUES keep their case (column
   // values like status 'F' are case-sensitive), noun captures are
   // lowercased before catalog lookup
@@ -95,6 +111,10 @@ object NlToSql {
     """(?i)total ([a-z ]+) by ([a-z ]+) in (\d{4})""".r
   private val TotalByHaving =
     """(?i)total ([a-z ]+) by ([a-z ]+) having total (above|below) (\d+(?:\.\d+)?)""".r
+  private val TotalByLastDays =
+    """(?i)total ([a-z ]+) by ([a-z ]+) in the last (\d+) days""".r
+  private val TotalByWhereNot =
+    """(?i)total ([a-z ]+) by ([a-z ]+) (?:where ([a-z ]+) is not|excluding ([a-z ]+)) ([\w-]+)(?: or ([\w-]+))?""".r
   private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
   private val ShareBy = """(?i)share of (\w+) by ([a-z ]+)""".r
 
@@ -231,6 +251,48 @@ object NlToSql {
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact WHERE $fcol IN (${sqlLit(v1)}, ${sqlLit(v2)})
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByLastDays(measure, d, n) =>
+      // relative time: "total event value by event type in the last 30
+      // days" — anchored to the fixture-contract "now" (nowAnchor: the
+      // exclusive upper bound of the fact's date domain), lowered to a
+      // half-open [anchor-N, anchor) TIMESTAMP range — the nl_year
+      // sargable discipline, so the predicate pushes to the scan. A fact
+      // with no declared anchor fails loudly rather than guessing
+      // wall-clock now.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      require(table == fact, s"dimension $d not on $fact")
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val anchor = nowAnchor.getOrElse(fact,
+        throw new IllegalArgumentException(s"no 'now' anchor declared for $fact"))
+      val start = java.time.LocalDate.parse(anchor).minusDays(n.toLong)
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact
+         WHERE $dateCol >= TIMESTAMP '$start 00:00:00'
+           AND $dateCol < TIMESTAMP '$anchor 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByWhereNot(measure, d, fdimWhere, fdimExcl, v1, v2) =>
+      // negation: "total order price by status where priority is not
+      // 1-URGENT [or 5-LOW]" / "… excluding priority 1-URGENT" — lowered
+      // to NOT IN over a literal list (the filter_in path negated; both
+      // engines rewrite to a conjunction of ≠ that pushes to the scan).
+      // The filter column is a catalog dim (non-null by fixture
+      // contract), so NOT IN's null-semantics trap can't bite; matched
+      // before TotalByWhere, whose single-token value capture cannot
+      // span "not X" anyway.
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(if (fdimWhere != null) fdimWhere else fdimExcl)
+      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      val vals = Seq(Option(v1), Option(v2)).flatten.map(sqlLit).mkString(", ")
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact WHERE $fcol NOT IN ($vals)
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByYear(measure, d, year) =>
       // calendar-year filter on the fact's canonical event-time column:

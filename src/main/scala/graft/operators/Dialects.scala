@@ -90,6 +90,12 @@ object Dialects {
   // filtered mean under the agg_avg money discipline
   val nlAvgWhereQuestion: String =
     "average order price by status where priority is 1-URGENT"
+  // relative time anchored to the fixture-contract "now" (nl_last_days)
+  val nlLastDaysQuestion: String =
+    "total event value by event type in the last 30 days"
+  // negated membership -> scan-pushable NOT IN (nl_not_in)
+  val nlNotInQuestion: String =
+    "total order price by status where priority is not 1-URGENT or 5-LOW"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -207,6 +213,8 @@ object Dialects {
     "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
     "nl_month_trend" -> ((s, d) => NlToSql.run(s, d, nlMonthQuestion)),
     "nl_avg_where" -> ((s, d) => NlToSql.run(s, d, nlAvgWhereQuestion)),
+    "nl_last_days" -> ((s, d) => NlToSql.run(s, d, nlLastDaysQuestion)),
+    "nl_not_in" -> ((s, d) => NlToSql.run(s, d, nlNotInQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
@@ -320,6 +328,8 @@ object Dialects {
     "nl_or_filter" -> NlToSql.translate(nlOrQuestion),
     "nl_month_trend" -> NlToSql.translate(nlMonthQuestion),
     "nl_avg_where" -> NlToSql.translate(nlAvgWhereQuestion),
+    "nl_last_days" -> NlToSql.translate(nlLastDaysQuestion),
+    "nl_not_in" -> NlToSql.translate(nlNotInQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

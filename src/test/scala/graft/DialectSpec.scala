@@ -172,6 +172,29 @@ class DialectSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
   }
 
+  test("NL relative-time production: sargable anchored range; no anchor = loud failure") {
+    val sql = NlToSql.translate("total event value by event type in the last 30 days")
+    // half-open [anchor-30d, anchor) on the fixture-contract anchor
+    assert(sql.contains("ts >= TIMESTAMP '2024-01-01 00:00:00'") &&
+      sql.contains("ts < TIMESTAMP '2024-01-31 00:00:00'"), sql)
+    // a fact with no declared date/anchor fails loudly, never wall-clock
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "total account balance by market segment in the last 30 days"))
+    // orders anchor differs from events'
+    assert(NlToSql.translate("total order price by status in the last 7 days")
+      .contains("o_orderdate < TIMESTAMP '2001-08-02 00:00:00'"))
+  }
+
+  test("NL negation production: NOT IN lowering, both phrasings") {
+    val sql = NlToSql.translate(
+      "total order price by status where priority is not 1-URGENT or 5-LOW")
+    assert(sql.contains("o_orderpriority NOT IN ('1-URGENT', '5-LOW')"), sql)
+    val excl = NlToSql.translate("total order price by status excluding priority 1-URGENT")
+    assert(excl.contains("o_orderpriority NOT IN ('1-URGENT')"), excl)
+    TableRegistry.registerAll(spark, d)
+    assert(spark.sql(sql).count() > 0 && spark.sql(excl).count() > 0)
+  }
+
   test("GraphQL variables: defaults fold in, strict binding both ways") {
     import graft.operators.Dialects
     // exemplar: $status takes its declared default, $minPrice/$n provided
