@@ -384,10 +384,47 @@ object GraphQL {
     }
   }
 
+  /** One aggregate selection field → its Column (count / sum_x / avg_x /
+    * min_x / max_x with the §7 money discipline) — single definition shared
+    * by the `_agg` ROOT (runAgg) and NESTED `relation_agg` subtrees so the
+    * two surfaces cannot drift. `typeOf` resolves a source column's type in
+    * whatever frame the aggregate runs over (DECIMAL sources must still
+    * emit DOUBLE — the driver-hash discipline).
+    */
+  private def aggExpr(
+      n: String,
+      typeOf: String => Option[org.apache.spark.sql.types.DataType]): Column = {
+    import graft.Tables.{dec, outDec, r4}
+    def noDec(c: Column, src: String): Column = typeOf(src) match {
+      case Some(_: org.apache.spark.sql.types.DecimalType) => outDec(c)
+      case _ => c
+    }
+    n match {
+      case "count" => count(lit(1)).as("count")
+      case n if n.startsWith("sum_") => outDec(sum(dec(col(n.stripPrefix("sum_"))))).as(n)
+      case n if n.startsWith("avg_") =>
+        r4(sum(dec(col(n.stripPrefix("avg_")))).cast("double") / count(lit(1))).as(n)
+      case n if n.startsWith("min_") =>
+        val c = n.stripPrefix("min_"); noDec(min(col(c)), c).as(n)
+      case n if n.startsWith("max_") =>
+        val c = n.stripPrefix("max_"); noDec(max(col(c)), c).as(n)
+      case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+    }
+  }
+
   /** Depth-first relation resolution: each nested selection left-joins its
     * target (projected to the requested scalars + the fk columns its OWN
     * nested relations need) and recurses — arbitrary nesting depth, e.g.
-    * orders { customer { nation { n_name } } }.
+    * orders { customer { nation { n_name } } }. A nested `relation_agg`
+    * selection aggregates the related table INSIDE the subtree (e.g.
+    * customer { c_mktsegment orders_agg { count sum_o_totalprice } }):
+    * the target is grouped by its fk FIRST and the |parent-keys|-sized
+    * aggregate left-joins back — aggregate-then-join, never a
+    * join-then-aggregate row fan-out (the 100 TB shape; at scale the
+    * pre-aggregation also makes the joined side orders of magnitude
+    * smaller than the fact). `count` coalesces to 0 for parents with no
+    * related rows (GraphQL list semantics); other aggregates stay NULL
+    * (SQL semantics, mirrored by the oracle's LEFT JOIN).
     */
   private def attach(s: SparkSession, dir: String, df0: DataFrame, table: String,
                      sels: List[Field]): (DataFrame, List[(String, String)]) = {
@@ -395,6 +432,29 @@ object GraphQL {
     val out = scala.collection.mutable.ListBuffer[(String, String)]()
     sels.foreach { sel =>
       if (sel.selections.isEmpty) out += (sel.name -> sel.alias.getOrElse(sel.name))
+      else if (sel.name.endsWith("_agg")) {
+        require(sel.alias.isEmpty,
+          s"alias on aggregate relation ${sel.name} unsupported")
+        val rel = sel.name.stripSuffix("_agg")
+        // one-to-many direction: the parent aggregates its CHILD rows
+        val (target, lk, rk) = TableRegistry.reverseRelations.getOrElse(
+          (table, rel),
+          throw new IllegalArgumentException(
+            s"unknown one-to-many relation $table.$rel"))
+        sel.selections.find(_.selections.nonEmpty).foreach { f =>
+          throw new IllegalArgumentException(
+            s"${sel.name}.${f.name}: aggregate selections must be scalars")
+        }
+        val child = applyFilters(TableRegistry.load(s, dir, target), sel.args)
+        val aggs = sel.selections.map(f =>
+          aggExpr(f.name, src => child.schema.fields.find(_.name == src).map(_.dataType)))
+        require(aggs.nonEmpty, s"${sel.name}: at least one aggregate selection")
+        val sub = child.groupBy(col(rk)).agg(aggs.head, aggs.tail: _*)
+        df = df.join(sub, col(lk) === col(rk), "left").drop(rk)
+        if (sel.selections.exists(_.name == "count"))
+          df = df.withColumn("count", coalesce(col("count"), lit(0L)))
+        out ++= sel.selections.map(f => f.name -> f.name)
+      }
       else {
         require(sel.alias.isEmpty,
           s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
@@ -458,7 +518,6 @@ object GraphQL {
     * (sums in DECIMAL, DOUBLE out; avg = round(sum/count, 4)).
     */
   private def runAgg(s: SparkSession, dir: String, root: Field): DataFrame = {
-    import graft.Tables.{dec, outDec, r4}
     root.selections.find(_.alias.nonEmpty).foreach { f =>
       throw new IllegalArgumentException(
         s"alias on _agg selection ${f.name} unsupported")
@@ -498,25 +557,10 @@ object GraphQL {
     // DECIMAL-typed sources must still emit DOUBLE (driver-hash discipline:
     // DOUBLE/BIGINT outputs only); identity on every other type. min/max of
     // a DECIMAL(p,s≤4) is an exact input value, so round(,4)+double matches
-    // the oracle's CAST(... AS DOUBLE) bit-for-bit.
-    def noDec(c: org.apache.spark.sql.Column, src: String): org.apache.spark.sql.Column =
-      df.schema.fields.find(_.name == src).map(_.dataType) match {
-        case Some(_: org.apache.spark.sql.types.DecimalType) => outDec(c)
-        case _ => c
-      }
-    val aggs = root.selections.filterNot(f => keys.contains(f.name)).map { f =>
-      f.name match {
-        case "count" => count(lit(1)).as("count")
-        case n if n.startsWith("sum_") => outDec(sum(dec(col(n.stripPrefix("sum_"))))).as(n)
-        case n if n.startsWith("avg_") =>
-          r4(sum(dec(col(n.stripPrefix("avg_")))).cast("double") / count(lit(1))).as(n)
-        case n if n.startsWith("min_") =>
-          val c = n.stripPrefix("min_"); noDec(min(col(c)), c).as(n)
-        case n if n.startsWith("max_") =>
-          val c = n.stripPrefix("max_"); noDec(max(col(c)), c).as(n)
-        case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
-      }
-    }
+    // the oracle's CAST(... AS DOUBLE) bit-for-bit. Aggregate lowering is
+    // the shared aggExpr, so root and nested `_agg` cannot drift.
+    val aggs = root.selections.filterNot(f => keys.contains(f.name)).map(f =>
+      aggExpr(f.name, src => df.schema.fields.find(_.name == src).map(_.dataType)))
     require(aggs.nonEmpty, s"${root.name}: at least one aggregate selection")
     // having filters on the EMITTED aggregate columns (post money
     // discipline — a sum_ predicate compares the rounded DOUBLE, exactly

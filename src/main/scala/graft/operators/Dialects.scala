@@ -133,6 +133,19 @@ object Dialects {
                     orderBy: ["customer_c_mktsegment"]) {
          customer_c_mktsegment count sum_o_totalprice } }"""
 
+  /** Aggregation INSIDE a relation subtree — per-parent-row rollups of a
+    * related table (the Hasura-style `<relation>_agg` field). The planner
+    * groups orders by its fk FIRST and left-joins the |customers|-sized
+    * aggregate back: aggregate-then-join, never a join-then-aggregate
+    * fan-out. Composes with the root's filter/orderBy/limit and with a
+    * filter argument on the _agg field itself.
+    */
+  val gqlNestedAggQuery: String =
+    """{ customer(orderBy: ["c_custkey"], limit: 50) {
+         c_custkey c_mktsegment
+         orders_agg(filter: {o_orderstatus: {eq: "F"}}) {
+           count sum_o_totalprice max_o_orderdate } } }"""
+
   /** GraphQL variables (`query($x: Type = default)`): the parametrized-
     * query surface every GraphQL client uses. One variable takes its
     * declared default (status "O"), two are provided; binding is AST
@@ -191,6 +204,7 @@ object Dialects {
     "gql_agg" -> ((s, d) => GraphQL.run(s, d, gqlAggQuery)),
     "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
     "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
+    "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -309,6 +323,17 @@ object Dialects {
            AS sum_o_totalprice
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY customer_c_mktsegment NULLS FIRST""",
+    "gql_nested_agg" ->
+      """SELECT c_custkey, c_mktsegment,
+         coalesce("count", 0) AS "count", sum_o_totalprice, max_o_orderdate
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*) AS "count",
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS sum_o_totalprice,
+             max(o_orderdate) AS max_o_orderdate
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) agg
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST LIMIT 50""",
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),

@@ -49,4 +49,15 @@ object TableRegistry {
     ("lineitem", "part")     -> (("part", "l_partkey", "p_partkey")),
     ("lineitem", "supplier") -> (("supplier", "l_suppkey", "s_suppkey"))
   )
+
+  /** One-to-many direction, derived mechanically from `relations` (parent →
+    * child table under the child's own name, keys swapped) so the two maps
+    * cannot drift: (parent, childTable) -> (childTable, parentKey,
+    * childFk). This is the direction nested `<relation>_agg` subtrees
+    * aggregate over (customer { orders_agg { … } }).
+    */
+  val reverseRelations: Map[(String, String), (String, String, String)] =
+    relations.map { case ((child, _), (parent, fk, pk)) =>
+      (parent, child) -> ((child, pk, fk))
+    }
 }

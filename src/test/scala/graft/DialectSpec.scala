@@ -172,6 +172,29 @@ class DialectSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
   }
 
+  test("GraphQL nested aggregation composes with variables; wrong direction fails loudly") {
+    import graft.operators.Dialects
+    // the shipped key's shape, with the child filter bound via a variable
+    val df = GraphQL.runWithVariables(spark, d,
+      """query($st: String = "F") {
+           customer(orderBy: ["c_custkey"], limit: 10) {
+             c_custkey orders_agg(filter: {o_orderstatus: {eq: $st}}) {
+               count sum_o_totalprice } } }""", Map.empty)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    assert(df.columns.toSeq === Seq("c_custkey", "count", "sum_o_totalprice"))
+    // count coalesces to 0 for parents with no matching children, and the
+    // corresponding sum stays NULL (SQL LEFT JOIN semantics)
+    assert(rows.forall(r => !r.isNullAt(1)))
+    // aggregating a many-to-one relation (orders -> its parent customer)
+    // is not a rollup — fails loudly, never plans a 1:1 "aggregate"
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      "{ orders(limit: 1) { o_orderkey customer_agg { count } } }"))
+    // unknown aggregate field inside the subtree fails loudly
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      "{ customer(limit: 1) { c_custkey orders_agg { median_o_totalprice } } }"))
+  }
+
   test("NL relative-time production: sargable anchored range; no anchor = loud failure") {
     val sql = NlToSql.translate("total event value by event type in the last 30 days")
     // half-open [anchor-30d, anchor) on the fixture-contract anchor
