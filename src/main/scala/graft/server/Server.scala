@@ -181,8 +181,19 @@ object Server {
       try os.write(bytes) finally os.close()
     }
 
+    // Bounded request pool: the JDK server's default (null) executor runs
+    // every exchange on ONE dispatch thread, serializing clients — a web
+    // console with N users would queue head-of-line behind the slowest
+    // query. A fixed pool admits a bounded number of concurrent requests
+    // (admission control at the HTTP edge); Spark's own scheduler
+    // fair-shares executor cores among the admitted jobs, and anything
+    // beyond the pool waits in the server's accept queue rather than
+    // spawning unbounded driver threads.
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    http.setExecutor(pool)
+
     def start(): Unit = http.start()
     def boundPort: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdown() }
   }
 }

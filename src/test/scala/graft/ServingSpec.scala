@@ -135,6 +135,63 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("HTTP API serves N concurrent clients with distinct dialects correctly") {
+    val api = new Server.HttpApi(spark, 0)
+    api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: String): com.fasterxml.jackson.databind.JsonNode = {
+        val req = HttpRequest.newBuilder(
+            URI.create(s"http://localhost:${api.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      }
+      // 12 simultaneous clients, three dialects interleaved; each SQL
+      // client's result carries its own tag so a cross-wired response
+      // (one client receiving another's rows) cannot pass
+      val nlQ = Dialects.nlQuestion
+      val gq = Dialects.gqlQuery.replace("\"", "\\\"").replace("\n", " ")
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(12)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(exec)
+        val futures = (0 until 12).map { i =>
+          scala.concurrent.Future {
+            i % 3 match {
+              case 0 =>
+                val r = post(s"""{"dialect":"sql","query":"SELECT count(*) + $i AS n FROM orders","dir":"$d"}""")
+                ("sql", i, r)
+              case 1 => ("graphql", i, post(s"""{"dialect":"graphql","query":"$gq","dir":"$d"}"""))
+              case _ => ("nl", i, post(s"""{"dialect":"nl","query":"$nlQ","dir":"$d","maxRows":4}"""))
+            }
+          }
+        }
+        val results = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(180, "seconds"))
+        val nOrders = Server.handle(spark,
+          Server.ServeRequest("sql", "SELECT count(*) AS n FROM orders", d))
+          .collect()(0).getLong(0)
+        results.foreach {
+          case ("sql", i, r) =>
+            assert(!r.has("error"), s"client $i: $r")
+            assert(r.get("rows").get(0).get("n").asLong === nOrders + i,
+              s"client $i got a cross-wired or wrong result: $r")
+          case ("graphql", i, r) =>
+            assert(!r.has("error"), s"client $i: $r")
+            assert(r.get("columns").get(0).asText === "o_orderkey", s"client $i: $r")
+            assert(r.get("rowCount").asInt > 0)
+          case ("nl", i, r) =>
+            assert(!r.has("error"), s"client $i: $r")
+            // the maxRows cap holds under concurrency, and truncation is
+            // reported (nlQuestion returns 10 rows; the cap is 4)
+            assert(r.get("rowCount").asInt === 4, s"client $i: $r")
+            assert(r.get("truncated").asBoolean, s"client $i: $r")
+        }
+      } finally exec.shutdown()
+    } finally api.stop()
+  }
+
   test("browser console is served at GET / and drives the /query protocol") {
     val api = new Server.HttpApi(spark, 0)
     api.start()
