@@ -38,24 +38,62 @@ object JdbcCatalog {
 
   private val mapper = new ObjectMapper()
 
+  /** Everything engine-specific, in one value — the "URL swap" seam made
+    * checkable. The DDL text itself is shared ANSI (asserted token-by-token
+    * in ServingSpec's dialect-parity test); what actually differs between
+    * Derby and Postgres is (a) which SQLState signals a lost
+    * CREATE-TABLE race, (b) which SQLStates are transient
+    * serialization/deadlock conflicts worth retrying, and (c) the
+    * occasional type-name preference (Postgres idiom: unbounded TEXT for
+    * the JSON payload column instead of a guessed VARCHAR cap).
+    */
+  final case class SqlDialect(
+      name: String,
+      urlPrefix: String,
+      duplicateTableState: String,
+      retryableStates: Set[String],
+      typeName: String => String)
+
+  val DerbyDialect: SqlDialect = SqlDialect(
+    "derby", "jdbc:derby:",
+    duplicateTableState = "X0Y32",          // Derby: table already exists
+    retryableStates = Set("40001", "40XL1"), // deadlock / lock timeout
+    typeName = identity)
+
+  val PostgresDialect: SqlDialect = SqlDialect(
+    "postgresql", "jdbc:postgresql:",
+    duplicateTableState = "42P07",          // PG: duplicate_table
+    retryableStates = Set("40001", "40P01"), // serialization_failure / deadlock_detected
+    typeName = {
+      case "VARCHAR(4096)" => "TEXT" // JSON payload: PG idiom, no length guess
+      case t => t
+    })
+
+  def dialectFor(url: String): SqlDialect =
+    Seq(DerbyDialect, PostgresDialect).find(d => url.startsWith(d.urlPrefix))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no catalog dialect for JDBC url: $url"))
+
   /** Ordered, append-only migrations (the diesel-style ladder). The
     * current version lives in `catalog_version`; `migrate` applies every
     * step beyond it transactionally, so any client can bring any older
     * catalog forward and concurrent migrators are safe.
     */
-  private val Migrations: Seq[Seq[String]] = Seq(
+  def migrationsFor(dl: SqlDialect): Seq[Seq[String]] = Seq(
     // v1: the dataset registry
     Seq(
-      """CREATE TABLE datasets (
-           name VARCHAR(128) NOT NULL PRIMARY KEY,
-           path VARCHAR(1024) NOT NULL,
-           format VARCHAR(64) NOT NULL,
-           options_json VARCHAR(4096) NOT NULL)"""),
+      s"""CREATE TABLE datasets (
+           name ${dl.typeName("VARCHAR(128)")} NOT NULL PRIMARY KEY,
+           path ${dl.typeName("VARCHAR(1024)")} NOT NULL,
+           format ${dl.typeName("VARCHAR(64)")} NOT NULL,
+           options_json ${dl.typeName("VARCHAR(4096)")} NOT NULL)"""),
     // v2: registration audit timestamp (exercises the multi-step ladder)
     Seq(
-      """ALTER TABLE datasets
-           ADD COLUMN registered_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP""")
+      s"""ALTER TABLE datasets
+           ADD COLUMN registered_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP""")
   )
+
+  private val Migrations: Seq[Seq[String]] = migrationsFor(DerbyDialect)
 
   def schemaVersion: Int = Migrations.size
 
@@ -65,9 +103,20 @@ object JdbcCatalog {
     if (System.getProperty("derby.stream.error.file") == null)
       System.setProperty("derby.stream.error.file",
         s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
-    val c = DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
+    connectUrl(s"jdbc:derby:$dir;create=true")
+  }
+
+  /** The URL-swap entry point: dialect is chosen from the URL prefix, and
+    * the same migration runner / upsert / reader run against it. (A
+    * Postgres URL additionally needs the PG JDBC driver on the classpath —
+    * absent in this container; the dialect's SQL + states are what the
+    * parity spec can and does prove offline.)
+    */
+  def connectUrl(url: String): Connection = {
+    val dl = dialectFor(url)
+    val c = DriverManager.getConnection(url)
     c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
-    migrate(c)
+    migrate(c, dl)
     c
   }
 
@@ -76,7 +125,7 @@ object JdbcCatalog {
     try rs.next() finally rs.close()
   }
 
-  private def migrate(c: Connection): Unit = {
+  private def migrate(c: Connection, dl: SqlDialect = DerbyDialect): Unit = {
     val auto = c.getAutoCommit
     c.setAutoCommit(false)
     try {
@@ -90,7 +139,8 @@ object JdbcCatalog {
           c.commit()
         } catch {
           // a concurrent migrator won the race to create it — fine
-          case e: SQLException if e.getSQLState == "X0Y32" => c.rollback()
+          case e: SQLException if e.getSQLState == dl.duplicateTableState =>
+            c.rollback()
         }
       }
       var applied = true
@@ -106,7 +156,7 @@ object JdbcCatalog {
             // this UPDATE match zero rows and we re-read
             val claimed = st.executeUpdate(
               s"UPDATE catalog_version SET v = ${v + 1} WHERE v = $v")
-            if (claimed == 1) Migrations(v).foreach(st.executeUpdate)
+            if (claimed == 1) migrationsFor(dl)(v).foreach(st.executeUpdate)
             c.commit()
             applied = true
           }
@@ -121,7 +171,8 @@ object JdbcCatalog {
     * 40001 / lock timeout 40XL1 — the expected cost of SERIALIZABLE under
     * contention) are retried; every other failure rolls back and rethrows.
     */
-  def register(c: Connection, e: CatalogStore.Entry): Unit = {
+  def register(c: Connection, e: CatalogStore.Entry,
+               dl: SqlDialect = DerbyDialect): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -129,7 +180,7 @@ object JdbcCatalog {
       try { registerOnce(c, e); done = true }
       catch {
         case ex: SQLException
-            if Set("40001", "40XL1")(ex.getSQLState) && attempts < 5 =>
+            if dl.retryableStates(ex.getSQLState) && attempts < 5 =>
           Thread.sleep(20L * attempts)
       }
     }

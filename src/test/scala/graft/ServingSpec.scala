@@ -314,6 +314,70 @@ class ServingSpec extends AnyFunSuite {
     } finally c3.close()
   }
 
+  test("JDBC catalog dialect parity: the Postgres ladder is the Derby ladder modulo declared types") {
+    import JdbcCatalog.{DerbyDialect, PostgresDialect}
+    val derby = JdbcCatalog.migrationsFor(DerbyDialect).flatten
+    val pg = JdbcCatalog.migrationsFor(PostgresDialect).flatten
+    assert(derby.length === pg.length)
+
+    // parameterized types stay one token (VARCHAR(128)); punctuation is
+    // structural and identical by construction of the shared template
+    def tokens(sql: String): List[String] =
+      """VARCHAR\(\d+\)|[A-Za-z_][A-Za-z0-9_]*|\d+""".r.findAllIn(sql).toList
+    // 1. token-by-token: the two dialects' DDL may differ ONLY where the
+    //    dialect's type map applies — any other divergence (a sneaked-in
+    //    Derby-only keyword, a reordered clause) fails here
+    derby.zip(pg).foreach { case (dsql, psql) =>
+      val dt = tokens(dsql); val pt = tokens(psql)
+      assert(dt.length === pt.length, s"clause-shape drift:\n$dsql\n$psql")
+      dt.zip(pt).foreach { case (a, b) =>
+        assert(a == b || PostgresDialect.typeName(a) == b,
+          s"non-type divergence: '$a' vs '$b' in:\n$psql")
+      }
+    }
+    // 2. every keyword/type token the Postgres ladder emits is in the
+    //    documented Postgres vocabulary (grammar-subset check — the most
+    //    a container with no PG binary or parser can prove); identifiers
+    //    and numbers pass through
+    val pgVocabulary = Set(
+      "CREATE", "TABLE", "ALTER", "ADD", "COLUMN", "NOT", "NULL",
+      "PRIMARY", "KEY", "DEFAULT", "CURRENT_TIMESTAMP",
+      "TEXT", "TIMESTAMP", "INT") ++
+      (128 to 4096).map(n => s"VARCHAR($n)") // VARCHAR(n) is PG-legal too
+    pg.foreach { sql =>
+      tokens(sql).foreach { tok =>
+        val ok = pgVocabulary(tok) || tok.matches("[a-z_][a-z0-9_]*") ||
+          tok.matches("\\d+") || tok.matches("VARCHAR\\(\\d+\\)")
+        assert(ok, s"token '$tok' not in the Postgres-safe vocabulary: $sql")
+      }
+    }
+    // 3. the PG ladder swaps exactly the declared type (the JSON payload
+    //    column goes TEXT); everything else is byte-identical ANSI
+    assert(pg.head.contains("options_json TEXT NOT NULL"), pg.head)
+    assert(derby.head.contains("options_json VARCHAR(4096) NOT NULL"))
+    // 4. URL routing picks the dialect (the "URL swap" entry point) and
+    //    each dialect carries its engine's real SQLSTATEs
+    assert(JdbcCatalog.dialectFor("jdbc:derby:/tmp/x;create=true") eq DerbyDialect)
+    assert(JdbcCatalog.dialectFor("jdbc:postgresql://host/karna_dev") eq PostgresDialect)
+    intercept[IllegalArgumentException](JdbcCatalog.dialectFor("jdbc:mysql://x"))
+    assert(DerbyDialect.duplicateTableState === "X0Y32")
+    assert(PostgresDialect.duplicateTableState === "42P07")
+    assert(PostgresDialect.retryableStates("40P01") &&
+      !PostgresDialect.retryableStates("40XL1"))
+    // 5. the Derby ladder (same generator, Derby dialect) actually RUNS:
+    //    a fresh db reaches schemaVersion through the shared migrate path
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-dialect-db")
+      .resolve("cat").toString
+    val c = JdbcCatalog.connect(dbDir)
+    try {
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT v FROM catalog_version")
+      rs.next()
+      assert(rs.getInt(1) === JdbcCatalog.schemaVersion)
+      rs.close(); st.close()
+    } finally c.close()
+  }
+
   // ---- object-store scheme routing --------------------------------------
 
   test("engine reads/writes through a non-file scheme (s3a wiring, config-only)") {
