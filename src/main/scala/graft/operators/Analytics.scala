@@ -168,15 +168,26 @@ object Analytics {
       // +5-then-div) — round(double, 4) at the cell mean hit an exact
       // half-point at sf0.001 where the engines' double-round semantics
       // diverge (the text_keyterms/udf_sql trap, caught by the 3-sf
-      // gate); integer ops cannot. Values are non-negative, which the
-      // truncating-vs-flooring div equivalence relies on.
+      // gate); integer ops cannot. Values must be NON-NEGATIVE for the
+      // +5-then-div half-up and the truncating-vs-flooring div
+      // equivalence (Spark div truncates toward zero, DuckDB // floors) —
+      // the fixture has reshaped between rounds before, so the assumption
+      // is ENFORCED in-plan: a negative value raises in the same pass
+      // (min folded into the existing agg, zero extra shuffles) instead
+      // of silently producing engine-divergent hashes.
       events(s, dir)
         .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hod"))
         .agg(count(lit(1)).as("n_events"),
-          sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("su"))
+          sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("su"),
+          min(col("value")).as("_min_v"))
         .select(col("event_type"), col("hod"), col("n_events"),
-          (expr("((su * 10) div n_events + 5) div 10").cast(DoubleType)
-            / lit(10000.0)).as("avg_value"))
+          when(col("_min_v") < 0, raise_error(lit(
+              "ts_seasonality: negative events.value — the integer " +
+              "half-up rounding requires value >= 0; fixture changed?"))
+            .cast(DoubleType))
+          .otherwise(
+            expr("((su * 10) div n_events + 5) div 10").cast(DoubleType)
+              / lit(10000.0)).as("avg_value"))
         .orderBy("event_type", "hod")
     }),
 

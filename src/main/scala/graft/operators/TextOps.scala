@@ -1578,21 +1578,34 @@ object TextOps {
       // profile_columns shape); β comes from the two largest prefixes'
       // log-ratio. Token totals are exact int64s; β is one double
       // expression over them.
-      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"))
+      // the value-prefix cut (doc_id*4 <= mx) equals a 25% RANK prefix
+      // only when ids are dense from zero — true of the fixture contract
+      // (verified min=0, max=n-1 at every sf) and ENFORCED in-plan below:
+      // a sparse or offset id space raises instead of silently labeling
+      // the wrong corpus fraction (both engines would agree, so only this
+      // guard can catch the semantic drift)
+      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"),
+        min(col("doc_id")).as("mn"), count(lit(1)).as("nd"))
       val tok = toks(s, d).select(col("doc_id"), explode(col("t")).as("token"))
         .crossJoin(broadcast(maxId))
       val d2 = (c: Column) => c.cast(DoubleType)
+      val sparseIds = max(col("mn")) =!= 0L || max(col("mx")) + lit(1L) =!= max(col("nd"))
       tok.agg(
           sum(when(col("doc_id") * 4 <= col("mx"), 1L).otherwise(0L)).as("n_tok_25"),
           sum(when(col("doc_id") * 2 <= col("mx"), 1L).otherwise(0L)).as("n_tok_50"),
           count(lit(1)).as("n_tok_100"),
           countDistinct(when(col("doc_id") * 4 <= col("mx"), col("token"))).as("v_25"),
           countDistinct(when(col("doc_id") * 2 <= col("mx"), col("token"))).as("v_50"),
-          countDistinct(col("token")).as("v_100"))
+          countDistinct(col("token")).as("v_100"),
+          sparseIds.as("_sparse"))
         .select(col("n_tok_25"), col("n_tok_50"), col("n_tok_100"),
           col("v_25"), col("v_50"), col("v_100"),
-          r4(log(d2(col("v_100")) / d2(col("v_50")))
-            / log(d2(col("n_tok_100")) / d2(col("n_tok_50")))).as("heaps_beta"))
+          when(col("_sparse"), raise_error(lit(
+              "tok_vocab_growth: doc_ids not dense-from-zero — the " +
+              "value-prefix cut would mislabel the corpus fraction"))
+            .cast(DoubleType))
+          .otherwise(r4(log(d2(col("v_100")) / d2(col("v_50")))
+            / log(d2(col("n_tok_100")) / d2(col("n_tok_50"))))).as("heaps_beta"))
     }),
 
     "dedup_rate_curve" -> ((s, d) => {
@@ -1603,7 +1616,11 @@ object TextOps {
       // points). The inflection where dup_bp climbs is where further
       // crawling stops paying. ONE scan, conditional distincts in a
       // single Expand; md5 keys shuffle as the dedup_exact family does.
-      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"))
+      // same dense-from-zero id precondition (and in-plan guard) as
+      // tok_vocab_growth — the two prefix definitions are deliberately
+      // identical so the curves are over the SAME corpus fractions
+      val maxId = documents(s, d).agg(max(col("doc_id")).as("mx"),
+        min(col("doc_id")).as("mn"), count(lit(1)).as("nd"))
       val h = fanout(documents(s, d))
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("hash"))
         .crossJoin(broadcast(maxId))
@@ -1613,10 +1630,19 @@ object TextOps {
         count(lit(1)).as("d100"),
         countDistinct(when(col("doc_id") * 4 <= col("mx"), col("hash"))).as("u25"),
         countDistinct(when(col("doc_id") * 2 <= col("mx"), col("hash"))).as("u50"),
-        countDistinct(col("hash")).as("u100"))
+        countDistinct(col("hash")).as("u100"),
+        (max(col("mn")) =!= 0L || max(col("mx")) + lit(1L) =!= max(col("nd")))
+          .as("_sparse"))
       val rows = Seq(("a_25", "d25", "u25"), ("b_50", "d50", "u50"),
         ("c_100", "d100", "u100")).map { case (lbl, dn, un) =>
-        struct(lit(lbl).as("prefix"), col(dn).as("n_docs"), col(un).as("n_unique"),
+        struct(lit(lbl).as("prefix"),
+          (if (lbl == "a_25")
+             when(col("_sparse"), raise_error(lit(
+                 "dedup_rate_curve: doc_ids not dense-from-zero — the " +
+                 "value-prefix cut would mislabel the corpus fraction"))
+               .cast("bigint")).otherwise(col(dn))
+           else col(dn)).as("n_docs"),
+          col(un).as("n_unique"),
           expr(s"(($dn - $un) * 10000) div $dn").as("dup_bp"))
       }
       one.select(explode(array(rows: _*)).as("p")).select("p.*")

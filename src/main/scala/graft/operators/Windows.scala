@@ -577,34 +577,45 @@ object Windows {
   private[graft] def globalNtile(df: DataFrame, k: Int,
                                      order: Seq[Column], out: String): DataFrame = {
     val s = df.sparkSession
+    // internal column names are namespaced (__gnt_*) so a caller schema
+    // with natural names like "n"/"off" can never be clobbered/dropped;
+    // the require makes the one remaining (pathological) collision loud
+    // instead of silently corrupting the output
+    val (cPid, cLrn, cOff, cN, cRn) =
+      ("__gnt_pid", "__gnt_lrn", "__gnt_off", "__gnt_n", "__gnt_rn")
+    val reserved = Set(cPid, cLrn, cOff, cN, cRn)
+    val clash = df.columns.toSet.intersect(reserved) ++
+      (if (reserved(out)) Set(out) else Set.empty[String])
+    require(clash.isEmpty,
+      s"globalNtile: reserved internal column name(s) in use: ${clash.mkString(", ")}")
     val parts = s.sparkContext.defaultParallelism
     val ranged = df
       .repartitionByRange(parts, order: _*)
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid").orderBy(order: _*)
+      .withColumn(cPid, spark_partition_id())
+    val wLocal = Window.partitionBy(cPid).orderBy(order: _*)
     // EAGER checkpoint before the two consumers (counts collect + final
     // join): repartitionByRange SAMPLES its range boundaries per job, so
     // without materialization the two jobs could land rows in different
     // partitions and the broadcast offsets would be off at the boundaries
     // (observed as ±1 quartile flips at sf0.01). Checkpointing also means
     // the big sort runs ONCE, reused by both passes.
-    val local = ranged.withColumn("lrn", row_number().over(wLocal))
+    val local = ranged.withColumn(cLrn, row_number().over(wLocal))
       .localCheckpoint(true)
-    val cnts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val cnts = local.groupBy(cPid).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = cnts.map(_._2).sum
     var acc = 0L
     val offRows = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o, n) }
     import s.implicits._
-    val offs = offRows.toSeq.toDF("pid", "off", "n")
-    local.join(broadcast(offs), "pid")
-      .withColumn("rn", col("off") + col("lrn"))
+    val offs = offRows.toSeq.toDF(cPid, cOff, cN)
+    local.join(broadcast(offs), cPid)
+      .withColumn(cRn, col(cOff) + col(cLrn))
       .withColumn(out, expr(
-        s"CAST(CASE WHEN rn <= (n % $k) * (n div $k + 1) " +
-        s"THEN (rn - 1) div (n div $k + 1) + 1 " +
-        s"ELSE (n % $k) + (rn - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1 " +
+        s"CAST(CASE WHEN $cRn <= ($cN % $k) * ($cN div $k + 1) " +
+        s"THEN ($cRn - 1) div ($cN div $k + 1) + 1 " +
+        s"ELSE ($cN % $k) + ($cRn - ($cN % $k) * ($cN div $k + 1) - 1) div ($cN div $k) + 1 " +
         s"END AS INT)"))
-      .drop("pid", "lrn", "off", "n", "rn")
+      .drop(cPid, cLrn, cOff, cN, cRn)
   }
 
   private def winNtile(s: SparkSession, d: String): DataFrame =
