@@ -110,6 +110,73 @@ object Composites {
         .orderBy("s_suppkey")
     }),
 
+    // ---- Q4 analog: order-priority checking (EXISTS lowered to a LEFT
+    // SEMI join on the order key — one probe per order, no fan-out; the
+    // fixture lacks l_commitdate/l_receiptdate, so "late" becomes "has a
+    // returned line", same plan shape).
+    "q_order_priority" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") <  ts("1996-04-01"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // ---- Q7 analog: volume shipping between two nations, both
+    // directions, by ship year. The nation pair filter sits on two
+    // broadcast dims; the fact side is one orderkey shuffle.
+    "q_volume_shipping" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") <  ts("1998-01-01"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_2"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(outDec(revenueSpark).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+
+    // ---- Q14 analog: promo revenue share for one month — conditional
+    // decimal sums in ONE pass, the share a double ratio of exact sums
+    // (both engines divide identical doubles, then round).
+    "q_promo_revenue" -> ((s, d) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-03-01") &&
+                col("l_shipdate") <  ts("1996-04-01"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          r4(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(Money))).cast(DoubleType)
+            / sum(rev).cast(DoubleType)).as("promo_share_pct"),
+          outDec(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(Money)))).as("promo_revenue"))
+    }),
+
+    // ---- Q22 analog: positive-balance customers with no recent orders
+    // (NOT EXISTS lowered to a LEFT ANTI join against the deduped
+    // recent-buyer keys — the probe side is |recent customers|, not the
+    // order stream), rolled up by segment.
+    "q_cust_no_recent" -> ((s, d) =>
+      customer(s, d).filter(col("c_acctbal") > 0)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= ts("1999-01-01"))
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          outDec(sum(dec(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("c_mktsegment")),
+
     // ---- Q10 analog: returned items (quarter of orders × returned lines ×
     // customer/nation dims → per-customer revenue → top-20).
     "q_returned_items" -> ((s, d) =>
@@ -178,6 +245,53 @@ object Composites {
          WHERE s_suppkey = l_suppkey
            AND total_revenue = (SELECT max(total_revenue) FROM revenue)
          ORDER BY s_suppkey""",
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_promo_revenue" ->
+      """SELECT
+         round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+           AS promo_share_pct,
+         CAST(round(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""",
+    "q_cust_no_recent" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > 0
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "q_returned_items" ->
       s"""SELECT c_custkey, c_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue,
          c_acctbal, n_name

@@ -370,4 +370,32 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
   }
 
+  test("q_order_priority lowers EXISTS to a LEFT SEMI join with the date filter pushed") {
+    val p = planNoAutoBroadcast(Composites.queries("q_order_priority")(spark, d))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p)
+  }
+
+  test("q_volume_shipping broadcasts supplier and both nation sides; no cartesian") {
+    val p = planNoAutoBroadcast(Composites.queries("q_volume_shipping")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3, p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_promo_revenue broadcasts the part dim; shipdate month pushed to the fact scan") {
+    val p = planNoAutoBroadcast(Composites.queries("q_promo_revenue")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+  }
+
+  test("q_cust_no_recent lowers NOT EXISTS to a LEFT ANTI join on deduped keys") {
+    val p = planNoAutoBroadcast(Composites.queries("q_cust_no_recent")(spark, d))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$p")
+    // the anti-join probe side is the DISTINCT recent-buyer keys, so an
+    // aggregate must sit under the join's right child
+    assert(p.contains("HashAggregate"), p)
+  }
+
 }
