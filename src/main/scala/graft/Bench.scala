@@ -111,20 +111,34 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val canaryPre = canarySeconds()
     warmup(spark, sfDir)
-    // Materialize the shared minhash-candidate artifact ONCE, timed
+    // Materialize the shared derived artifacts ONCE each, timed
     // separately (the Derived seam): per-key numbers then measure each
     // consumer's own plan, and the derivation cost stays visible in the
-    // JSON instead of landing on whichever consumer runs first. Skipped
-    // when a SPARK_GRAFT_KEYS subset contains no consumer.
-    val bandPairsConsumers = Set("dedup_minhash", "dedup_cluster",
-      "dedup_keep_best", "sim_minhash_est", "graph_triangles",
-      "graph_components_hist")
-    val derivedS: Option[Double] =
-      if (selected.keysIterator.exists(bandPairsConsumers)) {
-        val t0 = System.nanoTime()
-        operators.Derived.bandPairs(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
-      } else None
+    // JSON instead of landing on whichever consumer runs first. Order
+    // matters (shingle_pair_stats derives FROM hashed_shingles); an
+    // artifact is skipped when a SPARK_GRAFT_KEYS subset contains none of
+    // its consumers.
+    val derivedSpecs: Seq[(String, Set[String], () => Long)] = Seq(
+      ("hashed_shingles",
+        Set("dedup_near", "sim_containment", "split_leakage",
+          "corpus_decontam", "eval_coverage", "sim_minhash_est"),
+        () => operators.Derived.hashedShingles(spark, sfDir).count()),
+      ("shingle_pair_stats",
+        Set("dedup_near", "sim_containment", "split_leakage"),
+        () => operators.Derived.shinglePairStats(spark, sfDir).count()),
+      ("band_pairs",
+        Set("dedup_minhash", "dedup_cluster", "dedup_keep_best",
+          "sim_minhash_est", "graph_triangles", "graph_components_hist"),
+        () => operators.Derived.bandPairs(spark, sfDir).count()))
+    val derived: Seq[(String, Double)] = derivedSpecs.flatMap {
+      case (nm, consumers, run) =>
+        if (selected.keysIterator.exists(consumers)) {
+          val t0 = System.nanoTime()
+          run()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          Some(nm -> (System.nanoTime() - t0) / 1e9)
+        } else None
+    }
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -151,10 +165,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.map(k => "\"" + k + "\"").mkString("[", ",", "]")
-    val ds = derivedS.map(v => s""""band_pairs":$v""").mkString("{", ",", "}")
-    // total = per-key sum + the shared derivation: the one-time prefix is
+    val ds = derived.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // total = per-key sum + the shared derivations: the one-time prefix is
     // real work this run did, so the 2×-gate total keeps counting it
-    val total = (if (results.nonEmpty) results.values.sum else 0.0) + derivedS.getOrElse(0.0)
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) +
+      derived.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,4 +51,20 @@ object Derived {
     */
   def bandPairs(s: SparkSession, d: String): DataFrame =
     dataset(s, d, "band_pairs")(TextOps.bandPairs(TextOps.minhashBands(s, d)))
+
+  /** The hashed shingle index (doc_id, sh — 2 longs/row): the common
+    * prefix of the exact near-dup family and the decontamination audits
+    * (dedup_near, sim_containment, split_leakage, corpus_decontam,
+    * eval_coverage, sim_minhash_est's exact sets).
+    */
+  def hashedShingles(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "hashed_shingles")(TextOps.hashedShinglesBuild(s, d))
+
+  /** Verified candidate pairs with exact intersection/sizes (a, b, i, na,
+    * nb — 5 longs/row): dedup_near's machinery, consumed verbatim by
+    * sim_containment and split_leakage. Derives FROM the hashed-shingle
+    * artifact (chained materialization).
+    */
+  def shinglePairStats(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "shingle_pair_stats")(TextOps.shinglePairStatsBuild(s, d))
 }

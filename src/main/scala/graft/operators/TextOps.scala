@@ -146,10 +146,19 @@ object TextOps {
     * EXTRACTION (before the distinct) means every downstream shuffle moves
     * 8-byte longs instead of ~20-char strings.
     */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def hashedShinglesBuild(s: SparkSession, d: String): DataFrame =
     shingleRows(s, d)
       .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
       .distinct()
+
+  /** All in-module consumers go through the materialize-once seam
+    * (Derived): the (doc_id, sh) artifact is derived once per sf dir and
+    * scanned by corpus_decontam / eval_coverage / sim_minhash_est and the
+    * pair machinery below — the persisted-intermediate shape a 100 TB
+    * pipeline holds for its shingle index.
+    */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    Derived.hashedShingles(s, d)
 
   /** Lee-et-al-style substring-dedup signal over a (doc_id, t: tokens)
     * table: SLIDING 12-token spans at every offset — unlike
@@ -199,7 +208,10 @@ object TextOps {
     * set ONCE as a sorted array and intersects in-row — peaks at
     * |pairs| × 2 bounded arrays, never corpus².
     */
-  private def shinglePairStats(s: SparkSession, d: String): DataFrame = {
+  private def shinglePairStats(s: SparkSession, d: String): DataFrame =
+    Derived.shinglePairStats(s, d)
+
+  private[operators] def shinglePairStatsBuild(s: SparkSession, d: String): DataFrame = {
     // EAGER localCheckpoint (the connectedComponents discipline), not a
     // lazy cache: sh is consumed by THREE branches (df-count, candDocs
     // semi-join, docSets) that otherwise race to fill the cache inside
