@@ -177,6 +177,46 @@ object Composites {
           outDec(sum(dec(col("c_acctbal")))).as("totacctbal"))
         .orderBy("c_mktsegment")),
 
+    // ---- Q18 analog: large-volume orders (IN-subquery over a grouped
+    // HAVING lowered to a semi join against the aggregated key set —
+    // |qualifying orders| rows, never the line stream; then dims +
+    // re-aggregation + deterministic top-20).
+    "q_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .filter(col("q") > 280)
+        .select("l_orderkey")
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey").as("lk"), col("l_quantity")),
+          col("o_orderkey") === col("lk"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(outDec(sum(dec(col("l_quantity")))).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // ---- Q2 analog: min-cost supplier per part. Q2's correlated scalar
+    // min is hand-decorrelated into ONE lexicographic struct-min partial
+    // aggregate — (min price, then min suppkey among ties) per part, the
+    // agg_minmax_by determinism discipline — exactly the aggregate-then-
+    // join shape Catalyst itself rewrites correlated scalar subqueries
+    // into, but with zero second fact pass.
+    "q_min_cost_supplier" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+        .select(col("l_partkey"), col("m.l_extendedprice").as("min_price"),
+          col("m.l_suppkey").as("suppkey"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("min_price"))
+        .orderBy("p_partkey")),
+
     // ---- Q10 analog: returned items (quarter of orders × returned lines ×
     // customer/nation dims → per-customer revenue → top-20).
     "q_returned_items" -> ((s, d) =>
@@ -292,6 +332,31 @@ object Composites {
                              AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
+    "q_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 280)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 20""",
+    "q_min_cost_supplier" ->
+      """WITH m AS (
+           SELECT l_partkey, min(l_extendedprice) AS mp FROM lineitem
+           GROUP BY l_partkey),
+         pick AS (
+           SELECT l.l_partkey, m.mp AS min_price, min(l.l_suppkey) AS suppkey
+           FROM lineitem l JOIN m
+             ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp
+           GROUP BY l.l_partkey, m.mp)
+         SELECT p_partkey, p_name, s_name, min_price
+         FROM pick
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON suppkey = s_suppkey
+         ORDER BY p_partkey""",
     "q_returned_items" ->
       s"""SELECT c_custkey, c_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue,
          c_acctbal, n_name

@@ -390,6 +390,20 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
   }
 
+  test("q_large_orders: IN-subquery as LEFT SEMI against the aggregated keys; top-20 TakeOrdered") {
+    val p = planNoAutoBroadcast(Composites.queries("q_large_orders")(spark, d))
+    assert(p.contains("LeftSemi"), s"IN over grouped HAVING must plan a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_min_cost_supplier decorrelates to ONE fact scan (no per-part second pass)") {
+    val p = planNoAutoBroadcast(Composites.queries("q_min_cost_supplier")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      s"the correlated min must fold into one aggregate over one scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_cust_no_recent lowers NOT EXISTS to a LEFT ANTI join on deduped keys") {
     val p = planNoAutoBroadcast(Composites.queries("q_cust_no_recent")(spark, d))
     assert(p.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$p")
