@@ -449,8 +449,13 @@ object GraphQL {
         val aggs = sel.selections.map(f =>
           aggExpr(f.name, src => child.schema.fields.find(_.name == src).map(_.dataType)))
         require(aggs.nonEmpty, s"${sel.name}: at least one aggregate selection")
+        // the rollup's key is renamed to a namespaced column before the
+        // join: at depth the parent frame may itself carry a same-named
+        // column (orders { customer { orders_agg } } — both sides have
+        // o_custkey), which would make the join condition ambiguous
         val sub = child.groupBy(col(rk)).agg(aggs.head, aggs.tail: _*)
-        df = df.join(sub, col(lk) === col(rk), "left").drop(rk)
+          .withColumnRenamed(rk, "__agg_rk")
+        df = df.join(sub, col(lk) === col("__agg_rk"), "left").drop("__agg_rk")
         if (sel.selections.exists(_.name == "count"))
           df = df.withColumn("count", coalesce(col("count"), lit(0L)))
         out ++= sel.selections.map(f => f.name -> f.name)
@@ -462,9 +467,18 @@ object GraphQL {
           (table, sel.name),
           throw new IllegalArgumentException(s"unknown relation $table.${sel.name}"))
         val childScalars = sel.selections.filter(_.selections.isEmpty).map(_.name)
+        // keys this subtree's OWN nested relations will join on: many-to-one
+        // children need their fk; a nested `<rel>_agg` rollup joins back on
+        // the PARENT-side key of the one-to-many relation
         val childFks = sel.selections.filter(_.selections.nonEmpty).map { cr =>
-          TableRegistry.relations.getOrElse((target, cr.name),
-            throw new IllegalArgumentException(s"unknown relation $target.${cr.name}"))._2
+          if (cr.name.endsWith("_agg"))
+            TableRegistry.reverseRelations.getOrElse(
+              (target, cr.name.stripSuffix("_agg")),
+              throw new IllegalArgumentException(
+                s"unknown one-to-many relation $target.${cr.name.stripSuffix("_agg")}"))._2
+          else
+            TableRegistry.relations.getOrElse((target, cr.name),
+              throw new IllegalArgumentException(s"unknown relation $target.${cr.name}"))._2
         }
         val sub = TableRegistry.load(s, dir, target)
           .select(((rk +: childScalars) ++ childFks).distinct.map(col): _*)

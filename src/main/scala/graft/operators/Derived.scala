@@ -28,13 +28,27 @@ object Derived {
 
   private val paths = scala.collection.mutable.Map[(String, String), String]()
 
+  private lazy val root: java.io.File = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-derived-${ProcessHandle.current().pid()}")
+    // tmp hygiene: drop the whole per-PID artifact tree on clean JVM exit
+    // (artifacts are per-process by design — see scaladoc — so nothing
+    // can still want them)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
   def dataset(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
     val key = (new java.io.File(d).getCanonicalPath, name)
     val p = paths.synchronized {
       paths.getOrElseUpdate(key, {
-        val dir = new java.io.File(
-          new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft-derived-${ProcessHandle.current().pid()}"),
+        val dir = new java.io.File(root,
           s"$name-${java.lang.Integer.toHexString(key._1.hashCode)}")
         build.write.mode("overwrite").parquet(dir.getPath)
         dir.getPath

@@ -195,6 +195,29 @@ class DialectSpec extends AnyFunSuite {
       "{ customer(limit: 1) { c_custkey orders_agg { median_o_totalprice } } }"))
   }
 
+  test("GraphQL nested aggregation: sibling _aggs and an _agg one level deep") {
+    // two sibling rollups on one parent (nation → its customers AND its
+    // suppliers) — each is its own aggregate-then-join
+    val sib = GraphQL.run(spark, d,
+      """{ nation(orderBy: ["n_nationkey"], limit: 5) {
+           n_nationkey customer_agg { count avg_c_acctbal }
+           supplier_agg { max_s_acctbal } } }""")
+    assert(sib.columns.toSeq ===
+      Seq("n_nationkey", "count", "avg_c_acctbal", "max_s_acctbal"))
+    assert(sib.count() === 5)
+    // an _agg INSIDE a nested relation subtree (orders → customer →
+    // that customer's full order rollup): attach recurses, the rollup
+    // joins at the depth it appears
+    val deep = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 3) {
+           o_orderkey customer { c_custkey orders_agg { count } } } }""")
+    assert(deep.columns.toSeq === Seq("o_orderkey", "c_custkey", "count"))
+    val rows = deep.collect()
+    assert(rows.length === 3)
+    // every order's customer has at least that one order
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
   test("NL relative-time production: sargable anchored range; no anchor = loud failure") {
     val sql = NlToSql.translate("total event value by event type in the last 30 days")
     // half-open [anchor-30d, anchor) on the fixture-contract anchor
