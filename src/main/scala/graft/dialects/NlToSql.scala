@@ -510,8 +510,11 @@ object NlToSql {
   }
 
   /** Translate and execute through the SQL entry point (EP2). */
-  def run(s: SparkSession, dir: String, question: String): DataFrame = {
-    TableRegistry.registerAll(s, dir)
-    s.sql(translate(question))
-  }
+  /** Grammar translation through the SAME gate every translator uses
+    * (NlGate: parse + read-only + catalog-only) — uniformity means the
+    * gate is exercised on every shipped NL key, not just in the LLM
+    * adapter's tests.
+    */
+  def run(s: SparkSession, dir: String, question: String): DataFrame =
+    NlGate.run(s, dir, GrammarTranslator, question)
 }

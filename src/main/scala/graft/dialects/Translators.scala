@@ -1,0 +1,98 @@
+package graft.dialects
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+
+import graft.sources.TableRegistry
+
+/** The NL translation seam (SURVEY.md §2.9): the reference declares
+  * "Natural Language" as a first-class dialect (reference README.md:2);
+  * in-harness the deterministic grammar is the translator, and THIS trait
+  * is where an LLM-backed one plugs in. The part an LLM deployment
+  * actually needs engineered — and the part that is fully provable
+  * offline — is not the completion call but the TRUST BOUNDARY around
+  * it: generated SQL is untrusted input, so every translator's output
+  * (grammar included, for uniformity) passes [[NlGate.validate]] before
+  * execution: it must parse, must be a single read-only query (no
+  * DDL/DML `Command`), and may only reference registered catalog tables.
+  * A completion that answers with `DROP TABLE`, multi-statement
+  * injection, or a hallucinated table name fails loudly at the gate —
+  * it can never reach the engine.
+  */
+trait NlTranslator {
+  def translate(question: String): String
+}
+
+/** The deterministic grammar (the in-harness default). */
+object GrammarTranslator extends NlTranslator {
+  def translate(question: String): String = NlToSql.translate(question)
+}
+
+/** LLM adapter: `complete` is the model call (prompt → completion) — the
+  * ONLY unimplementable-offline piece, injected so a deployment provides
+  * its client and tests provide a fake. The prompt carries the catalog
+  * schema so the model grounds on real tables; whatever comes back is
+  * validated by [[NlGate]] before it may execute.
+  */
+final class LlmTranslator(
+    complete: String => String,
+    schemaDoc: String = LlmTranslator.defaultSchemaDoc) extends NlTranslator {
+
+  def translate(question: String): String =
+    complete(
+      s"""Translate the question into ONE ANSI SQL SELECT statement over this catalog.
+         |Only use these tables/columns. Reply with SQL only.
+         |$schemaDoc
+         |Question: $question""".stripMargin)
+}
+
+object LlmTranslator {
+  /** Catalog grounding text, derived from the same registry the planner
+    * resolves against (names only — schemas are per-directory, so column
+    * grounding happens engine-side at validation/analysis).
+    */
+  def defaultSchemaDoc: String =
+    s"Tables: ${TableRegistry.tables.keys.toSeq.sorted.mkString(", ")}"
+}
+
+/** The validation gate between ANY translator and the engine. */
+object NlGate {
+
+  /** Throws IllegalArgumentException unless `sql` is a single read-only
+    * query over registered catalog tables. Parsing uses Spark's own
+    * parser, so "valid" means exactly what the engine will accept.
+    */
+  def validate(s: SparkSession, sql: String): Unit = {
+    val plan =
+      try s.sessionState.sqlParser.parsePlan(sql)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"NL translation is not parseable SQL: ${e.getMessage}")
+      }
+    // Command covers DDL (DROP/CREATE/ALTER…); InsertIntoStatement is a
+    // plain logical node, NOT a Command, and must be rejected separately
+    // or an INSERT would execute as a "query"
+    if (plan.exists(n => n.isInstanceOf[Command] || n.isInstanceOf[InsertIntoStatement]))
+      throw new IllegalArgumentException(
+        "NL translation must be a read-only query, got a command: " + sql)
+    val referenced = plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+    }.toSet
+    val unknown = referenced -- TableRegistry.tables.keySet
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"NL translation references unknown table(s): ${unknown.mkString(", ")}")
+  }
+
+  /** Translate → validate → execute: the one path every NL request takes
+    * regardless of which translator produced the SQL.
+    */
+  def run(s: SparkSession, dir: String, tr: NlTranslator, question: String): DataFrame = {
+    TableRegistry.registerAll(s, dir)
+    val sql = tr.translate(question)
+    validate(s, sql)
+    s.sql(sql)
+  }
+}

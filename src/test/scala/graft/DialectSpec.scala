@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.dialects.{GraphQL, NlToSql}
+import graft.dialects.{GraphQL, LlmTranslator, NlGate, NlToSql}
 import graft.sources.TableRegistry
 import graft.operators.Dialects
 
@@ -216,6 +216,36 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.length === 3)
     // every order's customer has at least that one order
     assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("NL translator seam: LLM adapter output is gated — parse, read-only, catalog-only") {
+    // a fake completion stands in for the model call (the only piece an
+    // offline container cannot run); everything else — prompt grounding,
+    // validation, execution — is the real path
+    def llm(answer: String) = new LlmTranslator(_ => answer)
+    val good = NlGate.run(spark, d,
+      llm("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1"), "how many orders per status?")
+    assert(good.count() === 3)
+    // prompt grounding carries the catalog
+    var seen: String = null
+    new LlmTranslator(p => { seen = p; "SELECT 1 AS one" }).translate("q")
+    assert(seen.contains("orders") && seen.contains("lineitem") && seen.contains("q"))
+    // DDL/DML from a hostile or confused completion never reaches the engine
+    assertThrows[IllegalArgumentException](
+      NlGate.run(spark, d, llm("DROP TABLE orders"), "q"))
+    assertThrows[IllegalArgumentException](
+      NlGate.run(spark, d, llm("INSERT INTO orders SELECT * FROM orders"), "q"))
+    // hallucinated tables fail loudly
+    assertThrows[IllegalArgumentException](
+      NlGate.run(spark, d, llm("SELECT * FROM secret_users"), "q"))
+    // non-SQL babble fails at parse
+    assertThrows[IllegalArgumentException](
+      NlGate.run(spark, d, llm("Sure! Here is the SQL you asked for:"), "q"))
+    // and every shipped grammar production passes the same gate
+    import graft.operators.Dialects._
+    Seq(nlQuestion, nlAvgQuestion, nlYearQuestion, nlOrQuestion, nlMonthQuestion,
+        nlLastDaysQuestion, nlNotInQuestion, nlTopkPerGroupQuestion, nlShareQuestion)
+      .foreach(q => NlGate.validate(spark, NlToSql.translate(q)))
   }
 
   test("NL relative-time production: sargable anchored range; no anchor = loud failure") {
