@@ -19,8 +19,14 @@ SLEEP="${GRAFT_RETRY_SLEEP:-60}"
 
 run_once() { scripts/run.sh graft.Bench; }
 
-quiet() { # quiet <json-line> → exit 0 iff both canaries within band
-  python3 - "$1" "$MAX" <<'EOF'
+quiet() { # quiet <captured-stdout> → exit 0 iff both canaries within band
+  # parse only the LAST stdout line: stray JVM/Spark stdout noise above
+  # the JSON must not make a genuinely quiet run look contaminated.
+  # (The line goes in via argv — a pipe would be clobbered by the heredoc
+  # that already occupies python's stdin.)
+  local last
+  last="$(printf '%s' "$1" | tail -n 1)"
+  python3 - "$last" "$MAX" <<'EOF'
 import json, sys
 j = json.loads(sys.argv[1]); mx = float(sys.argv[2])
 ok = j.get("canary_pre_s", 99) <= mx and j.get("canary_post_s", 99) <= mx

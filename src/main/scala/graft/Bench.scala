@@ -71,20 +71,27 @@ object Bench {
     // derived from the bench sf dir (sibling sf0.001) or overridden via
     // SPARK_GRAFT_WARMUP_DIR, so non-default deployments still warm; a
     // skipped warmup is logged so skewed per-key numbers stay attributable.
-    val tiny = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+    val overrideDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+    val validOverride = overrideDir.filter(p => new java.io.File(p).isDirectory)
+    overrideDir.filterNot(_ => validOverride.nonEmpty).foreach { p =>
+      System.err.println(
+        s"BENCH WARNING: SPARK_GRAFT_WARMUP_DIR=$p is not a directory; " +
+          "falling back to the sf0.001 sibling")
+    }
+    val tiny = validOverride
       .orElse {
         Option(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
           .map(p => new java.io.File(p, "sf0.001").getPath)
+          .filter(p => new java.io.File(p).isDirectory)
       }
-      .filter(p => new java.io.File(p).isDirectory)
     tiny match {
       case Some(p) =>
         operators.TextOps.queries("dedup_cluster")(spark, p).count()
       case None =>
         System.err.println(
-          "BENCH WARNING: minhash warmup skipped (no sf0.001 sibling of " +
-            s"$sfDir and no SPARK_GRAFT_WARMUP_DIR); the first dedup/graph " +
-            "key will absorb ~8 s of one-time JIT")
+          "BENCH WARNING: minhash warmup skipped (no usable " +
+            s"SPARK_GRAFT_WARMUP_DIR and no sf0.001 sibling of $sfDir); " +
+            "the first dedup/graph key will absorb ~8 s of one-time JIT")
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }

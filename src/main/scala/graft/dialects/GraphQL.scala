@@ -446,8 +446,25 @@ object GraphQL {
             s"${sel.name}.${f.name}: aggregate selections must be scalars")
         }
         val child = applyFilters(TableRegistry.load(s, dir, target), sel.args)
-        val aggs = sel.selections.map(f =>
-          aggExpr(f.name, src => child.schema.fields.find(_.name == src).map(_.dataType)))
+        // output names honor `alias: field` (same surface as scalar
+        // selections) — and MUST be used to disambiguate when two sibling
+        // rollups select the same aggregate (nation { customer_agg
+        // { count } supplier_agg { count } }): a duplicate emitted name
+        // fails loudly here instead of planning an ambiguous column
+        val outNames = sel.selections.map(f => f.alias.getOrElse(f.name))
+        outNames.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+          .headOption.foreach { n =>
+            throw new IllegalArgumentException(
+              s"${sel.name}: duplicate aggregate output '$n' (alias one of them)")
+          }
+        outNames.find(df.columns.contains).foreach { n =>
+          throw new IllegalArgumentException(
+            s"${sel.name}: aggregate output '$n' collides with an existing " +
+              "column (alias it, e.g. `customers: count`)")
+        }
+        val aggs = sel.selections.zip(outNames).map { case (f, n) =>
+          aggExpr(f.name, src => child.schema.fields.find(_.name == src).map(_.dataType)).as(n)
+        }
         require(aggs.nonEmpty, s"${sel.name}: at least one aggregate selection")
         // the rollup's key is renamed to a namespaced column before the
         // join: at depth the parent frame may itself carry a same-named
@@ -456,9 +473,10 @@ object GraphQL {
         val sub = child.groupBy(col(rk)).agg(aggs.head, aggs.tail: _*)
           .withColumnRenamed(rk, "__agg_rk")
         df = df.join(sub, col(lk) === col("__agg_rk"), "left").drop("__agg_rk")
-        if (sel.selections.exists(_.name == "count"))
-          df = df.withColumn("count", coalesce(col("count"), lit(0L)))
-        out ++= sel.selections.map(f => f.name -> f.name)
+        sel.selections.zip(outNames).collect { case (f, n) if f.name == "count" =>
+          df = df.withColumn(n, coalesce(col(n), lit(0L)))
+        }
+        out ++= outNames.map(n => n -> n)
       }
       else {
         require(sel.alias.isEmpty,
@@ -483,7 +501,12 @@ object GraphQL {
         val sub = TableRegistry.load(s, dir, target)
           .select(((rk +: childScalars) ++ childFks).distinct.map(col): _*)
         df = df.join(sub, col(lk) === col(rk), "left")
-        if (!childScalars.contains(rk)) df = df.drop(rk)
+        // the join key is dropped from the frame only when nothing else
+        // needs it: a nested rollup may join back on this very column
+        // (orders { customer { orders_agg } } joins on c_custkey), so
+        // dropping it when childFks references it would unresolve the
+        // recursive attach below
+        if (!childScalars.contains(rk) && !childFks.contains(rk)) df = df.drop(rk)
         val (dfn, colsN) = attach(s, dir, df, target, sel.selections)
         df = dfn
         out ++= colsN

@@ -2,7 +2,8 @@ package graft.dialects
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
 import graft.sources.TableRegistry
 
@@ -71,16 +72,42 @@ object NlGate {
           throw new IllegalArgumentException(
             s"NL translation is not parseable SQL: ${e.getMessage}")
       }
-    // Command covers DDL (DROP/CREATE/ALTER…); InsertIntoStatement is a
-    // plain logical node, NOT a Command, and must be rejected separately
-    // or an INSERT would execute as a "query"
-    if (plan.exists(n => n.isInstanceOf[Command] || n.isInstanceOf[InsertIntoStatement]))
+    // Exhaustive traversal: TreeNode.collect/exists walk CHILDREN only,
+    // which misses (a) CTE definitions — UnresolvedWith holds them in
+    // cteRelations, not children, so `WITH t AS (SELECT … FROM orders)
+    // SELECT * FROM t` would flag the alias `t` as unknown AND never
+    // check `orders` — and (b) plans nested inside subquery EXPRESSIONS
+    // (IN/EXISTS/scalar), through which a hallucinated or non-catalog
+    // relation would slip past the gate entirely. A work queue walks
+    // every reachable plan; CTE aliases become locally-known names.
+    val defined = scala.collection.mutable.Set[String]()
+    val referenced = scala.collection.mutable.Set[String]()
+    var command = false
+    val queue = scala.collection.mutable.Queue[LogicalPlan](plan)
+    while (queue.nonEmpty) {
+      queue.dequeue().foreach { node =>
+        node match {
+          case w: UnresolvedWith =>
+            w.cteRelations.foreach { case (name, defn, _) =>
+              defined += name.toLowerCase
+              queue.enqueue(defn)
+            }
+          case r: UnresolvedRelation =>
+            referenced += r.multipartIdentifier.last.toLowerCase
+          case n if n.isInstanceOf[Command] || n.isInstanceOf[InsertIntoStatement] =>
+            command = true
+          case _ => ()
+        }
+        node.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => queue.enqueue(sq.plan)
+          case _ => ()
+        })
+      }
+    }
+    if (command)
       throw new IllegalArgumentException(
         "NL translation must be a read-only query, got a command: " + sql)
-    val referenced = plan.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.toSet
-    val unknown = referenced -- TableRegistry.tables.keySet
+    val unknown = referenced.toSet -- TableRegistry.tables.keySet -- defined
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"NL translation references unknown table(s): ${unknown.mkString(", ")}")

@@ -13,10 +13,14 @@ import graft.Tables._
   * prove the shapes compose into the queries a karna analyst would actually
   * run against `README.md:2`'s SQL surface.
   *
-  * Scale design (the 100 TB story, identical across the five):
-  *  - dimensions (region/nation/customer/supplier — KB-to-GB at any SF)
-  *    carry explicit `broadcast()` hints: dim→fact joins are map-side, no
-  *    dim shuffle ever;
+  * Scale design (the 100 TB story, shared across the suite):
+  *  - SMALL dimensions (region/nation/supplier/part, and customer where
+  *    it arrives pre-filtered, e.g. Q3's one-segment slice) carry
+  *    explicit `broadcast()` hints: those dim→fact joins are map-side.
+  *    UNFILTERED customer (Q5/Q7/Q10) is deliberately NOT hinted — at
+  *    TPC-H scale customer is 150k rows × SF (15 B rows at SF100k), far
+  *    past broadcast range, so it joins orders through the keyed
+  *    shuffle like the fact it effectively is;
   *  - the two fact tables (orders/lineitem) join on their shared key via
   *    one keyed shuffle (AQE may further convert at small SF — fine);
   *  - date-range predicates sit directly on scan columns → parquet

@@ -26,7 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Derived {
 
-  private val paths = scala.collection.mutable.Map[(String, String), String]()
+  // ConcurrentHashMap.computeIfAbsent gives build-once PER KEY without a
+  // global build lock: two concurrent cold callers for DIFFERENT
+  // artifacts (e.g. two server threads needing band_pairs and
+  // hashed_shingles) build in parallel instead of queueing one behind
+  // the other's multi-second parquet write
+  private val paths =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private lazy val root: java.io.File = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -46,14 +52,12 @@ object Derived {
 
   def dataset(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
     val key = (new java.io.File(d).getCanonicalPath, name)
-    val p = paths.synchronized {
-      paths.getOrElseUpdate(key, {
-        val dir = new java.io.File(root,
-          s"$name-${java.lang.Integer.toHexString(key._1.hashCode)}")
-        build.write.mode("overwrite").parquet(dir.getPath)
-        dir.getPath
-      })
-    }
+    val p = paths.computeIfAbsent(key, { _ =>
+      val dir = new java.io.File(root,
+        s"$name-${java.lang.Integer.toHexString(key._1.hashCode)}")
+      build.write.mode("overwrite").parquet(dir.getPath)
+      dir.getPath
+    })
     s.read.parquet(p)
   }
 

@@ -74,6 +74,20 @@ object JdbcCatalog {
       .getOrElse(throw new IllegalArgumentException(
         s"no catalog dialect for JDBC url: $url"))
 
+  /** The dialect travels WITH the connection: connectUrl records which
+    * dialect it chose, and register/migrate resolve it from the
+    * connection instead of taking a per-call default — a Postgres
+    * connection must retry Postgres SQLSTATEs (40P01), not Derby's
+    * (40XL1), or the seam's whole point is defeated. Weak keys: entries
+    * vanish with the connections they describe.
+    */
+  private val connDialects =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Connection, SqlDialect]())
+
+  private def dialectOf(c: Connection): SqlDialect =
+    Option(connDialects.get(c)).getOrElse(DerbyDialect)
+
   /** Ordered, append-only migrations (the diesel-style ladder). The
     * current version lives in `catalog_version`; `migrate` applies every
     * step beyond it transactionally, so any client can bring any older
@@ -115,6 +129,7 @@ object JdbcCatalog {
   def connectUrl(url: String): Connection = {
     val dl = dialectFor(url)
     val c = DriverManager.getConnection(url)
+    connDialects.put(c, dl)
     c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
     migrate(c, dl)
     c
@@ -171,8 +186,8 @@ object JdbcCatalog {
     * 40001 / lock timeout 40XL1 — the expected cost of SERIALIZABLE under
     * contention) are retried; every other failure rolls back and rethrows.
     */
-  def register(c: Connection, e: CatalogStore.Entry,
-               dl: SqlDialect = DerbyDialect): Unit = {
+  def register(c: Connection, e: CatalogStore.Entry): Unit = {
+    val dl = dialectOf(c)
     var attempts = 0
     var done = false
     while (!done) {

@@ -197,17 +197,23 @@ class DialectSpec extends AnyFunSuite {
 
   test("GraphQL nested aggregation: sibling _aggs and an _agg one level deep") {
     // two sibling rollups on one parent (nation → its customers AND its
-    // suppliers) — each is its own aggregate-then-join
+    // suppliers) — each is its own aggregate-then-join; both counts are
+    // selected, so one must carry an alias (a duplicate output name
+    // fails loudly below)
     val sib = GraphQL.run(spark, d,
       """{ nation(orderBy: ["n_nationkey"], limit: 5) {
            n_nationkey customer_agg { count avg_c_acctbal }
-           supplier_agg { max_s_acctbal } } }""")
+           supplier_agg { n_supp: count max_s_acctbal } } }""")
     assert(sib.columns.toSeq ===
-      Seq("n_nationkey", "count", "avg_c_acctbal", "max_s_acctbal"))
+      Seq("n_nationkey", "count", "avg_c_acctbal", "n_supp", "max_s_acctbal"))
     assert(sib.count() === 5)
+    // unaliased colliding outputs fail loudly, never plan ambiguous
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      "{ nation(limit: 1) { n_nationkey customer_agg { count } supplier_agg { count } } }"))
     // an _agg INSIDE a nested relation subtree (orders → customer →
     // that customer's full order rollup): attach recurses, the rollup
-    // joins at the depth it appears
+    // joins at the depth it appears — and works whether or not the join
+    // key (c_custkey) is itself selected as a scalar
     val deep = GraphQL.run(spark, d,
       """{ orders(orderBy: ["o_orderkey"], limit: 3) {
            o_orderkey customer { c_custkey orders_agg { count } } } }""")
@@ -216,6 +222,11 @@ class DialectSpec extends AnyFunSuite {
     assert(rows.length === 3)
     // every order's customer has at least that one order
     assert(rows.forall(_.getLong(2) >= 1))
+    val deepNoKey = GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 3) {
+           o_orderkey customer { c_name orders_agg { count } } } }""")
+    assert(deepNoKey.columns.toSeq === Seq("o_orderkey", "c_name", "count"))
+    assert(deepNoKey.collect().forall(_.getLong(2) >= 1))
   }
 
   test("NL translator seam: LLM adapter output is gated — parse, read-only, catalog-only") {
@@ -241,6 +252,17 @@ class DialectSpec extends AnyFunSuite {
     // non-SQL babble fails at parse
     assertThrows[IllegalArgumentException](
       NlGate.run(spark, d, llm("Sure! Here is the SQL you asked for:"), "q"))
+    // CTE queries are legal (the alias is locally-known) AND their
+    // definitions are checked — the two halves of the WITH-handling
+    NlGate.validate(spark,
+      "WITH t AS (SELECT o_orderkey FROM orders) SELECT count(*) FROM t")
+    assertThrows[IllegalArgumentException](NlGate.validate(spark,
+      "WITH t AS (SELECT x FROM secret_tbl) SELECT count(*) FROM t"))
+    // relations inside subquery EXPRESSIONS are gated too
+    assertThrows[IllegalArgumentException](NlGate.validate(spark,
+      "SELECT count(*) FROM orders WHERE o_custkey IN (SELECT c FROM secret_tbl)"))
+    assertThrows[IllegalArgumentException](NlGate.validate(spark,
+      "SELECT count(*) FROM orders WHERE EXISTS (SELECT 1 FROM secret_tbl)"))
     // and every shipped grammar production passes the same gate
     import graft.operators.Dialects._
     Seq(nlQuestion, nlAvgQuestion, nlYearQuestion, nlOrQuestion, nlMonthQuestion,
