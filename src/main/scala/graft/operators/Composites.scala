@@ -39,7 +39,10 @@ object Composites {
 
   private def ts(s: String) = lit(s).cast(TimestampType)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    wave12 ++ wave3
+
+  private def wave12: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Q1 analog: full pricing summary (flagship + avg_price/avg_disc) --
     "q_pricing_summary" -> ((s, d) => {
       val disc1 = lit(1).cast(Money) - dec(col("l_discount"))
@@ -240,7 +243,235 @@ object Composites {
         .limit(20))
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Third wave — the 11 remaining TPC-H shapes (Q6/Q8/Q9/Q11/Q12/Q13/
+    * Q16/Q17/Q19/Q20/Q21 analogs), completing the 22-query suite. The
+    * partsupp-dependent ones (Q11/Q16/Q17/Q20) substitute lineitem as the
+    * part↔supplier bridge; absolute HAVING thresholds become
+    * scale-free relative ones (×avg) so the same query is meaningful at
+    * every SF. Threshold compares run on doubles derived from exact
+    * decimal sums — deterministic cross-engine (no FP accumulation).
+    */
+  private def wave3: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q6 analog: forecasting revenue change — pure scan-side
+    // conjunctive filter (all three predicates reach PushedFilters) into
+    // a single global decimal sum. The simplest composite on purpose:
+    // it proves the pushdown + partial-agg path with zero joins.
+    "q_forecast_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") <  ts("1997-01-01") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(outDec(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+          .as("revenue"))),
+
+    // ---- Q8 analog: national market share — NATION_2's share of PROMO
+    // volume sold into ASIA, by order year. Every dim is broadcast; the
+    // two facts meet in one orderkey shuffle; the share is a conditional
+    // decimal sum ratio in the SAME aggregate pass (no second scan).
+    "q_market_share" -> ((s, d) => {
+      val vol = dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= ts("1995-01-01") &&
+                    col("o_orderdate") <  ts("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("cnk"),
+          col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(r4(sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0).cast(Money))).cast(DoubleType)
+          / sum(vol).cast(DoubleType)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // ---- Q9 analog: product-type profit by supplier nation and year.
+    // No partsupp ⇒ cost is p_retailprice × quantity (broadcast from the
+    // part dim). The p_name LIKE filter prunes part BEFORE broadcast.
+    "q_product_profit" -> ((s, d) => {
+      val profit =
+        dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount"))) -
+          dec(col("p_retailprice")) * dec(col("l_quantity"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_name").like("red %"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(outDec(sum(profit)).as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // ---- Q11 analog: important parts — per-part revenue above 1.5× the
+    // all-parts average (Q11's absolute fraction made scale-free). The
+    // global (total, count) is a 1-row broadcast; the compare multiplies
+    // instead of divides so both engines do one exact-input double op.
+    "q_important_parts" -> ((s, d) => {
+      val value = lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("v"))
+      val total = value.agg(sum(col("v")).as("tot"), count(lit(1)).as("np"))
+      value.crossJoin(broadcast(total))
+        .filter(col("v").cast(DoubleType) * col("np") >
+          lit(1.5) * col("tot").cast(DoubleType))
+        .select(col("l_partkey"), outDec(col("v")).as("value"))
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    }),
+
+    // ---- Q12 analog: shipping-priority classes by line status (the
+    // fixture's stand-in for l_shipmode) — one fact-fact join, then
+    // conditional counts in a single pass.
+    "q_priority_class" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") <  ts("1997-01-01"))
+        .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // ---- Q13 analog: customer order-count distribution — LEFT OUTER
+    // join with an ON-clause filter on the right side (zero-order
+    // customers must survive), then a two-level aggregation: per-customer
+    // count, then the histogram of those counts.
+    "q_cust_order_dist" -> ((s, d) =>
+      customer(s, d).select("c_custkey")
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // ---- Q16 analog: supplier count by part attributes. lineitem's
+    // distinct (part,supp) pairs stand in for partsupp; "complaint"
+    // suppliers (negative balance) leave via a broadcast ANTI join
+    // (Q16's NOT IN); countDistinct per attribute group.
+    "q_parts_supplier_count" -> ((s, d) =>
+      lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d).filter(col("s_acctbal") < 0)
+          .select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)),
+
+    // ---- Q17 analog: small-quantity-order revenue. The correlated
+    // per-part avg decorrelates into one (sum, count) agg over the SAME
+    // brand-filtered line set, re-joined on partkey; `qty < 0.2·avg`
+    // rearranges to `5·qty·n < sum` so the compare is exact decimal ×
+    // integer — no division anywhere until the final /7.
+    "q_small_qty_revenue" -> ((s, d) => {
+      val pf = broadcast(part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_type") === "ECONOMY")
+        .select("p_partkey"))
+      val li = lineitem(s, d).join(pf, col("l_partkey") === col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sumq"), count(lit(1)).as("nq"))
+      li.join(stats, col("l_partkey") === col("pk"))
+        .filter(lit(5).cast(Money) * dec(col("l_quantity")) * col("nq") <
+          col("sumq"))
+        .agg(r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // ---- Q19 analog: disjunctive-bracket revenue. The OR references
+    // both sides so it can't push down whole — but its part-side
+    // implication (brand ∈ {1,2,3} ∧ size ≤ 20) prunes the broadcast
+    // BEFORE the join, the classic Q19 rewrite.
+    "q_disjunctive_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_size").between(1, 20))
+            .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(20, 30)))
+        .agg(outDec(revenueSpark).as("revenue"))),
+
+    // ---- Q20 analog: promotion-candidate suppliers — shipped more than
+    // 1.1× the per-supplier average of 'red' parts in 1996 (Q20's
+    // half-of-availqty threshold made scale-free). Same 1-row-broadcast
+    // + multiply-not-divide discipline as Q11.
+    "q_promo_suppliers" -> ((s, d) => {
+      val red = broadcast(part(s, d).filter(col("p_name").like("red %"))
+        .select("p_partkey"))
+      val shipped = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                col("l_shipdate") <  ts("1997-01-01"))
+        .join(red, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("qty"))
+      val norm = shipped.agg(sum(col("qty")).as("tot"), count(lit(1)).as("ns"))
+      shipped.crossJoin(broadcast(norm))
+        .filter(col("qty").cast(DoubleType) * col("ns") >
+          lit(1.1) * col("tot").cast(DoubleType))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), outDec(col("qty")).as("red_qty"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Q21 analog: suppliers who kept orders waiting. The paired
+    // EXISTS / NOT-EXISTS over other suppliers' lines decorrelates into
+    // ONE per-order aggregate: distinct suppliers ns and distinct
+    // RETURNED suppliers nrs — "another supplier exists" ⇔ ns≥2,
+    // "no OTHER supplier returned" ⇔ nrs=1 (l1 itself is returned, so
+    // the lone returned supplier must be l1's). One keyed agg + one semi
+    // join replaces two correlated probes; zero fan-out.
+    "q_waiting_suppliers" -> ((s, d) => {
+      val stats = lineitem(s, d).groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("nrs"))
+        .filter(col("ns") >= 2 && col("nrs") === 1)
+        .select("ok")
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(stats, col("l_orderkey") === col("ok"), "left_semi")
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = wave3Oracles ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -372,5 +603,125 @@ object Composites {
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey
          LIMIT 20"""
+  )
+
+  private def wave3Oracles: Map[String, String] = Map(
+    "q_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+           AS mkt_share
+         FROM part, lineitem, orders, customer, supplier, nation n1, region, nation n2
+         WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+           AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+           AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+           AND p_type = 'PROMO'
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+           AS sum_profit
+         FROM lineitem, part, supplier, nation, orders
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+           AND p_name LIKE 'red %'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_important_parts" ->
+      """WITH v AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(v) AS tot, count(*) AS np FROM v)
+         SELECT l_partkey, CAST(round(v, 4) AS DOUBLE) AS value
+         FROM v, t
+         WHERE CAST(v AS DOUBLE) * np > 1.5 * CAST(tot AS DOUBLE)
+         ORDER BY value DESC, l_partkey""",
+    "q_priority_class" ->
+      """SELECT l_linestatus,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+               GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_parts_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_small_qty_revenue" ->
+      """WITH pf AS (
+           SELECT p_partkey FROM part
+           WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'),
+         li AS (SELECT l.* FROM lineitem l JOIN pf ON l_partkey = p_partkey),
+         st AS (
+           SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sumq,
+             count(*) AS nq
+           FROM li GROUP BY 1)
+         SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+           AS avg_yearly
+         FROM li JOIN st ON l_partkey = pk
+         WHERE 5 * CAST(l_quantity AS DECIMAL(18,4)) * nq < sumq""",
+    "q_disjunctive_revenue" ->
+      s"""SELECT CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 20 AND 30)""",
+    "q_promo_suppliers" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+         sh AS (
+           SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+           FROM lineitem JOIN red ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY 1),
+         n AS (SELECT sum(qty) AS tot, count(*) AS ns FROM sh)
+         SELECT s_suppkey, s_name, CAST(round(qty, 4) AS DOUBLE) AS red_qty
+         FROM sh, n, supplier
+         WHERE l_suppkey = s_suppkey
+           AND CAST(qty AS DOUBLE) * ns > 1.1 * CAST(tot AS DOUBLE)
+         ORDER BY s_suppkey""",
+    "q_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 10"""
   )
 }

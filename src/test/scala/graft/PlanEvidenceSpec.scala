@@ -412,4 +412,92 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  // ---- wave 3 (Q6/Q8/Q9/Q11/Q12/Q13/Q16/Q17/Q19/Q20/Q21 analogs) ----
+
+  test("q_forecast_revenue: all three predicates reach the scan; no join, no shuffle but the final agg") {
+    val p = plan(Composites.queries("q_forecast_revenue")(spark, d))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"conjuncts must push down: $pushed")
+    assert(!p.contains("Join"), s"Q6 must plan zero joins:\n$p")
+  }
+
+  test("q_market_share: every dim broadcast; both facts meet in a non-broadcast join") {
+    val p = planNoAutoBroadcast(Composites.queries("q_market_share")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 4,
+      s"part/nation×2/region/supplier hints must survive:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_product_profit: p_name LIKE prunes part BEFORE broadcast; fact never broadcast") {
+    val p = planNoAutoBroadcast(Composites.queries("q_product_profit")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("p_name")),
+      s"the LIKE 'red %' prefix must reach the part scan as StringStartsWith:\n$p")
+  }
+
+  test("q_important_parts: global (tot,np) is a 1-row broadcast over the per-part agg — one fact scan") {
+    val p = planNoAutoBroadcast(Composites.queries("q_important_parts")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(factNeverBroadcast(p), s"raw lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_priority_class: shipdate pushed; one fact-fact shuffle join; conditional counts one pass") {
+    val p = planNoAutoBroadcast(Composites.queries("q_priority_class")(spark, d))
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("orders")) === 1,
+      s"both CASE-sums must share ONE orders pass:\n$p")
+  }
+
+  test("q_cust_order_dist keeps zero-order customers: LEFT OUTER with the filter on the right side") {
+    val p = planNoAutoBroadcast(Composites.queries("q_cust_order_dist")(spark, d))
+    assert(p.contains("LeftOuter"), s"the ON-filtered join must stay outer:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderpriority")),
+      s"the priority filter belongs on the orders scan, not post-join:\n$p")
+  }
+
+  test("q_parts_supplier_count: complaint suppliers leave via broadcast ANTI; part dim broadcast") {
+    val p = planNoAutoBroadcast(Composites.queries("q_parts_supplier_count")(spark, d))
+    assert(p.contains("LeftAnti"), s"NOT IN must plan an anti join:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      s"both the part dim and the excluded-supplier set must broadcast:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_small_qty_revenue decorrelates the per-part avg; brand filter pushed to the part scan") {
+    val p = planNoAutoBroadcast(Composites.queries("q_small_qty_revenue")(spark, d))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("p_brand")),
+      s"brand/type predicates must reach the part scan:\n$p")
+    assert(factNeverBroadcast(p), s"raw lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_disjunctive_revenue: the implied part-side conjunct prunes the broadcast build side") {
+    val p = planNoAutoBroadcast(Composites.queries("q_disjunctive_revenue")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("p_size")),
+      s"the implied size<=20 conjunct must reach the part scan:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_promo_suppliers: red-part set and 1-row norm both broadcast; shipdate pushed") {
+    val p = planNoAutoBroadcast(Composites.queries("q_promo_suppliers")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p)
+    assert(factNeverBroadcast(p), s"raw lineitem under a BroadcastExchange:\n$p")
+  }
+
+  test("q_waiting_suppliers: EXISTS pair folds into ONE per-order aggregate + semi join, no fan-out") {
+    val p = planNoAutoBroadcast(Composites.queries("q_waiting_suppliers")(spark, d))
+    assert(p.contains("LeftSemi"), s"the order filter must apply as a semi join:\n$p")
+    assert(factNeverBroadcast(p), s"raw lineitem under a BroadcastExchange:\n$p")
+    // the decorrelated stats side aggregates lineitem; no correlated
+    // re-probe means no more than 2 lineitem scans (l1 + stats)
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) <= 2,
+      s"correlated probes must not multiply fact scans:\n$p")
+  }
+
 }
