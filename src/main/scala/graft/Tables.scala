@@ -28,7 +28,7 @@ object Tables {
     * TimestampType in the UTC session — one stable type everywhere, equal
     * to DuckDB's naive-µs reading of the same columns.
     */
-  private def pin(s: SparkSession): SparkSession = {
+  private[graft] def pin(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s
   }

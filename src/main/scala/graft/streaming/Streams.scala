@@ -232,7 +232,12 @@ object Streams {
     */
   def readEventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = s.read.parquet(dir).schema
+    // schema inference MUST go through the same Tables.pin discipline as
+    // every batch scan (inferTimestampNTZ off): a µs fixture annotated
+    // isAdjustedToUTC=false would otherwise infer TIMESTAMP_NTZ here but
+    // TIMESTAMP in the batch plan — the streamed and batch results then
+    // carry different types depending on which path read first
+    val fileSchema = graft.Tables.pin(s).read.parquet(dir).schema
     val raw = s.readStream.schema(fileSchema).parquet(dir)
     if (fileSchema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -275,5 +280,29 @@ object Streams {
       .start()
     q.awaitTermination()
     s.read.parquet(outDir)
+  }
+
+  /** Checkpointed update-mode run — THE restart/durability path. The
+    * checkpoint directory holds the source offsets (which files are
+    * consumed) and the aggregation state store; a later invocation with
+    * the SAME checkpoint resumes exactly where the previous one stopped:
+    * already-consumed files are never replayed, and stateful aggregates
+    * continue from their recovered state rather than recounting from
+    * zero. Update mode emits only the keys each micro-batch changed, so
+    * the sink callback sees the minimal delta — the shape an upsert
+    * target wants. At 100 TB this is what makes the pipeline resumable:
+    * a crash or planned restart costs re-processing NOTHING.
+    */
+  def runCheckpointed(s: SparkSession, sourceDir: String, checkpointDir: String,
+                      plan: DataFrame => DataFrame)(
+                      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = plan(readEventsStream(s, sourceDir))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(onBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
