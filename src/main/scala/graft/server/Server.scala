@@ -66,8 +66,10 @@ object Server {
 
   /** JSON request → JSON response (the HTTP body protocol, also usable
     * in-process). Request: {"dialect": "...", "query": "...", "dir": "...",
-    * "maxRows": N?}. Response: {"columns": [...], "rows": [[...]],
-    * "rowCount": N, "truncated": bool} or {"error": "..."}.
+    * "maxRows": N?, "explain": bool?}. Response: {"columns": [...],
+    * "rows": [[...]], "rowCount": N, "truncated": bool}, or with
+    * explain=true {"columns": [...], "plan": "..."} (no execution), or
+    * {"error": "..."}.
     */
   def handleJson(s: SparkSession, body: String): String = {
     try {
@@ -103,7 +105,19 @@ object Server {
         }
       val df = handle(s,
         ServeRequest(req("dialect"), req("query"), req("dir"), maxRows, params))
-      render(df, maxRows)
+      // {"explain": true} returns the formatted physical plan INSTEAD of
+      // rows — the console's plan-inspection mode. Planning only: the
+      // query is analyzed and optimized but no job runs, so explain on an
+      // expensive query is always cheap and safe to offer every client.
+      if (node.has("explain") && node.get("explain").asBoolean()) {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val out = mapper.createObjectNode()
+        val colArr = out.putArray("columns")
+        df.columns.foreach(colArr.add)
+        out.put("plan", plan)
+        mapper.writeValueAsString(out)
+      } else render(df, maxRows)
     } catch {
       case e: Throwable =>
         val err = mapper.createObjectNode()

@@ -88,6 +88,21 @@ class ServingSpec extends AnyFunSuite {
     assert(resp.get("rows").get(0).get("o_orderkey").asLong === firstKey)
   }
 
+  test("handleJson explain mode returns the physical plan without executing") {
+    val resp = mapper.readTree(Server.handleJson(spark,
+      s"""{"dialect":"sql","query":"SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag","dir":"$d","explain":true}"""))
+    assert(!resp.has("rows") && !resp.has("error"), resp.toString)
+    val plan = resp.get("plan").asText
+    assert(plan.contains("HashAggregate") && plan.contains("Physical Plan"),
+      s"formatted physical plan expected:\n$plan")
+    assert(resp.get("columns").get(0).asText === "l_returnflag")
+    // every dialect explains — the lazy handle() DataFrame is plan-only
+    val nl = mapper.readTree(Server.handleJson(spark,
+      s"""{"dialect":"nl","query":"${Dialects.nlQuestion}","dir":"$d","explain":true}"""))
+    assert(nl.has("plan") && nl.get("plan").asText.contains("Physical Plan"),
+      nl.toString)
+  }
+
   test("handleJson reports errors as JSON, not exceptions") {
     val bad = mapper.readTree(Server.handleJson(spark, """{"dialect":"sql"}"""))
     assert(bad.get("error").asText.contains("query"))
