@@ -117,6 +117,8 @@ object NlToSql {
     """(?i)total ([a-z ]+) by ([a-z ]+) (?:where ([a-z ]+) is not|excluding ([a-z ]+)) ([\w-]+)(?: or ([\w-]+))?""".r
   private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
   private val ShareBy = """(?i)share of (\w+) by ([a-z ]+)""".r
+  private val Superlative =
+    """(?i)which (\w+) had the (highest|lowest) total ([a-z ]+?)(?: in (\d{4}))?""".r
 
   private def dim(name: String): (String, String) =
     dims.getOrElse(name.trim.toLowerCase,
@@ -440,6 +442,37 @@ object NlToSql {
       throw new IllegalArgumentException(s"no join path $dimTable -> $fact"))
 
   private def translateBase(question: String): String = question match {
+    case Superlative(entity, dirWord, measure, year) =>
+      // "which supplier had the highest total quantity [in 1996]" — the
+      // singular top/bottom-1 phrasing of TopN/BottomN: the same
+      // aggregate-then-order plan with LIMIT 1 and a pk tie-break, so a
+      // revenue tie can never make the answer nondeterministic. The
+      // optional year lowers to the nl_year half-open sargable range
+      // (never YEAR(col) = y, which would not push to the scan). The
+      // entity noun is singular here; the catalog is keyed plural, so
+      // lookup tries both forms.
+      val key = entity.toLowerCase
+      val (table, pk, nameCol) = entities.get(key)
+        .orElse(entities.get(key + "s"))
+        .getOrElse(throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val from = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val order = if (dirWord.toLowerCase == "highest") "DESC" else "ASC"
+      val where = Option(year).map { y =>
+        val dateCol = dateCols.getOrElse(fact,
+          throw new IllegalArgumentException(s"no date column for $fact"))
+        s"""WHERE $dateCol >= TIMESTAMP '${y.toInt}-01-01 00:00:00'
+           AND $dateCol < TIMESTAMP '${y.toInt + 1}-01-01 00:00:00'"""
+      }.getOrElse("")
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from
+         $where
+         GROUP BY $pk, $nameCol
+         ORDER BY total $order NULLS LAST, $pk NULLS FIRST
+         LIMIT 1"""
     case TopN(n, entity, measure) =>
       val (table, pk, nameCol) = entities.getOrElse(entity,
         throw new IllegalArgumentException(s"unknown entity: $entity"))

@@ -96,6 +96,9 @@ object Dialects {
   // negated membership -> scan-pushable NOT IN (nl_not_in)
   val nlNotInQuestion: String =
     "total order price by status where priority is not 1-URGENT or 5-LOW"
+  // singular top-1 phrasing with a year window (nl_superlative)
+  val nlSuperlativeQuestion: String =
+    "which supplier had the highest total quantity in 1996"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -229,6 +232,7 @@ object Dialects {
     "nl_avg_where" -> ((s, d) => NlToSql.run(s, d, nlAvgWhereQuestion)),
     "nl_last_days" -> ((s, d) => NlToSql.run(s, d, nlLastDaysQuestion)),
     "nl_not_in" -> ((s, d) => NlToSql.run(s, d, nlNotInQuestion)),
+    "nl_superlative" -> ((s, d) => NlToSql.run(s, d, nlSuperlativeQuestion)),
     "gql_fragments" -> ((s, d) => GraphQL.run(s, d, gqlFragmentsQuery)),
     "gql_alias" -> ((s, d) => GraphQL.run(s, d, gqlAliasQuery)),
     "gql_introspect" -> ((s, d) => GraphQL.run(s, d, gqlIntrospectQuery)),
@@ -355,6 +359,7 @@ object Dialects {
     "nl_avg_where" -> NlToSql.translate(nlAvgWhereQuestion),
     "nl_last_days" -> NlToSql.translate(nlLastDaysQuestion),
     "nl_not_in" -> NlToSql.translate(nlNotInQuestion),
+    "nl_superlative" -> NlToSql.translate(nlSuperlativeQuestion),
     "gql_alias" ->
       """SELECT o_orderkey AS id, o_totalprice AS price, c_name AS name
          FROM orders LEFT JOIN customer ON o_custkey = c_custkey

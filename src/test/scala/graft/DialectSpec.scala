@@ -167,6 +167,22 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("count of orders by priority where language is en"))
   }
 
+  test("NL superlative: singular top/bottom-1, optional sargable year window") {
+    val sql = NlToSql.translate("which supplier had the highest total quantity in 1996")
+    assert(sql.contains("LIMIT 1") && sql.contains("DESC"))
+    assert(sql.contains("l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'") &&
+      sql.contains("< TIMESTAMP '1997-01-01 00:00:00'"),
+      s"year must lower to a half-open range: $sql")
+    TableRegistry.registerAll(spark, d)
+    assert(spark.sql(sql).count() === 1)
+    // lowest mirrors to ASC; no year -> no WHERE
+    val lo = NlToSql.translate("which customer had the lowest total order price")
+    assert(lo.contains("ASC") && !lo.contains("WHERE") && lo.contains("LIMIT 1"))
+    assert(spark.sql(lo).count() === 1)
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("which moon had the highest total cheese"))
+  }
+
   test("NL translator fails loudly on unknown input") {
     assertThrows[IllegalArgumentException](NlToSql.translate("delete everything"))
     assertThrows[IllegalArgumentException](NlToSql.translate("top 5 moons by total cheese"))
