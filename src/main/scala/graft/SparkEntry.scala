@@ -34,6 +34,7 @@ object SparkEntry {
       (GraphOps.queries, GraphOps.oracles),
       (Analytics.queries, Analytics.oracles),
       (Profiling.queries, Profiling.oracles),
+      (DataQuality.queries, DataQuality.oracles),
       (Composites.queries, Composites.oracles)
     )
 

@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables._
+
+/** Data-quality gates + distribution-drift monitors — the contract layer a
+  * production ingest runs between "files landed" and "data usable"
+  * (reference intent: karna's analytics-over-tabular-files posture,
+  * /root/reference/README.md:2; same hygiene family as Profiling, which
+  * *describes* columns where this module *verifies* them).
+  *
+  * Families:
+  *   - dq_suite        Deequ-style constraint report (one scan per table)
+  *   - dq_referential  FK orphan audit over the declared star-schema edges
+  *   - dq_quarantine   row-level rule violations, grouped by reason combo
+  *   - dq_freshness    per-source staleness vs the corpus watermark
+  *   - drift_psi       population-stability index per value bucket
+  *   - drift_ks        two-sample Kolmogorov-Smirnov on a bounded grid
+  *   - drift_chi2      categorical-mix chi-squared per day vs global mix
+  *
+  * 100 TB design notes live on each key. The shared principles:
+  * constraint metrics fold in ONE partial-aggregated pass per table
+  * (state O(#checks), not O(rows)); referential audits shuffle DISTINCT
+  * key sets, never the raw child stream; drift statistics are computed on
+  * bounded grids (buckets/cells), so the only per-row work is a map-side
+  * bucket assignment and one keyed partial-agg shuffle.
+  *
+  * Cross-engine determinism: every ratio is exact-int / exact-int (one
+  * correctly-rounded double, identical in both engines); Σ-folds over
+  * buckets are either static literal-order expression chains (the
+  * agg_entropy discipline) or integer math (KS uses |ca·nb − cb·na| so the
+  * argmax is decided in exact int64 arithmetic, never by double ties).
+  */
+object DataQuality {
+
+  private val d = (c: Column) => c.cast(DoubleType)
+
+  // ---------------------------------------------------------------- dq_suite
+
+  /** (table, check, predicate-count expression, threshold). The metric is
+    * passing-fraction; a check passes when metric >= threshold. Fixed
+    * literal order keeps the report deterministic.
+    */
+  private def ordersChecks: Seq[(String, Column, Double)] = Seq(
+    ("pk_unique_o_orderkey", countDistinct(col("o_orderkey")).cast(DoubleType), 1.0),
+    ("status_in_domain",
+      count(when(col("o_orderstatus").isin("F", "O", "P"), 1)).cast(DoubleType), 1.0),
+    ("totalprice_positive",
+      count(when(col("o_totalprice") > 0, 1)).cast(DoubleType), 1.0),
+    ("orderdate_in_bounds",
+      count(when(col("o_orderdate").between("1990-01-01", "2005-12-31"), 1))
+        .cast(DoubleType), 1.0))
+
+  private def lineitemChecks: Seq[(String, Column, Double)] = Seq(
+    ("discount_in_range",
+      count(when(col("l_discount").between(0.0, 0.1), 1)).cast(DoubleType), 1.0),
+    ("quantity_in_range",
+      count(when(col("l_quantity").between(1.0, 50.0), 1)).cast(DoubleType), 1.0),
+    ("shipdate_not_null",
+      count(col("l_shipdate")).cast(DoubleType), 1.0),
+    ("tax_in_range",
+      count(when(col("l_tax").between(0.0, 0.08), 1)).cast(DoubleType), 1.0))
+
+  private def suiteReport(df: DataFrame, table: String,
+                          checks: Seq[(String, Column, Double)]): DataFrame = {
+    // ONE scan: every check folds to constant aggregate state map-side
+    // (the profile_columns shape) — at 100 TB a 50-check suite is still
+    // one pass with O(#checks) bytes of aggregate state per task. The
+    // single result row pivots to one row per check via an inline-struct
+    // explode, never a re-read.
+    val aggs = checks.map { case (n, c, _) => c.as(s"m_$n") }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = checks.map { case (n, _, thr) =>
+      val metric = round(col(s"m_$n") / d(col("n_rows")), 4)
+      struct(lit(table).as("table_name"), lit(n).as("check_name"),
+        metric.as("metric"), lit(thr).as("threshold"),
+        (metric >= lit(thr)).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("c")).select("c.*")
+  }
+
+  private def suiteOracleArms(table: String,
+                              sqlChecks: Seq[(String, String, Double)]): Seq[String] =
+    sqlChecks.map { case (n, cntExpr, thr) =>
+      s"""SELECT '$table' AS table_name, '$n' AS check_name,
+            round(CAST($cntExpr AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS metric,
+            CAST($thr AS DOUBLE) AS threshold,
+            round(CAST($cntExpr AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= $thr
+              AS passed
+          FROM $table"""
+    }
+
+  private val ordersChecksSql: Seq[(String, String, Double)] = Seq(
+    ("pk_unique_o_orderkey", "count(DISTINCT o_orderkey)", 1.0),
+    ("status_in_domain", "count(*) FILTER (o_orderstatus IN ('F','O','P'))", 1.0),
+    ("totalprice_positive", "count(*) FILTER (o_totalprice > 0)", 1.0),
+    ("orderdate_in_bounds",
+      "count(*) FILTER (o_orderdate BETWEEN '1990-01-01' AND '2005-12-31')", 1.0))
+
+  private val lineitemChecksSql: Seq[(String, String, Double)] = Seq(
+    ("discount_in_range", "count(*) FILTER (l_discount BETWEEN 0.0 AND 0.1)", 1.0),
+    ("quantity_in_range", "count(*) FILTER (l_quantity BETWEEN 1.0 AND 50.0)", 1.0),
+    ("shipdate_not_null", "count(l_shipdate)", 1.0),
+    ("tax_in_range", "count(*) FILTER (l_tax BETWEEN 0.0 AND 0.08)", 1.0))
+
+  // ---------------------------------------------------------- dq_referential
+
+  /** (edge label, child loader, child fk col, parent loader, parent pk col,
+    * parent-is-broadcast-size). Order = output order.
+    */
+  private def fkEdges(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, String, DataFrame, String, Boolean)] = Seq(
+    ("customer.c_nationkey->nation", customer(s, dir), "c_nationkey",
+      nation(s, dir), "n_nationkey", true),
+    ("lineitem.l_orderkey->orders", lineitem(s, dir), "l_orderkey",
+      orders(s, dir), "o_orderkey", false),
+    ("lineitem.l_partkey->part", lineitem(s, dir), "l_partkey",
+      part(s, dir), "p_partkey", false),
+    ("lineitem.l_suppkey->supplier", lineitem(s, dir), "l_suppkey",
+      supplier(s, dir), "s_suppkey", true),
+    ("nation.n_regionkey->region", nation(s, dir), "n_regionkey",
+      region(s, dir), "r_regionkey", true),
+    ("orders.o_custkey->customer", orders(s, dir), "o_custkey",
+      customer(s, dir), "c_custkey", false),
+    ("supplier.s_nationkey->nation", supplier(s, dir), "s_nationkey",
+      nation(s, dir), "n_nationkey", true))
+
+  /** Mirror of fkEdges for the oracle — generated from one list so the
+    * two surfaces cannot drift.
+    */
+  private val fkEdgesSql: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  private def referential(s: SparkSession, dir: String): DataFrame = {
+    // Per edge: aggregate the child to DISTINCT fk keys + counts FIRST
+    // (shuffle volume |keys|, never |child rows| — at 100 TB lineitem
+    // streams map-side into its partial agg), then probe the parent pk
+    // set: broadcast for catalog-size parents, keyed shuffle of two key
+    // sets for fact-fact edges. NULL fks follow SQL FK semantics (not
+    // orphans) and are surfaced in their own column instead.
+    val edges = fkEdges(s, dir).map { case (label, child, ck, parent, pk, bc) =>
+      val keys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+      val par = parent.select(col(pk).as("pk")).distinct()
+      val j = keys.join(if (bc) broadcast(par) else par, col("k") === col("pk"), "left")
+      j.agg(
+        sum(col("cnt")).as("child_rows"),
+        coalesce(sum(when(col("k").isNotNull && col("pk").isNull, col("cnt"))), lit(0L))
+          .as("orphan_rows"),
+        coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("null_keys"))
+        .select(lit(label).as("fk_edge"), col("child_rows"), col("orphan_rows"),
+          col("null_keys"),
+          round(d(col("orphan_rows")) / d(col("child_rows")), 4).as("orphan_rate"))
+    }
+    edges.reduce(_ unionByName _).orderBy("fk_edge")
+  }
+
+  private def referentialOracle: String =
+    fkEdgesSql.map { case (label, child, ck, parent, pk) =>
+      s"""SELECT '$label' AS fk_edge,
+            CAST(sum(cnt) AS BIGINT) AS child_rows,
+            CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+                               THEN cnt END), 0) AS BIGINT) AS orphan_rows,
+            CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT)
+              AS null_keys,
+            round(CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+                                      THEN cnt END), 0) AS DOUBLE)
+                  / CAST(sum(cnt) AS DOUBLE), 4) AS orphan_rate
+          FROM (SELECT $ck AS k, count(*) AS cnt FROM $child GROUP BY 1) c
+          LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY fk_edge NULLS FIRST")
+
+  // ----------------------------------------------------------- dq_quarantine
+
+  /** Row rules in fixed literal order — the reasons string concatenates in
+    * this order, so the combo label is deterministic.
+    */
+  private val rowRules: Seq[(String, String)] = Seq(
+    ("discount_gt_008", "l_discount > 0.08"),
+    ("qty_ge_45", "l_quantity >= 45"),
+    ("tax_ge_007", "l_tax >= 0.07"),
+    ("price_gt_90k", "l_extendedprice > 90000"))
+
+  private def quarantine(s: SparkSession, dir: String): DataFrame = {
+    // Dead-letter accounting: each row is tagged map-side with every rule
+    // it violates; violators group by their reason COMBINATION (≤ 2^#rules
+    // groups — bounded, so the shuffle carries a handful of partial-agg
+    // rows per task regardless of corpus size). The full quarantined row
+    // stream would go to a partitioned sink (sink_partitioned) at 100 TB;
+    // the report here is the bounded summary a gate alerts on.
+    val arms = rowRules.map { case (n, cond) =>
+      when(expr(cond), s"$n,").otherwise("")
+    }
+    lineitem(s, dir)
+      .withColumn("reasons", regexp_replace(concat(arms: _*), ",$", ""))
+      .filter(col("reasons") =!= "")
+      .groupBy("reasons")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("first_orderkey"))
+      .orderBy("reasons")
+  }
+
+  private def quarantineOracle: String = {
+    val arms = rowRules.map { case (n, cond) =>
+      s"CASE WHEN $cond THEN '$n,' ELSE '' END"
+    }.mkString(" || ")
+    s"""SELECT reasons, count(*) AS n_rows, min(l_orderkey) AS first_orderkey
+        FROM (SELECT regexp_replace($arms, ',$$', '') AS reasons, l_orderkey
+              FROM lineitem)
+        WHERE reasons <> ''
+        GROUP BY reasons ORDER BY reasons NULLS FIRST"""
+  }
+
+  // ------------------------------------------------------------ dq_freshness
+
+  private def freshness(s: SparkSession, dir: String): DataFrame = {
+    // Per-source watermark lag vs the corpus max — the "did a feed stop?"
+    // monitor. One partial-agg pass to |sources| rows; the corpus max is
+    // a broadcast 1-row re-agg of those rows (the fact table is read
+    // once). Lag math in exact µs integers; minutes as one division.
+    val per = events(s, dir).groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+    val glob = per.agg(max(col("last_ts")).as("corpus_max"))
+    val lagMin =
+      round(d(unix_micros(col("corpus_max")) - unix_micros(col("last_ts")))
+        / lit(6.0e7), 4)
+    per.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        lagMin.as("lag_minutes"), (lagMin > lit(30.0)).as("stale"))
+      .orderBy("event_type")
+  }
+
+  private val freshnessOracle: String =
+    """WITH per AS (SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+                    FROM events GROUP BY 1),
+         g AS (SELECT max(last_ts) AS corpus_max FROM per)
+       SELECT event_type, n_events, last_ts,
+         round(CAST(epoch_us(corpus_max) - epoch_us(last_ts) AS DOUBLE)
+               / 6.0e7, 4) AS lag_minutes,
+         round(CAST(epoch_us(corpus_max) - epoch_us(last_ts) AS DOUBLE)
+               / 6.0e7, 4) > 30.0 AS stale
+       FROM per, g ORDER BY event_type NULLS FIRST"""
+
+  // --------------------------------------------------------------- drift_psi
+
+  private def psi(s: SparkSession, dir: String): DataFrame = {
+    // Population-stability index of the value distribution, reference
+    // window (days 1-15) vs current (16-31), per event_type × fixed-width
+    // bucket. Per-row work is a map-side bucket assignment; ONE keyed
+    // partial-agg shuffle to |types × buckets| cells; totals are a
+    // broadcast re-agg of the cells. Reported per bucket (the drill-down a
+    // drift dashboard needs) rather than as a cross-bucket double sum —
+    // each psi term is a pure function of four exact ints, so the output
+    // is bit-identical across engines and parallelism (no accumulation
+    // order exists to drift). ε=1e-6 clamps empty-cell probabilities, the
+    // standard PSI smoothing.
+    val eps = lit(1.0e-6)
+    val cells = events(s, dir)
+      .withColumn("bucket", least(lit(9L), floor(col("value") / 50.0).cast(LongType)))
+      .groupBy("event_type", "bucket")
+      .agg(count(when(dayofmonth(col("ts")) <= 15, 1)).as("n_ref"),
+        count(when(dayofmonth(col("ts")) > 15, 1)).as("n_cur"))
+    val tots = cells.groupBy(col("event_type").as("et"))
+      .agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pr = greatest(d(col("n_ref")) / d(col("tr")), eps)
+    val pc = greatest(d(col("n_cur")) / d(col("tc")), eps)
+    cells.join(broadcast(tots), col("event_type") === col("et"))
+      .select(col("event_type"), col("bucket"), col("n_ref"), col("n_cur"),
+        round((pc - pr) * log(pc / pr), 6).as("psi_term"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val psiOracle: String =
+    """WITH cells AS (
+         SELECT event_type,
+           least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bucket,
+           count(*) FILTER (EXTRACT(day FROM ts) <= 15) AS n_ref,
+           count(*) FILTER (EXTRACT(day FROM ts) > 15) AS n_cur
+         FROM events GROUP BY 1, 2),
+       tots AS (SELECT event_type AS et, sum(n_ref) AS tr, sum(n_cur) AS tc
+                FROM cells GROUP BY 1)
+       SELECT event_type, bucket,
+         CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         round((greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1.0e-6)
+                - greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1.0e-6))
+               * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1.0e-6)
+                    / greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1.0e-6)),
+               6) AS psi_term
+       FROM cells JOIN tots ON event_type = et
+       ORDER BY event_type NULLS FIRST, bucket NULLS FIRST"""
+
+  // ---------------------------------------------------------------- drift_ks
+
+  private def ks(s: SparkSession, dir: String): DataFrame = {
+    // Two-sample Kolmogorov-Smirnov between the click and purchase value
+    // distributions on a unit-width grid. The raw streams reduce map-side
+    // to ≤ ~500 grid cells (ONE keyed shuffle); the ECDF window then runs
+    // over the bounded grid only — a deliberate single-partition window
+    // over O(grid) rows, never over the row stream (same adjudication as
+    // profile_topk_values). The sup statistic is decided in exact int64
+    // arithmetic — |ca·nb − cb·na| — so the argmax never hinges on a
+    // double tie; the one division happens after the max is chosen.
+    val cells = events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("bucket", floor(col("value")).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(when(col("event_type") === "click", 1)).as("ca"),
+        count(when(col("event_type") === "purchase", 1)).as("cb"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells.select(col("bucket"),
+      sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val diffs = cum.crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("cca") * col("nb") - col("ccb") * col("na")))
+    val md = diffs.agg(max(col("diff")).as("md"))
+    diffs.join(broadcast(md), col("diff") === col("md"))
+      .agg(min(col("bucket")).as("at_bucket"), max(col("na")).as("n_click"),
+        max(col("nb")).as("n_purchase"), max(col("diff")).as("mdiff"))
+      .select(col("n_click"), col("n_purchase"),
+        round(d(col("mdiff")) / (d(col("n_click")) * d(col("n_purchase"))), 6)
+          .as("ks_stat"),
+        col("at_bucket"))
+  }
+
+  private val ksOracle: String =
+    """WITH cells AS (
+         SELECT CAST(floor(value) AS BIGINT) AS bucket,
+           count(*) FILTER (event_type = 'click') AS ca,
+           count(*) FILTER (event_type = 'purchase') AS cb
+         FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+       cum AS (SELECT bucket,
+                 sum(ca) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+                 sum(cb) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+               FROM cells),
+       tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+       diffs AS (SELECT bucket, abs(cca * nb - ccb * na) AS diff, na, nb
+                 FROM cum, tot),
+       m AS (SELECT max(diff) AS md FROM diffs)
+       SELECT CAST(max(na) AS BIGINT) AS n_click,
+         CAST(max(nb) AS BIGINT) AS n_purchase,
+         round(CAST(max(diff) AS DOUBLE)
+               / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+           AS ks_stat,
+         min(bucket) AS at_bucket
+       FROM diffs JOIN m ON diff = md"""
+
+  // -------------------------------------------------------------- drift_chi2
+
+  private val chiTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  private def chi2(s: SparkSession, dir: String): DataFrame = {
+    // Categorical-mix drift: chi-squared distance of each day's
+    // event_type mix from the global mix. Cells reduce map-side to
+    // |days| rows of 5 static counts (the agg_entropy static-pivot rule:
+    // the Σ (obs−exp)²/exp fold is a literal-order expression chain, not
+    // a dynamic sum over shuffled rows); the global mix is a broadcast
+    // re-agg of the day rows. Day counts and type totals are exact ints,
+    // so exp and every chi2 term are identical doubles in both engines.
+    val cnts = chiTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"c_$t"))
+    val perDay = events(s, dir)
+      .groupBy(dayofmonth(col("ts")).as("day"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("day_n", chiTypes.map(t => col(s"c_$t")).reduce(_ + _))
+    val globAggs = chiTypes.map(t => sum(col(s"c_$t")).as(s"t_$t")) :+
+      sum(col("day_n")).as("grand")
+    val glob = perDay.agg(globAggs.head, globAggs.tail: _*)
+    val terms = chiTypes.map { t =>
+      val exp = d(col("day_n")) * d(col(s"t_$t")) / d(col("grand"))
+      (d(col(s"c_$t")) - exp) * (d(col(s"c_$t")) - exp) / exp
+    }
+    perDay.crossJoin(broadcast(glob))
+      .select(col("day").cast(LongType).as("day"), col("day_n").as("n_events"),
+        round(terms.reduce(_ + _), 4).as("chi2"))
+      .orderBy("day")
+  }
+
+  private def chi2Oracle: String = {
+    val cnts = chiTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS c_$t").mkString(", ")
+    val dayN = chiTypes.map(t => s"c_$t").mkString(" + ")
+    val term = (t: String) =>
+      s"""((CAST(c_$t AS DOUBLE)
+            - CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE))
+           * (CAST(c_$t AS DOUBLE)
+              - CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE))
+           / (CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE)))"""
+    s"""WITH pd0 AS (SELECT EXTRACT(day FROM ts) AS day, $cnts
+                     FROM events GROUP BY 1),
+        pd AS (SELECT *, $dayN AS day_n FROM pd0),
+        g AS (SELECT ${chiTypes.map(t => s"sum(c_$t) AS t_$t").mkString(", ")},
+                sum(day_n) AS grand FROM pd)
+        SELECT CAST(day AS BIGINT) AS day, CAST(day_n AS BIGINT) AS n_events,
+          round(${chiTypes.map(term).mkString(" + ")}, 4) AS chi2
+        FROM pd, g ORDER BY day NULLS FIRST"""
+  }
+
+  // ----------------------------------------------------------- registrations
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_suite" -> ((s, dir) =>
+      suiteReport(orders(s, dir), "orders", ordersChecks)
+        .unionByName(suiteReport(lineitem(s, dir), "lineitem", lineitemChecks))
+        .orderBy("table_name", "check_name")),
+    "dq_referential" -> ((s, dir) => referential(s, dir)),
+    "dq_quarantine" -> ((s, dir) => quarantine(s, dir)),
+    "dq_freshness" -> ((s, dir) => freshness(s, dir)),
+    "drift_psi" -> ((s, dir) => psi(s, dir)),
+    "drift_ks" -> ((s, dir) => ks(s, dir)),
+    "drift_chi2" -> ((s, dir) => chi2(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "dq_suite" ->
+      (suiteOracleArms("orders", ordersChecksSql) ++
+        suiteOracleArms("lineitem", lineitemChecksSql))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY table_name NULLS FIRST, check_name NULLS FIRST"),
+    "dq_referential" -> referentialOracle,
+    "dq_quarantine" -> quarantineOracle,
+    "dq_freshness" -> freshnessOracle,
+    "drift_psi" -> psiOracle,
+    "drift_ks" -> ksOracle,
+    "drift_chi2" -> chi2Oracle)
+}
