@@ -228,12 +228,16 @@ object DataQuality {
     // once). Lag math in exact µs integers; minutes as one division.
     val per = events(s, dir).groupBy("event_type")
       .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
-    val glob = per.agg(max(col("last_ts")).as("corpus_max"))
+    // corpus max via a global window over the |sources| aggregate rows —
+    // NOT a second branch off `per` (a branch would re-scan the fact
+    // table; a single-partition window over the bounded aggregate is the
+    // adjudicated profile_topk_values shape)
+    val wAll = Window.orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lagMin =
-      round(d(unix_micros(col("corpus_max")) - unix_micros(col("last_ts")))
+      round(d(unix_micros(max(col("last_ts")).over(wAll)) - unix_micros(col("last_ts")))
         / lit(6.0e7), 4)
-    per.crossJoin(broadcast(glob))
-      .select(col("event_type"), col("n_events"), col("last_ts"),
+    per.select(col("event_type"), col("n_events"), col("last_ts"),
         lagMin.as("lag_minutes"), (lagMin > lit(30.0)).as("stale"))
       .orderBy("event_type")
   }
@@ -255,11 +259,13 @@ object DataQuality {
     // Population-stability index of the value distribution, reference
     // window (days 1-15) vs current (16-31), per event_type × fixed-width
     // bucket. Per-row work is a map-side bucket assignment; ONE keyed
-    // partial-agg shuffle to |types × buckets| cells; totals are a
-    // broadcast re-agg of the cells. Reported per bucket (the drill-down a
-    // drift dashboard needs) rather than as a cross-bucket double sum —
-    // each psi term is a pure function of four exact ints, so the output
-    // is bit-identical across engines and parallelism (no accumulation
+    // partial-agg shuffle to |types × buckets| cells; per-type totals are
+    // a window over the bounded cell grid (NOT a second branch off the
+    // cells — a branch would re-scan the fact table; the window shuffles
+    // only |cells| rows). Reported per bucket (the drill-down a drift
+    // dashboard needs) rather than as a cross-bucket double sum — each
+    // psi term is a pure function of four exact ints, so the output is
+    // bit-identical across engines and parallelism (no accumulation
     // order exists to drift). ε=1e-6 clamps empty-cell probabilities, the
     // standard PSI smoothing.
     val eps = lit(1.0e-6)
@@ -268,12 +274,12 @@ object DataQuality {
       .groupBy("event_type", "bucket")
       .agg(count(when(dayofmonth(col("ts")) <= 15, 1)).as("n_ref"),
         count(when(dayofmonth(col("ts")) > 15, 1)).as("n_cur"))
-    val tots = cells.groupBy(col("event_type").as("et"))
-      .agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
-    val pr = greatest(d(col("n_ref")) / d(col("tr")), eps)
-    val pc = greatest(d(col("n_cur")) / d(col("tc")), eps)
-    cells.join(broadcast(tots), col("event_type") === col("et"))
-      .select(col("event_type"), col("bucket"), col("n_ref"), col("n_cur"),
+    val wType = Window.partitionBy("event_type")
+    val tr = sum(col("n_ref")).over(wType)
+    val tc = sum(col("n_cur")).over(wType)
+    val pr = greatest(d(col("n_ref")) / d(tr), eps)
+    val pc = greatest(d(col("n_cur")) / d(tc), eps)
+    cells.select(col("event_type"), col("bucket"), col("n_ref"), col("n_cur"),
         round((pc - pr) * log(pc / pr), 6).as("psi_term"))
       .orderBy("event_type", "bucket")
   }
@@ -302,26 +308,30 @@ object DataQuality {
   private def ks(s: SparkSession, dir: String): DataFrame = {
     // Two-sample Kolmogorov-Smirnov between the click and purchase value
     // distributions on a unit-width grid. The raw streams reduce map-side
-    // to ≤ ~500 grid cells (ONE keyed shuffle); the ECDF window then runs
-    // over the bounded grid only — a deliberate single-partition window
-    // over O(grid) rows, never over the row stream (same adjudication as
-    // profile_topk_values). The sup statistic is decided in exact int64
-    // arithmetic — |ca·nb − cb·na| — so the argmax never hinges on a
-    // double tie; the one division happens after the max is chosen.
+    // to ≤ ~500 grid cells in ONE keyed shuffle — the fact table is
+    // scanned ONCE: ECDFs, totals, and the sup all come from window
+    // passes over the same bounded grid (deliberate single-partition
+    // windows over O(grid) rows, never over the row stream — the
+    // profile_topk_values adjudication; a `tot = cells.agg(...)` branch
+    // would instead re-scan the corpus per branch). The sup statistic is
+    // decided in exact int64 arithmetic — |ca·nb − cb·na| — so the argmax
+    // never hinges on a double tie; the one division happens after the
+    // max is chosen.
     val cells = events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .withColumn("bucket", floor(col("value")).cast(LongType))
       .groupBy("bucket")
       .agg(count(when(col("event_type") === "click", 1)).as("ca"),
         count(when(col("event_type") === "purchase", 1)).as("cb"))
-    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = cells.select(col("bucket"),
-      sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
-    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val diffs = cum.crossJoin(broadcast(tot))
+    val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val diffs = cells.select(col("bucket"),
+      sum(col("ca")).over(wCum).as("cca"), sum(col("cb")).over(wCum).as("ccb"),
+      sum(col("ca")).over(wAll).as("na"), sum(col("cb")).over(wAll).as("nb"))
       .withColumn("diff", abs(col("cca") * col("nb") - col("ccb") * col("na")))
-    val md = diffs.agg(max(col("diff")).as("md"))
-    diffs.join(broadcast(md), col("diff") === col("md"))
+      .withColumn("md", max(col("diff")).over(wAll))
+    diffs.filter(col("diff") === col("md"))
       .agg(min(col("bucket")).as("at_bucket"), max(col("na")).as("n_click"),
         max(col("nb")).as("n_purchase"), max(col("diff")).as("mdiff"))
       .select(col("n_click"), col("n_purchase"),
@@ -363,23 +373,25 @@ object DataQuality {
     // event_type mix from the global mix. Cells reduce map-side to
     // |days| rows of 5 static counts (the agg_entropy static-pivot rule:
     // the Σ (obs−exp)²/exp fold is a literal-order expression chain, not
-    // a dynamic sum over shuffled rows); the global mix is a broadcast
-    // re-agg of the day rows. Day counts and type totals are exact ints,
-    // so exp and every chi2 term are identical doubles in both engines.
+    // a dynamic sum over shuffled rows); the global mix comes from a
+    // global window over the ≤31 day rows — one fact scan, not a re-agg
+    // branch. Day counts and type totals are exact ints, so exp and
+    // every chi2 term are identical doubles in both engines.
     val cnts = chiTypes.map(t =>
       count(when(col("event_type") === t, 1)).as(s"c_$t"))
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val perDay = events(s, dir)
       .groupBy(dayofmonth(col("ts")).as("day"))
       .agg(cnts.head, cnts.tail: _*)
       .withColumn("day_n", chiTypes.map(t => col(s"c_$t")).reduce(_ + _))
-    val globAggs = chiTypes.map(t => sum(col(s"c_$t")).as(s"t_$t")) :+
-      sum(col("day_n")).as("grand")
-    val glob = perDay.agg(globAggs.head, globAggs.tail: _*)
+    val withGlob = perDay
+      .withColumn("grand", sum(col("day_n")).over(wAll))
     val terms = chiTypes.map { t =>
-      val exp = d(col("day_n")) * d(col(s"t_$t")) / d(col("grand"))
+      val exp = d(col("day_n")) * d(sum(col(s"c_$t")).over(wAll)) / d(col("grand"))
       (d(col(s"c_$t")) - exp) * (d(col(s"c_$t")) - exp) / exp
     }
-    perDay.crossJoin(broadcast(glob))
+    withGlob
       .select(col("day").cast(LongType).as("day"), col("day_n").as("n_events"),
         round(terms.reduce(_ + _), 4).as("chi2"))
       .orderBy("day")

@@ -500,4 +500,52 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"correlated probes must not multiply fact scans:\n$p")
   }
 
+  test("dq_suite: one pass per table — only the countDistinct expansion shuffles") {
+    val p = plan(DataQuality.queries("dq_suite")(spark, d))
+    // each table folds to ONE row (partial → SinglePartition of O(#checks)
+    // bytes); the single permitted keyed exchange is the pk-uniqueness
+    // count(distinct) pre-dedup on o_orderkey (volume |keys|, the
+    // agg_count_distinct shape) — anything else means a per-row shuffle
+    // crept in
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.length <= 1 && hashEx.forall(_.contains("o_orderkey")),
+      s"only the o_orderkey dedup exchange is allowed:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("dq_referential: catalog-size parents probe via broadcast; child aggregated first") {
+    val p = plan(DataQuality.queries("dq_referential")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"small parents must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every join consumes the child's distinct-key aggregate, so each
+    // fact scan is followed by a HashAggregate before any join input
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("drift_ks: ONE fact scan reduces to the grid; ECDF/sup are windows over it") {
+    val p = plan(DataQuality.queries("drift_ks")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("events")) === 1,
+      s"totals/sup must come from the grid, not corpus re-scans:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected exactly the bucket groupBy exchange:\n$p")
+    // the single-partition window is the DELIBERATE bounded-grid ECDF —
+    // assert it exists (so this adjudication stays visible) and that the
+    // event_type filter reached the scan
+    assert(p.contains("Window"), p)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("event_type")),
+      s"type filter must push to the events scan:\n$p")
+  }
+
+  test("drift_psi: ONE fact scan; totals are a window over the bounded cells") {
+    val p = plan(DataQuality.queries("drift_psi")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("events")) === 1,
+      s"per-type totals must come from the cells, not a corpus re-scan:\n$p")
+    assert(p.contains("Window"), s"expected the per-type totals window:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"only the cell agg + the per-type window may shuffle:\n$p")
+    assert(!hasSinglePartitionWindow(p),
+      s"psi's window is keyed by event_type, never global:\n$p")
+  }
+
 }
