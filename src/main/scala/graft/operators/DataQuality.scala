@@ -364,6 +364,71 @@ object DataQuality {
          min(bucket) AS at_bucket
        FROM diffs JOIN m ON diff = md"""
 
+  // --------------------------------------------------------- drift_embedding
+
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    // Embedding-space drift: per label, the cosine between the REFERENCE
+    // centroid (even vec_ids) and the CURRENT one (odd vec_ids), plus the
+    // centroid-norm ratio — direction drift and magnitude drift, the two
+    // signals an embedding-model or feature-pipeline change shows first.
+    // Exactness: cos(centroid_a, centroid_b) = cos(sum_a, sum_b) (scale-
+    // invariant), so we never divide by n — components round to 1e-6
+    // scaled integers (the vec_centroid_label/cluster_kmeans discipline)
+    // and all sums/products stay exact integers (DECIMAL(38,0) products:
+    // int64 would overflow around SF1) until ONE final double conversion
+    // per output. Plan: posexplode is a narrow 64× map fan-out; the
+    // (label,pos) partial agg carries |labels|·dims cells; the final
+    // (label) agg |labels| rows. No joins, no windows, one fact scan.
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = embeddings(s, dir)
+      .withColumn("is_ref", col("vec_id") % 2 === 0)
+      .select(col("label"), col("is_ref"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .withColumn("su", round(col("comp") * 1000000.0, 0).cast("bigint"))
+    val perDim = e.groupBy("label", "pos").agg(
+      coalesce(sum(when(col("is_ref"), col("su"))), lit(0L)).as("sr"),
+      coalesce(sum(when(!col("is_ref"), col("su"))), lit(0L)).as("sc"),
+      count(when(col("is_ref"), 1)).as("nr"),
+      count(when(!col("is_ref"), 1)).as("nc"))
+    val agg = perDim.groupBy("label").agg(
+      sum((col("sr").cast(dec) * col("sc").cast(dec)).cast(dec)).as("dot"),
+      sum((col("sr").cast(dec) * col("sr").cast(dec)).cast(dec)).as("na2"),
+      sum((col("sc").cast(dec) * col("sc").cast(dec)).cast(dec)).as("nb2"),
+      max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+    agg.select(col("label"), col("n_ref"), col("n_cur"),
+        (round(d(col("dot")) / (sqrt(d(col("na2"))) * sqrt(d(col("nb2")))), 4) + lit(0.0))
+          .as("centroid_cos"),
+        round(sqrt(d(col("nb2"))) * d(col("n_ref"))
+          / (sqrt(d(col("na2"))) * d(col("n_cur"))), 4).as("norm_ratio"))
+      .orderBy("label")
+  }
+
+  private val embeddingDriftOracle: String =
+    """WITH e AS (SELECT label, vec_id % 2 = 0 AS is_ref,
+                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       x AS (SELECT label, is_ref, i - 1 AS pos,
+               CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
+             FROM (SELECT label, is_ref, v,
+                     unnest(range(1, len(v) + 1)) AS i FROM e)),
+       pd AS (SELECT label, pos,
+                CAST(coalesce(sum(su) FILTER (is_ref), 0) AS HUGEINT) AS sr,
+                CAST(coalesce(sum(su) FILTER (NOT is_ref), 0) AS HUGEINT) AS sc,
+                count(*) FILTER (is_ref) AS nr,
+                count(*) FILTER (NOT is_ref) AS nc
+              FROM x GROUP BY 1, 2),
+       a AS (SELECT label, sum(sr * sc) AS dot, sum(sr * sr) AS na2,
+               sum(sc * sc) AS nb2,
+               max(nr) AS n_ref, max(nc) AS n_cur
+             FROM pd GROUP BY 1)
+       SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) + 0.0
+           AS centroid_cos,
+         round(sqrt(CAST(nb2 AS DOUBLE)) * CAST(n_ref AS DOUBLE)
+               / (sqrt(CAST(na2 AS DOUBLE)) * CAST(n_cur AS DOUBLE)), 4)
+           AS norm_ratio
+       FROM a ORDER BY label NULLS FIRST"""
+
   // -------------------------------------------------------------- drift_chi2
 
   private val chiTypes = Seq("view", "click", "purchase", "signup", "error")
@@ -429,6 +494,7 @@ object DataQuality {
     "dq_freshness" -> ((s, dir) => freshness(s, dir)),
     "drift_psi" -> ((s, dir) => psi(s, dir)),
     "drift_ks" -> ((s, dir) => ks(s, dir)),
+    "drift_embedding" -> ((s, dir) => embeddingDrift(s, dir)),
     "drift_chi2" -> ((s, dir) => chi2(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +508,6 @@ object DataQuality {
     "dq_freshness" -> freshnessOracle,
     "drift_psi" -> psiOracle,
     "drift_ks" -> ksOracle,
+    "drift_embedding" -> embeddingDriftOracle,
     "drift_chi2" -> chi2Oracle)
 }

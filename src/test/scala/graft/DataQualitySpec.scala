@@ -94,6 +94,40 @@ class DataQualitySpec extends AnyFunSuite {
       s"ks $ks != recomputed $expected at bucket $at")
   }
 
+  test("drift_embedding: cosine in [-1,1], ratio positive, halves partition each label") {
+    val rows = DataQuality.queries("drift_embedding")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val perLabel = Tables.embeddings(spark, d).groupBy("label").count()
+      .collect().map(r => r.getAs[Number]("label").longValue -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val label = r.getAs[Number]("label").longValue
+      val (nRef, nCur) = (r.getLong(1), r.getLong(2))
+      assert(nRef + nCur == perLabel(label),
+        s"halves must partition label $label: $nRef + $nCur != ${perLabel(label)}")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0, s"cos off-range: $r")
+      assert(r.getDouble(4) > 0.0, s"norm ratio must be positive: $r")
+    }
+    // hand-recompute one label's centroid cosine from the raw vectors
+    // (unscaled doubles) — the scaled-integer path must agree to ~1e-3
+    val label0 = rows.minBy(_.getAs[Number]("label").longValue)
+    val l0 = label0.getAs[Number]("label").longValue
+    val vecs = Tables.embeddings(spark, d)
+      .filter(col("label") === l0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val ref = vecs.filter(_._1 % 2 == 0).map(_._2)
+    val cur = vecs.filter(_._1 % 2 != 0).map(_._2)
+    def sumVec(vs: Array[Array[Double]]) =
+      vs.foldLeft(new Array[Double](64)) { (acc, v) =>
+        acc.indices.foreach(i => acc(i) += v(i)); acc
+      }
+    val (a, b) = (sumVec(ref), sumVec(cur))
+    val dot = a.indices.map(i => a(i) * b(i)).sum
+    val expected = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(label0.getDouble(3) - expected) < 1e-3,
+      s"cos ${label0.getDouble(3)} != recomputed $expected for label $l0")
+  }
+
   test("drift_chi2: per-day statistics are non-negative and cover every day") {
     val rows = DataQuality.queries("drift_chi2")(spark, d).collect()
     assert(rows.nonEmpty)
