@@ -268,8 +268,15 @@ object DataQuality {
     // bit-identical across engines and parallelism (no accumulation
     // order exists to drift). ε=1e-6 clamps empty-cell probabilities, the
     // standard PSI smoothing.
+    psiOf(events(s, dir))
+  }
+
+  /** psi core over any events-shaped frame (ts/event_type/value) —
+    * split out so PropertySpec can feed planted distributions.
+    */
+  private[graft] def psiOf(ev: DataFrame): DataFrame = {
     val eps = lit(1.0e-6)
-    val cells = events(s, dir)
+    val cells = ev
       .withColumn("bucket", least(lit(9L), floor(col("value") / 50.0).cast(LongType)))
       .groupBy("event_type", "bucket")
       .agg(count(when(dayofmonth(col("ts")) <= 15, 1)).as("n_ref"),
@@ -317,12 +324,19 @@ object DataQuality {
     // decided in exact int64 arithmetic — |ca·nb − cb·na| — so the argmax
     // never hinges on a double tie; the one division happens after the
     // max is chosen.
-    val cells = events(s, dir)
-      .filter(col("event_type").isin("click", "purchase"))
+    ksOf(events(s, dir), "click", "purchase")
+  }
+
+  /** ks core over any events-shaped frame and type pair — split out so
+    * PropertySpec can feed planted distributions.
+    */
+  private[graft] def ksOf(ev: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val cells = ev
+      .filter(col("event_type").isin(typeA, typeB))
       .withColumn("bucket", floor(col("value")).cast(LongType))
       .groupBy("bucket")
-      .agg(count(when(col("event_type") === "click", 1)).as("ca"),
-        count(when(col("event_type") === "purchase", 1)).as("cb"))
+      .agg(count(when(col("event_type") === typeA, 1)).as("ca"),
+        count(when(col("event_type") === typeB, 1)).as("cb"))
     val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

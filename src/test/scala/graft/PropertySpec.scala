@@ -283,4 +283,54 @@ class PropertySpec extends AnyFunSuite {
         assert(rn(distinctRows) === rn(scala.util.Random.shuffle(distinctRows)))
       }
   }
+
+  // events-shaped frame builder for the drift laws: (day-of-month, type, value)
+  private def eventsOf(rows: Seq[(Int, String, Double)]) =
+    rows.zipWithIndex.map { case ((day, et, v), i) =>
+      (f"2024-01-$day%02d 12:00:00", et, v, i.toLong)
+    }.toDF("ts_s", "event_type", "value", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+
+  test("drift_psi law: identical ref/cur distributions give psi == 0 exactly") {
+    // any multiset of values, mirrored across the day-15 split, must
+    // produce p_ref == p_cur in every bucket — each term (p-p)·ln(1) = 0
+    samples(Gen.listOfN(40, Gen.chooseNum(0, 499)), 3).foreach { vs =>
+      val rows = vs.flatMap(v =>
+        Seq((5, "click", v.toDouble), (20, "click", v.toDouble)))
+      val terms = graft.operators.DataQuality.psiOf(eventsOf(rows))
+        .select("psi_term").as[Double].collect()
+      assert(terms.nonEmpty && terms.forall(_ == 0.0),
+        s"mirrored distributions must have zero drift: ${terms.toSeq}")
+    }
+  }
+
+  test("drift_psi law: total mass displacement drives psi past the 0.25 alarm") {
+    // ref concentrated in bucket 0, cur in bucket 9 — the classic
+    // "feature moved" case every PSI reference labels significant (>0.25)
+    val rows = (1 to 30).map(i => (5, "view", (i % 40).toDouble)) ++
+      (1 to 30).map(i => (20, "view", 460.0 + (i % 30)))
+    val terms = graft.operators.DataQuality.psiOf(eventsOf(rows))
+      .select("psi_term").as[Double].collect()
+    assert(terms.forall(_ >= 0.0))
+    assert(terms.sum > 0.25, s"displaced mass must alarm: ${terms.sum}")
+  }
+
+  test("drift_ks law: identical samples give 0; disjoint ranges give 1") {
+    samples(Gen.listOfN(50, Gen.chooseNum(0, 400)), 3).foreach { vs =>
+      val same = vs.flatMap(v =>
+        Seq((5, "a", v.toDouble), (20, "b", v.toDouble)))
+      val r0 = graft.operators.DataQuality.ksOf(eventsOf(same), "a", "b")
+        .collect().head
+      assert(r0.getDouble(2) == 0.0, s"identical samples must give ks=0: $r0")
+      // a strictly below b: the ECDF gap hits 1 at a's maximum
+      val apart = vs.map(v => (5, "a", v.toDouble)) ++
+        vs.map(v => (20, "b", 450.0 + (v % 50)))
+      val r1 = graft.operators.DataQuality.ksOf(eventsOf(apart), "a", "b")
+        .collect().head
+      assert(r1.getDouble(2) == 1.0, s"disjoint samples must give ks=1: $r1")
+      assert(r1.getLong(3) == vs.max.toLong,
+        s"sup must sit at a's maximum bucket: $r1")
+    }
+  }
 }
