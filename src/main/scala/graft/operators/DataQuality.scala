@@ -64,6 +64,23 @@ object DataQuality {
     ("tax_in_range",
       count(when(col("l_tax").between(0.0, 0.08), 1)).cast(DoubleType), 1.0))
 
+  private def documentsChecks: Seq[(String, Column, Double)] = Seq(
+    ("pk_unique_doc_id", countDistinct(col("doc_id")).cast(DoubleType), 1.0),
+    ("nchars_consistent",
+      count(when(col("n_chars") === length(col("text")), 1)).cast(DoubleType), 1.0),
+    ("lang_in_domain",
+      count(when(col("lang").isin("de", "en", "es", "fr", "zh"), 1))
+        .cast(DoubleType), 1.0),
+    ("text_nonempty",
+      count(when(length(col("text")) > 0, 1)).cast(DoubleType), 1.0))
+
+  private val documentsChecksSql: Seq[(String, String, Double)] = Seq(
+    ("pk_unique_doc_id", "count(DISTINCT doc_id)", 1.0),
+    ("nchars_consistent", "count(*) FILTER (n_chars = length(text))", 1.0),
+    ("lang_in_domain",
+      "count(*) FILTER (lang IN ('de','en','es','fr','zh'))", 1.0),
+    ("text_nonempty", "count(*) FILTER (length(text) > 0)", 1.0))
+
   private def suiteReport(df: DataFrame, table: String,
                           checks: Seq[(String, Column, Double)]): DataFrame = {
     // ONE scan: every check folds to constant aggregate state map-side
@@ -502,6 +519,7 @@ object DataQuality {
     "dq_suite" -> ((s, dir) =>
       suiteReport(orders(s, dir), "orders", ordersChecks)
         .unionByName(suiteReport(lineitem(s, dir), "lineitem", lineitemChecks))
+        .unionByName(suiteReport(documents(s, dir), "documents", documentsChecks))
         .orderBy("table_name", "check_name")),
     "dq_referential" -> ((s, dir) => referential(s, dir)),
     "dq_quarantine" -> ((s, dir) => quarantine(s, dir)),
@@ -514,7 +532,8 @@ object DataQuality {
   val oracles: Map[String, String] = Map(
     "dq_suite" ->
       (suiteOracleArms("orders", ordersChecksSql) ++
-        suiteOracleArms("lineitem", lineitemChecksSql))
+        suiteOracleArms("lineitem", lineitemChecksSql) ++
+        suiteOracleArms("documents", documentsChecksSql))
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY table_name NULLS FIRST, check_name NULLS FIRST"),
     "dq_referential" -> referentialOracle,

@@ -15,7 +15,7 @@ class DataQualitySpec extends AnyFunSuite {
 
   test("dq_suite: metrics are fractions, thresholds respected by passed flag") {
     val rows = DataQuality.queries("dq_suite")(spark, d).collect()
-    assert(rows.length == 8)
+    assert(rows.length == 12)
     rows.foreach { r =>
       val (metric, thr, passed) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
       assert(metric >= 0.0 && metric <= 1.0, s"metric out of [0,1]: $r")
