@@ -537,6 +537,15 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"type filter must push to the events scan:\n$p")
   }
 
+  test("drift_embedding: one scan, explode + two keyed aggs — no joins, no windows") {
+    val p = plan(DataQuality.queries("drift_embedding")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("embeddings")) === 1,
+      s"centroid drift is a single-pass statistic:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no joins or windows expected:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode fan-out:\n$p")
+  }
+
   test("drift_psi: ONE fact scan; totals are a window over the bounded cells") {
     val p = plan(DataQuality.queries("drift_psi")(spark, d))
     assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("events")) === 1,
