@@ -503,13 +503,12 @@ class PlanEvidenceSpec extends AnyFunSuite {
   test("dq_suite: one pass per table — only the countDistinct expansion shuffles") {
     val p = plan(DataQuality.queries("dq_suite")(spark, d))
     // each table folds to ONE row (partial → SinglePartition of O(#checks)
-    // bytes); the single permitted keyed exchange is the pk-uniqueness
-    // count(distinct) pre-dedup on o_orderkey (volume |keys|, the
-    // agg_count_distinct shape) — anything else means a per-row shuffle
-    // crept in
+    // bytes); the only permitted keyed exchanges are the pk-uniqueness
+    // count(distinct) pre-dedups (volume |keys|, the agg_count_distinct
+    // shape) — anything else means a per-row shuffle crept in
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.length <= 1 && hashEx.forall(_.contains("o_orderkey")),
-      s"only the o_orderkey dedup exchange is allowed:\n$p")
+    assert(hashEx.forall(l => l.contains("o_orderkey") || l.contains("doc_id")),
+      s"only the pk-uniqueness dedup exchanges are allowed:\n$p")
     assert(!p.contains("Window"), s"no window expected:\n$p")
   }
 
