@@ -20,6 +20,7 @@ import graft.Tables._
   *   - drift_psi       population-stability index per value bucket
   *   - drift_ks        two-sample Kolmogorov-Smirnov on a bounded grid
   *   - drift_chi2      categorical-mix chi-squared per day vs global mix
+  *   - drift_embedding per-label centroid cosine + norm-ratio drift
   *
   * 100 TB design notes live on each key. The shared principles:
   * constraint metrics fold in ONE partial-aggregated pass per table
@@ -91,10 +92,14 @@ object DataQuality {
     val aggs = checks.map { case (n, c, _) => c.as(s"m_$n") }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val rows = checks.map { case (n, _, thr) =>
-      val metric = round(col(s"m_$n") / d(col("n_rows")), 4)
+      // passed compares the UNROUNDED fraction (exact-int / exact-int —
+      // identical in both engines): rounding first would certify up to
+      // 0.00005·n violating rows as clean at threshold 1.0. The rounded
+      // metric is display only.
+      val frac = col(s"m_$n") / d(col("n_rows"))
       struct(lit(table).as("table_name"), lit(n).as("check_name"),
-        metric.as("metric"), lit(thr).as("threshold"),
-        (metric >= lit(thr)).as("passed"))
+        r4(frac).as("metric"), lit(thr).as("threshold"),
+        (frac >= lit(thr)).as("passed"))
     }
     one.select(explode(array(rows: _*)).as("c")).select("c.*")
   }
@@ -105,7 +110,7 @@ object DataQuality {
       s"""SELECT '$table' AS table_name, '$n' AS check_name,
             round(CAST($cntExpr AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS metric,
             CAST($thr AS DOUBLE) AS threshold,
-            round(CAST($cntExpr AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) >= $thr
+            CAST($cntExpr AS DOUBLE) / CAST(count(*) AS DOUBLE) >= $thr
               AS passed
           FROM $table"""
     }
@@ -125,37 +130,43 @@ object DataQuality {
 
   // ---------------------------------------------------------- dq_referential
 
-  /** (edge label, child loader, child fk col, parent loader, parent pk col,
-    * parent-is-broadcast-size). Order = output order.
+  /** (child table, fk col, parent table, pk col, parent-is-broadcast-size)
+    * — the ONE edge list both the Spark plan and the oracle SQL derive
+    * from, so the two surfaces cannot drift. Order = output order.
     */
-  private def fkEdges(s: SparkSession, dir: String)
-      : Seq[(String, DataFrame, String, DataFrame, String, Boolean)] = Seq(
-    ("customer.c_nationkey->nation", customer(s, dir), "c_nationkey",
-      nation(s, dir), "n_nationkey", true),
-    ("lineitem.l_orderkey->orders", lineitem(s, dir), "l_orderkey",
-      orders(s, dir), "o_orderkey", false),
-    ("lineitem.l_partkey->part", lineitem(s, dir), "l_partkey",
-      part(s, dir), "p_partkey", false),
-    ("lineitem.l_suppkey->supplier", lineitem(s, dir), "l_suppkey",
-      supplier(s, dir), "s_suppkey", true),
-    ("nation.n_regionkey->region", nation(s, dir), "n_regionkey",
-      region(s, dir), "r_regionkey", true),
-    ("orders.o_custkey->customer", orders(s, dir), "o_custkey",
-      customer(s, dir), "c_custkey", false),
-    ("supplier.s_nationkey->nation", supplier(s, dir), "s_nationkey",
-      nation(s, dir), "n_nationkey", true))
+  private val fkEdgeSpecs: Seq[(String, String, String, String, Boolean)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey", true),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", false),
+    ("lineitem", "l_partkey", "part", "p_partkey", false),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", true),
+    ("nation", "n_regionkey", "region", "r_regionkey", true),
+    ("orders", "o_custkey", "customer", "c_custkey", false),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", true))
 
-  /** Mirror of fkEdges for the oracle — generated from one list so the
-    * two surfaces cannot drift.
-    */
-  private val fkEdgesSql: Seq[(String, String, String, String, String)] = Seq(
-    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+  private def edgeLabel(e: (String, String, String, String, Boolean)): String =
+    s"${e._1}.${e._2}->${e._3}"
+
+  private def tableOf(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "region"   => region(s, dir)
+      case "nation"   => nation(s, dir)
+      case "customer" => customer(s, dir)
+      case "supplier" => supplier(s, dir)
+      case "part"     => part(s, dir)
+      case "orders"   => orders(s, dir)
+      case "lineitem" => lineitem(s, dir)
+    }
+
+  private def fkEdges(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, String, DataFrame, String, Boolean)] =
+    fkEdgeSpecs.map { case e @ (child, ck, parent, pk, bc) =>
+      (edgeLabel(e), tableOf(s, dir, child), ck, tableOf(s, dir, parent), pk, bc)
+    }
+
+  private def fkEdgesSql: Seq[(String, String, String, String, String)] =
+    fkEdgeSpecs.map { case e @ (child, ck, parent, pk, _) =>
+      (edgeLabel(e), child, ck, parent, pk)
+    }
 
   private def referential(s: SparkSession, dir: String): DataFrame = {
     // Per edge: aggregate the child to DISTINCT fk keys + counts FIRST
@@ -175,7 +186,7 @@ object DataQuality {
         coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("null_keys"))
         .select(lit(label).as("fk_edge"), col("child_rows"), col("orphan_rows"),
           col("null_keys"),
-          round(d(col("orphan_rows")) / d(col("child_rows")), 4).as("orphan_rate"))
+          r4(d(col("orphan_rows")) / d(col("child_rows"))).as("orphan_rate"))
     }
     edges.reduce(_ unionByName _).orderBy("fk_edge")
   }
@@ -252,8 +263,8 @@ object DataQuality {
     val wAll = Window.orderBy("event_type")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lagMin =
-      round(d(unix_micros(max(col("last_ts")).over(wAll)) - unix_micros(col("last_ts")))
-        / lit(6.0e7), 4)
+      r4(d(unix_micros(max(col("last_ts")).over(wAll)) - unix_micros(col("last_ts")))
+        / lit(6.0e7))
     per.select(col("event_type"), col("n_events"), col("last_ts"),
         lagMin.as("lag_minutes"), (lagMin > lit(30.0)).as("stale"))
       .orderBy("event_type")
@@ -294,7 +305,8 @@ object DataQuality {
   private[graft] def psiOf(ev: DataFrame): DataFrame = {
     val eps = lit(1.0e-6)
     val cells = ev
-      .withColumn("bucket", least(lit(9L), floor(col("value") / 50.0).cast(LongType)))
+      .withColumn("bucket",
+        greatest(lit(0L), least(lit(9L), floor(col("value") / 50.0).cast(LongType))))
       .groupBy("event_type", "bucket")
       .agg(count(when(dayofmonth(col("ts")) <= 15, 1)).as("n_ref"),
         count(when(dayofmonth(col("ts")) > 15, 1)).as("n_cur"))
@@ -311,7 +323,7 @@ object DataQuality {
   private val psiOracle: String =
     """WITH cells AS (
          SELECT event_type,
-           least(9, CAST(floor(value / 50.0) AS BIGINT)) AS bucket,
+           greatest(0, least(9, CAST(floor(value / 50.0) AS BIGINT))) AS bucket,
            count(*) FILTER (EXTRACT(day FROM ts) <= 15) AS n_ref,
            count(*) FILTER (EXTRACT(day FROM ts) > 15) AS n_cur
          FROM events GROUP BY 1, 2),
@@ -348,8 +360,11 @@ object DataQuality {
     * PropertySpec can feed planted distributions.
     */
   private[graft] def ksOf(ev: DataFrame, typeA: String, typeB: String): DataFrame = {
+    // NULL values carry no position on the real line — and a NULL bucket
+    // would cumulate NULLS-FIRST in Spark vs NULLS-LAST in DuckDB's
+    // default window order, silently shifting every ECDF step
     val cells = ev
-      .filter(col("event_type").isin(typeA, typeB))
+      .filter(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
       .withColumn("bucket", floor(col("value")).cast(LongType))
       .groupBy("bucket")
       .agg(count(when(col("event_type") === typeA, 1)).as("ca"),
@@ -376,7 +391,9 @@ object DataQuality {
          SELECT CAST(floor(value) AS BIGINT) AS bucket,
            count(*) FILTER (event_type = 'click') AS ca,
            count(*) FILTER (event_type = 'purchase') AS cb
-         FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         FROM events
+         WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+         GROUP BY 1),
        cum AS (SELECT bucket,
                  sum(ca) OVER (ORDER BY bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
@@ -427,10 +444,10 @@ object DataQuality {
       sum((col("sc").cast(dec) * col("sc").cast(dec)).cast(dec)).as("nb2"),
       max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
     agg.select(col("label"), col("n_ref"), col("n_cur"),
-        (round(d(col("dot")) / (sqrt(d(col("na2"))) * sqrt(d(col("nb2")))), 4) + lit(0.0))
+        (r4(d(col("dot")) / (sqrt(d(col("na2"))) * sqrt(d(col("nb2"))))) + lit(0.0))
           .as("centroid_cos"),
-        round(sqrt(d(col("nb2"))) * d(col("n_ref"))
-          / (sqrt(d(col("na2"))) * d(col("n_cur"))), 4).as("norm_ratio"))
+        r4(sqrt(d(col("nb2"))) * d(col("n_ref"))
+          / (sqrt(d(col("na2"))) * d(col("n_cur")))).as("norm_ratio"))
       .orderBy("label")
   }
 
@@ -473,43 +490,59 @@ object DataQuality {
     // global window over the ≤31 day rows — one fact scan, not a re-agg
     // branch. Day counts and type totals are exact ints, so exp and
     // every chi2 term are identical doubles in both engines.
+    // Types OUTSIDE the declared list (new categories, NULLs) fold into
+    // an 'other' column — the appearance of a new category is precisely
+    // the mix change this monitor exists to flag, and day_n must report
+    // the day's true volume. Every term is guarded on its type's global
+    // total (a type absent from the whole corpus contributes 0, not 0/0).
     val cnts = chiTypes.map(t =>
-      count(when(col("event_type") === t, 1)).as(s"c_$t"))
+      count(when(col("event_type") === t, 1)).as(s"c_$t")) :+
+      count(when(col("event_type").isNull ||
+        !col("event_type").isin(chiTypes: _*), 1)).as("c_other")
+    val allCols = chiTypes.map(t => s"c_$t") :+ "c_other"
     val wAll = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val perDay = events(s, dir)
       .groupBy(dayofmonth(col("ts")).as("day"))
       .agg(cnts.head, cnts.tail: _*)
-      .withColumn("day_n", chiTypes.map(t => col(s"c_$t")).reduce(_ + _))
+      .withColumn("day_n", allCols.map(col).reduce(_ + _))
     val withGlob = perDay
       .withColumn("grand", sum(col("day_n")).over(wAll))
-    val terms = chiTypes.map { t =>
-      val exp = d(col("day_n")) * d(sum(col(s"c_$t")).over(wAll)) / d(col("grand"))
-      (d(col(s"c_$t")) - exp) * (d(col(s"c_$t")) - exp) / exp
+    val terms = allCols.map { c =>
+      val tot = sum(col(c)).over(wAll)
+      val exp = d(col("day_n")) * d(tot) / d(col("grand"))
+      when(tot > 0,
+        (d(col(c)) - exp) * (d(col(c)) - exp) / exp).otherwise(lit(0.0))
     }
     withGlob
       .select(col("day").cast(LongType).as("day"), col("day_n").as("n_events"),
-        round(terms.reduce(_ + _), 4).as("chi2"))
+        r4(terms.reduce(_ + _)).as("chi2"))
       .orderBy("day")
   }
 
   private def chi2Oracle: String = {
-    val cnts = chiTypes.map(t =>
-      s"count(*) FILTER (event_type = '$t') AS c_$t").mkString(", ")
-    val dayN = chiTypes.map(t => s"c_$t").mkString(" + ")
-    val term = (t: String) =>
-      s"""((CAST(c_$t AS DOUBLE)
-            - CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE))
-           * (CAST(c_$t AS DOUBLE)
-              - CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE))
-           / (CAST(day_n AS DOUBLE) * CAST(t_$t AS DOUBLE) / CAST(grand AS DOUBLE)))"""
+    val inList = chiTypes.map(t => s"'$t'").mkString(", ")
+    val cnts = (chiTypes.map(t =>
+      s"count(*) FILTER (event_type = '$t') AS c_$t") :+
+      s"count(*) FILTER (event_type IS NULL OR event_type NOT IN ($inList)) AS c_other")
+      .mkString(", ")
+    val allCols = chiTypes.map(t => s"c_$t") :+ "c_other"
+    val dayN = allCols.mkString(" + ")
+    val term = (c: String) =>
+      s"""(CASE WHEN t_$c > 0 THEN
+            ((CAST($c AS DOUBLE)
+              - CAST(day_n AS DOUBLE) * CAST(t_$c AS DOUBLE) / CAST(grand AS DOUBLE))
+             * (CAST($c AS DOUBLE)
+                - CAST(day_n AS DOUBLE) * CAST(t_$c AS DOUBLE) / CAST(grand AS DOUBLE))
+             / (CAST(day_n AS DOUBLE) * CAST(t_$c AS DOUBLE) / CAST(grand AS DOUBLE)))
+           ELSE CAST(0.0 AS DOUBLE) END)"""
     s"""WITH pd0 AS (SELECT EXTRACT(day FROM ts) AS day, $cnts
                      FROM events GROUP BY 1),
         pd AS (SELECT *, $dayN AS day_n FROM pd0),
-        g AS (SELECT ${chiTypes.map(t => s"sum(c_$t) AS t_$t").mkString(", ")},
+        g AS (SELECT ${allCols.map(c => s"sum($c) AS t_$c").mkString(", ")},
                 sum(day_n) AS grand FROM pd)
         SELECT CAST(day AS BIGINT) AS day, CAST(day_n AS BIGINT) AS n_events,
-          round(${chiTypes.map(term).mkString(" + ")}, 4) AS chi2
+          round(${allCols.map(term).mkString(" + ")}, 4) AS chi2
         FROM pd, g ORDER BY day NULLS FIRST"""
   }
 
