@@ -169,9 +169,12 @@ object Analytics {
       // half-point at sf0.001 where the engines' double-round semantics
       // diverge (the text_keyterms/udf_sql trap, caught by the 3-sf
       // gate); integer ops cannot. Values must be NON-NEGATIVE for the
-      // +5-then-div half-up and the truncating-vs-flooring div
-      // equivalence (Spark div truncates toward zero, DuckDB // floors) —
-      // the fixture has reshaped between rounds before, so the assumption
+      // +5-then-div half-up to mean round-half-up (on a negative sum the
+      // +5 adjustment lands on the wrong side; both engines' integer
+      // division truncates toward zero — verified empirically, DuckDB
+      // 1.0.0 `-7 // 2 = -3` — so the engines would still AGREE, but the
+      // result would no longer be half-up rounding). The fixture has
+      // reshaped between rounds before, so the assumption
       // is ENFORCED in-plan: a negative value raises in the same pass
       // (min folded into the existing agg, zero extra shuffles) instead
       // of silently producing engine-divergent hashes.
@@ -237,8 +240,7 @@ object Analytics {
         .select(col("l_partkey"),
           round(col("r"), 0).cast("bigint").as("ru"))
       val hhi = rev.groupBy("l_partkey")
-        .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("ru") * col("ru")).as("ssq"),
+        .agg(sum(col("ru") * col("ru")).as("ssq"),
           sum(col("ru")).as("tot"))
         .withColumn("hhi", r4(col("ssq").cast(DoubleType) /
           (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))))
@@ -329,25 +331,17 @@ object Analytics {
       // peak concurrent sessions — the capacity number behind "how many
       // users were on at once?": sessionize's intervals become ±1 delta
       // events whose GLOBAL running sum is the live-session count; its
-      // max is the peak. The global cumsum does NOT use a global window:
-      // the pack_sequences/winNtile two-phase plan — range-partition the
-      // deltas on their total order, local per-partition cumsum, and
-      // broadcast per-partition prefix offsets (#partitions rows, never
-      // data). Equal-timestamp ties order +1 before −1 (delta DESC), so
+      // max is the peak. The global cumsum is Windows.globalRunning —
+      // the shared two-phase scaffold (range-partition the deltas on
+      // their total order, local per-partition cumsum, broadcast
+      // per-partition prefix offsets: #partitions rows, never data). Equal-timestamp ties order +1 before −1 (delta DESC), so
       // touching intervals count as overlapping — and the (us, delta,
       // user, seq) order is total, so the peak and its first-attained
-      // time are deterministic. Output is ONE row.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // time are deterministic. Output is ONE row. The session intervals
+      // come from Windows.sessionTag — the ONE session definition,
+      // shared with the sessionize key so the two cannot drift.
       val us = unix_micros(col("ts"))
-      val gapUs = 4L * 3600 * 1000000L
-      val sess = events(s, dir)
-        .withColumn("prev_us", lag(us, 1).over(w))
-        .withColumn("new_s",
-          when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("new_s"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = Windows.sessionTag(events(s, dir))
         .groupBy("user_id", "session_seq")
         .agg(min(us).as("s_us"), max(us).as("e_us"))
         .localCheckpoint(true) // 2 consumers: deltas below + n_sessions
@@ -355,22 +349,8 @@ object Analytics {
           col("s_us").as("us"), lit(1L).as("delta"))
         .unionByName(sess.select(col("user_id"), col("session_seq"),
           col("e_us").as("us"), lit(-1L).as("delta")))
-      val parts = s.sparkContext.defaultParallelism
       val ord = Seq(col("us"), col("delta").desc, col("user_id"), col("session_seq"))
-      val ranged = deltas.repartitionByRange(parts, ord: _*)
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // boundaries are sampled per job (winNtile)
-      val wLoc = Window.partitionBy("pid").orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = ranged.withColumn("lc", sum(col("delta")).over(wLoc))
-      val sums = ranged.groupBy("pid").agg(sum(col("delta")).as("sm"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offRows = sums.map { case (pid, sm) => val o = acc; acc += sm; (pid, o) }
-      import s.implicits._
-      val offs = offRows.toSeq.toDF("pid", "off")
-      val run = local.join(broadcast(offs), "pid")
-        .withColumn("c", col("off") + col("lc"))
+      val run = Windows.globalRunning(deltas, ord, col("delta"), "c")._1
         .localCheckpoint(true) // 2 consumers: peak agg + argmin filter
       val peak = run.agg(max(col("c")).as("peak"))
       val at = run.crossJoin(broadcast(peak)).filter(col("c") === col("peak"))
@@ -476,25 +456,31 @@ object Analytics {
       // dominance in basis points of the user's top event type, rate in
       // centi-events/day over the user's active span. The corpus-cleaning
       // read before training on behavioral data (the dedup family's
-      // "drop the boilerplate" applied to actors). Two user-keyed
-      // partial aggs ((user,type) cells → user rollup) and a top-10 via
-      // TakeOrderedAndProject over the |users| table; every emitted
-      // number is an int64, so ranking can never diverge cross-engine.
+      // "drop the boilerplate" applied to actors). ONE fact scan: the
+      // active-span min/max ride the (user,type) cells pass (min of
+      // mins / max of maxes in the user rollup — the cohort_ltv
+      // same-pass discipline), then a top-10 via TakeOrderedAndProject
+      // over the |users| table; every emitted number is an int64, so
+      // ranking can never diverge cross-engine. The n_events·8.64e12
+      // product overflows int64 at ~1.07M events per user — exactly the
+      // volume a real bot reaches — so it is computed in DECIMAL(38,0)
+      // (Spark `div` on decimals is exact integral division; the oracle
+      // mirrors with HUGEINT `//`); only the small quotient (centi-
+      // events/day) must fit the int64 output.
       val cells = events(s, dir)
         .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("c"))
-      val spans = events(s, dir)
-        .groupBy(col("user_id"))
-        .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-          .as("span_us"))
+        .agg(count(lit(1)).as("c"),
+          min(unix_micros(col("ts"))).as("mn_us"),
+          max(unix_micros(col("ts"))).as("mx_us"))
       cells.groupBy("user_id")
         .agg(sum(col("c")).as("n_events"),
           count(lit(1)).as("n_types"),
-          max(col("c")).as("top_type_n"))
-        .join(spans, "user_id")
+          max(col("c")).as("top_type_n"),
+          (max(col("mx_us")) - min(col("mn_us"))).as("span_us"))
         .filter(col("span_us") > 0)
         .withColumn("dom_bp", expr("(top_type_n * 10000) div n_events"))
-        .withColumn("epd_c", expr("(n_events * 8640000000000) div span_us"))
+        .withColumn("epd_c",
+          expr("(CAST(n_events AS DECIMAL(38,0)) * 8640000000000) div span_us"))
         .withColumn("bot_score", col("dom_bp") + col("epd_c"))
         .orderBy(col("bot_score").desc, col("user_id")).limit(10)
         .select(col("user_id"), col("n_events"), col("n_types"),
@@ -507,10 +493,12 @@ object Analytics {
       // shuffle (both sides keyed on orderkey — bucketing co-locates it
       // at scale, join_bucketed shows the exchange-free form); lead days
       // are exact integer datediffs (NEGATIVE leads exist in this
-      // synthetic fixture — ship/order dates are drawn independently —
-      // so no integer-division column: Spark's `div` truncates toward
-      // zero while DuckDB's `//` floors, and they disagree below zero;
-      // the mean stays a double quotient of exact int64s).
+      // synthetic fixture — ship/order dates are drawn independently.
+      // Both engines' integer division truncates toward zero (verified:
+      // DuckDB 1.0.0 `-7 // 2 = -3`, same as Spark div), so a div column
+      // would agree cross-engine — but truncation-toward-zero on negative
+      // leads is not the flooring a bucketing analysis would want, so the
+      // mean stays a double quotient of exact int64s).
       val j = lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -620,7 +608,7 @@ object Analytics {
              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 0) AS BIGINT) AS ru
            FROM lineitem GROUP BY l_partkey, l_suppkey),
          h AS (
-           SELECT l_partkey, count(*) AS n_suppliers,
+           SELECT l_partkey,
              round(CAST(sum(ru * ru) AS DOUBLE)
                    / (CAST(sum(ru) AS DOUBLE) * CAST(sum(ru) AS DOUBLE)), 4) AS hhi
            FROM rev GROUP BY 1)
@@ -756,23 +744,21 @@ object Analytics {
          FROM z ORDER BY event_type NULLS FIRST, day NULLS FIRST""",
     "events_bot_score" ->
       """WITH cells AS (
-           SELECT user_id, event_type, count(*) AS c
+           SELECT user_id, event_type, count(*) AS c,
+             min(epoch_us(ts)) AS mn_us, max(epoch_us(ts)) AS mx_us
            FROM events GROUP BY 1, 2),
-         spans AS (
-           SELECT user_id, max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us
-           FROM events GROUP BY 1),
          u AS (
-           SELECT cells.user_id,
+           SELECT user_id,
              CAST(sum(c) AS BIGINT) AS n_events,
              count(*) AS n_types,
              CAST(max(c) AS BIGINT) AS top_type_n,
-             any_value(span_us) AS span_us
-           FROM cells JOIN spans ON cells.user_id = spans.user_id
-           GROUP BY 1),
+             max(mx_us) - min(mn_us) AS span_us
+           FROM cells GROUP BY 1),
          sc AS (
            SELECT user_id, n_events, n_types,
              CAST(top_type_n * 10000 // n_events AS BIGINT) AS dom_bp,
-             CAST(n_events * 8640000000000 // span_us AS BIGINT) AS epd_c
+             CAST(CAST(n_events AS HUGEINT) * 8640000000000 // span_us AS BIGINT)
+               AS epd_c
            FROM u WHERE span_us > 0)
          SELECT user_id, n_events, n_types, dom_bp, epd_c,
            dom_bp + epd_c AS bot_score

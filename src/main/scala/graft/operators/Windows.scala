@@ -94,20 +94,14 @@ object Windows {
       // batch sessionization with per-session feature attribution — the
       // gaps-and-islands companion to stream_session (which checks the
       // 30-min session-window aggregate): a 4-hour inactivity gap opens a
-      // new session; each session emits entry/exit event types (min_by/
-      // max_by over the unique per-user ts), exact µs duration, and the
+      // new session (sessionTag, shared with concurrency_peak); each
+      // session emits entry/exit event types (min_by/max_by over the
+      // unique per-user ts), exact µs duration, and the
       // decimal-disciplined value total. Two keyed shuffles total (the
       // per-user window sort, then the session-key aggregate) — both on
       // user-sized partitions, never a global sort.
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val gapUs = 4L * 3600 * 1000000L
       val us = unix_micros(col("ts"))
-      events(s, d)
-        .withColumn("prev_us", lag(us, 1).over(w))
-        .withColumn("new_s",
-          when(col("prev_us").isNull || us - col("prev_us") > gapUs, 1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("new_s"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessionTag(events(s, d))
         .groupBy("user_id", "session_seq")
         .agg(min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
@@ -240,41 +234,20 @@ object Windows {
       // and cut the cumulative share at 80%/95% into A/B/C classes (the
       // "which 20% of accounts carry 80% of revenue" decision table).
       // The global revenue-ordered running sum does NOT use a global
-      // window: winNtile's two-phase plan — range-partition on the total
-      // order (rev DESC, custkey), local cumsum per partition-id window,
-      // per-partition totals (≤ #partitions rows) collected into
-      // broadcast cumulative offsets. Class boundaries compare EXACT
-      // DECIMAL sums cross-multiplied (cum·100 ≤ total·80 — no float
-      // share ever forms, so membership can't flip on a rounding
+      // window: the globalRunning two-phase plan (range-partition on the
+      // total order (rev DESC, custkey), local cumsum per partition-id
+      // window, broadcast cumulative offsets — the scaffold shared with
+      // globalNtile and concurrency_peak). Class boundaries compare
+      // EXACT DECIMAL sums cross-multiplied (cum·100 ≤ total·80 — no
+      // float share ever forms, so membership can't flip on a rounding
       // boundary, and decimal addition is associative so the partial
       // sums are partition-order-free).
-      val parts = s.sparkContext.defaultParallelism
       val rev = orders(s, d).groupBy(col("o_custkey"))
         .agg(sum(dec(col("o_totalprice"))).as("rev"))
-      // EAGER checkpoint: repartitionByRange samples boundaries per job;
-      // the offset collect and the final join must see the SAME
-      // partitioning (the pack_sequences discipline)
-      val ranged = rev.repartitionByRange(parts, col("rev").desc, col("o_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
-      val wLoc = Window.partitionBy("pid")
-        .orderBy(col("rev").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = ranged.withColumn("lc", sum(col("rev")).over(wLoc))
-      val sums = ranged.groupBy("pid").agg(sum(col("rev")).as("sm"))
-        .collect().map(r => (r.getInt(0), r.getDecimal(1)))
-      var acc = java.math.BigDecimal.ZERO
-      val offRows = sums.sortBy(_._1).toSeq.map { case (pid, sm) =>
-        val o = acc; acc = acc.add(sm); (pid, o)
-      }
-      val total = acc
-      import s.implicits._
-      // pin the offset scale to 4 (the BigDecimal encoder defaults to
-      // (38,18), whose addition result would force a scale reduction)
-      val offDf = offRows.toDF("pid", "off")
-        .select(col("pid"), col("off").cast(DecimalType(38, 4)).as("off"))
-      local.join(broadcast(offDf), "pid")
-        .withColumn("cum", col("off") + col("lc"))
+      val (run, totalAny) = globalRunning(rev,
+        Seq(col("rev").desc, col("o_custkey")), col("rev"), "cum")
+      val total = totalAny.asInstanceOf[java.math.BigDecimal]
+      run
         .select(col("o_custkey").as("c_custkey"),
           outDec(col("rev")).as("revenue"),
           when(col("cum") * 100 <= lit(total) * 80, "A")
@@ -507,19 +480,36 @@ object Windows {
     })
   )
 
-  /** Ordered event funnel (view → click-after-view → purchase-after-
-    * click): each stage is the min event time STRICTLY AFTER the user's
-    * previous-stage time — the sequence constraint real funnel analytics
-    * needs (a click before any view doesn't count). Three keyed
-    * aggregates chained by user_id joins: every stage shuffles on the
-    * same key, each conversion set only shrinks, and nothing is global —
-    * the shape that holds when events are 100 TB. Takes the event frame
-    * as a parameter so specs can feed crafted orderings.
+  /** 4-hour-inactivity-gap session tagging over the (user_id, (ts,
+    * event_id)) total order — THE session definition, shared by the
+    * sessionize key and concurrency_peak (Analytics.scala) so the two
+    * can never drift: adds `session_seq` (1-based per user) via one
+    * per-user keyed window (lag → new-session flag → running count).
+    * Internal columns are namespaced (__sess_*) and dropped on exit so
+    * caller schemas can't be clobbered.
     */
+  private[graft] val sessionGapUs: Long = 4L * 3600 * 1000000L
+  private[graft] def sessionTag(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    ev.withColumn("__sess_prev_us", lag(us, 1).over(w))
+      .withColumn("__sess_new",
+        when(col("__sess_prev_us").isNull ||
+          us - col("__sess_prev_us") > sessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__sess_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__sess_prev_us", "__sess_new")
+  }
+
   /** Per-user first-time stage tables (view → first click after the view
     * → first purchase after that click) — shared by funnel_conversion and
-    * funnel_time_to_convert so both describe the SAME funnel definition.
-    * Each stage is one user-keyed join + one user-keyed partial agg.
+    * funnel_time_to_convert so both describe the SAME funnel definition:
+    * each stage is the min event time STRICTLY AFTER the user's
+    * previous-stage time (the sequence constraint real funnel analytics
+    * needs — a click before any view doesn't count). Each stage is one
+    * user-keyed join + one user-keyed partial agg: every stage shuffles
+    * on the same key, each conversion set only shrinks, nothing is
+    * global — the shape that holds when events are 100 TB.
     */
   private def funnelStages(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def stage(t: String) = ev.filter(col("event_type") === t)
@@ -533,6 +523,9 @@ object Windows {
     (v, c, p)
   }
 
+  /** Stage-count rollup of funnelStages. Takes the event frame as a
+    * parameter so specs can feed crafted orderings.
+    */
   def funnel(ev: DataFrame): DataFrame = {
     val (v, c, p) = funnelStages(ev)
     v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
@@ -543,79 +536,114 @@ object Windows {
       .orderBy("stage")
   }
 
-  /** Global ntile(4) WITHOUT a global single-partition window (round-2
-    * verdict: `ntile(k).over(Window.orderBy(...))` forces the whole table
-    * through ONE task). Exact same semantics via two-phase distributed
-    * ranking:
+  /** Two-phase GLOBAL running aggregate — prefix-inclusive sum of
+    * `value` over the total order `order` — WITHOUT a single-partition
+    * window (round-2 verdict: a global `Window.orderBy` forces the whole
+    * table through ONE task). This is THE scaffold for every global
+    * cumulative in the repo — globalNtile (value 1 → global rank),
+    * abc_analysis (decimal revenue cumsum), concurrency_peak's ±1 delta
+    * cumsum (Analytics.scala) — so the subtle parts live once:
     *
-    *   1. range-partition on the total sort key (o_totalprice, o_orderkey)
-    *      — each partition holds a contiguous, disjoint key range — and
-    *      rank locally per partition (window partitioned by partition id,
-    *      so every window frame is bounded by a range-partition's size);
-    *   2. per-partition row counts (≤ #partitions rows — bounded by
-    *      cluster width, not data size) are collected and turned into
-    *      cumulative offsets DRIVER-SIDE (the same bounded driver work
-    *      AQE itself does with per-partition stats), then broadcast back;
-    *      the SQL-standard ntile bucket formula (first n%k buckets get
-    *      ⌊n/k⌋+1 rows) maps global rank → quartile map-side.
+    *   1. range-repartition on the order columns — each partition holds
+    *      a contiguous, disjoint key range — with an EAGER checkpoint:
+    *      repartitionByRange SAMPLES its boundaries per job, so without
+    *      materialization the offsets collect and the final join could
+    *      land rows in different partitions (observed as ±1 quartile
+    *      flips at sf0.01); the big sort also runs once, reused by both
+    *      passes. Then the local running sum per partition-id window
+    *      (every frame bounded by a range-partition's size);
+    *   2. per-partition totals (≤ #partitions rows — bounded by cluster
+    *      width, not data size) are collected and folded into cumulative
+    *      offsets DRIVER-SIDE (the same bounded driver work AQE does
+    *      with per-partition stats) in the value's OWN EXACT type (int64
+    *      or decimal — never a double), then broadcast back:
+    *      global running = offset + local running.
     *
-    * Correctness does not depend on where the sampled range boundaries
-    * fall: global rank = offset + local rank is exact for any contiguous
-    * ordered partitioning, and the sort key is total (o_orderkey unique).
-    * No single-partition exchange or global window appears ANYWHERE in
-    * the plan — PlanEvidenceSpec asserts this over every Window subtree.
+    * Correctness does not depend on where the sampled boundaries fall:
+    * offset + local prefix is exact for any contiguous ordered
+    * partitioning. `order` must be a unique total order or the result is
+    * nondeterministic. Returns the frame with `out` appended and the
+    * grand total (java.lang.Long or java.math.BigDecimal). Internal
+    * columns are namespaced __grn_* with a loud collision guard.
     */
-  /** Global NTILE(k) over a total order WITHOUT a single-partition window:
-    * range-repartition on the order columns, row_number within each range
-    * partition, then add broadcast per-partition offsets to recover the
-    * global rank and bucket it with the standard NTILE remainder formula
-    * (first n%k buckets get one extra row — DuckDB/ANSI semantics, hash-
-    * verified against NTILE in the win_ntile oracle). The only driver-side
-    * state is one count per partition (#partitions rows, never data).
-    * `order` must be a unique total order or the result is nondeterministic.
-    */
-  private[graft] def globalNtile(df: DataFrame, k: Int,
-                                     order: Seq[Column], out: String): DataFrame = {
+  private[graft] def globalRunning(df: DataFrame, order: Seq[Column],
+      value: Column, out: String): (DataFrame, Any) = {
     val s = df.sparkSession
-    // internal column names are namespaced (__gnt_*) so a caller schema
-    // with natural names like "n"/"off" can never be clobbered/dropped;
-    // the require makes the one remaining (pathological) collision loud
-    // instead of silently corrupting the output
-    val (cPid, cLrn, cOff, cN, cRn) =
-      ("__gnt_pid", "__gnt_lrn", "__gnt_off", "__gnt_n", "__gnt_rn")
-    val reserved = Set(cPid, cLrn, cOff, cN, cRn)
+    val (cPid, cLoc, cOff) = ("__grn_pid", "__grn_loc", "__grn_off")
+    val reserved = Set(cPid, cLoc, cOff)
     val clash = df.columns.toSet.intersect(reserved) ++
       (if (reserved(out)) Set(out) else Set.empty[String])
     require(clash.isEmpty,
-      s"globalNtile: reserved internal column name(s) in use: ${clash.mkString(", ")}")
+      s"globalRunning: reserved internal column name(s) in use: ${clash.mkString(", ")}")
     val parts = s.sparkContext.defaultParallelism
-    val ranged = df
-      .repartitionByRange(parts, order: _*)
+    val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn(cPid, spark_partition_id())
-    val wLocal = Window.partitionBy(cPid).orderBy(order: _*)
-    // EAGER checkpoint before the two consumers (counts collect + final
-    // join): repartitionByRange SAMPLES its range boundaries per job, so
-    // without materialization the two jobs could land rows in different
-    // partitions and the broadcast offsets would be off at the boundaries
-    // (observed as ±1 quartile flips at sf0.01). Checkpointing also means
-    // the big sort runs ONCE, reused by both passes.
-    val local = ranged.withColumn(cLrn, row_number().over(wLocal))
       .localCheckpoint(true)
-    val cnts = local.groupBy(cPid).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = cnts.map(_._2).sum
-    var acc = 0L
-    val offRows = cnts.map { case (pid, c) => val o = acc; acc += c; (pid, o, n) }
-    import s.implicits._
-    val offs = offRows.toSeq.toDF(cPid, cOff, cN)
-    local.join(broadcast(offs), cPid)
-      .withColumn(cRn, col(cOff) + col(cLrn))
+    val wLoc = Window.partitionBy(cPid).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn(cLoc, sum(value).over(wLoc))
+    val dt = local.schema(cLoc).dataType
+    val sums = ranged.groupBy(cPid).agg(sum(value).as("sm"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    val (offVals, total): (Seq[(Int, Any)], Any) = dt match {
+      case _: DecimalType =>
+        var acc = java.math.BigDecimal.ZERO
+        val o = sums.toSeq.map { case (pid, sm) =>
+          val v: Any = acc
+          acc = acc.add(sm.asInstanceOf[java.math.BigDecimal]); (pid, v)
+        }
+        (o, acc)
+      case _ =>
+        var acc = 0L
+        val o = sums.toSeq.map { case (pid, sm) =>
+          val v: Any = java.lang.Long.valueOf(acc)
+          acc += sm.asInstanceOf[java.lang.Long].longValue; (pid, v)
+        }
+        (o, java.lang.Long.valueOf(acc))
+    }
+    val schema = StructType(Seq(
+      StructField(cPid, IntegerType, nullable = false), StructField(cOff, dt)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      offVals.foreach { case (pid, v) =>
+        val cell = v match {
+          case bd: java.math.BigDecimal =>
+            bd.setScale(dt.asInstanceOf[DecimalType].scale)
+          case other => other
+        }
+        l.add(org.apache.spark.sql.Row(pid, cell))
+      }
+      l
+    }
+    val offs = s.createDataFrame(rows, schema)
+    val outDf = local.join(broadcast(offs), cPid)
+      .withColumn(out, col(cOff) + col(cLoc))
+      .drop(cPid, cLoc, cOff)
+    (outDf, total)
+  }
+
+  /** Global NTILE(k) over a total order via [[globalRunning]] with a
+    * constant value of 1 (running count = global rank), bucketed with
+    * the standard NTILE remainder formula (first n%k buckets get one
+    * extra row — DuckDB/ANSI semantics, hash-verified in the win_ntile
+    * oracle and property-tested against NTILE on random tables). No
+    * single-partition exchange or global window appears anywhere in the
+    * plan — PlanEvidenceSpec asserts this over every Window subtree.
+    */
+  private[graft] def globalNtile(df: DataFrame, k: Int,
+                                     order: Seq[Column], out: String): DataFrame = {
+    val cRn = "__gnt_rank"
+    require(!df.columns.contains(cRn) && out != cRn,
+      s"globalNtile: reserved internal column name in use: $cRn")
+    val (ranked, totalAny) = globalRunning(df, order, lit(1L), cRn)
+    val n = totalAny.asInstanceOf[java.lang.Long].longValue
+    ranked
       .withColumn(out, expr(
-        s"CAST(CASE WHEN $cRn <= ($cN % $k) * ($cN div $k + 1) " +
-        s"THEN ($cRn - 1) div ($cN div $k + 1) + 1 " +
-        s"ELSE ($cN % $k) + ($cRn - ($cN % $k) * ($cN div $k + 1) - 1) div ($cN div $k) + 1 " +
+        s"CAST(CASE WHEN $cRn <= ($n % $k) * ($n div $k + 1) " +
+        s"THEN ($cRn - 1) div ($n div $k + 1) + 1 " +
+        s"ELSE ($n % $k) + ($cRn - ($n % $k) * ($n div $k + 1) - 1) div ($n div $k) + 1 " +
         s"END AS INT)"))
-      .drop(cPid, cLrn, cOff, cN, cRn)
+      .drop(cRn)
   }
 
   private def winNtile(s: SparkSession, d: String): DataFrame =
