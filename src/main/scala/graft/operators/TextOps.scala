@@ -44,7 +44,13 @@ object TextOps {
     * at scale, broadcast the fixed LM instead); rollup is one doc-keyed
     * agg. Everything linear in corpus size, no fan-out anywhere.
     */
-  private def pplScores(s: SparkSession, d: String): DataFrame = {
+  /** Exploded bigram stream (doc_id, w1, bigram) plus its two count
+    * tables — THE bigram definition, shared by pplScores and
+    * text_bigram_prob so the LM estimate and the perplexity scorer can
+    * never disagree on what a bigram or its context count is.
+    */
+  private def bigramCounts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val bi = toks(s, d).filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("t"),
         explode(expr("sequence(0, size(t)-2)")).as("i"))
@@ -52,6 +58,11 @@ object TextOps {
         concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
     val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
     val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    (bi, biCnt, ctxCnt)
+  }
+
+  private def pplScores(s: SparkSession, d: String): DataFrame = {
+    val (bi, biCnt, ctxCnt) = bigramCounts(s, d)
     bi.join(biCnt, Seq("w1", "bigram")).join(ctxCnt, "w1")
       .withColumn("bits",
         (length(expr("bin((c_w1 * 1048576) div c_bi)")) - 21).cast(L))
@@ -65,13 +76,20 @@ object TextOps {
     * n_bigrams, sum_bits, ppl_bits_x100)`; shared by the text_perplexity
     * and quality_ccnet_bucket oracles exactly as the Scala helper is.
     */
-  private val pplCtes: String =
+  /** DuckDB CTE chain mirroring [[bigramCounts]] — ends in b(doc_id, w1,
+    * bigram) / bc(w1, bigram, c_bi) / cc(w1, c_w1); shared by pplCtes and
+    * the text_bigram_prob oracle exactly as the Scala helper is.
+    */
+  private val bigramCtes: String =
     """t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        b AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t
                    WHERE len(t) >= 2)),
        bc AS (SELECT w1, bigram, count(*) AS c_bi FROM b GROUP BY 1, 2),
-       cc AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1),
+       cc AS (SELECT w1, count(*) AS c_w1 FROM b GROUP BY 1)"""
+
+  private val pplCtes: String =
+    s"""$bigramCtes,
        j AS (SELECT doc_id,
                length(format('{:b}', (c_w1 * 1048576) // c_bi)) - 21 AS bits
              FROM b JOIN bc USING (w1, bigram) JOIN cc USING (w1)),
@@ -308,6 +326,17 @@ object TextOps {
     * `edges` must have two id columns (src, dst), one row per undirected
     * edge; returns (doc_id, label) with label = min id in the component.
     */
+  /** Free a localCheckpoint'd frame's blocks. `Dataset.unpersist` only
+    * consults the CacheManager (no-op for checkpoints); the materialized
+    * blocks live on the RDD under the LogicalRDD leaf.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
     val bidir = edges.toDF("src", "dst")
     val e = bidir.union(bidir.select(col("dst"), col("src"))).toDF("src", "dst").cache()
@@ -331,19 +360,28 @@ object TextOps {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val prop = e.join(labels, e("src") === labels("doc_id"))
-        .select(e("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label")).union(prop)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count() == 0L
-      labels = next
-      rounds += 1
-    }
-    require(converged, s"connectedComponents: not converged after $rounds rounds")
-    e.unpersist()
+    try {
+      while (!converged && rounds < maxRounds) {
+        val prop = e.join(labels, e("src") === labels("doc_id"))
+          .select(e("dst").as("doc_id"), col("label"))
+        val next = labels.select(col("doc_id"), col("label")).union(prop)
+          .groupBy("doc_id").agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        converged = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label")).count() == 0L
+        // `next` is eagerly materialized and its lineage truncated, so the
+        // PREVIOUS round's checkpoint blocks are no longer referenced —
+        // release them now instead of pinning one label table per round in
+        // executor storage for the rest of the session (a many-round graph,
+        // e.g. a long path, would otherwise hold ~maxRounds copies).
+        // Dataset.unpersist is a CacheManager no-op for checkpoints; the
+        // blocks belong to the LogicalRDD beneath the checkpointed frame.
+        releaseCheckpoint(labels)
+        labels = next
+        rounds += 1
+      }
+      require(converged, s"connectedComponents: not converged after $rounds rounds")
+    } finally e.unpersist() // release the edge cache even on non-convergence
     labels
   }
 
@@ -486,12 +524,18 @@ object TextOps {
       // NEXT TO the exact Jaccard — how a pipeline validates that its
       // banding threshold actually separates dups from neighbors before
       // trusting the sketch at 100 TB (E[est] = J; σ = √(J(1-J)/16)).
-      // Plan: signatures and exact sets are bounded per-doc arrays
-      // (16 longs; ≤ shingle-count longs), both eagerly checkpointed and
-      // equi-joined onto the (small, capped) candidate list; the
-      // estimate and the exact ratio are in-row array folds in exact
-      // fixed-point. No fan-out beyond the already-capped bandPairs.
-      val sigs = shingles(s, d).select(col("doc_id"), col("shingle"),
+      // Plan: the CANDIDATE DOC SET (bounded by the capped bandPairs
+      // artifact) semi-joins the shingle streams FIRST, so signatures and
+      // exact sets — bounded per-doc arrays (16 longs; ≤ shingle-count
+      // longs) — are built for candidate docs only, never the whole
+      // corpus (the shinglePairStats candDocs discipline); both are then
+      // equi-joined onto the candidate list. The estimate and the exact
+      // ratio are in-row array folds in exact fixed-point. No fan-out
+      // beyond the already-capped bandPairs.
+      val candDocs = Derived.bandPairs(s, d)
+        .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+      val sigs = shingles(s, d).join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingle"),
           explode(expr("sequence(0, 15)")).as("seed"))
         .groupBy("doc_id", "seed")
         .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)"))).as("mh"))
@@ -499,14 +543,15 @@ object TextOps {
         .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), t -> t.mh)")
           .as("sig"))
         .localCheckpoint()
-      val sets = hashedShingles(s, d).groupBy("doc_id")
+      val sets = hashedShingles(s, d).join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
         .agg(sort_array(collect_list(col("sh"))).as("st"),
           count(lit(1)).as("n"))
         .localCheckpoint()
       // candidate pairs come from the materialize-once seam — the same
       // capped band join dedup_minhash scans (Derived.bandPairs), so the
       // band self-join is not re-derived here at all; this key pays only
-      // for the per-doc signature/set arrays it uniquely needs
+      // for the per-candidate signature/set arrays it uniquely needs
       Derived.bandPairs(s, d).select("a", "b").distinct()
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
@@ -757,12 +802,7 @@ object TextOps {
       // the engines' double-rounding diverges; truncating integer division
       // cannot). Top-100 by probability with full tie-break (count,
       // bigram) so the slice is deterministic.
-      val bi = toks(s, d).filter(size(col("t")) >= 2)
-        .select(col("t"), explode(expr("sequence(0, size(t)-2)")).as("i"))
-        .select(col("t")(col("i")).as("w1"),
-          concat_ws(" ", col("t")(col("i")), col("t")(col("i") + 1)).as("bigram"))
-      val biCnt = bi.groupBy("w1", "bigram").agg(count(lit(1)).as("c_bi"))
-      val ctxCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+      val (_, biCnt, ctxCnt) = bigramCounts(s, d)
       biCnt.join(ctxCnt, "w1")
         .filter(col("c_w1") >= 10) // MLE over thin contexts is noise
         .select(col("bigram"), col("c_bi"), col("c_w1"),
@@ -1498,7 +1538,6 @@ object TextOps {
       // the sort parallelizes — then a source-keyed partial agg; nothing
       // global anywhere. Kept/dropped counts per source are the audit a
       // mix report publishes.
-      import org.apache.spark.sql.expressions.Window
       val cap = 20
       val w = Window.partitionBy("source")
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -1522,7 +1561,6 @@ object TextOps {
       // rows) via one bounded window, then a single conditional-sum
       // fold — robust to vocab < k (coverage saturates at 1.0). Output
       // is ONE row; all shares are double quotients of exact int64s.
-      import org.apache.spark.sql.expressions.Window
       val wc = toks(s, d).select(explode(col("t")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
         // 2 consumers (totals + head): count the vocab once
@@ -1558,7 +1596,6 @@ object TextOps {
       // summarizes. Plan: one hash-keyed window (first-copy rank —
       // maximal-cardinality key), one (source, lang) partial agg, a
       // 1-row token total broadcast back. No fact re-scan anywhere.
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("hash").orderBy("doc_id")
       val keepQ = gopherChecks.reduce(_ && _)
       val flagged = fanout(documents(s, d))
@@ -1672,7 +1709,6 @@ object TextOps {
       // tie-break makes the selection stable). The window partitions by
       // doc_id — maximal-cardinality key, plans WindowGroupLimit — so
       // top-3 state per doc is O(3) on both sides of the exchange.
-      import org.apache.spark.sql.expressions.Window
       val tok = fanout(documents(s, d))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -2025,13 +2061,7 @@ object TextOps {
            FROM documents)
          WHERE rn <= 25 ORDER BY doc_id NULLS FIRST""",
     "text_bigram_prob" ->
-      """WITH tk AS (
-           SELECT string_split(lower(text), ' ') AS t FROM documents
-           WHERE len(string_split(lower(text), ' ')) >= 2),
-         bi AS (SELECT t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
-                FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)),
-         bc AS (SELECT w1, bigram, count(*) AS c_bi FROM bi GROUP BY 1, 2),
-         cc AS (SELECT w1, count(*) AS c_w1 FROM bi GROUP BY 1)
+      s"""WITH $bigramCtes
          SELECT bigram, c_bi, c_w1,
            CAST((c_bi * 1000000) // c_w1 AS DOUBLE) / 1000000.0 AS p
          FROM bc JOIN cc USING (w1)

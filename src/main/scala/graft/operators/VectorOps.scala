@@ -81,7 +81,7 @@ object VectorOps {
       // the same IEEE double ops in the same order, so q and the error
       // stats agree bit-for-bit; round() is half-away-from-zero for
       // doubles in both.
-      embeddings(s, d)
+      emb(s, d)
         .withColumn("scale",
           expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
         .filter(col("scale") > 0)
@@ -113,11 +113,13 @@ object VectorOps {
 
     "vec_pq" -> ((s, d) => {
       // product quantization (Jégou et al.) — THE vector-compression
-      // layout for ANN at 100 TB: split each 16-dim vector into 4
-      // subvectors of 4 dims, learn a k=4 codebook per subspace
-      // (cluster_kmeans' exact Lloyd machinery, seeds vec_id < 4), and
-      // store each vector as 4 small codes (here 8 bits total vs 64
-      // float bytes). Distances against a query then come from 4 tiny
+      // layout for ANN at 100 TB: split each 64-dim vector into 4
+      // subvectors of 16 dims (FULL coverage — a round-7 review caught
+      // the first cut quantizing only dims 1-16 and silently ignoring
+      // the rest), learn a k=4 codebook per subspace (cluster_kmeans'
+      // exact Lloyd machinery, seeds vec_id < 4), and store each vector
+      // as 4 small codes (here 8 bits total vs 256 float bytes).
+      // Distances against a query then come from 4 tiny
       // lookup tables instead of full-vector arithmetic. Scale shape:
       // codebooks are O(nsub·k·dsub) — broadcast everywhere; assignment
       // is map-side; the update step is one (sub, cid, dim) keyed
@@ -129,7 +131,7 @@ object VectorOps {
         .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
           col("embedding"))
         .select(col("vec_id"), col("sub"),
-          expr("slice(embedding, sub * 4 + 1, 4)").as("sv"))
+          expr("slice(embedding, sub * 16 + 1, 16)").as("sv"))
         .withColumn("vv", dot("sv", "sv"))
       def assign(cent: DataFrame): DataFrame = {
         val scored = e.join(broadcast(cent), "sub")
@@ -730,7 +732,7 @@ object VectorOps {
       // through every stage; codes pivot via the same MAX(CASE) both
       // engines, reconstruction error summed in exact micro-units
       s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         e AS (SELECT vec_id, sub, v[sub*4+1 : sub*4+4] AS sv
+         e AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
                FROM (SELECT vec_id, v, unnest(range(0, 4)) AS sub FROM emb0)),
          e2 AS (SELECT vec_id, sub, sv, ${dSql("sv", "sv")} AS vv FROM e),
          c0 AS (SELECT sub, vec_id AS cid, sv AS cvec, vv AS cc
@@ -748,9 +750,6 @@ object VectorOps {
                 GROUP BY 1, 2, 3),
          c1 AS (SELECT sub, cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1, 2),
          c1n AS (SELECT sub, cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
-         s2 AS (SELECT e2.vec_id, e2.sub, c.cid,
-                  greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
-                FROM e2 JOIN c1n c ON c.sub = e2.sub),
          s2a AS (SELECT e2.vec_id, e2.sub, e2.sv, c.cid, c.cvec,
                   greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
                 FROM e2 JOIN c1n c ON c.sub = e2.sub),

@@ -271,6 +271,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents releases per-round checkpoints (storage hygiene)") {
+    // a 30-node path needs ~29 propagation rounds; each round checkpoints
+    // a label table. Without the per-round release, ~1 pinned RDD per
+    // round survives the call and degrades every later key in a shared
+    // session (Bench/serve run hundreds per session).
+    val path = (0L until 29L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = graft.operators.TextOps
+      .connectedComponents(path.toDF("src", "dst"))
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L), "path graph must collapse to one component")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final labels checkpoint (+ nothing else) may remain pinned
+    assert(after - before <= 2,
+      s"checkpoint leak: $before persistent RDDs before, $after after")
+  }
+
   test("window row_number over shuffled input is input-order independent") {
     samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 1000))), 3)
       .foreach { rows =>
