@@ -106,7 +106,13 @@ object GraphQL {
           pos += 1
           VVar(ident())
         case c if c == 't' || c == 'f' =>
+          // strict: only the exact keywords parse as booleans — any other
+          // t/f-leading bare word (an unquoted enum value like `follow`)
+          // must fail loudly, not silently become `false`
           val id = ident()
+          if (id != "true" && id != "false")
+            throw new IllegalArgumentException(
+              s"unquoted value '$id' (string values need double quotes)")
           VBool(id == "true")
         case _ =>
           val start = pos
@@ -481,6 +487,13 @@ object GraphQL {
       else {
         require(sel.alias.isEmpty,
           s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
+        // fail-loudly discipline: a plain many-to-one relation join takes
+        // no arguments (filter/orderBy/limit belong on the root or a
+        // `<rel>_agg` rollup, which DOES apply them) — silently dropping
+        // them would return unfiltered joined rows labeled as the answer
+        require(sel.args.isEmpty,
+          s"arguments on nested relation ${sel.name} unsupported " +
+            s"(filter at the root, or aggregate via ${sel.name}_agg)")
         val (target, lk, rk) = TableRegistry.relations.getOrElse(
           (table, sel.name),
           throw new IllegalArgumentException(s"unknown relation $table.${sel.name}"))
@@ -523,7 +536,10 @@ object GraphQL {
     var df = df0
     args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
       .foreach {
-        case (colName, VObj(List((op, v)))) => df = df.filter(predicate(colName, op, v))
+        // every (op, v) pair on a column ANDs — {gte: a, lte: b} is a
+        // range predicate, same lowering as the having path
+        case (colName, VObj(ops)) if ops.nonEmpty =>
+          ops.foreach { case (op, v) => df = df.filter(predicate(colName, op, v)) }
         case (colName, v) => df = df.filter(predicate(colName, "eq", v))
       }
     df

@@ -129,6 +129,19 @@ object NlToSql {
   /** NL question → SQL in the Spark∩DuckDB common dialect.
     * Unrecognized input fails loudly (no silent guessing).
     */
+  /** The captured entity noun must BE the table the counted rows live on
+    * (plural or singular): "number of parts by market segment" must fail
+    * loudly rather than count CUSTOMER rows and label them parts — entity
+    * counting is DistinctCountBy's job ("number of unique X by ...").
+    */
+  private def requireEntityOn(entity: String, table: String): Unit = {
+    val e = entity.trim.toLowerCase
+    require(e.stripSuffix("s") == table.stripSuffix("s"),
+      s"entity '$entity' is not the $table table these rows come from " +
+        s"(row counts take the dimension's own table; for entity counts " +
+        s"ask 'number of unique $entity by ...')")
+  }
+
   def translate(question: String): String = question.trim match {
     case DistinctCountBy(entity, dname) =>
       // "number of unique customers by status" — distinct entities per
@@ -192,17 +205,24 @@ object NlToSql {
     case TotalByDateRange(measure, d, from, to) =>
       // inclusive calendar-date range on the fact's canonical event-time
       // column: "total order price by status between 1995-01-01 and
-      // 1996-06-30" (TIMESTAMP literals — identical semantics both engines)
+      // 1996-06-30". INCLUSIVE of the final day means a HALF-OPEN
+      // timestamp range (ts >= from, ts < to + 1 day — the nl_year
+      // discipline): `BETWEEN ... AND 'to 00:00:00'` would silently drop
+      // every intraday row on the last requested day. The exclusive
+      // bound is computed at translation time, so both engines see plain
+      // TIMESTAMP literals.
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       require(table == fact, s"dimension $d not on $fact")
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $fact
-         WHERE $dateCol BETWEEN TIMESTAMP '$from 00:00:00' AND TIMESTAMP '$to 00:00:00'
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByNumRange(measure, d, fmeasure, lo, hi) =>
       // inclusive numeric range on a measure of the same fact table:
@@ -331,7 +351,7 @@ object NlToSql {
          FROM $fact GROUP BY $dcol
          HAVING sum(CAST($mcol AS DECIMAL(18,4))) $op $n
          ORDER BY $dcol NULLS FIRST"""
-    case ShareBy(_, dname) =>
+    case ShareBy(entity, dname) =>
       // percent-of-total: "share of orders by status" — per-group count
       // plus its share of the table in basis points. The share stays in
       // the Spark∩DuckDB common dialect as floor(n·10000/total) over
@@ -341,6 +361,7 @@ object NlToSql {
       // quotients are exactly representable. The 1-row total attaches by
       // cross join (broadcast in Spark) — no second table pass per group.
       val (dtable, dcol) = dim(dname)
+      requireEntityOn(entity, dtable)
       s"""SELECT $dcol, count(*) AS cnt,
          CAST(floor(count(*) * 10000.0 / t.total) AS BIGINT) AS share_bp
          FROM $dtable CROSS JOIN (SELECT count(*) AS total FROM $dtable) t
@@ -373,12 +394,13 @@ object NlToSql {
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $from GROUP BY $c1, $c2
          ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
-    case CountByTwoDims(_, d1, d2) =>
+    case CountByTwoDims(entity, d1, d2) =>
       // "number of orders by status and priority" — both dimensions must
       // live on one table (no measure anchors a join here)
       val (t1, c1) = dim(d1)
       val (t2, c2) = dim(d2)
       require(t1 == t2, s"dimensions $d1 and $d2 must be on one table")
+      requireEntityOn(entity, t1)
       s"""SELECT $c1, $c2, count(*) AS cnt FROM $t1
          GROUP BY $c1, $c2
          ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
@@ -401,6 +423,7 @@ object NlToSql {
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
       require(ftable == table, s"filter dimension $fdim not on $table")
+      requireEntityOn(entity, table)
       s"""SELECT $dcol, count(*) AS cnt FROM $table
          WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
@@ -489,6 +512,7 @@ object NlToSql {
     case CountBy(entity, dim) =>
       val (table, dcol) = dims.getOrElse(dim.trim,
         throw new IllegalArgumentException(s"unknown dimension: $dim"))
+      requireEntityOn(entity, table)
       s"""SELECT $dcol, count(*) AS cnt FROM $table
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case AvgBy(measure, dim) =>

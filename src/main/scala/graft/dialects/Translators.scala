@@ -60,6 +60,15 @@ object LlmTranslator {
 /** The validation gate between ANY translator and the engine. */
 object NlGate {
 
+  /** Expression builtins a "read-only" query must still be denied:
+    * Spark's reflection functions call arbitrary static Java methods, so
+    * `SELECT reflect('java.lang.System','getenv',...)` would exfiltrate
+    * driver environment and `java_method(...,'exit',...)` would kill the
+    * serving JVM — neither is a Command, references no tables, and would
+    * otherwise sail through the gate.
+    */
+  private val DeniedFunctions = Set("reflect", "java_method")
+
   /** Throws IllegalArgumentException unless `sql` is a single read-only
     * query over registered catalog tables. Parsing uses Spark's own
     * parser, so "valid" means exactly what the engine will accept.
@@ -82,6 +91,7 @@ object NlGate {
     // every reachable plan; CTE aliases become locally-known names.
     val defined = scala.collection.mutable.Set[String]()
     val referenced = scala.collection.mutable.Set[String]()
+    val banned = scala.collection.mutable.Set[String]()
     var command = false
     val queue = scala.collection.mutable.Queue[LogicalPlan](plan)
     while (queue.nonEmpty) {
@@ -100,6 +110,9 @@ object NlGate {
         }
         node.expressions.foreach(_.foreach {
           case sq: SubqueryExpression => queue.enqueue(sq.plan)
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if DeniedFunctions(f.nameParts.last.toLowerCase) =>
+            banned += f.nameParts.last.toLowerCase
           case _ => ()
         })
       }
@@ -107,6 +120,9 @@ object NlGate {
     if (command)
       throw new IllegalArgumentException(
         "NL translation must be a read-only query, got a command: " + sql)
+    if (banned.nonEmpty)
+      throw new IllegalArgumentException(
+        s"NL translation uses forbidden function(s): ${banned.toSeq.sorted.mkString(", ")}")
     val unknown = referenced.toSet -- TableRegistry.tables.keySet -- defined
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(

@@ -31,6 +31,14 @@ object Server {
 
   val DefaultMaxRows = 1000
 
+  /** Hard server-side ceiling on `maxRows`: the response materialization
+    * is the ONLY collect in the serving path, and a client-supplied bound
+    * must not be able to turn it into a full-table collect (driver OOM).
+    * Requests above the ceiling are rejected loudly, not silently
+    * clamped.
+    */
+  val HardMaxRows = 100000
+
   final case class ServeRequest(
       dialect: String,
       query: String,
@@ -41,26 +49,44 @@ object Server {
   /** Route one request through the matching dialect front-end. Returns the
     * (lazy, distributed) DataFrame — callers choose how to consume it.
     *
+    * Isolation: each request runs in `s.newSession()` — same
+    * SparkContext, shared cache, but a PRIVATE temp-view catalog.
+    * Without it, two pooled requests with different `dir`s race on the
+    * session-global view names (`orders`, `lineitem`, …): one request's
+    * registerAll re-points the views mid-analysis of the other, which
+    * then silently reads the wrong directory's data.
+    *
+    * The sql dialect is gated read-only through the same
+    * [[graft.dialects.NlGate]] every NL translation passes (parseable,
+    * no DDL/DML command, catalog tables only, no reflection builtins) —
+    * the console is a query surface, and rejecting commands up front
+    * also makes `explain` genuinely planning-only (Spark executes
+    * commands EAGERLY inside `s.sql`, so an ungated CTAS would run —
+    * full job and write — before any explain flag was consulted).
+    *
     * SQL requests may carry named parameters bound to `:name` markers —
     * the injection-safe serving surface (values go through Catalyst
     * literal binding, never string splicing); non-SQL dialects reject
     * params loudly rather than ignore them.
     */
-  def handle(s: SparkSession, req: ServeRequest): DataFrame =
+  def handle(s: SparkSession, req: ServeRequest): DataFrame = {
+    val sess = s.newSession()
     req.dialect.toLowerCase match {
       case "sql" =>
-        TableRegistry.registerAll(s, req.dir)
-        if (req.params.isEmpty) s.sql(req.query)
-        else s.sql(req.query, req.params)
+        TableRegistry.registerAll(sess, req.dir)
+        graft.dialects.NlGate.validate(sess, req.query)
+        if (req.params.isEmpty) sess.sql(req.query)
+        else sess.sql(req.query, req.params)
       case _ if req.params.nonEmpty =>
         throw new IllegalArgumentException(
           s"params are only supported for dialect 'sql', got '${req.dialect}'")
-      case "graphql" => GraphQL.run(s, req.dir, req.query)
-      case "nl"      => NlToSql.run(s, req.dir, req.query)
+      case "graphql" => GraphQL.run(sess, req.dir, req.query)
+      case "nl"      => NlToSql.run(sess, req.dir, req.query)
       case other =>
         throw new IllegalArgumentException(
           s"unknown dialect: '$other' (expected sql | graphql | nl)")
     }
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -82,6 +108,8 @@ object Server {
       val maxRows =
         if (node.has("maxRows")) node.get("maxRows").asInt else DefaultMaxRows
       require(maxRows > 0, "maxRows must be positive")
+      require(maxRows <= HardMaxRows,
+        s"maxRows must be <= $HardMaxRows (the serving collect ceiling)")
       // optional {"params": {"name": scalar}} — bound, never spliced
       val params: Map[String, Any] =
         if (!node.has("params")) Map.empty

@@ -168,11 +168,20 @@ object JdbcCatalog {
           rs.close()
           if (v < Migrations.size) {
             // claim exactly step v+1; a concurrent migrator's claim makes
-            // this UPDATE match zero rows and we re-read
-            val claimed = st.executeUpdate(
-              s"UPDATE catalog_version SET v = ${v + 1} WHERE v = $v")
-            if (claimed == 1) migrationsFor(dl)(v).foreach(st.executeUpdate)
-            c.commit()
+            // this UPDATE match zero rows and we re-read. A step that
+            // throws mid-apply must ROLL BACK the claim before the
+            // exception escapes: the finally-block setAutoCommit(true)
+            // would otherwise COMMIT the open transaction (JDBC spec),
+            // recording v+1 with the step's DDL never applied — and no
+            // future connect would ever re-run it.
+            try {
+              val claimed = st.executeUpdate(
+                s"UPDATE catalog_version SET v = ${v + 1} WHERE v = $v")
+              if (claimed == 1) migrationsFor(dl)(v).foreach(st.executeUpdate)
+              c.commit()
+            } catch {
+              case e: Throwable => c.rollback(); throw e
+            }
             applied = true
           }
         } finally st.close()

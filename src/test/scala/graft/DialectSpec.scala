@@ -438,6 +438,43 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("share of orders by moon phase"))
   }
 
+  test("NL count/share productions validate the entity noun against the table") {
+    // "number of parts by market segment" would count CUSTOMER rows and
+    // label them parts — must fail loudly, not answer a different question
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("number of parts by market segment"))
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("share of customers by status"))
+    // matching entities still translate
+    assert(NlToSql.translate("number of customers by market segment").contains("customer"))
+    assert(NlToSql.translate("share of orders by status").contains("orders"))
+  }
+
+  test("NL between-dates lowers to a half-open range including the final day") {
+    val sql = NlToSql.translate(
+      "total event value by event type between 2024-01-01 and 2024-01-15")
+    assert(sql.contains(">= TIMESTAMP '2024-01-01 00:00:00'"), sql)
+    assert(sql.contains("< TIMESTAMP '2024-01-16 00:00:00'"), sql)
+    assert(!sql.contains("BETWEEN"), s"inclusive-BETWEEN drops the final intraday rows: $sql")
+  }
+
+  test("GraphQL rejects args on plain nested relations; supports multi-op ranges") {
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(limit: 5) { o_orderkey
+           customer(filter: {c_mktsegment: {eq: "BUILDING"}}) { c_name } } }"""))
+    val ranged = GraphQL.run(spark, d,
+      """{ orders(filter: {o_totalprice: {gte: 100000, lte: 200000}},
+                  orderBy: ["o_orderkey"], limit: 50) { o_orderkey o_totalprice } }""")
+      .collect()
+    assert(ranged.nonEmpty)
+    assert(ranged.forall { r =>
+      val p = r.getDouble(1); p >= 100000 && p <= 200000
+    })
+    // an unquoted t/f-leading bare word must fail, not silently parse false
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ events(filter: {event_type: {eq: follow}}) { event_id } }"""))
+  }
+
   test("TableRegistry loads every fixture table; unknown name errors") {
     TableRegistry.tables.keys.foreach { t =>
       assert(TableRegistry.load(spark, d, t).count() > 0, s"table $t empty")

@@ -417,4 +417,45 @@ class ServingSpec extends AnyFunSuite {
     assert(fresh.sql("SELECT count(*) AS n FROM s3_orders").collect()(0).getLong(0) === 100)
     Files.delete(cat)
   }
+
+  // ---- per-request isolation + serving hardening ------------------------
+
+  test("concurrent requests with different dirs each read their own data") {
+    // each request runs in s.newSession() with a private temp-view
+    // catalog; without it two pooled requests race on the shared view
+    // names and one silently counts the other's directory
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val expected = dirs.map(dd =>
+      dd -> spark.read.parquet(s"$dd/orders.parquet").count()).toMap
+    val rounds = Future.traverse(1 to 8) { i =>
+      val dd = dirs(i % 2)
+      Future {
+        val df = Server.handle(spark,
+          Server.ServeRequest("sql", "SELECT count(*) AS n FROM orders", dd))
+        dd -> df.collect()(0).getLong(0)
+      }
+    }
+    Await.result(rounds, 120.seconds).foreach { case (dd, n) =>
+      assert(n === expected(dd), s"request against $dd read the wrong dir")
+    }
+  }
+
+  test("serving sql is gated read-only; reflection builtins denied; maxRows capped") {
+    val ddl = Server.handleJson(spark,
+      s"""{"dialect":"sql","dir":"$d","query":"CREATE TABLE boom (x INT) USING parquet"}""")
+    assert(ddl.contains("error") && ddl.toLowerCase.contains("read-only"), ddl)
+    val refl = Server.handleJson(spark,
+      s"""{"dialect":"sql","dir":"$d","query":"SELECT reflect('java.lang.System','getenv','PATH') AS v"}""")
+    assert(refl.contains("error") && refl.contains("forbidden"), refl)
+    val big = Server.handleJson(spark,
+      s"""{"dialect":"sql","dir":"$d","maxRows":2000000000,"query":"SELECT 1 AS one"}""")
+    assert(big.contains("error") && big.contains("maxRows"), big)
+    // a plain SELECT still flows
+    val ok = Server.handleJson(spark,
+      s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}""")
+    assert(ok.contains("\"rowCount\":1"), ok)
+  }
 }
