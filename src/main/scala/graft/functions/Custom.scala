@@ -80,7 +80,13 @@ object Custom {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar" -> ((s, d) => {
-      val lev = udf(levenshteinScala _)
+      // null-guarded: String params are reference types, so Spark passes
+      // NULL straight in (no primitive short-circuit) — an unguarded UDF
+      // would NPE the whole job on one dirty row, where the native
+      // levenshtein beside it returns NULL (the fn_try discipline)
+      val lev = udf((a: String, b: String) =>
+        if (a == null || b == null) null
+        else Integer.valueOf(levenshteinScala(a, b)))
       val target = lit("Customer#000000042")
       customer(s, d).select(
           col("c_custkey"),

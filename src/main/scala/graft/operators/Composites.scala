@@ -31,8 +31,15 @@ import graft.Tables._
   */
 object Composites {
 
-  private val revenueSpark =
-    sum(dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount"))))
+  /** The per-row revenue expression of the §7.1 decimal discipline —
+    * declared ONCE so the money invariant can't drift between the suite's
+    * consumers (revenueSpark's sum, q_promo_revenue, q_market_share,
+    * q_product_profit), mirroring the already-factored revenueDuck.
+    */
+  private def revenueExpr =
+    dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))
+
+  private val revenueSpark = sum(revenueExpr)
 
   private val revenueDuck =
     "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))"
@@ -156,7 +163,7 @@ object Composites {
     // decimal sums in ONE pass, the share a double ratio of exact sums
     // (both engines divide identical doubles, then round).
     "q_promo_revenue" -> ((s, d) => {
-      val rev = dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))
+      val rev = revenueExpr
       lineitem(s, d)
         .filter(col("l_shipdate") >= ts("1996-03-01") &&
                 col("l_shipdate") <  ts("1996-04-01"))
@@ -270,7 +277,7 @@ object Composites {
     // two facts meet in one orderkey shuffle; the share is a conditional
     // decimal sum ratio in the SAME aggregate pass (no second scan).
     "q_market_share" -> ((s, d) => {
-      val vol = dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount")))
+      val vol = revenueExpr
       lineitem(s, d)
         .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
           .select("p_partkey")), col("l_partkey") === col("p_partkey"))
@@ -299,7 +306,7 @@ object Composites {
     // part dim). The p_name LIKE filter prunes part BEFORE broadcast.
     "q_product_profit" -> ((s, d) => {
       val profit =
-        dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount"))) -
+        revenueExpr -
           dec(col("p_retailprice")) * dec(col("l_quantity"))
       lineitem(s, d)
         .join(broadcast(part(s, d).filter(col("p_name").like("red %"))
@@ -651,8 +658,8 @@ object Composites {
          ORDER BY value DESC, l_partkey""",
     "q_priority_class" ->
       """SELECT l_linestatus,
-         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

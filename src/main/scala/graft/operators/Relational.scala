@@ -17,8 +17,14 @@ object Relational {
 
   /** Writable scratch dir for derived CSV/TSV fixtures + sink round-trips
     * (FIXTURES.md: no CSV fixtures exist; derive once from parquet).
+    * PID-namespaced (the Derived.scala discipline): the oracle SQL embeds
+    * these absolute paths, and two JVMs on one host (a Verify and a
+    * Bench, or two CI jobs at different sf) would otherwise overwrite
+    * each other's exports between one process's Spark scan and its
+    * DuckDB oracle read of the same file.
     */
-  val exportDir = "/tmp/graft_export"
+  val exportDir: String =
+    s"/tmp/graft_export_${java.lang.ProcessHandle.current().pid()}"
 
   /** Export `nation` once as a single deterministic CSV/TSV file (sorted by
     * pk, driver-side — 25 rows) so Spark and DuckDB scan the *same* file.
