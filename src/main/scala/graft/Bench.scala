@@ -43,8 +43,21 @@ object Bench {
     math.rint(secs * 1000) / 1000
   }
 
-  /** Tiny synthetic + fixture-touching query exercising the hot machinery. */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+  /** Tiny synthetic + fixture-touching query exercising the hot machinery.
+    * The vector and minhash stages are skipped when a SPARK_GRAFT_KEYS
+    * subset exercises neither family (same gating as derivedSpecs) — a
+    * targeted profile loop should not pay unrelated warm-up per iteration.
+    */
+  private val vectorKeyPrefixes =
+    Seq("vec_", "sim_", "knn_", "cluster_", "dedup_embed", "dedup_semantic", "mm_")
+  private val minhashKeys = Set(
+    "dedup_near", "dedup_minhash", "dedup_cluster", "dedup_keep_best",
+    "dedup_ngram", "sim_minhash_est", "sim_containment", "split_leakage",
+    "graph_triangles", "graph_components_hist", "corpus_decontam", "eval_coverage")
+
+  private def warmup(spark: SparkSession, sfDir: String,
+                     selected: Set[String]): Unit = {
+    def wants(p: String => Boolean) = selected.isEmpty || selected.exists(p)
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(100).toDF("id")
       .withColumn("g", col("id") % 7)
@@ -57,11 +70,13 @@ object Bench {
       .filter(col("rn") <= 2)
       .count()
     graft.plans.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir).limit(16)
-      .select(col("vec_id"), col("embedding"))
-    e.as("a").crossJoin(broadcast(e.as("b")))
-      .select(expr("vec_dot(a.embedding, b.embedding)").as("d"))
-      .orderBy(col("d").desc).limit(5).count()
+    if (wants(k => vectorKeyPrefixes.exists(k.startsWith))) {
+      val e = Tables.embeddings(spark, sfDir).limit(16)
+        .select(col("vec_id"), col("embedding"))
+      e.as("a").crossJoin(broadcast(e.as("b")))
+        .select(expr("vec_dot(a.embedding, b.embedding)").as("d"))
+        .orderBy(col("d").desc).limit(5).count()
+    }
     // minhash/shingle-family JIT warm (shingle explode + xxhash codegen,
     // band self-join, label-propagation loop): run the full pipeline once
     // on the SMALLEST available fixture (~1-2 s) so the ~8 s of one-time
@@ -85,6 +100,7 @@ object Bench {
           .filter(p => new java.io.File(p).isDirectory)
       }
     tiny match {
+      case _ if !wants(minhashKeys) => ()
       case Some(p) =>
         operators.TextOps.queries("dedup_cluster")(spark, p).count()
       case None =>
@@ -102,6 +118,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC pin as Verify/Serve/Cli: on a non-UTC host the
+      // day-bucketing keys would otherwise TIME different plans than the
+      // ones correctness verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -117,7 +137,7 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     val canaryPre = canarySeconds()
-    warmup(spark, sfDir)
+    warmup(spark, sfDir, only.getOrElse(Set.empty))
     // Materialize the shared derived artifacts ONCE each, timed
     // separately (the Derived seam): per-key numbers then measure each
     // consumer's own plan, and the derivation cost stays visible in the

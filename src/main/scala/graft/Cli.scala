@@ -7,7 +7,7 @@ import graft.server.Server
 /** One-shot CLI runner (reference Cargo.toml:7-9 binds the shipped `karna`
   * binary to karna-cli/src/main.rs — this is that entry point, Spark-side):
   *
-  *   graft.Cli <sql|graphql|nl> <query> <dataDir> [--json] [--max-rows N]
+  *   graft.Cli <sql|graphql|nl> <query> <dataDir> [--json] [--max-rows=N]
   *
   * Routes through the same `Server.handle` seam as the HTTP API, so CLI,
   * HTTP, and the driver harness all execute identical plans. Output is a
@@ -21,7 +21,12 @@ object Cli {
   def parseArgs(args: Array[String]): CliArgs = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     require(pos.length == 3,
-      "usage: graft.Cli <sql|graphql|nl> <query> <dataDir> [--json] [--max-rows N]")
+      "usage: graft.Cli <sql|graphql|nl> <query> <dataDir> [--json] [--max-rows=N]")
+    // unknown flags fail loudly — a typo like --maxrows=5 silently using
+    // the default would misreport what the user asked for
+    val unknown = flags.filterNot(f => f == "--json" || f.startsWith("--max-rows="))
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} (expected --json | --max-rows=N)")
     val json = flags.contains("--json")
     val maxRows = flags.collectFirst {
       case f if f.startsWith("--max-rows=") => f.stripPrefix("--max-rows=").toInt
@@ -33,9 +38,15 @@ object Cli {
     * so tests drive it against an existing session.
     */
   def run(spark: SparkSession, a: CliArgs): String = {
-    if (a.json)
-      Server.handleJson(spark,
-        s"""{"dialect":${q(a.dialect)},"query":${q(a.query)},"dir":${q(a.dir)},"maxRows":${a.maxRows}}""")
+    if (a.json) {
+      // build the request body with Jackson (the same serializer the
+      // server uses) instead of a third hand-rolled JSON escaper
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val body = m.createObjectNode()
+      body.put("dialect", a.dialect); body.put("query", a.query)
+      body.put("dir", a.dir); body.put("maxRows", a.maxRows)
+      Server.handleJson(spark, m.writeValueAsString(body))
+    }
     else {
       val df = Server.handle(spark, Server.ServeRequest(a.dialect, a.query, a.dir, a.maxRows))
       table(df.columns, df.limit(a.maxRows).collect().map(_.toSeq.map(cell)))
@@ -59,14 +70,6 @@ object Cli {
     (Seq(sep, line(cols.toSeq), sep) ++ rows.map(line) :+ sep).mkString("\n")
   }
 
-  private def q(s: String): String =
-    "\"" + s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    } + "\""
-
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
     val spark = SparkSession.builder()
@@ -76,7 +79,20 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(run(spark, a))
-    finally spark.stop()
+    try {
+      val out = run(spark, a)
+      println(out)
+      // with --json, handleJson converts failures into an {"error": ...}
+      // body instead of throwing — a scripting caller must still see a
+      // nonzero exit, same as the non-json path
+      if (a.json && isErrorBody(out)) sys.exit(1)
+    } finally spark.stop()
   }
+
+  /** True iff the JSON response is the serving protocol's error object. */
+  private[graft] def isErrorBody(body: String): Boolean =
+    try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      n != null && n.has("error")
+    } catch { case _: Exception => false }
 }

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [key ...]")
     val Array(sfDir, outDir, rest @ _*) = args
     // optional key filter for debugging (blank tokens ignored)
     val only: Set[String] = rest.iterator.map(_.trim).filter(_.nonEmpty).toSet

@@ -41,46 +41,58 @@ object DataQuality {
 
   // ---------------------------------------------------------------- dq_suite
 
-  /** (table, check, predicate-count expression, threshold). The metric is
-    * passing-fraction; a check passes when metric >= threshold. Fixed
-    * literal order keeps the report deterministic.
+  /** One spec per check — (name, Spark count expression, DuckDB count
+    * expression, threshold) — the single list BOTH surfaces derive from
+    * (the fkEdgeSpecs discipline), so a threshold or predicate edit
+    * cannot drift between the plan and its oracle. The metric is
+    * passing-fraction; a check passes when the UNROUNDED fraction
+    * >= threshold. Fixed literal order keeps the report deterministic.
     */
-  private def ordersChecks: Seq[(String, Column, Double)] = Seq(
-    ("pk_unique_o_orderkey", countDistinct(col("o_orderkey")).cast(DoubleType), 1.0),
+  private def ordersCheckSpecs: Seq[(String, Column, String, Double)] = Seq(
+    ("pk_unique_o_orderkey", countDistinct(col("o_orderkey")).cast(DoubleType),
+      "count(DISTINCT o_orderkey)", 1.0),
     ("status_in_domain",
-      count(when(col("o_orderstatus").isin("F", "O", "P"), 1)).cast(DoubleType), 1.0),
+      count(when(col("o_orderstatus").isin("F", "O", "P"), 1)).cast(DoubleType),
+      "count(*) FILTER (o_orderstatus IN ('F','O','P'))", 1.0),
     ("totalprice_positive",
-      count(when(col("o_totalprice") > 0, 1)).cast(DoubleType), 1.0),
+      count(when(col("o_totalprice") > 0, 1)).cast(DoubleType),
+      "count(*) FILTER (o_totalprice > 0)", 1.0),
     ("orderdate_in_bounds",
       count(when(col("o_orderdate").between("1990-01-01", "2005-12-31"), 1))
-        .cast(DoubleType), 1.0))
+        .cast(DoubleType),
+      "count(*) FILTER (o_orderdate BETWEEN '1990-01-01' AND '2005-12-31')", 1.0))
 
-  private def lineitemChecks: Seq[(String, Column, Double)] = Seq(
+  private def lineitemCheckSpecs: Seq[(String, Column, String, Double)] = Seq(
     ("discount_in_range",
-      count(when(col("l_discount").between(0.0, 0.1), 1)).cast(DoubleType), 1.0),
+      count(when(col("l_discount").between(0.0, 0.1), 1)).cast(DoubleType),
+      "count(*) FILTER (l_discount BETWEEN 0.0 AND 0.1)", 1.0),
     ("quantity_in_range",
-      count(when(col("l_quantity").between(1.0, 50.0), 1)).cast(DoubleType), 1.0),
+      count(when(col("l_quantity").between(1.0, 50.0), 1)).cast(DoubleType),
+      "count(*) FILTER (l_quantity BETWEEN 1.0 AND 50.0)", 1.0),
     ("shipdate_not_null",
-      count(col("l_shipdate")).cast(DoubleType), 1.0),
+      count(col("l_shipdate")).cast(DoubleType), "count(l_shipdate)", 1.0),
     ("tax_in_range",
-      count(when(col("l_tax").between(0.0, 0.08), 1)).cast(DoubleType), 1.0))
+      count(when(col("l_tax").between(0.0, 0.08), 1)).cast(DoubleType),
+      "count(*) FILTER (l_tax BETWEEN 0.0 AND 0.08)", 1.0))
 
-  private def documentsChecks: Seq[(String, Column, Double)] = Seq(
-    ("pk_unique_doc_id", countDistinct(col("doc_id")).cast(DoubleType), 1.0),
+  private def documentsCheckSpecs: Seq[(String, Column, String, Double)] = Seq(
+    ("pk_unique_doc_id", countDistinct(col("doc_id")).cast(DoubleType),
+      "count(DISTINCT doc_id)", 1.0),
     ("nchars_consistent",
-      count(when(col("n_chars") === length(col("text")), 1)).cast(DoubleType), 1.0),
+      count(when(col("n_chars") === length(col("text")), 1)).cast(DoubleType),
+      "count(*) FILTER (n_chars = length(text))", 1.0),
     ("lang_in_domain",
       count(when(col("lang").isin("de", "en", "es", "fr", "zh"), 1))
-        .cast(DoubleType), 1.0),
-    ("text_nonempty",
-      count(when(length(col("text")) > 0, 1)).cast(DoubleType), 1.0))
-
-  private val documentsChecksSql: Seq[(String, String, Double)] = Seq(
-    ("pk_unique_doc_id", "count(DISTINCT doc_id)", 1.0),
-    ("nchars_consistent", "count(*) FILTER (n_chars = length(text))", 1.0),
-    ("lang_in_domain",
+        .cast(DoubleType),
       "count(*) FILTER (lang IN ('de','en','es','fr','zh'))", 1.0),
-    ("text_nonempty", "count(*) FILTER (length(text) > 0)", 1.0))
+    ("text_nonempty",
+      count(when(length(col("text")) > 0, 1)).cast(DoubleType),
+      "count(*) FILTER (length(text) > 0)", 1.0))
+
+  private def sparkChecks(sp: Seq[(String, Column, String, Double)]) =
+    sp.map { case (n, c, _, t) => (n, c, t) }
+  private def sqlChecksOf(sp: Seq[(String, Column, String, Double)]) =
+    sp.map { case (n, _, q, t) => (n, q, t) }
 
   private def suiteReport(df: DataFrame, table: String,
                           checks: Seq[(String, Column, Double)]): DataFrame = {
@@ -114,19 +126,6 @@ object DataQuality {
               AS passed
           FROM $table"""
     }
-
-  private val ordersChecksSql: Seq[(String, String, Double)] = Seq(
-    ("pk_unique_o_orderkey", "count(DISTINCT o_orderkey)", 1.0),
-    ("status_in_domain", "count(*) FILTER (o_orderstatus IN ('F','O','P'))", 1.0),
-    ("totalprice_positive", "count(*) FILTER (o_totalprice > 0)", 1.0),
-    ("orderdate_in_bounds",
-      "count(*) FILTER (o_orderdate BETWEEN '1990-01-01' AND '2005-12-31')", 1.0))
-
-  private val lineitemChecksSql: Seq[(String, String, Double)] = Seq(
-    ("discount_in_range", "count(*) FILTER (l_discount BETWEEN 0.0 AND 0.1)", 1.0),
-    ("quantity_in_range", "count(*) FILTER (l_quantity BETWEEN 1.0 AND 50.0)", 1.0),
-    ("shipdate_not_null", "count(l_shipdate)", 1.0),
-    ("tax_in_range", "count(*) FILTER (l_tax BETWEEN 0.0 AND 0.08)", 1.0))
 
   // ---------------------------------------------------------- dq_referential
 
@@ -311,8 +310,13 @@ object DataQuality {
       .agg(count(when(dayofmonth(col("ts")) <= 15, 1)).as("n_ref"),
         count(when(dayofmonth(col("ts")) > 15, 1)).as("n_cur"))
     val wType = Window.partitionBy("event_type")
-    val tr = sum(col("n_ref")).over(wType)
-    val tc = sum(col("n_cur")).over(wType)
+    // greatest(total, 1): a type with zero rows in one half would divide
+    // 0/0 — NULL in Spark but IEEE NaN in DuckDB, and NaN survives
+    // greatest (it sorts highest), so the engines would diverge; with the
+    // floor, every probability in the empty half is exactly 0 → eps —
+    // the complete-displacement signal, identical cross-engine
+    val tr = greatest(sum(col("n_ref")).over(wType), lit(1L))
+    val tc = greatest(sum(col("n_cur")).over(wType), lit(1L))
     val pr = greatest(d(col("n_ref")) / d(tr), eps)
     val pc = greatest(d(col("n_cur")) / d(tc), eps)
     cells.select(col("event_type"), col("bucket"), col("n_ref"), col("n_cur"),
@@ -327,7 +331,8 @@ object DataQuality {
            count(*) FILTER (EXTRACT(day FROM ts) <= 15) AS n_ref,
            count(*) FILTER (EXTRACT(day FROM ts) > 15) AS n_cur
          FROM events GROUP BY 1, 2),
-       tots AS (SELECT event_type AS et, sum(n_ref) AS tr, sum(n_cur) AS tc
+       tots AS (SELECT event_type AS et,
+                  greatest(sum(n_ref), 1) AS tr, greatest(sum(n_cur), 1) AS tc
                 FROM cells GROUP BY 1)
        SELECT event_type, bucket,
          CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
@@ -550,9 +555,11 @@ object DataQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_suite" -> ((s, dir) =>
-      suiteReport(orders(s, dir), "orders", ordersChecks)
-        .unionByName(suiteReport(lineitem(s, dir), "lineitem", lineitemChecks))
-        .unionByName(suiteReport(documents(s, dir), "documents", documentsChecks))
+      suiteReport(orders(s, dir), "orders", sparkChecks(ordersCheckSpecs))
+        .unionByName(suiteReport(lineitem(s, dir), "lineitem",
+          sparkChecks(lineitemCheckSpecs)))
+        .unionByName(suiteReport(documents(s, dir), "documents",
+          sparkChecks(documentsCheckSpecs)))
         .orderBy("table_name", "check_name")),
     "dq_referential" -> ((s, dir) => referential(s, dir)),
     "dq_quarantine" -> ((s, dir) => quarantine(s, dir)),
@@ -564,9 +571,9 @@ object DataQuality {
 
   val oracles: Map[String, String] = Map(
     "dq_suite" ->
-      (suiteOracleArms("orders", ordersChecksSql) ++
-        suiteOracleArms("lineitem", lineitemChecksSql) ++
-        suiteOracleArms("documents", documentsChecksSql))
+      (suiteOracleArms("orders", sqlChecksOf(ordersCheckSpecs)) ++
+        suiteOracleArms("lineitem", sqlChecksOf(lineitemCheckSpecs)) ++
+        suiteOracleArms("documents", sqlChecksOf(documentsCheckSpecs)))
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY table_name NULLS FIRST, check_name NULLS FIRST"),
     "dq_referential" -> referentialOracle,

@@ -31,7 +31,11 @@ object Profiling {
     // sum/sumsq as exact decimals: at sf0.1 |sum| ≤ 5.6e7 → 5.6e11 ulps,
     // |sumsq| ≤ 3.1e10 → 3.1e14 ulps, both < 2^53, so DOUBLE casts are
     // exact and mean/var/sd are bit-identical across engines.
-    val stats = events(s, dir).groupBy(col("event_type").as("et")).agg(
+    // NULL values are excluded up front (the ksOf discipline): they carry
+    // no position, and a NULL in a window ORDER BY would rank NULLS FIRST
+    // in Spark but NULLS LAST under DuckDB's default
+    val ev0 = events(s, dir).filter(col("value").isNotNull)
+    val stats = ev0.groupBy(col("event_type").as("et")).agg(
       count(lit(1)).as("n"),
       sum(v4(col("value"))).as("sv"),
       sum(round(v4(col("value")) * v4(col("value")), 4).cast(DecimalType(30, 4))).as("svv"))
@@ -40,7 +44,7 @@ object Profiling {
       sqrt((d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n"))) / (d(col("n")) - lit(1.0)))
         .as("sd"))
     // pass 2: map-side z against the broadcast stats — no second shuffle
-    events(s, dir).join(broadcast(st), col("event_type") === col("et"))
+    ev0.join(broadcast(st), col("event_type") === col("et"))
       .withColumn("z", (col("value") - col("mean")) / col("sd"))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
@@ -92,7 +96,7 @@ object Profiling {
       // 100 TB the window key is the series key (high-cardinality), as
       // in ts_autocorr.
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir)
+      val ev = events(s, dir).filter(col("value").isNotNull)
       val w1 = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
       val n1 = Window.partitionBy("event_type")
       val med = ev
@@ -203,10 +207,11 @@ object Profiling {
              row_number() OVER (PARTITION BY event_type
                ORDER BY value, event_id) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
          med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2),
          d AS (SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.med
-               FROM events e JOIN med m USING (event_type)),
+               FROM events e JOIN med m USING (event_type)
+               WHERE e.value IS NOT NULL),
          r2 AS (SELECT *,
              row_number() OVER (PARTITION BY event_type
                ORDER BY dev, event_id) AS rn,
@@ -225,7 +230,7 @@ object Profiling {
              sum(CAST(round(CAST(round(value, 4) AS DECIMAL(18,4))
                             * CAST(round(value, 4) AS DECIMAL(18,4)), 4)
                       AS DECIMAL(30,4))) AS svv
-           FROM events GROUP BY 1),
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
          st AS (
            SELECT et,
              CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
@@ -236,7 +241,8 @@ object Profiling {
          SELECT event_id, event_type, value,
            round((value - mean) / sd, 4) AS z
          FROM events JOIN st ON event_type = et
-         WHERE abs((value - mean) / sd) > 3.0
+         WHERE value IS NOT NULL
+           AND abs((value - mean) / sd) > 3.0
          ORDER BY event_id NULLS FIRST""",
     "profile_columns" -> profOracle,
     "profile_corr_matrix" -> {

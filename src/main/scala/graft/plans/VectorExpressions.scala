@@ -16,13 +16,21 @@ import org.apache.spark.sql.SparkSessionExtensions
   * whole-stage codegen, the §2.11 hot path (64 flops × millions of pairs).
   *
   * Numerics: strict left-to-right accumulation — bit-identical to the HOF
-  * fold it replaces and to the DuckDB oracle's index-loop mirror.
+  * fold it replaces and to the DuckDB oracle's index-loop mirror. NULL
+  * semantics likewise mirror the HOF form: a NULL element or a length
+  * mismatch yields NULL (zip_with pads the shorter side with NULL and the
+  * aggregate fold propagates it) — the first cut read raw slot bits for
+  * NULL elements and silently truncated to the shorter length, returning
+  * a plausible wrong number on malformed vectors.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // may yield NULL for null elements / mismatched lengths even when both
+  // array inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -37,10 +45,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -50,12 +62,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
