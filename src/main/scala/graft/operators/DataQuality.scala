@@ -303,7 +303,12 @@ object DataQuality {
     */
   private[graft] def psiOf(ev: DataFrame): DataFrame = {
     val eps = lit(1.0e-6)
+    // NULL values carry no distribution information: least/greatest skip
+    // NULLs in both engines, so an unfiltered NULL would silently land in
+    // bucket 9 and skew the statistic the day NULLs appear (ksOf already
+    // filters; mirrored by WHERE value IS NOT NULL in the oracle).
     val cells = ev
+      .filter(col("value").isNotNull)
       .withColumn("bucket",
         greatest(lit(0L), least(lit(9L), floor(col("value") / 50.0).cast(LongType))))
       .groupBy("event_type", "bucket")
@@ -330,7 +335,7 @@ object DataQuality {
            greatest(0, least(9, CAST(floor(value / 50.0) AS BIGINT))) AS bucket,
            count(*) FILTER (EXTRACT(day FROM ts) <= 15) AS n_ref,
            count(*) FILTER (EXTRACT(day FROM ts) > 15) AS n_cur
-         FROM events GROUP BY 1, 2),
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
        tots AS (SELECT event_type AS et,
                   greatest(sum(n_ref), 1) AS tr, greatest(sum(n_cur), 1) AS tc
                 FROM cells GROUP BY 1)
@@ -448,11 +453,17 @@ object DataQuality {
       sum((col("sr").cast(dec) * col("sr").cast(dec)).cast(dec)).as("na2"),
       sum((col("sc").cast(dec) * col("sc").cast(dec)).cast(dec)).as("nb2"),
       max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+    // Guarded denominators: a label whose ref or cur half is empty (or
+    // all-zero) gives na2/nb2 = 0 — Spark Divide returns NULL but DuckDB
+    // returns NaN/Inf, the cross-engine divergence psiOf clamps against.
+    // Emit an explicit NULL in both engines instead.
     agg.select(col("label"), col("n_ref"), col("n_cur"),
-        (r4(d(col("dot")) / (sqrt(d(col("na2"))) * sqrt(d(col("nb2"))))) + lit(0.0))
+        when(d(col("na2")) > 0 && d(col("nb2")) > 0,
+          r4(d(col("dot")) / (sqrt(d(col("na2"))) * sqrt(d(col("nb2"))))) + lit(0.0))
           .as("centroid_cos"),
-        r4(sqrt(d(col("nb2"))) * d(col("n_ref"))
-          / (sqrt(d(col("na2"))) * d(col("n_cur")))).as("norm_ratio"))
+        when(d(col("na2")) > 0 && col("n_cur") > 0,
+          r4(sqrt(d(col("nb2"))) * d(col("n_ref"))
+            / (sqrt(d(col("na2"))) * d(col("n_cur"))))).as("norm_ratio"))
       .orderBy("label")
   }
 
@@ -474,12 +485,14 @@ object DataQuality {
                max(nr) AS n_ref, max(nc) AS n_cur
              FROM pd GROUP BY 1)
        SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-         round(CAST(dot AS DOUBLE)
-               / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) + 0.0
-           AS centroid_cos,
-         round(sqrt(CAST(nb2 AS DOUBLE)) * CAST(n_ref AS DOUBLE)
-               / (sqrt(CAST(na2 AS DOUBLE)) * CAST(n_cur AS DOUBLE)), 4)
-           AS norm_ratio
+         CASE WHEN CAST(na2 AS DOUBLE) > 0 AND CAST(nb2 AS DOUBLE) > 0 THEN
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 4) + 0.0
+         END AS centroid_cos,
+         CASE WHEN CAST(na2 AS DOUBLE) > 0 AND n_cur > 0 THEN
+           round(sqrt(CAST(nb2 AS DOUBLE)) * CAST(n_ref AS DOUBLE)
+                 / (sqrt(CAST(na2 AS DOUBLE)) * CAST(n_cur AS DOUBLE)), 4)
+         END AS norm_ratio
        FROM a ORDER BY label NULLS FIRST"""
 
   // -------------------------------------------------------------- drift_chi2

@@ -585,19 +585,25 @@ object Windows {
     val dt = local.schema(cLoc).dataType
     val sums = ranged.groupBy(cPid).agg(sum(value).as("sm"))
       .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // sum() over an all-NULL partition returns NULL — treat as 0 so a
+    // NULL-dense value column cannot NPE the offset fold (the scaffold is
+    // reused; callers today pass non-null values but must not have to).
     val (offVals, total): (Seq[(Int, Any)], Any) = dt match {
       case _: DecimalType =>
         var acc = java.math.BigDecimal.ZERO
         val o = sums.toSeq.map { case (pid, sm) =>
           val v: Any = acc
-          acc = acc.add(sm.asInstanceOf[java.math.BigDecimal]); (pid, v)
+          val smv = if (sm == null) java.math.BigDecimal.ZERO
+                    else sm.asInstanceOf[java.math.BigDecimal]
+          acc = acc.add(smv); (pid, v)
         }
         (o, acc)
       case _ =>
         var acc = 0L
         val o = sums.toSeq.map { case (pid, sm) =>
           val v: Any = java.lang.Long.valueOf(acc)
-          acc += sm.asInstanceOf[java.lang.Long].longValue; (pid, v)
+          if (sm != null) acc += sm.asInstanceOf[java.lang.Long].longValue
+          (pid, v)
         }
         (o, java.lang.Long.valueOf(acc))
     }
