@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hostile fixture-variant generator for the adversarial differential
+  * harness (`scripts/edgecheck.py`).
+  *
+  * The driver's DuckDB gate runs on CLEAN fixtures, so a whole defect class
+  * — NULL-ordering divergence, NULL arithmetic, empty-input crashes,
+  * duplicate-key fan-out — can never fail it (round-7 review sweeps found
+  * exactly such bugs by hand: Spark NULLS-FIRST vs DuckDB NULLS-LAST in
+  * windows, NULL grid cells in drift_ks). This main derives hostile
+  * variants of the driver fixtures and writes them in the same layout
+  * (`<outBase>/<variant>/<table>.parquet`), so the *existing*
+  * Verify + check.py differential compare runs unchanged against each.
+  *
+  * Variants (all fully deterministic — no Random, injection slots come from
+  * xxhash64 of the table's spine key + column name):
+  *  - `nulls`  : ~20% NULLs in every non-spine column; a further 8% slot
+  *               turns strings into "" and arrays into empty arrays.
+  *  - `empty`  : 0 rows, schema preserved.
+  *  - `onerow` : exactly the first row in spine order.
+  *  - `dupkeys`: first 50 spine-ordered rows, each repeated 8× as EXACT
+  *               duplicates (identical rows ⇒ ties are value-identical, so
+  *               the emitted-order compare can't produce false positives).
+  *
+  * Spine keys stay non-NULL so each table keeps a usable total order; every
+  * other column is fair game — that is the point.
+  */
+object EdgeFixtures {
+
+  /** table → spine (identity/total-order) columns kept non-NULL. */
+  val spines: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey"),
+    "nation"     -> Seq("n_nationkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "events"     -> Seq("event_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val variants: Seq[String] = Seq("nulls", "empty", "onerow", "dupkeys")
+
+  /** Load a table through the SAME canonical shims Verify uses, so the
+    * variant parquet carries the post-shim types (µs timestamps for
+    * events — a ns LongType written raw would be unreadable as a
+    * timestamp by the DuckDB side of the compare).
+    */
+  private def load(s: SparkSession, dir: String, t: String): DataFrame = t match {
+    case "events" => Tables.events(s, dir)
+    case _        => Tables.load(s, dir, t)
+  }
+
+  /** Deterministic per-(row, column) slot in [0, 100). */
+  private def slot(spine: Seq[String], colName: String): Column =
+    pmod(xxhash64(spine.map(col) :+ lit(colName): _*), lit(100L))
+
+  private[graft] def withNulls(df: DataFrame, spine: Seq[String]): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (spine.contains(f.name)) col(f.name)
+      else {
+        val h = slot(spine, f.name)
+        val emptied: Column = f.dataType match {
+          case StringType => when(h < 20, lit(null))
+            .when(h < 28, lit("")).otherwise(col(f.name))
+          case _: ArrayType => when(h < 20, lit(null))
+            .when(h < 28, expr(s"cast(array() as ${f.dataType.catalogString})"))
+            .otherwise(col(f.name))
+          case _ => when(h < 20, lit(null)).otherwise(col(f.name))
+        }
+        emptied.cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def onerow(df: DataFrame, spine: Seq[String]): DataFrame =
+    df.orderBy(spine.map(col): _*).limit(1)
+
+  private def dupkeys(df: DataFrame, spine: Seq[String]): DataFrame =
+    df.orderBy(spine.map(col): _*).limit(50)
+      .withColumn("__rep", explode(lit((1 to 8).toArray)))
+      .drop("__rep")
+
+  def generate(s: SparkSession, srcDir: String, outBase: String): Unit = {
+    for (t <- spines.keys.toSeq.sorted; v <- variants) {
+      val base = load(s, srcDir, t)
+      val sp = spines(t)
+      val out = v match {
+        case "nulls"   => withNulls(base, sp)
+        case "empty"   => base.filter(lit(false))
+        case "onerow"  => onerow(base, sp)
+        case "dupkeys" => dupkeys(base, sp)
+      }
+      // one *file* per table, exactly the driver-fixture layout (check.py's
+      // DuckDB views read '<dir>/<t>.parquet' as a single file, not a glob):
+      // write the Spark directory to a temp path, then move the lone part
+      // file into place.
+      val tmp = s"$outBase/$v/__tmp_$t"
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $t/$v"))
+      val dest = new java.io.File(s"$outBase/$v/$t.parquet")
+      if (dest.exists()) { dest.delete(); () }
+      require(part.renameTo(dest), s"rename failed for $t/$v")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: graft.EdgeFixtures <srcSfDir> <outBase>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1))
+    println(s"[edgefixtures] wrote ${variants.mkString(", ")} under ${args(1)}")
+    spark.stop()
+  }
+}

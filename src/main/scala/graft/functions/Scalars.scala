@@ -105,7 +105,10 @@ object Scalars {
       customer(s, d).select(
         col("c_custkey"),
         col("c_custkey").cast(StringType).as("key_str"),
-        regexp_extract(col("c_name"), "([0-9]+)$", 1).cast(L).as("num_from_str"),
+        // nullif: a no-match extract is '' and CAST('' AS BIGINT) is an
+        // ANSI error in Spark (and DuckDB) — no-match means NULL
+        nullif(regexp_extract(col("c_name"), "([0-9]+)$", 1), lit("")).cast(L)
+          .as("num_from_str"),
         col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType).as("bal_dec"),
         col("c_nationkey").cast(DoubleType).as("nk_dbl"),
         (col("c_acctbal") > 0).cast(L).as("is_pos"),
@@ -133,8 +136,10 @@ object Scalars {
       embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).cast(L).as("n_dims"),
-        element_at(col("embedding"), 1).as("first_val"),
-        element_at(col("embedding"), -1).as("last_val"),
+        // try_: an empty array yields NULL (DuckDB [] subscripts do too);
+        // plain element_at is an ANSI out-of-bounds error
+        expr("try_element_at(embedding, 1)").as("first_val"),
+        expr("try_element_at(embedding, -1)").as("last_val"),
         // + 0.0 after rounding: IEEE-normalizes -0.0 → 0.0 (repr-identical
         // across engines; Spark and DuckDB disagree on round(-1e-7, 4) sign)
         (r4(array_max(col("embedding"))) + lit(0.0)).as("vmax"),
@@ -150,7 +155,7 @@ object Scalars {
         r4(expr("aggregate(zip_with(embedding, embedding, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")).as("self_dot"),
         size(expr("filter(embedding, x -> x > 0)")).cast(L).as("n_pos"),
         expr("exists(embedding, x -> x > 0.2)").as("any_big"),
-        (r4(element_at(expr("transform(embedding, x -> x * 2)"), 1)) + lit(0.0)).as("first_x2"))
+        (r4(expr("try_element_at(transform(embedding, x -> x * 2), 1)")) + lit(0.0)).as("first_x2"))
         .orderBy("vec_id")),
     "fn_bitwise" -> ((s, d) =>
       // bitwise family: & | xor ~ shifts popcount (DuckDB dialect: ^ is
@@ -212,7 +217,9 @@ object Scalars {
       // equivalent component regexes.
       customer(s, d)
         .withColumn("url",
-          concat(lit("https://"), lower(col("c_mktsegment")), lit(".example.com/c/"),
+          concat(lit("https://"),
+            coalesce(nullif(lower(col("c_mktsegment")), lit("")), lit("na")),
+            lit(".example.com/c/"),
             col("c_custkey"), lit("?id="), col("c_custkey") % 13, lit("&ref=mail")))
         .select(col("c_custkey"), col("url"),
           expr("parse_url(url, 'HOST')").as("host"),
@@ -326,7 +333,7 @@ object Scalars {
     "fn_cast" ->
       """SELECT c_custkey,
          CAST(c_custkey AS VARCHAR) AS key_str,
-         CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS num_from_str,
+         CAST(nullif(regexp_extract(c_name, '([0-9]+)$', 1), '') AS BIGINT) AS num_from_str,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
          CAST(c_nationkey AS DOUBLE) AS nk_dbl,
          CAST(c_acctbal > 0 AS BIGINT) AS is_pos,
@@ -346,16 +353,18 @@ object Scalars {
          FROM embeddings ORDER BY vec_id NULLS FIRST""",
     "fn_array_hof" ->
       """SELECT vec_id,
-         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
-         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot,
+         round(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        CASE WHEN embedding IS NULL THEN NULL ELSE CAST(0.0 AS DOUBLE) END), 4) AS norm2,
+         round(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                        CASE WHEN embedding IS NULL THEN NULL ELSE CAST(0.0 AS DOUBLE) END), 4) AS self_dot,
          len(list_filter(embedding, x -> x > 0)) AS n_pos,
          len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS any_big,
          round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS first_x2
          FROM embeddings ORDER BY vec_id NULLS FIRST""",
     "fn_json" ->
       """SELECT event_id,
-         json_extract_string(props, '$.k') AS k_str,
-         CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
+         json_extract_string(nullif(props, ''), '$.k') AS k_str,
+         CAST(json_extract(nullif(props, ''), '$.k') AS INTEGER) AS k_int
          FROM events ORDER BY event_id NULLS FIRST""",
     "fn_url" ->
       """SELECT c_custkey, url,
@@ -363,7 +372,8 @@ object Scalars {
          regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
          regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
          FROM (SELECT c_custkey,
-                 'https://' || lower(c_mktsegment) || '.example.com/c/' ||
+                 'https://' || coalesce(nullif(lower(c_mktsegment), ''), 'na')
+                   || '.example.com/c/' ||
                  CAST(c_custkey AS VARCHAR) || '?id=' ||
                  CAST(c_custkey % 13 AS VARCHAR) || '&ref=mail' AS url
                FROM customer)

@@ -105,21 +105,35 @@ object Aggregates {
           count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"))
         .orderBy("l_returnflag")),
     "agg_rollup" -> ((s, d) =>
+      // grouping flags join the ORDER BY: with genuine NULLs in the data,
+      // a data-NULL group and its rollup row tie on the key columns alone
+      // and the emitted order would be engine-arbitrary
       orders(s, d).rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
              grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
              grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
     "agg_cube" -> ((s, d) =>
+      // grouping flags emitted + leading the sort: data-NULL groups and
+      // rollup rows tie on the bare key columns (see agg_rollup)
       lineitem(s, d).cube("l_returnflag", "l_linestatus")
-        .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+        .agg(outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "agg_grouping_sets" -> ((s, d) => {
+      // GROUPING_ID leads the sort — a data-NULL status group, a data-NULL
+      // priority group, and the grand total all tie on (NULL, NULL) keys
       orders(s, d).createOrReplaceTempView("orders")
-      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
                FROM orders
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+               ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
     "agg_minmax_by" -> ((s, d) =>
       // argmin/argmax aggregates (the min_by/max_by surface): WHICH
@@ -129,11 +143,17 @@ object Aggregates {
       // (price, orderkey) — the resample_ohlc discipline:
       // deterministic under any parallelism, still ONE
       // partial-aggregating keyed shuffle.
+      // NULL prices are excluded from candidacy by nulling the WHOLE
+      // struct (min/max skip NULL inputs in both engines) — a NULL FIELD
+      // inside a non-null struct would diverge: Spark compares it lowest,
+      // DuckDB highest
       orders(s, d).groupBy("o_custkey")
         .agg(
-          max(struct(col("o_totalprice"), col("o_orderkey")))
+          max(when(col("o_totalprice").isNotNull,
+              struct(col("o_totalprice"), col("o_orderkey"))))
             .getField("o_orderkey").as("max_order"),
-          min(struct(col("o_totalprice"), col("o_orderkey")))
+          min(when(col("o_totalprice").isNotNull,
+              struct(col("o_totalprice"), col("o_orderkey"))))
             .getField("o_orderkey").as("min_order"),
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
@@ -184,7 +204,7 @@ object Aggregates {
               FROM orders
               GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey))
         GROUP BY o_orderstatus
-        ORDER BY o_orderstatus""")
+        ORDER BY o_orderstatus NULLS FIRST""")
     }),
     "agg_cms_topk" -> ((s, d) => {
       // heavy-hitter detection via Count-Min sketch — the skew probe that
@@ -197,7 +217,9 @@ object Aggregates {
       // only deterministic because the seed (1) and fixtures are pinned —
       // a seed/fixture change may legitimately flip a row, in which case
       // widen δ (deeper sketch), don't loosen the bound.
-      val li = lineitem(s, d)
+      // non-null keys only: CMS counts ITEMS (a NULL is no item), and the
+      // driver-side probe below getLong-NPEs on a NULL heavy-hitter group
+      val li = lineitem(s, d).filter(col("l_suppkey").isNotNull)
       val cms = li.stat.countMinSketch(col("l_suppkey"), 0.001, 0.99, 1)
       val n = li.count()
       val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_exact"))
@@ -306,8 +328,12 @@ object Aggregates {
           expr("percentile_approx(o_totalprice, 0.5, 10000)").as("a50"),
           expr("percentile_approx(o_totalprice, 0.9, 10000)").as("a90"))
         .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
-          (abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
-           abs(col("a90") - col("p90_exact")) <= col("p90_exact") * 0.01).as("approx_ok"))
+          // vacuously true when the group has no non-null values (both
+          // percentiles NULL): the oracle emits a literal true
+          coalesce(
+            abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
+            abs(col("a90") - col("p90_exact")) <= col("p90_exact") * 0.01,
+            lit(true)).as("approx_ok"))
         .orderBy("o_orderstatus")),
 
     "agg_pivot" -> ((s, d) =>
@@ -346,6 +372,9 @@ object Aggregates {
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       val wN = Window.partitionBy("o_orderstatus")
       orders(s, d)
+        // the median of KNOWN values: NULL prices carry no rank position
+        // (and would rank NULLS-FIRST in Spark, NULLS-LAST in DuckDB)
+        .filter(col("o_totalprice").isNotNull)
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(wN))
         .filter(col("rn") === expr("(n + 1) div 2"))
@@ -504,7 +533,7 @@ object Aggregates {
          FROM (
            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
              row_number() OVER (PARTITION BY o_orderstatus
-               ORDER BY count(*) DESC, o_orderpriority) AS rn
+               ORDER BY count(*) DESC NULLS LAST, o_orderpriority NULLS FIRST) AS rn
            FROM orders GROUP BY 1, 2)
          WHERE rn = 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_count_star" ->
@@ -523,8 +552,9 @@ object Aggregates {
          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
     "agg_cms_topk" ->
       """SELECT l_suppkey, n_exact, true AS within_bound FROM (
-           SELECT l_suppkey, count(*) AS n_exact FROM lineitem GROUP BY 1
-           ORDER BY n_exact DESC, l_suppkey LIMIT 5)
+           SELECT l_suppkey, count(*) AS n_exact FROM lineitem
+           WHERE l_suppkey IS NOT NULL GROUP BY 1
+           ORDER BY n_exact DESC NULLS LAST, l_suppkey NULLS FIRST LIMIT 5)
          ORDER BY l_suppkey NULLS FIRST""",
     "agg_bloom_filter" ->
       """SELECT count(*) AS n_customers,
@@ -547,8 +577,13 @@ object Aggregates {
           FROM n ORDER BY user_id NULLS FIRST"""
     },
     "agg_hll_partial" ->
+      // +1 for the NULL-date shard when present: the Spark side GROUPS by
+      // the shard key (a NULL month is a real shard) while COUNT(DISTINCT)
+      // skips NULLs
       """SELECT count(DISTINCT o_custkey) AS n_exact,
-         count(DISTINCT date_trunc('month', o_orderdate)) AS n_shards,
+         count(DISTINCT date_trunc('month', o_orderdate))
+           + CASE WHEN count(*) FILTER (o_orderdate IS NULL) > 0
+                  THEN 1 ELSE 0 END AS n_shards,
          true AS approx_ok
          FROM orders""",
     "agg_approx_distinct" ->
@@ -589,20 +624,29 @@ object Aggregates {
          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+         ORDER BY g_status, g_prio,
+           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+         ORDER BY g_flag, g_status,
+           l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+         ORDER BY g_status, g_prio,
+           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_minmax_by" ->
       """SELECT o_custkey,
-         max({'p': o_totalprice, 'k': o_orderkey}).k AS max_order,
-         min({'p': o_totalprice, 'k': o_orderkey}).k AS min_order,
+         max(CASE WHEN o_totalprice IS NOT NULL
+             THEN {'p': o_totalprice, 'k': o_orderkey} END).k AS max_order,
+         min(CASE WHEN o_totalprice IS NOT NULL
+             THEN {'p': o_totalprice, 'k': o_orderkey} END).k AS min_order,
          count(*) AS n
          FROM orders GROUP BY 1 ORDER BY o_custkey NULLS FIRST""",
     "agg_stats" ->
@@ -613,10 +657,16 @@ object Aggregates {
          round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qp
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_collect_sorted" ->
-      """SELECT n_regionkey, to_json(list(n_name ORDER BY n_name)) AS names
+      // FILTER mirrors Spark's collect_list, which silently skips NULLs
+      // where DuckDB's list() keeps them
+      // coalesce to []: a group whose names are ALL NULL is an empty list
+      // in Spark (collect_list) but a NULL aggregate in DuckDB
+      """SELECT n_regionkey,
+         to_json(coalesce(list(n_name ORDER BY n_name NULLS FIRST)
+                          FILTER (n_name IS NOT NULL), [])) AS names
          FROM nation GROUP BY 1 ORDER BY n_regionkey NULLS FIRST""",
     "agg_string_concat" ->
-      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+      """SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment NULLS FIRST) AS segs
          FROM customer GROUP BY 1 ORDER BY c_nationkey NULLS FIRST""",
     "agg_pivot" ->
       """SELECT o_orderstatus,
@@ -636,9 +686,9 @@ object Aggregates {
       """WITH r AS (
            SELECT o_orderstatus, o_totalprice,
              row_number() OVER (PARTITION BY o_orderstatus
-               ORDER BY o_totalprice, o_orderkey) AS rn,
+               ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST) AS rn,
              count(*) OVER (PARTITION BY o_orderstatus) AS n
-           FROM orders)
+           FROM orders WHERE o_totalprice IS NOT NULL)
          SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
            o_totalprice AS median_price
          FROM r WHERE rn = (n + 1) // 2

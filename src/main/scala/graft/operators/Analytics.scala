@@ -116,7 +116,10 @@ object Analytics {
       .select(col("n_name"), col("n_customers"),
         round(lit(2.0) * d(col("s1")) / (d(col("n_customers")) * d(col("s0")))
           - (d(col("n_customers")) + lit(1.0)) / d(col("n_customers")), 6).as("gini"))
-      .orderBy("n_name")
+      // n_customers/gini tie-breaks: several nations can share a NULL (or
+      // duplicated) name, and a bare name sort would leave their relative
+      // order engine-arbitrary
+      .orderBy(col("n_name"), col("n_customers"), col("gini"))
   }
 
   private def rfm(s: SparkSession, dir: String): DataFrame = {
@@ -534,7 +537,7 @@ object Analytics {
          JOIN itemn ib ON pairs.b = ib.pk
          CROSS JOIN tot
          ORDER BY CAST(n_ab * n_orders AS DOUBLE)
-                  / CAST(ia.n_item * ib.n_item AS DOUBLE) DESC, a, b
+                  / CAST(ia.n_item * ib.n_item AS DOUBLE) DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST
          LIMIT 20""",
     "profile_key_skew" ->
       """WITH c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
@@ -543,13 +546,13 @@ object Analytics {
            round(CAST(cnt AS DOUBLE) * 100.0 / CAST(n_rows AS DOUBLE), 4) AS share_pct,
            round(CAST(cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 4) AS skew_ratio
          FROM c CROSS JOIN t
-         ORDER BY cnt DESC, key LIMIT 10""",
+         ORDER BY cnt DESC NULLS LAST, key NULLS FIRST LIMIT 10""",
     "agg_gini" ->
       """WITH sp AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
                      FROM orders GROUP BY 1),
          rk AS (SELECT c_nationkey, spend,
                   row_number() OVER (PARTITION BY c_nationkey
-                    ORDER BY spend, o_custkey) AS rk
+                    ORDER BY spend NULLS FIRST, o_custkey NULLS FIRST) AS rk
                 FROM sp JOIN customer ON o_custkey = c_custkey),
          g AS (SELECT c_nationkey, count(*) AS n_customers,
                  sum(spend) AS s0,
@@ -561,7 +564,7 @@ object Analytics {
                  - (CAST(n_customers AS DOUBLE) + 1.0)
                    / CAST(n_customers AS DOUBLE), 6) AS gini
          FROM g JOIN nation ON c_nationkey = n_nationkey
-         ORDER BY n_name NULLS FIRST""",
+         ORDER BY n_name NULLS FIRST, n_customers NULLS FIRST, gini NULLS FIRST""",
     "rfm_segments" ->
       """WITH dm AS (SELECT max(o_orderdate) AS dmax FROM orders),
          b AS (SELECT o_custkey,
@@ -571,9 +574,9 @@ object Analytics {
                  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
                FROM orders GROUP BY 1),
          q AS (SELECT o_custkey, freq, mon,
-                 ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r_q,
-                 ntile(4) OVER (ORDER BY freq, o_custkey) AS f_q,
-                 ntile(4) OVER (ORDER BY mon, o_custkey) AS m_q
+                 ntile(4) OVER (ORDER BY rec_days NULLS FIRST, o_custkey NULLS FIRST) AS r_q,
+                 ntile(4) OVER (ORDER BY freq NULLS FIRST, o_custkey NULLS FIRST) AS f_q,
+                 ntile(4) OVER (ORDER BY mon NULLS FIRST, o_custkey NULLS FIRST) AS m_q
                FROM b)
          SELECT r_q, f_q, m_q, count(*) AS n_customers,
            round(CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
@@ -596,7 +599,7 @@ object Analytics {
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY 1, 2),
          l AS (SELECT n_name, mth, t,
-             lag(t, 1) OVER (PARTITION BY n_name ORDER BY mth) AS p
+             lag(t, 1) OVER (PARTITION BY n_name ORDER BY mth NULLS FIRST) AS p
            FROM m)
          SELECT n_name, mth,
            CAST(round(t, 4) AS DOUBLE) AS total,
@@ -664,13 +667,13 @@ object Analytics {
            SELECT user_id, ts, event_id,
              lag(epoch_us(ts)) OVER w AS prev_us
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
          flagged AS (
            SELECT *, CASE WHEN prev_us IS NULL
                             OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
            FROM marked),
          numbered AS (
-           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM flagged),
          sess AS (
@@ -683,7 +686,7 @@ object Analytics {
            SELECT user_id, session_seq, e_us AS us, -1 AS delta FROM sess),
          run AS (
            SELECT us, CAST(sum(delta) OVER (
-               ORDER BY us, delta DESC, user_id, session_seq
+               ORDER BY us NULLS FIRST, delta DESC NULLS LAST, user_id NULLS FIRST, session_seq NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
            FROM deltas),
          pk AS (SELECT max(c) AS peak FROM run),
@@ -697,12 +700,12 @@ object Analytics {
       """WITH g AS (
            SELECT event_type, event_id,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+               PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS gap_us
            FROM events),
          gaps AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
          r AS (SELECT event_type, gap_us,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY gap_us, event_id) AS rn,
+               ORDER BY gap_us NULLS FIRST, event_id NULLS FIRST) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
            FROM gaps),
          med AS (SELECT event_type, gap_us AS median_gap_us
@@ -763,7 +766,7 @@ object Analytics {
          SELECT user_id, n_events, n_types, dom_bp, epd_c,
            dom_bp + epd_c AS bot_score
          FROM sc
-         ORDER BY dom_bp + epd_c DESC, user_id LIMIT 10""",
+         ORDER BY dom_bp + epd_c DESC NULLS LAST, user_id NULLS FIRST LIMIT 10""",
     "lead_time_stats" ->
       """WITH j AS (
            SELECT l_suppkey,

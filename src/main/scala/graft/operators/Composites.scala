@@ -492,7 +492,7 @@ object Composites {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
@@ -502,7 +502,7 @@ object Composites {
            AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
            AND l_shipdate  > TIMESTAMP '1996-06-15 00:00:00'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         ORDER BY revenue DESC NULLS LAST, o_orderdate NULLS FIRST, l_orderkey NULLS FIRST
          LIMIT 10""",
     "q_local_supplier_volume" ->
       s"""SELECT n_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue
@@ -514,7 +514,7 @@ object Composites {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
-         ORDER BY revenue DESC, n_name""",
+         ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""",
     "q_top_supplier" ->
       s"""WITH revenue AS (
            SELECT l_suppkey, CAST(round($revenueDuck, 4) AS DOUBLE) AS total_revenue
@@ -526,7 +526,7 @@ object Composites {
          FROM supplier, revenue
          WHERE s_suppkey = l_suppkey
            AND total_revenue = (SELECT max(total_revenue) FROM revenue)
-         ORDER BY s_suppkey""",
+         ORDER BY s_suppkey NULLS FIRST""",
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders o
@@ -535,7 +535,7 @@ object Composites {
            AND EXISTS (SELECT 1 FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority""",
+         ORDER BY o_orderpriority NULLS FIRST""",
     "q_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -549,7 +549,7 @@ object Composites {
            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY 1, 2, 3
-         ORDER BY supp_nation, cust_nation, l_year""",
+         ORDER BY supp_nation NULLS FIRST, cust_nation NULLS FIRST, l_year NULLS FIRST""",
     "q_promo_revenue" ->
       """SELECT
          round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -573,7 +573,7 @@ object Composites {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY c_mktsegment
-         ORDER BY c_mktsegment""",
+         ORDER BY c_mktsegment NULLS FIRST""",
     "q_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
@@ -583,7 +583,7 @@ object Composites {
                               HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 280)
            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-         ORDER BY o_totalprice DESC, o_orderkey
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
          LIMIT 20""",
     "q_min_cost_supplier" ->
       """WITH m AS (
@@ -598,7 +598,7 @@ object Composites {
          FROM pick
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON suppkey = s_suppkey
-         ORDER BY p_partkey""",
+         ORDER BY p_partkey NULLS FIRST""",
     "q_returned_items" ->
       s"""SELECT c_custkey, c_name, CAST(round($revenueDuck, 4) AS DOUBLE) AS revenue,
          c_acctbal, n_name
@@ -608,7 +608,7 @@ object Composites {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
-         ORDER BY revenue DESC, c_custkey
+         ORDER BY revenue DESC NULLS LAST, c_custkey NULLS FIRST
          LIMIT 20"""
   )
 
@@ -636,7 +636,7 @@ object Composites {
            AND p_type = 'PROMO'
            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-         GROUP BY 1 ORDER BY 1""",
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     "q_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
@@ -646,7 +646,7 @@ object Composites {
          WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
            AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
            AND p_name LIKE 'red %'
-         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+         GROUP BY 1, 2 ORDER BY nation NULLS FIRST, o_year DESC NULLS LAST""",
     "q_important_parts" ->
       """WITH v AS (
            SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v
@@ -655,7 +655,7 @@ object Composites {
          SELECT l_partkey, CAST(round(v, 4) AS DOUBLE) AS value
          FROM v, t
          WHERE CAST(v AS DOUBLE) * np > 1.5 * CAST(tot AS DOUBLE)
-         ORDER BY value DESC, l_partkey""",
+         ORDER BY value DESC NULLS LAST, l_partkey NULLS FIRST""",
     "q_priority_class" ->
       """SELECT l_linestatus,
          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -663,7 +663,7 @@ object Composites {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-         GROUP BY l_linestatus ORDER BY l_linestatus""",
+         GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST""",
     "q_cust_order_dist" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -671,7 +671,7 @@ object Composites {
                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
                GROUP BY c_custkey)
          GROUP BY c_count
-         ORDER BY custdist DESC, c_count DESC""",
+         ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""",
     "q_parts_supplier_count" ->
       """SELECT p_brand, p_type, p_size,
          count(DISTINCT l_suppkey) AS supplier_cnt
@@ -681,7 +681,7 @@ object Composites {
            AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
          GROUP BY 1, 2, 3
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+         ORDER BY supplier_cnt DESC NULLS LAST, p_brand NULLS FIRST, p_type NULLS FIRST, p_size NULLS FIRST""",
     "q_small_qty_revenue" ->
       """WITH pf AS (
            SELECT p_partkey FROM part
@@ -714,7 +714,7 @@ object Composites {
          FROM sh, n, supplier
          WHERE l_suppkey = s_suppkey
            AND CAST(qty AS DOUBLE) * ns > 1.1 * CAST(tot AS DOUBLE)
-         ORDER BY s_suppkey""",
+         ORDER BY s_suppkey NULLS FIRST""",
     "q_waiting_suppliers" ->
       """SELECT s_name, count(*) AS numwait
          FROM supplier, lineitem l1, orders
@@ -728,7 +728,7 @@ object Composites {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_returnflag = 'R')
          GROUP BY s_name
-         ORDER BY numwait DESC, s_name
+         ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
          LIMIT 10"""
   )
 }

@@ -346,7 +346,7 @@ object DataQuality {
                * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1.0e-6)
                     / greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1.0e-6)),
                6) AS psi_term
-       FROM cells JOIN tots ON event_type = et
+       FROM cells JOIN tots ON event_type IS NOT DISTINCT FROM et
        ORDER BY event_type NULLS FIRST, bucket NULLS FIRST"""
 
   // ---------------------------------------------------------------- drift_ks
@@ -405,9 +405,9 @@ object DataQuality {
          WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
          GROUP BY 1),
        cum AS (SELECT bucket,
-                 sum(ca) OVER (ORDER BY bucket
+                 sum(ca) OVER (ORDER BY bucket NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
-                 sum(cb) OVER (ORDER BY bucket
+                 sum(cb) OVER (ORDER BY bucket NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
                FROM cells),
        tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),

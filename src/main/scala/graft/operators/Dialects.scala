@@ -285,7 +285,7 @@ object Dialects {
                  CAST(round(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
                                      AS DECIMAL(18,4))), 4) AS DOUBLE) AS disc_revenue,
                  count(*) AS n_lines
-               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")
+               FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""")
     })
   )
 
@@ -394,7 +394,7 @@ object Dialects {
     "gql_orderby_desc" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderstatus = 'F'
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 25""",
     "serve_sql" -> serveSqlQuery,
     "serve_sql_param" ->
       // the bound literals inlined — what the prepared statement resolves to

@@ -39,9 +39,13 @@ object GraphOps {
     * guaranteed to describe the same graph.
     */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    // both endpoints NON-NULL: an edge needs two vertices, and NULL ids
+    // would diverge downstream (Spark's left_anti keeps a NULL probe key,
+    // DuckDB's NOT IN drops it — the graph_bfs frontier prune)
     val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -209,14 +213,16 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_degrees" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                     WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
          edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
          SELECT degree, count(*) AS n_vertices FROM deg
          GROUP BY 1 ORDER BY degree NULLS FIRST""",
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
           edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
           deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
           ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
@@ -230,7 +236,8 @@ object GraphOps {
           FROM r3 ORDER BY node NULLS FIRST""",
     "graph_bfs" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+                     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                     WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
          edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          d0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
                 FROM customer WHERE c_custkey % 100 = 0),

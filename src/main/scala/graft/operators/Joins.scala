@@ -39,7 +39,12 @@ object Joins {
     val kind = when(col("event_type") === "purchase", 0).otherwise(1)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), kind)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+    // NULL user_id never matches under join semantics (DuckDB ASOF
+    // equality), but Spark's window groups the NULL keys into ONE
+    // partition and would happily fill across them — mask it out
+    ev.withColumn("last_purchase_ts",
+        when(col("user_id").isNotNull,
+          last(col("p_ts"), ignoreNulls = true).over(w)))
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
       .orderBy("event_id")
@@ -60,7 +65,12 @@ object Joins {
     val kind = when(col("event_type") === "purchase", 1).otherwise(0)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), kind)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    ev.withColumn("next_purchase_ts", first(col("p_ts"), ignoreNulls = true).over(w))
+    // mask NULL user_id (window groups NULL keys; join semantics don't)
+    // AND NULL ts: a NULL-ts click sorts NULLS-FIRST and its forward frame
+    // would otherwise see every purchase — DuckDB ASOF yields no match
+    ev.withColumn("next_purchase_ts",
+        when(col("user_id").isNotNull && col("ts").isNotNull,
+          first(col("p_ts"), ignoreNulls = true).over(w)))
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("next_purchase_ts"))
       .orderBy("event_id")
@@ -99,11 +109,16 @@ object Joins {
       .withColumn("db", unix_micros(col("ts")) - unix_micros(col("b")))
       .withColumn("df", unix_micros(col("f")) - unix_micros(col("ts")))
       .withColumn("nearest_purchase_ts",
-        when(col("b").isNull, col("f"))
+        // joinable guard first: NULL user_id or NULL ts matches nothing
+        // under the oracle's join semantics (window fills would leak)
+        when(col("user_id").isNull || col("ts").isNull, lit(null))
+          .when(col("b").isNull, col("f"))
           .when(col("f").isNull, col("b"))
           .when(col("db") <= col("df"), col("b"))
           .otherwise(col("f")))
-      .withColumn("dist_us", least(col("db"), col("df")))
+      .withColumn("dist_us",
+        when(col("user_id").isNull || col("ts").isNull, lit(null))
+          .otherwise(least(col("db"), col("df"))))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("nearest_purchase_ts"), col("dist_us"))
       .orderBy("event_id")
@@ -243,7 +258,11 @@ object Joins {
       // recall loss both engines share) — the standard
       // blocking-recall trade; multi-pass blocking (first-2 + last-2)
       // would close it at scale.
-      val names = part(s, d).select(col("p_name").as("name")).distinct()
+      // non-empty names only: the deterministic dirty-variant derivation
+      // takes h60 % length(name), which is an ANSI divide-by-zero on ""
+      // (and a NULL name has no block anyway) — mirrored in the oracle
+      val names = part(s, d).select(col("p_name").as("name"))
+        .filter(length(col("name")) > 0).distinct()
       val drop = s"CAST(${h60Spark("name")} % length(name) AS INT)" // 0-based
       val dirty = names
         .select(expr(s"concat(substring(name, 1, $drop), " +
@@ -414,14 +433,14 @@ object Joins {
       customer(s, d).createOrReplaceTempView("customer")
       s.sql("""SELECT o_orderkey, o_custkey FROM orders
                WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-               ORDER BY o_orderkey""")
+               ORDER BY o_orderkey NULLS FIRST""")
     }),
     "subq_scalar" -> ((s, d) => {
       lineitem(s, d).createOrReplaceTempView("lineitem")
       // l_quantity is integral: the double avg is exact in both engines
       s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
                WHERE l_quantity > 1.8 * (SELECT avg(l_quantity) FROM lineitem)
-               ORDER BY l_orderkey, l_linenumber, l_quantity""")
+               ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST""")
     }),
     "subq_exists" -> ((s, d) => {
       // correlated EXISTS — decorrelated by Catalyst into a left-semi join
@@ -431,7 +450,7 @@ object Joins {
                WHERE EXISTS (SELECT 1 FROM orders o
                              WHERE o.o_custkey = c.c_custkey
                                AND o.o_totalprice > 400000)
-               ORDER BY c_custkey""")
+               ORDER BY c_custkey NULLS FIRST""")
     }),
     "cte_recursive" -> ((s, d) => {
       // WITH RECURSIVE (Spark 4 finally ships it): generate a 60-day
@@ -447,7 +466,7 @@ object Joins {
                  WHERE d < TIMESTAMP '1995-03-01 00:00:00')
                SELECT d, count(o_orderkey) AS n_orders
                FROM days LEFT JOIN orders ON date_trunc('DAY', o_orderdate) = d
-               GROUP BY d ORDER BY d""")
+               GROUP BY d ORDER BY d NULLS FIRST""")
     }),
     "join_lateral" -> ((s, d) => {
       // correlated LATERAL with ORDER BY + LIMIT — top-2 orders per
@@ -460,8 +479,8 @@ object Joins {
                FROM customer c,
                LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                         WHERE o.o_custkey = c.c_custkey
-                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+                        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 2) t
+               ORDER BY c_custkey NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST""")
     }),
     "subq_correlated" -> ((s, d) => {
       // correlated scalar subquery in the SELECT list — Catalyst
@@ -472,7 +491,7 @@ object Joins {
       customer(s, d).createOrReplaceTempView("customer")
       s.sql("""SELECT n_nationkey, n_name,
                  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
-               FROM nation ORDER BY n_nationkey""")
+               FROM nation ORDER BY n_nationkey NULLS FIRST""")
     }),
     "subq_not_in" -> ((s, d) => {
       // NOT IN three-valued semantics, both branches in one row: with a
@@ -497,7 +516,8 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "join_fuzzy" ->
-      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part
+                        WHERE length(p_name) > 0),
          dirty AS (SELECT DISTINCT
              concat(substr(name, 1, CAST(${h60Duck("name")} % length(name) AS INT)),
                     substr(name, CAST(${h60Duck("name")} % length(name) AS INT) + 2))
@@ -507,12 +527,14 @@ object Joins {
            FROM dirty d JOIN names n ON substr(d.dirty, 1, 2) = substr(n.name, 1, 2)
            WHERE levenshtein(d.dirty, n.name) <= 2),
          best AS (SELECT dirty, name, lev,
-             row_number() OVER (PARTITION BY dirty ORDER BY lev, name) AS rn
+             row_number() OVER (PARTITION BY dirty ORDER BY lev NULLS FIRST, name NULLS FIRST) AS rn
            FROM cand)
          SELECT dirty, name AS matched, CAST(lev AS BIGINT) AS distance
          FROM best WHERE rn = 1 ORDER BY dirty NULLS FIRST""",
     "join_asof_forward" ->
-      """SELECT e.event_id, e.user_id, e.ts, p.ts AS next_purchase_ts
+      // CASE mask: same NULL-probe-ts convention as join_asof
+      """SELECT e.event_id, e.user_id, e.ts,
+         CASE WHEN e.ts IS NOT NULL THEN p.ts END AS next_purchase_ts
          FROM (SELECT * FROM events WHERE event_type = 'click') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
          ON e.user_id = p.user_id AND e.ts <= p.ts
@@ -531,7 +553,7 @@ object Joins {
          FROM customer c,
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                   WHERE o.o_custkey = c.c_custkey
-                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 2) t
          ORDER BY c_custkey NULLS FIRST, o_totalprice DESC NULLS LAST,
                   o_orderkey NULLS FIRST""",
     "join_asof_tolerance" ->
@@ -631,7 +653,10 @@ object Joins {
       """SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey NULLS FIRST""",
     "join_asof" ->
-      """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts
+      // CASE mask: DuckDB ASOF treats a NULL probe ts as an infinity and
+      // still matches; the operator's contract is no-match on NULL ts
+      """SELECT e.event_id, e.user_id, e.ts,
+         CASE WHEN e.ts IS NOT NULL THEN p.ts END AS last_purchase_ts
          FROM (SELECT * FROM events WHERE event_type = 'click') e
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
          ON e.user_id = p.user_id AND e.ts >= p.ts
@@ -666,7 +691,7 @@ object Joins {
            SELECT o_custkey AS d_custkey, o_orderkey AS version_key,
              o_totalprice AS version_price, o_orderdate AS valid_from,
              lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS valid_to
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS valid_to
            FROM orders WHERE o_custkey < 50),
          p AS (
            SELECT o_orderkey AS fact_key, o_custkey,

@@ -196,7 +196,7 @@ object Profiling {
         s"""SELECT col_name, value, cnt, rn FROM (
               SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
                 count(*) AS cnt,
-                CAST(row_number() OVER (ORDER BY count(*) DESC,
+                CAST(row_number() OVER (ORDER BY count(*) DESC NULLS LAST,
                   CAST($c AS VARCHAR) NULLS FIRST) AS BIGINT) AS rn
               FROM orders GROUP BY $c)
             WHERE rn <= 3"""
@@ -205,7 +205,7 @@ object Profiling {
       """WITH r1 AS (
            SELECT event_type, event_id, value,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY value, event_id) AS rn,
+               ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
            FROM events WHERE value IS NOT NULL),
          med AS (SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2),
@@ -214,7 +214,7 @@ object Profiling {
                WHERE e.value IS NOT NULL),
          r2 AS (SELECT *,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY dev, event_id) AS rn,
+               ORDER BY dev NULLS FIRST, event_id NULLS FIRST) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
            FROM d),
          mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)

@@ -36,10 +36,16 @@ object Relational {
   private def ensureNationText(s: SparkSession, dir: String, sep: String, ext: String): String = {
     val out = new java.io.File(s"$exportDir/nation.$ext")
     out.getParentFile.mkdirs()
+    // NULL renders as an empty field — both engines' CSV readers parse it
+    // (and a genuinely empty string) back to NULL, a lossy but IDENTICAL
+    // round-trip on the shared file (driver-side getInt would NPE)
     val rows = nation(s, dir)
       .orderBy("n_nationkey")
       .collect()
-      .map(r => s"${r.getInt(0)}$sep${r.getString(1)}$sep${r.getInt(2)}")
+      .map { r =>
+        def cell(i: Int): String = if (r.isNullAt(i)) "" else r.get(i).toString
+        s"${cell(0)}$sep${cell(1)}$sep${cell(2)}"
+      }
     val body = (s"n_nationkey${sep}n_name${sep}n_regionkey" +: rows).mkString("\n")
     java.nio.file.Files.writeString(out.toPath, body + "\n")
     out.getPath
@@ -69,14 +75,17 @@ object Relational {
       .orderBy("s_suppkey")
       .collect()
       .map { r =>
-        val name = r.getString(1).flatMap {
-          case '\\'         => "\\\\"
-          case '"'          => "\\\""
-          case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars would split/break JSONL lines
-          case c            => c.toString
-        }
-        s"""{"s_suppkey": ${r.getLong(0)}, "s_name": "$name", """ +
-          s""""s_nationkey": ${r.getInt(2)}, "s_acctbal": ${r.getDouble(3)}}"""
+        def jstr(i: Int): String =
+          if (r.isNullAt(i)) "null"
+          else "\"" + r.getString(i).flatMap {
+            case '\\'         => "\\\\"
+            case '"'          => "\\\""
+            case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars would split/break JSONL lines
+            case c            => c.toString
+          } + "\""
+        def jnum(i: Int): String = if (r.isNullAt(i)) "null" else r.get(i).toString
+        s"""{"s_suppkey": ${jnum(0)}, "s_name": ${jstr(1)}, """ +
+          s""""s_nationkey": ${jnum(2)}, "s_acctbal": ${jnum(3)}}"""
       }
     java.nio.file.Files.writeString(out.toPath, rows.mkString("\n") + "\n")
     out.getPath
@@ -179,14 +188,19 @@ object Relational {
       // sizes (this writer: one file per task) or re-encode to a
       // splittable layout on ingest.
       val out = s"$exportDir/supplier_csv_gz"
+      // explicit NULL sentinel: Spark's default writes NULL and '' in ways
+      // its own reader folds back to NULL — \N keeps the round-trip
+      // lossless so the table itself remains the oracle
       supplier(s, d).write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N")
         .option("compression", "gzip").csv(out)
       require(new java.io.File(out).listFiles().exists(_.getName.endsWith(".csv.gz")),
         "expected gzip-compressed part files")
       val schema = StructType(Seq(
         StructField("s_suppkey", LongType), StructField("s_name", StringType),
         StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
-      s.read.option("header", "true").schema(schema).csv(out).orderBy("s_suppkey")
+      s.read.option("header", "true").option("nullValue", "\\N")
+        .schema(schema).csv(out).orderBy("s_suppkey")
     }),
     "sink_jsonl" -> ((s, d) => {
       // JSONL export round-trip — the interchange sink next to
@@ -205,12 +219,14 @@ object Relational {
     }),
     "sink_csv" -> ((s, d) => {
       val out = s"$exportDir/customer_sink"
-      customer(s, d).write.mode("overwrite").option("header", "true").csv(out)
+      customer(s, d).write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N").csv(out)
       val schema = StructType(Seq(
         StructField("c_custkey", LongType), StructField("c_name", StringType),
         StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
         StructField("c_mktsegment", StringType)))
-      s.read.option("header", "true").schema(schema).csv(out).orderBy("c_custkey")
+      s.read.option("header", "true").option("nullValue", "\\N")
+        .schema(schema).csv(out).orderBy("c_custkey")
     }),
 
     // ---- §2.2 projections / filters ---------------------------------------
@@ -316,8 +332,13 @@ object Relational {
          ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
     "scan_csv_malformed" ->
+      // the CSV round-trip reads '' back as NULL, and the clean-row
+      // predicate then drops any row with a NULL field — mirror both
       """SELECT n_nationkey, n_name, n_regionkey
-         FROM nation ORDER BY n_nationkey NULLS FIRST""",
+         FROM nation
+         WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
+           AND n_name <> '' AND n_regionkey IS NOT NULL
+         ORDER BY n_nationkey NULLS FIRST""",
     "scan_schema_evolution" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
          FROM nation WHERE n_nationkey < 13

@@ -103,7 +103,7 @@ object Streams {
          r AS (
            SELECT w_start, event_id, value,
              row_number() OVER (PARTITION BY w_start
-               ORDER BY value DESC, event_id) AS rn
+               ORDER BY value DESC NULLS LAST, event_id NULLS FIRST) AS rn
            FROM t)
          SELECT w_start, event_id, value, rn FROM r WHERE rn <= 3
          ORDER BY w_start NULLS FIRST, rn NULLS FIRST""",
@@ -127,10 +127,10 @@ object Streams {
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)),
          numbered AS (
            SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM marked)
          SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts, count(*) AS n_events
@@ -140,7 +140,7 @@ object Streams {
       """SELECT user_id, event_type, event_id, ts FROM (
            SELECT user_id, event_type, event_id, ts,
              row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
            FROM events)
          WHERE rn = 1
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",

@@ -1880,9 +1880,9 @@ object TextOps {
          pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                    FROM bands x JOIN bands y
                      ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+         sigs AS (SELECT doc_id, list(mh ORDER BY seed NULLS FIRST) AS sig FROM mh GROUP BY 1),
          hsh AS (SELECT DISTINCT doc_id, ${h60Duck("shingle")} AS hs FROM sh),
-         hsets AS (SELECT doc_id, list(hs ORDER BY hs) AS st, count(*) AS n
+         hsets AS (SELECT doc_id, list(hs ORDER BY hs NULLS FIRST) AS st, count(*) AS n
                    FROM hsh GROUP BY 1),
          j AS (SELECT p.a, p.b,
                  len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS n_match,
@@ -1941,7 +1941,7 @@ object TextOps {
            SELECT cluster_id, doc_id AS keeper_id FROM (
              SELECT c.cluster_id, c.doc_id,
                row_number() OVER (PARTITION BY c.cluster_id
-                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                                  ORDER BY d.n_chars DESC NULLS LAST, c.doc_id NULLS FIRST) AS rn
              FROM comp c JOIN documents d USING (doc_id))
            WHERE rn = 1)
          SELECT c.doc_id, c.cluster_id, k.keeper_id,
@@ -1999,7 +1999,7 @@ object TextOps {
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
          hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 <> 9),
          batch AS (SELECT doc_id, h,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+             row_number() OVER (PARTITION BY h ORDER BY doc_id NULLS FIRST) AS rn
            FROM d WHERE doc_id % 10 = 9)
          SELECT b.doc_id,
            CASE WHEN b.h IN (SELECT h FROM hist) THEN 'dup_hist'
@@ -2009,7 +2009,7 @@ object TextOps {
     "pipeline_corpus" ->
       s"""WITH kept AS (
            SELECT doc_id, text, n_chars,
-             row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+             row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id NULLS FIRST) AS rn
            FROM documents
            WHERE n_chars >= 100 AND len(string_split(lower(text), ' ')) >= 10),
          dedup AS (SELECT * FROM kept WHERE rn = 1),
@@ -2056,8 +2056,8 @@ object TextOps {
       s"""SELECT doc_id, lang, rn FROM (
            SELECT doc_id, lang,
              CAST(row_number() OVER (PARTITION BY lang
-               ORDER BY ${h60Duck("concat('pergroup:', CAST(doc_id AS VARCHAR))")},
-                 doc_id) AS BIGINT) AS rn
+               ORDER BY ${h60Duck("concat('pergroup:', CAST(doc_id AS VARCHAR))")} NULLS FIRST,
+                 doc_id NULLS FIRST) AS BIGINT) AS rn
            FROM documents)
          WHERE rn <= 25 ORDER BY doc_id NULLS FIRST""",
     "text_bigram_prob" ->
@@ -2106,7 +2106,7 @@ object TextOps {
          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
            CAST(count(*) FILTER (d.df >= 25) AS BIGINT) AS n_removed,
            md5(coalesce(array_to_string(
-             list(s.seg ORDER BY s.si) FILTER (d.df < 25), ' '), '')) AS clean_md5
+             list(s.seg ORDER BY s.si NULLS FIRST) FILTER (d.df < 25), ' '), '')) AS clean_md5
          FROM segs s JOIN d USING (seg)
          GROUP BY s.doc_id ORDER BY s.doc_id NULLS FIRST""",
     "text_repetition" ->
@@ -2132,7 +2132,7 @@ object TextOps {
            FROM documents),
          c AS (
            SELECT doc_id, lang, n_tok,
-             CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             CAST(COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS before
            FROM t)
@@ -2148,7 +2148,7 @@ object TextOps {
       s"""WITH $pplCtes,
          vc AS (SELECT ppl_bits_x100, count(*) AS nv FROM ppl GROUP BY 1),
          cum AS (SELECT ppl_bits_x100,
-                   sum(nv) OVER (ORDER BY ppl_bits_x100) AS cum FROM vc),
+                   sum(nv) OVER (ORDER BY ppl_bits_x100 NULLS FIRST) AS cum FROM vc),
          tot AS (SELECT sum(nv) AS n FROM vc),
          cuts AS (SELECT
                     min(CASE WHEN cum >= (n + 2) // 3
@@ -2168,7 +2168,7 @@ object TextOps {
          top AS (SELECT word, c FROM wc
                  ORDER BY c DESC NULLS LAST, word NULLS FIRST LIMIT 100),
          rk AS (SELECT c, CAST(row_number() OVER
-                   (ORDER BY c DESC, word) AS BIGINT) AS rnk FROM top)
+                   (ORDER BY c DESC NULLS LAST, word NULLS FIRST) AS BIGINT) AS rnk FROM top)
          SELECT CAST(count(*) AS BIGINT) AS n_fit,
            round(regr_slope(ln(c), ln(rnk)), 4) + 0.0 AS zipf_slope,
            round(regr_intercept(ln(c), ln(rnk)), 4) + 0.0 AS zipf_icept,
@@ -2219,7 +2219,7 @@ object TextOps {
     "mix_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
-                 list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+                 list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang NULLS FIRST),
                    (a, x) -> a + x) AS w_sum
                FROM c),
          r AS (SELECT lang, n_docs,
@@ -2381,7 +2381,7 @@ object TextOps {
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
          cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
          vocab AS (SELECT token FROM (
-           SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnts)
+           SELECT token, row_number() OVER (ORDER BY cnt DESC NULLS LAST, token NULLS FIRST) AS rn FROM cnts)
            WHERE rn <= 20)
          SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
            CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
@@ -2402,7 +2402,7 @@ object TextOps {
     "mix_domain_cap" ->
       """WITH r AS (SELECT source, n_chars,
              row_number() OVER (PARTITION BY source
-               ORDER BY n_chars DESC, doc_id) AS rn
+               ORDER BY n_chars DESC NULLS LAST, doc_id NULLS FIRST) AS rn
            FROM documents)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -2416,7 +2416,7 @@ object TextOps {
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
                         CAST(sum(c) AS BIGINT) AS n_tokens FROM wc),
          head AS (SELECT c, CAST(row_number() OVER
-               (ORDER BY c DESC, word) AS BIGINT) AS rnk
+               (ORDER BY c DESC NULLS LAST, word NULLS FIRST) AS BIGINT) AS rnk
              FROM (SELECT word, c FROM wc
                    ORDER BY c DESC NULLS LAST, word NULLS FIRST LIMIT 30)),
          cov AS (SELECT
@@ -2434,7 +2434,7 @@ object TextOps {
            SELECT doc_id, source, lang, string_split(lower(text), ' ') AS t,
              md5(lower(trim(text))) AS hash
            FROM documents),
-         f AS (SELECT *, row_number() OVER (PARTITION BY hash ORDER BY doc_id) AS rn
+         f AS (SELECT *, row_number() OVER (PARTITION BY hash ORDER BY doc_id NULLS FIRST) AS rn
                FROM b),
          k AS (SELECT source, lang, CAST(len(t) AS BIGINT) AS n_tok,
                  (rn = 1 AND $gopherKeepDuck) AS keep
@@ -2500,7 +2500,7 @@ object TextOps {
          ranked AS (
            SELECT doc_id, token, score,
              CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY round(score, 6) DESC, token) AS BIGINT) AS rn
+               ORDER BY round(score, 6) DESC NULLS LAST, token NULLS FIRST) AS BIGINT) AS rn
            FROM scored)
          SELECT doc_id, rn, token, round(score, 4) AS tfidf
          FROM ranked WHERE rn <= 3

@@ -32,14 +32,36 @@ object VectorOps {
   private def cos(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Exact 6-dp mean of a 1e-6-scaled integer sum: half-away rounding in
+    * INTEGER arithmetic ((2s ± n) DIV 2n — both engines' integer division
+    * truncates toward zero, verified), then ONE double division by 1e6.
+    * round(double, 6) instead snaps engine-divergently the moment s/n
+    * lands on an exact half-grid point (bitten on the NULL-dense edge
+    * fixture, where filtered group sizes shifted onto a boundary).
+    * Requires the posexplode scalar to be named `col`.
+    */
+  private val microMeanAgg: Column = {
+    val sm = "sum(CAST(round(col * 1000000, 0) AS BIGINT))"
+    expr(s"CAST((2 * $sm + IF($sm >= 0, count(*), -count(*))) DIV (2 * count(*)) AS DOUBLE) / 1000000.0")
+  }
+
+
   /** Selection-stable ranking key (see class doc). */
   private def rankKey(c: Column): Column = round(c, 6)
 
   private def emb(s: SparkSession, d: String) = {
     graft.plans.GraftFunctions.register(s) // vec_dot available to every query
+    // VALID vectors only — non-NULL, full 64 dims, non-zero: cosine is
+    // undefined at norm 0 (an ANSI divide-by-zero in Spark, NaN/Inf in
+    // DuckDB), and a short/NULL embedding is ingest corruption, not data.
+    // This is the validation gate a production embedding table runs at
+    // ingest; every oracle mirrors it by shadowing `embeddings` with the
+    // same predicate (validEmbCte).
     // one-file scan → one partition: fan out so pair joins / signature
     // folds use every core (no-op on already-parallel inputs)
-    fanout(embeddings(s, d))
+    fanout(embeddings(s, d).filter(
+      col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        expr("array_max(transform(embedding, x -> abs(x))) > 0")))
   }
 
   /** Vectors with their norm precomputed ONCE — an all-pairs scan that
@@ -66,8 +88,7 @@ object VectorOps {
       // cannot be hash-compared cross-engine.
       emb(s, d).select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
-        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
-          (count(lit(1)) * lit(1000000.0)), 6).as("m"),
+        .agg(microMeanAgg.as("m"),
           count(lit(1)).as("n_vecs"))
         .orderBy("label", "pos")),
 
@@ -145,8 +166,7 @@ object VectorOps {
       def update(assigned: DataFrame): DataFrame =
         assigned.select(col("sub"), col("cid"), posexplode(col("sv")))
           .groupBy("sub", "cid", "pos")
-          .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
-            (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+          .agg(microMeanAgg.as("m"))
           .groupBy("sub", "cid")
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
             .as("cvec"))
@@ -210,8 +230,7 @@ object VectorOps {
         // order-free; the final divide runs on exact integers.
         assigned.select(col("cid"), posexplode(col("embedding")))
           .groupBy("cid", "pos")
-          .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
-            (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+          .agg(microMeanAgg.as("m"))
           .groupBy("cid")
           .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
             .as("cvec"))
@@ -494,7 +513,7 @@ object VectorOps {
           min(col("su")).as("mn"), max(col("su")).as("mx"))
         .select(col("pos").cast(LongType).as("dim"),
           col("n").as("n_vecs"),
-          round(col("sv").cast(DoubleType) / (col("n") * lit(1000000.0)), 6).as("mean"),
+          expr("CAST((2 * sv + IF(sv >= 0, n, -n)) DIV (2 * n) AS DOUBLE) / 1000000.0").as("mean"),
           round(sqrt((col("svv").cast(DoubleType)
               - col("sv").cast(DoubleType) * col("sv").cast(DoubleType)
                 / col("n").cast(DoubleType))
@@ -524,8 +543,7 @@ object VectorOps {
       val e = emb(s, d)
       val cent = e.select(posexplode(col("embedding")))
         .groupBy(col("pos"))
-        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
-          (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+        .agg(microMeanAgg.as("m"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)")
           .as("cvec"))
       val v = e.crossJoin(broadcast(cent))
@@ -571,8 +589,7 @@ object VectorOps {
       val dims = 64
       val mu: Array[Double] = e.select(posexplode(col("embedding")))
         .groupBy("pos")
-        .agg(round(sum(expr("CAST(round(col * 1000000, 0) AS BIGINT)")) /
-          (count(lit(1)) * lit(1000000.0)), 6).as("m"))
+        .agg(microMeanAgg.as("m"))
         .orderBy("pos").collect().map(_.getDouble(1))
       var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
       for (_ <- 1 to 3) {
@@ -698,7 +715,33 @@ object VectorOps {
   private def cosSql(a: String, b: String) =
     s"(${dSql(a, b)} / (sqrt(${dSql(a, a)}) * sqrt(${dSql(b, b)})))"
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB mirror of emb()'s validity gate. DuckDB treats a same-named
+    * CTE over the base view as a circular reference, so the gate is a
+    * distinctly-named CTE and every table reference in the oracle body is
+    * rewritten onto it (the word `embeddings` appears in these oracles
+    * only as the table name; the column is singular `embedding`).
+    */
+  private val validEmbCte =
+    """vemb AS (SELECT * FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) = 64
+         AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0)"""
+
+  private def withValidEmb(sql: String): String = {
+    val t = sql.trim
+    if (!t.contains("embeddings")) sql
+    else {
+      val body = t.replaceAll("\\bembeddings\\b", "vemb")
+      if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $validEmbCte, ")
+      else s"WITH $validEmbCte $body"
+    }
+  }
+
+  val oracles: Map[String, String] = rawOracles.map { case (k, v) =>
+    k -> withValidEmb(v)
+  }
+
+  private lazy val rawOracles: Map[String, String] = Map(
     "vec_centroid_label" ->
       // same exact scaled-integer mean as cluster_kmeans' update step
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -706,7 +749,7 @@ object VectorOps {
                  CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
                FROM (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e))
          SELECT label, pos,
-           round(sum(su) / (count(*) * 1000000.0), 6) AS m,
+           CAST((2 * sum(su) + CASE WHEN sum(su) >= 0 THEN count(*) ELSE -count(*) END) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m,
            count(*) AS n_vecs
          FROM x GROUP BY 1, 2 ORDER BY label NULLS FIRST, pos NULLS FIRST""",
     "vec_quantize" ->
@@ -742,20 +785,22 @@ object VectorOps {
                 FROM e2 JOIN c0 c ON c.sub = e2.sub),
          a1 AS (SELECT vec_id, sub, sv, cid FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                    ORDER BY round(d2, 6), cid) AS rn FROM s1) WHERE rn = 1),
+                    ORDER BY round(d2, 6) NULLS FIRST, cid NULLS FIRST) AS rn FROM s1) WHERE rn = 1),
          m1 AS (SELECT sub, cid, i,
-                  round(sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT)) /
-                        (count(*) * 1000000.0), 6) AS m FROM (
+                  CAST((2 * sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT))
+                          + CASE WHEN sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT)) >= 0
+                                 THEN count(*) ELSE -count(*) END)
+                         // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m FROM (
                   SELECT sub, cid, sv, unnest(range(1, len(sv) + 1)) AS i FROM a1)
                 GROUP BY 1, 2, 3),
-         c1 AS (SELECT sub, cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1, 2),
+         c1 AS (SELECT sub, cid, list(m ORDER BY i NULLS FIRST) AS cvec FROM m1 GROUP BY 1, 2),
          c1n AS (SELECT sub, cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
          s2a AS (SELECT e2.vec_id, e2.sub, e2.sv, c.cid, c.cvec,
                   greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
                 FROM e2 JOIN c1n c ON c.sub = e2.sub),
          a2 AS (SELECT vec_id, sub, sv, cid, cvec FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                    ORDER BY round(d2, 6), cid) AS rn FROM s2a) WHERE rn = 1),
+                    ORDER BY round(d2, 6) NULLS FIRST, cid NULLS FIRST) AS rn FROM s2a) WHERE rn = 1),
          q AS (SELECT vec_id, sub, cid,
                  list_sum(list_transform(range(1, len(sv) + 1), i ->
                    (CAST(round(sv[i] * 1000000, 0) AS BIGINT)
@@ -782,27 +827,29 @@ object VectorOps {
                 FROM e CROSS JOIN c0 c),
          a1 AS (SELECT vec_id, v, cid FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY round(d2, 6), cid) AS rn FROM s1) WHERE rn = 1),
+                    ORDER BY round(d2, 6) NULLS FIRST, cid NULLS FIRST) AS rn FROM s1) WHERE rn = 1),
          m1 AS (SELECT cid, i,
-                  round(sum(CAST(round(v[i] * 1000000, 0) AS BIGINT)) /
-                        (count(*) * 1000000.0), 6) AS m FROM (
+                  CAST((2 * sum(CAST(round(v[i] * 1000000, 0) AS BIGINT))
+                          + CASE WHEN sum(CAST(round(v[i] * 1000000, 0) AS BIGINT)) >= 0
+                                 THEN count(*) ELSE -count(*) END)
+                         // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m FROM (
                   SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a1)
                 GROUP BY 1, 2),
-         c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY 1),
+         c1 AS (SELECT cid, list(m ORDER BY i NULLS FIRST) AS cvec FROM m1 GROUP BY 1),
          c1n AS (SELECT cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
          s2 AS (SELECT e.vec_id, c.cid,
                   greatest(e.vv - 2 * ${dSql("e.v", "c.cvec")} + c.cc, 0) AS d2
                 FROM e CROSS JOIN c1n c),
          a2 AS (SELECT vec_id, cid, d2 FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY round(d2, 6), cid) AS rn FROM s2) WHERE rn = 1)
+                    ORDER BY round(d2, 6) NULLS FIRST, cid NULLS FIRST) AS rn FROM s2) WHERE rn = 1)
          SELECT cid AS cluster_id, count(*) AS n_vecs,
            round(avg(sqrt(d2)), 4) + 0.0 AS avg_dist
          FROM a2 GROUP BY 1 ORDER BY cluster_id NULLS FIRST""",
     "sim_ivf" ->
       s"""WITH assign AS (
            SELECT vec_id, c_id, ccos,
-             row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, c_id) AS crn
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC NULLS LAST, c_id NULLS FIRST) AS crn
            FROM (
              SELECT b.vec_id, c.vec_id AS c_id,
                ${cosSql("b.embedding", "c.embedding")} AS ccos
@@ -819,7 +866,7 @@ object VectorOps {
            JOIN embeddings v ON v.vec_id = m.vec_id),
          ranked AS (
            SELECT q_id, vec_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
            FROM scored)
          SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
@@ -832,7 +879,7 @@ object VectorOps {
            SELECT vec_id, c_id AS cluster FROM (
              SELECT b.vec_id, c.vec_id AS c_id,
                row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY round(${cosSql("b.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS crn
+                 ORDER BY round(${cosSql("b.embedding", "c.embedding")}, 6) DESC NULLS LAST, c.vec_id NULLS FIRST) AS crn
              FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c)
            WHERE crn = 1),
          dup AS (
@@ -863,11 +910,11 @@ object VectorOps {
                  FROM cs CROSS JOIN qs),
          sh AS (SELECT * FROM (
                   SELECT *, row_number() OVER (PARTITION BY q_id
-                    ORDER BY round(approx, 6) DESC, vec_id) AS srn FROM st1)
+                    ORDER BY round(approx, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS srn FROM st1)
                 WHERE srn <= 10),
          rk AS (SELECT q_id, vec_id, approx, cos,
                   row_number() OVER (PARTITION BY q_id
-                    ORDER BY round(cos, 6) DESC, vec_id) AS rank
+                    ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
                 FROM (SELECT *, ${cosSql("qv", "cv")} AS cos FROM sh))
          SELECT q_id, rank, vec_id,
            round(cos, 4) + 0.0 AS cos_sim,
@@ -881,7 +928,7 @@ object VectorOps {
            FROM q JOIN embeddings c ON q.q_id != c.vec_id),
          ranked AS (
            SELECT q_id, vec_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
            FROM scored)
          SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 5
@@ -897,14 +944,14 @@ object VectorOps {
          top5 AS (
            SELECT * FROM (
              SELECT q_id, true_label, vec_id, label,
-               row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+               row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
              FROM scored)
            WHERE rank <= 5),
          votes AS (
            SELECT q_id, true_label, label, count(*) AS votes FROM top5 GROUP BY 1, 2, 3)
          SELECT q_id, true_label, label AS pred_label, votes FROM (
            SELECT q_id, true_label, label, votes,
-             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC NULLS LAST, label NULLS FIRST) AS vr
            FROM votes)
          WHERE vr = 1
          ORDER BY q_id NULLS FIRST""",
@@ -918,7 +965,7 @@ object VectorOps {
            FROM q JOIN sig c ON c.sig = q.q_sig AND q.q_id != c.vec_id),
          ranked AS (
            SELECT q_id, vec_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
            FROM scored)
          SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 3
@@ -932,7 +979,7 @@ object VectorOps {
            SELECT q_id, vec_id FROM (
              SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id
-                 ORDER BY round(cos, 6) DESC, vec_id) AS rank
+                 ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
              FROM (SELECT q.q_id, c.vec_id,
                      ${cosSql("q.qv", "c.embedding")} AS cos
                    FROM q JOIN sig c ON q.q_id != c.vec_id))
@@ -941,7 +988,7 @@ object VectorOps {
            SELECT q_id, vec_id FROM (
              SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id
-                 ORDER BY round(cos, 6) DESC, vec_id) AS rank
+                 ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
              FROM (SELECT q.q_id, c.vec_id,
                      ${cosSql("q.qv", "c.embedding")} AS cos
                    FROM q JOIN sig c
@@ -966,7 +1013,7 @@ object VectorOps {
          ranked AS (
            SELECT q_id, vec_id, label, cos,
              row_number() OVER (PARTITION BY q_id
-               ORDER BY round(cos, 6) DESC, vec_id) AS rank
+               ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
            FROM scored)
          SELECT q_id, rank, vec_id, label AS neg_label,
            round(cos, 4) + 0.0 AS cos_sim
@@ -991,7 +1038,7 @@ object VectorOps {
                  min(su) AS mn, max(su) AS mx
                FROM x GROUP BY 1)
          SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
-           round(CAST(sv AS DOUBLE) / (n * 1000000.0), 6) AS mean,
+           CAST((2 * sv + CASE WHEN sv >= 0 THEN n ELSE -n END) // (2 * n) AS DOUBLE) / 1000000.0 AS mean,
            round(sqrt((CAST(svv AS DOUBLE)
                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
                       / (CAST(n AS DOUBLE) - 1.0)) / 1000000.0, 6) AS sd,
@@ -1002,9 +1049,9 @@ object VectorOps {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          x AS (SELECT i - 1 AS pos, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS su
                FROM (SELECT v, unnest(range(1, len(v) + 1)) AS i FROM e)),
-         cm AS (SELECT pos, round(sum(su) / (count(*) * 1000000.0), 6) AS m
+         cm AS (SELECT pos, CAST((2 * sum(su) + CASE WHEN sum(su) >= 0 THEN count(*) ELSE -count(*) END) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m
                 FROM x GROUP BY 1),
-         cent AS (SELECT list(m ORDER BY pos) AS cvec FROM cm),
+         cent AS (SELECT list(m ORDER BY pos NULLS FIRST) AS cvec FROM cm),
          vv AS (SELECT vec_id,
                   round(${dSql("v", "v")}
                         - 2.0 * ${dSql("v", "cvec")}
@@ -1035,7 +1082,7 @@ object VectorOps {
            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id),
          ranked AS (
            SELECT a, b, cos,
-             row_number() OVER (ORDER BY round(cos, 6) DESC, a, b) AS rank
+             row_number() OVER (ORDER BY round(cos, 6) DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST) AS rank
            FROM pairs)
          SELECT rank, a, b, round(cos, 4) + 0.0 AS cos_sim
          FROM ranked WHERE rank <= 20
@@ -1051,16 +1098,18 @@ object VectorOps {
                     FROM cxr, $prev),
             c$k AS (SELECT i, sum(CAST(round(cx[i] * t * 1000000, 0) AS BIGINT)) AS sw
                     FROM r$k, range(1, 65) r(i) GROUP BY i),
-            w$k AS (SELECT list(CAST(sw AS DOUBLE) / 1000000.0 ORDER BY i) AS w FROM c$k),
+            w$k AS (SELECT list(CAST(sw AS DOUBLE) / 1000000.0 ORDER BY i NULLS FIRST) AS w FROM c$k),
             n$k AS (SELECT w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm FROM w$k),
             v$k AS (SELECT list_transform(w, x -> x / nrm) AS vv FROM n$k)"""
       s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
                      FROM embeddings),
           mu0 AS (SELECT i,
-                    round(sum(CAST(round(x[i] * 1000000, 0) AS BIGINT))
-                          / (count(*) * 1000000.0), 6) AS m
+                    CAST((2 * sum(CAST(round(x[i] * 1000000, 0) AS BIGINT))
+                            + CASE WHEN sum(CAST(round(x[i] * 1000000, 0) AS BIGINT)) >= 0
+                                   THEN count(*) ELSE -count(*) END)
+                           // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m
                   FROM e, range(1, 65) r(i) GROUP BY i),
-          mu AS (SELECT list(m ORDER BY i) AS mu FROM mu0),
+          mu AS (SELECT list(m ORDER BY i NULLS FIRST) AS mu FROM mu0),
           v0 AS (SELECT list_transform(range(1, 65), i -> 1.0 / sqrt(64.0)) AS vv),
           cxr AS (SELECT list_transform(range(1, 65), i -> e.x[i] - mu.mu[i]) AS cx
                   FROM e, mu),

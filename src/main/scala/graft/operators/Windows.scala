@@ -321,7 +321,9 @@ object Windows {
         when(x.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
       events(s, d)
         .select(col("event_id"), col("user_id"), col("value"),
-          r4(num / den).as("ewma"))
+          // den = 0 (all 8 kernel reads NULL) → no information: NULL, not
+          // an ANSI divide-by-zero (Spark) / NaN (DuckDB)
+          when(den > 0, r4(num / den)).as("ewma"))
         .orderBy("event_id")
     }),
 
@@ -677,12 +679,12 @@ object Windows {
       """WITH o AS (
            SELECT user_id, event_type, ts, event_id,
              CASE WHEN lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+                    (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = event_type
                   THEN 0 ELSE 1 END AS chg
            FROM events),
          i AS (
            SELECT user_id, event_type,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                             ROWS UNBOUNDED PRECEDING) AS island
            FROM o),
          r AS (SELECT user_id, event_type, island, count(*) AS len
@@ -714,31 +716,31 @@ object Windows {
          ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""",
     "win_row_number" ->
       """SELECT o_orderkey, o_custkey,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS rn
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_rank" ->
       """SELECT o_orderkey,
-         rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
-         dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+         rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST) AS rnk,
+         dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority NULLS FIRST) AS drnk
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_ntile" ->
       """SELECT o_orderkey,
-         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+         ntile(4) OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST) AS quartile
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_percent" ->
       """SELECT o_orderkey,
-         round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS pr,
-         round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS cd
+         round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST), 4) AS pr,
+         round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST), 4) AS cd
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_lag_lead" ->
       """SELECT event_id, user_id,
-         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_value,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
          FROM events ORDER BY event_id NULLS FIRST""",
     "win_running_sum" ->
       """SELECT o_orderkey, o_custkey,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS run_total
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "win_moving_avg" ->
@@ -746,13 +748,13 @@ object Windows {
          round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) /
                count(*) OVER w, 4) AS mavg_qty
          FROM lineitem
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_partkey
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_partkey NULLS FIRST
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, mavg_qty NULLS FIRST""",
     "win_range_frame" ->
       """SELECT event_id, event_type, es,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
-           PARTITION BY event_type ORDER BY es
+           PARTITION BY event_type ORDER BY es NULLS FIRST
            RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS sum_5min
          FROM (SELECT event_id, event_type, epoch_us(ts)//1000000 AS es, value FROM events)
          ORDER BY event_id NULLS FIRST""",
@@ -761,13 +763,13 @@ object Windows {
          first_value(o_orderkey) OVER w AS first_order,
          last_value(o_orderkey) OVER w AS last_order
          FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey NULLS FIRST""",
     "win_nth_value" ->
       """SELECT o_orderkey, o_custkey,
          nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
-           ORDER BY o_orderdate, o_orderkey
+           ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
     "sessionize" ->
@@ -775,13 +777,13 @@ object Windows {
            SELECT user_id, ts, event_id, event_type, value,
              lag(epoch_us(ts)) OVER w AS prev_us
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
          flagged AS (
            SELECT *, CASE WHEN prev_us IS NULL
                             OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
            FROM marked),
          numbered AS (
-           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM flagged)
          SELECT user_id, session_seq,
@@ -795,9 +797,9 @@ object Windows {
          ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
     "win_fill_forward" ->
       """SELECT event_id, user_id, v,
-         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-         lag(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_reading
+         lag(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_reading
          FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
                FROM events)
          ORDER BY event_id NULLS FIRST""",
@@ -822,9 +824,9 @@ object Windows {
            FROM grid g LEFT JOIN hourly h
              ON h.user_id = g.user_id AND h.hour = g.hour
            WINDOW
-             wb AS (PARTITION BY g.user_id ORDER BY g.hour
+             wb AS (PARTITION BY g.user_id ORDER BY g.hour NULLS FIRST
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wa AS (PARTITION BY g.user_id ORDER BY g.hour
+             wa AS (PARTITION BY g.user_id ORDER BY g.hour NULLS FIRST
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          SELECT user_id, hour,
            CAST(CASE WHEN v_u IS NOT NULL THEN v_u
@@ -843,7 +845,7 @@ object Windows {
          lead(o_orderdate, 1) OVER w AS valid_to,
          lead(o_orderdate, 1) OVER w IS NULL AS is_current
          FROM orders WHERE o_custkey < 50
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
          ORDER BY o_custkey NULLS FIRST, valid_from NULLS FIRST, o_orderkey NULLS FIRST""",
     "funnel_conversion" ->
       s"""WITH $funnelCtes
@@ -855,7 +857,7 @@ object Windows {
     "event_transitions" ->
       """WITH n AS (SELECT event_type AS from_type,
                  lead(event_type, 1) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS to_type
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS to_type
                FROM events),
          tr AS (SELECT from_type, to_type, count(*) AS n FROM n
                 WHERE to_type IS NOT NULL GROUP BY 1, 2),
@@ -868,7 +870,7 @@ object Windows {
       """WITH r AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
                     FROM orders GROUP BY 1),
          c AS (SELECT o_custkey, rev,
-                 sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                 sum(rev) OVER (ORDER BY rev DESC NULLS LAST, o_custkey NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM r),
          t AS (SELECT sum(rev) AS total FROM r)
@@ -888,13 +890,13 @@ object Windows {
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
            FROM orders)
          WHERE rn <= 3
          ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""",
     "win_rolling_median" ->
       """SELECT event_id, user_id,
-         round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         round(median(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med
          FROM events ORDER BY event_id NULLS FIRST""",
     "ts_autocorr" ->
@@ -902,7 +904,7 @@ object Windows {
          round(corr(value, prev), 4) + 0.0 AS autocorr
          FROM (SELECT event_type, value,
                  lag(value) OVER (PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id) AS prev
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
                FROM events)
          WHERE prev IS NOT NULL
          GROUP BY 1 ORDER BY event_type NULLS FIRST""",
@@ -916,11 +918,11 @@ object Windows {
     "win_distinct_count" ->
       """SELECT event_id, user_id,
          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
          FROM (SELECT event_id, user_id, ts, event_type,
                  row_number() OVER (PARTITION BY user_id, event_type
-                                    ORDER BY ts, event_id) AS rn
+                                    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
                FROM events)
          ORDER BY event_id NULLS FIRST""",
     "resample_ohlc" ->
@@ -947,7 +949,7 @@ object Windows {
              lag(value, 5) OVER w AS x5, lag(value, 6) OVER w AS x6,
              lag(value, 7) OVER w AS x7
            FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
          SELECT event_id, user_id, value,
            round((
                CASE WHEN value IS NOT NULL THEN value * CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
@@ -958,7 +960,7 @@ object Windows {
              + CASE WHEN x5 IS NOT NULL THEN x5 * CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x6 IS NOT NULL THEN x6 * CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x7 IS NOT NULL THEN x7 * CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-           ) / (
+           ) / NULLIF((
                CASE WHEN value IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x1 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x2 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
@@ -967,7 +969,7 @@ object Windows {
              + CASE WHEN x5 IS NOT NULL THEN CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x6 IS NOT NULL THEN CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
              + CASE WHEN x7 IS NOT NULL THEN CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-           ), 4) AS ewma
+           ), CAST(0.0 AS DOUBLE)), 4) AS ewma
          FROM t ORDER BY event_id NULLS FIRST"""
   )
 }
