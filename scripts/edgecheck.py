@@ -24,7 +24,20 @@ REPO = Path(__file__).resolve().parent.parent
 SRC_SF = "/root/testdata/sf0.001"
 DATA = REPO / "target" / "edgedata"
 OUT = REPO / "target" / "edgeout"
-VARIANTS = ["nulls", "empty", "onerow", "dupkeys"]
+VARIANTS = ["nulls", "empty", "onerow", "dupkeys", "ties"]
+
+# Keys with an ENFORCED in-plan precondition that a variant deliberately
+# violates: the operator must fail LOUDLY with its own message (silent
+# wrong answers are the bug class). A missing result + the expected raise
+# in Verify's stderr is a pass for these.
+EXPECTED_RAISE = {
+    "dupkeys": {
+        # value-prefix corpus cuts require dense-from-zero doc ids; the
+        # duplicated fixture breaks nd == mx+1 and the in-plan guard raises
+        "dedup_rate_curve": "dense-from-zero",
+        "tok_vocab_growth": "dense-from-zero",
+    },
+}
 
 
 def sh(args, env=None):
@@ -64,6 +77,16 @@ def main():
         verify_errs = [ln for ln in r.stderr.splitlines()
                        if ln.startswith("[verify]")]
         res = run_check(str(vdir), str(vout), keys)
+        for k, pat in EXPECTED_RAISE.get(v, {}).items():
+            info = res.get(k)
+            raised = any(k in ln and pat in ln
+                         for ln in r.stderr.splitlines())
+            if info and info["status"] == "missing" and raised:
+                res[k] = {"status": "precondition", "rows": None,
+                          "msg": f"raised as designed ({pat})"}
+            elif info and not raised:
+                info["msg"] = (f"expected loud '{pat}' raise, got: "
+                               + (info["msg"] or ""))[:300]
         counts = {}
         for k, info in res.items():
             counts[info["status"]] = counts.get(info["status"], 0) + 1

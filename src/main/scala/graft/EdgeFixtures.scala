@@ -44,7 +44,7 @@ object EdgeFixtures {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  val variants: Seq[String] = Seq("nulls", "empty", "onerow", "dupkeys")
+  val variants: Seq[String] = Seq("nulls", "empty", "onerow", "dupkeys", "ties")
 
   /** Load a table through the SAME canonical shims Verify uses, so the
     * variant parquet carries the post-shim types (µs timestamps for
@@ -87,6 +87,28 @@ object EdgeFixtures {
       .withColumn("__rep", explode(lit((1 to 8).toArray)))
       .drop("__rep")
 
+  /** `ties`: coarsen timestamps to a 5-minute grid and money to coarse
+    * round-number grids, so equal sort keys, frame-boundary collisions,
+    * and exact predicate-boundary hits (the cases clean TPC-H-ish data
+    * almost never produces) become COMMON. This is the fixture that makes
+    * tie-break and boundary mutants killable (scripts/mutcheck.py) and
+    * proves every key's emitted order is total even under heavy ties.
+    */
+  private[graft] def withTies(df: DataFrame, table: String): DataFrame = {
+    val grid5m = 300000000L // 5 min in µs
+    def coarse(f: StructField): Column = (f.dataType, f.name) match {
+      case (TimestampType, _) =>
+        timestamp_micros(expr(s"(unix_micros(${f.name}) div $grid5m) * $grid5m"))
+      case (DoubleType, "value") => round(col(f.name), 0)
+      case (DoubleType, n) if n.endsWith("price") || n.endsWith("acctbal") =>
+        (round(col(f.name) / 100.0, 0) * 100.0).cast(DoubleType)
+      case (DoubleType, n) if n == "l_discount" || n == "l_tax" =>
+        round(col(f.name), 2)
+      case _ => col(f.name)
+    }
+    df.select(df.schema.fields.map(f => coarse(f).as(f.name)).toSeq: _*)
+  }
+
   def generate(s: SparkSession, srcDir: String, outBase: String): Unit = {
     for (t <- spines.keys.toSeq.sorted; v <- variants) {
       val base = load(s, srcDir, t)
@@ -96,6 +118,7 @@ object EdgeFixtures {
         case "empty"   => base.filter(lit(false))
         case "onerow"  => onerow(base, sp)
         case "dupkeys" => dupkeys(base, sp)
+        case "ties"    => withTies(base, t)
       }
       // one *file* per table, exactly the driver-fixture layout (check.py's
       // DuckDB views read '<dir>/<t>.parquet' as a single file, not a glob):

@@ -53,9 +53,15 @@ object Custom {
     * order-insensitive formulation that stays stable across any partition
     * split (unlike naive sum-of-squares).
     */
-  object WelfordVar extends Aggregator[Double, WelfordBuf, Double] {
+  object WelfordVar extends Aggregator[java.lang.Double, WelfordBuf, java.lang.Double] {
     def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
-    def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+    // boxed input/output on purpose: a primitive Double input decodes a
+    // NULL row as 0.0 and silently counts it (caught by the edge-fixture
+    // nulls sweep against DuckDB's NULL-skipping var_samp); boxed NULL is
+    // skipped here exactly like the built-in, and an undefined variance
+    // (n < 2) is NULL, not NaN, matching var_samp in both engines
+    def reduce(b: WelfordBuf, x: java.lang.Double): WelfordBuf = {
+      if (x == null) return b
       val n = b.n + 1
       val delta = x - b.mean
       val mean = b.mean + delta / n
@@ -72,10 +78,10 @@ object Custom {
           a.m2 + b.m2 + delta * delta * a.n * b.n / n)
       }
     }
-    def finish(r: WelfordBuf): Double =
-      if (r.n < 2) Double.NaN else r.m2 / (r.n - 1)
+    def finish(r: WelfordBuf): java.lang.Double =
+      if (r.n < 2) null else java.lang.Double.valueOf(r.m2 / (r.n - 1))
     def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,8 +126,11 @@ object Custom {
       // partition-batched "decode": binary in → typed features out via
       // mapPartitions (the Spark-side shape a real image/audio decoder
       // plugs into; the byte math is the deterministic stand-in)
+      // decodable rows only: a NULL payload has no bytes to decode (the
+      // imperative byte math below would NPE) — oracle mirrors the WHERE
       val src = documents(s, d)
         .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .filter(col("payload").isNotNull)
       implicit val enc: Encoder[(Long, Long, Long, Long)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
       src.mapPartitions { rows: Iterator[Row] =>
@@ -359,6 +368,7 @@ object Custom {
                 range(1, least(8, octet_length(encode(text))) + 1),
                 i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS INT))),
               0) AS BIGINT) AS checksum8
-         FROM documents ORDER BY doc_id NULLS FIRST"""
+         FROM documents WHERE text IS NOT NULL
+         ORDER BY doc_id NULLS FIRST"""
   )
 }

@@ -268,10 +268,10 @@ object Aggregates {
             EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS member
           FROM customer)
         SELECT count(*) AS n_customers,
-          CAST(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(coalesce(sum(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END), 0) AS BIGINT)
             AS false_negatives,
-          sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) <= 0.05 * count(*)
-            AS fp_rate_ok
+          coalesce(sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) <= 0.05 * count(*),
+            true) AS fp_rate_ok
         FROM probe""")
     }),
     "agg_entropy" -> ((s, d) => {
@@ -315,26 +315,41 @@ object Aggregates {
         (abs(col("est") - col("n_exact")) <=
           greatest(lit(2.0), col("n_exact") * 0.02)).as("approx_ok"))
     }),
-    "agg_approx_quantile" -> ((s, d) =>
+    "agg_approx_quantile" -> ((s, d) => {
       // KLL/GK-style quantile sketch (percentile_approx, accuracy 10000)
       // next to the exact interpolated percentile — same pattern as
-      // agg_approx_distinct: the cross-engine sketch VALUE can't match, the
-      // bounded-error contract can. Rank error ≤ n/accuracy ⇒ 1% value
-      // tolerance is generous at every fixture sf.
-      orders(s, d).groupBy("o_orderstatus")
+      // agg_approx_distinct: the cross-engine sketch VALUE can't match,
+      // the bounded-error contract can. The contract checks what the
+      // sketch actually GUARANTEES — the returned value's RANK is within
+      // n/accuracy of the target rank — not a value tolerance: on
+      // duplicate-heavy data the interpolated exact percentile can sit
+      // between wide value gaps where any rank-correct answer differs
+      // from it by far more than 1% (dupkeys edge fixture).
+      val ap = orders(s, d).groupBy("o_orderstatus")
         .agg(
           r4(expr("percentile(o_totalprice, 0.5)")).as("p50_exact"),
           r4(expr("percentile(o_totalprice, 0.9)")).as("p90_exact"),
           expr("percentile_approx(o_totalprice, 0.5, 10000)").as("a50"),
-          expr("percentile_approx(o_totalprice, 0.9, 10000)").as("a90"))
+          expr("percentile_approx(o_totalprice, 0.9, 10000)").as("a90"),
+          count(col("o_totalprice")).as("nv"))
+      val probe = orders(s, d)
+        .select(col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+        .filter(col("v").isNotNull)
+      // +1: the guarantee is floor(n/accuracy) ranks and the target rank
+      // itself straddles a 0.5 grid — measured at sf0.1 the sketch lands
+      // EXACTLY n/10000 ranks off (hi90 = target − 5.0 with n ≈ 50k)
+      val slack = lit(1.0) + col("nv") / 10000.0
+      def rankOk(a: String, p: Double) =
+        (sum(when(col("v") < col(a), 1L).otherwise(0L)) <= col("nv") * p + slack) &&
+        (sum(when(col("v") <= col(a), 1L).otherwise(0L)) >= col("nv") * p - slack)
+      ap.join(probe, col("o_orderstatus") <=> col("st"), "left")
+        .groupBy("o_orderstatus", "p50_exact", "p90_exact", "a50", "a90", "nv")
+        .agg(coalesce(rankOk("a50", 0.5) && rankOk("a90", 0.9), lit(true))
+          .as("approx_ok"))
         .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
-          // vacuously true when the group has no non-null values (both
-          // percentiles NULL): the oracle emits a literal true
-          coalesce(
-            abs(col("a50") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
-            abs(col("a90") - col("p90_exact")) <= col("p90_exact") * 0.01,
-            lit(true)).as("approx_ok"))
-        .orderBy("o_orderstatus")),
+          col("approx_ok"))
+        .orderBy("o_orderstatus")
+    }),
 
     "agg_pivot" -> ((s, d) =>
       // pivot = grouped conditional aggregation; explicit value list keeps
@@ -455,13 +470,15 @@ object Aggregates {
           sum(col("q") * col("q") * col("q")).as("s3"),
           sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
         .select(col("l_returnflag"),
+          // try_divide: a 1-row (or constant) group has m2 = 0 — NULL
+          // moments (DuckDB's 0/0), not an ANSI divide-by-zero error
           expr("""round(
-            ((s3 - 3.0*s2*(s1/CAST(n AS DOUBLE)) + 2.0*n*pow(s1/CAST(n AS DOUBLE), 3))/n)
-            / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 1.5), 4) + 0.0""").as("skew"),
+            try_divide(((s3 - 3.0*s2*(s1/CAST(n AS DOUBLE)) + 2.0*n*pow(s1/CAST(n AS DOUBLE), 3))/n),
+            pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 1.5)), 4) + 0.0""").as("skew"),
           expr("""round(
-            ((s4 - 4.0*s3*(s1/CAST(n AS DOUBLE)) + 6.0*s2*pow(s1/CAST(n AS DOUBLE), 2)
-              - 3.0*n*pow(s1/CAST(n AS DOUBLE), 4))/n)
-            / pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 2) - 3.0, 4) + 0.0""").as("kurt"))
+            try_divide(((s4 - 4.0*s3*(s1/CAST(n AS DOUBLE)) + 6.0*s2*pow(s1/CAST(n AS DOUBLE), 2)
+              - 3.0*n*pow(s1/CAST(n AS DOUBLE), 4))/n),
+            pow((s2 - n*pow(s1/CAST(n AS DOUBLE), 2))/n, 2)) - 3.0, 4) + 0.0""").as("kurt"))
         .orderBy("l_returnflag")),
     "agg_weighted_avg" -> ((s, d) =>
       // weighted mean — Σ(w·x)/Σw with the money discipline: the product
@@ -624,6 +641,7 @@ object Aggregates {
          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         HAVING count(*) > 0
          ORDER BY g_status, g_prio,
            o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_cube" ->
@@ -632,6 +650,7 @@ object Aggregates {
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         HAVING count(*) > 0
          ORDER BY g_flag, g_status,
            l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_grouping_sets" ->
@@ -639,6 +658,7 @@ object Aggregates {
          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         HAVING count(*) > 0
          ORDER BY g_status, g_prio,
            o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_minmax_by" ->

@@ -114,8 +114,12 @@ object Analytics {
         sum((col("spend") * col("rk")).cast(DecimalType(38, 4))).as("s1"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("n_customers"),
-        round(lit(2.0) * d(col("s1")) / (d(col("n_customers")) * d(col("s0")))
-          - (d(col("n_customers")) + lit(1.0)) / d(col("n_customers")), 6).as("gini"))
+        // +0.0 pins negative zero: an all-equal-spend nation computes
+        // gini = -0.0 in DuckDB's round but 0.0 in Spark's (dupkeys
+        // edge fixture) — same pinning as the corr/covar family
+        (round(lit(2.0) * d(col("s1")) / (d(col("n_customers")) * d(col("s0")))
+          - (d(col("n_customers")) + lit(1.0)) / d(col("n_customers")), 6)
+          + lit(0.0)).as("gini"))
       // n_customers/gini tie-breaks: several nations can share a NULL (or
       // duplicated) name, and a bare name sort would leave their relative
       // order engine-arbitrary
@@ -443,10 +447,14 @@ object Analytics {
           sum(col("n_events") * col("n_events")).as("svv"))
         .select(col("et"),
           (d2(col("sv")) / d2(col("n_days"))).as("mean"),
-          sqrt((d2(col("svv")) - d2(col("sv")) * d2(col("sv")) / d2(col("n_days")))
-            / (d2(col("n_days")) - lit(1.0))).as("sd"))
+          // try_divide: a 1-day type has no sample variance and a
+          // constant-rate type has sd 0 — both are NULL z in DuckDB
+          // (x/0 → NULL) where ANSI's Divide would error the job
+          sqrt(try_divide(
+            d2(col("svv")) - d2(col("sv")) * d2(col("sv")) / d2(col("n_days")),
+            d2(col("n_days")) - lit(1.0))).as("sd"))
       daily.join(broadcast(st), col("event_type") === col("et"))
-        .withColumn("z", (d2(col("n_events")) - col("mean")) / col("sd"))
+        .withColumn("z", try_divide(d2(col("n_events")) - col("mean"), col("sd")))
         .select(col("event_type"), col("day"), col("n_events"),
           (round(col("z"), 4) + lit(0.0)).as("z"),
           (abs(col("z")) > 2.0).as("is_spike"))
@@ -562,7 +570,7 @@ object Analytics {
            round(2.0 * CAST(s1 AS DOUBLE)
                    / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE))
                  - (CAST(n_customers AS DOUBLE) + 1.0)
-                   / CAST(n_customers AS DOUBLE), 6) AS gini
+                   / CAST(n_customers AS DOUBLE), 6) + 0.0 AS gini
          FROM g JOIN nation ON c_nationkey = n_nationkey
          ORDER BY n_name NULLS FIRST, n_customers NULLS FIRST, gini NULLS FIRST""",
     "rfm_segments" ->

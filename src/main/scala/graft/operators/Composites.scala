@@ -219,7 +219,12 @@ object Composites {
     // join shape Catalyst itself rewrites correlated scalar subqueries
     // into, but with zero second fact pass.
     "q_min_cost_supplier" -> ((s, d) =>
+      // candidates need BOTH fields: a NULL price would win the struct min
+      // (Spark sorts NULL struct fields low where DuckDB's min skips them —
+      // the agg_minmax_by discipline), and a NULL suppkey can't name a
+      // supplier; oracle mirrors the WHERE
       lineitem(s, d)
+        .filter(col("l_extendedprice").isNotNull && col("l_suppkey").isNotNull)
         .groupBy("l_partkey")
         .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
         .select(col("l_partkey"), col("m.l_extendedprice").as("min_price"),
@@ -586,12 +591,15 @@ object Composites {
          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
          LIMIT 20""",
     "q_min_cost_supplier" ->
-      """WITH m AS (
-           SELECT l_partkey, min(l_extendedprice) AS mp FROM lineitem
+      """WITH v AS (
+           SELECT l_partkey, l_extendedprice, l_suppkey FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL),
+         m AS (
+           SELECT l_partkey, min(l_extendedprice) AS mp FROM v
            GROUP BY l_partkey),
          pick AS (
            SELECT l.l_partkey, m.mp AS min_price, min(l.l_suppkey) AS suppkey
-           FROM lineitem l JOIN m
+           FROM v l JOIN m
              ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.mp
            GROUP BY l.l_partkey, m.mp)
          SELECT p_partkey, p_name, s_name, min_price

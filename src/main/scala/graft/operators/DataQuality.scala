@@ -108,7 +108,9 @@ object DataQuality {
       // identical in both engines): rounding first would certify up to
       // 0.00005·n violating rows as clean at threshold 1.0. The rounded
       // metric is display only.
-      val frac = col(s"m_$n") / d(col("n_rows"))
+      // try_divide: an empty table's fraction is NULL (DuckDB's x/0) —
+      // ANSI's plain Divide would error the whole suite on zero rows
+      val frac = try_divide(col(s"m_$n"), d(col("n_rows")))
       struct(lit(table).as("table_name"), lit(n).as("check_name"),
         r4(frac).as("metric"), lit(thr).as("threshold"),
         (frac >= lit(thr)).as("passed"))

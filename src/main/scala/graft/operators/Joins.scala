@@ -317,15 +317,21 @@ object Joins {
       // the aggregate formulation replaces the per-row top-1 window —
       // one keyed aggregate, tie-free by construction.
       val ev = events(s, d).select("event_id", "user_id", "ts", "event_type")
+      // aggregate DISTINCT click keys, then re-expand by the duplicate
+      // count: a groupBy alone would silently collapse duplicate-pk click
+      // rows where the oracle's correlated subquery is per-row (dupkeys
+      // edge fixture) — the join itself still fans only distinct keys
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .groupBy("event_id", "user_id", "ts").agg(count(lit(1)).as("nc"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       clicks.join(purchases,
           col("user_id") === col("p_user") && col("p_ts") <= col("ts") &&
           col("p_ts") >= col("ts") - expr("INTERVAL 24 HOURS"), "left")
-        .groupBy("event_id", "user_id", "ts")
+        .groupBy("event_id", "user_id", "ts", "nc")
         .agg(max(col("p_ts")).as("last_purchase_ts"))
+        .withColumn("__rep", explode(expr("sequence(1, nc)")))
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
         .orderBy("event_id")
     }),
 
@@ -662,14 +668,24 @@ object Joins {
          ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id NULLS FIRST""",
     "join_asof_nearest" ->
-      """SELECT c.event_id, c.user_id, c.ts,
-         arg_min(p.ts, abs(epoch_us(p.ts) - epoch_us(c.ts)) * 2
-           + CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END) AS nearest_purchase_ts,
-         CAST(min(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT) AS dist_us
-         FROM (SELECT * FROM events WHERE event_type = 'click') c
-         LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
-           USING (user_id)
-         GROUP BY c.event_id, c.user_id, c.ts
+      // aggregate per DISTINCT click key, then re-expand onto the raw
+      // click rows (NULL-safe join): GROUP BY alone collapses
+      // duplicate-pk clicks the Spark window formulation keeps per-row
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         ck AS (SELECT DISTINCT event_id, user_id, ts FROM c),
+         a AS (SELECT ck.event_id, ck.user_id, ck.ts,
+                 arg_min(p.ts, abs(epoch_us(p.ts) - epoch_us(ck.ts)) * 2
+                   + CASE WHEN p.ts <= ck.ts THEN 0 ELSE 1 END) AS nearest_purchase_ts,
+                 CAST(min(abs(epoch_us(p.ts) - epoch_us(ck.ts))) AS BIGINT) AS dist_us
+               FROM ck
+               LEFT JOIN (SELECT user_id, ts FROM events
+                          WHERE event_type = 'purchase') p USING (user_id)
+               GROUP BY ck.event_id, ck.user_id, ck.ts)
+         SELECT c.event_id, c.user_id, c.ts, a.nearest_purchase_ts, a.dist_us
+         FROM c JOIN a ON c.event_id IS NOT DISTINCT FROM a.event_id
+           AND c.user_id IS NOT DISTINCT FROM a.user_id
+           AND c.ts IS NOT DISTINCT FROM a.ts
          ORDER BY c.event_id NULLS FIRST""",
     "join_star" ->
       """SELECT n_name,

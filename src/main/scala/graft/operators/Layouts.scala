@@ -83,9 +83,13 @@ object Layouts {
     }),
     "sink_partitioned" -> ((s, d) => {
       val out = s"$exportDir/orders_by_status"
-      orders(s, d).write.mode("overwrite")
+      val src = orders(s, d)
+      src.write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(out)
-      s.read.parquet(out)
+      // explicit schema: an empty partitioned write leaves no files to
+      // infer from (UNABLE_TO_INFER_SCHEMA) — production readers of a
+      // maybe-empty dataset carry the catalog schema anyway
+      s.read.schema(src.schema).parquet(out)
         .filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
@@ -106,14 +110,14 @@ object Layouts {
       // fixture's partial 2001, so exactly one directory is pruned —
       // at every sf, since the date span is scale-invariant
       val out = s"$exportDir/orders_by_year_dpp"
-      orders(s, d)
+      val staged = orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      staged.write.mode("overwrite").partitionBy("o_year").parquet(out)
       // the readback infers the partition directory values as INT; the
       // dim side must join on the SAME type — a cast wrapped around the
       // fact's join key hides the partition attribute from the
       // PartitionPruning rule and silently forfeits DPP (observed)
-      val fact = s.read.parquet(out)
+      val fact = s.read.schema(staged.schema).parquet(out)
       // the dim = the COMPLETE years, derived from data at runtime under
       // a literal cutoff — PartitionPruning's isLikelySelective heuristic
       // only fires on literal comparisons (an attribute-vs-attribute

@@ -41,11 +41,13 @@ object Profiling {
       sum(round(v4(col("value")) * v4(col("value")), 4).cast(DecimalType(30, 4))).as("svv"))
     val st = stats.select(col("et"), col("n"),
       (d(col("sv")) / d(col("n"))).as("mean"),
-      sqrt((d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n"))) / (d(col("n")) - lit(1.0)))
-        .as("sd"))
+      // try_divide: a 1-row type has no sample variance, a constant type
+      // has sd 0 — NULL z (DuckDB's x/0), not an ANSI error
+      sqrt(try_divide(d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n")),
+        d(col("n")) - lit(1.0))).as("sd"))
     // pass 2: map-side z against the broadcast stats — no second shuffle
     ev0.join(broadcast(st), col("event_type") === col("et"))
-      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .withColumn("z", try_divide(col("value") - col("mean"), col("sd")))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
       .orderBy("event_id")

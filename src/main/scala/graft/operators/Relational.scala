@@ -327,8 +327,13 @@ object Relational {
     "scan_tsv" ->
       s"SELECT * FROM read_csv('$exportDir/nation.tsv', header=true, delim='\t') ORDER BY n_nationkey NULLS FIRST",
     "scan_jsonl" ->
-      s"""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
-         FROM read_json_auto('$exportDir/supplier.jsonl')
+      // explicit columns: auto-detect has nothing to sniff on a 0-row
+      // export (binder error) — mirrors the Spark side's explicit schema
+      s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM read_json('$exportDir/supplier.jsonl',
+           columns = {s_suppkey: 'BIGINT', s_name: 'VARCHAR',
+                      s_nationkey: 'BIGINT', s_acctbal: 'DOUBLE'},
+           format = 'newline_delimited')
          ORDER BY s_suppkey NULLS FIRST""",
     "scan_multifile" -> "SELECT * FROM orders ORDER BY o_orderkey NULLS FIRST",
     "scan_csv_malformed" ->

@@ -87,7 +87,7 @@ object Streams {
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          event_type, count(*) AS cnt,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
-         FROM events GROUP BY 1, 2
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
          ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""",
     "stream_join_static" ->
       """SELECT c_mktsegment, event_type, count(*) AS cnt,
@@ -99,7 +99,7 @@ object Streams {
       """WITH t AS (
            SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
              event_id, value
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          r AS (
            SELECT w_start, event_id, value,
              row_number() OVER (PARTITION BY w_start
@@ -111,22 +111,27 @@ object Streams {
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          event_type, count(*) AS cnt,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
-         FROM events GROUP BY 1, 2
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
          ORDER BY w_start NULLS FIRST, event_type NULLS FIRST""",
     "stream_sliding" ->
       """WITH buckets AS (
-           SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start, value FROM events
+           SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start, value
+           FROM events WHERE ts IS NOT NULL
            UNION ALL
-           SELECT make_timestamp((epoch_us(ts)//300000000)*300000000 - 300000000) AS w_start, value FROM events)
+           SELECT make_timestamp((epoch_us(ts)//300000000)*300000000 - 300000000) AS w_start, value
+           FROM events WHERE ts IS NOT NULL)
          SELECT w_start, count(*) AS cnt,
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_val
          FROM buckets GROUP BY 1 ORDER BY w_start NULLS FIRST""",
     "stream_session" ->
       """WITH marked AS (
            SELECT user_id, ts,
+             -- strictly-greater: Spark's session_window treats an event at
+             -- EXACTLY gap distance as part of the session (range [start,
+             -- last+gap] inclusive at merge — ties-fixture verified)
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-           FROM events
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE ts IS NOT NULL
            WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)),
          numbered AS (
            SELECT user_id, ts,
@@ -147,14 +152,17 @@ object Streams {
     "stream_watermark" ->
       """SELECT make_timestamp((epoch_us(ts)//300000000)*300000000) AS w_start,
          count(*) AS cnt
-         FROM events GROUP BY 1 ORDER BY w_start NULLS FIRST""",
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY w_start NULLS FIRST""",
     "stream_custom_state" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+         GROUP BY 1 ORDER BY user_id NULLS FIRST""",
     "stream_tws" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
-         FROM events GROUP BY 1 ORDER BY user_id NULLS FIRST""",
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+         GROUP BY 1 ORDER BY user_id NULLS FIRST""",
     "stream_interval_join" ->
       """SELECT c.event_id AS c_id, c.user_id, c.ts AS c_ts,
               p.event_id AS p_id, p.ts AS p_ts

@@ -599,7 +599,9 @@ object TextOps {
       // corpus-proportional) joins back label-keyed, NOT broadcast.
       val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
       val withLen = connectedComponents(pairs)
-        .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        // distinct: cluster members are DOCS — duplicate pk rows must not
+        // fan the audit (the oracle's comp-side join is per distinct doc)
+        .join(documents(s, d).select(col("doc_id"), col("n_chars")).distinct(), "doc_id")
       val keeper = withLen.groupBy("label")
         .agg(max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nd"))).as("k"))
         .select(col("label"), (lit(0L) - col("k.nd")).as("keeper_id"))
@@ -881,8 +883,10 @@ object TextOps {
       // C4 pipeline runs.
       val banner = "subscribe to our newsletter for more updates today"
       val segs = fanout(documents(s, d))
+        // concat, NOT concat_ws: a NULL text must stay NULL (no segments —
+        // the oracle's || semantics); concat_ws would resurrect the banner
         .withColumn("txt", when(col("doc_id") % 5 === 0,
-          concat_ws(" ", lit(banner), col("text"))).otherwise(col("text")))
+          concat(lit(banner), lit(" "), col("text"))).otherwise(col("text")))
         .select(col("doc_id"), split(lower(col("txt")), " ").as("t"))
         .select(col("doc_id"), col("t"),
           explode(expr("sequence(0, (size(t)-1) div 8)")).as("si"))
@@ -937,20 +941,26 @@ object TextOps {
       // cumulative offsets. No single-partition exchange at any scale.
       val budget = 512L
       val parts = s.sparkContext.defaultParallelism
+      // lk: null-safe packing key — SQL window PARTITION BY groups NULL
+      // langs into one real partition (the oracle's semantics), but an
+      // equi-JOIN on lang would silently drop them; the  sentinel is
+      // outside the lang domain and never emitted
       val toksz = fanout(documents(s, d))
         .select(col("doc_id"), col("lang"),
+          coalesce(col("lang"), lit("<null>")).as("lk"),
           size(split(lower(col("text")), " ")).cast(L).as("n_tok"))
       // EAGER checkpoint: repartitionByRange samples boundaries per job;
       // the two consumers (offset collect + final join) must see the SAME
       // partitioning (winNtile's observed ±1 flips otherwise)
-      val ranged = toksz.repartitionByRange(parts, col("lang"), col("doc_id"))
+      val ranged = toksz.repartitionByRange(parts, col("lk"), col("doc_id"))
         .withColumn("pid", spark_partition_id())
         .localCheckpoint(true)
-      val wLoc = Window.partitionBy("pid", "lang").orderBy("doc_id")
+      val wLoc = Window.partitionBy("pid", "lk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val local = ranged.withColumn("lb",
         coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
-      val sums = ranged.groupBy("pid", "lang").agg(sum(col("n_tok")).as("sm"))
+      val sums = ranged.groupBy("pid", "lk")
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("sm"))
         .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
       val offRows = sums.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
         var acc = 0L
@@ -959,13 +969,15 @@ object TextOps {
         }
       }
       import s.implicits._
-      val offDf = offRows.toDF("pid", "lang", "off")
-      local.join(broadcast(offDf), Seq("pid", "lang"))
+      val offDf = offRows.toDF("pid", "lk", "off")
+      local.join(broadcast(offDf), Seq("pid", "lk"))
         .withColumn("before", col("off") + col("lb"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr(s"before div $budget").as("pack_id"),
           expr(s"before % $budget").as("pack_offset"))
-        .orderBy("lang", "doc_id")
+        // pack fields complete the total order: duplicate-pk rows carry
+        // distinct offsets whose within-tie emit order is engine-arbitrary
+        .orderBy("lang", "doc_id", "pack_id", "pack_offset")
     }),
 
     "dedup_span" -> ((s, d) => spanDedup(toks(s, d))),
@@ -1372,15 +1384,18 @@ object TextOps {
     "text_fingerprint" -> ((s, d) =>
       // position-weighted rolling fingerprint (order-sensitive, exact
       // BIGINT arithmetic → oracle-identical) + normalized-content md5
-      toks(s, d)
-        .select(col("doc_id"), posexplode(col("t")))
-        .groupBy("doc_id")
+      // md5 rides the SAME row stream (no doc_id join): a dup-pk corpus
+      // would fan a join while the oracle group-collapsed — grouping by
+      // (doc_id, content_md5) keeps one row per doc in both engines
+      fanout(documents(s, d))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"),
+          md5(concat_ws(" ", split(lower(col("text")), " "))).as("content_md5"))
+        .select(col("doc_id"), col("content_md5"), posexplode(col("t")))
+        .groupBy("doc_id", "content_md5")
         .agg(sum((col("pos") + 1) *
           (ascii(col("col")) + lit(7) * length(col("col")) + 13)).as("fp"))
-        .join(documents(s, d).select(col("doc_id"),
-          md5(concat_ws(" ", split(lower(col("text")), " "))).as("content_md5")), "doc_id")
         .select("doc_id", "fp", "content_md5")
-        .orderBy("doc_id")),
+        .orderBy("doc_id", "content_md5")),
 
     "mix_epochs" -> ((s, d) => {
       // data-constrained epoch allocation (Muennighoff et al. 2023): when
@@ -1611,7 +1626,9 @@ object TextOps {
           sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("n_tokens_kept"))
       val tot = cell.agg(sum(col("n_tokens_kept")).as("tt"))
       cell.crossJoin(broadcast(tot))
-        .withColumn("token_share_bp", expr("(n_tokens_kept * 10000) div tt"))
+        // CASE guard: zero kept tokens → NULL share (DuckDB's x // 0)
+        .withColumn("token_share_bp",
+          expr("CASE WHEN tt > 0 THEN (n_tokens_kept * 10000) div tt END"))
         .select("source", "lang", "n_docs_raw", "n_docs_kept",
           "n_tokens_kept", "token_share_bp")
         .orderBy("source", "lang")
@@ -1653,8 +1670,10 @@ object TextOps {
               "tok_vocab_growth: doc_ids not dense-from-zero — the " +
               "value-prefix cut would mislabel the corpus fraction"))
             .cast(DoubleType))
-          .otherwise(r4(log(d2(col("v_100")) / d2(col("v_50")))
-            / log(d2(col("n_tok_100")) / d2(col("n_tok_50"))))).as("heaps_beta"))
+          // try_divide: a corpus whose 50% and 100% prefixes coincide
+          // (one doc) has log-ratio 0/0 — NULL β, not an ANSI error
+          .otherwise(r4(try_divide(log(d2(col("v_100")) / d2(col("v_50"))),
+            log(d2(col("n_tok_100")) / d2(col("n_tok_50")))))).as("heaps_beta"))
     }),
 
     "dedup_rate_curve" -> ((s, d) => {
@@ -1692,7 +1711,10 @@ object TextOps {
                .cast("bigint")).otherwise(col(dn))
            else col(dn)).as("n_docs"),
           col(un).as("n_unique"),
-          expr(s"(($dn - $un) * 10000) div $dn").as("dup_bp"))
+          // CASE guard: an empty prefix's dup rate is NULL (DuckDB's
+          // x // 0) — ANSI's div would error on the empty corpus
+          expr(s"CASE WHEN $dn > 0 THEN (($dn - $un) * 10000) div $dn END")
+            .as("dup_bp"))
       }
       one.select(explode(array(rows: _*)).as("p")).select("p.*")
         .orderBy("prefix")
@@ -2139,7 +2161,8 @@ object TextOps {
          SELECT doc_id, lang, n_tok,
            CAST(before // 512 AS BIGINT) AS pack_id,
            CAST(before % 512 AS BIGINT) AS pack_offset
-         FROM c ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""",
+         FROM c ORDER BY lang NULLS FIRST, doc_id NULLS FIRST,
+           pack_id NULLS FIRST, pack_offset NULLS FIRST""",
     "text_perplexity" ->
       s"""WITH $pplCtes
          SELECT doc_id, n_bigrams, sum_bits, ppl_bits_x100
@@ -2318,16 +2341,15 @@ object TextOps {
          len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS n_distinct_bpe
          FROM documents ORDER BY doc_id NULLS FIRST""",
     "text_fingerprint" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-         SELECT p.doc_id,
-           CAST(sum(p.i * (ascii(p.tok) + 7 * length(p.tok) + 13)) AS BIGINT) AS fp,
-           any_value(m.content_md5) AS content_md5
-         FROM (SELECT doc_id, t[i] AS tok, i FROM
-                 (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM t)) p
-         JOIN (SELECT doc_id, md5(array_to_string(string_split(lower(text), ' '), ' ')) AS content_md5
-               FROM documents) m ON p.doc_id = m.doc_id
-         GROUP BY p.doc_id
-         ORDER BY p.doc_id NULLS FIRST""",
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+                md5(array_to_string(string_split(lower(text), ' '), ' ')) AS content_md5
+              FROM documents)
+         SELECT doc_id,
+           CAST(sum(i * (ascii(t[i]) + 7 * length(t[i]) + 13)) AS BIGINT) AS fp,
+           content_md5
+         FROM (SELECT doc_id, t, content_md5, unnest(range(1, len(t)+1)) AS i FROM t)
+         GROUP BY doc_id, content_md5
+         ORDER BY doc_id NULLS FIRST, content_md5 NULLS FIRST""",
     "mix_epochs" ->
       // identical integer allocation; sum() casts pin DuckDB's HUGEINT
       // aggregates back to BIGINT
@@ -2344,9 +2366,16 @@ object TextOps {
     "filter_blocklist" ->
       // independent formulation: the host is derived directly from the
       // source column (what parse_url extracts from the synthesized URL)
-      """SELECT doc_id, source || '.example.com' AS host
-         FROM documents
-         WHERE source || '.example.com' NOT IN
+      // NULL host (unparseable origin) passes the gate: left-anti keeps a
+      // NULL probe key — NOT IN alone would drop it (three-valued UNKNOWN).
+      // An empty source yields the invalid authority ".example.com", which
+      // Spark's parse_url rejects (NULL host) — mirrored by the CASE.
+      """WITH h AS (SELECT doc_id,
+           CASE WHEN source IS NULL OR source = '' THEN NULL
+                ELSE source || '.example.com' END AS host
+         FROM documents)
+         SELECT doc_id, host FROM h
+         WHERE host IS NULL OR host NOT IN
            ('src3.example.com', 'src7.example.com',
             'src11.example.com', 'src15.example.com')
          ORDER BY doc_id NULLS FIRST""",

@@ -58,10 +58,16 @@ object VectorOps {
     // ingest; every oracle mirrors it by shadowing `embeddings` with the
     // same predicate (validEmbCte).
     // one-file scan → one partition: fan out so pair joins / signature
-    // folds use every core (no-op on already-parallel inputs)
+    // folds use every core (no-op on already-parallel inputs).
+    // dropDuplicates (= DISTINCT *): vec_id is the entity pk — a
+    // re-ingested duplicate row must not double-weight centroids or fan
+    // probe joins (the dupkeys edge fixture caught sim_ivf picking
+    // duplicate "top-2" centroids). One exchange over the (small)
+    // embeddings table; mirrored by DISTINCT in validEmbCte.
     fanout(embeddings(s, d).filter(
       col("embedding").isNotNull && size(col("embedding")) === 64 &&
-        expr("array_max(transform(embedding, x -> abs(x))) > 0")))
+        expr("array_max(transform(embedding, x -> abs(x))) > 0"))
+      .dropDuplicates())
   }
 
   /** Vectors with their norm precomputed ONCE — an all-pairs scan that
@@ -514,10 +520,12 @@ object VectorOps {
         .select(col("pos").cast(LongType).as("dim"),
           col("n").as("n_vecs"),
           expr("CAST((2 * sv + IF(sv >= 0, n, -n)) DIV (2 * n) AS DOUBLE) / 1000000.0").as("mean"),
-          round(sqrt((col("svv").cast(DoubleType)
+          // try_divide: one vector has no sample variance — NULL sd
+          // (DuckDB's x/0) instead of an ANSI divide-by-zero error
+          round(sqrt(try_divide(col("svv").cast(DoubleType)
               - col("sv").cast(DoubleType) * col("sv").cast(DoubleType)
-                / col("n").cast(DoubleType))
-            / (col("n").cast(DoubleType) - lit(1.0))) / lit(1000000.0), 6).as("sd"),
+                / col("n").cast(DoubleType),
+            col("n").cast(DoubleType) - lit(1.0))) / lit(1000000.0), 6).as("sd"),
           (col("mn").cast(DoubleType) / lit(1000000.0)).as("min_v"),
           (col("mx").cast(DoubleType) / lit(1000000.0)).as("max_v"))
         .orderBy("dim")
@@ -557,11 +565,13 @@ object VectorOps {
       val dn = col("n").cast(DoubleType)
       val st = stats.select(
         (col("sv").cast(DoubleType) / dn).as("mean"),
-        sqrt((col("svv").cast(DoubleType)
-          - col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / dn)
-          / (dn - lit(1.0))).as("sd"))
+        // try_divide: one vector (or a zero-variance corpus) has no
+        // sample sd — NULL z (DuckDB's x/0), not an ANSI error
+        sqrt(try_divide(col("svv").cast(DoubleType)
+          - col("sv").cast(DoubleType) * col("sv").cast(DoubleType) / dn,
+          dn - lit(1.0))).as("sd"))
       v.crossJoin(broadcast(st))
-        .withColumn("z", (col("d2") - col("mean")) / col("sd"))
+        .withColumn("z", try_divide(col("d2") - col("mean"), col("sd")))
         .select(col("vec_id"), (col("d2") + lit(0.0)).as("dist2"),
           (round(col("z"), 4) + lit(0.0)).as("z"),
           (abs(col("z")) > 2.0).as("is_outlier"))
@@ -592,23 +602,35 @@ object VectorOps {
         .agg(microMeanAgg.as("m"))
         .orderBy("pos").collect().map(_.getDouble(1))
       var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
-      for (_ <- 1 to 3) {
-        val muCol = typedLit(mu.toSeq)
-        val vCol = typedLit(v.toSeq)
-        val w: Array[Double] = e
-          .select(expr("embedding").as("x"), muCol.as("mu"), vCol.as("vv"))
-          .select(expr("zip_with(x, mu, (a, b) -> a - b)").as("cx"), col("vv"))
-          .withColumn("t", expr("vec_dot(cx, vv)"))
-          .select(posexplode(expr(
-            "transform(cx, c -> CAST(round(c * t * 1000000, 0) AS BIGINT))")))
-          .groupBy("pos").agg(sum(col("col")).as("sw"))
-          .orderBy("pos").collect().map(r => r.getLong(1).toDouble / 1000000.0)
-        val norm = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(_ / norm)
+      // degenerate corpora (zero centered mass, e.g. a single vector):
+      // w = 0 ⇒ the normalize is 0/0. The oracle's list math propagates
+      // NULL through the remaining iterations; mirror that with NULL
+      // loadings instead of crashing on a NaN→BIGINT cast.
+      var degenerate = false
+      val loop = new scala.util.control.Breaks
+      loop.breakable {
+        for (_ <- 1 to 3) {
+          val muCol = typedLit(mu.toSeq)
+          val vCol = typedLit(v.toSeq)
+          val w: Array[Double] = e
+            .select(expr("embedding").as("x"), muCol.as("mu"), vCol.as("vv"))
+            .select(expr("zip_with(x, mu, (a, b) -> a - b)").as("cx"), col("vv"))
+            .withColumn("t", expr("vec_dot(cx, vv)"))
+            .select(posexplode(expr(
+              "transform(cx, c -> CAST(round(c * t * 1000000, 0) AS BIGINT))")))
+            .groupBy("pos").agg(sum(col("col")).as("sw"))
+            .orderBy("pos").collect().map(r => r.getLong(1).toDouble / 1000000.0)
+          val norm = math.sqrt(w.map(x => x * x).sum)
+          if (norm == 0.0) { degenerate = true; loop.break() }
+          v = w.map(_ / norm)
+        }
       }
       import s.implicits._
-      v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
-        .toDF("pos", "raw")
+      val rows: Seq[(Long, Option[Double])] =
+        if (mu.isEmpty) Seq.empty // empty corpus: PCA of nothing is no rows
+        else if (degenerate) (0 until dims).map(i => (i.toLong, Option.empty[Double]))
+        else v.zipWithIndex.map { case (x, i) => (i.toLong, Option(x)) }.toSeq
+      rows.toDF("pos", "raw")
         .select(col("pos"), r4(col("raw")).as("loading"))
         .orderBy("pos")
     }),
@@ -722,7 +744,7 @@ object VectorOps {
     * only as the table name; the column is singular `embedding`).
     */
   private val validEmbCte =
-    """vemb AS (SELECT * FROM embeddings
+    """vemb AS (SELECT DISTINCT * FROM embeddings
        WHERE embedding IS NOT NULL AND len(embedding) = 64
          AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0)"""
 
@@ -1117,7 +1139,9 @@ object VectorOps {
           ${iter(2, "v1")},
           ${iter(3, "v2")}
           SELECT CAST(i - 1 AS BIGINT) AS pos, round(vv[i], 4) AS loading
-          FROM v3, range(1, 65) r(i) ORDER BY pos NULLS FIRST"""
+          FROM v3, range(1, 65) r(i)
+          WHERE (SELECT count(*) FROM e) > 0
+          ORDER BY pos NULLS FIRST"""
     },
     "vec_norm_stats" ->
       s"""WITH n AS (

@@ -155,7 +155,12 @@ object Streams {
     val s = events.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    // keyable, valued rows only: the (Long, Double) state encoder is
+    // primitive (a NULL key/value would throw at decode), and a stats
+    // stream over unkeyable or valueless events is undefined — the DuckDB
+    // oracle mirrors the same WHERE (edge-fixture nulls variant)
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, BigDecimal)]) =>
@@ -215,7 +220,9 @@ object Streams {
     org.apache.spark.sql.GraftStateStoreBootstrap.ensureCoordinator()
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import s.implicits._
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    // primitive-encoder NULL discipline — same contract as runningUserStats
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .selectExpr("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new UserRunningMax, TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "max_value")
