@@ -26,13 +26,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Derived {
 
-  // ConcurrentHashMap.computeIfAbsent gives build-once PER KEY without a
-  // global build lock: two concurrent cold callers for DIFFERENT
-  // artifacts (e.g. two server threads needing band_pairs and
-  // hashed_shingles) build in parallel instead of queueing one behind
-  // the other's multi-second parquet write
-  private val paths =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // Future-valued memo, NOT computeIfAbsent(build): the build must run
+  // OUTSIDE the map's structural lock because (a) chained artifacts
+  // re-enter dataset() from inside a build (shinglePairStats derives from
+  // hashedShingles) and a nested computeIfAbsent on a same-bin key is
+  // forbidden by the CHM contract (observed as deadlock risk), and (b) a
+  // multi-second parquet write inside a bin lock would stall unrelated
+  // same-bin artifacts. putIfAbsent decides ONE winner per key; losers
+  // block on the future (never on a half-written file — the path is
+  // published only after write() returns); a failed build removes its
+  // future so the next caller retries instead of caching the failure.
+  private val paths = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.CompletableFuture[String]]()
 
   private lazy val root: java.io.File = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -52,12 +57,27 @@ object Derived {
 
   def dataset(s: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame = {
     val key = (new java.io.File(d).getCanonicalPath, name)
-    val p = paths.computeIfAbsent(key, { _ =>
-      val dir = new java.io.File(root,
-        s"$name-${java.lang.Integer.toHexString(key._1.hashCode)}")
-      build.write.mode("overwrite").parquet(dir.getPath)
-      dir.getPath
-    })
+    val fut = new java.util.concurrent.CompletableFuture[String]()
+    val prior = paths.putIfAbsent(key, fut)
+    val cell = if (prior == null) {
+      try {
+        val dir = new java.io.File(root,
+          s"$name-${java.lang.Integer.toHexString(key._1.hashCode)}")
+        build.write.mode("overwrite").parquet(dir.getPath)
+        fut.complete(dir.getPath)
+      } catch {
+        case t: Throwable =>
+          fut.completeExceptionally(t)
+          paths.remove(key, fut) // next caller rebuilds; waiters see t
+          throw t
+      }
+      fut
+    } else prior
+    val p = try cell.join()
+    catch { // unwrap so callers see the build's own exception
+      case e: java.util.concurrent.CompletionException if e.getCause != null =>
+        throw e.getCause
+    }
     s.read.parquet(p)
   }
 

@@ -34,6 +34,56 @@ class DerivedSpec extends AnyFunSuite {
     assert(art.nonEmpty)
   }
 
+  test("concurrent cold callers race on ONE key: one build, no half-written reads") {
+    // 8 threads hit the same cold artifact; the winner builds, losers
+    // block on the future and then scan — every reader must see the full
+    // 1000 rows (a reader that saw a half-written directory would count
+    // short or throw)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val name = s"race-${System.nanoTime()}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Derived.dataset(spark, d, name) {
+              builds.incrementAndGet()
+              Thread.sleep(150) // widen the race window
+              spark.range(1000).toDF("x")
+            }.count()
+        })
+      }
+      tasks.foreach(t => assert(t.get(120, java.util.concurrent.TimeUnit.SECONDS) === 1000L))
+      assert(builds.get() === 1, "exactly one thread may build a cold artifact")
+    } finally pool.shutdownNow()
+  }
+
+  test("a build may re-enter dataset() for a different artifact (chained builds don't deadlock)") {
+    // the production chain does exactly this (shinglePairStatsBuild scans
+    // Derived.hashedShingles) — under the old computeIfAbsent(build) memo
+    // this was a forbidden nested CHM update (same-bin deadlock hazard);
+    // run it on a bounded watchdog so a regression fails, not hangs
+    val n = System.nanoTime()
+    val fut = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      Derived.dataset(spark, d, s"outer-$n") {
+        val inner = Derived.dataset(spark, d, s"inner-$n")(spark.range(7).toDF("x"))
+        inner.withColumn("y", inner("x") * 2)
+      }.count()
+    }
+    assert(fut.get(120, java.util.concurrent.TimeUnit.SECONDS) === 7L)
+  }
+
+  test("a failed build is not cached: waiters see the failure, the next caller rebuilds") {
+    val name = s"fail-${System.nanoTime()}"
+    val boom = intercept[RuntimeException] {
+      Derived.dataset(spark, d, name) { throw new RuntimeException("planted build failure") }
+    }
+    assert(boom.getMessage.contains("planted"))
+    // the failure must not poison the key — this call re-runs the build
+    val ok = Derived.dataset(spark, d, name)(spark.range(3).toDF("x"))
+    assert(ok.count() === 3L)
+  }
+
   test("chained artifact: shingle_pair_stats scans hashed_shingles, values self-consistent") {
     val sps = Derived.shinglePairStats(spark, d).collect()
     assert(sps.nonEmpty)
