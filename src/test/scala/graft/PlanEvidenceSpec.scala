@@ -206,10 +206,12 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"rank filter must pre-limit per-partition before the shuffle:\n$p")
   }
 
-  test("vec_dim_stats: one keyed aggregate over the explode, no join, no window") {
+  test("vec_dim_stats: dedup + one keyed aggregate over the explode, no join, no window") {
     val p = plan(VectorOps.queries("vec_dim_stats")(spark, d))
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+    // 2 = emb()'s pk-dedup distinct (small embeddings table) + the (dim)
+    // partial agg — nothing else may shuffle
+    assert(hashExchanges === 2, s"expected dedup + dim-agg exchanges, plan:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
@@ -554,6 +556,44 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"only the cell agg + the per-type window may shuffle:\n$p")
     assert(!hasSinglePartitionWindow(p),
       s"psi's window is keyed by event_type, never global:\n$p")
+  }
+
+  test("drift_chi2: ONE fact scan; expected counts come from the bounded cell grid") {
+    val p = plan(DataQuality.queries("drift_chi2")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("events")) === 1,
+      s"marginals must derive from the cells, not a corpus re-scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      || p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"no corpus-proportional fan-out:\n$p")
+  }
+
+  test("dq_quarantine: pure map-side rule tagging + ONE bounded-combination agg") {
+    val p = plan(DataQuality.queries("dq_quarantine")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem")) === 1,
+      s"one pass over the fact table:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"only the ≤2^#rules reason-combination agg may shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"tagging is map work — no window, no join:\n$p")
+  }
+
+  test("dq_freshness: the corpus max never re-scans the fact table") {
+    val p = plan(DataQuality.queries("dq_freshness")(spark, d))
+    assert(p.linesIterator.count(l => l.contains("FileScan") && l.contains("events")) === 1,
+      s"per-source watermarks + corpus max must share ONE events scan:\n$p")
+    // the deliberate single-partition window runs over the |sources|
+    // aggregate rows (bounded), which requires the agg exchange below it
+    assert(p.contains("Window"), s"expected the corpus-max window:\n$p")
+  }
+
+  test("dedup_ngram: capped equi-join pairing — no cartesian, no nested loop") {
+    val p = plan(TextOps.queries("dedup_ngram")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi join under the df cap:\n$p")
+    // rare-gram blocking: the posting-list df filter must exist between
+    // the gram agg and the pair join (the cap that bounds fan-out)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("20")),
+      s"expected the df<=20 hot-gram cap in the plan:\n$p")
   }
 
 }
