@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale rehearsal for the bounded-fan-out claims (PERF.md §6).
+  *
+  * The dedup/sim/graph family's 100 TB posture rests on caps — band
+  * buckets df∈[2,20] before the self-join, rare-gram blocking df≤20,
+  * SemDeDup Σ|cluster|², phash band caps. At sf0.1 those are argued from
+  * the plan; this main MEASURES them: the documents/embeddings fixtures
+  * are self-replicated ×k with a per-replica vocabulary shift (word w →
+  * "w·r", embedding e → e + ε_r), so each replica keeps the base corpus's
+  * internal duplicate structure but replicas share no shingles/neighbors —
+  * the "corpus grows, duplication density constant" model. If the caps
+  * hold, candidate-pair counts and wall time scale ~linearly in k; any
+  * super-linear key has a broken cap.
+  *
+  * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
+  * (default scales 1,3,10). Writes <outBase>/x<k>/{documents,embeddings,
+  * …}.parquet (TPC-H tables symlink-copied so Tables.load resolves), runs
+  * the family per scale, and emits one JSON with per-key rows/seconds and
+  * the band_pairs / shingle_pair_stats artifact sizes (the fan-out).
+  */
+object ScaleRehearsal {
+
+  private val Off = 1000000000L // replica id offset, past every fixture id space
+
+  private def scaleDocuments(s: SparkSession, d: String, k: Int): DataFrame = {
+    val base = Tables.documents(s, d)
+    val reps = (0 until k).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * Off)).as("doc_id"),
+        // per-replica vocabulary: every word gets a replica suffix, so
+        // within-replica shingle relations are isomorphic to the base
+        // corpus and cross-replica shingle overlap is zero
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("·" + r))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
+  private def scaleEmbeddings(s: SparkSession, d: String, k: Int): DataFrame = {
+    val base = Tables.embeddings(s, d)
+    val reps = (0 until k).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("vec_id") + lit(r * Off)).as("vec_id"),
+        // deterministic per-replica translation: geometry within a replica
+        // is preserved, replicas drift apart (no cross-replica near-dups)
+        transform(col("embedding"),
+          (x, i) => x + lit(0.05 * r) * ((i % 7).cast("double") - lit(3.0)))
+          .as("embedding"),
+        col("label"))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
+  /** The family whose fan-out claims are under test. */
+  private val family = Seq(
+    "dedup_near", "dedup_minhash", "dedup_cluster", "dedup_ngram",
+    "dedup_simhash", "graph_components_hist", "dedup_embed", "sim_ann_lsh",
+    "dedup_semantic", "split_leakage", "mm_dedup_phash")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]")
+    val src = args(0)
+    val outBase = args(1)
+    val outJson = args(2)
+    val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
+                 else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sb = new StringBuilder
+    sb.append("{\"src\":\"").append(src).append("\",\"scales\":{")
+    scales.zipWithIndex.foreach { case (k, si) =>
+      val dir = s"$outBase/x$k"
+      // the family only reads documents/embeddings; star-schema tables are
+      // not copied (any key touching them is outside this rehearsal)
+      scaleDocuments(spark, src, k).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      scaleEmbeddings(spark, src, k).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      System.err.println(s"[scale] x$k: $nDocs docs")
+
+      // fan-out artifacts first (timed separately, same as Bench's
+      // derived_s discipline — their cost would otherwise land on the
+      // first consumer key)
+      val t0 = System.nanoTime()
+      val nBandPairs = operators.Derived.bandPairs(spark, dir).count()
+      val nShPairs = operators.Derived.shinglePairStats(spark, dir).count()
+      val derivedS = (System.nanoTime() - t0) / 1e9
+
+      val keyJson = family.map { key =>
+        val fn = SparkEntry.queries(key)
+        val t = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t) / 1e9
+        System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s")
+        f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
+      }.mkString(",")
+      sb.append(s""""x$k":{"n_docs":$nDocs,"band_pairs":$nBandPairs,""")
+        .append(f""""shingle_pair_stats":$nShPairs,"derived_s":$derivedS%.3f,""")
+        .append(s""""keys":{$keyJson}}""")
+      if (si < scales.size - 1) sb.append(",")
+    }
+    sb.append("}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}
