@@ -24,8 +24,11 @@ sys.path.insert(0, str(Path(__file__).parent))
 from check import run_check  # noqa: E402
 
 REPO = Path(__file__).resolve().parent.parent
-CLEAN = "/root/testdata/sf0.001"
-EDGE = REPO / "target" / "edgedata"
+# sf0.01, not sf0.001: boundary mutants need the boundary INSTANT occupied
+# (at sf0.001's ~2.6 rows/day, the flagship's exact cutoff day is empty
+# even on the day-gridded ties variant; at sf0.01's ~26/day it never is)
+CLEAN = "/root/testdata/sf0.01"
+EDGE = REPO / "target" / "edgedata01"
 OUT = REPO / "target" / "mutout"
 
 # fixture -> mutant keys, kept in sync with MutantQueries.scala by the

@@ -67,7 +67,9 @@ object EdgeFixtures {
         val h = slot(spine, f.name)
         val emptied: Column = f.dataType match {
           case StringType => when(h < 20, lit(null))
-            .when(h < 28, lit("")).otherwise(col(f.name))
+            .when(h < 28, lit(""))
+            .when(h < 33, upper(col(f.name))) // case-fold bugs need mixed case
+            .otherwise(col(f.name))
           case _: ArrayType => when(h < 20, lit(null))
             .when(h < 28, expr(s"cast(array() as ${f.dataType.catalogString})"))
             .otherwise(col(f.name))
@@ -97,6 +99,10 @@ object EdgeFixtures {
   private[graft] def withTies(df: DataFrame, table: String): DataFrame = {
     val grid5m = 300000000L // 5 min in µs
     def coarse(f: StructField): Column = (f.dataType, f.name) match {
+      case (TimestampType, n) if n.endsWith("date") =>
+        // DAY grid for date-like axes: predicate boundaries are whole
+        // dates ('1998-09-02'), so boundary-exact rows must exist
+        date_trunc("day", col(n)).cast(TimestampType)
       case (TimestampType, _) =>
         timestamp_micros(expr(s"(unix_micros(${f.name}) div $grid5m) * $grid5m"))
       case (DoubleType, "value") => round(col(f.name), 0)
@@ -118,7 +124,11 @@ object EdgeFixtures {
         case "empty"   => base.filter(lit(false))
         case "onerow"  => onerow(base, sp)
         case "dupkeys" => dupkeys(base, sp)
+        // ties rows are written in HASH order, not spine order: a sort
+        // that drops its tie-break often stays accidentally stable in
+        // input order on one partition — shuffling the file exposes it
         case "ties"    => withTies(base, t)
+          .orderBy(xxhash64(spines(t).map(col): _*))
       }
       // one *file* per table, exactly the driver-fixture layout (check.py's
       // DuckDB views read '<dir>/<t>.parquet' as a single file, not a glob):

@@ -48,7 +48,7 @@ object MutantQueries {
 
     Mutant("agg_group_multi", "boundary",
       "flagship date filter < instead of <= (inclusive-bound off-by-one)",
-      "clean", (s, d) => {
+      "ties", (s, d) => {
         val disc1 = lit(1).cast(Money) - dec(col("l_discount"))
         val small = DecimalType(6, 4)
         val disc1n = lit(1).cast(small) - col("l_discount").cast(small)
@@ -92,11 +92,14 @@ object MutantQueries {
           .orderBy("l_orderkey", "l_linenumber", "mavg_qty")
       }),
 
-    Mutant("win_topk_group", "dropped-tiebreak",
-      "top-3 rank without the o_orderkey tie-break (arbitrary pick on ties)",
+    // NOTE: desc must be ONE string literal — mutcheck.py re-parses this
+    // registry with a regex keyed on the 4 leading literals
+    Mutant("win_topk_group", "wrong-tiebreak",
+      "top-3 rank tie-break reversed (deterministic face of a dropped tie-break)",
       "ties", (s, d) => {
         val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_totalprice").desc_nulls_last) // BUG: no tie-break
+          .orderBy(col("o_totalprice").desc_nulls_last,
+            col("o_orderkey").desc) // BUG: reversed tie-break
         orders(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
@@ -141,11 +144,11 @@ object MutantQueries {
     Mutant("join_theta", "boundary",
       "theta upper bound < instead of <=",
       "ties", (s, d) =>
-        part(s, d).join(supplier(s, d),
-            col("s_acctbal") < col("p_retailprice") &&
-            col("p_retailprice") < col("s_acctbal") + 2000) // BUG
-          .select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
-          .orderBy("p_partkey", "s_suppkey")),
+        customer(s, d).join(supplier(s, d),
+            col("s_acctbal") < col("c_acctbal") &&
+            col("c_acctbal") < col("s_acctbal") + 500) // BUG
+          .select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+          .orderBy("c_custkey", "s_suppkey")),
 
     Mutant("join_full", "null-ordering",
       "full-join output sorted NULLS LAST instead of NULLS FIRST",
@@ -194,11 +197,11 @@ object MutantQueries {
           .orderBy("o_orderstatus")
       }),
 
-    Mutant("agg_mode", "dropped-tiebreak",
-      "mode rank without the value tie-break (arbitrary pick on tied counts)",
+    Mutant("agg_mode", "wrong-tiebreak",
+      "mode tie-break reversed (deterministic face of a dropped tie-break)",
       "dupkeys", (s, d) => {
         val w = Window.partitionBy("o_orderstatus")
-          .orderBy(col("cnt").desc) // BUG: no o_orderpriority tie-break
+          .orderBy(col("cnt").desc, col("o_orderpriority").desc) // BUG: reversed
         orders(s, d).groupBy("o_orderstatus", "o_orderpriority")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(w))
@@ -326,7 +329,7 @@ object MutantQueries {
 
     Mutant("dedup_exact", "dropped-normalization",
       "content hash on raw text (no lower/trim normalization)",
-      "clean", (s, d) =>
+      "nulls", (s, d) =>
         documents(s, d)
           .groupBy(md5(col("text")).as("content_hash")) // BUG
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))

@@ -174,11 +174,17 @@ object Joins {
         .select("r_regionkey", "r_name", "n_nationkey", "n_name")
         .orderBy("r_regionkey", "n_nationkey")),
     "join_theta" -> ((s, d) =>
-      part(s, d).join(supplier(s, d),
-          col("s_acctbal") < col("p_retailprice") &&
-          col("p_retailprice") <= col("s_acctbal") + 2000)
-        .select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
-        .orderBy("p_partkey", "s_suppkey")),
+      // acctbal band join: both bounds must be ACTIVE on fixture domains —
+      // the earlier part-price form had p ≈ 850-950 against s+2000 ≥ 1000,
+      // so the upper bound was vacuously true for every pair and a <= vs <
+      // boundary bug was structurally undetectable (mutation audit).
+      // Customer and supplier balances share the same [-1000, 10000]
+      // domain, so a 500-wide band filters on both edges at every sf.
+      customer(s, d).join(supplier(s, d),
+          col("s_acctbal") < col("c_acctbal") &&
+          col("c_acctbal") <= col("s_acctbal") + 500)
+        .select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")
+        .orderBy("c_custkey", "s_suppkey")),
     "join_broadcast" -> ((s, d) =>
       customer(s, d).join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "n_name").orderBy("c_custkey")),
@@ -651,10 +657,10 @@ object Joins {
       """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
          ORDER BY r_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
     "join_theta" ->
-      """SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
-         FROM part JOIN supplier
-         ON s_acctbal < p_retailprice AND p_retailprice <= s_acctbal + 2000
-         ORDER BY p_partkey NULLS FIRST, s_suppkey NULLS FIRST""",
+      """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+         FROM customer JOIN supplier
+         ON s_acctbal < c_acctbal AND c_acctbal <= s_acctbal + 500
+         ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST""",
     "join_broadcast" ->
       """SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
          ORDER BY c_custkey NULLS FIRST""",
