@@ -80,6 +80,28 @@ object VectorOps {
     emb(s, d).select(col("vec_id").as(id), col("embedding").as(vec),
       col("label"), sqrt(dot("embedding", "embedding")).as(norm))
 
+  /** Coarse-quantizer size, scaled to the corpus: k = max(8, ceil(sqrt(n/32)))
+    * — the classic IVF sizing (k proportional to sqrt n). Cluster size and
+    * centroid count then both grow as sqrt n, so the two corpus-proportional
+    * costs stay BALANCED at n^1.5: brute nearest-centroid assignment is
+    * n*k and within-cluster pair work (SemDeDup's sum of |cluster|^2) is
+    * n^2/k — a k linear in n would fix the pair cost but make assignment
+    * itself quadratic (measured: the 10x rehearsal with k = n/250 spent
+    * its win on the 80-way crossJoin). Exactly 8 at every gate fixture
+    * size (<= 2000 valid vectors -> sqrt(62.5) rounds up to 8), so oracle
+    * results are unchanged there; the oracle mirrors the same formula
+    * over the mirrored valid set.
+    */
+  private def coarseK(base: DataFrame): Long =
+    math.max(8L, math.ceil(math.sqrt(base.count() / 32.0)).toLong)
+
+  /** The same k, as oracle SQL over the mirrored valid set (interpolated
+    * as `$ck` inside the sim_ivf / dedup_semantic oracles).
+    */
+  private val ck =
+    "(SELECT greatest(8, CAST(ceil(sqrt(count(*) / 32.0)) AS BIGINT)) FROM vemb)"
+
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_centroid_label" -> ((s, d) =>
       // per-label mean embedding — the class-prototype primitive (nearest-
@@ -313,8 +335,8 @@ object VectorOps {
       // Comparison runs on the 6dp rank key, so the verdict can't flip on
       // a last-ulp divergence.
       val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
-      val cents = withNorm(s, d, "c_id", "cv", "cn").filter(col("c_id") < 8)
-        .select("c_id", "cv", "cn")
+      val cents = withNorm(s, d, "c_id", "cv", "cn")
+        .filter(col("c_id") < coarseK(base)).select("c_id", "cv", "cn")
       val assign = base.crossJoin(broadcast(cents))
         .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
         .select(col("vec_id"), col("v"), col("n"),
@@ -672,8 +694,8 @@ object VectorOps {
       // sampled k-means sketch, assignment is one broadcast map-side pass,
       // and each query touches |corpus|·nprobe/K instead of |corpus|.
       val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
-      val cents = withNorm(s, d, "c_id", "cv", "cn").filter(col("c_id") < 8)
-        .select("c_id", "cv", "cn")
+      val cents = withNorm(s, d, "c_id", "cv", "cn")
+        .filter(col("c_id") < coarseK(base)).select("c_id", "cv", "cn")
       // per-vector top-2 centroids WITHOUT a window: one groupBy collects
       // the 8 scored centroids as sortable (-roundedCos, c_id) structs and
       // slices the head — same ordering as the old
@@ -875,7 +897,7 @@ object VectorOps {
            FROM (
              SELECT b.vec_id, c.vec_id AS c_id,
                ${cosSql("b.embedding", "c.embedding")} AS ccos
-             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c)),
+             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $ck) c)),
          members AS (SELECT vec_id, c_id AS cluster FROM assign WHERE crn = 1),
          probes AS (SELECT vec_id AS q_id, c_id AS cluster FROM assign
                     WHERE crn <= 2 AND vec_id < 10),
@@ -902,7 +924,7 @@ object VectorOps {
              SELECT b.vec_id, c.vec_id AS c_id,
                row_number() OVER (PARTITION BY b.vec_id
                  ORDER BY round(${cosSql("b.embedding", "c.embedding")}, 6) DESC NULLS LAST, c.vec_id NULLS FIRST) AS crn
-             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c)
+             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $ck) c)
            WHERE crn = 1),
          dup AS (
            SELECT DISTINCT b.vec_id
