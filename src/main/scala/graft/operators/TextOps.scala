@@ -664,13 +664,20 @@ object TextOps {
         .localCheckpoint(true) // eager: 3 consumers (df-count, candDocs join, gc)
       // posting-list pair generation in TWO passes so no aggregation buffer
       // ever exceeds the df cap (round-2 verdict): pass 1 is a partial-agg
-      // count that keeps only rare grams (df ≤ 20) — a gram in 10M docs
-      // costs one counter, never a 10M-element array; pass 2 semi-joins the
+      // count that keeps only rare grams — a gram in 10M docs costs one
+      // counter, never a 10M-element array; pass 2 semi-joins the
       // postings down to rare grams and THEN collects, so every
-      // collect_list buffer holds ≤ 20 doc_ids by construction. The a<b
-      // pairs explode in-row — no rare⋈rare shuffle join over the gram table
+      // collect_list buffer holds ≤ dfCap doc_ids by construction. The a<b
+      // pairs explode in-row — no rare⋈rare shuffle join over the gram table.
+      // The cap is RELATIVE rarity (0.4% of the corpus, 20-doc floor), not
+      // an absolute constant: the 10x rehearsal (PERF.md §6.3) measured an
+      // absolute df<=20 silently collapsing recall as global duplication
+      // grows — every gram's df scales with corpus-wide copies, so "rare"
+      // must too. Exactly 20 at every gate fixture size (<= 5000 docs).
+      val dfCap = math.max(20L,
+        math.ceil(0.004 * documents(s, d).count()).toLong)
       val rareGrams = g.groupBy("gram").agg(count(lit(1)).as("n_df"))
-        .filter(col("n_df").between(2, 20))
+        .filter(col("n_df").between(2, dfCap))
         .select("gram")
       val cand = g.join(rareGrams, Seq("gram"), "left_semi")
         .groupBy("gram")
@@ -2003,7 +2010,9 @@ object TextOps {
                                    i -> ${h60Duck("substr(lower(text), i, 5)")})) AS gram
            FROM documents WHERE length(text) >= 5),
          dfreq AS (SELECT gram, count(*) AS n_df FROM g GROUP BY 1),
-         rare AS (SELECT g.doc_id, g.gram FROM g JOIN dfreq USING (gram) WHERE n_df <= 20),
+         rare AS (SELECT g.doc_id, g.gram FROM g JOIN dfreq USING (gram)
+                  WHERE n_df <= (SELECT greatest(20,
+                    CAST(ceil(0.004 * count(*)) AS BIGINT)) FROM documents)),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id < y.doc_id),
          sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
