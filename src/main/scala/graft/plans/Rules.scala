@@ -19,7 +19,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object DimBroadcastRule extends Rule[LogicalPlan] {
 
-  private val smallDimFiles = Seq("region.parquet", "nation.parquet", "supplier.parquet")
+  // leading separator: a bare endsWith("region.parquet") would also match
+  // a user table named ".../myregion.parquet" and pin a spurious broadcast
+  // hint on an arbitrarily large relation — the one failure mode a
+  // hint-only rule must never have
+  private val smallDimFiles =
+    Seq("/region.parquet", "/nation.parquet", "/supplier.parquet")
 
   /** True when the subtree bottoms out in exactly one scan of a known
     * small dimension file (filters/projections above it are fine).
@@ -29,8 +34,10 @@ object DimBroadcastRule extends Rule[LogicalPlan] {
       case Seq(lr: LogicalRelation) =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.forall(path =>
-              smallDimFiles.exists(path.toString.endsWith))
+            // nonEmpty: forall on a pathless location is vacuously true
+            fs.location.rootPaths.nonEmpty &&
+              fs.location.rootPaths.forall(path =>
+                smallDimFiles.exists(path.toString.endsWith))
           case _ => false
         }
       case _ => false

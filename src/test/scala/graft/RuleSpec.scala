@@ -58,4 +58,30 @@ class RuleSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ == DimBroadcastRule)
     }
   }
+
+  test("rule is not fooled by a user table whose name merely ENDS in a dim name") {
+    // a hint-only rule's one fatal failure mode: pinning BROADCAST on an
+    // arbitrarily large user table because ".../myregion.parquet" ends
+    // with "region.parquet" — the path match must be separator-anchored
+    val tmp = java.nio.file.Files.createTempDirectory("rulespec").toFile
+    val decoy = new java.io.File(tmp, "myregion.parquet").getPath
+    Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(decoy)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DimBroadcastRule
+    try {
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = Tables.customer(spark, d)
+          .join(spark.read.parquet(decoy), col("c_custkey") === col("o_custkey"))
+          .queryExecution.sparkPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"decoy 'myregion.parquet' must not be hinted:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DimBroadcastRule)
+    }
+  }
 }
