@@ -129,6 +129,58 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embed: bucketed top-20 is exact on candidates; recall vs all-pairs") {
+    // the all-pairs formulation dedup_embed used to RUN now lives only
+    // here, as the recall oracle (round-9: the production key is
+    // LSH-band-bucketed + exact rerank; this spec keeps it honest the way
+    // sim_ann_recall audits sim_ann_lsh)
+    val out = VectorOps.queries("dedup_embed")(spark, d)
+      .select($"rank", $"a", $"b", $"cos_sim").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    // emitted ranking is totally ordered and non-increasing in cos_sim
+    assert(out.map(_._1).toSeq === (1L to out.length).toSeq)
+    out.sliding(2).foreach {
+      case Array(p, n) => assert(p._4 >= n._4 - 1e-9, s"rank order broken: $p $n")
+      case _ => ()
+    }
+    // driver-side brute force over the SAME validity gate (spec-scale
+    // corpus only — this is exactly the plan shape the key no longer runs)
+    val vecs = Tables.embeddings(spark, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        expr("array_max(transform(embedding, x -> abs(x))) > 0"))
+      .dropDuplicates()
+      .select($"vec_id", $"embedding").as[(Long, Seq[Double])].collect()
+    def dot(x: Seq[Double], y: Seq[Double]): Double = {
+      var a = 0.0; var i = 0
+      while (i < x.length) { a += x(i) * y(i); i += 1 }; a
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    def cosOf(a: Long, b: Long): Double = dot(byId(a), byId(b)) / (norms(a) * norms(b))
+    // (1) EXACTNESS: every emitted pair's similarity equals the exact
+    // cosine for that pair — the rerank stage is exact, not approximate
+    out.foreach { case (_, a, b, c) =>
+      assert(math.abs(c - cosOf(a, b)) < 5e-5, s"pair ($a,$b) cos off: $c vs ${cosOf(a, b)}")
+    }
+    // (2) RECALL vs the true all-pairs top-20 (rank key = round(cos, 6),
+    // tie-break (a, b) — the key's own ordering). 2 bands × 4 bits at
+    // spec scale: a random-embedding fixture tops out near cos 0.5, where
+    // single-band collision probability is modest — the floor is
+    // calibrated to the fixture, the EXACTNESS property above is not.
+    val brute = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+    } yield {
+      val (x, y) = (vecs(i)._1, vecs(j)._1)
+      val (a, b) = if (x < y) (x, y) else (y, x)
+      (a, b, cosOf(a, b))
+    }).sortBy { case (a, b, c) => (-math.rint(c * 1e6), a, b) }.take(20)
+    val got = out.map(t => (t._2, t._3)).toSet
+    val recall = brute.count { case (a, b, _) => got((a, b)) } / brute.length.toDouble
+    info(f"dedup_embed recall@20 vs all-pairs: $recall%.2f")
+    assert(recall >= 0.25, f"recall@20 collapsed: $recall%.2f")
+  }
+
   test("knn_label predictions come from the 5 nearest candidate labels") {
     val out = VectorOps.queries("knn_label")(spark, d).collect()
     assert(out.nonEmpty)

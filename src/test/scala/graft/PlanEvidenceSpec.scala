@@ -90,6 +90,17 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
   }
 
+  test("dedup_embed: no quadratic join — candidates equi-join on (band, bucket)") {
+    // round-9 rewrite: the former a<b BNL self-join (corpus²) must never
+    // come back. All joins are equi-joins (bucket candidates + the two
+    // vector join-backs); top-20 is TakeOrderedAndProject, not a global
+    // sort; the w-bits side rides in as a broadcast 1-row aggregate.
+    val p = plan(VectorOps.queries("dedup_embed")(spark, d))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("vec_outlier never shuffles the corpus: joins are broadcast, no sort-merge") {
     val p = plan(VectorOps.queries("vec_outlier")(spark, d))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
