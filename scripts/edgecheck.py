@@ -85,6 +85,12 @@ def main():
                 res[k] = {"status": "precondition", "rows": None,
                           "msg": f"raised as designed ({pat})"}
             elif info and not raised:
+                # ENFORCED: a guarded key that stops raising on the
+                # violating fixture is a broken precondition guard, even
+                # if the compare happens to pass — force the variant red
+                # (round-9 ADVICE: annotating the msg alone let edgecheck
+                # exit 0 with the 'must fail LOUDLY' contract broken)
+                info["status"] = "fail"
                 info["msg"] = (f"expected loud '{pat}' raise, got: "
                                + (info["msg"] or ""))[:300]
         counts = {}

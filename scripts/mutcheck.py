@@ -83,24 +83,35 @@ def main():
         res = run_check(fdir, str(odir), knames)
         for key, clazz in keys:
             info = res.get(key, {"status": "missing", "msg": "no result"})
-            killed = info["status"] in ("fail", "error", "missing")
+            # 'missing' means the mutant crashed before writing output
+            # (MutantVerify swallows the exception) — that is an infra
+            # failure, NOT gate sensitivity: a kill requires the mutant to
+            # have produced output the unchanged compare REJECTED
+            # (round-9 ADVICE; 'missing' used to be credited as killed)
+            status = "did-not-run" if info["status"] == "missing" \
+                else info["status"]
+            killed = status in ("fail", "error")
             report["mutants"][key] = {
                 "class": clazz, "fixture": fixture,
-                "gate": info["status"],
+                "gate": status,
                 "killed": killed,
                 "msg": (info.get("msg") or "")[:200],
             }
-            if not killed:
+            if status == "did-not-run":
+                report.setdefault("did_not_run", []).append(key)
+            elif not killed:
                 report["survived"].append(key)
             print(f"[mutcheck]   {key:22s} {clazz:22s} "
-                  f"{'KILLED' if killed else 'SURVIVED'} ({info['status']})",
+                  f"{'KILLED' if killed else status.upper()} ({status})",
                   flush=True)
 
-    report["ok"] = not report["survived"]
+    report["ok"] = not report["survived"] and not report.get("did_not_run")
     Path(REPO, "MUTCHECK.json").write_text(json.dumps(report, indent=1))
     n = len(report["mutants"])
-    print(f"[mutcheck] {n - len(report['survived'])}/{n} mutants killed; "
-          f"survivors: {report['survived'] or 'none'}")
+    n_killed = sum(1 for v in report["mutants"].values() if v["killed"])
+    print(f"[mutcheck] {n_killed}/{n} mutants killed; "
+          f"survivors: {report['survived'] or 'none'}; "
+          f"did-not-run: {report.get('did_not_run') or 'none'}")
     sys.exit(0 if report["ok"] else 1)
 
 

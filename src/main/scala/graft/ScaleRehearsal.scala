@@ -16,11 +16,25 @@ import org.apache.spark.sql.functions._
   * hold, candidate-pair counts and wall time scale ~linearly in k; any
   * super-linear key has a broken cap.
   *
+  * Round 9 adds the FACT-TABLE side: orders/lineitem/events are
+  * self-replicated ×k with re-keyed spines (o_orderkey / l_orderkey /
+  * event_id shifted per replica — FK structure preserved: each replica's
+  * lineitems join its own orders) while the dimensions (customer,
+  * supplier, part, nation, region) stay fixed — the "facts grow, dims
+  * don't" model of a real warehouse. Per-dim-entity group sizes then grow
+  * ×k (orders per customer, events per user), which is exactly the
+  * stress the window/sessionize/composite keys must absorb. Caveat:
+  * graph_pagerank's edge set is (custkey, suppkey) DISTINCT pairs, so
+  * replicas collapse to the same graph — its row measures the ×k
+  * pre-distinct scan volume, not iteration growth.
+  *
   * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
-  * (default scales 1,3,10). Writes <outBase>/x<k>/{documents,embeddings,
-  * …}.parquet (TPC-H tables symlink-copied so Tables.load resolves), runs
-  * the family per scale, and emits one JSON with per-key rows/seconds and
-  * the band_pairs / shingle_pair_stats artifact sizes (the fan-out).
+  * (default scales 1,3,10). Writes <outBase>/x<k>/<table>.parquet —
+  * documents/embeddings (vocabulary-shifted), the three re-keyed fact
+  * tables, and the copied-unscaled dimension tables, so Tables.load
+  * resolves every table the two families read. Runs both families per
+  * scale and emits one JSON with per-key rows/seconds and the
+  * band_pairs / shingle_pair_stats artifact sizes (the fan-out).
   */
 object ScaleRehearsal {
 
@@ -58,11 +72,45 @@ object ScaleRehearsal {
     reps.reduce(_ unionByName _)
   }
 
-  /** The family whose fan-out claims are under test. */
+  /** Replicate a fact table ×k, shifting its spine keys per replica so
+    * FKs stay consistent within a replica and replicas never collide.
+    */
+  private def scaleFact(s: SparkSession, d: String, k: Int, table: String,
+                        shiftCols: Seq[String]): DataFrame = {
+    val base = if (table == "events") Tables.events(s, d)
+               else Tables.load(s, d, table)
+    val reps = (0 until k).map { r =>
+      if (r == 0) base
+      else shiftCols.foldLeft(base)((df, c) =>
+        df.withColumn(c, col(c) + lit(r * Off)))
+    }
+    reps.reduce(_ unionByName _)
+  }
+
+  /** (table, spine columns shifted per replica). */
+  private val factTables = Seq(
+    "orders"   -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey"),
+    "events"   -> Seq("event_id"))
+
+  private val dimTables = Seq("region", "nation", "customer", "supplier", "part")
+
+  /** The documents/embeddings family whose fan-out claims are under test. */
   private val family = Seq(
     "dedup_near", "dedup_minhash", "dedup_cluster", "dedup_ngram",
     "dedup_simhash", "graph_components_hist", "dedup_embed", "sim_ann_lsh",
     "dedup_semantic", "split_leakage", "mm_dedup_phash")
+
+  /** The fact-side family (round 9): the top-cost keys over
+    * lineitem/orders/events whose boundedness previously rested on plan
+    * assertions alone — composites, window family, sessionize/funnel,
+    * graph keys, as-of join.
+    */
+  private val factFamily = Seq(
+    "agg_group_multi", "join_asof", "market_basket", "graph_bfs",
+    "graph_pagerank", "rfm_segments", "q_waiting_suppliers",
+    "q_shipping_priority", "concurrency_peak", "sessionize",
+    "funnel_conversion", "win_ntile")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -85,15 +133,23 @@ object ScaleRehearsal {
     sb.append("{\"src\":\"").append(src).append("\",\"scales\":{")
     scales.zipWithIndex.foreach { case (k, si) =>
       val dir = s"$outBase/x$k"
-      // the family only reads documents/embeddings; star-schema tables are
-      // not copied (any key touching them is outside this rehearsal)
       scaleDocuments(spark, src, k).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
       scaleEmbeddings(spark, src, k).write.mode("overwrite")
         .parquet(s"$dir/embeddings.parquet")
+      // fact side: re-keyed ×k replicas; dims copied unscaled
+      factTables.foreach { case (t, cols) =>
+        scaleFact(spark, src, k, t, cols).write.mode("overwrite")
+          .parquet(s"$dir/$t.parquet")
+      }
+      dimTables.foreach { t =>
+        Tables.load(spark, src, t).write.mode("overwrite")
+          .parquet(s"$dir/$t.parquet")
+      }
 
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-      System.err.println(s"[scale] x$k: $nDocs docs")
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      System.err.println(s"[scale] x$k: $nDocs docs, $nLi lineitems")
 
       // fan-out artifacts first (timed separately, same as Bench's
       // derived_s discipline — their cost would otherwise land on the
@@ -103,7 +159,7 @@ object ScaleRehearsal {
       val nShPairs = operators.Derived.shinglePairStats(spark, dir).count()
       val derivedS = (System.nanoTime() - t0) / 1e9
 
-      val keyJson = family.map { key =>
+      def timeKeys(keys: Seq[String]): String = keys.map { key =>
         val fn = SparkEntry.queries(key)
         val t = System.nanoTime()
         val rows = fn(spark, dir).count()
@@ -111,9 +167,11 @@ object ScaleRehearsal {
         System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s")
         f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
       }.mkString(",")
-      sb.append(s""""x$k":{"n_docs":$nDocs,"band_pairs":$nBandPairs,""")
+      val keyJson = timeKeys(family)
+      val factJson = timeKeys(factFamily)
+      sb.append(s""""x$k":{"n_docs":$nDocs,"n_lineitem":$nLi,"band_pairs":$nBandPairs,""")
         .append(f""""shingle_pair_stats":$nShPairs,"derived_s":$derivedS%.3f,""")
-        .append(s""""keys":{$keyJson}}""")
+        .append(s""""keys":{$keyJson},"fact_keys":{$factJson}}""")
       if (si < scales.size - 1) sb.append(",")
     }
     sb.append("}}")

@@ -674,10 +674,15 @@ object TextOps {
       // absolute df<=20 silently collapsing recall as global duplication
       // grows — every gram's df scales with corpus-wide copies, so "rare"
       // must too. Exactly 20 at every gate fixture size (<= 5000 docs).
-      val dfCap = math.max(20L,
-        math.ceil(0.004 * documents(s, d).count()).toLong)
+      // The corpus count rides into the plan as a broadcast 1-row
+      // aggregate (round-9; previously a driver-side count() action —
+      // one extra job per invocation for no reason).
+      val dfCap = documents(s, d).agg(count(lit(1)).as("nd"))
+        .select(expr("greatest(CAST(20 AS BIGINT), CAST(ceil(0.004 * nd) AS BIGINT))")
+          .as("df_cap"))
       val rareGrams = g.groupBy("gram").agg(count(lit(1)).as("n_df"))
-        .filter(col("n_df").between(2, dfCap))
+        .crossJoin(broadcast(dfCap))
+        .filter(col("n_df") >= 2 && col("n_df") <= col("df_cap"))
         .select("gram")
       val cand = g.join(rareGrams, Seq("gram"), "left_semi")
         .groupBy("gram")
@@ -686,12 +691,17 @@ object TextOps {
           "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> named_struct('a', x, 'b', y))))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-      // verify stage touches only the CANDIDATE docs' gram sets (a broadcast
-      // semi-join cuts the 1M-row gram table to the ~1% that matters)
+      // verify stage touches only the CANDIDATE docs' gram sets. No
+      // broadcast HINTS on the candidate artifacts (round-9): the df cap
+      // bounds them at fixture scale and AQE broadcasts them when small,
+      // but on a clique-heavy corpus (the ×30 rehearsal measured 1.64 M
+      // legitimate pairs) a forced broadcast would OOM the driver before
+      // the join even ran — un-hinted, the same shape degrades to a
+      // shuffle join and completes.
       val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-      val gc = g.join(broadcast(candDocs), "doc_id")
+      val gc = g.join(candDocs, "doc_id")
       val sizes = gc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
+      val inter = cand
         .join(gc.as("ga"), col("ga.doc_id") === col("a"))
         .join(gc.as("gb"), col("gb.doc_id") === col("b") && col("gb.gram") === col("ga.gram"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
@@ -2378,9 +2388,13 @@ object TextOps {
       // NULL host (unparseable origin) passes the gate: left-anti keeps a
       // NULL probe key — NOT IN alone would drop it (three-valued UNKNOWN).
       // An empty source yields the invalid authority ".example.com", which
-      // Spark's parse_url rejects (NULL host) — mirrored by the CASE.
+      // Spark's parse_url rejects (NULL host) — mirrored by the CASE. A
+      // NULL doc_id NULLs the Spark-side URL concat (and with it the
+      // host), so the CASE mirrors that too — without it, a blocklisted
+      // source with a NULL doc_id would diverge (Spark keeps, oracle
+      // drops) if a fixture ever nulled the spine (round-9 ADVICE).
       """WITH h AS (SELECT doc_id,
-           CASE WHEN source IS NULL OR source = '' THEN NULL
+           CASE WHEN doc_id IS NULL OR source IS NULL OR source = '' THEN NULL
                 ELSE source || '.example.com' END AS host
          FROM documents)
          SELECT doc_id, host FROM h
