@@ -24,7 +24,8 @@ REPO = Path(__file__).resolve().parent.parent
 SRC_SF = "/root/testdata/sf0.001"
 DATA = REPO / "target" / "edgedata"
 OUT = REPO / "target" / "edgeout"
-VARIANTS = ["nulls", "empty", "onerow", "dupkeys", "ties"]
+VARIANTS = ["nulls", "empty", "onerow", "dupkeys", "ties",
+            "nulls_ties", "dupkeys_nulls"]
 
 # Keys with an ENFORCED in-plan precondition that a variant deliberately
 # violates: the operator must fail LOUDLY with its own message (silent
@@ -34,6 +35,12 @@ EXPECTED_RAISE = {
     "dupkeys": {
         # value-prefix corpus cuts require dense-from-zero doc ids; the
         # duplicated fixture breaks nd == mx+1 and the in-plan guard raises
+        "dedup_rate_curve": "dense-from-zero",
+        "tok_vocab_growth": "dense-from-zero",
+    },
+    # the compound variant duplicates keys the same way, so the same
+    # dense-id guards must fire there too
+    "dupkeys_nulls": {
         "dedup_rate_curve": "dense-from-zero",
         "tok_vocab_growth": "dense-from-zero",
     },

@@ -44,7 +44,19 @@ object EdgeFixtures {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  val variants: Seq[String] = Seq("nulls", "empty", "onerow", "dupkeys", "ties")
+  /** Round 9 adds the two COMPOUND variants: real hostile data is NULL-
+    * dense AND tie-dense AND duplicated at once, and two round-8 fixes
+    * (NULL-struct min, session-gap boundary) sat exactly at such an
+    * intersection — the orthogonal variants could each miss a defect the
+    * combination exposes.
+    *  - `nulls_ties`   : ties' value grids, then the nulls injection.
+    *  - `dupkeys_nulls`: dupkeys' 50×8 exact duplicates, then nulls — the
+    *                     null slots key on (spine, column), so duplicate
+    *                     rows get IDENTICAL injections and stay exact
+    *                     duplicates (the no-false-positive property).
+    */
+  val variants: Seq[String] =
+    Seq("nulls", "empty", "onerow", "dupkeys", "ties", "nulls_ties", "dupkeys_nulls")
 
   /** Load a table through the SAME canonical shims Verify uses, so the
     * variant parquet carries the post-shim types (µs timestamps for
@@ -129,6 +141,9 @@ object EdgeFixtures {
         // input order on one partition — shuffling the file exposes it
         case "ties"    => withTies(base, t)
           .orderBy(xxhash64(spines(t).map(col): _*))
+        case "nulls_ties" => withNulls(withTies(base, t), sp)
+          .orderBy(xxhash64(spines(t).map(col): _*))
+        case "dupkeys_nulls" => withNulls(dupkeys(base, sp), sp)
       }
       // one *file* per table, exactly the driver-fixture layout (check.py's
       // DuckDB views read '<dir>/<t>.parquet' as a single file, not a glob):

