@@ -823,18 +823,22 @@ object MutantQueries {
           .orderBy("event_type")
       }),
 
-    Mutant("q_shipping_priority", "boundary",
-      "order-date cut <= instead of < (boundary day included)",
-      "ties", (s, d) => {
+    Mutant("q_shipping_priority", "wrong-formula",
+      "revenue forgets the (1 - discount) factor",
+      "clean", (s, d) => {
+        // NOTE: a <= vs < order-date boundary mutant on this key SURVIVES
+        // the gate — tried first (round 9): boundary-day orders exist on
+        // the ties fixture but never reach the top-10 revenue window, so
+        // a top-k key needs a defect that perturbs the VALUES it emits,
+        // not the membership of rows the limit already truncates away.
         val tsLit = lit("1996-06-15").cast(TimestampType)
         broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
-          .join(orders(s, d).filter(col("o_orderdate") <= tsLit), // BUG
+          .join(orders(s, d).filter(col("o_orderdate") < tsLit),
             col("c_custkey") === col("o_custkey"))
           .join(lineitem(s, d).filter(col("l_shipdate") > tsLit),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(outDec(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast(Money) - dec(col("l_discount"))))).as("revenue"))
+          .agg(outDec(sum(dec(col("l_extendedprice")))).as("revenue")) // BUG
           .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
           .limit(10)
       }),

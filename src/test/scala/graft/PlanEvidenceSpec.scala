@@ -120,6 +120,44 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!hasSinglePartitionWindow(p), s"single-partition Exchange feeding a Window:\n$p")
   }
 
+  // ---- AQE-survival section (round 9) -----------------------------------
+  // The assertions above pin the INITIAL plans (what Verify runs under its
+  // config); Bench runs AQE-on, where runtime re-planning MAY rewrite join
+  // strategies and partition counts. The load-bearing shapes must survive
+  // that re-planning, or the bench path silently runs plans nobody
+  // asserted. `finalPlan` executes the query so AdaptiveSparkPlan reports
+  // its FINAL plan, then asserts on that.
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("AQE-final plans keep the asserted shapes for the top-cost keys") {
+    // topk / dedup_embed: TakeOrderedAndProject must not re-plan into a
+    // global sort; candidate generation stays equi-join (no cartesian)
+    val topk = finalPlan(Relational.queries("topk")(spark, d))
+    assert(topk.contains("TakeOrderedAndProject"), topk)
+    val de = finalPlan(VectorOps.queries("dedup_embed")(spark, d))
+    assert(de.contains("TakeOrderedAndProject") && !de.contains("CartesianProduct"), de)
+    // win_topk_group: the rank-filter pushdown (WindowGroupLimit) survives
+    val wtg = finalPlan(Windows.queries("win_topk_group")(spark, d))
+    assert(wtg.contains("WindowGroupLimit"), wtg)
+    // q_shipping_priority: the hinted dim broadcast survives — AQE must
+    // not demote the BUILDING-customer build side to a sort-merge join
+    val qsp = finalPlan(Composites.queries("q_shipping_priority")(spark, d))
+    assert(qsp.contains("BroadcastHashJoin"), qsp)
+    assert(qsp.contains("TakeOrderedAndProject"), qsp)
+    // market_basket: basket-capped pair join stays equi (no cartesian
+    // beyond the broadcast 1-row totals attach), top-20 stays TOP
+    val mb = finalPlan(Analytics.queries("market_basket")(spark, d))
+    assert(mb.contains("TakeOrderedAndProject") && !mb.contains("CartesianProduct"), mb)
+    // dedup_ngram: the only nested-loop join is the 1-row df-cap attach
+    val dn = finalPlan(TextOps.queries("dedup_ngram")(spark, d))
+    assert(!dn.contains("CartesianProduct"), dn)
+    assert(dn.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("df_cap")), s"non-cap nested-loop join in AQE-final plan:\n$dn")
+  }
+
   test("join_star broadcasts every dimension; the fact table is never broadcast") {
     val df = Joins.queries("join_star")(spark, d)
     val p = plan(df)
