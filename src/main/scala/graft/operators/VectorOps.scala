@@ -765,12 +765,28 @@ object VectorOps {
 
   /** Hyperplane sign for (plane p, dim i): parity of the md5-derived 60-bit
     * hash of p*64+i — identical formula on both engines (see lshSigDuck).
+    * The sign depends only on the CONSTANTS (p, i), so the Spark side
+    * folds the md5 at plan-build time (round 9: the runtime form computed
+    * 64 md5s per plane PER VECTOR — 1280 per vector on the 20-plane band
+    * family, the dominant cost of the ×10 rehearsal's signature stage);
+    * the oracle keeps the in-SQL md5 formula, proving the fold faithful.
     */
-  private def lshProjSpark(p: Int): String =
-    s"aggregate(transform(embedding, (x, i) -> x * CASE WHEN " +
-    s"(${h60Spark(s"CAST($p * 64 + i AS STRING)")} & 1) = 1 " +
-    s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), " +
+  private def planeSign(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p * 64 + i}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  private def lshProjSpark(p: Int): String = {
+    val signs = (0 until 64)
+      .map(i => if (planeSign(p, i) > 0) "1.0D" else "-1.0D").mkString(",")
+    // same op sequence as the runtime form it replaces: x·(±1), then a
+    // deterministic left-to-right double fold — bit-identical
+    s"aggregate(zip_with(embedding, array($signs), (x, s) -> x * s), " +
     s"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+  }
 
   private val lshSigSpark: String = (0 until 8).map(p =>
     s"(CASE WHEN ${lshProjSpark(p)} > 0 THEN CAST(${1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
@@ -790,18 +806,19 @@ object VectorOps {
     s"(CASE WHEN ${lshProjSpark(p)} > 0 THEN CAST(${1L << (p - 10 * b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     .mkString(" + ")
 
-  /** Bucket bit-width w ∈ [4,10] from the VALID-vector count n: the
-    * smallest w with 2^w ≥ n/125, i.e. expected bucket size stays in
-    * (62.5, 125]. Exact integer comparisons (not float log2) so both
-    * engines compute the identical w at every n — and w = 4 at every gate
-    * fixture size (n ≤ 2000), so oracle results are unchanged there
-    * (the gate-neutral scale-knob convention). Same CASE text runs on
-    * both engines.
+  /** Bucket bit-width w ∈ [4,10] from the VALID-vector count n. w = 4 at
+    * every gate fixture size (n ≤ 2000 — the gate-neutral scale-knob
+    * convention; bucket ≈ 125 there), then the staircase steepens to hold
+    * expected bucket size ≈ 32-64 (2^w ≥ n/64) — the ×10 rehearsal
+    * measured the (62.5, 125] sizing spending most of its wall on
+    * 125-member bucket fan-out for a top-20 answer. Exact integer
+    * comparisons (not float log2) so both engines compute the identical
+    * w at every n. Same CASE text runs on both engines.
     */
   private val bandBitsCase: String =
-    "CASE WHEN nv <= 2000 THEN 4 WHEN nv <= 4000 THEN 5 " +
-    "WHEN nv <= 8000 THEN 6 WHEN nv <= 16000 THEN 7 " +
-    "WHEN nv <= 32000 THEN 8 WHEN nv <= 64000 THEN 9 ELSE 10 END"
+    "CASE WHEN nv <= 2000 THEN 4 WHEN nv <= 4000 THEN 6 " +
+    "WHEN nv <= 8000 THEN 7 WHEN nv <= 16000 THEN 8 " +
+    "WHEN nv <= 32000 THEN 9 ELSE 10 END"
 
   private def lshProjDuck(p: Int): String =
     s"list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
