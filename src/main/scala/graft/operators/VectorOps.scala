@@ -335,7 +335,29 @@ object VectorOps {
             expr("s1 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")))).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
         .localCheckpoint(true)
-      val cand = keyed.as("x").join(keyed.as("y"), Seq("band", "bucket"))
+      // HOT-BUCKET CAP (round 9, the bandPairs df∈[2,20] discipline applied
+      // to sign-LSH): real embeddings correlate, so bucket sizes are
+      // SKEWED — the ×10 rehearsal measured a 3 949-member bucket against
+      // a mean of 40, and Σ|bucket|² was 28.8 M pairs where the uniform
+      // estimate said 0.8 M. A bucket that hot is non-discriminative (its
+      // members agree on a whole band by geometry, not near-duplication);
+      // buckets above 4× the expected size are dropped before the
+      // self-join, bounding pair work at ~4·n·E[bucket]. Gate-neutral:
+      // the largest fixture bucket is 200 (sf0.1) against a cap of 500,
+      // so no gate/edge fixture ever trips it; the oracle mirrors the
+      // same cap formula. The ≥2 bound prunes singleton buckets (no
+      // pairs) before the join.
+      val cap = emb(s, d).agg(count(lit(1)).as("nv"))
+        .select(expr(
+          s"CAST(4 * ceil(nv / CAST(shiftleft(1, $bandBitsCase) AS DOUBLE)) AS BIGINT)")
+          .as("bkt_cap"))
+      val okBuckets = keyed.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n_bkt"))
+        .crossJoin(broadcast(cap))
+        .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
+        .select("band", "bucket")
+      val capped = keyed.join(okBuckets, Seq("band", "bucket"), "left_semi")
+      val cand = capped.as("x").join(capped.as("y"), Seq("band", "bucket"))
         .filter(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
         .distinct()
@@ -1208,17 +1230,24 @@ object VectorOps {
            SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
            FROM embeddings),
          wb AS (
-           SELECT (SELECT $bandBitsCase
-                   FROM (SELECT count(*) AS nv FROM embeddings)) AS w),
+           SELECT w, CAST(4 * ceil(nv / CAST(1 << w AS DOUBLE)) AS BIGINT) AS bkt_cap
+           FROM (SELECT nv, $bandBitsCase AS w
+                 FROM (SELECT count(*) AS nv FROM embeddings))),
          keyed AS (
            SELECT vec_id, 0 AS band, s0 % CAST(1 << w AS BIGINT) AS bucket
            FROM sig, wb
            UNION ALL
            SELECT vec_id, 1 AS band, s1 % CAST(1 << w AS BIGINT) AS bucket
            FROM sig, wb),
+         ok AS (
+           SELECT band, bucket
+           FROM (SELECT band, bucket, count(*) AS n_bkt
+                 FROM keyed GROUP BY 1, 2), wb
+           WHERE n_bkt BETWEEN 2 AND bkt_cap),
+         k2 AS (SELECT k.* FROM keyed k JOIN ok USING (band, bucket)),
          cand AS (
            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           FROM keyed x JOIN keyed y
+           FROM k2 x JOIN k2 y
              ON x.band = y.band AND x.bucket = y.bucket
               AND x.vec_id < y.vec_id),
          pairs AS (

@@ -96,8 +96,12 @@ class PlanEvidenceSpec extends AnyFunSuite {
     // vector join-backs); top-20 is TakeOrderedAndProject, not a global
     // sort; the w-bits side rides in as a broadcast 1-row aggregate.
     val p = plan(VectorOps.queries("dedup_embed")(spark, d))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the ONLY nested-loop join allowed is the 1-row bucket-cap attach
+    // (its condition names bkt_cap — bounded by construction, the
+    // dedup_ngram df_cap pattern)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("bkt_cap")), s"non-cap nested-loop join in plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
