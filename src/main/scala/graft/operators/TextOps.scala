@@ -691,15 +691,22 @@ object TextOps {
           "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> named_struct('a', x, 'b', y))))")).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-      // verify stage touches only the CANDIDATE docs' gram sets. No
-      // broadcast HINTS on the candidate artifacts (round-9): the df cap
-      // bounds them at fixture scale and AQE broadcasts them when small,
-      // but on a clique-heavy corpus (the ×30 rehearsal measured 1.64 M
-      // legitimate pairs) a forced broadcast would OOM the driver before
-      // the join even ran — un-hinted, the same shape degrades to a
-      // shuffle join and completes.
-      val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-      val gc = g.join(candDocs, "doc_id")
+        .hint("merge")
+      // verify stage touches only the CANDIDATE docs' gram sets. Every
+      // frame here is CORPUS-PROPORTIONAL (pairs, candidate docs, their
+      // gram postings), so none of these joins may EVER broadcast — and
+      // "no broadcast hint" is not enough to guarantee that: the ×30
+      // clique-heavy rehearsal (1.64 M legitimate pairs) showed the
+      // STATIC planner choosing broadcast from its post-aggregate size
+      // underestimates and OOMing the driver while BUILDING the exchange —
+      // AQE cannot demote a statically-planned broadcast it never got
+      // runtime stats for. Explicit merge hints lock every verify-stage
+      // join to sort-merge (spillable both sides, the only strategy with
+      // no single-node size precondition); only the 1-row df-cap attach
+      // stays a broadcast, by construction.
+      val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id"))
+        .distinct().hint("merge")
+      val gc = g.join(candDocs, "doc_id").hint("merge")
       val sizes = gc.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(gc.as("ga"), col("ga.doc_id") === col("a"))
