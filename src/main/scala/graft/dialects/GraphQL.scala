@@ -414,6 +414,13 @@ object GraphQL {
         val c = n.stripPrefix("min_"); noDec(min(col(c)), c).as(n)
       case n if n.startsWith("max_") =>
         val c = n.stripPrefix("max_"); noDec(max(col(c)), c).as(n)
+      case n if n.startsWith("countd_") =>
+        // exact distinct count (the GraphQL twin of NL's DistinctCountBy):
+        // Catalyst expands it to the two-phase partial-dedup aggregate
+        // (RewriteDistinctAggregates), so per-group distinct work shuffles
+        // once on (group, value) — never a per-group set collected to one
+        // reducer. NULLs are not counted (both engines agree).
+        count_distinct(col(n.stripPrefix("countd_"))).as(n)
       case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
   }

@@ -82,6 +82,14 @@ object NlToSql {
     """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TopNPerDim =
     """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+)""".r
+  // leaderboard over a calendar window — the TopN production COMPOSED
+  // with the inclusive date range ("top 3 customers by total order price
+  // between 1995-01-01 and 1996-06-30"): the analyst's most common
+  // time-boxed ranking ask. No shadowing risk with TopN: its measure
+  // class [a-z ] excludes digits, so TopN cannot full-match a question
+  // with a range tail.
+  private val TopNDateRange =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val TotalByDateRange =
     """(?i)total ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   // equality filter COMPOSED with a calendar range — the two productions
@@ -190,6 +198,32 @@ object NlToSql {
              FROM $from GROUP BY $dcol, $pk, $nameCol) g) r
          WHERE rn <= $n
          ORDER BY $dcol NULLS FIRST, rn NULLS FIRST"""
+    case TopNDateRange(n, entity, measure, from, to) =>
+      // time-boxed leaderboard: the TopN production composed with the
+      // inclusive calendar range ("top 3 customers by total order price
+      // between 1995-01-01 and 1996-06-30"). Same half-open timestamp
+      // discipline as TotalByDateRange (inclusive final day = exclusive
+      // next-day bound, computed at translation time); same exact-decimal
+      // total + pk tie-break as TopNWhere, so ranking can never flip on a
+      // float boundary. The date predicate is scan-pushable; the plan is
+      // filter → partial agg → TakeOrderedAndProject.
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val from_ = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from_
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $pk, $nameCol
+         ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
+         LIMIT $n"""
     case TopNWhere(n, entity, measure, fdim, value) =>
       // top-k with a dimension filter on the fact table: "top 5 customers
       // by total order price where status is F" (value keeps its case)

@@ -104,6 +104,11 @@ object Dialects {
   // as unproducible even though each half existed
   val nlRangeWhereQuestion: String =
     "total order price by status where priority is 1-URGENT between 1995-01-01 and 1996-06-30"
+  // time-boxed leaderboard (nl_topk_range): the TopN production composed
+  // with the calendar range — the analyst's most common ranking ask
+  // ("who were the top customers last quarter")
+  val nlTopkRangeQuestion: String =
+    "top 3 customers by total order price between 1995-01-01 and 1996-06-30"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -152,6 +157,17 @@ object Dialects {
     """{ orders_agg(groupBy: ["o_orderpriority"], filter: {o_orderstatus: {eq: "O"}},
                     orderBy: ["-sum_o_totalprice", "o_orderpriority"], limit: 3) {
          o_orderpriority count sum_o_totalprice } }"""
+
+  /** Exact distinct count through the aggregate root (`countd_<col>` —
+    * the GraphQL twin of NL's DistinctCountBy): "how many distinct
+    * customers ordered, per status". Catalyst expands the distinct
+    * aggregate to the two-phase partial-dedup plan, so distinct work
+    * shuffles on (group, value) — the 100 TB shape — never a per-group
+    * set on one reducer.
+    */
+  val gqlAggDistinctQuery: String =
+    """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+         o_orderstatus count countd_o_custkey } }"""
 
   /** Aggregation INSIDE a relation subtree — per-parent-row rollups of a
     * related table (the Hasura-style `<relation>_agg` field). The planner
@@ -227,6 +243,8 @@ object Dialects {
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
     "nl_range_where" -> ((s, d) => NlToSql.run(s, d, nlRangeWhereQuestion)),
     "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
+    "nl_topk_range" -> ((s, d) => NlToSql.run(s, d, nlTopkRangeQuestion)),
+    "gql_agg_distinct" -> ((s, d) => GraphQL.run(s, d, gqlAggDistinctQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -358,6 +376,12 @@ object Dialects {
            ON c_custkey = o_custkey
          ORDER BY c_custkey NULLS FIRST LIMIT 50""",
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
+    "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
+    "gql_agg_distinct" ->
+      """SELECT o_orderstatus, count(*) AS "count",
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS countd_o_custkey
+         FROM orders GROUP BY 1
+         ORDER BY o_orderstatus NULLS FIRST""",
     "gql_agg_orderby" ->
       """SELECT o_orderpriority, count(*) AS "count",
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice

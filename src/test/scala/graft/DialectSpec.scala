@@ -161,6 +161,49 @@ class DialectSpec extends AnyFunSuite {
     }
   }
 
+  test("GraphQL agg root counts DISTINCT values (countd_ aggregate)") {
+    // round 9 (gql_agg_distinct): countd_x is an EXACT distinct count per
+    // group — cross-checked against a direct distinct-count over the same
+    // frame, and bounded above by the plain row count
+    val rows = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+           o_orderstatus count countd_o_custkey } }""").collect()
+    assert(rows.nonEmpty)
+    val direct = Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("o_custkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (st, n, nd) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nd === direct(st), s"status $st: countd mismatch")
+      assert(nd <= n, s"status $st: distinct count exceeds row count")
+    }
+  }
+
+  test("NL time-boxed leaderboard composes TopN with the date range") {
+    // round 9 (nl_topk_range): the composed production must rank inside
+    // the window only — each emitted total is bounded by the same
+    // customer's all-time total, and the window total re-derives from the
+    // date-range production's grand total semantics (half-open end bound)
+    sources.TableRegistry.registerAll(spark, d)
+    val sql = NlToSql.translate(
+      "top 3 customers by total order price between 1995-01-01 and 1996-06-30")
+    assert(sql.contains(">= TIMESTAMP '1995-01-01 00:00:00'"))
+    assert(sql.contains("< TIMESTAMP '1996-07-01 00:00:00'")) // inclusive end day
+    val windowed = spark.sql(sql).collect()
+    assert(windowed.length === 3)
+    val totals = windowed.map(_.getDouble(2))
+    totals.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    val allTime = spark.sql(NlToSql.translate(
+      "top 1000 customers by total order price")).collect()
+      .map(r => r.get(0) -> r.getDouble(2)).toMap
+    windowed.foreach { r =>
+      assert(r.getDouble(2) <= allTime(r.get(0)) + 1e-6,
+        s"customer ${r.get(0)}: windowed total exceeds all-time total")
+    }
+  }
+
   test("NL translator covers its grammar; SQL runs in Spark") {
     val sqls = Seq(
       "top 3 customers by total order price",

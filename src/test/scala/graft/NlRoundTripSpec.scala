@@ -54,7 +54,17 @@ class NlRoundTripSpec extends AnyFunSuite {
     (m, ds(rnd.nextInt(ds.size)))
   }
 
-  private def genQuestion(): String = rnd.nextInt(16) match {
+  private def genQuestion(): String = rnd.nextInt(17) match {
+    case 16 =>
+      // time-boxed leaderboard (round 9's TopNDateRange)
+      val (e, m, _) = entityCombos(rnd.nextInt(entityCombos.size))
+      yearsOf.get(m) match {
+        case Some(yrs) =>
+          val y = yrs(rnd.nextInt(yrs.size))
+          val m1 = 1 + rnd.nextInt(6); val m2 = m1 + rnd.nextInt(12 - m1)
+          f"top ${1 + rnd.nextInt(10)} $e by total $m between $y-$m1%02d-01 and $y-$m2%02d-28"
+        case None => s"top ${1 + rnd.nextInt(10)} $e by total $m"
+      }
     case 0 => val (m, dim) = md(); s"total $m by $dim"
     case 1 => val (m, dim) = md(); s"average $m by $dim"
     case 2 => val (m, dim) = md(); s"total $m by $dim where $dim is ${tok()}"
