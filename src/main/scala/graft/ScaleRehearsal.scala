@@ -28,13 +28,30 @@ import org.apache.spark.sql.functions._
   * replicas collapse to the same graph — its row measures the ×k
   * pre-distinct scan volume, not iteration growth.
   *
-  * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
+  * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew]
   * (default scales 1,3,10). Writes <outBase>/x<k>/<table>.parquet —
   * documents/embeddings (vocabulary-shifted), the three re-keyed fact
   * tables, and the copied-unscaled dimension tables, so Tables.load
   * resolves every table the two families read. Runs both families per
   * scale and emits one JSON with per-key rows/seconds and the
   * band_pairs / shingle_pair_stats artifact sizes (the fan-out).
+  *
+  * Round 9 adds a SKEW mode (5th arg `skew`): on top of the ×k
+  * replication, 25% of every fact table's rows (chosen by a
+  * deterministic spine hash — no RNG, reproducible across runs) are
+  * funneled onto ONE hot dimension key (o_custkey=0 / l_suppkey=0 /
+  * user_id=0, all valid dim members). That is the 100 TB failure shape
+  * replication alone cannot produce: a shuffle where one reducer key
+  * owns a quarter of the table — the hot-celebrity user, the
+  * house-brand supplier. Skew mode replicates ONLY the fact side and
+  * measures ONLY the fact family (documents/embeddings keys don't read
+  * facts), directories land under <outBase>-skew, and the JSON carries
+  * "mode":"skew" so a skew record can never be mistaken for a uniform
+  * one. The interesting read is skewed-vs-uniform wall at the same ×k:
+  * AQE skew-join splitting + partial aggregation should absorb the hot
+  * key everywhere except genuinely per-key-serial work (a single
+  * window partition owning 25% of events), which this measures rather
+  * than hides.
   */
 object ScaleRehearsal {
 
@@ -74,9 +91,17 @@ object ScaleRehearsal {
 
   /** Replicate a fact table ×k, shifting its spine keys per replica so
     * FKs stay consistent within a replica and replicas never collide.
+    * With `skew`, 25% of ALL rows (base and replicas alike — selected by
+    * xxhash64(spine, dimkey) % 4, deterministic and collision-free with
+    * the shifted spines) have their dimension FK overwritten with the
+    * hot key 0 (a valid member of every dim). Spines stay untouched, so
+    * intra-fact FK structure (lineitem→orders) survives; only the
+    * fact→dim edge becomes skewed, which is where the hot-key shuffle
+    * lives.
     */
   private def scaleFact(s: SparkSession, d: String, k: Int, table: String,
-                        shiftCols: Seq[String]): DataFrame = {
+                        shiftCols: Seq[String],
+                        skew: Option[String]): DataFrame = {
     val base = if (table == "events") Tables.events(s, d)
                else Tables.load(s, d, table)
     val reps = (0 until k).map { r =>
@@ -84,14 +109,20 @@ object ScaleRehearsal {
       else shiftCols.foldLeft(base)((df, c) =>
         df.withColumn(c, col(c) + lit(r * Off)))
     }
-    reps.reduce(_ unionByName _)
+    val scaled = reps.reduce(_ unionByName _)
+    skew.fold(scaled) { hotCol =>
+      scaled.withColumn(hotCol,
+        when(pmod(xxhash64(col(shiftCols.head), col(hotCol)), lit(4)) === 0,
+          lit(0L).cast(scaled.schema(hotCol).dataType))
+          .otherwise(col(hotCol)))
+    }
   }
 
-  /** (table, spine columns shifted per replica). */
+  /** (table, spine columns shifted per replica, skew-mode hot FK). */
   private val factTables = Seq(
-    "orders"   -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey"),
-    "events"   -> Seq("event_id"))
+    ("orders",   Seq("o_orderkey"), "o_custkey"),
+    ("lineitem", Seq("l_orderkey"), "l_suppkey"),
+    ("events",   Seq("event_id"),   "user_id"))
 
   private val dimTables = Seq("region", "nation", "customer", "supplier", "part")
 
@@ -114,9 +145,12 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]")
+      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew]")
     val src = args(0)
-    val outBase = args(1)
+    val skewMode = args.length > 4 && args(4) == "skew"
+    // skewed corpora land in their own directory tree: a skew run must
+    // never silently poison a uniform run's cached x<k> tables
+    val outBase = if (skewMode) args(1) + "-skew" else args(1)
     val outJson = args(2)
     val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
                  else Seq(1, 3, 10)
@@ -130,16 +164,21 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     val sb = new StringBuilder
-    sb.append("{\"src\":\"").append(src).append("\",\"scales\":{")
+    sb.append("{\"src\":\"").append(src).append("\"")
+    if (skewMode) sb.append(",\"mode\":\"skew\",\"hot_frac\":0.25")
+    sb.append(",\"scales\":{")
     scales.zipWithIndex.foreach { case (k, si) =>
       val dir = s"$outBase/x$k"
-      scaleDocuments(spark, src, k).write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
-      scaleEmbeddings(spark, src, k).write.mode("overwrite")
-        .parquet(s"$dir/embeddings.parquet")
+      if (!skewMode) {
+        scaleDocuments(spark, src, k).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        scaleEmbeddings(spark, src, k).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+      }
       // fact side: re-keyed ×k replicas; dims copied unscaled
-      factTables.foreach { case (t, cols) =>
-        scaleFact(spark, src, k, t, cols).write.mode("overwrite")
+      factTables.foreach { case (t, cols, hotCol) =>
+        scaleFact(spark, src, k, t, cols,
+          if (skewMode) Some(hotCol) else None).write.mode("overwrite")
           .parquet(s"$dir/$t.parquet")
       }
       dimTables.foreach { t =>
@@ -147,16 +186,20 @@ object ScaleRehearsal {
           .parquet(s"$dir/$t.parquet")
       }
 
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
-      System.err.println(s"[scale] x$k: $nDocs docs, $nLi lineitems")
+      val nDocs = if (skewMode) 0L
+                  else spark.read.parquet(s"$dir/documents.parquet").count()
+      System.err.println(s"[scale] x$k: $nDocs docs, $nLi lineitems" +
+        (if (skewMode) " (skewed, hot_frac=0.25)" else ""))
 
       // fan-out artifacts first (timed separately, same as Bench's
       // derived_s discipline — their cost would otherwise land on the
-      // first consumer key)
+      // first consumer key); skew mode touches no document artifacts
       val t0 = System.nanoTime()
-      val nBandPairs = operators.Derived.bandPairs(spark, dir).count()
-      val nShPairs = operators.Derived.shinglePairStats(spark, dir).count()
+      val nBandPairs = if (skewMode) 0L
+        else operators.Derived.bandPairs(spark, dir).count()
+      val nShPairs = if (skewMode) 0L
+        else operators.Derived.shinglePairStats(spark, dir).count()
       val derivedS = (System.nanoTime() - t0) / 1e9
 
       def timeKeys(keys: Seq[String]): String = keys.map { key =>
@@ -167,7 +210,7 @@ object ScaleRehearsal {
         System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s")
         f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
       }.mkString(",")
-      val keyJson = timeKeys(family)
+      val keyJson = if (skewMode) "" else timeKeys(family)
       val factJson = timeKeys(factFamily)
       sb.append(s""""x$k":{"n_docs":$nDocs,"n_lineitem":$nLi,"band_pairs":$nBandPairs,""")
         .append(f""""shingle_pair_stats":$nShPairs,"derived_s":$derivedS%.3f,""")
