@@ -205,7 +205,9 @@ object TextOps {
         expr(h60Spark("concat_ws(' ', slice(t, i+1, 12))")).as("sp"))
       .distinct()
       .localCheckpoint()
-    val dfc = spans.groupBy("sp").agg(count(lit(1)).as("df"))
+    // span-vocab-proportional — merge-locked (round-9 x30 lesson: the
+    // static planner's post-aggregate underestimates can pick broadcast)
+    val dfc = spans.groupBy("sp").agg(count(lit(1)).as("df")).hint("merge")
     spans.join(dfc, "sp")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(L).as("n_spans"),
@@ -250,11 +252,15 @@ object TextOps {
       .select("a", "b")
       .localCheckpoint(true) // consumed twice (candDocs + verify join); ~2 longs/row
     // verify stage ships only the CANDIDATE docs' full shingle sets.
-    // No broadcast hint: candidate docs are corpus-proportional in the
-    // worst case, so the semi-join must stay shuffle-based at scale.
+    // Merge-locked, not merely un-hinted (the round-9 dedup_ngram ×30
+    // lesson): candidate docs and their shingle sets are
+    // corpus-proportional, and the static planner's post-aggregate size
+    // underestimates can pick broadcast on their own — a driver OOM AQE
+    // cannot demote. Sort-merge has no single-node size precondition.
     val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
     val docSets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("set"))
+      .hint("merge")
     cand
       .join(docSets.select(col("doc_id").as("a"), col("set").as("sa")), "a")
       .join(docSets.select(col("doc_id").as("b"), col("set").as("sb")), "b")
@@ -304,7 +310,10 @@ object TextOps {
       .agg(count(lit(1)).as("n_bkt"))
       .filter(col("n_bkt").between(2, bandBucketCap))
       .select("band", "sig")
+    // merge-locked self-join: the capped postings are corpus-proportional,
+    // so neither side may ever be a static-planner broadcast build
     val capped = bands.join(okBuckets, Seq("band", "sig"), "left_semi")
+      .hint("merge")
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -362,12 +371,16 @@ object TextOps {
     var rounds = 0
     try {
       while (!converged && rounds < maxRounds) {
-        val prop = e.join(labels, e("src") === labels("doc_id"))
+        // merge-locked: labels and edges are both graph-proportional —
+        // neither may ever be a static-planner broadcast build (the
+        // round-9 ×30 lesson); one keyed SMJ shuffle per round is the
+        // designed cost model
+        val prop = e.join(labels.hint("merge"), e("src") === labels("doc_id"))
           .select(e("dst").as("doc_id"), col("label"))
         val next = labels.select(col("doc_id"), col("label")).union(prop)
           .groupBy("doc_id").agg(min(col("label")).as("label"))
           .localCheckpoint(true)
-        converged = next.as("n").join(labels.as("o"), "doc_id")
+        converged = next.as("n").join(labels.hint("merge").as("o"), "doc_id")
           .filter(col("n.label") =!= col("o.label")).count() == 0L
         // `next` is eagerly materialized and its lineage truncated, so the
         // PREVIOUS round's checkpoint blocks are no longer referenced —
@@ -552,11 +565,13 @@ object TextOps {
       // capped band join dedup_minhash scans (Derived.bandPairs), so the
       // band self-join is not re-derived here at all; this key pays only
       // for the per-candidate signature/set arrays it uniquely needs
+      // merge-locked verify joins: signatures and shingle sets are
+      // corpus-proportional — never a broadcast build (round-9 ×30 lesson)
       Derived.bandPairs(s, d).select("a", "b").distinct()
-        .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
-        .join(sets.select(col("doc_id").as("a"), col("st").as("sa"), col("n").as("na")), "a")
-        .join(sets.select(col("doc_id").as("b"), col("st").as("sb"), col("n").as("nb")), "b")
+        .join(sigs.hint("merge").select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+        .join(sigs.hint("merge").select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+        .join(sets.hint("merge").select(col("doc_id").as("a"), col("st").as("sa"), col("n").as("na")), "a")
+        .join(sets.hint("merge").select(col("doc_id").as("b"), col("st").as("sb"), col("n").as("nb")), "b")
         .withColumn("n_match",
           expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) AS BIGINT)"))
         .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast(L))
@@ -578,7 +593,9 @@ object TextOps {
       // the Spark side is the one that has to — and does — scale).
       val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
       val labels = connectedComponents(pairs)
+      // cluster-count-proportional at corpus scale — merge-locked join back
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .hint("merge")
       labels.join(sizes, "label")
         .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
@@ -605,6 +622,8 @@ object TextOps {
       val keeper = withLen.groupBy("label")
         .agg(max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nd"))).as("k"))
         .select(col("label"), (lit(0L) - col("k.nd")).as("keeper_id"))
+        .hint("merge") // |clusters| rows, corpus-proportional — the
+                       // "NOT broadcast" above, now enforced in the plan
       withLen.join(keeper, "label")
         .select(col("doc_id"), col("label").as("cluster_id"), col("keeper_id"),
           (col("doc_id") === col("keeper_id")).as("keep"))
@@ -734,8 +753,11 @@ object TextOps {
       // bucketed table the daily join co-locates against.
       val withH = documents(s, d)
         .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      // |history| rows — merge-locked: at 100 TB the history hash set is
+      // the BIG side; a static-planner broadcast of it is a driver OOM
       val hist = withH.filter(col("doc_id") % 10 =!= 9)
         .select("h").distinct().withColumn("in_hist", lit(true))
+        .hint("merge")
       val w = Window.partitionBy("h").orderBy("doc_id")
       withH.filter(col("doc_id") % 10 === 9)
         .withColumn("rn", row_number().over(w))
@@ -916,7 +938,9 @@ object TextOps {
           explode(expr("sequence(0, (size(t)-1) div 8)")).as("si"))
         .select(col("doc_id"), col("si"),
           expr("concat_ws(' ', slice(t, si*8+1, 8))").as("seg"))
+      // segment-vocab-proportional — merge-locked (never a broadcast build)
       val dfCnt = segs.groupBy("seg").agg(countDistinct(col("doc_id")).as("df"))
+        .hint("merge")
       segs.join(dfCnt, "seg")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast(L).as("n_segs"),
@@ -1019,8 +1043,12 @@ object TextOps {
       val jacc = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
       val pairs = shinglePairStats(s, d).filter(jacc >= 0.5)
         .select(col("a"), col("b"), r4(jacc).as("jaccard"))
+      // |corpus| rows behind a narrow Project: the width-ratio size
+      // estimate collapses (wide text column pruned), which is exactly
+      // the static-broadcast trap — merge-locked
       val splits = documents(s, d)
         .select(col("doc_id"), expr(splitCase(s"($splitBucketSpark)")).as("split"))
+        .hint("merge")
       pairs
         .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
         .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
@@ -1243,8 +1271,10 @@ object TextOps {
       val tok = fanout(documents(s, d))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // vocab-proportional df table — merge-locked; tf is already
+      // token-keyed from its own agg, so the SMJ adds a sort, not a shuffle
       val df = tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+        .groupBy("token").agg(count(lit(1)).as("df")).hint("merge")
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(df, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"), col("tf"),
@@ -1382,6 +1412,7 @@ object TextOps {
       val isEval = col("doc_id") % 100 === 0 && col("doc_id") < 2000
       val trainSh = sh.filter(!isEval).select("sh").distinct()
         .withColumn("in_train", lit(true))
+        .hint("merge") // training shingles = the corpus side — never broadcast
       sh.filter(isEval)
         .join(trainSh, Seq("sh"), "left")
         .groupBy("doc_id")
