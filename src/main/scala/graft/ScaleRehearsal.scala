@@ -151,7 +151,15 @@ object ScaleRehearsal {
     // skewed corpora land in their own directory tree: a skew run must
     // never silently poison a uniform run's cached x<k> tables
     val outBase = if (skewMode) args(1) + "-skew" else args(1)
-    val outJson = args(2)
+    // the JSON path gets the same suffix discipline: a skew run invoked
+    // with the default path must never silently overwrite the uniform
+    // SCALECHECK.json (the EDGECHECK overwrite-trap class, round-9 ADVICE)
+    val outJson =
+      if (skewMode && !args(2).toLowerCase.contains("skew")) {
+        val dot = args(2).lastIndexOf('.')
+        if (dot > 0) args(2).substring(0, dot) + "_skew" + args(2).substring(dot)
+        else args(2) + "_skew"
+      } else args(2)
     val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
                  else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -356,14 +356,20 @@ object VectorOps {
         .crossJoin(broadcast(cap))
         .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
         .select("band", "bucket")
-      val capped = keyed.join(okBuckets, Seq("band", "bucket"), "left_semi")
-      val cand = capped.as("x").join(capped.as("y"), Seq("band", "bucket"))
+      // MERGE-LOCKED (round 10, the dedup_ngram 47586d3 discipline): every
+      // side here — okBuckets (~n/62 (band,bucket) rows), capped, and the
+      // cand→vector join-backs — is corpus-proportional, and the static
+      // planner's post-aggregate size underestimates can pick a broadcast
+      // AQE cannot demote. Sort-merge spills both sides; only the 1-row
+      // wb/cap aggregates keep broadcast().
+      val capped = keyed.join(okBuckets.hint("merge"), Seq("band", "bucket"), "left_semi")
+      val cand = capped.as("x").join(capped.hint("merge").as("y"), Seq("band", "bucket"))
         .filter(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
         .distinct()
       val va = withNorm(s, d, "a", "av", "a_norm").select("a", "av", "a_norm")
       val vb = withNorm(s, d, "b", "bv", "b_norm").select("b", "bv", "b_norm")
-      val top = cand.join(va, "a").join(vb, "b")
+      val top = cand.join(va.hint("merge"), "a").join(vb.hint("merge"), "b")
         .withColumn("cos", dot("av", "bv") / (col("a_norm") * col("b_norm")))
         .select(col("a"), col("b"), col("cos"))
         .orderBy(rankKey(col("cos")).desc, col("a"), col("b"))

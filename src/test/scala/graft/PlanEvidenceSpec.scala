@@ -103,6 +103,13 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .forall(_.contains("bkt_cap")), s"non-cap nested-loop join in plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
+    // round 10: every corpus-proportional join (okBuckets semi, candidate
+    // self-join, both vector join-backs) is merge-locked — a statically
+    // planned BroadcastHashJoin of a corpus-proportional side is a driver
+    // OOM at scale that AQE cannot demote (the dedup_ngram ×30 lesson).
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-proportional broadcast join in dedup_embed plan:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
   }
 
   test("vec_outlier never shuffles the corpus: joins are broadcast, no sort-merge") {
