@@ -178,7 +178,12 @@ class ExtensionSpec extends AnyFunSuite {
     val got = out.map(t => (t._2, t._3)).toSet
     val recall = brute.count { case (a, b, _) => got((a, b)) } / brute.length.toDouble
     info(f"dedup_embed recall@20 vs all-pairs: $recall%.2f")
-    assert(recall >= 0.25, f"recall@20 collapsed: $recall%.2f")
+    // deterministic fixture → deterministic recall: measured 0.40 on the
+    // random corpus (round 9); floor pinned just below the measurement
+    // (round-10 ADVICE) so a candidate-stage regression that halves it
+    // fails. Planted-structure recall (the calibration that actually
+    // certifies the LSH stage) is gated separately in PlantedRecallSpec.
+    assert(recall >= 0.35, f"recall@20 collapsed: $recall%.2f (measured 0.40 on this fixture)")
   }
 
   test("knn_label predictions come from the 5 nearest candidate labels") {
