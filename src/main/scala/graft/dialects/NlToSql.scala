@@ -30,6 +30,7 @@ object NlToSql {
     "status" -> ("orders", "o_orderstatus"),
     "priority" -> ("orders", "o_orderpriority"),
     "market segment" -> ("customer", "c_mktsegment"),
+    "nation" -> ("nation", "n_name"),
     "return flag" -> ("lineitem", "l_returnflag"),
     "language" -> ("documents", "lang"),
     "event type" -> ("events", "event_type"))
@@ -46,7 +47,14 @@ object NlToSql {
   private val joinPath = Map(
     ("customer", "orders") -> "orders JOIN customer ON o_custkey = c_custkey",
     ("supplier", "lineitem") -> "lineitem JOIN supplier ON l_suppkey = s_suppkey",
-    ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey")
+    ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey",
+    // two-hop star path: nation reaches orders THROUGH customer ("revenue
+    // by nation"). Both hops are pk=fk inner joins against dims a real
+    // deployment broadcasts; the translated SQL leaves strategy to
+    // Catalyst, which plans both as broadcast hash joins under the scan.
+    ("nation", "orders") ->
+      ("orders JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey"))
 
   /** The canonical event-time column of each fact table (date-range
     * productions).
@@ -277,13 +285,15 @@ object NlToSql {
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
-      require(table == fact, s"dimension $d not on $fact")
+      // round 10: the dimension may live off the fact table ("total order
+      // price by nation between X and Y") — FROM routes through the
+      // declared join path like TotalBy, instead of requiring a fact dim
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact
+         FROM ${factFrom(table, fact)}
          WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
            AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""

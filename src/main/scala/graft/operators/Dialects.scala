@@ -109,6 +109,13 @@ object Dialects {
   // ("who were the top customers last quarter")
   val nlTopkRangeQuestion: String =
     "top 3 customers by total order price between 1995-01-01 and 1996-06-30"
+  // star-routed group-by COMPOSED with the calendar range (nl_nation_range,
+  // round 10): the dimension is TWO pk=fk hops off the fact table
+  // (orders→customer→nation) — "revenue by nation last half" is the
+  // canonical BI ask; the range productions existed and the join routing
+  // existed (nl_group_join), but their composition did not
+  val nlNationRangeQuestion: String =
+    "total order price by nation between 1995-01-01 and 1996-06-30"
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -168,6 +175,21 @@ object Dialects {
   val gqlAggDistinctQuery: String =
     """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
          o_orderstatus count countd_o_custkey } }"""
+
+  /** Pagination through the aggregation root (gql_agg_page, round 10):
+    * offset + limit over the leaderboard ordering — page 2 of the
+    * priority leaderboard. offset applies AFTER the aggregate ordering
+    * and BEFORE limit (the applyOrderPage contract shared with raw
+    * roots), so page boundaries are stable under the deterministic
+    * (aggregate DESC, key ASC) tie-broken sort. Plan: partial agg →
+    * final agg → TakeOrderedAndProject over offset+limit rows; the page
+    * never materializes the full leaderboard on the driver.
+    */
+  val gqlAggPageQuery: String =
+    """{ orders_agg(groupBy: ["o_orderpriority"],
+                    orderBy: ["-sum_o_totalprice", "o_orderpriority"],
+                    offset: 2, limit: 2) {
+         o_orderpriority count sum_o_totalprice } }"""
 
   /** Aggregation INSIDE a relation subtree — per-parent-row rollups of a
     * related table (the Hasura-style `<relation>_agg` field). The planner
@@ -245,6 +267,8 @@ object Dialects {
     "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
     "nl_topk_range" -> ((s, d) => NlToSql.run(s, d, nlTopkRangeQuestion)),
     "gql_agg_distinct" -> ((s, d) => GraphQL.run(s, d, gqlAggDistinctQuery)),
+    "nl_nation_range" -> ((s, d) => NlToSql.run(s, d, nlNationRangeQuestion)),
+    "gql_agg_page" -> ((s, d) => GraphQL.run(s, d, gqlAggPageQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -377,6 +401,13 @@ object Dialects {
          ORDER BY c_custkey NULLS FIRST LIMIT 50""",
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
+    "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),
+    "gql_agg_page" ->
+      """SELECT o_orderpriority, count(*) AS "count",
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice
+         FROM orders GROUP BY 1
+         ORDER BY sum_o_totalprice DESC NULLS LAST, o_orderpriority NULLS FIRST
+         LIMIT 2 OFFSET 2""",
     "gql_agg_distinct" ->
       """SELECT o_orderstatus, count(*) AS "count",
          CAST(count(DISTINCT o_custkey) AS BIGINT) AS countd_o_custkey

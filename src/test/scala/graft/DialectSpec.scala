@@ -204,6 +204,55 @@ class DialectSpec extends AnyFunSuite {
     }
   }
 
+  test("NL star-routed group-by composes with the date range (nation)") {
+    // round 10 (nl_nation_range): the dimension is two pk=fk hops off the
+    // fact table — the translation must route FROM through the
+    // orders→customer→nation join path AND keep the half-open range
+    sources.TableRegistry.registerAll(spark, d)
+    val sql = NlToSql.translate(
+      "total order price by nation between 1995-01-01 and 1996-06-30")
+    assert(sql.contains("JOIN customer ON o_custkey = c_custkey"))
+    assert(sql.contains("JOIN nation ON c_nationkey = n_nationkey"))
+    assert(sql.contains(">= TIMESTAMP '1995-01-01 00:00:00'"))
+    assert(sql.contains("< TIMESTAMP '1996-07-01 00:00:00'")) // inclusive end day
+    val byNation = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byNation.nonEmpty)
+    // windowed per-nation total is bounded by the all-time per-nation
+    // total (same star routing, no range — the TotalBy production)
+    val allTime = spark.sql(NlToSql.translate("total order price by nation"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byNation.foreach { case (n, v) =>
+      assert(v <= allTime(n) + 1e-6, s"nation $n: windowed > all-time")
+    }
+    // the nation partition re-totals to the status partition of the SAME
+    // window (both are the windowed orders sum, carved differently; each
+    // group rounds to 4dp so grand totals agree within group-count·1e-4)
+    val byStatus = spark.sql(NlToSql.translate(
+      "total order price by status between 1995-01-01 and 1996-06-30"))
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(byNation.values.sum - byStatus) < 0.01,
+      s"partition totals diverge: ${byNation.values.sum} vs $byStatus")
+  }
+
+  test("GraphQL agg root paginates the leaderboard (offset through _agg)") {
+    // round 10 (gql_agg_page): offset+limit must slice the SAME ordering
+    // the unpaged leaderboard emits — page 2 of the priority leaderboard
+    // is rows [2, 4) of the full ordered result, exactly
+    val page = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderpriority"],
+                      orderBy: ["-sum_o_totalprice", "o_orderpriority"],
+                      offset: 2, limit: 2) {
+           o_orderpriority count sum_o_totalprice } }""").collect()
+    assert(page.length === 2)
+    val full = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderpriority"],
+                      orderBy: ["-sum_o_totalprice", "o_orderpriority"]) {
+           o_orderpriority count sum_o_totalprice } }""").collect()
+    assert(page.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      full.slice(2, 4).map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("NL translator covers its grammar; SQL runs in Spark") {
     val sqls = Seq(
       "top 3 customers by total order price",
