@@ -80,9 +80,13 @@ def main():
             print(r.stdout[-2000:])
             print(r.stderr[-2000:])
             sys.exit(2)
-        res = run_check(fdir, str(odir), knames)
+        # results are keyed (key, class): a key may carry several planted
+        # defects, and key-only output dirs would overwrite (round 10)
+        mnames = [f"{k}__{c}" for k, c in keys]
+        res = run_check(fdir, str(odir), mnames)
         for key, clazz in keys:
-            info = res.get(key, {"status": "missing", "msg": "no result"})
+            info = res.get(f"{key}__{clazz}",
+                           {"status": "missing", "msg": "no result"})
             # 'missing' means the mutant crashed before writing output
             # (MutantVerify swallows the exception) — that is an infra
             # failure, NOT gate sensitivity: a kill requires the mutant to
@@ -91,16 +95,16 @@ def main():
             status = "did-not-run" if info["status"] == "missing" \
                 else info["status"]
             killed = status in ("fail", "error")
-            report["mutants"][key] = {
+            report["mutants"][f"{key}:{clazz}"] = {
                 "class": clazz, "fixture": fixture,
                 "gate": status,
                 "killed": killed,
                 "msg": (info.get("msg") or "")[:200],
             }
             if status == "did-not-run":
-                report.setdefault("did_not_run", []).append(key)
+                report.setdefault("did_not_run", []).append(f"{key}:{clazz}")
             elif not killed:
-                report["survived"].append(key)
+                report["survived"].append(f"{key}:{clazz}")
             print(f"[mutcheck]   {key:22s} {clazz:22s} "
                   f"{'KILLED' if killed else status.upper()} ({status})",
                   flush=True)

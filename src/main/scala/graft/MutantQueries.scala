@@ -44,6 +44,11 @@ object MutantQueries {
       fixture: String,
       fn: (SparkSession, String) => DataFrame)
 
+  /** Collision-free per-mutant output name: a key may carry several
+    * planted defects (one per class).
+    */
+  def outName(m: Mutant): String = s"${m.key}__${m.clazz}"
+
   val mutants: Seq[Mutant] = Seq(
 
     Mutant("agg_group_multi", "boundary",
@@ -891,6 +896,108 @@ object MutantQueries {
             r4(var_pop(col("l_quantity"))).as("var_welford"), // BUG
             r4(var_samp(col("l_quantity"))).as("var_builtin"))
           .orderBy("l_returnflag"))
+
+    // ---- round 10: value-perturbation class for top-k keys ----------------
+    // The round-9 registry NOTE (q_shipping_priority) proved membership
+    // defects hide behind a limit: boundary rows never reach the emitted
+    // window. Every TakeOrderedAndProject key therefore needs a defect
+    // that perturbs the VALUES it emits, not the membership the limit
+    // truncates away. One per top-cost top-k key below (q_shipping_priority
+    // already carries its value mutant — the dropped discount factor);
+    // win_topk_group gets the tie-semantics twin (rank() with the
+    // tie-break dropped), its WindowGroupLimit analogue.
+    ,
+
+    Mutant("topk", "value-perturbation",
+      "projection truncates cents (floor) after ranking — order right, values wrong",
+      "clean", (s, d) =>
+        orders(s, d).select(col("o_orderkey"),
+            floor(col("o_totalprice")).cast(DoubleType).as("o_totalprice")) // BUG
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey")).limit(10)),
+
+    Mutant("market_basket", "value-perturbation",
+      "lift drops the n_orders factor (support confused for lift) — same top-20, scaled values",
+      "clean", (s, d) => {
+        val items = lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val okOrders = items.groupBy("ok").agg(count(lit(1)).as("n_items"))
+          .filter(col("n_items").between(2, 25)).select("ok")
+        val capped = items.join(okOrders, Seq("ok"), "left_semi")
+          .localCheckpoint(true)
+        val itemN = capped.groupBy("pk").agg(count(lit(1)).as("n_item"))
+        val totals = capped.agg(countDistinct(col("ok")).as("n_orders"))
+        val pairs = capped.toDF("ok", "a").join(capped.toDF("ok", "b"), "ok")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        pairs
+          .join(itemN.toDF("a", "n_a"), "a")
+          .join(itemN.toDF("b", "n_b"), "b")
+          .crossJoin(broadcast(totals))
+          .withColumn("lift",
+            col("n_ab").cast(DoubleType) /
+              (col("n_a") * col("n_b")).cast(DoubleType)) // BUG
+          .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            r4(col("lift")).as("lift"))
+      }),
+
+    Mutant("dedup_embed", "wrong-denominator",
+      "cosine normalizes by |a|^2 instead of |a||b| — emitted similarities wrong",
+      "clean", (s, d) => {
+        // brute-force re-derivation (fixture-scale only) with the planted
+        // asymmetric-norm defect: the mutant's job is wrong VALUES through
+        // the same output contract, not a copy of the production LSH plan
+        val e = embeddings(s, d).filter(
+          col("embedding").isNotNull && size(col("embedding")) === 64 &&
+            expr("array_max(transform(embedding, x -> abs(x))) > 0"))
+          .dropDuplicates()
+        def vdot(a: String, b: String): Column = expr(
+          s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        val av = e.select(col("vec_id").as("a"), col("embedding").as("av"))
+        val bv = e.select(col("vec_id").as("b"), col("embedding").as("bv"))
+        val top = av.join(bv, col("a") < col("b"))
+          .withColumn("cos",
+            vdot("av", "bv") / (sqrt(vdot("av", "av")) * sqrt(vdot("av", "av")))) // BUG
+          .select(col("a"), col("b"), col("cos"))
+          .orderBy(round(col("cos"), 6).desc, col("a"), col("b")).limit(20)
+        val w = Window.orderBy(round(col("cos"), 6).desc, col("a"), col("b"))
+        top.withColumn("rank", row_number().over(w))
+          .select(col("rank"), col("a"), col("b"), (r4(col("cos")) + lit(0.0)).as("cos_sim"))
+          .orderBy("rank")
+      }),
+
+    Mutant("text_keyterms", "value-perturbation",
+      "IDF smoothing dropped: ln(n/df) instead of ln((n+1)/(df+1))",
+      "clean", (s, d) => {
+        val tok = documents(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfq, "token").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))) // BUG
+        val w = Window.partitionBy("doc_id")
+          .orderBy(round(col("score"), 6).desc, col("token"))
+        scored.withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("token"), r4(col("score")).as("tfidf"))
+          .orderBy("doc_id", "rn")
+      }),
+
+    Mutant("win_topk_group", "tie-semantics",
+      "rank() with the tie-break dropped: tied prices repeat ranks and overflow the top-3",
+      "ties", (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc_nulls_last) // BUG: no tie-break
+        orders(s, d)
+          .withColumn("rn", rank().over(w)) // BUG: rank, not row_number
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      })
   )
 
   def byFixture: Map[String, Seq[Mutant]] = mutants.groupBy(_.fixture)
@@ -917,11 +1024,15 @@ object MutantVerify {
     new java.io.File(outDir).mkdirs()
     val selected = MutantQueries.mutants
       .filter(m => only.isEmpty || only(m.key))
+    // output dirs are keyed (key, class), not key alone: round 10 added a
+    // second mutant on several keys (the top-k value-perturbation class),
+    // and same-key dirs would silently overwrite — the checker would then
+    // verify only the LAST mutant while crediting both as killed
     selected.foreach { m =>
       try m.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/${m.key}")
+        .parquet(s"$outDir/${MutantQueries.outName(m)}")
       catch { case e: Throwable =>
-        System.err.println(s"[mutant] ${m.key} failed: ${e.getMessage}")
+        System.err.println(s"[mutant] ${m.key} (${m.clazz}) failed: ${e.getMessage}")
       }
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -933,9 +1044,11 @@ object MutantVerify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val keys = selected.map(_.key).toSet
-    val json = SparkEntry.oracleSql.filter { case (k, _) => keys(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // each (key, class) output name maps to ITS base key's unchanged oracle
+    val json = selected
+      .flatMap(m => SparkEntry.oracleSql.get(m.key)
+        .map(sql => s"${q(MutantQueries.outName(m))}: ${q(sql)}"))
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -88,6 +88,19 @@ object JdbcCatalog {
   private def dialectOf(c: Connection): SqlDialect =
     Option(connDialects.get(c)).getOrElse(DerbyDialect)
 
+  /** Test seams (ServingSpec's in-JVM JDBC fake): bind a dialect to a
+    * connection that did not come through connectUrl, and run the
+    * migration ladder against it. The PG driver cannot load in this
+    * container, so the fake-driven spec is the maximum provable coverage
+    * of the Postgres code path: it asserts the EMITTED SQL (TEXT payload
+    * column) and the SQLSTATE handling (42P07 race swallow, 40P01 retry,
+    * Derby states NOT retried on a PG-bound connection).
+    */
+  private[graft] def bindDialect(c: Connection, dl: SqlDialect): Unit =
+    connDialects.put(c, dl)
+  private[graft] def migrateWith(c: Connection, dl: SqlDialect): Unit =
+    migrate(c, dl)
+
   /** Ordered, append-only migrations (the diesel-style ladder). The
     * current version lives in `catalog_version`; `migrate` applies every
     * step beyond it transactionally, so any client can bring any older
