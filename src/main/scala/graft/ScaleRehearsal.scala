@@ -57,17 +57,36 @@ object ScaleRehearsal {
 
   private val Off = 1000000000L // replica id offset, past every fixture id space
 
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Deterministic per-replica letter permutation (MurmurHash3-keyed sort
+    * of the alphabet — no RNG state, reproducible across runs/JVMs).
+    */
+  private def charPerm(r: Int): String =
+    alpha.toSeq.sortBy(c => scala.util.hashing.MurmurHash3.stringHash(s"$r:$c")).mkString
+
   private def scaleDocuments(s: SparkSession, d: String, k: Int): DataFrame = {
     val base = Tables.documents(s, d)
     val reps = (0 until k).map { r =>
       if (r == 0) base
       else base.select(
         (col("doc_id") + lit(r * Off)).as("doc_id"),
-        // per-replica vocabulary: every word gets a replica suffix, so
-        // within-replica shingle relations are isomorphic to the base
-        // corpus and cross-replica shingle overlap is zero
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("·" + r))), " ").as("text"),
+        // per-replica vocabulary: every word gets a replica suffix AND
+        // every letter goes through a per-replica bijective permutation
+        // (round 10). The suffix alone makes WORD-level shingles
+        // replica-disjoint but leaves character n-grams interior to words
+        // SHARED across replicas — so at ×k every base doc's replicas
+        // formed a C(k,2) char-gram clique and dedup_ngram's true answer
+        // grew quadratically in k (1.64 M pairs at ×30, PERF.md §6.3b):
+        // the rehearsal was then measuring the synthetic corpus's
+        // quadratic output, not the plan's overhead. A letter permutation
+        // is bijective, so within-replica equality structure (words,
+        // grams, shingles, df distributions) stays isomorphic to the base
+        // corpus while cross-replica gram overlap drops to chance — the
+        // "corpus grows, duplication density constant" model the
+        // rehearsal declares, now true for char-grams too.
+        translate(array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("·" + r))), " "), alpha, charPerm(r)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     reps.reduce(_ unionByName _)
@@ -145,20 +164,27 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew]")
+      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew|docs]")
     val src = args(0)
-    val skewMode = args.length > 4 && args(4) == "skew"
-    // skewed corpora land in their own directory tree: a skew run must
+    val mode = if (args.length > 4) args(4) else ""
+    require(mode == "" || mode == "skew" || mode == "docs", s"unknown mode: $mode")
+    val skewMode = mode == "skew"
+    // docs mode (round 10): documents/embeddings family ONLY — the ×30
+    // point for the dedup/ANN keys. Fact ×30 won't fit the sandbox, and
+    // the docs dirs must not masquerade as full uniform dirs (they carry
+    // no fact tables), so the mode gets its own tree + JSON like skew.
+    val docsMode = mode == "docs"
+    // mode corpora land in their own directory tree: a mode run must
     // never silently poison a uniform run's cached x<k> tables
-    val outBase = if (skewMode) args(1) + "-skew" else args(1)
-    // the JSON path gets the same suffix discipline: a skew run invoked
+    val outBase = if (mode.isEmpty) args(1) else args(1) + "-" + mode
+    // the JSON path gets the same suffix discipline: a mode run invoked
     // with the default path must never silently overwrite the uniform
     // SCALECHECK.json (the EDGECHECK overwrite-trap class, round-9 ADVICE)
     val outJson =
-      if (skewMode && !args(2).toLowerCase.contains("skew")) {
+      if (mode.nonEmpty && !args(2).toLowerCase.contains(mode)) {
         val dot = args(2).lastIndexOf('.')
-        if (dot > 0) args(2).substring(0, dot) + "_skew" + args(2).substring(dot)
-        else args(2) + "_skew"
+        if (dot > 0) args(2).substring(0, dot) + "_" + mode + args(2).substring(dot)
+        else args(2) + "_" + mode
       } else args(2)
     val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
                  else Seq(1, 3, 10)
@@ -174,6 +200,7 @@ object ScaleRehearsal {
     val sb = new StringBuilder
     sb.append("{\"src\":\"").append(src).append("\"")
     if (skewMode) sb.append(",\"mode\":\"skew\",\"hot_frac\":0.25")
+    if (docsMode) sb.append(",\"mode\":\"docs\"")
     sb.append(",\"scales\":{")
     scales.zipWithIndex.foreach { case (k, si) =>
       val dir = s"$outBase/x$k"
@@ -183,22 +210,26 @@ object ScaleRehearsal {
         scaleEmbeddings(spark, src, k).write.mode("overwrite")
           .parquet(s"$dir/embeddings.parquet")
       }
-      // fact side: re-keyed ×k replicas; dims copied unscaled
-      factTables.foreach { case (t, cols, hotCol) =>
-        scaleFact(spark, src, k, t, cols,
-          if (skewMode) Some(hotCol) else None).write.mode("overwrite")
-          .parquet(s"$dir/$t.parquet")
-      }
-      dimTables.foreach { t =>
-        Tables.load(spark, src, t).write.mode("overwrite")
-          .parquet(s"$dir/$t.parquet")
+      if (!docsMode) {
+        // fact side: re-keyed ×k replicas; dims copied unscaled
+        factTables.foreach { case (t, cols, hotCol) =>
+          scaleFact(spark, src, k, t, cols,
+            if (skewMode) Some(hotCol) else None).write.mode("overwrite")
+            .parquet(s"$dir/$t.parquet")
+        }
+        dimTables.foreach { t =>
+          Tables.load(spark, src, t).write.mode("overwrite")
+            .parquet(s"$dir/$t.parquet")
+        }
       }
 
-      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val nLi = if (docsMode) 0L
+                else spark.read.parquet(s"$dir/lineitem.parquet").count()
       val nDocs = if (skewMode) 0L
                   else spark.read.parquet(s"$dir/documents.parquet").count()
       System.err.println(s"[scale] x$k: $nDocs docs, $nLi lineitems" +
-        (if (skewMode) " (skewed, hot_frac=0.25)" else ""))
+        (if (skewMode) " (skewed, hot_frac=0.25)" else "") +
+        (if (docsMode) " (docs family only)" else ""))
 
       // fan-out artifacts first (timed separately, same as Bench's
       // derived_s discipline — their cost would otherwise land on the
@@ -219,7 +250,7 @@ object ScaleRehearsal {
         f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
       }.mkString(",")
       val keyJson = if (skewMode) "" else timeKeys(family)
-      val factJson = timeKeys(factFamily)
+      val factJson = if (docsMode) "" else timeKeys(factFamily)
       sb.append(s""""x$k":{"n_docs":$nDocs,"n_lineitem":$nLi,"band_pairs":$nBandPairs,""")
         .append(f""""shingle_pair_stats":$nShPairs,"derived_s":$derivedS%.3f,""")
         .append(s""""keys":{$keyJson},"fact_keys":{$factJson}}""")

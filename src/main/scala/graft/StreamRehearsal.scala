@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Micro-batch latency envelope for the streaming path (round 10,
+  * verdict item 7).
+  *
+  * The streaming keys are correctness-proven (StreamingSpec batch
+  * equivalence + MemoryStream micro-batches) but no latency/throughput
+  * number existed: would a micro-batch over ×10 the events still clear in
+  * bounded time, or does some per-batch state plan hide super-linear
+  * work? This main measures it the way the scale rehearsal measures
+  * fan-out caps: events replicated ×k (re-keyed spines, the
+  * ScaleRehearsal model) are written into a FIXED number of part files,
+  * the file-stream source consumes them a fixed files-per-trigger at a
+  * time under Trigger.AvailableNow, and each query's per-trigger
+  * `durationMs(triggerExecution)` is read from recentProgress. Holding
+  * file count constant while data grows ×k makes events-per-batch grow
+  * ×k — so a batch whose duration grows faster than ×k has super-linear
+  * per-batch work (the thing to fix), while ~×k growth is the expected
+  * cost of bigger batches.
+  *
+  * Plans measured: the windowed aggregations (tumbling/sliding/session),
+  * the watermarked count (update mode — the production shape), streaming
+  * dedup, and both arbitrary-state operators (flatMapGroupsWithState
+  * running stats; transformWithState running max on RocksDB). Sink is
+  * `noop`: the measurement wants plan + state cost, not sink cost.
+  *
+  * Usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
+  * (default scales 1,10). JSON: per scale, per key — batch count, input
+  * rows, and p50/max trigger-execution millis.
+  */
+object StreamRehearsal {
+
+  private val Off = 1000000000L
+  private val NFiles = 16          // fixed: events-per-batch scales with ×k
+  private val FilesPerTrigger = 4  // → 4 measured micro-batches per run
+
+  /** (key, plan, outputMode) — modes match StreamingSpec's proven ones. */
+  private def plans: Seq[(String, DataFrame => DataFrame, String)] = Seq(
+    ("stream_tumbling", streaming.Streams.tumbling _, "complete"),
+    ("stream_sliding", streaming.Streams.sliding _, "complete"),
+    ("stream_session", streaming.Streams.session _, "complete"),
+    ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update"),
+    ("stream_dedup", streaming.Streams.dedupBatch _, "complete"),
+    ("stream_custom_state", streaming.Streams.runningUserStats _, "update"),
+    ("stream_tws", streaming.Streams.userRunningMax _, "update"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]")
+    val src = args(0)
+    val outBase = args(1)
+    val outJson = args(2)
+    val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
+                 else Seq(1, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sb = new StringBuilder
+    sb.append("{\"src\":\"").append(src).append("\",\"mode\":\"stream\"")
+      .append(",\"n_files\":").append(NFiles)
+      .append(",\"files_per_trigger\":").append(FilesPerTrigger)
+      .append(",\"scales\":{")
+    scales.zipWithIndex.foreach { case (k, si) =>
+      val dir = s"$outBase/x$k/events.parquet"
+      val base = Tables.events(spark, src)
+      val reps = (0 until k).map { r =>
+        if (r == 0) base
+        else base.withColumn("event_id", col("event_id") + lit(r * Off))
+      }
+      // exactly NFiles part files regardless of ×k — a trigger's file
+      // quota then carries ×k the rows as the corpus grows
+      reps.reduce(_ unionByName _).repartition(NFiles)
+        .write.mode("overwrite").parquet(dir)
+      val nEvents = spark.read.parquet(dir).count()
+      System.err.println(s"[stream] x$k: $nEvents events in $NFiles files")
+
+      val keyJson = plans.map { case (key, plan, mode) =>
+        val q = plan(streaming.Streams.readEventsStream(spark, dir,
+            Some(FilesPerTrigger)))
+          .writeStream
+          .format("noop")
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        val durs = prog.map(_.durationMs.get("triggerExecution").toLong).sorted
+        val rows = prog.map(_.numInputRows)
+        q.stop()
+        val p50 = if (durs.isEmpty) 0L else durs(durs.size / 2)
+        val mx = if (durs.isEmpty) 0L else durs.last
+        System.err.println(
+          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms")
+        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx}"""
+      }.mkString(",")
+      sb.append(s""""x$k":{"n_events":$nEvents,"keys":{$keyJson}}""")
+      if (si < scales.size - 1) sb.append(",")
+    }
+    sb.append("}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

@@ -688,16 +688,27 @@ object TextOps {
       // postings down to rare grams and THEN collects, so every
       // collect_list buffer holds ≤ dfCap doc_ids by construction. The a<b
       // pairs explode in-row — no rare⋈rare shuffle join over the gram table.
-      // The cap is RELATIVE rarity (0.4% of the corpus, 20-doc floor), not
-      // an absolute constant: the 10x rehearsal (PERF.md §6.3) measured an
-      // absolute df<=20 silently collapsing recall as global duplication
-      // grows — every gram's df scales with corpus-wide copies, so "rare"
-      // must too. Exactly 20 at every gate fixture size (<= 5000 docs).
-      // The corpus count rides into the plan as a broadcast 1-row
-      // aggregate (round-9; previously a driver-side count() action —
-      // one extra job per invocation for no reason).
+      // The cap is RELATIVE rarity with √N growth (20-doc floor): an
+      // absolute df<=20 silently collapses recall as global duplication
+      // grows (10x rehearsal, PERF.md §6.3 — "rare" must scale), but the
+      // round-8 LINEAR cap (0.4%·N) is itself a 100 TB defect this
+      // round's ×30 rehearsal exposed: pair explode per admitted gram is
+      // df²/2 ≤ cap², so a cap linear in N makes one stop-phrase gram
+      // cost 1.6e-5·N² pairs — at ×30 (N=150k, cap 600) the candidate
+      // shuffle wrote >65 GB and died; at N=10^10 a single cap-df gram
+      // would explode 8e14 pairs. √N is the IVF/coarseK balance applied
+      // to postings: cap = max(20, ⌈0.28·√N⌉) bounds per-gram pair work
+      // at 0.0784·N while still growing without bound (the recall
+      // property the round-8 fix bought). Families hotter than c/√N
+      // prevalence are exactly the clique-heavy regime whose designed
+      // posture is cluster/keep-best representation, not pair
+      // enumeration (PERF.md §6.3b). Exactly 20 at every gate fixture
+      // size (<= 5000 docs: ceil(0.28·√5000) = 20), mirrored textually
+      // by the oracle. The corpus count rides into the plan as a
+      // broadcast 1-row aggregate (round-9; previously a driver-side
+      // count() action — one extra job per invocation for no reason).
       val dfCap = documents(s, d).agg(count(lit(1)).as("nd"))
-        .select(expr("greatest(CAST(20 AS BIGINT), CAST(ceil(0.004 * nd) AS BIGINT))")
+        .select(expr("greatest(CAST(20 AS BIGINT), CAST(ceil(0.28 * sqrt(nd)) AS BIGINT))")
           .as("df_cap"))
       val rareGrams = g.groupBy("gram").agg(count(lit(1)).as("n_df"))
         .crossJoin(broadcast(dfCap))
@@ -2060,7 +2071,7 @@ object TextOps {
          dfreq AS (SELECT gram, count(*) AS n_df FROM g GROUP BY 1),
          rare AS (SELECT g.doc_id, g.gram FROM g JOIN dfreq USING (gram)
                   WHERE n_df <= (SELECT greatest(20,
-                    CAST(ceil(0.004 * count(*)) AS BIGINT)) FROM documents)),
+                    CAST(ceil(0.28 * sqrt(count(*))) AS BIGINT)) FROM documents)),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id < y.doc_id),
          sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),

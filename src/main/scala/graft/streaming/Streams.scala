@@ -237,7 +237,8 @@ object Streams {
     * both as TIMESTAMP(NANOS) (LongType under the legacy conf) and as
     * plain µs TIMESTAMP across driver rounds.
     */
-  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+  def readEventsStream(s: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema inference MUST go through the same Tables.pin discipline as
     // every batch scan (inferTimestampNTZ off): a µs fixture annotated
@@ -245,7 +246,11 @@ object Streams {
     // TIMESTAMP in the batch plan — the streamed and batch results then
     // carry different types depending on which path read first
     val fileSchema = graft.Tables.pin(s).read.parquet(dir).schema
-    val raw = s.readStream.schema(fileSchema).parquet(dir)
+    val reader = s.readStream.schema(fileSchema)
+    // bound each micro-batch's file quota (StreamRehearsal's latency leg:
+    // AvailableNow then plans several measured triggers, not one catch-up)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(dir)
     if (fileSchema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw

@@ -657,7 +657,7 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(bnl.forall(_.contains("df_cap")),
       s"non-cap nested-loop join in plan:\n$p")
     // rare-gram blocking: the df-cap predicate (n_df <= df_cap, the cap a
-    // broadcast 1-row aggregate — greatest(20, ceil(0.4%·N))) must sit
+    // broadcast 1-row aggregate — greatest(20, ceil(0.28·√N))) must sit
     // between the gram agg and the pair join. Asserting on the actual
     // predicate columns, not a literal constant: the cap is corpus-scaled,
     // so a bare "20" match would silently pin the test to fixture size.
