@@ -44,7 +44,11 @@ object StreamRehearsal {
     ("stream_sliding", streaming.Streams.sliding _, "complete"),
     ("stream_session", streaming.Streams.session _, "complete"),
     ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update"),
-    ("stream_dedup", streaming.Streams.dedupBatch _, "complete"),
+    // dedupBatch's row_number form is batch-only; the stream form is
+    // watermarked dropDuplicates on the same key (state-bounded)
+    ("stream_dedup",
+      (e: DataFrame) => e.withWatermark("ts", "10 minutes")
+        .dropDuplicates("user_id", "event_type"), "append"),
     ("stream_custom_state", streaming.Streams.runningUserStats _, "update"),
     ("stream_tws", streaming.Streams.userRunningMax _, "update"))
 
