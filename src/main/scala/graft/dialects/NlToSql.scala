@@ -90,6 +90,17 @@ object NlToSql {
     """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
   private val TopNPerDim =
     """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+)""".r
+  // per-group leaderboard over a calendar window — TopNPerDim COMPOSED
+  // with the inclusive date range ("top 2 customers by total order price
+  // per status between 1995-01-01 and 1996-06-30"): the grouped ranking
+  // ask time-boxed the way analysts actually phrase it. Matched before
+  // TopNPerDim (whose dim capture [a-z ]+ has no digits, so it cannot
+  // full-match a ranged question — this arm exists to make the
+  // composition producible, not to disambiguate) and before
+  // TopNDateRange (whose greedy measure capture would swallow
+  // " per status" and fail the catalog lookup loudly).
+  private val TopNPerDimDateRange =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   // leaderboard over a calendar window — the TopN production COMPOSED
   // with the inclusive date range ("top 3 customers by total order price
   // between 1995-01-01 and 1996-06-30"): the analyst's most common
@@ -177,6 +188,40 @@ object NlToSql {
       require(dt == fact, s"dimension $dname not on $fact")
       s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
          FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TopNPerDimDateRange(n, entity, measure, dname, from, to) =>
+      // grouped leaderboard composed with the calendar range: the
+      // TopNPerDim rank-window subquery with TopNDateRange's half-open
+      // timestamp discipline (inclusive final day = exclusive next-day
+      // bound, computed at translation time). The range predicate lands
+      // in the innermost aggregate's WHERE, so it reaches the scan
+      // before the group-by; the rank keeps the exact-decimal total +
+      // pk tie-break, so group membership can never flip on a rounding
+      // boundary.
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (dtable, dcol) = dim(dname)
+      require(dtable == fact, s"dimension $dname not on $fact")
+      val from_ = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $dcol, $pk, $nameCol, CAST(round(texact, 4) AS DOUBLE) AS total
+         FROM (
+           SELECT $dcol, $pk, $nameCol, texact,
+             row_number() OVER (PARTITION BY $dcol
+               ORDER BY texact DESC, $pk) AS rn
+           FROM (
+             SELECT $dcol, $pk, $nameCol,
+               sum(CAST($mcol AS DECIMAL(18,4))) AS texact
+             FROM $from_
+             WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+               AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+             GROUP BY $dcol, $pk, $nameCol) g) r
+         WHERE rn <= $n
+         ORDER BY $dcol NULLS FIRST, rn NULLS FIRST"""
     case TopNPerDim(n, entity, measure, dname) =>
       // per-group top-k: "top 2 customers by total order price per
       // status" — the grouped-leaderboard production, compiled to a

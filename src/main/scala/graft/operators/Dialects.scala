@@ -116,6 +116,30 @@ object Dialects {
   // existed (nl_group_join), but their composition did not
   val nlNationRangeQuestion: String =
     "total order price by nation between 1995-01-01 and 1996-06-30"
+  // per-group leaderboard COMPOSED with the calendar range
+  // (nl_topk_group_range, round 10): "who were the top 2 customers per
+  // status last half" — the grouped-leaderboard production
+  // (nl_topk_per_group) and the calendar range (nl_topk_range) both
+  // existed; their composition did not. The range predicate reaches the
+  // scan below the rank window.
+  val nlTopkGroupRangeQuestion: String =
+    "top 2 customers by total order price per status between 1995-01-01 and 1996-06-30"
+
+  /** Distinct-count INSIDE a relation subtree (gql_nested_distinct,
+    * round 10): per-nation count of DISTINCT market segments among that
+    * nation's customers. gql_agg_distinct proved `countd_` at the agg
+    * root; the nested `<rel>_agg` path shares the same aggExpr lowering,
+    * and this key proves the shared lowering holds BEHIND the fk-grouped
+    * aggregate-then-join (Catalyst's RewriteDistinctAggregates runs
+    * under the |nation|-sized left join-back, never a per-parent set on
+    * the driver). Parents with no children keep NULL for the distinct
+    * count (SQL semantics) while `count` coalesces to 0 (GraphQL list
+    * semantics) — the same split gql_nested_agg pinned.
+    */
+  val gqlNestedDistinctQuery: String =
+    """{ nation(orderBy: ["n_nationkey"]) {
+         n_nationkey n_name
+         customer_agg { count countd_c_mktsegment } } }"""
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -269,6 +293,8 @@ object Dialects {
     "gql_agg_distinct" -> ((s, d) => GraphQL.run(s, d, gqlAggDistinctQuery)),
     "nl_nation_range" -> ((s, d) => NlToSql.run(s, d, nlNationRangeQuestion)),
     "gql_agg_page" -> ((s, d) => GraphQL.run(s, d, gqlAggPageQuery)),
+    "nl_topk_group_range" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupRangeQuestion)),
+    "gql_nested_distinct" -> ((s, d) => GraphQL.run(s, d, gqlNestedDistinctQuery)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -402,6 +428,16 @@ object Dialects {
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),
+    "nl_topk_group_range" -> NlToSql.translate(nlTopkGroupRangeQuestion),
+    "gql_nested_distinct" ->
+      """SELECT n_nationkey, n_name,
+         coalesce("count", 0) AS "count", countd_c_mktsegment
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, count(*) AS "count",
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS countd_c_mktsegment
+           FROM customer GROUP BY c_nationkey) agg
+           ON n_nationkey = c_nationkey
+         ORDER BY n_nationkey NULLS FIRST""",
     "gql_agg_page" ->
       """SELECT o_orderpriority, count(*) AS "count",
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice

@@ -253,6 +253,72 @@ class DialectSpec extends AnyFunSuite {
       full.slice(2, 4).map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("NL per-group leaderboard composes with the date range") {
+    // round 10 (nl_topk_group_range): the rank window must partition by
+    // the dimension AND the half-open range must sit in the innermost
+    // aggregate's WHERE (scan-pushable, below the window)
+    sources.TableRegistry.registerAll(spark, d)
+    val sql = NlToSql.translate(
+      "top 2 customers by total order price per status between 1995-01-01 and 1996-06-30")
+    assert(sql.contains("PARTITION BY o_orderstatus"))
+    assert(sql.contains(">= TIMESTAMP '1995-01-01 00:00:00'"))
+    assert(sql.contains("< TIMESTAMP '1996-07-01 00:00:00'")) // inclusive end day
+    val windowed = spark.sql(sql).collect()
+    assert(windowed.nonEmpty)
+    // at most 2 rows per status, totals descending within each group
+    windowed.groupBy(_.getString(0)).foreach { case (st, rows) =>
+      assert(rows.length <= 2, s"status $st emitted ${rows.length} rows")
+      rows.map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b); case _ => ()
+      }
+    }
+    // windowed per-(status, customer) total never exceeds the all-time
+    // total for the same pair (huge-n TopNPerDim = the unranged truth)
+    val allTime = spark.sql(NlToSql.translate(
+      "top 100000 customers by total order price per status")).collect()
+      .map(r => (r.getString(0), r.get(1)) -> r.getDouble(3)).toMap
+    windowed.foreach { r =>
+      assert(r.getDouble(3) <= allTime((r.getString(0), r.get(1))) + 1e-6)
+    }
+    // a range covering the whole orders date domain (FIXTURES.md:
+    // [1992-01-01, 2001-08-02)) must reproduce the unranged grouped
+    // leaderboard EXACTLY — composition degenerates to TopNPerDim
+    val fullRange = spark.sql(NlToSql.translate(
+      "top 2 customers by total order price per status between 1992-01-01 and 2001-08-01"))
+      .collect().map(r => (r.getString(0), r.get(1), r.getDouble(3))).toSeq
+    val unranged = spark.sql(NlToSql.translate(
+      "top 2 customers by total order price per status"))
+      .collect().map(r => (r.getString(0), r.get(1), r.getDouble(3))).toSeq
+    assert(fullRange === unranged)
+  }
+
+  test("GraphQL nested rollup supports distinct count (countd_ behind the join-back)") {
+    // round 10 (gql_nested_distinct): countd_ through the fk-grouped
+    // aggregate-then-join path must equal a directly-computed per-nation
+    // distinct count; parents with no children keep NULL (count -> 0)
+    sources.TableRegistry.registerAll(spark, d)
+    val rows = GraphQL.run(spark, d,
+      """{ nation(orderBy: ["n_nationkey"]) {
+           n_nationkey n_name
+           customer_agg { count countd_c_mktsegment } } }""").collect()
+    assert(rows.nonEmpty)
+    val direct = spark.sql(
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS d, count(*) AS n
+         FROM customer GROUP BY c_nationkey""").collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val key = r.get(0)
+      direct.get(key) match {
+        case Some((d2, n)) =>
+          assert(r.getLong(2) === n, s"nation $key count")
+          assert(r.getLong(3) === d2, s"nation $key distinct segments")
+        case None =>
+          assert(r.getLong(2) === 0L, s"childless nation $key count must be 0")
+          assert(r.isNullAt(3), s"childless nation $key countd must stay NULL")
+      }
+    }
+  }
+
   test("NL translator covers its grammar; SQL runs in Spark") {
     val sqls = Seq(
       "top 3 customers by total order price",
