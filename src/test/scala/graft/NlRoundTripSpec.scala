@@ -54,7 +54,15 @@ class NlRoundTripSpec extends AnyFunSuite {
     (m, ds(rnd.nextInt(ds.size)))
   }
 
-  private def genQuestion(): String = rnd.nextInt(17) match {
+  // per-group leaderboard combos: the per-dim must sit ON the measure's
+  // fact table (the TopNPerDim require), unlike the entity noun which
+  // routes through joinPath
+  private val perGroupCombos = Seq(
+    ("customers", "order price", Seq("status", "priority")),
+    ("suppliers", "quantity", Seq("return flag")),
+    ("parts", "quantity", Seq("return flag")))
+
+  private def genQuestion(): String = rnd.nextInt(21) match {
     case 16 =>
       // time-boxed leaderboard (round 9's TopNDateRange)
       val (e, m, _) = entityCombos(rnd.nextInt(entityCombos.size))
@@ -113,6 +121,27 @@ class NlRoundTripSpec extends AnyFunSuite {
           f"total $m by $dim where $dim is ${tok()} between $y-$m1%02d-01 and $y-$m2%02d-28"
         case None => s"total $m by $dim"
       }
+    case 17 =>
+      // two-hop star routing (round 10's off-fact TotalBy/AvgBy dim):
+      // nation reaches orders through customer
+      val agg = if (rnd.nextBoolean()) "total" else "average"
+      s"$agg order price by nation"
+    case 18 =>
+      // off-fact dim COMPOSED with the calendar range (nl_nation_range)
+      val y = 1995 + rnd.nextInt(6)
+      val m1 = 1 + rnd.nextInt(6); val m2 = m1 + rnd.nextInt(12 - m1)
+      f"total order price by nation between $y-$m1%02d-01 and $y-$m2%02d-28"
+    case 19 =>
+      // per-group leaderboard (nl_topk_per_group's TopNPerDim)
+      val (e, m, ds) = perGroupCombos(rnd.nextInt(perGroupCombos.size))
+      s"top ${1 + rnd.nextInt(10)} $e by total $m per ${ds(rnd.nextInt(ds.size))}"
+    case 20 =>
+      // per-group leaderboard COMPOSED with the calendar range
+      // (nl_topk_group_range's TopNPerDimDateRange)
+      val (e, m, ds) = perGroupCombos(rnd.nextInt(perGroupCombos.size))
+      val y = 1995 + rnd.nextInt(6)
+      val m1 = 1 + rnd.nextInt(6); val m2 = m1 + rnd.nextInt(12 - m1)
+      f"top ${1 + rnd.nextInt(10)} $e by total $m per ${ds(rnd.nextInt(ds.size))} between $y-$m1%02d-01 and $y-$m2%02d-28"
     case 13 =>
       // row counts: the entity noun must BE the dimension's own table
       // (requireEntityOn) — entity counting is the `unique` production
