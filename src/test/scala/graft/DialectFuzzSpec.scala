@@ -16,13 +16,21 @@ class DialectFuzzSpec extends AnyFunSuite {
 
   private val gqlSeeds = Seq(
     Dialects.gqlQuery, Dialects.gqlNestedQuery, Dialects.gqlPaginateQuery,
-    Dialects.gqlOrderDescQuery, Dialects.gqlAggQuery, Dialects.gqlHavingQuery)
+    Dialects.gqlOrderDescQuery, Dialects.gqlAggQuery, Dialects.gqlHavingQuery,
+    // round-9/10 surfaces: agg-field ordering, countd_ at the agg root,
+    // offset+limit through the agg root, countd_ inside a nested _agg
+    Dialects.gqlAggOrderQuery, Dialects.gqlAggDistinctQuery,
+    Dialects.gqlAggPageQuery, Dialects.gqlNestedDistinctQuery)
 
   private val nlSeeds = Seq(
     Dialects.nlQuestion, Dialects.nlAvgQuestion, Dialects.nlCountWhereQuestion,
     Dialects.nlTotalWhereQuestion,
     "which supplier had the highest total quantity in 1996",
-    "top 5 nations by number of customers")
+    "top 5 nations by number of customers",
+    // round-9/10 compositions: ranged leaderboards, off-fact routing,
+    // per-group ranking with a calendar window
+    Dialects.nlTopkRangeQuestion, Dialects.nlNationRangeQuestion,
+    Dialects.nlTopkGroupRangeQuestion)
 
   /** Seeded mutations: delete a char, duplicate a char, swap two chars,
     * insert a metacharacter, truncate at a random point.
@@ -47,7 +55,7 @@ class DialectFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("GraphQL translation survives 600 seeded mutations of real queries") {
+  test("GraphQL translation survives 1000 seeded mutations of real queries") {
     // stage 1 (parse) is deliberately lenient about identifiers — the
     // semantic stage (run: table/column/argument resolution, plan
     // building; lazy, so no job executes) is where corrupted names must
@@ -62,14 +70,15 @@ class DialectFuzzSpec extends AnyFunSuite {
         catch { case _: Exception => rejected += 1 }
       }
     }
-    assert(planned + rejected == 600)
+    val total = gqlSeeds.size * 100
+    assert(planned + rejected == total)
     // corruption must be DETECTABLE: a healthy majority of single-char
     // corruptions hit structure/names and get rejected somewhere
-    assert(rejected >= 300,
-      s"only $rejected/600 corrupted queries rejected — validation is weaker than expected")
+    assert(rejected >= total / 2,
+      s"only $rejected/$total corrupted queries rejected — validation is weaker than expected")
   }
 
-  test("NlToSql.translate survives 600 seeded mutations and stays gated") {
+  test("NlToSql.translate survives 900 seeded mutations and stays gated") {
     nlSeeds.zipWithIndex.foreach { case (q, i) =>
       mutations(q, 100, 99L + i).foreach { m =>
         try {
