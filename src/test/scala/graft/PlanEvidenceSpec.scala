@@ -266,6 +266,30 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"rank filter must pre-limit per-partition before the shuffle:\n$p")
   }
 
+  test("nl_topk_group_range: WindowGroupLimit survives the range composition; range reaches the scan") {
+    // round 10: composing the calendar range under the ranked window must
+    // not cost either scale property — the rank filter still pre-limits
+    // per-partition, and the half-open date predicate still pushes to the
+    // parquet scan (it sits in the innermost aggregate's WHERE, below the
+    // window)
+    val p = plan(operators.Dialects.queries("nl_topk_group_range")(spark, d))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filter must pre-limit per-partition before the shuffle:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      s"date range must reach the orders scan:\n$p")
+  }
+
+  test("gql_agg_page: offset+limit plan never materializes the full leaderboard") {
+    // round 10: pagination through the agg root is TakeOrderedAndProject
+    // over offset+limit rows (partial per-partition top-(o+l), one final
+    // merge) — never a global Sort of every group to the driver
+    val p = plan(operators.Dialects.queries("gql_agg_page")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"paged leaderboard must plan TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort in paged-leaderboard plan:\n$p")
+  }
+
   test("vec_dim_stats: dedup + one keyed aggregate over the explode, no join, no window") {
     val p = plan(VectorOps.queries("vec_dim_stats")(spark, d))
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
