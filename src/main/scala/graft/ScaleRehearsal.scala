@@ -61,6 +61,12 @@ object ScaleRehearsal {
 
   /** Deterministic per-replica letter permutation (MurmurHash3-keyed sort
     * of the alphabet — no RNG state, reproducible across runs/JVMs).
+    * Covers lowercase a-z only, so scaleDocuments lower()s the text first:
+    * otherwise uppercase/digit chars inside words would pass translate
+    * unchanged and reintroduce cross-replica shared char-grams (the
+    * quadratic-clique problem the permutation exists to prevent). The
+    * gram pipeline builds over lower(text) anyway, so lower() here is
+    * semantics-preserving for every consumer key.
     */
   private def charPerm(r: Int): String =
     alpha.toSeq.sortBy(c => scala.util.hashing.MurmurHash3.stringHash(s"$r:$c")).mkString
@@ -85,7 +91,10 @@ object ScaleRehearsal {
         // corpus while cross-replica gram overlap drops to chance — the
         // "corpus grows, duplication density constant" model the
         // rehearsal declares, now true for char-grams too.
-        translate(array_join(transform(split(col("text"), " "),
+        // lower() BEFORE translate: charPerm permutes a-z only, so any
+        // non-lowercase letter would otherwise escape the permutation
+        // (see charPerm scaladoc)
+        translate(array_join(transform(split(lower(col("text")), " "),
           w => concat(w, lit("·" + r))), " "), alpha, charPerm(r)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
@@ -180,8 +189,12 @@ object ScaleRehearsal {
     // the JSON path gets the same suffix discipline: a mode run invoked
     // with the default path must never silently overwrite the uniform
     // SCALECHECK.json (the EDGECHECK overwrite-trap class, round-9 ADVICE)
+    // the mode token is checked on the BASENAME only (round-10 advice): a
+    // path like /docs/SCALECHECK.json must still get the suffix, or a mode
+    // run silently overwrites the uniform record — the trap this guards
+    val outJsonName = new java.io.File(args(2)).getName.toLowerCase
     val outJson =
-      if (mode.nonEmpty && !args(2).toLowerCase.contains(mode)) {
+      if (mode.nonEmpty && !outJsonName.contains(mode)) {
         val dot = args(2).lastIndexOf('.')
         if (dot > 0) args(2).substring(0, dot) + "_" + mode + args(2).substring(dot)
         else args(2) + "_" + mode

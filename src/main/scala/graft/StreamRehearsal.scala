@@ -45,10 +45,14 @@ object StreamRehearsal {
     ("stream_session", streaming.Streams.session _, "complete"),
     ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update"),
     // dedupBatch's row_number form is batch-only; the stream form is
-    // watermarked dropDuplicates on the same key (state-bounded)
+    // watermarked dedup on the same key. dropDuplicates only evicts state
+    // when the watermark column is IN the dedup subset — with keys
+    // (user_id, event_type) alone its state is unbounded (round-10
+    // advice). dropDuplicatesWithinWatermark keeps the business keys AND
+    // bounds state by event time: the production shape this leg measures.
     ("stream_dedup",
       (e: DataFrame) => e.withWatermark("ts", "10 minutes")
-        .dropDuplicates("user_id", "event_type"), "append"),
+        .dropDuplicatesWithinWatermark("user_id", "event_type"), "append"),
     ("stream_custom_state", streaming.Streams.runningUserStats _, "update"),
     ("stream_tws", streaming.Streams.userRunningMax _, "update"))
 

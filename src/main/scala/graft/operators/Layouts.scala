@@ -59,6 +59,41 @@ object Layouts {
         .orderBy("l_returnflag")
     }),
 
+    /** Salted two-phase aggregation — join_skew_salted's aggregation twin
+      * (round-10 verdict item 1). Spark's map-side partial agg already
+      * absorbs hot GROUP keys for algebraic aggregates, but NOT for
+      * count(DISTINCT x) over a hot key: the distinct values themselves
+      * shuffle to the key's single reducer, so a 25%-hot key at 100 TB
+      * puts 25% of all distinct values on one task. The salt fixes that by
+      * being a HASH OF THE DISTINCT COLUMN: each distinct l_partkey lands
+      * in exactly one of 16 (flag, salt) buckets, so the per-bucket
+      * distinct counts are disjoint and their SUM is the exact global
+      * distinct count — phase 1 shuffles on (key, salt) (48 evenly-sized
+      * groups), phase 2 merges ≤ |keys|×16 partial rows. The algebraic
+      * aggregates (count/sum/min/max, and avg as sum÷count) merge through
+      * the same two phases, demonstrating the general salted-merge shape.
+      * Result provably equals the unsalted aggregate — the oracle IS the
+      * plain GROUP BY.
+      */
+    "agg_skew_salted" -> ((s, d) => {
+      val salted = lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_partkey")), lit(16)).cast("int"))
+      val partial = salted.groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+             sum(dec(col("l_quantity"))).as("pq"),
+             min(col("l_extendedprice")).as("pmin"),
+             max(col("l_extendedprice")).as("pmax"),
+             countDistinct(col("l_partkey")).as("pd"))
+      partial.groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n_rows"),
+             outDec(sum(col("pq"))).as("sum_qty"),
+             min(col("pmin")).as("min_price"),
+             max(col("pmax")).as("max_price"),
+             sum(col("pd")).as("n_parts"),
+             r4(sum(col("pq")).cast("double") / sum(col("pn"))).as("avg_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Hive-partitioned sink + pruned re-scan: the reader lists only the
       * o_orderstatus=F directory (explain: PartitionFilters, not a data
       * filter) — at scale this is the difference between touching 1/3 and
@@ -206,6 +241,15 @@ object Layouts {
            FROM lineitem GROUP BY 1) dim
          ON l_returnflag = d_flag
          GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
+    // the salted two-phase plan must equal the PLAIN aggregate — the
+    // oracle is deliberately the unsalted form
+    "agg_skew_salted" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         count(DISTINCT l_partkey) AS n_parts,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "join_bucketed" ->
       """SELECT p_brand,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,

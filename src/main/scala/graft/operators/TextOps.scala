@@ -698,7 +698,7 @@ object TextOps {
       // shuffle wrote >65 GB and died; at N=10^10 a single cap-df gram
       // would explode 8e14 pairs. √N is the IVF/coarseK balance applied
       // to postings: cap = max(20, ⌈0.28·√N⌉) bounds per-gram pair work
-      // at 0.0784·N while still growing without bound (the recall
+      // at cap²/2 = 0.0392·N while still growing without bound (the recall
       // property the round-8 fix bought). Families hotter than c/√N
       // prevalence are exactly the clique-heavy regime whose designed
       // posture is cluster/keep-best representation, not pair

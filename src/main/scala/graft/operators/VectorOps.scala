@@ -297,6 +297,74 @@ object VectorOps {
         .orderBy("q_id")
     }),
 
+    "knn_ann" -> ((s, d) => {
+      // ANN-backed kNN (round-10 verdict item 7): knn_label's 5-NN
+      // majority vote with the brute-force corpus scan replaced by the
+      // dedup_embed two-band SRP-LSH shortlist + exact cosine rerank.
+      // knn_label is the exact exemplar and stays brute-force by design;
+      // THIS is the plan a pipeline runs at 100 TB, where a per-query
+      // corpus scan is the cost driver: each query probes only its two
+      // band buckets (expected ≤125 members, hot buckets capped at 4×
+      // expected — a bucket that hot is non-discriminative geometry, not
+      // neighborhood), then reranks the shortlist exactly. Label
+      // agreement with the brute-force exemplar is spec-gated ≥95% on
+      // the planted-structure fixture (PlantedRecallSpec) — the index
+      // calibration a production pipeline runs before pointing the
+      // parameters at the full corpus.
+      val sig = emb(s, d).select(col("vec_id"),
+        expr(lshBandSpark(0)).as("s0"), expr(lshBandSpark(1)).as("s1"))
+      val wb = emb(s, d).agg(count(lit(1)).as("nv"))
+        .select(expr(bandBitsCase).as("wb"))
+      val keyed = sig.crossJoin(broadcast(wb))
+        .select(col("vec_id"), explode(array(
+          struct(lit(0L).as("band"),
+            expr("s0 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")),
+          struct(lit(1L).as("band"),
+            expr("s1 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")))).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .localCheckpoint(true) // 3 consumers: bucket counts, query probe, corpus side
+      val cap = emb(s, d).agg(count(lit(1)).as("nv"))
+        .select(expr(
+          s"CAST(4 * ceil(nv / CAST(shiftleft(1, $bandBitsCase) AS DOUBLE)) AS BIGINT)")
+          .as("bkt_cap"))
+      val okBuckets = keyed.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n_bkt"))
+        .crossJoin(broadcast(cap))
+        .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
+        .select("band", "bucket")
+      // merge-locked like dedup_embed: okBuckets and the corpus join-backs
+      // are corpus-proportional; only the O(1) query side and the 1-row
+      // wb/cap aggregates keep broadcast()
+      val capped = keyed.join(okBuckets.hint("merge"), Seq("band", "bucket"), "left_semi")
+      // query side is FIXED-SIZE (20 held-out ids × 2 bands — the
+      // knn_label broadcast discipline); the corpus streams map-side
+      // against it, so the probe is one shuffle-free pass
+      val qk = capped.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+      val cand = capped.filter(col("vec_id") >= 20)
+        .join(broadcast(qk), Seq("band", "bucket"))
+        .select("q_id", "vec_id")
+        .distinct() // OR-of-bands: one exact cosine per surviving pair
+      val qv = withNorm(s, d, "q_id", "qv", "q_norm").filter(col("q_id") < 20)
+        .select(col("q_id"), col("qv"), col("q_norm"), col("label").as("true_label"))
+      val cv = withNorm(s, d, "vec_id", "cv", "c_norm")
+        .select("vec_id", "cv", "c_norm", "label")
+      val w = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      val top5 = cand.join(cv.hint("merge"), "vec_id").join(broadcast(qv), "q_id")
+        .withColumn("cos", dot("qv", "cv") / (col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      top5.groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("true_label"), col("label").as("pred_label"), col("votes"))
+        .orderBy("q_id")
+    }),
+
     "dedup_embed" -> ((s, d) => {
       // bucketed-exact embedding near-dup: top-20 most-similar candidate
       // pairs (a<b). Round 9 replaced the corpus² all-pairs scan (the last
@@ -1097,6 +1165,51 @@ object VectorOps {
            SELECT q.q_id, q.true_label, c.vec_id, c.label,
              ${cosSql("q.qv", "c.cv")} AS cos
            FROM q CROSS JOIN c),
+         top5 AS (
+           SELECT * FROM (
+             SELECT q_id, true_label, vec_id, label,
+               row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
+             FROM scored)
+           WHERE rank <= 5),
+         votes AS (
+           SELECT q_id, true_label, label, count(*) AS votes FROM top5 GROUP BY 1, 2, 3)
+         SELECT q_id, true_label, label AS pred_label, votes FROM (
+           SELECT q_id, true_label, label, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC NULLS LAST, label NULLS FIRST) AS vr
+           FROM votes)
+         WHERE vr = 1
+         ORDER BY q_id NULLS FIRST""",
+    "knn_ann" ->
+      s"""WITH sig AS (
+           SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
+           FROM embeddings),
+         wb AS (
+           SELECT w, CAST(4 * ceil(nv / CAST(1 << w AS DOUBLE)) AS BIGINT) AS bkt_cap
+           FROM (SELECT nv, $bandBitsCase AS w
+                 FROM (SELECT count(*) AS nv FROM embeddings))),
+         keyed AS (
+           SELECT vec_id, 0 AS band, s0 % CAST(1 << w AS BIGINT) AS bucket
+           FROM sig, wb
+           UNION ALL
+           SELECT vec_id, 1 AS band, s1 % CAST(1 << w AS BIGINT) AS bucket
+           FROM sig, wb),
+         ok AS (
+           SELECT band, bucket
+           FROM (SELECT band, bucket, count(*) AS n_bkt
+                 FROM keyed GROUP BY 1, 2), wb
+           WHERE n_bkt BETWEEN 2 AND bkt_cap),
+         k2 AS (SELECT k.* FROM keyed k JOIN ok USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+           FROM k2 q JOIN k2 c
+             ON q.band = c.band AND q.bucket = c.bucket
+           WHERE q.vec_id < 20 AND c.vec_id >= 20),
+         scored AS (
+           SELECT cand.q_id, qe.label AS true_label, cand.vec_id, ce.label,
+             ${cosSql("qe.embedding", "ce.embedding")} AS cos
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.q_id
+           JOIN embeddings ce ON ce.vec_id = cand.vec_id),
          top5 AS (
            SELECT * FROM (
              SELECT q_id, true_label, vec_id, label,

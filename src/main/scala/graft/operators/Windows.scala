@@ -120,6 +120,79 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    "sessionize_bucketed" -> ((s, d) => {
+      // DAY-BUCKETED pre-split sessionize — the hot-entity escape hatch
+      // (round-10 verdict item 1; PERF.md §8.2): plain sessionize's
+      // per-user window sorts ONE entity's entire history in one task,
+      // measured safe only to ~10⁶ rows/entity. Sequence-dependent gap
+      // logic can't salt, but it CAN pre-split on (user, day) because day
+      // is monotone in ts: the global (ts, event_id) order is exactly the
+      // day-bucket orders concatenated, so sessions are decided locally
+      // per day-bucket and only the BUCKET-BOUNDARY merges (first local
+      // session of a day continuing the previous day's last) need a
+      // second pass — over SESSION rows (one per local session), never
+      // events. Three shuffles, all keyed: the (user, day) window, the
+      // session-level stitch window, and the (user, day, local_seq)
+      // merge-locked join-back (session map is corpus-proportional — the
+      // static-broadcast-OOM discipline). The hot task shrinks from
+      // |entity history| to |entity·day|. Result provably equals plain
+      // sessionize — the oracle IS sessionize's gaps-and-islands SQL.
+      val ev = events(s, d)
+      val us = unix_micros(col("ts"))
+      // phase 1: bucket-local session tag — sessionTag's exact flag
+      // expression, window keyed on (user_id, day). NULL ts → NULL day
+      // bucket, which sorts first like NULL ts does globally; its rows
+      // all have NULL prev_us, so each is its own session — identical to
+      // the unbucketed flag's NULL semantics.
+      val wLocal = Window.partitionBy("user_id", "__day")
+        .orderBy(col("ts"), col("event_id"))
+      val tagged = ev.withColumn("__day", to_date(col("ts")))
+        .withColumn("__prev_us", lag(us, 1).over(wLocal))
+        .withColumn("__new_local",
+          when(col("__prev_us").isNull || us - col("__prev_us") > sessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("__local_seq", sum(col("__new_local"))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__prev_us", "__new_local")
+      // phase 2: boundary stitch over ONE row per local session. A local
+      // session merges into its predecessor iff the boundary gap ≤ 4 h —
+      // within a bucket that's impossible by construction (local tagging
+      // split them at > 4 h), so no special first-of-bucket case is
+      // needed; chains (a session spanning 3+ days) fall out of the
+      // running sum. An empty calendar day between events is > 24 h > 4 h,
+      // so only the chronologically previous session matters.
+      val sessLocal = tagged
+        .groupBy(col("user_id"), col("__day"), col("__local_seq"))
+        .agg(min(us).as("__first_us"), max(us).as("__last_us"))
+      val wSess = Window.partitionBy("user_id")
+        .orderBy(col("__day"), col("__local_seq"))
+      val globalMap = sessLocal
+        .withColumn("__prev_last_us", lag(col("__last_us"), 1).over(wSess))
+        .withColumn("__new_global",
+          when(col("__prev_last_us").isNotNull && col("__first_us").isNotNull &&
+            col("__first_us") - col("__prev_last_us") <= sessionGapUs, 0L)
+            .otherwise(1L))
+        .withColumn("session_seq", sum(col("__new_global"))
+          .over(wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id").as("__m_uid"), col("__day").as("__m_day"),
+          col("__local_seq").as("__m_seq"), col("session_seq"))
+      tagged.join(globalMap.hint("merge"),
+          tagged("user_id") === col("__m_uid") &&
+            (tagged("__day") <=> col("__m_day")) &&
+            tagged("__local_seq") === col("__m_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (max(us) - min(us)).as("duration_us"),
+          count(lit(1)).as("n_events"),
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("exit_type"),
+          outDec(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     "win_fill_forward" -> ((s, d) => {
       // time-series gap-fill: sparse readings carried forward — the
       // sensor/metrics-pipeline staple. NULLs are synthesized
@@ -700,6 +773,35 @@ object Windows {
              FROM events e JOIN c ON e.user_id = c.user_id
              WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)"""
 
+  /** Shared by sessionize AND sessionize_bucketed: the bucketed plan's
+    * whole claim is exact equality with the plain gaps-and-islands
+    * definition, so both keys gate against the SAME SQL — any drift
+    * between the two Spark plans fails one of them.
+    */
+  private val sessionizeOracle =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, event_type, value,
+           lag(epoch_us(ts)) OVER w AS prev_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+       flagged AS (
+         SELECT *, CASE WHEN prev_us IS NULL
+                          OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
+         FROM marked),
+       numbered AS (
+         SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM flagged)
+       SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+         count(*) AS n_events,
+         min({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS entry_type,
+         max({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS exit_type,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+       FROM numbered GROUP BY 1, 2
+       ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST"""
+
   val oracles: Map[String, String] = Map(
     "win_streaks" ->
       """WITH o AS (
@@ -798,29 +900,8 @@ object Windows {
            ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
          FROM orders ORDER BY o_orderkey NULLS FIRST""",
-    "sessionize" ->
-      """WITH marked AS (
-           SELECT user_id, ts, event_id, event_type, value,
-             lag(epoch_us(ts)) OVER w AS prev_us
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
-         flagged AS (
-           SELECT *, CASE WHEN prev_us IS NULL
-                            OR epoch_us(ts) - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_s
-           FROM marked),
-         numbered AS (
-           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-           FROM flagged)
-         SELECT user_id, session_seq,
-           min(ts) AS session_start, max(ts) AS session_end,
-           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
-           count(*) AS n_events,
-           min({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS entry_type,
-           max({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS exit_type,
-           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
-         FROM numbered GROUP BY 1, 2
-         ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST""",
+    "sessionize" -> sessionizeOracle,
+    "sessionize_bucketed" -> sessionizeOracle,
     "win_fill_forward" ->
       """SELECT event_id, user_id, v,
          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST

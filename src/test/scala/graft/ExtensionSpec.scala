@@ -210,6 +210,59 @@ class ExtensionSpec extends AnyFunSuite {
     assert(sess.map(_._5).sum === Tables.events(spark, d).count())
   }
 
+  test("sessionize_bucketed: identical to sessionize; boundary sessions merge across day buckets") {
+    // on the real fixture first: the day-bucketed pre-split plan must be
+    // row-for-row identical to the plain gaps-and-islands definition
+    def run(key: String, dir: String) =
+      Windows.queries(key)(spark, dir).collect().toSeq
+    assert(run("sessionize_bucketed", d) === run("sessionize", d))
+
+    // then a handcrafted fixture that FORCES the cross-bucket cases the
+    // fixture may or may not contain: a midnight-spanning session, a
+    // 3-calendar-day chain (running-sum stitch, not just pairwise merge),
+    // and an empty day between events (> 24 h ⇒ split)
+    import java.sql.Timestamp
+    def t(day: Int, h: Int, m: Int) =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, day, h, m, 0))
+    val u1 = Seq( // one session crossing midnight, then a 5.5 h-gap session
+      (1L, t(1, 23, 0), 1L), (2L, t(1, 23, 30), 1L),
+      (3L, t(2, 0, 30), 1L), (4L, t(2, 1, 0), 1L), (5L, t(2, 6, 30), 1L))
+    val base2 = java.time.LocalDateTime.of(2024, 3, 3, 20, 0, 0)
+    val u2 = (0 until 14).map { k => // 14 events 3 h 50 m apart → one 49.8 h session
+      (100L + k, Timestamp.valueOf(base2.plusMinutes(230L * k)), 2L)
+    }
+    val u3 = Seq((200L, t(1, 10, 0), 3L), (201L, t(3, 10, 0), 3L)) // empty day 2
+    val dir = "target/sessionize-days"
+    (u1 ++ u2 ++ u3).map { case (id, ts, u) => (id, ts, u, "view", 1.5, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("sessionize_bucketed", dir)
+    assert(got === run("sessionize", dir))
+    val byUser = got.map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+      r.getTimestamp(3), r.getLong(5))).groupBy(_._1)
+    assert(byUser(1L).map(_._5).sorted === Seq(1L, 4L)) // 4-event midnight session + single
+    val mid = byUser(1L).find(_._5 == 4L).get
+    assert(mid._3.toLocalDateTime.getDayOfMonth !=
+      mid._4.toLocalDateTime.getDayOfMonth, s"session did not span midnight: $mid")
+    assert(byUser(2L).size === 1 && byUser(2L).head._5 === 14L) // 3-day chain intact
+    assert(byUser(3L).size === 2) // empty day splits
+  }
+
+  test("agg_skew_salted: salted two-phase plan equals the unsalted aggregate") {
+    import graft.Tables.{dec, outDec, r4}
+    val got = Layouts.queries("agg_skew_salted")(spark, d).collect().toSeq
+    val exp = Tables.lineitem(spark, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        outDec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        r4(sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(got === exp)
+  }
+
   test("dedup_cluster: cluster ids are min members; sizes consistent; covers all pair docs") {
     val pairs = TextOps.queries("dedup_minhash")(spark, d)
       .select($"a", $"b").distinct().as[(Long, Long)].collect()

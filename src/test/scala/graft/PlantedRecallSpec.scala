@@ -108,4 +108,53 @@ class PlantedRecallSpec extends AnyFunSuite {
     info(s"planted partners at rank 1: $found/10")
     assert(found >= 9, s"sim_ann_lsh planted-partner recall collapsed: $found/10 ($out)")
   }
+
+  /** Labeled-cluster fixture for the knn_ann ↔ knn_label agreement gate
+    * (round-10 verdict item 7). Each of the 20 queries (vec_id < 20 — the
+    * knn split) gets a 6-member planted neighborhood at cos 0.95..0.99,
+    * ALL carrying the query's cluster label (i % 5); 500 background
+    * vectors carry near-unique decoy labels (10 + id % 97) so background
+    * votes can never accumulate. Brute-force 5-NN therefore predicts the
+    * cluster label with 5/5 votes; the ANN path agrees unless LSH drops
+    * the ENTIRE 6-member neighborhood — per-member ≥1-band collision is
+    * ≈ 0.88 at cos 0.95 (2 bands × 4 bits), so a whole-cluster miss is
+    * ~1e-5 per query, and the deterministic seed makes the measured
+    * agreement a constant of the build.
+    */
+  private lazy val knnPlanted: String = {
+    val rnd = new scala.util.Random(421107L)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    def add(id: Long, v: Array[Double], label: Int): Unit =
+      rows += ((id, v.map(x => (x * 10.0).toFloat), label))
+    (0 until 20).foreach { i =>
+      val u = unitVec(rnd)
+      add(i.toLong, u, i % 5) // query (true_label = its own cluster)
+      (0 until 6).foreach { j =>
+        add(20L + 6 * i + j, perturb(u, 0.95 + 0.008 * j, rnd), i % 5)
+      }
+    }
+    (140 until 640).foreach(i => add(i.toLong, unitVec(rnd), 10 + i % 97))
+    val dir = "target/planted-knn"
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("knn_ann agrees with brute-force knn_label on >= 95% of planted queries") {
+    val dir = knnPlanted
+    def preds(key: String): Map[Long, Int] =
+      VectorOps.queries(key)(spark, dir)
+        .select($"q_id", $"pred_label").as[(Long, Int)].collect().toMap
+    val exact = preds("knn_label")
+    val ann = preds("knn_ann")
+    // sanity on the fixture itself: brute force must recover every
+    // cluster label, or the agreement gate below would be vacuous
+    (0 until 20).foreach(i =>
+      assert(exact(i.toLong) == i % 5,
+        s"fixture defect: brute-force 5-NN missed cluster $i (${exact.get(i.toLong)})"))
+    val agree = (0 until 20).count(i => ann.get(i.toLong).contains(exact(i.toLong)))
+    info(s"knn_ann/knn_label agreement: $agree/20")
+    assert(agree >= 19, s"ANN label agreement collapsed: $agree/20 (ann=$ann)")
+  }
 }
