@@ -17,14 +17,58 @@ import graft.Tables._
   *    `Aggregator[IN, BUF, OUT]` registered via `functions.udaf` — the
   *    typed custom-aggregate surface (merge() is the partition-combine
   *    path that makes it distribution-correct).
-  *  - `mm_meta` / `mm_decode_stub`: multimodal-column plumbing — text
-  *    bytes stand in for image/audio payloads (no codec libs in this
-  *    container, SURVEY/driver contract): a `binary` payload column with
-  *    typed metadata, and a partition-batched decode via `mapPartitions`
-  *    whose fake feature extraction is deterministic so the DuckDB oracle
-  *    can still check the plumbing end-to-end.
+  *  - `mm_meta` / `mm_decode` / `mm_resize`: multimodal-column plumbing.
+  *    mm_meta treats text bytes as an opaque payload; mm_decode/mm_resize
+  *    (round 11 — formerly the declared `_stub` stand-ins) decode REAL
+  *    pixels: each doc gets a deterministic 24-bit BMP payload encoded
+  *    through `javax.imageio` (the one codec the JDK ships offline), and
+  *    the feature step decodes it back with `ImageIO.read` in the
+  *    `mapPartitions` batch seam. BMP is lossless, so the decoded pixels
+  *    equal the generator formula — the DuckDB oracle recomputes the
+  *    expected checksums from that formula in pure SQL, which makes the
+  *    differential gate a bit-exactness proof of the encode→decode round
+  *    trip (a decoder that flipped rows — BMP stores bottom-up — swapped
+  *    channels, or mis-padded fails the position-weighted hash).
   */
 object Custom {
+
+  /** Deterministic per-doc test image: 24-bit BMP, dims 8..16 (w, h) and
+    * every pixel channel an integer formula of (doc_id, x, y) — both
+    * mirrorable in SQL (`Math.floorMod` ↔ ((e % m) + m) % m). Encoded
+    * through the real `javax.imageio` BMP writer, NOT hand-rolled bytes:
+    * mm_decode's `ImageIO.read` then exercises the genuine codec path.
+    * Probe-verified: byte length = 54 + h·ceil4(3w) and the pixel round
+    * trip is exact for TYPE_3BYTE_BGR.
+    */
+  private[graft] def makeBmp(docId: Long): Array[Byte] = {
+    val w = 8 + Math.floorMod(docId, 9L).toInt
+    val h = 8 + Math.floorMod(docId * 7, 9L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Math.floorMod(docId + 3L * x + 7L * y, 256L).toInt
+        val g = Math.floorMod(2L * x + 5L * y + 11L * docId, 256L).toInt
+        val b = Math.floorMod(x.toLong * y + docId, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** In-memory decode — no FileCacheImageInputStream temp files on the
+    * executor (setUseCache is a JVM-global; idempotent, safe per-task).
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+  }
 
   /** Classic DP Levenshtein — the Scala-UDF exemplar. */
   def levenshteinScala(a: String, b: String): Int = {
@@ -48,6 +92,10 @@ object Custom {
 
   /** Welford/Chan parallel variance buffer. */
   case class WelfordBuf(n: Long, mean: Double, m2: Double)
+
+  /** mm_decode's typed output row (Encoders.tuple caps at 5 fields). */
+  case class DecodedImage(doc_id: Long, n_bytes: Long, width: Long,
+                          height: Long, lum_sum: Long, px_hash: Long)
 
   /** Sample variance via Welford updates + Chan's pairwise merge — the
     * order-insensitive formulation that stays stable across any partition
@@ -122,51 +170,100 @@ object Custom {
             (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"))
         .orderBy("doc_id")),
 
-    "mm_decode_stub" -> ((s, d) => {
-      // partition-batched "decode": binary in → typed features out via
-      // mapPartitions (the Spark-side shape a real image/audio decoder
-      // plugs into; the byte math is the deterministic stand-in)
-      // decodable rows only: a NULL payload has no bytes to decode (the
-      // imperative byte math below would NPE) — oracle mirrors the WHERE
-      val src = documents(s, d)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .filter(col("payload").isNotNull)
-      implicit val enc: Encoder[(Long, Long, Long, Long)] =
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    "mm_decode" -> ((s, d) => {
+      // REAL pixel decode (round-10 verdict item 2; replaces the declared
+      // mm_decode_stub byte math): every doc carries a deterministic
+      // 24-bit BMP payload (makeBmp — encoded through javax.imageio), and
+      // the feature step decodes it back with ImageIO.read inside the
+      // mapPartitions batch seam, emitting decoded-pixel statistics: a
+      // luminance-channel sum and a position-weighted pixel hash. BMP is
+      // lossless, so the oracle recomputes both from the generator
+      // formula in pure SQL — the hash compare proves the codec round
+      // trip bit-exact (row order, channel order, padding). One unique
+      // decode per doc_id (distinct before the map — a re-ingested
+      // duplicate row must not decode twice); map-only until the
+      // presentation sort, embarrassingly parallel at 100 TB.
+      val src = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
+      implicit val enc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
       src.mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val head = bytes.take(8).map(_.toLong & 0xffL).sum
-          (id, bytes.length.toLong, if (bytes.isEmpty) -1L else (bytes(0).toLong & 0xffL), head)
+          val payload = makeBmp(id)
+          val img = decodeImage(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var lum = 0L
+          var posHash = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val rr = (rgb >> 16) & 0xff
+              val gg = (rgb >> 8) & 0xff
+              val bb = rgb & 0xff
+              lum += rr + gg + bb
+              posHash += (y.toLong * w + x + 1) * (3L * rr + 5L * gg + 7L * bb)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, payload.length.toLong, w.toLong, h.toLong, lum, posHash)
         }
-      }.toDF("doc_id", "n_bytes", "first_byte", "checksum8")
+      }.toDF()
         .orderBy("doc_id")
     }),
 
-    "mm_resize_stub" -> ((s, d) =>
-      // image-resize plumbing (the ViT/CLIP preprocessing shape): source
-      // dims come from payload metadata (deterministic stand-in where a
-      // header parse would plug in), the long edge is scaled to the 224
-      // budget with aspect preserved, and the patch count is what a
-      // vision encoder would tokenize into. EXACT integer arithmetic
-      // ((short·224) div long; ceil as (x+15) div 16) — the resize KERNEL
-      // is the stub; the schema, dim math, and per-row map-only plan are
-      // the real Spark-side work. Zero shuffles beyond the sort.
-      documents(s, d)
-        .select(col("doc_id"),
-          expr("octet_length(cast(text as binary))").cast(LongType).as("n_bytes"),
-          ascii(col("text")).cast(LongType).as("fb"))
-        .select(col("doc_id"),
-          (lit(64L) + col("n_bytes") % 960L).as("src_w"),
-          (lit(64L) + col("fb") % 540L).as("src_h"))
+    "mm_resize" -> ((s, d) => {
+      // image resize on REAL decoded pixels (round-10 verdict item 2;
+      // replaces the declared mm_resize_stub header math): source dims
+      // come from the ACTUAL decoded header (ImageIO.read of the same
+      // BMP payload mm_decode decodes), the ViT/CLIP dim math scales the
+      // long edge to the 224 budget with aspect preserved + 16px patch
+      // count, AND a real nearest-neighbor 16×16 thumbnail kernel runs
+      // over the decoded pixels (the image-dedup thumbnail shape),
+      // hashed position-weighted. Nearest-neighbor is exact integer
+      // sampling (sx = x·w div 16), so the oracle mirrors the whole
+      // kernel in SQL over the generator formula — the resize output is
+      // gate-checked pixel-for-pixel, not just its dims.
+      val src = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
+      implicit val enc: Encoder[(Long, Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong)
+      src.mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = decodeImage(makeBmp(id))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var thumbHash = 0L
+          var y = 0
+          while (y < 16) {
+            val sy = y * h / 16
+            var x = 0
+            while (x < 16) {
+              val sx = x * w / 16
+              val rgb = img.getRGB(sx, sy)
+              val rr = (rgb >> 16) & 0xff
+              val gg = (rgb >> 8) & 0xff
+              val bb = rgb & 0xff
+              thumbHash += (y.toLong * 16 + x + 1) * (3L * rr + 5L * gg + 7L * bb)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, thumbHash)
+        }
+      }.toDF("doc_id", "src_w", "src_h", "thumb_hash")
         .withColumn("dst_w",
           expr("CASE WHEN src_w >= src_h THEN 224L ELSE (src_w * 224) div src_h END"))
         .withColumn("dst_h",
           expr("CASE WHEN src_h >= src_w THEN 224L ELSE (src_h * 224) div src_w END"))
         .withColumn("n_patches",
           expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)"))
-        .orderBy("doc_id")),
+        .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "n_patches", "thumb_hash")
+        .orderBy("doc_id")
+    }),
 
     "mm_dedup_phash" -> ((s, d) => {
       // perceptual-hash near-dup detection for the binary modality — the
@@ -340,35 +437,56 @@ object Custom {
          md5(text) AS content_hash,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind
          FROM documents ORDER BY doc_id NULLS FIRST""",
-    "mm_resize_stub" ->
-      // identical integer dim math over the same payload metadata
-      """WITH m AS (SELECT doc_id,
-             64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS src_w,
-             64 + CAST(ascii(text) AS BIGINT) % 540 AS src_h
-           FROM documents),
-         r AS (SELECT doc_id, src_w, src_h,
-             CASE WHEN src_w >= src_h THEN 224 ELSE (src_w * 224) // src_h END AS dst_w,
-             CASE WHEN src_h >= src_w THEN 224 ELSE (src_h * 224) // src_w END AS dst_h
-           FROM m)
+    "mm_resize" ->
+      // the whole kernel mirrored in SQL over the generator formula: dims,
+      // ViT dim math, and the 16×16 nearest-neighbor thumbnail hash —
+      // `//` floors like Spark's `div` truncates (all operands ≥ 0 here);
+      // ((e % m) + m) % m mirrors Math.floorMod; integer sums CAST BIGINT
+      """WITH docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+         dims AS (SELECT doc_id,
+             8 + ((doc_id % 9) + 9) % 9 AS w,
+             8 + (((doc_id * 7) % 9) + 9) % 9 AS h
+           FROM docs),
+         thumb AS (SELECT doc_id, w, h, x.i AS x, y.i AS y,
+             (x.i * w) // 16 AS sx, (y.i * h) // 16 AS sy
+           FROM dims, range(0, 16) x(i), range(0, 16) y(i)),
+         px AS (SELECT doc_id, w, h, x, y,
+             ((doc_id + 3*sx + 7*sy) % 256 + 256) % 256 AS r,
+             ((2*sx + 5*sy + 11*doc_id) % 256 + 256) % 256 AS g,
+             ((sx*sy + doc_id) % 256 + 256) % 256 AS b
+           FROM thumb),
+         agg AS (SELECT doc_id, w, h,
+             CAST(sum((y*16 + x + 1) * (3*r + 5*g + 7*b)) AS BIGINT) AS thumb_hash
+           FROM px GROUP BY 1, 2, 3),
+         r AS (SELECT doc_id, w AS src_w, h AS src_h, thumb_hash,
+             CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS dst_w,
+             CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS dst_h
+           FROM agg)
          SELECT doc_id, src_w, src_h, dst_w, dst_h,
-           ((dst_w + 15) // 16) * ((dst_h + 15) // 16) AS n_patches
+           ((dst_w + 15) // 16) * ((dst_h + 15) // 16) AS n_patches, thumb_hash
          FROM r ORDER BY doc_id NULLS FIRST""",
-    "mm_decode_stub" ->
-      // byte-based (octet-level over encode(text), matching the Spark side's
-      // UTF-8 byte math) — round-1 ADVICE.md: the previous ascii/substr form
-      // was character-based and only agreed on ASCII-only fixtures, and
-      // list_sum over an empty range yields NULL (→ coalesce 0); integer
-      // list_sum returns HUGEINT (→ CAST BIGINT for the driver hash)
-      """SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-              ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT)
-              END AS BIGINT) AS first_byte,
-         CAST(coalesce(list_sum(list_transform(
-                range(1, least(8, octet_length(encode(text))) + 1),
-                i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS INT))),
-              0) AS BIGINT) AS checksum8
-         FROM documents WHERE text IS NOT NULL
+    "mm_decode" ->
+      // decoded-pixel checksums recomputed from the generator formula:
+      // BMP is lossless, so any Spark/oracle divergence means the codec
+      // round trip (or the decode loop) is not bit-exact. n_bytes is the
+      // exact BMP layout: 54-byte header + h rows padded to 4 bytes.
+      """WITH docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+         dims AS (SELECT doc_id,
+             8 + ((doc_id % 9) + 9) % 9 AS w,
+             8 + (((doc_id * 7) % 9) + 9) % 9 AS h
+           FROM docs),
+         px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y,
+             ((doc_id + 3*x.i + 7*y.i) % 256 + 256) % 256 AS r,
+             ((2*x.i + 5*y.i + 11*doc_id) % 256 + 256) % 256 AS g,
+             ((x.i*y.i + doc_id) % 256 + 256) % 256 AS b
+           FROM dims, range(0, 16) x(i), range(0, 16) y(i)
+           WHERE x.i < w AND y.i < h)
+         SELECT doc_id,
+           54 + h * ((w*3 + 3) // 4 * 4) AS n_bytes,
+           w AS width, h AS height,
+           CAST(sum(r + g + b) AS BIGINT) AS lum_sum,
+           CAST(sum((y*w + x + 1) * (3*r + 5*g + 7*b)) AS BIGINT) AS px_hash
+         FROM px GROUP BY doc_id, w, h
          ORDER BY doc_id NULLS FIRST"""
   )
 }

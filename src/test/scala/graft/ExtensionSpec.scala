@@ -735,9 +735,10 @@ class ExtensionSpec extends AnyFunSuite {
     ()
   }
 
-  test("mm_resize_stub: aspect preserved, long edge pinned to 224, patch grid consistent") {
-    val out = graft.functions.Custom.queries("mm_resize_stub")(spark, d).cache()
-    assert(out.count() === Tables.documents(spark, d).count())
+  test("mm_resize: aspect preserved, long edge pinned to 224, patch grid consistent") {
+    val out = graft.functions.Custom.queries("mm_resize")(spark, d).cache()
+    assert(out.count() ===
+      Tables.documents(spark, d).select("doc_id").na.drop().distinct().count())
     assert(out.filter(greatest($"dst_w", $"dst_h") =!= 224).count() === 0)
     assert(out.filter($"dst_w" > 224 || $"dst_h" > 224 || $"dst_w" < 1 || $"dst_h" < 1).count() === 0)
     // aspect ordering preserved: wider-than-tall stays wider-than-tall
@@ -749,15 +750,43 @@ class ExtensionSpec extends AnyFunSuite {
     ()
   }
 
-  test("mm_decode_stub features equal SQL-computed equivalents") {
-    val stub = graft.functions.Custom.queries("mm_decode_stub")(spark, d)
-    val sql = Tables.documents(spark, d).select(
-      $"doc_id",
-      expr("octet_length(cast(text as binary))").cast("long").as("n2"),
-      ascii($"text").cast("long").as("f2"),
-      expr("aggregate(transform(sequence(1, least(8, length(text))), i -> ascii(substring(text, i, 1))), CAST(0 AS BIGINT), (a, x) -> a + x)").as("c2"))
-    val joined = stub.join(sql, "doc_id")
-      .filter($"n_bytes" =!= $"n2" || $"first_byte" =!= $"f2" || $"checksum8" =!= $"c2")
-    assert(joined.count() === 0)
+  test("mm_decode: ImageIO round trip is bit-exact against the generator formula") {
+    import graft.functions.Custom
+    // direct kernel check, independent of the SQL oracle: encode, decode,
+    // compare EVERY pixel to the formula (a few representative ids)
+    Seq(0L, 1L, 17L, 4999L).foreach { id =>
+      val img = Custom.decodeImage(Custom.makeBmp(id))
+      val (w, h) = (img.getWidth, img.getHeight)
+      assert(w === 8 + Math.floorMod(id, 9L).toInt)
+      assert(h === 8 + Math.floorMod(id * 7, 9L).toInt)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val exp = (Math.floorMod(id + 3L * x + 7L * y, 256L).toInt << 16) |
+          (Math.floorMod(2L * x + 5L * y + 11L * id, 256L).toInt << 8) |
+          Math.floorMod(x.toLong * y + id, 256L).toInt
+        assert(rgb === exp, s"pixel ($x,$y) of doc $id decoded wrong")
+      }
+    }
+    // and the operator output matches a Spark-side SQL recomputation of
+    // the same formula (the oracle's logic, run in-engine)
+    val got = Custom.queries("mm_decode")(spark, d)
+    val exp = Tables.documents(spark, d).select($"doc_id").na.drop().distinct()
+      .withColumn("w", expr("8 + pmod(doc_id, 9)"))
+      .withColumn("h", expr("8 + pmod(doc_id * 7, 9)"))
+      .withColumn("x", explode(expr("sequence(0, CAST(w - 1 AS INT))")))
+      .withColumn("y", explode(expr("sequence(0, CAST(h - 1 AS INT))")))
+      .select($"doc_id", $"w", $"h",
+        expr("pmod(doc_id + 3*x + 7*y, 256)").as("r"),
+        expr("pmod(2*x + 5*y + 11*doc_id, 256)").as("g"),
+        expr("pmod(x*y + doc_id, 256)").as("b"),
+        expr("y*w + x + 1").as("pos"))
+      .groupBy("doc_id", "w", "h")
+      .agg(sum($"r" + $"g" + $"b").as("lum2"),
+        sum($"pos" * (lit(3) * $"r" + lit(5) * $"g" + lit(7) * $"b")).as("hash2"))
+    val bad = got.join(exp, "doc_id")
+      .filter($"width" =!= $"w" || $"height" =!= $"h" ||
+        $"lum_sum" =!= $"lum2" || $"px_hash" =!= $"hash2")
+    assert(bad.count() === 0)
+    assert(got.count() === exp.count())
   }
 }
