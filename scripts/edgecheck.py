@@ -25,7 +25,7 @@ SRC_SF = "/root/testdata/sf0.001"
 DATA = REPO / "target" / "edgedata"
 OUT = REPO / "target" / "edgeout"
 VARIANTS = ["nulls", "empty", "onerow", "dupkeys", "ties",
-            "nulls_ties", "dupkeys_nulls"]
+            "nulls_ties", "dupkeys_nulls", "unicode"]
 
 # Keys with an ENFORCED in-plan precondition that a variant deliberately
 # violates: the operator must fail LOUDLY with its own message (silent
@@ -43,6 +43,23 @@ EXPECTED_RAISE = {
     "dupkeys_nulls": {
         "dedup_rate_curve": "dense-from-zero",
         "tok_vocab_growth": "dense-from-zero",
+    },
+}
+
+
+# Cross-engine BUILTIN divergences that no SQL mirror can close: DuckDB's
+# levenshtein is BYTE-based while Spark's is CODE-POINT-based — equal on
+# ASCII (so the driver gate and every other variant still compare these
+# keys exactly), divergent by construction on multibyte text. DuckDB has
+# no char-level edit distance and RE2 no lookarounds to build one, so on
+# the unicode variant these keys downgrade to a ran-and-compared sanity
+# record with status "divergence" (NOT counted as bad, but visible in the
+# JSON); UnicodeSemanticsSpec pins the Spark-side code-point semantics the
+# library actually ships.
+KNOWN_DIVERGENT = {
+    "unicode": {
+        "udf_scalar": "DuckDB levenshtein is byte-based; Spark code-point",
+        "join_fuzzy": "DuckDB levenshtein is byte-based; Spark code-point",
     },
 }
 
@@ -100,6 +117,13 @@ def main():
                 info["status"] = "fail"
                 info["msg"] = (f"expected loud '{pat}' raise, got: "
                                + (info["msg"] or ""))[:300]
+        for k, reason in KNOWN_DIVERGENT.get(v, {}).items():
+            info = res.get(k)
+            if info and info["status"] == "fail":
+                info["status"] = "divergence"
+                info["msg"] = f"known cross-engine divergence: {reason}"
+            # error/missing stay bad: the allowlist excuses value
+            # DIVERGENCE only, never a key that failed to run
         counts = {}
         for k, info in res.items():
             counts[info["status"]] = counts.get(info["status"], 0) + 1

@@ -188,7 +188,59 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
+    // ---- movers: automatic warmth-vs-regression adjudication (round 11,
+    // verdict item 5). Two rounds running, a >1.5× per-key move on an
+    // UNTOUCHED key cost a manual isolation run to adjudicate (r9 dedup
+    // keys, r10 graph_triangles — both loop-order cache warmth, not plan
+    // regressions). Bench now does that adjudication itself: any shared
+    // key >1.5× its prior committed record (and above the 0.5 s noise
+    // floor the round-10 verdict used) is re-timed at END of run — caches
+    // cleared, its derived inputs re-materialized untimed first, exactly
+    // the manual keyed-isolation procedure — and both numbers land in a
+    // `movers` JSON section. isolated_s ≈ prior_s ⇒ warmth; isolated_s
+    // still elevated ⇒ investigate the plan. Prior record:
+    // SPARK_GRAFT_PRIOR, defaulting to the committed BENCH_local_sf0.1.json
+    // when benching the sf0.1 dir.
+    val priorPath: Option[String] = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
+      val f = new java.io.File("BENCH_local_sf0.1.json")
+      if (f.isFile && sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Some(f.getPath)
+      else None
+    }
+    val prior: Map[String, Double] = priorPath.map { p =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty[String, Double]
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf("}", qStart))
+        "\"([A-Za-z0-9_]+)\":([-+0-9.Ee]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+    val moverKeys = results.collect {
+      case (k, v) if !failures.contains(k) &&
+        prior.get(k).exists(pv => v > 1.5 * pv && v >= 0.5) => k
+    }.toSeq.sorted
+    val movers = moverKeys.map { k =>
+      derivedSpecs.foreach { case (_, consumers, run) =>
+        if (consumers(k)) { run(); () } // untimed input re-materialization
+      }
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(k)(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH MOVER RETIME FAILURE $k: ${e.getMessage}")
+      }
+      val iso = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.err.println(
+        f"BENCH MOVER $k: run=${results(k)}%.2f s prior=${prior(k)}%.2f s isolated=$iso%.2f s")
+      (k, results(k), prior(k), iso)
+    }
     val canaryPost = canarySeconds()
+    val ms = movers.map { case (k, run, pv, iso) =>
+      s"""\"$k\":{"run_s":$run,"prior_s":$pv,"isolated_s":$iso}"""
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.map(k => "\"" + k + "\"").mkString("[", ",", "]")
@@ -198,7 +250,8 @@ object Bench {
     // real work this run did, so the 2×-gate total keeps counting it
     val total = (if (results.nonEmpty) results.values.sum else 0.0) +
       derived.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
+    val priorJson = priorPath.map(p => "\"" + p + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"movers":$ms,"prior_record":$priorJson,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,7 +56,8 @@ object EdgeFixtures {
     *                     duplicates (the no-false-positive property).
     */
   val variants: Seq[String] =
-    Seq("nulls", "empty", "onerow", "dupkeys", "ties", "nulls_ties", "dupkeys_nulls")
+    Seq("nulls", "empty", "onerow", "dupkeys", "ties", "nulls_ties",
+      "dupkeys_nulls", "unicode")
 
   /** Load a table through the SAME canonical shims Verify uses, so the
     * variant parquet carries the post-shim types (µs timestamps for
@@ -88,6 +89,51 @@ object EdgeFixtures {
           case _ => when(h < 20, lit(null)).otherwise(col(f.name))
         }
         emptied.cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** `unicode` (round-10 verdict item 4): multibyte injection into every
+    * string column — the seven prior variants are pure ASCII, while the
+    * text family does byte math (hex/md5 checksums, substring grams,
+    * `\b` regexes, accent-fold translate), so a char-vs-byte or
+    * normalization divergence between the engines could never fail the
+    * harness. Injections CONCATENATE (never case-fold) four deterministic
+    * multibyte classes, prefix and suffix slots: 2-byte Latin accents, a
+    * COMBINING-accent cluster (é as e+U+0301 — NFC/NFD sensitivity), 3-byte
+    * CJK, and astral-plane chars (4-byte UTF-8; surrogate PAIRS in JVM
+    * UTF-16 — the class that breaks char-indexed code). `props` stays
+    * VALID JSON with the marks inside a string value: Spark's
+    * get_json_object returns NULL on malformed JSON where DuckDB's
+    * json_extract throws, so malformed props would measure error-handling
+    * divergence, not unicode handling.
+    */
+  private[graft] def withUnicode(df: DataFrame, spine: Seq[String]): DataFrame = {
+    val accents = "Ünïcødé "                 // 2-byte UTF-8
+    // e + U+0301 COMBINING ACUTE, explicitly DECOMPOSED via escape so an
+    // editor/normalizer can never silently NFC it to precomposed \u00e9
+    val combining = " cafe\u0301"
+    val cjk = "数据"                          // 3-byte UTF-8
+    // U+1D11E MUSICAL SYMBOL G CLEF + U+1F980 CRAB as surrogate-pair
+    // escapes (4-byte UTF-8 on disk, the class that breaks char-indexed code)
+    val astral = "\uD834\uDD1E\uD83E\uDD80"
+    val cols = df.schema.fields.map { f =>
+      if (spine.contains(f.name)) col(f.name)
+      else f.dataType match {
+        case StringType if f.name == "props" =>
+          val h = slot(spine, f.name)
+          when(h < 25, concat(lit("{\"ü\":\"" + astral + "\",\"k\":"),
+              pmod(h, lit(9L)).cast(StringType), lit("}")))
+            .otherwise(col(f.name)).as(f.name)
+        case StringType =>
+          val h = slot(spine, f.name)
+          when(h < 10, concat(lit(accents), col(f.name)))
+            .when(h < 20, concat(col(f.name), lit(combining)))
+            .when(h < 30, concat(lit(cjk), col(f.name), lit(cjk)))
+            .when(h < 40, concat(col(f.name), lit(astral)))
+            .otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
       }
     }
     df.select(cols.toSeq: _*)
@@ -144,6 +190,7 @@ object EdgeFixtures {
         case "nulls_ties" => withNulls(withTies(base, t), sp)
           .orderBy(xxhash64(spines(t).map(col): _*))
         case "dupkeys_nulls" => withNulls(dupkeys(base, sp), sp)
+        case "unicode" => withUnicode(base, sp)
       }
       // one *file* per table, exactly the driver-fixture layout (check.py's
       // DuckDB views read '<dir>/<t>.parquet' as a single file, not a glob):

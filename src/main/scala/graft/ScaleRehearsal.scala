@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * replicas collapse to the same graph — its row measures the ×k
   * pre-distinct scan volume, not iteration growth.
   *
-  * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew]
+  * Usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
+  *        [skew|skew50|docs|fact30]
   * (default scales 1,3,10). Writes <outBase>/x<k>/<table>.parquet —
   * documents/embeddings (vocabulary-shifted), the three re-keyed fact
   * tables, and the copied-unscaled dimension tables, so Tables.load
@@ -129,7 +130,7 @@ object ScaleRehearsal {
     */
   private def scaleFact(s: SparkSession, d: String, k: Int, table: String,
                         shiftCols: Seq[String],
-                        skew: Option[String]): DataFrame = {
+                        skew: Option[String], hotDen: Int): DataFrame = {
     val base = if (table == "events") Tables.events(s, d)
                else Tables.load(s, d, table)
     val reps = (0 until k).map { r =>
@@ -140,7 +141,7 @@ object ScaleRehearsal {
     val scaled = reps.reduce(_ unionByName _)
     skew.fold(scaled) { hotCol =>
       scaled.withColumn(hotCol,
-        when(pmod(xxhash64(col(shiftCols.head), col(hotCol)), lit(4)) === 0,
+        when(pmod(xxhash64(col(shiftCols.head), col(hotCol)), lit(hotDen)) === 0,
           lit(0L).cast(scaled.schema(hotCol).dataType))
           .otherwise(col(hotCol)))
     }
@@ -169,20 +170,36 @@ object ScaleRehearsal {
     "agg_group_multi", "join_asof", "market_basket", "graph_bfs",
     "graph_pagerank", "rfm_segments", "q_waiting_suppliers",
     "q_shipping_priority", "concurrency_peak", "sessionize",
-    "funnel_conversion", "win_ntile")
+    "funnel_conversion", "win_ntile",
+    // round 11: the hot-entity escape hatches next to their plain twins —
+    // the skew50 leg reads sessionize vs sessionize_bucketed side by side
+    "sessionize_bucketed", "agg_skew_salted")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [skew|docs]")
+      "usage: graft.ScaleRehearsal <srcSfDir> <outBase> <outJson> " +
+        "[k1,k2,...] [skew|skew50|docs|fact30]")
     val src = args(0)
     val mode = if (args.length > 4) args(4) else ""
-    require(mode == "" || mode == "skew" || mode == "docs", s"unknown mode: $mode")
-    val skewMode = mode == "skew"
+    require(Seq("", "skew", "skew50", "docs", "fact30").contains(mode),
+      s"unknown mode: $mode")
+    // skew50 (round 11, verdict item 1): the 25% leg measured a constant
+    // ~0.9-1.5× penalty; the HOTTER fraction is where per-entity-serial
+    // plans (sessionize's one-task user sort) must diverge from their
+    // pre-split twins (sessionize_bucketed) — the row that proves the
+    // escape hatch earns its keep.
+    val skewMode = mode.startsWith("skew")
+    val hotDen = if (mode == "skew50") 2 else 4 // hot fraction = 1/hotDen
     // docs mode (round 10): documents/embeddings family ONLY — the ×30
-    // point for the dedup/ANN keys. Fact ×30 won't fit the sandbox, and
-    // the docs dirs must not masquerade as full uniform dirs (they carry
-    // no fact tables), so the mode gets its own tree + JSON like skew.
+    // point for the dedup/ANN keys; fact30 (round 11, verdict item 6):
+    // the fact-family ×30 point (fixtures are MBs — the round-10 "×30
+    // doesn't fit" was dedup_ngram's shuffle spill, since fixed, not
+    // input volume). Mode dirs must not masquerade as full uniform dirs
+    // (each carries only its family's tables), so every mode gets its
+    // own tree + JSON.
     val docsMode = mode == "docs"
+    val fact30Mode = mode == "fact30"
+    val factsOnly = skewMode || fact30Mode
     // mode corpora land in their own directory tree: a mode run must
     // never silently poison a uniform run's cached x<k> tables
     val outBase = if (mode.isEmpty) args(1) else args(1) + "-" + mode
@@ -212,12 +229,13 @@ object ScaleRehearsal {
 
     val sb = new StringBuilder
     sb.append("{\"src\":\"").append(src).append("\"")
-    if (skewMode) sb.append(",\"mode\":\"skew\",\"hot_frac\":0.25")
+    if (skewMode) sb.append(s""",\"mode\":\"$mode\",\"hot_frac\":${1.0 / hotDen}""")
     if (docsMode) sb.append(",\"mode\":\"docs\"")
+    if (fact30Mode) sb.append(",\"mode\":\"fact30\"")
     sb.append(",\"scales\":{")
     scales.zipWithIndex.foreach { case (k, si) =>
       val dir = s"$outBase/x$k"
-      if (!skewMode) {
+      if (!factsOnly) {
         scaleDocuments(spark, src, k).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
         scaleEmbeddings(spark, src, k).write.mode("overwrite")
@@ -227,7 +245,7 @@ object ScaleRehearsal {
         // fact side: re-keyed ×k replicas; dims copied unscaled
         factTables.foreach { case (t, cols, hotCol) =>
           scaleFact(spark, src, k, t, cols,
-            if (skewMode) Some(hotCol) else None).write.mode("overwrite")
+            if (skewMode) Some(hotCol) else None, hotDen).write.mode("overwrite")
             .parquet(s"$dir/$t.parquet")
         }
         dimTables.foreach { t =>
@@ -238,19 +256,20 @@ object ScaleRehearsal {
 
       val nLi = if (docsMode) 0L
                 else spark.read.parquet(s"$dir/lineitem.parquet").count()
-      val nDocs = if (skewMode) 0L
+      val nDocs = if (factsOnly) 0L
                   else spark.read.parquet(s"$dir/documents.parquet").count()
       System.err.println(s"[scale] x$k: $nDocs docs, $nLi lineitems" +
-        (if (skewMode) " (skewed, hot_frac=0.25)" else "") +
-        (if (docsMode) " (docs family only)" else ""))
+        (if (skewMode) s" (skewed, hot_frac=${1.0 / hotDen})" else "") +
+        (if (docsMode) " (docs family only)" else "") +
+        (if (fact30Mode) " (fact family only)" else ""))
 
       // fan-out artifacts first (timed separately, same as Bench's
       // derived_s discipline — their cost would otherwise land on the
-      // first consumer key); skew mode touches no document artifacts
+      // first consumer key); facts-only modes touch no document artifacts
       val t0 = System.nanoTime()
-      val nBandPairs = if (skewMode) 0L
+      val nBandPairs = if (factsOnly) 0L
         else operators.Derived.bandPairs(spark, dir).count()
-      val nShPairs = if (skewMode) 0L
+      val nShPairs = if (factsOnly) 0L
         else operators.Derived.shinglePairStats(spark, dir).count()
       val derivedS = (System.nanoTime() - t0) / 1e9
 

@@ -25,8 +25,14 @@ import org.apache.spark.sql.streaming.Trigger
   * Plans measured: the windowed aggregations (tumbling/sliding/session),
   * the watermarked count (update mode — the production shape), streaming
   * dedup, and both arbitrary-state operators (flatMapGroupsWithState
-  * running stats; transformWithState running max on RocksDB). Sink is
-  * `noop`: the measurement wants plan + state cost, not sink cost.
+  * running stats; transformWithState running max on RocksDB). Round 11
+  * closes the coverage gap the round-10 verdict named (item 3): the
+  * stream-stream interval join (the one whose state can grow
+  * super-linearly with event rate), the stream-static broadcast
+  * enrichment, the per-window top-k state operator, and the foreachBatch
+  * production write path. Sink is `noop` except stream_foreach_batch,
+  * whose POINT is the sink: it overwrites a parquet target per batch, so
+  * its trigger durations include the real write cost.
   *
   * Usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]
   * (default scales 1,10). JSON: per scale, per key — batch count, input
@@ -38,12 +44,15 @@ object StreamRehearsal {
   private val NFiles = 16          // fixed: events-per-batch scales with ×k
   private val FilesPerTrigger = 4  // → 4 measured micro-batches per run
 
-  /** (key, plan, outputMode) — modes match StreamingSpec's proven ones. */
-  private def plans: Seq[(String, DataFrame => DataFrame, String)] = Seq(
-    ("stream_tumbling", streaming.Streams.tumbling _, "complete"),
-    ("stream_sliding", streaming.Streams.sliding _, "complete"),
-    ("stream_session", streaming.Streams.session _, "complete"),
-    ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update"),
+  /** (key, plan, outputMode, sink) — modes match StreamingSpec's proven
+    * ones; sink is "noop" except the foreachBatch write-path leg.
+    */
+  private def plans(spark: SparkSession, src: String)
+      : Seq[(String, DataFrame => DataFrame, String, String)] = Seq(
+    ("stream_tumbling", streaming.Streams.tumbling _, "complete", "noop"),
+    ("stream_sliding", streaming.Streams.sliding _, "complete", "noop"),
+    ("stream_session", streaming.Streams.session _, "complete", "noop"),
+    ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update", "noop"),
     // dedupBatch's row_number form is batch-only; the stream form is
     // watermarked dedup on the same key. dropDuplicates only evicts state
     // when the watermark column is IN the dedup subset — with keys
@@ -52,9 +61,33 @@ object StreamRehearsal {
     // bounds state by event time: the production shape this leg measures.
     ("stream_dedup",
       (e: DataFrame) => e.withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("user_id", "event_type"), "append"),
-    ("stream_custom_state", streaming.Streams.runningUserStats _, "update"),
-    ("stream_tws", streaming.Streams.userRunningMax _, "update"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type"), "append", "noop"),
+    ("stream_custom_state", streaming.Streams.runningUserStats _, "update", "noop"),
+    ("stream_tws", streaming.Streams.userRunningMax _, "update", "noop"),
+    // round-11 additions (verdict item 3):
+    ("stream_window_topk", streaming.Streams.windowTopKStream _, "update", "noop"),
+    // the static dim is the REAL fixture customer table — re-planned
+    // broadcast per batch, the lookup-enrichment shape; replica users
+    // (offset ids) probe-miss it, so match density stays constant in ×k
+    // while the probe cost grows with the batch, the honest scaling
+    ("stream_join_static", (e: DataFrame) =>
+      streaming.Streams.staticEnrich(e, Tables.customer(spark, src)),
+      "complete", "noop"),
+    // stream-stream self-join of the file source: clicks ⋈ same-user
+    // purchases within the 10 minutes before — both sides watermarked so
+    // join state is bounded; THE key whose state can grow super-linearly
+    // with event rate, per-replica user offsets keep its true output
+    // linear in ×k (see scaleEvents)
+    ("stream_interval_join", (e: DataFrame) => {
+      val c = e.filter(col("event_type") === "click")
+        .withWatermark("ts", "10 minutes")
+      val p = e.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "10 minutes")
+      streaming.Streams.intervalJoin(c, p)
+    }, "append", "noop"),
+    // the production write path: per-batch parquet overwrite — trigger
+    // durations here INCLUDE the sink, by design
+    ("stream_foreach_batch", streaming.Streams.tumbling _, "complete", "foreachBatch"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -81,9 +114,17 @@ object StreamRehearsal {
     scales.zipWithIndex.foreach { case (k, si) =>
       val dir = s"$outBase/x$k/events.parquet"
       val base = Tables.events(spark, src)
+      // round 11: replicas offset user_id as well as event_id — with the
+      // user spine shared, every replica's clicks matched every replica's
+      // purchases at the SAME ts, so the interval join's true output grew
+      // ×k² (the char-gram-clique dishonesty class, PERF.md §8.3) and
+      // per-user state ops measured k× density on constant users instead
+      // of the declared "corpus grows, per-entity density constant" model
       val reps = (0 until k).map { r =>
         if (r == 0) base
-        else base.withColumn("event_id", col("event_id") + lit(r * Off))
+        else base
+          .withColumn("event_id", col("event_id") + lit(r * Off))
+          .withColumn("user_id", col("user_id") + lit(r * Off))
       }
       // exactly NFiles part files regardless of ×k — a trigger's file
       // quota then carries ×k the rows as the corpus grows
@@ -92,14 +133,20 @@ object StreamRehearsal {
       val nEvents = spark.read.parquet(dir).count()
       System.err.println(s"[stream] x$k: $nEvents events in $NFiles files")
 
-      val keyJson = plans.map { case (key, plan, mode) =>
-        val q = plan(streaming.Streams.readEventsStream(spark, dir,
+      val keyJson = plans(spark, src).map { case (key, plan, mode, sink) =>
+        val writer = plan(streaming.Streams.readEventsStream(spark, dir,
             Some(FilesPerTrigger)))
           .writeStream
-          .format("noop")
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
-          .start()
+        val q = sink match {
+          case "foreachBatch" =>
+            val fbOut = s"$outBase/x$k/fb_out"
+            writer.foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(fbOut)
+            }.start()
+          case _ => writer.format("noop").start()
+        }
         q.awaitTermination()
         val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
         val durs = prog.map(_.durationMs.get("triggerExecution").toLong).sorted

@@ -163,4 +163,31 @@ object Tables {
     * both engines.
     */
   def r4(c: Column): Column = round(c.cast(DoubleType), 4)
+
+  /** Exact HALF-UP 4-dp average of an exact scale-4 decimal sum — DOUBLE
+    * output. round() on a DOUBLE quotient is engine-divergent at exact
+    * 4-dp half-points: Spark rounds the SHORTEST-STRING decimal of the
+    * double (BigDecimal.valueOf → "53396.11375" → HALF_UP → .1138) while
+    * DuckDB rounds the full binary value (53396.1137499999… → .1137) —
+    * found by the round-11 unicode edge variant the first time a
+    * regrouped fixture produced an exact half (q_pricing_summary,
+    * sum 427168.9100 / 8). Scaled-integer arithmetic makes the half-point
+    * deterministic and identical in both engines:
+    * avg₄ = (2·s₄ + n) div (2·n) in 1e-4 units, s₄ = sum·10⁴ (exact —
+    * the sum has scale 4). Domain: non-negative sums (integer div == the
+    * HALF_UP direction only for s₄ ≥ 0 — true of every money/quantity
+    * column here) and |sum·10⁴| < 2⁶³. The oracle mirrors with `//`;
+    * a NULL (all-NULL-group) sum stays NULL in both.
+    *
+    * @param sumExpr SQL for the exact scale-4 decimal sum aggregate
+    * @param nExpr   SQL for the divisor aggregate (count(1), sum(pn), …)
+    */
+  def avg4(sumExpr: String, nExpr: String): Column =
+    expr(s"CAST((2 * CAST(($sumExpr) * 10000 AS BIGINT) + ($nExpr)) div " +
+      s"(2 * ($nExpr)) AS DOUBLE) / 10000.0")
+
+  /** The DuckDB mirror of [[avg4]] (`//` floors; same scaled-int path). */
+  def avg4Duck(sumExpr: String, nExpr: String): String =
+    s"CAST((2 * CAST(($sumExpr) * 10000 AS BIGINT) + ($nExpr)) // " +
+      s"(2 * ($nExpr)) AS DOUBLE) / 10000.0"
 }

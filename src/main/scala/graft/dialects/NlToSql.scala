@@ -307,13 +307,16 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible); the FILTER dim stays on the fact
+      require(ftable == fact, s"filter dimension not on $fact")
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact
+         FROM ${factFrom(table, fact)}
          WHERE $fcol = ${sqlLit(value)}
            AND $dateCol >= TIMESTAMP '$from 00:00:00'
            AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
@@ -387,10 +390,13 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible); the FILTER dim stays on the fact
+      require(ftable == fact, s"filter dimension not on $fact")
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact WHERE $fcol IN (${sqlLit(v1)}, ${sqlLit(v2)})
+         FROM ${factFrom(table, fact)} WHERE $fcol IN (${sqlLit(v1)}, ${sqlLit(v2)})
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByLastDays(measure, d, n) =>
       // relative time: "total event value by event type in the last 30
@@ -403,7 +409,9 @@ object NlToSql {
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
-      require(table == fact, s"dimension $d not on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val anchor = nowAnchor.getOrElse(fact,
@@ -411,7 +419,7 @@ object NlToSql {
       val start = java.time.LocalDate.parse(anchor).minusDays(n.toLong)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact
+         FROM ${factFrom(table, fact)}
          WHERE $dateCol >= TIMESTAMP '$start 00:00:00'
            AND $dateCol < TIMESTAMP '$anchor 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
@@ -428,11 +436,14 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(if (fdimWhere != null) fdimWhere else fdimExcl)
-      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible); the FILTER dim stays on the fact
+      require(ftable == fact, s"filter dimension not on $fact")
       val vals = Seq(Option(v1), Option(v2)).flatten.map(sqlLit).mkString(", ")
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact WHERE $fcol NOT IN ($vals)
+         FROM ${factFrom(table, fact)} WHERE $fcol NOT IN ($vals)
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByYear(measure, d, year) =>
       // calendar-year filter on the fact's canonical event-time column:
@@ -442,13 +453,15 @@ object NlToSql {
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
-      require(table == fact, s"dimension $d not on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val (y0, y1) = (year.toInt, year.toInt + 1)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact
+         FROM ${factFrom(table, fact)}
          WHERE $dateCol >= TIMESTAMP '$y0-01-01 00:00:00'
            AND $dateCol < TIMESTAMP '$y1-01-01 00:00:00'
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
@@ -462,11 +475,13 @@ object NlToSql {
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
-      require(table == fact, s"dimension $d not on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible)
       val op = if (dir.toLowerCase == "above") ">" else "<"
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact GROUP BY $dcol
+         FROM ${factFrom(table, fact)} GROUP BY $dcol
          HAVING sum(CAST($mcol AS DECIMAL(18,4))) $op $n
          ORDER BY $dcol NULLS FIRST"""
     case ShareBy(entity, dname) =>
@@ -492,10 +507,12 @@ object NlToSql {
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
-      require(table == fact, s"dimension $d not on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible)
       val fn = if (which.toLowerCase == "maximum") "max" else "min"
       s"""SELECT $dcol, $fn($mcol) AS extreme
-         FROM $fact GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+         FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByTwoDims(measure, d1, d2) =>
       // multi-dimension group-by: "total order price by market segment
       // and status" — dimensions may live on the fact table or one
@@ -555,20 +572,26 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible); the FILTER dim stays on the fact
+      require(ftable == fact, s"filter dimension not on $fact")
       s"""SELECT $dcol,
          round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg
-         FROM $fact WHERE $fcol = ${sqlLit(value)}
+         FROM ${factFrom(table, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByWhere(measure, d, fdim, value) =>
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      require(table == fact && ftable == fact, s"dimensions must be on $fact")
+      // group dim routes through the star schema (round 11: the NL
+      // matrix fuzzer found this modifier x cross-table-dim composition
+      // unproducible); the FILTER dim stays on the fact
+      require(ftable == fact, s"filter dimension not on $fact")
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $fact WHERE $fcol = ${sqlLit(value)}
+         FROM ${factFrom(table, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case other => translateBase(other.toLowerCase)
   }

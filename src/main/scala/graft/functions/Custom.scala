@@ -70,9 +70,17 @@ object Custom {
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
   }
 
-  /** Classic DP Levenshtein — the Scala-UDF exemplar. */
+  /** Classic DP Levenshtein — the Scala-UDF exemplar. Runs over CODE
+    * POINTS, not UTF-16 chars (round 11, unicode edge variant): Spark's
+    * native levenshtein counts code points, so a char-indexed DP would
+    * diverge from it on astral-plane text (a surrogate pair is 2 chars
+    * but 1 code point) — and the whole point of udf_scalar is
+    * UDF == native.
+    */
   def levenshteinScala(a: String, b: String): Int = {
-    val (m, n) = (a.length, b.length)
+    val ac = a.codePoints().toArray
+    val bc = b.codePoints().toArray
+    val (m, n) = (ac.length, bc.length)
     var prev = Array.tabulate(n + 1)(identity)
     var cur = new Array[Int](n + 1)
     var i = 1
@@ -80,7 +88,7 @@ object Custom {
       cur(0) = i
       var j = 1
       while (j <= n) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (ac(i - 1) == bc(j - 1)) 0 else 1
         cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
         j += 1
       }

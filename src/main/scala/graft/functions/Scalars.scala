@@ -222,14 +222,27 @@ object Scalars {
             lit(".example.com/c/"),
             col("c_custkey"), lit("?id="), col("c_custkey") % 13, lit("&ref=mail")))
         .select(col("c_custkey"), col("url"),
-          expr("parse_url(url, 'HOST')").as("host"),
-          expr("parse_url(url, 'PATH')").as("path"),
-          expr("parse_url(url, 'QUERY', 'id')").as("id_param"))
+          // try_ variants (round 11, unicode edge variant): ANSI parse_url
+          // THROWS on an invalid URI (a space in the authority kills the
+          // whole job on one dirty row) — crawl URLs are dirty, so the
+          // production posture is NULL-on-invalid, the fn_try discipline.
+          // java.net.URI semantics the oracle mirrors: a space anywhere →
+          // invalid (all parts NULL); a non-ASCII char in the authority →
+          // URI parses registry-based, so HOST is NULL but PATH/QUERY
+          // still extract.
+          expr("try_parse_url(url, 'HOST')").as("host"),
+          expr("try_parse_url(url, 'PATH')").as("path"),
+          expr("try_parse_url(url, 'QUERY', 'id')").as("id_param"))
         .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
     "fn_string" ->
+      // rev: DuckDB's reverse() is grapheme-cluster-aware while Spark's is
+      // code-point-based (divergent on combining accents — unicode edge
+      // variant, round 11); the split/list_reverse form is the exact
+      // code-point mirror (astral chars stay intact: RE2 splits on code
+      // points, not UTF-16 units)
       """SELECT p_partkey,
          upper(p_name) AS up, lower(p_brand) AS lo,
          length(p_name) AS len,
@@ -243,7 +256,7 @@ object Scalars {
          lpad(p_brand, 12, '*') AS lpadded,
          rpad(p_type, 10, '.') AS rpadded,
          strpos(p_name, 'e') AS pos_e,
-         reverse(p_name) AS rev
+         array_to_string(list_reverse(regexp_split_to_array(p_name, '')), '') AS rev
          FROM part ORDER BY p_partkey NULLS FIRST""",
     "fn_regex" ->
       """SELECT c_custkey,
@@ -367,10 +380,19 @@ object Scalars {
          CAST(json_extract(nullif(props, ''), '$.k') AS INTEGER) AS k_int
          FROM events ORDER BY event_id NULLS FIRST""",
     "fn_url" ->
+      // mirrors try_parse_url's java.net.URI semantics (round 11, unicode
+      // edge variant): a space anywhere → invalid URI → every part NULL;
+      // a non-ASCII char in the authority → registry-based parse → HOST
+      // NULL while PATH/QUERY still extract
       """SELECT c_custkey, url,
-         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
-         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
-         regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+         CASE WHEN url LIKE '% %'
+                OR regexp_matches(regexp_extract(url, '^[a-z]+://([^/?#]*)', 1), '[^\x00-\x7f]')
+              THEN NULL
+              ELSE regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) END AS host,
+         CASE WHEN url LIKE '% %' THEN NULL
+              ELSE regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) END AS path,
+         CASE WHEN url LIKE '% %' THEN NULL
+              ELSE regexp_extract(url, '[?&]id=([^&#]*)', 1) END AS id_param
          FROM (SELECT c_custkey,
                  'https://' || coalesce(nullif(lower(c_mktsegment), ''), 'na')
                    || '.example.com/c/' ||

@@ -37,7 +37,9 @@ object Aggregates {
         outDec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
         outDec(sum(dec(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
         outDec(sum(dec(col("l_extendedprice")) * factor)).as("sum_charge"),
-        r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        // avg4, not r4(sum/count): double round() half-points are
+        // engine-divergent (see Tables.avg4 — round-11 unicode variant)
+        avg4("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(1)").as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -48,7 +50,7 @@ object Aggregates {
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       CAST((2 * CAST((sum(CAST(l_quantity AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_qty,
        count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,8 +81,9 @@ object Aggregates {
     "agg_avg" -> ((s, d) =>
       lineitem(s, d).groupBy("l_linestatus")
         .agg(
-          r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-          r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"))
+          // avg4 (exact half-up), not r4(sum/count) — see Tables.avg4
+          avg4("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(1)").as("avg_qty"),
+          avg4("sum(CAST(l_extendedprice AS DECIMAL(18,4)))", "count(1)").as("avg_price"))
         .orderBy("l_linestatus")),
     "agg_having" -> ((s, d) =>
       orders(s, d).groupBy("o_custkey")
@@ -617,9 +620,9 @@ object Aggregates {
          min(l_shipdate) AS first_ship
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "agg_avg" ->
-      """SELECT l_linestatus,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price
+      s"""SELECT l_linestatus,
+         ${avg4Duck("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(*)")} AS avg_qty,
+         ${avg4Duck("sum(CAST(l_extendedprice AS DECIMAL(18,4)))", "count(*)")} AS avg_price
          FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""",
     "agg_having" ->
       """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

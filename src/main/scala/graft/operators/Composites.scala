@@ -65,9 +65,11 @@ object Composites {
           outDec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
           outDec(sum(dec(col("l_extendedprice")) * disc1)).as("sum_disc_price"),
           outDec(sum(dec(col("l_extendedprice")) * factor)).as("sum_charge"),
-          r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-          r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
-          r4(sum(dec(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          // avg4 (exact half-up): the round-11 unicode edge variant hit a
+          // literal 4-dp half here (427168.9100 / 8) — see Tables.avg4
+          avg4("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(1)").as("avg_qty"),
+          avg4("sum(CAST(l_extendedprice AS DECIMAL(18,4)))", "count(1)").as("avg_price"),
+          avg4("sum(CAST(l_discount AS DECIMAL(18,4)))", "count(1)").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -490,9 +492,9 @@ object Composites {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(9,8))), 4) AS DOUBLE) AS sum_charge,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
-         round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         CAST((2 * CAST((sum(CAST(l_quantity AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_qty,
+         CAST((2 * CAST((sum(CAST(l_extendedprice AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_price,
+         CAST((2 * CAST((sum(CAST(l_discount AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

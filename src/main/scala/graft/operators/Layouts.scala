@@ -90,7 +90,9 @@ object Layouts {
              min(col("pmin")).as("min_price"),
              max(col("pmax")).as("max_price"),
              sum(col("pd")).as("n_parts"),
-             r4(sum(col("pq")).cast("double") / sum(col("pn"))).as("avg_qty"))
+             // avg4 (exact half-up) over the MERGED partials — the same
+             // engine-divergent double-round half-point applies (Tables.avg4)
+             avg4("sum(pq)", "sum(pn)").as("avg_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -244,11 +246,11 @@ object Layouts {
     // the salted two-phase plan must equal the PLAIN aggregate — the
     // oracle is deliberately the unsalted form
     "agg_skew_salted" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
+      s"""SELECT l_returnflag, count(*) AS n_rows,
          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
          count(DISTINCT l_partkey) AS n_parts,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty
+         ${avg4Duck("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(*)")} AS avg_qty
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""",
     "join_bucketed" ->
       """SELECT p_brand,

@@ -911,18 +911,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    "text_pii_redact" -> ((s, d) =>
+    "text_pii_redact" -> ((s, d) => {
       // regex scan-and-redact with an audit count — the PII-scrubbing shape
       // (emails/phones/ids in production; fixture-vocab words here since
-      // the synthetic text has no digits). Word-boundary \b behaves
-      // identically in Java regex and RE2 over this ASCII corpus; the
-      // redacted text is emitted as md5 so the oracle hash stays compact.
+      // the synthetic text has no digits). The boundary is EXPLICIT ASCII
+      // lookarounds, not \b (round 11, unicode edge variant): Java's \b is
+      // unicode-aware (a CJK letter suppresses the boundary) while RE2's
+      // is ASCII-only — the engines diverge on multibyte text. ASCII
+      // boundaries are the standard PII posture (identifiers are ASCII);
+      // RE2 has no lookarounds, so the oracle keeps \b, which in RE2 IS
+      // the ASCII boundary — both sides now compute the same thing.
+      // The redacted text is emitted as md5 so the oracle hash stays compact.
+      val pat = "(?<![A-Za-z0-9_])(customer|value)(?![A-Za-z0-9_])"
       documents(s, d)
         .select(col("doc_id"),
-          regexp_count(col("text"), lit("\\b(customer|value)\\b")).cast(L).as("n_hits"),
-          md5(regexp_replace(col("text"), "\\b(customer|value)\\b", "<REDACTED>"))
+          regexp_count(col("text"), lit(pat)).cast(L).as("n_hits"),
+          md5(regexp_replace(col("text"), pat, "<REDACTED>"))
             .as("redacted_md5"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     "text_line_dedup" -> ((s, d) => {
       // C4/RefinedWeb-style cross-document line dedup: "lines" (8-token
@@ -1504,7 +1511,11 @@ object TextOps {
       val urls = documents(s, d).select(col("doc_id"),
           concat(lit("https://"), col("source"), lit(".example.com/doc/"),
             col("doc_id")).as("url"))
-        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        // try_: ANSI parse_url throws on an invalid URI (space in the
+        // authority — one dirty crawl URL must not kill the job); NULL
+        // host (unparseable OR non-ASCII authority, where java.net.URI
+        // yields no server-based host) passes the blocklist gate below
+        .withColumn("host", expr("try_parse_url(url, 'HOST')"))
       val block = Seq("src3.example.com", "src7.example.com",
         "src11.example.com", "src15.example.com").toDF("host")
       urls.join(broadcast(block), Seq("host"), "left_anti")
@@ -2442,8 +2453,14 @@ object TextOps {
       // host), so the CASE mirrors that too — without it, a blocklisted
       // source with a NULL doc_id would diverge (Spark keeps, oracle
       // drops) if a fixture ever nulled the spine (round-9 ADVICE).
+      // ... and a source with a space (invalid URI) or any non-ASCII char
+      // (registry-based authority, no server host) also yields NULL under
+      // try_parse_url's java.net.URI semantics (round 11, unicode variant)
       """WITH h AS (SELECT doc_id,
-           CASE WHEN doc_id IS NULL OR source IS NULL OR source = '' THEN NULL
+           CASE WHEN doc_id IS NULL OR source IS NULL OR source = ''
+                  OR source LIKE '% %'
+                  OR regexp_matches(source, '[^\x00-\x7f]')
+                THEN NULL
                 ELSE source || '.example.com' END AS host
          FROM documents)
          SELECT doc_id, host FROM h

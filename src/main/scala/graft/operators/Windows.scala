@@ -176,8 +176,13 @@ object Windows {
           .over(wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id").as("__m_uid"), col("__day").as("__m_day"),
           col("__local_seq").as("__m_seq"), col("session_seq"))
+      // null-SAFE equality on user_id as well as day: window partitionBy
+      // groups NULL users into one pseudo-user (matching the oracle's
+      // PARTITION BY), so the join-back must not drop their rows — ===
+      // on a NULL key silently lost every NULL-user session (caught by
+      // the nulls_ties edge variant, round 11)
       tagged.join(globalMap.hint("merge"),
-          tagged("user_id") === col("__m_uid") &&
+          (tagged("user_id") <=> col("__m_uid")) &&
             (tagged("__day") <=> col("__m_day")) &&
             tagged("__local_seq") === col("__m_seq"))
         .groupBy("user_id", "session_seq")

@@ -233,15 +233,27 @@ class ExtensionSpec extends AnyFunSuite {
     }
     val u3 = Seq((200L, t(1, 10, 0), 3L), (201L, t(3, 10, 0), 3L)) // empty day 2
     val dir = "target/sessionize-days"
-    (u1 ++ u2 ++ u3).map { case (id, ts, u) => (id, ts, u, "view", 1.5, "{}") }
+    val typed = (u1 ++ u2 ++ u3).map { case (id, ts, u) =>
+      (id, Option(ts), Option(u))
+    } ++ Seq(
+      // NULL user: one pseudo-user partition (the === join-back dropped
+      // these until the nulls_ties edge variant caught it, round 11);
+      // NULL ts: each its own session, sorted first
+      (300L, Option(t(1, 12, 0)), None: Option[Long]),
+      (301L, Option(t(1, 13, 0)), None: Option[Long]),
+      (302L, None: Option[java.sql.Timestamp], Option(1L)))
+    typed.map { case (id, ts, u) => (id, ts, u, "view", 1.5, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(3)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = run("sessionize_bucketed", dir)
     assert(got === run("sessionize", dir))
-    val byUser = got.map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
-      r.getTimestamp(3), r.getLong(5))).groupBy(_._1)
-    assert(byUser(1L).map(_._5).sorted === Seq(1L, 4L)) // 4-event midnight session + single
+    val byUser = got.map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+      r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(5)))
+      .groupBy(_._1)
+    // user 1: the 4-event midnight session, the 6:30 single, and the
+    // NULL-ts row as its own session
+    assert(byUser(1L).map(_._5).sorted === Seq(1L, 1L, 4L))
     val mid = byUser(1L).find(_._5 == 4L).get
     assert(mid._3.toLocalDateTime.getDayOfMonth !=
       mid._4.toLocalDateTime.getDayOfMonth, s"session did not span midnight: $mid")
@@ -250,7 +262,7 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("agg_skew_salted: salted two-phase plan equals the unsalted aggregate") {
-    import graft.Tables.{dec, outDec, r4}
+    import graft.Tables.{avg4, dec, outDec}
     val got = Layouts.queries("agg_skew_salted")(spark, d).collect().toSeq
     val exp = Tables.lineitem(spark, d).groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
@@ -258,7 +270,7 @@ class ExtensionSpec extends AnyFunSuite {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        r4(sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+        avg4("sum(CAST(l_quantity AS DECIMAL(18,4)))", "count(1)").as("avg_qty"))
       .orderBy("l_returnflag").collect().toSeq
     assert(got === exp)
   }
