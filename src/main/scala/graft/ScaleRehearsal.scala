@@ -281,7 +281,7 @@ object ScaleRehearsal {
         System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s")
         f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
       }.mkString(",")
-      val keyJson = if (skewMode) "" else timeKeys(family)
+      val keyJson = if (factsOnly) "" else timeKeys(family)
       val factJson = if (docsMode) "" else timeKeys(factFamily)
       sb.append(s""""x$k":{"n_docs":$nDocs,"n_lineitem":$nLi,"band_pairs":$nBandPairs,""")
         .append(f""""shingle_pair_stats":$nShPairs,"derived_s":$derivedS%.3f,""")

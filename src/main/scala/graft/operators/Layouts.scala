@@ -60,20 +60,29 @@ object Layouts {
     }),
 
     /** Salted two-phase aggregation — join_skew_salted's aggregation twin
-      * (round-10 verdict item 1). Spark's map-side partial agg already
-      * absorbs hot GROUP keys for algebraic aggregates, but NOT for
-      * count(DISTINCT x) over a hot key: the distinct values themselves
-      * shuffle to the key's single reducer, so a 25%-hot key at 100 TB
-      * puts 25% of all distinct values on one task. The salt fixes that by
-      * being a HASH OF THE DISTINCT COLUMN: each distinct l_partkey lands
-      * in exactly one of 16 (flag, salt) buckets, so the per-bucket
-      * distinct counts are disjoint and their SUM is the exact global
-      * distinct count — phase 1 shuffles on (key, salt) (48 evenly-sized
-      * groups), phase 2 merges ≤ |keys|×16 partial rows. The algebraic
-      * aggregates (count/sum/min/max, and avg as sum÷count) merge through
-      * the same two phases, demonstrating the general salted-merge shape.
-      * Result provably equals the unsalted aggregate — the oracle IS the
-      * plain GROUP BY.
+      * (round-10 verdict item 1). The salt is a HASH OF THE DISTINCT
+      * COLUMN, so each distinct l_partkey lands in exactly one of 16
+      * (flag, salt) buckets: the per-bucket distinct counts are disjoint
+      * and their SUM is the exact global distinct count — phase 1
+      * shuffles on (key, salt) (48 evenly-sized groups), phase 2 merges
+      * ≤ |keys|×16 partial rows; the algebraic aggregates
+      * (count/sum/min/max, avg as sum÷count) merge through the same two
+      * phases.
+      *
+      * Honest Spark caveat (verified by explain, round 11): Catalyst
+      * already plans BOTH defenses internally — map-side partial agg for
+      * the algebraic aggregates, and RewriteDistinctAggregates' (group,
+      * value) exchange for count(DISTINCT) — so on Spark the UNSALTED
+      * plan is also hot-group-safe, and the skew rehearsal reads both as
+      * flat. The key's value is the EXPLICIT, engine-portable form of
+      * that rewrite: the shape to hand-build on planners without the
+      * distinct rewrite, and the template for aggregates whose merge
+      * state is group-sized on the final reducer (collect/exact
+      * percentile/mode), where no automatic rewrite exists. Where the
+      * hot key genuinely defeats Spark is SEQUENCE-dependent per-entity
+      * work — that escape hatch is sessionize_bucketed
+      * (operators/Windows.scala). Result provably equals the unsalted
+      * aggregate — the oracle IS the plain GROUP BY.
       */
     "agg_skew_salted" -> ((s, d) => {
       val salted = lineitem(s, d)
