@@ -689,4 +689,54 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"expected the rare-gram df-cap predicate in the plan:\n$p")
   }
 
+  // ---- round-11 keys ----
+
+  test("knn_ann: bucketed probe — merge-locked corpus joins, no quadratic scan") {
+    val p = plan(VectorOps.queries("knn_ann")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the only nested-loop joins allowed are the 1-row wb / bucket-cap
+    // attaches (the dedup_embed pattern)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(l => l.contains("bkt_cap") || l.contains("wb")),
+      s"non-cap nested-loop join in plan:\n$p")
+    // okBuckets semi-join and the corpus-vector join-back are
+    // corpus-proportional ⇒ merge-locked (a statically-planned broadcast
+    // there is the dedup_ngram ×30 OOM class); only the O(1) query side
+    // may hash-broadcast
+    assert(p.contains("SortMergeJoin"), p)
+    // both windows (rank, vote) keyed per query — checked on the Window
+    // nodes' own partition specs: the subtree scan would false-positive
+    // on the legitimate Exchange SinglePartition inside the 1-row
+    // wb/cap aggregates feeding them
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("q_id")),
+      s"window not partitioned by q_id:\n$p")
+  }
+
+  test("sessionize_bucketed: windows partitioned; session-map join-back merge-locked") {
+    val p = plan(Windows.queries("sessionize_bucketed")(spark, d))
+    // the whole point: no window may own an entity's full history on one
+    // task, and certainly not a single global partition
+    assert(!hasSinglePartitionWindow(p), s"single-partition window:\n$p")
+    // the (user, day, local_seq) → session_seq map is corpus-proportional
+    // (one row per local session): it must never hash-broadcast
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-proportional session map broadcast:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg_skew_salted: phase-1 exchange keys include the salt") {
+    val p = plan(Layouts.queries("agg_skew_salted")(spark, d))
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("salt")),
+      s"expected a (key, salt) exchange in the salted two-phase plan:\n$p")
+  }
+
+  test("mm_decode: map-only decode after the id dedup — no joins, no extra shuffles") {
+    val p = plan(graft.functions.Custom.queries("mm_decode")(spark, d))
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"unexpected join in decode plan:\n$p")
+  }
+
 }
