@@ -409,7 +409,10 @@ object GraphQL {
       case "count" => count(lit(1)).as("count")
       case n if n.startsWith("sum_") => outDec(sum(dec(col(n.stripPrefix("sum_"))))).as(n)
       case n if n.startsWith("avg_") =>
-        r4(sum(dec(col(n.stripPrefix("avg_")))).cast("double") / count(lit(1))).as(n)
+        // avg4 (exact half-up), not r4(sum/count): double round()
+        // half-points are engine-divergent — see Tables.avg4 (round 11)
+        graft.Tables.avg4(
+          s"sum(CAST(${n.stripPrefix("avg_")} AS DECIMAL(18,4)))", "count(1)").as(n)
       case n if n.startsWith("min_") =>
         val c = n.stripPrefix("min_"); noDec(min(col(c)), c).as(n)
       case n if n.startsWith("max_") =>

@@ -157,6 +157,22 @@ object NlToSql {
     dims.getOrElse(name.trim.toLowerCase,
       throw new IllegalArgumentException(s"unknown dimension: $name"))
 
+  /** Exact HALF-UP 4-dp average in the Spark∩DuckDB COMMON dialect —
+    * the NL translation's SQL string is its own oracle, so it cannot use
+    * engine-specific integer division (`div` vs `//`). round() on a
+    * DOUBLE quotient is engine-divergent at exact 4-dp half-points
+    * (Tables.avg4 — the round-11 unicode-variant finding), so the
+    * half-up round is computed in scaled-integer space with operators
+    * BOTH dialects share: `%` (identical for non-negative operands) and
+    * float `/` of an exact multiple (exact while |v| < 2⁵³ — the outDec
+    * scale caveat; fixture sums sit orders of magnitude below).
+    */
+  private def avgExactSql(mcol: String): String = {
+    val v = s"(2 * CAST(sum(CAST($mcol AS DECIMAL(18,4))) * 10000 AS BIGINT) + count(*))"
+    val den = "(2 * count(*))"
+    s"CAST(($v - $v % $den) / $den AS DOUBLE) / 10000.0"
+  }
+
   private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** NL question → SQL in the Spark∩DuckDB common dialect.
@@ -577,7 +593,7 @@ object NlToSql {
       // unproducible); the FILTER dim stays on the fact
       require(ftable == fact, s"filter dimension not on $fact")
       s"""SELECT $dcol,
-         round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg
+         ${avgExactSql(mcol)} AS avg
          FROM ${factFrom(table, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByWhere(measure, d, fdim, value) =>
@@ -662,7 +678,7 @@ object NlToSql {
       val (table, dcol) = dims.getOrElse(dim.trim,
         throw new IllegalArgumentException(s"unknown dimension: $dim"))
       s"""SELECT $dcol,
-         round(CAST(sum(CAST($mcol AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_val
+         ${avgExactSql(mcol)} AS avg_val
          FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case BottomN(n, entity, measure) =>
       // "bottom 5 customers by total order price" — the ascending mirror

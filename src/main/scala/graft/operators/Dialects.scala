@@ -397,7 +397,7 @@ object Dialects {
     "gql_agg" ->
       """SELECT o_orderstatus, count(*) AS "count",
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_o_totalprice,
+         CAST((2 * CAST((sum(CAST(o_totalprice AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_o_totalprice,
          max(o_totalprice) AS max_o_totalprice
          FROM orders WHERE o_totalprice > 1000
          GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
