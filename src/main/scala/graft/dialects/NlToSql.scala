@@ -139,6 +139,27 @@ object NlToSql {
   private val AvgBy = """(?i)average ([a-z ]+) by ([a-z ]+)""".r
   private val AvgByWhere =
     """(?i)average ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  // ---- round-11 compositions: the NL matrix fuzzer (graft.NlFuzz)
+  // enumerated every production × modifier cross and these seven were
+  // REJECTED while being natural analyst asks — each is its base
+  // production composed with the calendar-range / equality-filter
+  // modifier that already existed elsewhere. All are matched before
+  // their shorter siblings in translate() so greedy captures cannot
+  // shadow them into loud-but-needless failures.
+  private val AvgByDateRange =
+    """(?i)average ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
+  private val MinMaxByDateRange =
+    """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
+  private val CountByDateRange =
+    """(?i)(?:number|count) of (\w+) by ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
+  private val DistinctCountByWhere =
+    """(?i)(?:number|count) of (?:unique|distinct) (\w+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val TopNWhereDateRange =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) where ([a-z ]+) is ([\w-]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
+  private val TopNPerDimWhere =
+    """(?i)top (\d+) (\w+) by total ([a-z ]+) per ([a-z ]+) where ([a-z ]+) is ([\w-]+)""".r
+  private val BottomNDateRange =
+    """(?i)bottom (\d+) (\w+) by total ([a-z ]+) between (\d{4}-\d{2}-\d{2}) and (\d{4}-\d{2}-\d{2})""".r
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
   private val TotalByYear =
     """(?i)total ([a-z ]+) by ([a-z ]+) in (\d{4})""".r
@@ -192,6 +213,120 @@ object NlToSql {
   }
 
   def translate(question: String): String = question.trim match {
+    // ---- round-11 fuzzer-found compositions, most-specific first ----
+    case AvgByDateRange(measure, d, from, to) =>
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $dcol,
+         ${avgExactSql(mcol)} AS avg_val
+         FROM ${factFrom(table, fact)}
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case MinMaxByDateRange(which, measure, d, from, to) =>
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      val fn = if (which.toLowerCase == "maximum") "max" else "min"
+      s"""SELECT $dcol, $fn($mcol) AS extreme
+         FROM ${factFrom(table, fact)}
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case CountByDateRange(entity, d, from, to) =>
+      val (table, dcol) = dim(d)
+      requireEntityOn(entity, table)
+      val dateCol = dateCols.getOrElse(table,
+        throw new IllegalArgumentException(s"no date column for $table"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $dcol, count(*) AS cnt FROM $table
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case DistinctCountByWhere(entity, dname, fdim, value) =>
+      val (fact, fk) = entityFk.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (dt, dcol) = dim(dname)
+      require(dt == fact, s"dimension $dname not on $fact")
+      val (ft, fcol) = dim(fdim)
+      require(ft == fact, s"filter dimension $fdim not on $fact")
+      s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
+         FROM $fact WHERE $fcol = ${sqlLit(value)}
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TopNWhereDateRange(n, entity, measure, fdim, value, from, to) =>
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (ftable, fcol) = dim(fdim)
+      require(ftable == fact, s"filter dimension $fdim not on $fact")
+      val from_ = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from_
+         WHERE $fcol = ${sqlLit(value)}
+           AND $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $pk, $nameCol
+         ORDER BY total DESC NULLS LAST, $pk NULLS FIRST
+         LIMIT $n"""
+    case TopNPerDimWhere(n, entity, measure, dname, fdim, value) =>
+      // grouped leaderboard composed with the equality filter: the
+      // TopNPerDim rank-window subquery with the filter in the innermost
+      // aggregate's WHERE, so the predicate reaches the scan below the
+      // window; exact-decimal rank total + pk tie-break as always
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (dtable, dcol) = dim(dname)
+      require(dtable == fact, s"dimension $dname not on $fact")
+      val (ftable, fcol) = dim(fdim)
+      require(ftable == fact, s"filter dimension $fdim not on $fact")
+      val from_ = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      s"""SELECT $dcol, $pk, $nameCol, CAST(round(texact, 4) AS DOUBLE) AS total
+         FROM (
+           SELECT $dcol, $pk, $nameCol, texact,
+             row_number() OVER (PARTITION BY $dcol
+               ORDER BY texact DESC, $pk) AS rn
+           FROM (
+             SELECT $dcol, $pk, $nameCol,
+               sum(CAST($mcol AS DECIMAL(18,4))) AS texact
+             FROM $from_
+             WHERE $fcol = ${sqlLit(value)}
+             GROUP BY $dcol, $pk, $nameCol) g) r
+         WHERE rn <= $n
+         ORDER BY $dcol NULLS FIRST, rn NULLS FIRST"""
+    case BottomNDateRange(n, entity, measure, from, to) =>
+      val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
+        throw new IllegalArgumentException(s"unknown entity: $entity"))
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val from_ = joinPath.getOrElse((table, fact),
+        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val toExcl = java.time.LocalDate.parse(to).plusDays(1)
+      s"""SELECT $pk, $nameCol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $from_
+         WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
+           AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
+         GROUP BY $pk, $nameCol
+         ORDER BY total ASC NULLS FIRST, $pk NULLS FIRST
+         LIMIT $n"""
     case DistinctCountBy(entity, dname) =>
       // "number of unique customers by status" — distinct entities per
       // fact dimension; counts the fact's fk (fk values ARE the entity

@@ -273,6 +273,60 @@ object Custom {
         .orderBy("doc_id")
     }),
 
+    "mm_dedup_ahash" -> ((s, d) => {
+      // AVERAGE-HASH bucketing over REAL decoded pixels (round 11 — the
+      // image-dedup CANDIDATE-grouping shape): decode the BMP, sample an
+      // 8×8 nearest-neighbor luminance grid, threshold each cell against
+      // the grid mean (in exact integers: L·64 > ΣL — no division,
+      // identical in both engines), pack the 64 bits into two 32-bit
+      // words (DuckDB's `<<` errors on a 63-bit shift where Spark wraps,
+      // so one 64-bit word is not engine-portable), and group by the
+      // hash. aHash is deliberately LOSSY: an equal-hash bucket is a
+      // candidate duplicate cluster (a production pipeline byte-verifies
+      // within buckets, e.g. md5 of the payload — mm_meta's column),
+      // which is exactly what makes the plan a pair-free hash groupBy,
+      // embarrassingly scalable at 100 TB; mm_dedup_phash remains the
+      // banded NEAR-dup path. The generator formula plants TRUE byte
+      // duplicates at id spacing 2304 (256 | 2304 for every channel, and
+      // 9 | 2304 for both dims), guaranteed same-bucket; low-contrast
+      // grids additionally collide by design. Oracle recomputes the hash
+      // from the pixel formula in pure SQL.
+      val src = documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
+      implicit val enc: Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+      src.mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = decodeImage(makeBmp(id))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Long](64)
+          var s64 = 0L
+          var i = 0
+          while (i < 64) {
+            val (x, y) = (i % 8, i / 8)
+            val rgb = img.getRGB(x * w / 8, y * h / 8)
+            lum(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            s64 += lum(i)
+            i += 1
+          }
+          var lo = 0L
+          var hi = 0L
+          i = 0
+          while (i < 64) {
+            if (lum(i) * 64 > s64) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .orderBy("ahash_hi", "ahash_lo")
+    }),
+
     "mm_dedup_phash" -> ((s, d) => {
       // perceptual-hash near-dup detection for the binary modality — the
       // image-dedup shape (aHash/pHash → band → hamming verify): a 32-bit
@@ -473,6 +527,32 @@ object Custom {
          SELECT doc_id, src_w, src_h, dst_w, dst_h,
            ((dst_w + 15) // 16) * ((dst_h + 15) // 16) AS n_patches, thumb_hash
          FROM r ORDER BY doc_id NULLS FIRST""",
+    "mm_dedup_ahash" ->
+      // the full ahash recomputed from the pixel-generator formula: 8×8
+      // nearest-neighbor luminance grid, integer mean threshold
+      // (L·64 > ΣL), two 32-bit words (`<<` stays within BIGINT range)
+      """WITH docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL),
+         dims AS (SELECT doc_id,
+             8 + ((doc_id % 9) + 9) % 9 AS w,
+             8 + (((doc_id * 7) % 9) + 9) % 9 AS h
+           FROM docs),
+         px AS (SELECT doc_id, y.i * 8 + x.i AS pos,
+               ((doc_id + 3*((x.i*w)//8) + 7*((y.i*h)//8)) % 256 + 256) % 256
+             + ((2*((x.i*w)//8) + 5*((y.i*h)//8) + 11*doc_id) % 256 + 256) % 256
+             + ((((x.i*w)//8)*((y.i*h)//8) + doc_id) % 256 + 256) % 256 AS lum
+           FROM dims, range(0, 8) x(i), range(0, 8) y(i)),
+         tot AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) AS s64 FROM px GROUP BY 1),
+         words AS (SELECT px.doc_id,
+             CAST(sum(CASE WHEN lum * 64 > s64 AND pos >= 32
+                           THEN (CAST(1 AS BIGINT) << (pos - 32))
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN lum * 64 > s64 AND pos < 32
+                           THEN (CAST(1 AS BIGINT) << pos)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash_lo
+           FROM px JOIN tot USING (doc_id) GROUP BY 1)
+         SELECT ahash_hi, ahash_lo, count(*) AS n_docs, min(doc_id) AS keep_doc
+         FROM words GROUP BY 1, 2
+         ORDER BY ahash_hi NULLS FIRST, ahash_lo NULLS FIRST""",
     "mm_decode" ->
       // decoded-pixel checksums recomputed from the generator formula:
       // BMP is lossless, so any Spark/oracle divergence means the codec

@@ -125,6 +125,18 @@ object Dialects {
   val nlTopkGroupRangeQuestion: String =
     "top 2 customers by total order price per status between 1995-01-01 and 1996-06-30"
 
+  // round-11 pair, surfaced MECHANICALLY: the NL matrix fuzzer
+  // (graft.NlFuzz) enumerated every production × modifier cross and
+  // listed these among the 20 unproducible-but-natural compositions its
+  // first run found — the calendar-ranged average (exact half-up avg4
+  // arithmetic under a scan-pushable half-open range) and the per-group
+  // leaderboard under an equality filter (the filter lands in the
+  // innermost aggregate's WHERE, below the rank window)
+  val nlAvgRangeQuestion: String =
+    "average order price by status between 1995-01-01 and 1996-06-30"
+  val nlTopkGroupWhereQuestion: String =
+    "top 2 customers by total order price per status where priority is 1-URGENT"
+
   /** Distinct-count INSIDE a relation subtree (gql_nested_distinct,
     * round 10): per-nation count of DISTINCT market segments among that
     * nation's customers. gql_agg_distinct proved `countd_` at the agg
@@ -295,6 +307,8 @@ object Dialects {
     "gql_agg_page" -> ((s, d) => GraphQL.run(s, d, gqlAggPageQuery)),
     "nl_topk_group_range" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupRangeQuestion)),
     "gql_nested_distinct" -> ((s, d) => GraphQL.run(s, d, gqlNestedDistinctQuery)),
+    "nl_avg_range" -> ((s, d) => NlToSql.run(s, d, nlAvgRangeQuestion)),
+    "nl_topk_group_where" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupWhereQuestion)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
     "nl_avg_by" -> ((s, d) => NlToSql.run(s, d, nlAvgQuestion)),
     "nl_count_where" -> ((s, d) => NlToSql.run(s, d, nlCountWhereQuestion)),
@@ -429,6 +443,8 @@ object Dialects {
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),
     "nl_topk_group_range" -> NlToSql.translate(nlTopkGroupRangeQuestion),
+    "nl_avg_range" -> NlToSql.translate(nlAvgRangeQuestion),
+    "nl_topk_group_where" -> NlToSql.translate(nlTopkGroupWhereQuestion),
     "gql_nested_distinct" ->
       """SELECT n_nationkey, n_name,
          coalesce("count", 0) AS "count", countd_c_mktsegment

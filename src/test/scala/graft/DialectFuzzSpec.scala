@@ -30,7 +30,9 @@ class DialectFuzzSpec extends AnyFunSuite {
     // round-9/10 compositions: ranged leaderboards, off-fact routing,
     // per-group ranking with a calendar window
     Dialects.nlTopkRangeQuestion, Dialects.nlNationRangeQuestion,
-    Dialects.nlTopkGroupRangeQuestion)
+    Dialects.nlTopkGroupRangeQuestion,
+    // round-11 fuzzer-found compositions
+    Dialects.nlAvgRangeQuestion, Dialects.nlTopkGroupWhereQuestion)
 
   /** Seeded mutations: delete a char, duplicate a char, swap two chars,
     * insert a metacharacter, truncate at a random point.

@@ -275,6 +275,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("mm_dedup_ahash: ids 2304 apart are byte-identical images and share a bucket") {
+    import graft.functions.Custom
+    // the planted-duplicate invariant: 256 divides 2304 for every channel
+    // formula and 9 divides 2304 for both dims ⇒ identical BMP bytes
+    Seq(0L, 17L, 391L, 1000L).foreach { id =>
+      assert(java.util.Arrays.equals(Custom.makeBmp(id), Custom.makeBmp(id + 2304)),
+        s"payloads diverge at ids $id / ${id + 2304}")
+    }
+    // and the operator groups them: a fixture spanning one 2304-gap has
+    // ids {k, k+2304} for k < 96 — at least those buckets must be ≥ 2
+    val dir = "target/ahash-dup"
+    spark.range(2400).select(col("id").as("doc_id"),
+        lit("x").as("text"), lit("en").as("lang"),
+        lit("src0").as("source"), lit(1L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val buckets = Custom.queries("mm_dedup_ahash")(spark, dir)
+      .filter($"n_docs" >= 2).select($"keep_doc", $"n_docs")
+      .as[(Long, Long)].collect()
+    assert(buckets.nonEmpty, "no duplicate bucket found")
+    // every planted pair's min id keeps its bucket; collisions may merge
+    // more members but can never split a true duplicate apart
+    assert(buckets.exists(_._1 < 96), s"planted duplicates not bucketed: ${buckets.take(5).toSeq}")
+  }
+
   test("dedup_cluster: cluster ids are min members; sizes consistent; covers all pair docs") {
     val pairs = TextOps.queries("dedup_minhash")(spark, d)
       .select($"a", $"b").distinct().as[(Long, Long)].collect()
