@@ -156,7 +156,10 @@ object Bench {
       ("band_pairs",
         Set("dedup_minhash", "dedup_cluster", "dedup_keep_best",
           "sim_minhash_est", "graph_triangles", "graph_components_hist"),
-        () => operators.Derived.bandPairs(spark, sfDir).count()))
+        () => operators.Derived.bandPairs(spark, sfDir).count()),
+      ("lsh_capped",
+        Set("dedup_embed", "knn_ann"),
+        () => operators.Derived.lshCapped(spark, sfDir).count()))
     val derived: Seq[(String, Double)] = derivedSpecs.flatMap {
       case (nm, consumers, run) =>
         if (selected.keysIterator.exists(consumers)) {

@@ -105,4 +105,14 @@ object Derived {
     */
   def shinglePairStats(s: SparkSession, d: String): DataFrame =
     dataset(s, d, "shingle_pair_stats")(TextOps.shinglePairStatsBuild(s, d))
+
+  /** The capped SRP-LSH bucket-key table (vec_id, band, bucket — 3
+    * longs/row): two-band sign-projection signatures bucketed on the
+    * corpus-scaled low-bit width, hot buckets dropped (see
+    * VectorOps.lshCappedBuild). Round 12: knn_ann previously re-derived
+    * the signature fold + bucket census dedup_embed had just built —
+    * single definition, single derivation, two consumers.
+    */
+  def lshCapped(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "lsh_capped")(VectorOps.lshCappedBuild(s, d))
 }

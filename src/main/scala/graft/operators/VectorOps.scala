@@ -310,32 +310,11 @@ object VectorOps {
       // agreement with the brute-force exemplar is spec-gated ≥95% on
       // the planted-structure fixture (PlantedRecallSpec) — the index
       // calibration a production pipeline runs before pointing the
-      // parameters at the full corpus.
-      val sig = emb(s, d).select(col("vec_id"),
-        expr(lshBandSpark(0)).as("s0"), expr(lshBandSpark(1)).as("s1"))
-      val wb = emb(s, d).agg(count(lit(1)).as("nv"))
-        .select(expr(bandBitsCase).as("wb"))
-      val keyed = sig.crossJoin(broadcast(wb))
-        .select(col("vec_id"), explode(array(
-          struct(lit(0L).as("band"),
-            expr("s0 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")),
-          struct(lit(1L).as("band"),
-            expr("s1 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")))).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        .localCheckpoint(true) // 3 consumers: bucket counts, query probe, corpus side
-      val cap = emb(s, d).agg(count(lit(1)).as("nv"))
-        .select(expr(
-          s"CAST(4 * ceil(nv / CAST(shiftleft(1, $bandBitsCase) AS DOUBLE)) AS BIGINT)")
-          .as("bkt_cap"))
-      val okBuckets = keyed.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n_bkt"))
-        .crossJoin(broadcast(cap))
-        .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
-        .select("band", "bucket")
-      // merge-locked like dedup_embed: okBuckets and the corpus join-backs
-      // are corpus-proportional; only the O(1) query side and the 1-row
-      // wb/cap aggregates keep broadcast()
-      val capped = keyed.join(okBuckets.hint("merge"), Seq("band", "bucket"), "left_semi")
+      // parameters at the full corpus. The signature fold + bucket
+      // census is the SHARED Derived.lshCapped artifact (round 12:
+      // knn_ann previously re-derived the table dedup_embed had just
+      // built — three extra passes over the signature stage per run).
+      val capped = Derived.lshCapped(s, d)
       // query side is FIXED-SIZE (20 held-out ids × 2 bands — the
       // knn_label broadcast discipline); the corpus streams map-side
       // against it, so the probe is one shuffle-free pass
@@ -387,50 +366,14 @@ object VectorOps {
       // NOT a global single-partition window. The all-pairs formulation
       // survives only as the spec-side recall oracle (ExtensionSpec — the
       // role brute-force already plays in sim_ann_recall).
-      val sig = emb(s, d).select(col("vec_id"),
-        expr(lshBandSpark(0)).as("s0"), expr(lshBandSpark(1)).as("s1"))
-      val wb = emb(s, d).agg(count(lit(1)).as("nv"))
-        .select(expr(bandBitsCase).as("wb"))
-      // (vec_id, band, bucket) keys, materialized ONCE (the dedup_semantic
-      // multi-consumer discipline): the self-join would otherwise recompute
-      // the 20 plane folds and the validity-dedup exchange on both sides.
-      // The 1-row wb attach is a broadcast cross — bounded by construction.
-      val keyed = sig.crossJoin(broadcast(wb))
-        .select(col("vec_id"), explode(array(
-          struct(lit(0L).as("band"),
-            expr("s0 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")),
-          struct(lit(1L).as("band"),
-            expr("s1 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")))).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        .localCheckpoint(true)
-      // HOT-BUCKET CAP (round 9, the bandPairs df∈[2,20] discipline applied
-      // to sign-LSH): real embeddings correlate, so bucket sizes are
-      // SKEWED — the ×10 rehearsal measured a 3 949-member bucket against
-      // a mean of 40, and Σ|bucket|² was 28.8 M pairs where the uniform
-      // estimate said 0.8 M. A bucket that hot is non-discriminative (its
-      // members agree on a whole band by geometry, not near-duplication);
-      // buckets above 4× the expected size are dropped before the
-      // self-join, bounding pair work at ~4·n·E[bucket]. Gate-neutral:
-      // the largest fixture bucket is 200 (sf0.1) against a cap of 500,
-      // so no gate/edge fixture ever trips it; the oracle mirrors the
-      // same cap formula. The ≥2 bound prunes singleton buckets (no
-      // pairs) before the join.
-      val cap = emb(s, d).agg(count(lit(1)).as("nv"))
-        .select(expr(
-          s"CAST(4 * ceil(nv / CAST(shiftleft(1, $bandBitsCase) AS DOUBLE)) AS BIGINT)")
-          .as("bkt_cap"))
-      val okBuckets = keyed.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("n_bkt"))
-        .crossJoin(broadcast(cap))
-        .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
-        .select("band", "bucket")
-      // MERGE-LOCKED (round 10, the dedup_ngram 47586d3 discipline): every
-      // side here — okBuckets (~n/62 (band,bucket) rows), capped, and the
-      // cand→vector join-backs — is corpus-proportional, and the static
-      // planner's post-aggregate size underestimates can pick a broadcast
-      // AQE cannot demote. Sort-merge spills both sides; only the 1-row
-      // wb/cap aggregates keep broadcast().
-      val capped = keyed.join(okBuckets.hint("merge"), Seq("band", "bucket"), "left_semi")
+      // candidate keys come from the SHARED Derived.lshCapped artifact
+      // (signature fold + bucket census + hot-bucket cap — see
+      // lshCappedBuild); the self-join and the cand→vector join-backs
+      // stay merge-locked here (round 10, the dedup_ngram 47586d3
+      // discipline): every side is corpus-proportional, and the static
+      // planner's post-aggregate size underestimates can pick a
+      // broadcast AQE cannot demote.
+      val capped = Derived.lshCapped(s, d)
       val cand = capped.as("x").join(capped.hint("merge").as("y"), Seq("band", "bucket"))
         .filter(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
@@ -888,33 +831,110 @@ object VectorOps {
     s"(CASE WHEN ${lshProjSpark(p)} > 0 THEN CAST(${1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     .mkString(" + ")
 
-  /** 10-plane band signature b ∈ {0,1} over hyperplanes 10b..10b+9 — the
-    * sim_ann_lsh md5-derived hyperplane family extended to two independent
-    * bands (LSH banding: a candidate pair needs ONE full-band agreement,
-    * not all planes — banding trades precision for recall, exactly right
-    * for dedup). dedup_embed buckets on the LOW `w` BITS of each band
-    * (`sig % 2^w`), with w corpus-scaled through exact integer thresholds
-    * (bandBitsCase) so bucket count grows with the corpus and per-band
-    * pair work Σ|bucket|² stays ~linear. Mirrored bit-for-bit by
-    * lshBandDuck.
+  /** Widest supported bucket bit-width per band. 2^30 buckets holds
+    * expected bucket population ≈ 62 up to ~6.7·10^10 valid vectors —
+    * past any single-table corpus this engine targets. The band
+    * signature carries maxBandBits bits, but every bit above the
+    * corpus-scaled width `wb` is masked to 0 at signature time (the
+    * CASE guard in lshBandSpark), so fixture-scale plans never pay for
+    * (or observe) the extension planes.
     */
-  private def lshBandSpark(b: Int): String = (10 * b until 10 * b + 10).map(p =>
-    s"(CASE WHEN ${lshProjSpark(p)} > 0 THEN CAST(${1L << (p - 10 * b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-    .mkString(" + ")
+  private val maxBandBits = 30
 
-  /** Bucket bit-width w ∈ [4,10] from the VALID-vector count n. w = 4 at
-    * every gate fixture size (n ≤ 2000 — the gate-neutral scale-knob
-    * convention; bucket ≈ 125 there), then the staircase steepens to hold
-    * expected bucket size ≈ 32-64 (2^w ≥ n/64) — the ×10 rehearsal
-    * measured the (62.5, 125] sizing spending most of its wall on
-    * 125-member bucket fan-out for a top-20 answer. Exact integer
-    * comparisons (not float log2) so both engines compute the identical
-    * w at every n. Same CASE text runs on both engines.
+  /** Hyperplane index for (band b, bit j). Bits 0-9 keep the original
+    * two-band layout (planes 10b..10b+9) so every bucket value at
+    * wb ≤ 10 is bit-identical to the pre-round-12 ladder; extension
+    * bits 10-29 draw from the disjoint ranges 20..49 (band 0) and
+    * 50..79 (band 1), keeping the two bands independent.
+    */
+  private def planeFor(b: Int, j: Int): Int =
+    if (j < 10) 10 * b + j else 20 + 30 * b + (j - 10)
+
+  /** Band signature b ∈ {0,1} — the sim_ann_lsh md5-derived hyperplane
+    * family extended to two independent bands (LSH banding: a candidate
+    * pair needs ONE full-band agreement, not all planes — banding trades
+    * precision for recall, exactly right for dedup). dedup_embed/knn_ann
+    * bucket on the LOW `wb` BITS of each band (`sig % 2^wb`), with wb
+    * corpus-scaled through exact integer thresholds (bandBitsCase) so
+    * bucket count grows with the corpus and per-band pair work Σ|bucket|²
+    * stays ~linear. Bits ≥ 10 are guarded on the in-plan `wb` column
+    * (round 12: the old unguarded 10-bit signature capped bucket count
+    * at 1024, so at 10⁹ vectors every bucket held ~10⁶ members): the
+    * guard both skips the extension-plane folds at fixture scale
+    * (codegen if-branch on a per-plan-constant) and masks the signature
+    * so `% 2^wb` keeps its meaning. Mirrored bit-for-bit by lshBandDuck.
+    */
+  private def lshBandSpark(b: Int): String = (0 until maxBandBits).map { j =>
+    val bit = s"(CASE WHEN ${lshProjSpark(planeFor(b, j))} > 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    if (j < 10) bit else s"(CASE WHEN wb > $j THEN $bit ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  /** Bucket bit-width w ∈ [4,30] from the VALID-vector count n: the
+    * closed form w = max(4|6, ⌈log2(n/62.5)⌉) — smallest w with
+    * 62.5·2^w ≥ n, holding expected bucket size ≈ 32-64 as the corpus
+    * grows (the ×10 rehearsal measured the (62.5, 125] sizing spending
+    * most of its wall on 125-member bucket fan-out for a top-20 answer)
+    * — generated as exact integer thresholds (125·2^(w-1), not float
+    * log2) so both engines compute the identical w at every n, with the
+    * gate-neutral first rung (w = 4 at n ≤ 2000, bucket ≈ 125) kept
+    * verbatim. Identical to the pre-round-12 hand ladder through
+    * n = 64000; beyond that the old `ELSE 10` froze bucket count at
+    * 1024 while this form keeps climbing to 2^30. Same CASE text runs
+    * on both engines.
     */
   private val bandBitsCase: String =
-    "CASE WHEN nv <= 2000 THEN 4 WHEN nv <= 4000 THEN 6 " +
-    "WHEN nv <= 8000 THEN 7 WHEN nv <= 16000 THEN 8 " +
-    "WHEN nv <= 32000 THEN 9 ELSE 10 END"
+    "CASE WHEN nv <= 2000 THEN 4 " +
+    (6 to maxBandBits).map(w => s"WHEN nv <= ${125L << (w - 1)} THEN $w")
+      .mkString(" ") + s" ELSE $maxBandBits END"
+
+  /** THE capped SRP-LSH bucket-key build (vec_id, band, bucket — 3
+    * longs/row, parquet round-trip exact), lifted to the
+    * Derived.lshCapped materialize-once seam in round 12: dedup_embed
+    * and knn_ann each ran this whole prefix (validity gate → 2-band
+    * signature fold → bucket census → hot-bucket cap → semi-join) per
+    * key. Single definition, single derivation, two consumers.
+    *
+    * HOT-BUCKET CAP (round 9, the bandPairs df∈[2,20] discipline applied
+    * to sign-LSH): real embeddings correlate, so bucket sizes are
+    * SKEWED — the ×10 rehearsal measured a 3 949-member bucket against
+    * a mean of 40, and Σ|bucket|² was 28.8 M pairs where the uniform
+    * estimate said 0.8 M. A bucket that hot is non-discriminative (its
+    * members agree on a whole band by geometry, not near-duplication);
+    * buckets above 4× the expected size are dropped before any
+    * self-join, bounding pair work at ~4·n·E[bucket]. Gate-neutral:
+    * the largest fixture bucket is 200 (sf0.1) against a cap of 500,
+    * so no gate/edge fixture ever trips it; the oracles mirror the
+    * same cap formula. The ≥2 bound prunes singleton buckets (no
+    * pairs) before the join. The 1-row wb/cap aggregates are the only
+    * broadcast() sides; the census semi-join is merge-locked
+    * (corpus-proportional both sides).
+    */
+  private[operators] def lshCappedBuild(s: SparkSession, d: String): DataFrame = {
+    val wb = emb(s, d).agg(count(lit(1)).as("nv"))
+      .select(expr(bandBitsCase).as("wb"))
+    val sig = emb(s, d).crossJoin(broadcast(wb))
+      .select(col("vec_id"), col("wb"),
+        expr(lshBandSpark(0)).as("s0"), expr(lshBandSpark(1)).as("s1"))
+    val keyed = sig
+      .select(col("vec_id"), explode(array(
+        struct(lit(0L).as("band"),
+          expr("s0 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")),
+        struct(lit(1L).as("band"),
+          expr("s1 % CAST(shiftleft(1, wb) AS BIGINT)").as("bucket")))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(true) // census + semi-join both scan it
+    val cap = emb(s, d).agg(count(lit(1)).as("nv"))
+      .select(expr(
+        s"CAST(4 * ceil(nv / CAST(shiftleft(1, $bandBitsCase) AS DOUBLE)) AS BIGINT)")
+        .as("bkt_cap"))
+    val okBuckets = keyed.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_bkt"))
+      .crossJoin(broadcast(cap))
+      .filter(col("n_bkt") >= 2 && col("n_bkt") <= col("bkt_cap"))
+      .select("band", "bucket")
+    keyed.join(okBuckets.hint("merge"), Seq("band", "bucket"), "left_semi")
+  }
 
   private def lshProjDuck(p: Int): String =
     s"list_sum(list_transform(range(1, len(embedding) + 1), i -> " +
@@ -926,9 +946,11 @@ object VectorOps {
     s"(CASE WHEN ${lshProjDuck(p)} > 0 THEN CAST(${1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     .mkString(" + ")
 
-  private def lshBandDuck(b: Int): String = (10 * b until 10 * b + 10).map(p =>
-    s"(CASE WHEN ${lshProjDuck(p)} > 0 THEN CAST(${1L << (p - 10 * b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-    .mkString(" + ")
+  private def lshBandDuck(b: Int): String = (0 until maxBandBits).map { j =>
+    val bit = s"(CASE WHEN ${lshProjDuck(planeFor(b, j))} > 0 " +
+      s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    if (j < 10) bit else s"(CASE WHEN w > $j THEN $bit ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
 
   // DuckDB mirror of the fold-based dot product (index loop, same order)
   private val dotSql =
@@ -1180,13 +1202,13 @@ object VectorOps {
          WHERE vr = 1
          ORDER BY q_id NULLS FIRST""",
     "knn_ann" ->
-      s"""WITH sig AS (
-           SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
-           FROM embeddings),
-         wb AS (
+      s"""WITH wb AS (
            SELECT w, CAST(4 * ceil(nv / CAST(1 << w AS DOUBLE)) AS BIGINT) AS bkt_cap
            FROM (SELECT nv, $bandBitsCase AS w
                  FROM (SELECT count(*) AS nv FROM embeddings))),
+         sig AS (
+           SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
+           FROM embeddings, wb),
          keyed AS (
            SELECT vec_id, 0 AS band, s0 % CAST(1 << w AS BIGINT) AS bucket
            FROM sig, wb
@@ -1345,13 +1367,13 @@ object VectorOps {
          FROM vv CROSS JOIN st
          ORDER BY vec_id NULLS FIRST""",
     "dedup_embed" ->
-      s"""WITH sig AS (
-           SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
-           FROM embeddings),
-         wb AS (
+      s"""WITH wb AS (
            SELECT w, CAST(4 * ceil(nv / CAST(1 << w AS DOUBLE)) AS BIGINT) AS bkt_cap
            FROM (SELECT nv, $bandBitsCase AS w
                  FROM (SELECT count(*) AS nv FROM embeddings))),
+         sig AS (
+           SELECT vec_id, ${lshBandDuck(0)} AS s0, ${lshBandDuck(1)} AS s1
+           FROM embeddings, wb),
          keyed AS (
            SELECT vec_id, 0 AS band, s0 % CAST(1 << w AS BIGINT) AS bucket
            FROM sig, wb

@@ -109,6 +109,58 @@ class PlantedRecallSpec extends AnyFunSuite {
     assert(found >= 9, s"sim_ann_lsh planted-partner recall collapsed: $found/10 ($out)")
   }
 
+  /** Round-12 fixture crossing the OLD bucket-width cap: 66 020 valid
+    * vectors puts bandBitsCase at wb = 11, one past the pre-round-12
+    * `ELSE 10` ceiling — the first width that exercises the guarded
+    * extension planes (planeFor j = 10 ⇒ planes 20 / 50). 10 planted
+    * near-identical pairs at cos 0.99995 against 66 000 gaussian
+    * background vectors (max background pair-cos stays well under the
+    * planted band even at 2·10⁹ implicit pairs, and only bucket-colliding
+    * pairs are ever scored).
+    */
+  private lazy val widePlanted: (String, Seq[(Long, Long)]) = {
+    val rnd = new scala.util.Random(421203L)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def add(id: Long, v: Array[Double]): Unit =
+      rows += ((id, v.map(x => (x * 10.0).toFloat), 0))
+    (0 until 10).foreach { i =>
+      val u = unitVec(rnd)
+      add(i.toLong, u); add(i + 10L, perturb(u, 0.99995, rnd))
+      pairs += ((i.toLong, i + 10L))
+    }
+    (20 until 66020).foreach(i => add(i.toLong, unitVec(rnd)))
+    val dir = "target/planted-wide"
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (dir, pairs.toSeq)
+  }
+
+  test("dedup_embed keeps planted recall past the old 10-bit bucket cap (nv = 66020, wb = 11)") {
+    val (dir, pairs) = widePlanted
+    // the width the plan actually picks must cross the old ceiling —
+    // guards that the ladder extension is live, not just present
+    val wb = spark.sql(
+      "SELECT CASE WHEN nv <= 2000 THEN 4 ELSE CAST(ceil(log2(nv / 62.5)) AS INT) END AS wb " +
+      "FROM (SELECT 66020 AS nv)").head().getInt(0)
+    assert(wb == 11, s"fixture sized wrong for the cap-crossing case: wb=$wb")
+    val got = VectorOps.queries("dedup_embed")(spark, dir)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val hits = pairs.count(got)
+    info(s"planted recall past the old cap: $hits/10")
+    // per-pair >= 1-band collision at wb = 11, cos 0.99995: ~0.999 — a
+    // 10-bit freeze would ALSO pass recall (buckets merely overfull), so
+    // the bucket-count assertion below is the sharp edge
+    assert(hits >= 9, s"planted recall collapsed past the old cap: $hits/10")
+    val nBuckets = graft.operators.Derived.lshCapped(spark, dir)
+      .filter($"band" === 0).select($"bucket").distinct().count()
+    // 66 020 vectors over 2^11 buckets ⇒ essentially every bucket value
+    // occupied (>1024 distinct proves the width really widened; the old
+    // ladder could never exceed 1024)
+    assert(nBuckets > 1024, s"bucket space did not widen past 2^10: $nBuckets distinct buckets")
+  }
+
   /** Labeled-cluster fixture for the knn_ann ↔ knn_label agreement gate
     * (round-10 verdict item 7). Each of the 20 queries (vec_id < 20 — the
     * knn split) gets a 6-member planted neighborhood at cos 0.95..0.99,
