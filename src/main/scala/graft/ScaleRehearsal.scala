@@ -209,10 +209,14 @@ object ScaleRehearsal {
     // SCALECHECK.json (the EDGECHECK overwrite-trap class, round-9 ADVICE)
     // the mode token is checked on the BASENAME only (round-10 advice): a
     // path like /docs/SCALECHECK.json must still get the suffix, or a mode
-    // run silently overwrites the uniform record — the trap this guards
-    val outJsonName = new java.io.File(args(2)).getName.toLowerCase
+    // run silently overwrites the uniform record — the trap this guards.
+    // Token match is EXACT on '_'/'.' segments (round-11 advice): substring
+    // containment let mode=skew pass against SCALECHECK_skew50.json and
+    // silently overwrite the skew50 record — the very trap class again
+    val outJsonTokens = new java.io.File(args(2)).getName.toLowerCase
+      .split("[_.]").toSet
     val outJson =
-      if (mode.nonEmpty && !outJsonName.contains(mode)) {
+      if (mode.nonEmpty && !outJsonTokens.contains(mode)) {
         val dot = args(2).lastIndexOf('.')
         if (dot > 0) args(2).substring(0, dot) + "_" + mode + args(2).substring(dot)
         else args(2) + "_" + mode
