@@ -1,0 +1,535 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.dialects.GraphQL
+
+/** GraphQL composition-matrix fuzzer (round-12 verdict item 6 — the
+  * GraphQL twin of [[NlFuzz]]).
+  *
+  * Rounds 9-11 each hand-discovered ONE latent GraphQL composition per
+  * round (agg_orderby, agg_page/nested_distinct, …). This main makes the
+  * discovery mechanical: it CROSSES every front-end production — raw
+  * roots (each filter op × orderBy direction × offset/limit × nested
+  * relations × aliases × fragments × variables × directives), the
+  * aggregation root (own-column / dotted / multi-key groupBy × aggregate
+  * fieldsets × filter × having × aggregate-field ordering × pagination),
+  * nested `<rel>_agg` rollups, and introspection — and asserts the claim
+  * table both ways:
+  *
+  *  - a CLAIMED combination must plan and its result must match the
+  *    generated DuckDB SQL (scripts/gqlfuzz.py replays it — the SQL is
+  *    generated from the SAME case spec as the GraphQL string, so the
+  *    two strings are independent paths to the same answer: spec → GQL →
+  *    parser → Catalyst vs spec → SQL → DuckDB);
+  *  - an UNCLAIMED combination must fail LOUDLY — if it silently plans,
+  *    the claim table is stale and the run flags it.
+  *
+  * First-run findings (the fuzzer earning its keep, like NlFuzz's 20):
+  * root argument names were never validated — `orders(having: …)` and
+  * `orders_agg(limt: 3)` silently dropped the argument and returned
+  * unfiltered/unpaged rows labeled as the answer. GraphQL.checkArgs now
+  * rejects unknown argument names at every root and on nested `_agg`
+  * fields; the unclaimed rows here pin that contract.
+  *
+  * Usage: graft.GqlFuzz <sfDir> <outDir>
+  */
+object GqlFuzz {
+
+  /** One generated case: claimed=true ⇒ must plan + parity-pass against
+    * `sql`; claimed=false ⇒ must throw loudly (sql absent).
+    */
+  final case class Q(name: String, gql: String,
+                     vars: Map[String, GraphQL.Value],
+                     sql: Option[String], claimed: Boolean)
+
+  // ---- shared SQL fragments (the committed gql_* oracle conventions) ----
+  private val sumTP =
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice"
+  private val avgTP =
+    Tables.avg4Duck("sum(CAST(o_totalprice AS DECIMAL(18,4)))", "count(1)") +
+      " AS avg_o_totalprice"
+  private val joinCust = "LEFT JOIN customer ON o_custkey = c_custkey"
+
+  def matrix: Seq[Q] = {
+    val out = Seq.newBuilder[Q]
+    var i = 0
+    def add(tag: String, gql: String, sql: String = null,
+            vars: Map[String, GraphQL.Value] = Map.empty): Unit = {
+      out += Q(f"g$i%03d_$tag", gql, vars, Option(sql), claimed = sql != null)
+      i += 1
+    }
+
+    // =====================================================================
+    // A. raw roots: every filter op × the projection/order/page surface
+    // =====================================================================
+    val rawFilters = Seq(
+      ("eq", """o_orderstatus: {eq: "O"}""", "o_orderstatus = 'O'"),
+      ("ne", """o_orderstatus: {ne: "O"}""", "o_orderstatus <> 'O'"),
+      ("gt", "o_totalprice: {gt: 150000}", "o_totalprice > 150000"),
+      ("gte", "o_totalprice: {gte: 150000}", "o_totalprice >= 150000"),
+      ("lt", "o_totalprice: {lt: 50000}", "o_totalprice < 50000"),
+      ("lte", "o_totalprice: {lte: 50000}", "o_totalprice <= 50000"),
+      ("like", """o_orderpriority: {like: "1-%"}""", "o_orderpriority LIKE '1-%'"),
+      ("in", """o_orderstatus: {in: ["O", "F"]}""", "o_orderstatus IN ('O', 'F')"),
+      // two ops on ONE field AND into a range predicate
+      ("range", "o_totalprice: {gte: 50000, lt: 200000}",
+        "o_totalprice >= 50000 AND o_totalprice < 200000"),
+      // bare-value shorthand = eq
+      ("shorthand", """o_orderstatus: "F"""", "o_orderstatus = 'F'"),
+      // two fields AND
+      ("two_fields", """o_orderstatus: {eq: "O"}, o_totalprice: {gt: 150000}""",
+        "o_orderstatus = 'O' AND o_totalprice > 150000"))
+    for ((nm, g, s) <- rawFilters)
+      add(s"raw_filter_$nm",
+        s"""{ orders(filter: {$g}, orderBy: ["o_orderkey"], limit: 40) {
+              o_orderkey o_totalprice o_orderstatus o_orderpriority } }""",
+        s"""SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM orders WHERE $s ORDER BY o_orderkey NULLS FIRST LIMIT 40""")
+
+    add("raw_order_desc",
+      """{ orders(filter: {o_orderstatus: {eq: "F"}},
+                  orderBy: ["-o_totalprice", "o_orderkey"], limit: 25) {
+            o_orderkey o_totalprice } }""",
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 25""")
+    add("raw_order_multi",
+      """{ orders(filter: {o_totalprice: {gt: 300000}},
+                  orderBy: ["o_orderpriority", "o_orderkey"]) {
+            o_orderkey o_orderpriority } }""",
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000
+         ORDER BY o_orderpriority NULLS FIRST, o_orderkey NULLS FIRST""")
+    add("raw_page_offset",
+      """{ customer(filter: {c_mktsegment: {in: ["BUILDING", "AUTOMOBILE"]}},
+                    orderBy: ["c_custkey"], offset: 20, limit: 15) {
+            c_custkey c_name c_mktsegment } }""",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         ORDER BY c_custkey NULLS FIRST LIMIT 15 OFFSET 20""")
+    add("raw_page_offset_desc",
+      """{ orders(filter: {o_orderstatus: {eq: "O"}},
+                  orderBy: ["-o_totalprice", "o_orderkey"], offset: 5, limit: 10) {
+            o_orderkey o_totalprice } }""",
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+         LIMIT 10 OFFSET 5""")
+
+    // nested relations (fk joins), at one / three levels, sibling joins
+    add("raw_nested_one",
+      """{ orders(filter: {o_orderstatus: {eq: "F"}, o_totalprice: {gt: 250000}},
+                  orderBy: ["o_orderkey"], limit: 30) {
+            o_orderkey customer { c_name c_acctbal } } }""",
+      s"""SELECT o_orderkey, c_name, c_acctbal FROM orders $joinCust
+          WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+          ORDER BY o_orderkey NULLS FIRST LIMIT 30""")
+    add("raw_nested_deep",
+      """{ orders(filter: {o_totalprice: {gt: 350000}}, orderBy: ["o_orderkey"]) {
+            o_orderkey customer { c_name nation { n_name region { r_name } } } } }""",
+      s"""SELECT o_orderkey, c_name, n_name, r_name FROM orders $joinCust
+          LEFT JOIN nation ON c_nationkey = n_nationkey
+          LEFT JOIN region ON n_regionkey = r_regionkey
+          WHERE o_totalprice > 350000 ORDER BY o_orderkey NULLS FIRST""")
+    add("raw_nested_siblings",
+      """{ lineitem(filter: {l_returnflag: {eq: "R"}, l_quantity: {gt: 48}},
+                    orderBy: ["l_orderkey", "l_linenumber"], limit: 30) {
+            l_orderkey l_linenumber part { p_name } supplier { s_name } } }""",
+      """SELECT l_orderkey, l_linenumber, p_name, s_name FROM lineitem
+         LEFT JOIN part ON l_partkey = p_partkey
+         LEFT JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_returnflag = 'R' AND l_quantity > 48
+         ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST LIMIT 30""")
+
+    // aliases at both depths; orderBy resolves through the alias
+    add("raw_alias",
+      """{ orders(filter: {o_orderstatus: {eq: "O"}}, orderBy: ["id"], limit: 30) {
+            id: o_orderkey price: o_totalprice customer { who: c_name } } }""",
+      s"""SELECT o_orderkey AS id, o_totalprice AS price, c_name AS who
+          FROM orders $joinCust WHERE o_orderstatus = 'O'
+          ORDER BY id NULLS FIRST LIMIT 30""")
+
+    // fragments: two spreads at different depths
+    add("raw_fragments",
+      """{ orders(filter: {o_totalprice: {gt: 320000}}, orderBy: ["o_orderkey"]) {
+            ...core customer { ...cust } } }
+         fragment core on orders { o_orderkey o_totalprice }
+         fragment cust on customer { c_name c_mktsegment }""",
+      s"""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+          FROM orders $joinCust WHERE o_totalprice > 320000
+          ORDER BY o_orderkey NULLS FIRST""")
+
+    // variables: defaulted, provided, list-valued, page-size
+    add("raw_var_default",
+      """query($status: String = "F") {
+           orders(filter: {o_orderstatus: {eq: $status}}, orderBy: ["o_orderkey"],
+                  limit: 20) { o_orderkey o_orderstatus } }""",
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey NULLS FIRST LIMIT 20""")
+    add("raw_var_provided",
+      """query($minPrice: Float, $n: Int) {
+           orders(filter: {o_totalprice: {gt: $minPrice}},
+                  orderBy: ["o_orderkey"], limit: $n) { o_orderkey o_totalprice } }""",
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 12""",
+      vars = Map("minPrice" -> GraphQL.VFloat(250000.0), "n" -> GraphQL.VInt(12)))
+    add("raw_var_list",
+      """query($segs: [String] = ["BUILDING", "MACHINERY"]) {
+           customer(filter: {c_mktsegment: {in: $segs}}, orderBy: ["c_custkey"],
+                    limit: 25) { c_custkey c_mktsegment } }""",
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         ORDER BY c_custkey NULLS FIRST LIMIT 25""")
+
+    // directives: static skip, variable include on scalar + whole subtree
+    add("raw_dir_scalar",
+      """query($noPrice: Boolean!) {
+           orders(filter: {o_orderstatus: {eq: "F"}}, orderBy: ["o_orderkey"],
+                  limit: 20) {
+             o_orderkey
+             o_totalprice @skip(if: $noPrice)
+             o_orderpriority @skip(if: true) } }""",
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_orderkey NULLS FIRST LIMIT 20""",
+      vars = Map("noPrice" -> GraphQL.VBool(false)))
+    add("raw_dir_subtree_off",
+      """query($withCust: Boolean = false) {
+           orders(filter: {o_totalprice: {gt: 320000}}, orderBy: ["o_orderkey"]) {
+             o_orderkey customer @include(if: $withCust) { c_name } } }""",
+      // the relation is pruned before planning: no join in the mirror
+      """SELECT o_orderkey FROM orders WHERE o_totalprice > 320000
+         ORDER BY o_orderkey NULLS FIRST""")
+
+    // =====================================================================
+    // B. aggregation root: groupBy kind × fieldset × filter/having/order/page
+    // =====================================================================
+    // (tag, groupBy arg, emitted key name, SQL key select, SQL from)
+    val gbs = Seq(
+      ("status", """["o_orderstatus"]""", "o_orderstatus",
+        "o_orderstatus", "FROM orders"),
+      ("prio", """["o_orderpriority"]""", "o_orderpriority",
+        "o_orderpriority", "FROM orders"),
+      ("seg", """["customer.c_mktsegment"]""", "customer_c_mktsegment",
+        "c_mktsegment AS customer_c_mktsegment", s"FROM orders $joinCust"))
+    val fieldsets = Seq(
+      ("count", Seq("count"), Seq("""count(*) AS "count"""")),
+      ("sum", Seq("count", "sum_o_totalprice"),
+        Seq("""count(*) AS "count"""", sumTP)),
+      ("full", Seq("count", "sum_o_totalprice", "avg_o_totalprice",
+        "min_o_totalprice", "max_o_totalprice"),
+        Seq("""count(*) AS "count"""", sumTP, avgTP,
+          "min(o_totalprice) AS min_o_totalprice",
+          "max(o_totalprice) AS max_o_totalprice")),
+      ("countd", Seq("count", "countd_o_custkey"),
+        Seq("""count(*) AS "count"""",
+          "CAST(count(DISTINCT o_custkey) AS BIGINT) AS countd_o_custkey")))
+
+    def aggCase(tag: String, gb: (String, String, String, String, String),
+                fs: (String, Seq[String], Seq[String]),
+                filterG: String = null, filterS: String = null,
+                havingG: String = null, havingS: String = null,
+                orderG: String = null, orderS: String = null,
+                page: String = "", pageS: String = ""): Unit = {
+      val (gtag, gbArg, keyName, keySel, from) = gb
+      val args = Seq(s"groupBy: $gbArg") ++
+        Option(filterG).map(f => s"filter: {$f}") ++
+        Option(havingG).map(h => s"having: {$h}") ++
+        Seq("orderBy: " + Option(orderG).getOrElse(s"""["$keyName"]""")) ++
+        (if (page.nonEmpty) Seq(page) else Nil)
+      val gql = s"""{ orders_agg(${args.mkString(", ")}) {
+                      $keyName ${fs._2.mkString(" ")} } }"""
+      val orderSql = Option(orderS).getOrElse(s"$keyName NULLS FIRST")
+      val inner = s"SELECT $keySel, ${fs._3.mkString(", ")} $from " +
+        Option(filterS).map(f => s"WHERE $f ").getOrElse("") + "GROUP BY 1"
+      val sql =
+        if (havingS == null) s"$inner ORDER BY $orderSql $pageS"
+        else s"SELECT * FROM ($inner) WHERE $havingS ORDER BY $orderSql $pageS"
+      add(s"agg_${gtag}_$tag", gql, sql)
+    }
+
+    for (gb <- gbs) {
+      for (fs <- fieldsets) aggCase(s"plain_${fs._1}", gb, fs)
+      val fsSum = fieldsets(1)
+      aggCase("filter", gb, fsSum,
+        filterG = "o_totalprice: {gt: 50000}", filterS = "o_totalprice > 50000")
+      aggCase("having_count", gb, fsSum,
+        havingG = "count: {gt: 250}", havingS = "\"count\" > 250")
+      aggCase("having_sum", gb, fsSum,
+        havingG = "sum_o_totalprice: {gt: 50000000.0}",
+        havingS = "sum_o_totalprice > 50000000.0")
+      aggCase("order_agg", gb, fsSum,
+        orderG = s"""["-sum_o_totalprice", "${gb._3}"]""",
+        orderS = s"sum_o_totalprice DESC NULLS LAST, ${gb._3} NULLS FIRST",
+        page = "limit: 3", pageS = "LIMIT 3")
+      aggCase("order_agg_page", gb, fsSum,
+        orderG = s"""["-sum_o_totalprice", "${gb._3}"]""",
+        orderS = s"sum_o_totalprice DESC NULLS LAST, ${gb._3} NULLS FIRST",
+        page = "offset: 1, limit: 2", pageS = "LIMIT 2 OFFSET 1")
+      aggCase("chain", gb, fsSum,
+        filterG = "o_totalprice: {gt: 1000}", filterS = "o_totalprice > 1000",
+        havingG = "count: {gt: 50}", havingS = "\"count\" > 50",
+        orderG = s"""["-sum_o_totalprice", "${gb._3}"]""",
+        orderS = s"sum_o_totalprice DESC NULLS LAST, ${gb._3} NULLS FIRST",
+        page = "limit: 3", pageS = "LIMIT 3")
+      aggCase("having_countd", gb, fieldsets(3),
+        havingG = "countd_o_custkey: {gt: 10}", havingS = "countd_o_custkey > 10")
+      aggCase("having_avg", gb, fieldsets(2),
+        havingG = "avg_o_totalprice: {gt: 140000.0}",
+        havingS = "avg_o_totalprice > 140000.0")
+    }
+
+    // multi-key groupBy (own pair, and dotted+own mix)
+    add("agg_two_keys",
+      """{ orders_agg(groupBy: ["o_orderstatus", "o_orderpriority"],
+                      orderBy: ["o_orderstatus", "o_orderpriority"]) {
+            o_orderstatus o_orderpriority count sum_o_totalprice } }""",
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS "count", $sumTP
+          FROM orders GROUP BY 1, 2
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    add("agg_two_keys_mixed",
+      """{ orders_agg(groupBy: ["customer.c_mktsegment", "o_orderstatus"],
+                      orderBy: ["customer_c_mktsegment", "o_orderstatus"]) {
+            customer_c_mktsegment o_orderstatus count } }""",
+      s"""SELECT c_mktsegment AS customer_c_mktsegment, o_orderstatus,
+            count(*) AS "count"
+          FROM orders $joinCust GROUP BY 1, 2
+          ORDER BY customer_c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""")
+    // variables/fragments/directives THROUGH the aggregation root
+    add("agg_var_groupby",
+      """query($gb: [String] = ["o_orderstatus"], $n: Int = 3) {
+           orders_agg(groupBy: $gb, orderBy: ["o_orderstatus"], limit: $n) {
+             o_orderstatus count } }""",
+      """SELECT o_orderstatus, count(*) AS "count" FROM orders GROUP BY 1
+         ORDER BY o_orderstatus NULLS FIRST LIMIT 3""")
+    add("agg_dir_field",
+      """query($noSum: Boolean = true) {
+           orders_agg(groupBy: ["o_orderpriority"], orderBy: ["o_orderpriority"]) {
+             o_orderpriority count sum_o_totalprice @skip(if: $noSum) } }""",
+      """SELECT o_orderpriority, count(*) AS "count" FROM orders GROUP BY 1
+         ORDER BY o_orderpriority NULLS FIRST""")
+    add("agg_fragment",
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+            o_orderstatus ...aggCore } }
+         fragment aggCore on orders_agg { count sum_o_totalprice }""",
+      s"""SELECT o_orderstatus, count(*) AS "count", $sumTP
+          FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""")
+
+    // =====================================================================
+    // C. nested `<rel>_agg` rollups (aggregate-then-join)
+    // =====================================================================
+    add("nested_agg_plain",
+      """{ customer(orderBy: ["c_custkey"], limit: 40) {
+            c_custkey orders_agg { count sum_o_totalprice } } }""",
+      s"""SELECT c_custkey, coalesce("count", 0) AS "count", sum_o_totalprice
+          FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS "count", $sumTP
+            FROM orders GROUP BY o_custkey) agg ON c_custkey = o_custkey
+          ORDER BY c_custkey NULLS FIRST LIMIT 40""")
+    add("nested_agg_filtered",
+      """{ customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+                    orderBy: ["c_custkey"], limit: 40) {
+            c_custkey c_mktsegment
+            orders_agg(filter: {o_orderstatus: {eq: "F"}}) {
+              count sum_o_totalprice max_o_orderdate } } }""",
+      s"""SELECT c_custkey, c_mktsegment,
+            coalesce("count", 0) AS "count", sum_o_totalprice, max_o_orderdate
+          FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS "count", $sumTP,
+              max(o_orderdate) AS max_o_orderdate
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) agg
+            ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          ORDER BY c_custkey NULLS FIRST LIMIT 40""")
+    add("nested_agg_countd",
+      """{ nation(orderBy: ["n_nationkey"]) {
+            n_nationkey n_name customer_agg { count countd_c_mktsegment } } }""",
+      """SELECT n_nationkey, n_name,
+           coalesce("count", 0) AS "count", countd_c_mktsegment
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, count(*) AS "count",
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS countd_c_mktsegment
+           FROM customer GROUP BY c_nationkey) agg ON n_nationkey = c_nationkey
+         ORDER BY n_nationkey NULLS FIRST""")
+    add("nested_agg_lineitem",
+      """{ orders(filter: {o_orderstatus: {eq: "F"}}, orderBy: ["o_orderkey"],
+                  limit: 30) {
+            o_orderkey lineitem_agg { count sum_l_quantity } } }""",
+      """SELECT o_orderkey, coalesce("count", 0) AS "count", sum_l_quantity
+         FROM orders LEFT JOIN (
+           SELECT l_orderkey, count(*) AS "count",
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS sum_l_quantity
+           FROM lineitem GROUP BY l_orderkey) agg ON o_orderkey = l_orderkey
+         WHERE o_orderstatus = 'F' ORDER BY o_orderkey NULLS FIRST LIMIT 30""")
+    add("nested_agg_siblings",
+      """{ nation(orderBy: ["n_nationkey"]) {
+            n_nationkey
+            customer_agg { customers: count }
+            supplier_agg { suppliers: count } } }""",
+      """SELECT n_nationkey,
+           coalesce(customers, 0) AS customers, coalesce(suppliers, 0) AS suppliers
+         FROM nation
+         LEFT JOIN (SELECT c_nationkey, count(*) AS customers
+                    FROM customer GROUP BY 1) ca ON n_nationkey = c_nationkey
+         LEFT JOIN (SELECT s_nationkey, count(*) AS suppliers
+                    FROM supplier GROUP BY 1) sa ON n_nationkey = s_nationkey
+         ORDER BY n_nationkey NULLS FIRST""")
+    add("nested_agg_beside_rel",
+      """{ customer(orderBy: ["c_custkey"], limit: 25) {
+            c_custkey nation { n_name } orders_agg { count } } }""",
+      """SELECT c_custkey, n_name, coalesce("count", 0) AS "count"
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN (SELECT o_custkey, count(*) AS "count"
+                    FROM orders GROUP BY 1) agg ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST LIMIT 25""")
+
+    // =====================================================================
+    // D. introspection
+    // =====================================================================
+    val allTables = Seq("customer", "documents", "embeddings", "events",
+      "lineitem", "nation", "orders", "part", "region", "supplier")
+    add("introspect_full", "{ __schema { tables { name n_columns } } }",
+      allTables.map(t => s"""SELECT '$t' AS name, (SELECT CAST(count(*) AS BIGINT)
+             FROM (DESCRIBE SELECT * FROM $t)) AS n_columns""")
+        .mkString("SELECT name, n_columns FROM (", " UNION ALL ",
+          ") ORDER BY name NULLS FIRST"))
+    add("introspect_names", "{ __schema { tables { name } } }",
+      allTables.map(t => s"SELECT '$t' AS name")
+        .mkString("SELECT name FROM (", " UNION ALL ",
+          ") ORDER BY name NULLS FIRST"))
+
+    // =====================================================================
+    // E. unclaimed: must reject LOUDLY (stale-claim detection both ways)
+    // =====================================================================
+    add("rej_unknown_table", "{ warehouses { w_id } }")
+    add("rej_unknown_column",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) { o_orderkey o_nope } }""")
+    add("rej_unknown_op",
+      """{ orders(filter: {o_totalprice: {approx: 5}}, orderBy: ["o_orderkey"]) {
+            o_orderkey } }""")
+    add("rej_unknown_agg_field",
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+            o_orderstatus median_o_totalprice } }""")
+    add("rej_raw_column_at_agg_root",
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+            o_orderstatus o_orderkey count } }""")
+    add("rej_groupby_missing",
+      """{ orders_agg(orderBy: ["o_orderstatus"]) { o_orderstatus count } }""")
+    add("rej_unknown_relation",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) { o_orderkey part { p_name } } }""")
+    add("rej_dotted_unknown_rel",
+      """{ orders_agg(groupBy: ["part.p_type"], orderBy: ["part_p_type"]) {
+            part_p_type count } }""")
+    // NOT rejected (first-run finding): the raw dotted key in orderBy
+    // resolves through the pre-projection join attribute (Spark's
+    // order-by-missing-column resolution) — same values as the emitted
+    // customer_c_mktsegment, deterministic, so the ergonomic form is
+    // CLAIMED rather than outlawed
+    add("agg_dotted_orderby_raw",
+      """{ orders_agg(groupBy: ["customer.c_mktsegment"],
+                      orderBy: ["customer.c_mktsegment"]) {
+            customer_c_mktsegment count } }""",
+      s"""SELECT c_mktsegment AS customer_c_mktsegment, count(*) AS "count"
+          FROM orders $joinCust GROUP BY 1
+          ORDER BY customer_c_mktsegment NULLS FIRST""")
+    add("rej_alias_at_agg_root",
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"]) {
+            o_orderstatus n: count } }""")
+    add("rej_alias_on_relation",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey buyer: customer { c_name } } }""")
+    add("rej_args_on_relation",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey customer(filter: {c_acctbal: {gt: 0}}) { c_name } } }""")
+    add("rej_fragment_wrong_type",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) { ...cust } }
+         fragment cust on customer { c_name }""")
+    add("rej_fragment_undefined",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) { ...nope } }""")
+    add("rej_var_undeclared",
+      """{ orders(filter: {o_orderstatus: {eq: $status}}, orderBy: ["o_orderkey"]) {
+            o_orderkey } }""")
+    add("rej_var_missing",
+      """query($status: String) {
+           orders(filter: {o_orderstatus: {eq: $status}}, orderBy: ["o_orderkey"]) {
+             o_orderkey } }""")
+    add("rej_unknown_directive",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey @once(if: true) } }""")
+    add("rej_schema_unknown_field",
+      "{ __schema { tables { name owner } } }")
+    // the round-12 checkArgs contract: unknown argument NAMES reject
+    // (previously silently ignored — the fuzzer's first catch)
+    add("rej_having_at_raw_root",
+      """{ orders(having: {count: {gt: 5}}, orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey } }""")
+    add("rej_groupby_at_raw_root",
+      """{ orders(groupBy: ["o_orderstatus"], orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey } }""")
+    add("rej_misspelled_arg",
+      """{ orders(orderBy: ["o_orderkey"], limt: 5) { o_orderkey } }""")
+    add("rej_agg_misspelled_arg",
+      """{ orders_agg(groupBy: ["o_orderstatus"], orderBy: ["o_orderstatus"],
+                      ofset: 1) { o_orderstatus count } }""")
+    add("rej_nested_agg_orderby",
+      """{ customer(orderBy: ["c_custkey"], limit: 5) {
+            c_custkey orders_agg(orderBy: ["-count"]) { count } } }""")
+    add("rej_schema_with_args",
+      """{ __schema(limit: 1) { tables { name } } }""")
+
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.GqlFuzz <sfDir> <outDir>")
+    val (sfDir, outDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n")
+    val qs = matrix
+    var bad = 0
+    val manifest = qs.map { q =>
+      if (q.claimed) {
+        try {
+          GraphQL.runWithVariables(spark, sfDir, q.gql, q.vars)
+            .write.mode("overwrite").parquet(s"$outDir/${q.name}.parquet")
+          s""""${q.name}":{"status":"translated","gql":"${esc(q.gql)}","sql":"${esc(q.sql.get)}"}"""
+        } catch {
+          case e: Exception =>
+            bad += 1
+            System.err.println(s"[gqlfuzz] UNPRODUCIBLE claimed composition " +
+              s"${q.name} -> ${e.getMessage}")
+            s""""${q.name}":{"status":"unproducible","gql":"${esc(q.gql)}"}"""
+        }
+      } else {
+        try {
+          GraphQL.runWithVariables(spark, sfDir, q.gql, q.vars).schema
+          bad += 1
+          System.err.println(s"[gqlfuzz] STALE CLAIM TABLE: unclaimed " +
+            s"${q.name} planned — add it to the parity matrix")
+          s""""${q.name}":{"status":"unclaimed_translated","gql":"${esc(q.gql)}"}"""
+        } catch {
+          case e: Exception =>
+            require(e.getMessage != null && e.getMessage.nonEmpty,
+              s"empty rejection message for ${q.name}")
+            s""""${q.name}":{"status":"rejected","gql":"${esc(q.gql)}"}"""
+        }
+      }
+    }
+    val json = manifest.mkString(
+      s"""{"n":${qs.size},"bad":$bad,"questions":{""", ",", "}}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "fuzz_manifest.json"), json)
+    System.err.println(s"[gqlfuzz] ${qs.size} cases, " +
+      s"${qs.count(_.claimed)} claimed, bad=$bad")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -230,7 +230,17 @@ object GraphQL {
         expect('$')
         val name = ident()
         expect(':')
-        ident() // type name, discarded
+        ws()
+        // type annotation, discarded (binding is untyped AST substitution):
+        // named (`String`), non-null (`String!`), and list (`[String]` /
+        // `[String!]!`) forms all parse — GqlFuzz round 12: list-valued
+        // variables (`$segs: [String]` feeding an `in` filter) previously
+        // failed at the declaration parser
+        if (peek == '[') {
+          pos += 1; ws(); ident(); ws()
+          if (peek == '!') pos += 1
+          ws(); expect(']')
+        } else ident()
         ws()
         if (peek == '!') pos += 1 // non-null marker, ditto
         ws()
@@ -300,8 +310,11 @@ object GraphQL {
 
   def parseOperation(q: String): (List[VarDecl], Field) = {
     val (decls, f, frags) = new Parser(q).query()
-    val rootTable = f.name.stripSuffix("_agg")
-    val inlined = expand(rootTable, f.selections, frags, Set.empty)
+    // fragment type conditions check against the root FIELD name: an
+    // `_agg` root's selection set holds aggregate fields, so its
+    // fragments are `on orders_agg`, not `on orders` (GqlFuzz round 12 —
+    // the old stripSuffix context rejected every agg-root fragment)
+    val inlined = expand(f.name, f.selections, frags, Set.empty)
     (decls, Field(f.name, f.args, inlined))
   }
 
@@ -461,6 +474,9 @@ object GraphQL {
           throw new IllegalArgumentException(
             s"${sel.name}.${f.name}: aggregate selections must be scalars")
         }
+        // a nested rollup is one row per parent: filter is the only
+        // argument with meaning here (ordering/paging belong on the root)
+        checkArgs(s"$table.${sel.name}", sel.args, Set("filter"))
         val child = applyFilters(TableRegistry.load(s, dir, target), sel.args)
         // output names honor `alias: field` (same surface as scalar
         // selections) — and MUST be used to disambiguate when two sibling
@@ -538,6 +554,22 @@ object GraphQL {
     (df, out.toList)
   }
 
+  /** Argument-NAME validation (round 12 — GqlFuzz's first catch): the arg
+    * appliers collectFirst their own keys, so an unknown or misspelled
+    * argument (`orders(having: …)`, `limt: 5`) was silently dropped and
+    * the query returned unfiltered/unpaged rows labeled as the answer.
+    * Real GraphQL servers validate argument names against the schema;
+    * every root and the nested `_agg` surface now does the same.
+    */
+  private def checkArgs(ctx: String, args: List[(String, Value)],
+                        allowed: Set[String]): Unit = {
+    val unknown = args.map(_._1).filterNot(allowed)
+    require(unknown.isEmpty,
+      s"$ctx: unsupported argument(s): ${unknown.mkString(", ")}" +
+        (if (allowed.isEmpty) ""
+         else s" (supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+  }
+
   /** Shared arg-application stages: both roots (plain and `_agg`) apply
     * filter → orderBy → offset → limit identically, so the two paths can't
     * drift on supported arguments.
@@ -586,6 +618,8 @@ object GraphQL {
         s"alias on _agg selection ${f.name} unsupported")
     }
     val table = root.name.stripSuffix("_agg")
+    checkArgs(root.name, root.args,
+      Set("groupBy", "filter", "having", "orderBy", "limit", "offset"))
     val base = applyFilters(TableRegistry.load(s, dir, table), root.args)
     val rawKeys = root.args.collectFirst { case ("groupBy", VList(cols)) =>
       cols.map { case VString(c) => c
@@ -689,8 +723,12 @@ object GraphQL {
         "the root selection was removed by @skip/@include"))
     require(root.selections.nonEmpty,
       "every selected field was removed by @skip/@include")
-    if (root.name == "__schema") return introspect(s, dir, root)
+    if (root.name == "__schema") {
+      checkArgs(root.name, root.args, Set.empty)
+      return introspect(s, dir, root)
+    }
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
+    checkArgs(root.name, root.args, Set("filter", "orderBy", "limit", "offset"))
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 
     // resolve selections: scalars project (applying any `alias: field`
