@@ -47,21 +47,19 @@ EXPECTED_RAISE = {
 }
 
 
-# Cross-engine BUILTIN divergences that no SQL mirror can close: DuckDB's
-# levenshtein is BYTE-based while Spark's is CODE-POINT-based — equal on
-# ASCII (so the driver gate and every other variant still compare these
-# keys exactly), divergent by construction on multibyte text. DuckDB has
-# no char-level edit distance and RE2 no lookarounds to build one, so on
-# the unicode variant these keys downgrade to a ran-and-compared sanity
-# record with status "divergence" (NOT counted as bad, but visible in the
-# JSON); UnicodeSemanticsSpec pins the Spark-side code-point semantics the
-# library actually ships.
-KNOWN_DIVERGENT = {
-    "unicode": {
-        "udf_scalar": "DuckDB levenshtein is byte-based; Spark code-point",
-        "join_fuzzy": "DuckDB levenshtein is byte-based; Spark code-point",
-    },
-}
+# Cross-engine builtin-divergence allowlist. EMPTY as of round 12: the
+# last two entries (udf_scalar/join_fuzzy — DuckDB levenshtein is
+# byte-based, Spark's code-point-based) were retired by the
+# levenshteinBytes UDF: the gated columns now share DuckDB's byte
+# semantics on every variant (join_fuzzy matches on byte distance;
+# udf_scalar windows its code-point columns to ASCII inputs, where the
+# two semantics coincide, and gates the byte column everywhere).
+# Code-point semantics on multibyte text is pinned by
+# UnicodeSemanticsSpec — the one place DuckDB cannot serve as oracle.
+# Mechanism kept (narrow: a listed key downgrades to a visible
+# "divergence" record on a value mismatch ONLY, never on error/missing)
+# in case a future builtin exposes another unmirrorable semantic.
+KNOWN_DIVERGENT = {}
 
 
 def sh(args, env=None):

@@ -77,9 +77,22 @@ object Custom {
     * but 1 code point) — and the whole point of udf_scalar is
     * UDF == native.
     */
-  def levenshteinScala(a: String, b: String): Int = {
-    val ac = a.codePoints().toArray
-    val bc = b.codePoints().toArray
+  /** Byte-mode edit distance: the same DP over UTF-8 BYTES (round-12
+    * verdict item 7). DuckDB's levenshtein is byte-based, Java's
+    * code-point-based — equal on ASCII, unmirrorable on multibyte, which
+    * left udf_scalar/join_fuzzy carrying the gate's only two `divergence`
+    * records (unicode edge variant). This twin shares DuckDB's semantics
+    * exactly, so the byte column gates hash-exact on EVERY variant and
+    * the KNOWN_DIVERGENT allowlist is retired; the code-point form stays
+    * the user-facing default (UnicodeSemanticsSpec pins both).
+    */
+  def levenshteinBytes(a: String, b: String): Int =
+    levDp(a.getBytes("UTF-8").map(_.toInt), b.getBytes("UTF-8").map(_.toInt))
+
+  def levenshteinScala(a: String, b: String): Int =
+    levDp(a.codePoints().toArray, b.codePoints().toArray)
+
+  private def levDp(ac: Array[Int], bc: Array[Int]): Int = {
     val (m, n) = (ac.length, bc.length)
     var prev = Array.tabulate(n + 1)(identity)
     var cur = new Array[Int](n + 1)
@@ -159,15 +172,32 @@ object Custom {
       // null-guarded: String params are reference types, so Spark passes
       // NULL straight in (no primitive short-circuit) — an unguarded UDF
       // would NPE the whole job on one dirty row, where the native
-      // levenshtein beside it returns NULL (the fn_try discipline)
-      val lev = udf((a: String, b: String) =>
+      // levenshtein beside it returns NULL (the fn_try discipline).
+      // Round 12: three columns, split by comparison semantics —
+      //   lev_bytes  = the UTF-8 byte-DP UDF, DuckDB's own semantics,
+      //                gated hash-exact on EVERY variant incl. unicode;
+      //   lev_native / lev_udf = Spark built-in + the code-point UDF,
+      //                equal to byte distance exactly on ASCII, so both
+      //                are windowed to ASCII inputs (NULL elsewhere,
+      //                mirrored by the oracle's CASE) — code-point
+      //                semantics on multibyte is pinned by
+      //                UnicodeSemanticsSpec, the one place DuckDB cannot
+      //                serve as the oracle.
+      val levCp = udf((a: String, b: String) =>
         if (a == null || b == null) null
         else Integer.valueOf(levenshteinScala(a, b)))
+      val levBy = udf((a: String, b: String) =>
+        if (a == null || b == null) null
+        else Integer.valueOf(levenshteinBytes(a, b)))
       val target = lit("Customer#000000042")
+      val ascii = col("c_name").rlike("^[\\x00-\\x7F]*$")
       customer(s, d).select(
           col("c_custkey"),
-          levenshtein(col("c_name"), target).cast(LongType).as("lev_native"),
-          lev(col("c_name"), target).cast(LongType).as("lev_udf"))
+          levBy(col("c_name"), target).cast(LongType).as("lev_bytes"),
+          when(ascii, levenshtein(col("c_name"), target).cast(LongType))
+            .as("lev_native"),
+          when(ascii, levCp(col("c_name"), target).cast(LongType))
+            .as("lev_udf"))
         .orderBy("c_custkey")
     }),
 
@@ -535,8 +565,11 @@ object Custom {
          FROM f ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""",
     "udf_scalar" ->
       """SELECT c_custkey,
-         levenshtein(c_name, 'Customer#000000042') AS lev_native,
-         levenshtein(c_name, 'Customer#000000042') AS lev_udf
+         levenshtein(c_name, 'Customer#000000042') AS lev_bytes,
+         CASE WHEN regexp_matches(c_name, '^[\x00-\x7f]*$')
+              THEN levenshtein(c_name, 'Customer#000000042') END AS lev_native,
+         CASE WHEN regexp_matches(c_name, '^[\x00-\x7f]*$')
+              THEN levenshtein(c_name, 'Customer#000000042') END AS lev_udf
          FROM customer ORDER BY c_custkey NULLS FIRST""",
     "udaf_typed" ->
       """SELECT l_returnflag,

@@ -274,9 +274,18 @@ object Joins {
         .select(expr(s"concat(substring(name, 1, $drop), " +
           s"substring(name, $drop + 2))").as("dirty"))
         .distinct()
+      // byte-mode distance (round 12): edit distance over UTF-8 bytes —
+      // DuckDB's levenshtein semantics — so the match set is engine-equal
+      // on EVERY input, multibyte included (the code-point built-in
+      // diverged on the unicode edge variant; for ASCII dictionaries the
+      // two are identical). The UDF runs on Σ|block|² dictionary pairs,
+      // not the row stream, so losing codegen costs nothing measurable.
+      val levBy = udf((a: String, b: String) =>
+        if (a == null || b == null) null
+        else Integer.valueOf(graft.functions.Custom.levenshteinBytes(a, b)))
       val cand = dirty.withColumn("blk", substring(col("dirty"), 1, 2))
         .join(names.withColumn("blk", substring(col("name"), 1, 2)), "blk")
-        .withColumn("lev", levenshtein(col("dirty"), col("name")))
+        .withColumn("lev", levBy(col("dirty"), col("name")))
         .filter(col("lev") <= 2)
       val w = Window.partitionBy("dirty").orderBy(col("lev"), col("name"))
       cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

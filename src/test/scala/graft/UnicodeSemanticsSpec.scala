@@ -12,10 +12,14 @@ import graft.functions.Custom
   *    java.net.URI rules, exact half-up avg4). The edge harness now
   *    gates those cross-engine; this spec adds the direct, readable
   *    statement of each rule so a regression names the rule, not a hash.
-  *  - KNOWN_DIVERGENT keys (udf_scalar/join_fuzzy) — DuckDB's levenshtein
-  *    is byte-based and cannot be mirrored, so the harness records
-  *    "divergence" there and THIS spec is the authority for which side
-  *    the library ships: code points.
+  *  - the former KNOWN_DIVERGENT pair (udf_scalar/join_fuzzy) — DuckDB's
+  *    levenshtein is byte-based and code-point distance cannot be
+  *    mirrored. Round 12 retired the allowlist: the gate now compares a
+  *    byte-DP twin (Custom.levenshteinBytes — DuckDB's exact semantics)
+  *    on every variant, and the code-point columns are windowed to ASCII
+  *    inputs where the two semantics coincide. THIS spec remains the
+  *    authority for the code-point semantics the library ships on
+  *    multibyte text, and pins the byte twin against its own contract.
   */
 class UnicodeSemanticsSpec extends AnyFunSuite {
   val spark = TestSpark.spark
@@ -41,17 +45,42 @@ class UnicodeSemanticsSpec extends AnyFunSuite {
     out.foreach { case (native, exp) => assert(native === exp) }
   }
 
-  test("udf_scalar's two distance columns stay equal on multibyte names") {
-    // the operator's claim IS native == UDF; run it on a unicode fixture
+  test("levenshteinBytes is UTF-8-byte-based (DuckDB's semantics), = code-point on ASCII") {
+    // byte distances for the code-point cases above: the multibyte rows
+    // split into (6, 2, 8) bytes where code points count (2, 1, 2)
+    assert(Custom.levenshteinBytes("数据abc", "abc") === 6)
+    assert(Custom.levenshteinBytes(combining, "cafe") === 2)
+    assert(Custom.levenshteinBytes("a" + astral, "a") === 8)
+    assert(Custom.levenshteinBytes(astral, astral) === 0)
+    // ASCII: byte == code-point == native
+    assert(Custom.levenshteinBytes("kitten", "sitting") === 3)
+    assert(Custom.levenshteinBytes("kitten", "sitting")
+      === Custom.levenshteinScala("kitten", "sitting"))
+  }
+
+  test("udf_scalar: byte column everywhere, code-point columns windowed to ASCII") {
     val dir = "target/unicode-cust"
     Seq((1L, "数据Customer#000000001数据"), (2L, "Customer#000000042" + astral),
-      (3L, "Ünïcødé Customer#000000007"), (4L, "Customer#0000000" + combining))
+      (3L, "Ünïcødé Customer#000000007"), (4L, "Customer#0000000" + combining),
+      (5L, "Customer#000000099"))
       .toDF("c_custkey", "c_name")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val out = Custom.queries("udf_scalar")(spark, dir)
-      .select($"lev_native", $"lev_udf").as[(Long, Long)].collect()
-    assert(out.nonEmpty)
-    out.foreach { case (n, u) => assert(n === u, "UDF diverged from native") }
+      .select($"c_custkey", $"lev_bytes", $"lev_native", $"lev_udf")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(out.size === 5)
+    out.foreach { case (id, bytes, native, udfCp) =>
+      assert(bytes >= 0)
+      if (id == 5L) { // ASCII row: all three defined and equal
+        assert(native.contains(bytes) && udfCp.contains(bytes),
+          s"ASCII row: expected 3-way agreement, got ($bytes, $native, $udfCp)")
+      } else { // multibyte rows: code-point columns are NULL by contract
+        assert(native.isEmpty && udfCp.isEmpty,
+          s"row $id: code-point columns must be NULL outside ASCII")
+      }
+    }
   }
 
   test("PII boundary is explicit-ASCII: a CJK neighbor does not suppress a match") {
