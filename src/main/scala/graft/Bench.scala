@@ -215,9 +215,24 @@ object Bench {
       val qStart = txt.indexOf("\"queries\":{")
       if (qStart < 0) Map.empty[String, Double]
       else {
-        val body = txt.substring(qStart + 11, txt.indexOf("}", qStart))
-        "\"([A-Za-z0-9_]+)\":([-+0-9.Ee]+)".r.findAllMatchIn(body)
+        // brace-matching slice (round-11 advice): indexOf("}") truncated
+        // the section at the first nested '}' — fine for today's flat
+        // numeric map, silently empty (disabling mover adjudication) if
+        // the section ever nests. Strings in this JSON never contain
+        // braces (keys are [A-Za-z0-9_], values numeric), so a depth
+        // counter is exact here.
+        val open = qStart + 10 // the '{' after "queries":
+        var i = open
+        var depth = 0
+        while (i < txt.length && { if (txt(i) == '{') depth += 1
+          else if (txt(i) == '}') depth -= 1; depth > 0 }) i += 1
+        val body = txt.substring(open + 1, math.min(i, txt.length))
+        val m = "\"([A-Za-z0-9_]+)\":([-+0-9.Ee]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (m.isEmpty) System.err.println(
+          s"[bench] WARNING: prior record $p parsed to an empty queries " +
+            "map — mover adjudication disabled this run")
+        m
       }
     }.getOrElse(Map.empty)
     val moverKeys = results.collect {

@@ -190,4 +190,27 @@ object Tables {
   def avg4Duck(sumExpr: String, nExpr: String): String =
     s"CAST((2 * CAST(($sumExpr) * 10000 AS BIGINT) + ($nExpr)) // " +
       s"(2 * ($nExpr)) AS DOUBLE) / 10000.0"
+
+  /** Exact HALF-UP 4-dp ratio of two non-negative BIGINT expressions —
+    * the [[avg4]] discipline for INTEGER numerators (round 12, verdict
+    * item 8). `round(CAST(num AS DOUBLE)/den, 4)` on an integer ratio is
+    * NOT measure-zero divergent: p/q hits an exact 4-dp half-point
+    * whenever the lowest-terms q is 32·5^b, and for b=4 the nearest
+    * double sits BELOW the half (probe: 3/20000 → DuckDB .0001, Spark's
+    * shortest-string HALF_UP .0002). ratio₄ = (2·num·10⁴ + den) div
+    * (2·den) in 1e-4 units decides the half in exact integer arithmetic,
+    * identically in both engines. Domain: num ≥ 0, den > 0 (div==floor==
+    * the HALF_UP direction there; Spark `div` truncates toward zero and
+    * DuckDB `//` floors, so NEGATIVE numerators must go through
+    * sign-decomposition — see ts_pct_change), num < 2⁵⁹/10⁴. NULL/zero
+    * denominators: pair with try_divide-style guards at the call site.
+    */
+  def ratio4(numExpr: String, denExpr: String): Column =
+    expr(s"CAST((2 * ($numExpr) * 10000 + ($denExpr)) div " +
+      s"(2 * ($denExpr)) AS DOUBLE) / 10000.0")
+
+  /** The DuckDB mirror of [[ratio4]]. */
+  def ratio4Duck(numExpr: String, denExpr: String): String =
+    s"CAST((2 * ($numExpr) * 10000 + ($denExpr)) // " +
+      s"(2 * ($denExpr)) AS DOUBLE) / 10000.0"
 }

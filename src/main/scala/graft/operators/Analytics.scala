@@ -153,9 +153,11 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("freq")).as("sf"), sum(col("mon")).as("sm"))
       .select(col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
-        r4(col("sf").cast(DoubleType) / col("n_customers").cast(DoubleType))
-          .as("avg_frequency"),
-        r4(col("sm").cast(DoubleType) / col("n_customers")).as("avg_monetary"))
+        // exact half-up quotients (round 12, ratio4/avg4 discipline):
+        // int-count and scale-4-decimal numerators both decide 4-dp
+        // halves in integer arithmetic, identically in both engines
+        ratio4("sf", "n_customers").as("avg_frequency"),
+        avg4("sm", "n_customers").as("avg_monetary"))
       .orderBy("r_q", "f_q", "m_q")
   }
 
@@ -224,8 +226,18 @@ object Analytics {
       monthly.withColumn("p", lag(col("t"), 1).over(w))
         .select(col("n_name"), col("mth"),
           outDec(col("t")).as("total"),
-          r4((col("t") - col("p")).cast(DoubleType) / col("p").cast(DoubleType)
-            * lit(100.0)).as("pct_change"))
+          // signed exact half-up (round 12): Δ/p·100 decided in scaled
+          // integers via sign decomposition (HALF_UP = away from zero;
+          // Spark div truncates toward zero and DuckDB // floors, so the
+          // quotient runs on |Δ| only). Domain: |Δ|·2·10¹⁰ < 2⁶³ ⇒
+          // |Δ| < 4.6·10⁸ money units per (nation, month) step — orders
+          // of magnitude above any fixture; + 0.0 clears the -0.0 a
+          // negative sign times a zero quotient would leave.
+          expr("""IF(t >= p, 1.0D, -1.0D) *
+            (CAST((2 * abs(CAST((t - p) * 10000 AS BIGINT)) * 1000000
+                   + CAST(p * 10000 AS BIGINT))
+                  div (2 * CAST(p * 10000 AS BIGINT)) AS DOUBLE) / 10000.0)
+            + 0.0""").as("pct_change"))
         .orderBy("n_name", "mth")
     }),
 
@@ -274,7 +286,7 @@ object Analytics {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("n_orders")).as("n_orders"),
           outDec(sum(col("spend"))).as("total_revenue"),
-          r4(sum(col("spend")).cast(DoubleType) / count(lit(1))).as("avg_ltv"))
+          avg4("sum(spend)", "count(1)").as("avg_ltv"))
         .orderBy("cohort_year")
     }),
 
@@ -293,8 +305,7 @@ object Analytics {
         .agg(count(lit(1)).as("n_customers"),
           sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
         .withColumn("repeat_bp", expr("(n_repeat * 10000) div n_customers"))
-        .withColumn("repeat_rate",
-          r4(col("n_repeat").cast(DoubleType) / col("n_customers").cast(DoubleType)))
+        .withColumn("repeat_rate", ratio4("n_repeat", "n_customers"))
         .orderBy("c_mktsegment")
     }),
 
@@ -423,8 +434,7 @@ object Analytics {
         .distinct()
         .groupBy("day").agg(count(lit(1)).as("wau"))
       dau.join(wau, "day")
-        .withColumn("stickiness",
-          r4(col("dau").cast(DoubleType) / col("wau").cast(DoubleType)))
+        .withColumn("stickiness", ratio4("dau", "wau"))
         .orderBy("day")
     }),
 
@@ -518,8 +528,7 @@ object Analytics {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint"))
       j.groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_lines"),
-          r4(sum(col("lead_days")).cast(DoubleType) / count(lit(1)))
-            .as("avg_lead_days"),
+          ratio4("sum(lead_days)", "count(1)").as("avg_lead_days"),
           min(col("lead_days")).as("min_lead"),
           max(col("lead_days")).as("max_lead"))
         .orderBy("l_suppkey")
@@ -574,7 +583,7 @@ object Analytics {
          FROM g JOIN nation ON c_nationkey = n_nationkey
          ORDER BY n_name NULLS FIRST, n_customers NULLS FIRST, gini NULLS FIRST""",
     "rfm_segments" ->
-      """WITH dm AS (SELECT max(o_orderdate) AS dmax FROM orders),
+      s"""WITH dm AS (SELECT max(o_orderdate) AS dmax FROM orders),
          b AS (SELECT o_custkey,
                  date_diff('day', CAST(max(o_orderdate) AS DATE),
                            CAST((SELECT dmax FROM dm) AS DATE)) AS rec_days,
@@ -587,9 +596,8 @@ object Analytics {
                  ntile(4) OVER (ORDER BY mon NULLS FIRST, o_custkey NULLS FIRST) AS m_q
                FROM b)
          SELECT r_q, f_q, m_q, count(*) AS n_customers,
-           round(CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
-             AS avg_frequency,
-           round(CAST(sum(mon) AS DOUBLE) / count(*), 4) AS avg_monetary
+           ${ratio4Duck("sum(freq)", "count(*)")} AS avg_frequency,
+           ${avg4Duck("sum(mon)", "count(*)")} AS avg_monetary
          FROM q GROUP BY 1, 2, 3
          ORDER BY r_q NULLS FIRST, f_q NULLS FIRST, m_q NULLS FIRST""",
     "ts_seasonality" ->
@@ -611,7 +619,11 @@ object Analytics {
            FROM m)
          SELECT n_name, mth,
            CAST(round(t, 4) AS DOUBLE) AS total,
-           round(CAST(t - p AS DOUBLE) / CAST(p AS DOUBLE) * 100.0, 4) AS pct_change
+           (CASE WHEN t >= p THEN 1.0 ELSE -1.0 END) *
+             (CAST((2 * abs(CAST((t - p) * 10000 AS BIGINT)) * 1000000
+                    + CAST(p * 10000 AS BIGINT))
+                   // (2 * CAST(p * 10000 AS BIGINT)) AS DOUBLE) / 10000.0)
+             + 0.0 AS pct_change
          FROM l ORDER BY n_name NULLS FIRST, mth NULLS FIRST""",
     "agg_hhi" ->
       """WITH rev AS (
@@ -629,7 +641,7 @@ object Analytics {
            round(max(hhi), 4) AS max_hhi
          FROM h GROUP BY 1 ORDER BY hhi_decile NULLS FIRST""",
     "cohort_ltv" ->
-      """WITH per AS (
+      s"""WITH per AS (
            SELECT o_custkey,
              CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_year,
              sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend,
@@ -638,17 +650,17 @@ object Analytics {
          SELECT cohort_year, count(*) AS n_customers,
            CAST(sum(n_orders) AS BIGINT) AS n_orders,
            CAST(round(sum(spend), 4) AS DOUBLE) AS total_revenue,
-           round(CAST(sum(spend) AS DOUBLE) / count(*), 4) AS avg_ltv
+           ${avg4Duck("sum(spend)", "count(*)")} AS avg_ltv
          FROM per GROUP BY 1 ORDER BY cohort_year NULLS FIRST""",
     "repeat_rate" ->
-      """WITH per AS (
+      s"""WITH per AS (
            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
          SELECT c_mktsegment, count(*) AS n_customers,
            CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
            CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 10000
                 // count(*) AS BIGINT) AS repeat_bp,
-           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 4) AS repeat_rate
+           ${ratio4Duck("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)",
+                        "count(*)")} AS repeat_rate
          FROM per JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""",
     "order_size_hist" ->
@@ -725,13 +737,13 @@ object Analytics {
          FROM gaps g2 JOIN med USING (event_type)
          GROUP BY 1 ORDER BY event_type NULLS FIRST""",
     "engagement_dau_wau" ->
-      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      s"""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
          dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
          ex AS (SELECT DISTINCT user_id, day + CAST(t.i AS INTEGER) AS day
                 FROM ud, range(0, 7) t(i)),
          wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY 1)
          SELECT dau.day, dau, wau,
-           round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
+           ${ratio4Duck("dau", "wau")} AS stickiness
          FROM dau JOIN wau ON dau.day = wau.day
          ORDER BY dau.day NULLS FIRST""",
     "ts_rate_spike" ->
@@ -776,13 +788,13 @@ object Analytics {
          FROM sc
          ORDER BY dom_bp + epd_c DESC NULLS LAST, user_id NULLS FIRST LIMIT 10""",
     "lead_time_stats" ->
-      """WITH j AS (
+      s"""WITH j AS (
            SELECT l_suppkey,
              CAST(date_diff('day', CAST(o_orderdate AS DATE),
                             CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
          SELECT l_suppkey, count(*) AS n_lines,
-           round(CAST(sum(lead_days) AS DOUBLE) / count(*), 4) AS avg_lead_days,
+           ${ratio4Duck("sum(lead_days)", "count(*)")} AS avg_lead_days,
            min(lead_days) AS min_lead,
            max(lead_days) AS max_lead
          FROM j GROUP BY 1 ORDER BY l_suppkey NULLS FIRST"""

@@ -187,7 +187,7 @@ object DataQuality {
         coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L)).as("null_keys"))
         .select(lit(label).as("fk_edge"), col("child_rows"), col("orphan_rows"),
           col("null_keys"),
-          r4(d(col("orphan_rows")) / d(col("child_rows"))).as("orphan_rate"))
+          ratio4("orphan_rows", "child_rows").as("orphan_rate"))
     }
     edges.reduce(_ unionByName _).orderBy("fk_edge")
   }
@@ -200,9 +200,8 @@ object DataQuality {
                                THEN cnt END), 0) AS BIGINT) AS orphan_rows,
             CAST(coalesce(sum(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT)
               AS null_keys,
-            round(CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
-                                      THEN cnt END), 0) AS DOUBLE)
-                  / CAST(sum(cnt) AS DOUBLE), 4) AS orphan_rate
+            ${ratio4Duck("""coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+                             THEN cnt END), 0)""", "sum(cnt)")} AS orphan_rate
           FROM (SELECT $ck AS k, count(*) AS cnt FROM $child GROUP BY 1) c
           LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk"""
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY fk_edge NULLS FIRST")

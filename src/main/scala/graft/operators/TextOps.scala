@@ -799,7 +799,7 @@ object TextOps {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(lower(col("text")), " ")).cast(L)).as("total_tokens"),
-          r4(sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+          ratio4("sum(n_chars)", "count(1)").as("avg_chars"))
         .orderBy("split")
     }),
 
@@ -1305,7 +1305,7 @@ object TextOps {
       documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          r4(sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          ratio4("sum(n_chars)", "count(1)").as("avg_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")),
 
@@ -1355,9 +1355,11 @@ object TextOps {
       val n = size(col("t"))
       t.select(col("doc_id"),
           n.cast(L).as("n_tokens"),
-          r4(expr("aggregate(t, 0, (a, x) -> a + length(x))").cast(DoubleType) / n).as("avg_word_len"),
-          r4(size(expr("filter(t, x -> x = 'a' OR x = 'the')")).cast(DoubleType) / n).as("stopword_ratio"),
-          r4(size(array_distinct(col("t"))).cast(DoubleType) / n).as("type_token_ratio"))
+          ratio4("aggregate(t, 0, (a, x) -> a + length(x))", "size(t)")
+            .as("avg_word_len"),
+          ratio4("size(filter(t, x -> x = 'a' OR x = 'the'))", "size(t)")
+            .as("stopword_ratio"),
+          ratio4("size(array_distinct(t))", "size(t)").as("type_token_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -1408,10 +1410,8 @@ object TextOps {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
           countDistinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("sum_chars"))
-        .withColumn("keep_rate",
-          (r4(col("n_keep").cast(DoubleType) / col("n_docs")) + lit(0.0)).as("keep_rate"))
-        .withColumn("avg_chars",
-          (r4(col("sum_chars").cast(DoubleType) / col("n_docs")) + lit(0.0)).as("avg_chars"))
+        .withColumn("keep_rate", ratio4("n_keep", "n_docs"))
+        .withColumn("avg_chars", ratio4("sum_chars", "n_docs"))
         .orderBy("source")
     }),
 
@@ -1614,8 +1614,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ws")).as("n_words"),
           sum(col("bpe")).as("n_tokens"))
-        .withColumn("fertility",
-          r4(col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType)))
+        .withColumn("fertility", ratio4("n_tokens", "n_words"))
         .orderBy("lang")
     }),
 
@@ -1672,9 +1671,9 @@ object TextOps {
           sum(when(col("rnk") <= 30, col("c")).otherwise(0L)).as("c30"))
         .crossJoin(broadcast(tot))
         .select(col("n_vocab"), col("n_tokens"),
-          r4(d2(col("c10")) / d2(col("n_tokens"))).as("cov10"),
-          r4(d2(col("c20")) / d2(col("n_tokens"))).as("cov20"),
-          r4(d2(col("c30")) / d2(col("n_tokens"))).as("cov30"))
+          ratio4("c10", "n_tokens").as("cov10"),
+          ratio4("c20", "n_tokens").as("cov20"),
+          ratio4("c30", "n_tokens").as("cov30"))
     }),
 
     "corpus_datacard" -> ((s, d) => {
@@ -2056,9 +2055,8 @@ object TextOps {
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) + 0.0 AS keep_rate,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) + 0.0 AS avg_chars
+           ${ratio4Duck("sum(CASE WHEN keep THEN 1 ELSE 0 END)", "count(*)")} AS keep_rate,
+           ${ratio4Duck("sum(n_chars)", "count(*)")} AS avg_chars
          FROM f GROUP BY source ORDER BY source NULLS FIRST""",
     "dedup_simhash" ->
       s"""WITH tok AS (
@@ -2119,7 +2117,7 @@ object TextOps {
            FROM (SELECT *, $splitBucketDuck AS b FROM dedup))
          SELECT split, count(*) AS n_docs,
            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           ${ratio4Duck("sum(n_chars)", "count(*)")} AS avg_chars
          FROM assigned GROUP BY 1 ORDER BY split NULLS FIRST""",
     "split_assign" ->
       s"""SELECT doc_id, ${splitCase("b")} AS split
@@ -2362,8 +2360,8 @@ object TextOps {
          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
          ORDER BY tf.doc_id NULLS FIRST, tf.token NULLS FIRST""",
     "text_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         ${ratio4Duck("sum(n_chars)", "count(*)")} AS avg_chars,
          count(DISTINCT source) AS n_sources
          FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""",
     "text_langid" ->
@@ -2406,12 +2404,12 @@ object TextOps {
            CAST(sum(n) AS BIGINT) AS sum_tokens
          FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""",
     "text_quality" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
          SELECT doc_id,
            len(t) AS n_tokens,
-           round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 4) AS avg_word_len,
-           round(CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t), 4) AS stopword_ratio,
-           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS type_token_ratio
+           ${ratio4Duck("list_sum(list_transform(t, x -> length(x)))", "len(t)")} AS avg_word_len,
+           ${ratio4Duck("len(list_filter(t, x -> x = 'a' OR x = 'the'))", "len(t)")} AS stopword_ratio,
+           ${ratio4Duck("len(list_distinct(t))", "len(t)")} AS type_token_ratio
          FROM t ORDER BY doc_id NULLS FIRST""",
     "text_token_count" ->
       """SELECT doc_id,
@@ -2508,13 +2506,13 @@ object TextOps {
          GROUP BY tok.doc_id
          ORDER BY tok.doc_id NULLS FIRST""",
     "tok_fertility" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_words,
          CAST(sum(len(regexp_extract_all(lower(text),
            '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS n_tokens,
-         round(CAST(sum(len(regexp_extract_all(lower(text),
-             '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS DOUBLE)
-           / CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE), 4)
+         ${ratio4Duck("""sum(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))""",
+           "sum(len(string_split(lower(text), ' ')))")}
            AS fertility
          FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""",
     "mix_domain_cap" ->
@@ -2528,7 +2526,7 @@ object TextOps {
            min(CASE WHEN rn <= 20 THEN n_chars END) AS min_kept_chars
          FROM r GROUP BY 1 ORDER BY source NULLS FIRST""",
     "vocab_coverage" ->
-      """WITH wc AS (SELECT word, count(*) AS c FROM (
+      s"""WITH wc AS (SELECT word, count(*) AS c FROM (
              SELECT unnest(string_split(lower(text), ' ')) AS word
              FROM documents) GROUP BY 1),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
@@ -2543,9 +2541,9 @@ object TextOps {
              sum(CASE WHEN rnk <= 30 THEN c ELSE 0 END) AS c30
            FROM head)
          SELECT n_vocab, n_tokens,
-           round(CAST(c10 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov10,
-           round(CAST(c20 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov20,
-           round(CAST(c30 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS cov30
+           ${ratio4Duck("c10", "n_tokens")} AS cov10,
+           ${ratio4Duck("c20", "n_tokens")} AS cov20,
+           ${ratio4Duck("c30", "n_tokens")} AS cov30
          FROM cov CROSS JOIN tot""",
     "corpus_datacard" ->
       s"""WITH b AS (

@@ -541,8 +541,7 @@ object VectorOps {
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .withColumn("recall",
-          r4(col("n_hit").cast(DoubleType) / col("n_exact")) + lit(0.0))
+        .withColumn("recall", ratio4("n_hit", "n_exact"))
         .orderBy("q_id")
     }),
 
@@ -1288,8 +1287,8 @@ object VectorOps {
          SELECT e.q_id, count(*) AS n_exact,
            CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
              AS n_hit,
-           round(CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)
-                      AS DOUBLE) / count(*), 4) + 0.0 AS recall
+           ${ratio4Duck("sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END)",
+                        "count(*)")} AS recall
          FROM exact e LEFT JOIN ann a
            ON e.q_id = a.q_id AND e.vec_id = a.vec_id
          GROUP BY 1 ORDER BY e.q_id NULLS FIRST""",

@@ -580,8 +580,7 @@ object Windows {
       counts.join(broadcast(base), "cw")
         .select(col("cw").cast(DateType).as("cohort_week"), col("week_offset"),
           col("n_users"), col("base_users"),
-          (r4(col("n_users").cast(DoubleType) / col("base_users")) + lit(0.0))
-            .as("retention"))
+          ratio4("n_users", "base_users").as("retention"))
         .orderBy("cohort_week", "week_offset")
     })
   )
@@ -828,7 +827,7 @@ object Windows {
          FROM r GROUP BY 1, 2
          ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
     "cohort_retention" ->
-      """WITH cohort AS (
+      s"""WITH cohort AS (
            SELECT user_id, date_trunc('week', min(ts)) AS cw
            FROM events GROUP BY 1),
          active AS (
@@ -844,7 +843,7 @@ object Windows {
            CAST(c.week_offset AS BIGINT) AS week_offset,
            CAST(c.n_users AS BIGINT) AS n_users,
            CAST(b.base_users AS BIGINT) AS base_users,
-           round(CAST(c.n_users AS DOUBLE) / b.base_users, 4) + 0.0 AS retention
+           ${ratio4Duck("c.n_users", "b.base_users")} AS retention
          FROM counts c JOIN base b USING (cw)
          ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""",
     "win_row_number" ->
