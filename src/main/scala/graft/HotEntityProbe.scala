@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Focused hot-entity experiment (round 11, verdict item 1's evidence row).
+/** Focused hot-entity experiment (round 11, verdict item 1's evidence row;
+  * round 12 extends it to every per-entity-serial key).
   *
   * The skew rehearsal (25%/50% hot key over ×k fixture replicas) tops out
   * around 5·10⁵ rows on the hot entity — where a single-task per-user
@@ -12,16 +13,35 @@ import org.apache.spark.sql.functions._
   * only its overhead. This main synthesizes the regime the rehearsal
   * cannot reach: ONE user owning n events spread uniformly over a year
   * (plus a 10%-of-n background population of normal users), and times
-  * sessionize vs sessionize_bucketed head-to-head at growing n. The
+  * each plain key vs its bucketed twin head-to-head at growing n. The
   * expected shape: the plain plan's wall grows with n ON ONE TASK
   * (serial sort + serial window scan — the 100 TB cliff), while the
   * bucketed plan's hot task is bounded by one user-DAY (n/365) and its
   * wall stays ~flat until the join/shuffle floor dominates.
   *
+  * Round 12 probes the whole sequence-dependent family, not just
+  * sessionize: win_streaks / streaks_bucketed and event_transitions /
+  * event_transitions_bucketed share the identical per-user-window
+  * regime, and funnel_conversion rides along WITHOUT a twin as the
+  * control — its per-user work is a commutative min() through partial
+  * aggregation (no serial sort), so it should read flat and prove the
+  * probe distinguishes the two shapes rather than labeling everything
+  * a cliff.
+  *
   * Usage: graft.HotEntityProbe <outBase> [n1,n2,...]  (default 1e5,1e6,4e6)
-  * Emits one JSON line per n: {"n_hot":…,"sessionize_s":…,"bucketed_s":…}.
+  * Emits one JSON line per n with per-key seconds.
   */
 object HotEntityProbe {
+
+  /** (plain key, bucketed twin — None for the flat-by-construction
+    * control). Twins must emit row-identical results (require'd below).
+    */
+  private val pairs: Seq[(String, Option[String])] = Seq(
+    ("sessionize", Some("sessionize_bucketed")),
+    ("win_streaks", Some("streaks_bucketed")),
+    ("event_transitions", Some("event_transitions_bucketed")),
+    ("funnel_conversion", None))
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.HotEntityProbe <outBase> [n1,n2,...]")
     val outBase = args(0)
@@ -40,23 +60,34 @@ object HotEntityProbe {
       val dir = s"$outBase/hot_$n"
       // hot user 0: n events over 365 days (uniform; every day occupied →
       // sessions merge across every midnight, the worst stitch case).
-      // background: n/10 events over 1000 users, same span.
+      // background: n/10 events over 1000 users, same span. event_type is
+      // a function of the TIMESTAMP (6-hour blocks cycling
+      // view/click/purchase), so in event-TIME order the stream has LONG
+      // same-type runs (~1460 runs/user-year regardless of n) — the
+      // regime win_streaks exists for, and the one where the run-level
+      // stitch stays calendar-bounded; funnel sees all three stage types.
       val yearUs = 365L * 24 * 3600 * 1000000L
+      val blockUs = 6L * 3600 * 1000000L
+      def typed(tsUs: org.apache.spark.sql.Column) =
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod(tsUs.cast("long") / lit(blockUs), lit(3)) + 1).cast("int"))
       val hot = spark.range(n).select(
         col("id").as("event_id"),
-        timestamp_micros(lit(1700000000000000L) + pmod(col("id") * 2654435761L, lit(yearUs))).as("ts"),
+        (lit(1700000000000000L) + pmod(col("id") * 2654435761L, lit(yearUs))).as("us"),
         lit(0L).as("user_id"),
-        lit("view").as("event_type"),
         (col("id") % 100).cast("double").as("value"),
         lit("{}").as("props"))
       val bg = spark.range(n / 10).select(
         (col("id") + lit(2000000000L)).as("event_id"),
-        timestamp_micros(lit(1700000000000000L) + pmod(col("id") * 968665207L, lit(yearUs))).as("ts"),
+        (lit(1700000000000000L) + pmod(col("id") * 968665207L, lit(yearUs))).as("us"),
         (col("id") % 1000 + 1).as("user_id"),
-        lit("view").as("event_type"),
         (col("id") % 100).cast("double").as("value"),
         lit("{}").as("props"))
-      hot.unionByName(bg).repartition(16)
+      hot.unionByName(bg)
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), typed(col("us")).as("event_type"),
+          col("value"), col("props"))
+        .repartition(16)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
       def time(key: String): (Double, Long) = {
@@ -64,12 +95,17 @@ object HotEntityProbe {
         val rows = SparkEntry.queries(key)(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      // bucketed first, so any one-time scan warmth favors the PLAIN plan
-      // (the conservative direction for the claim under test)
-      val (tb, rb) = time("sessionize_bucketed")
-      val (tp, rp) = time("sessionize")
-      require(rb == rp, s"plans disagree at n=$n: $rb vs $rp")
-      println(f"""{"n_hot":$n,"rows":$rp,"sessionize_s":$tp%.2f,"bucketed_s":$tb%.2f}""")
+      val cells = pairs.flatMap { case (plain, twin) =>
+        // bucketed first, so any one-time scan warmth favors the PLAIN
+        // plan (the conservative direction for the claim under test)
+        val b = twin.map(time)
+        val (tp, rp) = time(plain)
+        b.foreach { case (_, rb) =>
+          require(rb == rp, s"$plain twin disagrees at n=$n: $rb vs $rp") }
+        Seq(f""""${plain}_s":$tp%.2f""") ++
+          b.map { case (tb, _) => f""""${twin.get}_s":$tb%.2f""" }
+      }
+      println(s"""{"n_hot":$n,${cells.mkString(",")}}""")
     }
     spark.stop()
   }

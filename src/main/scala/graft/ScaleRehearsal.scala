@@ -174,7 +174,11 @@ object ScaleRehearsal {
     "funnel_conversion", "win_ntile",
     // round 11: the hot-entity escape hatches next to their plain twins —
     // the skew50 leg reads sessionize vs sessionize_bucketed side by side
-    "sessionize_bucketed", "agg_skew_salted")
+    "sessionize_bucketed", "agg_skew_salted",
+    // round 12: the rest of the per-entity-serial family and their
+    // day-bucketed twins (read skew legs as plain-vs-hatch pairs)
+    "win_streaks", "streaks_bucketed",
+    "event_transitions", "event_transitions_bucketed")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,

@@ -307,6 +307,51 @@ object Windows {
         .orderBy("from_type", "to_type")
     }),
 
+    "event_transitions_bucketed" -> ((s, d) => {
+      // DAY-BUCKETED pre-split event_transitions — the hot-entity escape
+      // hatch (round 12, the sessionize_bucketed template): the plain
+      // key's per-user lead() sorts ONE entity's whole history in one
+      // task (HOTPROBE measures the cliff past ~10⁶ events/entity). day
+      // is monotone in ts, so the per-user event order is exactly the
+      // day-bucket orders concatenated: within-bucket transitions come
+      // from a (user, day)-keyed window (hot task bounded by one
+      // user-day), and the only missing pairs — last event of a bucket →
+      // first event of the NEXT OCCUPIED bucket — come from a second
+      // window over ONE summary row per (user, day) (calendar-bounded
+      // per user, never event-bounded). NULL ts rows form the NULL-day
+      // bucket, which sorts first exactly like NULL ts does in the plain
+      // global order. Result provably equals the plain plan — the oracle
+      // IS event_transitions' SQL.
+      val wB = Window.partitionBy("user_id", "__day")
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, d).withColumn("__day", to_date(col("ts")))
+      val within = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(wB))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      // first/last event type per bucket via the (ts, event_id) total
+      // order folded into a struct min/max — the sessionize_bucketed
+      // entry/exit-type idiom
+      val summary = ev.groupBy(col("user_id"), col("__day"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("first_type"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_type"))
+      val wS = Window.partitionBy("user_id").orderBy(col("__day"))
+      val bounds = summary
+        .withColumn("next_first", lead(col("first_type"), 1).over(wS))
+        .filter(col("next_first").isNotNull)
+        .select(col("last_type").as("from_type"), col("next_first").as("to_type"))
+      val tr = within.unionByName(bounds)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      tr.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 10000 div n_from").as("p_bp"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "abc_analysis" -> ((s, d) => {
       // Pareto / ABC inventory classification — rank customers by revenue
       // and cut the cumulative share at 80%/95% into A/B/C classes (the
@@ -544,6 +589,48 @@ object Windows {
           sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "event_type", "island")
         .agg(count(lit(1)).as("len"))
+        .groupBy("user_id", "event_type")
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "streaks_bucketed" -> ((s, d) => {
+      // DAY-BUCKETED pre-split win_streaks — the hot-entity escape hatch
+      // (round 12, the sessionize_bucketed template): the plain key's
+      // per-user lag+cumsum sorts ONE entity's whole history in one task.
+      // day is monotone in ts, so runs are decided locally per (user,
+      // day) bucket, then merged over ONE ROW PER RUN: within a bucket
+      // adjacent runs always differ in type, so two consecutive runs in
+      // the per-user run order can only share a type at a bucket
+      // boundary — exactly the splits the bucketing introduced. The
+      // second lag+cumsum over the runs table re-merges them (chains — a
+      // streak spanning 3+ days — fall out of the running sum), and
+      // max/count aggregate the merged lengths. The serial pass is
+      // bounded by the RUN count, not the event count: the hatch wins
+      // exactly when streaks are long (the regime the key exists to
+      // find); a degenerate strictly-alternating stream keeps runs ≈
+      // events, where no decomposition can shrink an order-dependent
+      // serial scan. Result provably equals the plain plan — the oracle
+      // IS win_streaks' SQL.
+      val wB = Window.partitionBy("user_id", "__day")
+        .orderBy(col("ts"), col("event_id"))
+      val runs = events(s, d).withColumn("__day", to_date(col("ts")))
+        .withColumn("__chg",
+          when(lag(col("event_type"), 1).over(wB) === col("event_type"), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("__isl", sum(col("__chg"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__day"), col("__isl"), col("event_type"))
+        .agg(count(lit(1)).as("__len"))
+      val wR = Window.partitionBy("user_id").orderBy(col("__day"), col("__isl"))
+      runs
+        .withColumn("__chg2",
+          when(lag(col("event_type"), 1).over(wR) === col("event_type"), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("__isl2", sum(col("__chg2"))
+          .over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "event_type", "__isl2")
+        .agg(sum(col("__len")).as("len"))
         .groupBy("user_id", "event_type")
         .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
         .orderBy("user_id", "event_type")
@@ -806,8 +893,11 @@ object Windows {
        FROM numbered GROUP BY 1, 2
        ORDER BY user_id NULLS FIRST, session_seq NULLS FIRST"""
 
-  val oracles: Map[String, String] = Map(
-    "win_streaks" ->
+  /** Shared by win_streaks and streaks_bucketed — equality with the plain
+    * gaps-and-islands SQL IS the bucketed plan's contract (the
+    * sessionizeOracle convention).
+    */
+  private val winStreaksOracle: String =
       """WITH o AS (
            SELECT user_id, event_type, ts, event_id,
              CASE WHEN lag(event_type) OVER
@@ -825,7 +915,26 @@ object Windows {
            CAST(max(len) AS BIGINT) AS max_streak,
            CAST(count(*) AS BIGINT) AS n_streaks
          FROM r GROUP BY 1, 2
-         ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""",
+         ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""
+
+  /** Shared by event_transitions and event_transitions_bucketed. */
+  private val eventTransitionsOracle: String =
+      """WITH n AS (SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS to_type
+               FROM events),
+         tr AS (SELECT from_type, to_type, count(*) AS n FROM n
+                WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+           CAST(tr.n * 10000 // t.n_from AS BIGINT) AS p_bp
+         FROM tr JOIN tot t USING (from_type)
+         ORDER BY from_type NULLS FIRST, to_type NULLS FIRST"""
+
+  val oracles: Map[String, String] = Map(
+    "win_streaks" -> winStreaksOracle,
+    "streaks_bucketed" -> winStreaksOracle,
+    "event_transitions_bucketed" -> eventTransitionsOracle,
     "cohort_retention" ->
       s"""WITH cohort AS (
            SELECT user_id, date_trunc('week', min(ts)) AS cw
@@ -965,18 +1074,7 @@ object Windows {
            UNION ALL SELECT '2_click_after_view', count(*) FROM c
            UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
          ORDER BY stage NULLS FIRST""",
-    "event_transitions" ->
-      """WITH n AS (SELECT event_type AS from_type,
-                 lead(event_type, 1) OVER (PARTITION BY user_id
-                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS to_type
-               FROM events),
-         tr AS (SELECT from_type, to_type, count(*) AS n FROM n
-                WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         tot AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY 1)
-         SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
-           CAST(tr.n * 10000 // t.n_from AS BIGINT) AS p_bp
-         FROM tr JOIN tot t USING (from_type)
-         ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""",
+    "event_transitions" -> eventTransitionsOracle,
     "abc_analysis" ->
       """WITH r AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
                     FROM orders GROUP BY 1),

@@ -261,6 +261,66 @@ class ExtensionSpec extends AnyFunSuite {
     assert(byUser(3L).size === 2) // empty day splits
   }
 
+  test("streaks/transitions bucketed twins: identical to plain; runs merge across day buckets") {
+    def run(key: String, dir: String) =
+      Windows.queries(key)(spark, dir).collect().toSeq
+    // real fixture first: row-for-row identity with the plain plans
+    assert(run("streaks_bucketed", d) === run("win_streaks", d))
+    assert(run("event_transitions_bucketed", d) === run("event_transitions", d))
+
+    // crafted fixture FORCING every cross-bucket case: a same-type run
+    // crossing midnight (must merge), a 3-calendar-day single-type chain
+    // (running-sum stitch over runs, not pairwise), a type change exactly
+    // at a bucket boundary (must NOT merge), a NULL-user pseudo-entity,
+    // and a NULL-ts row (sorts first, so it HEADS user 1's first run)
+    import java.sql.Timestamp
+    def t(day: Int, h: Int, m: Int) =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, day, h, m, 0))
+    val rows: Seq[(Long, Option[Timestamp], Option[Long], String)] = Seq(
+      (302L, None, Some(1L), "A"), // NULL ts: first in user 1's order
+      (1L, Some(t(1, 22, 0)), Some(1L), "A"),
+      (2L, Some(t(1, 23, 0)), Some(1L), "A"),
+      (3L, Some(t(2, 1, 0)), Some(1L), "A"), // run of 4 spans midnight
+      (4L, Some(t(2, 2, 0)), Some(1L), "B"),
+      (5L, Some(t(2, 3, 0)), Some(1L), "A"),
+      (100L, Some(t(3, 10, 0)), Some(2L), "C"), // 3-day chain
+      (101L, Some(t(4, 10, 0)), Some(2L), "C"),
+      (102L, Some(t(5, 10, 0)), Some(2L), "C"),
+      (200L, Some(t(1, 23, 0)), Some(3L), "X"), // boundary + type change
+      (201L, Some(t(2, 0, 30)), Some(3L), "Y"),
+      (400L, Some(t(1, 10, 0)), None, "Z"), // NULL-user pseudo-entity
+      (401L, Some(t(1, 11, 0)), None, "Z"))
+    val dir = "target/streaks-days"
+    rows.map { case (id, ts, u, ty) => (id, ts, u, ty, 1.5, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val streaks = run("streaks_bucketed", dir)
+    assert(streaks === run("win_streaks", dir))
+    val byKey = streaks.map(r =>
+      ((if (r.isNullAt(0)) -1L else r.getLong(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(byKey((1L, "A")) === ((4L, 2L)), "midnight run did not merge")
+    assert(byKey((1L, "B")) === ((1L, 1L)))
+    assert(byKey((2L, "C")) === ((3L, 1L)), "3-day chain did not stitch")
+    assert(byKey((3L, "X")) === ((1L, 1L)) && byKey((3L, "Y")) === ((1L, 1L)),
+      "boundary type change merged")
+    assert(byKey((-1L, "Z")) === ((2L, 1L)), "NULL-user run lost")
+
+    val trans = run("event_transitions_bucketed", dir)
+    assert(trans === run("event_transitions", dir))
+    val m = trans.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(m(("A", "A")) === ((3L, 7500L))) // incl. NULL-ts→d1 and d1→d2 pairs
+    assert(m(("A", "B")) === ((1L, 2500L)))
+    assert(m(("B", "A")) === ((1L, 10000L)))
+    assert(m(("C", "C")) === ((2L, 10000L))) // both pairs are boundary pairs
+    assert(m(("X", "Y")) === ((1L, 10000L)))
+    assert(m(("Z", "Z")) === ((1L, 10000L)))
+    assert(trans.size === 6)
+  }
+
   test("agg_skew_salted: salted two-phase plan equals the unsalted aggregate") {
     import graft.Tables.{avg4, dec, outDec}
     val got = Layouts.queries("agg_skew_salted")(spark, d).collect().toSeq
