@@ -997,6 +997,50 @@ object MutantQueries {
           .filter(col("rn") <= 3)
           .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
           .orderBy("o_custkey", "rn")
+      }),
+
+    Mutant("streaks_bucketed", "dropped-stitch",
+      "run-level merge never fires (cross-bucket same-type runs stay split)",
+      "clean", (s, d) => {
+        val wB = Window.partitionBy("user_id", "__day")
+          .orderBy(col("ts"), col("event_id"))
+        val runs = events(s, d).withColumn("__day", to_date(col("ts")))
+          .withColumn("__chg",
+            when(lag(col("event_type"), 1).over(wB) === col("event_type"), lit(0L))
+              .otherwise(lit(1L)))
+          .withColumn("__isl", sum(col("__chg"))
+            .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("__day"), col("__isl"), col("event_type"))
+          .agg(count(lit(1)).as("__len"))
+        val wR = Window.partitionBy("user_id").orderBy(col("__day"), col("__isl"))
+        runs
+          .withColumn("__chg2", lit(1L)) // BUG: boundary merge disabled
+          .withColumn("__isl2", sum(col("__chg2"))
+            .over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "event_type", "__isl2")
+          .agg(sum(col("__len")).as("len"))
+          .groupBy("user_id", "event_type")
+          .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+          .orderBy("user_id", "event_type")
+      }),
+
+    Mutant("event_transitions_bucketed", "dropped-stitch",
+      "bucket-boundary transition pairs dropped (within-bucket pairs only)",
+      "clean", (s, d) => {
+        val wB = Window.partitionBy("user_id", "__day")
+          .orderBy(col("ts"), col("event_id"))
+        val ev = events(s, d).withColumn("__day", to_date(col("ts")))
+        val tr = ev // BUG: the boundary summary/union is gone entirely
+          .withColumn("next_type", lead(col("event_type"), 1).over(wB))
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 10000 div n_from").as("p_bp"))
+          .orderBy("from_type", "to_type")
       })
   )
 

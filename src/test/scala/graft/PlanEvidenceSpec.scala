@@ -725,6 +725,23 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("streaks/transitions bucketed twins: every window (user, day)- or run-level keyed, no joins beyond the bounded totals broadcast") {
+    val ps = plan(Windows.queries("streaks_bucketed")(spark, d))
+    // the event-level window must carry the day bucket key; the run-level
+    // stitch window is per-user over RUN rows (allowed — that is the
+    // bounded second pass), and nothing may fall to a global partition
+    assert(!hasSinglePartitionWindow(ps), s"single-partition window:\n$ps")
+    assert(ps.linesIterator.filter(_.contains("Window ["))
+      .forall(l => l.contains("user_id")), s"window not user-keyed:\n$ps")
+    val pt = plan(Windows.queries("event_transitions_bucketed")(spark, d))
+    assert(!hasSinglePartitionWindow(pt), s"single-partition window:\n$pt")
+    // the |types|²-bounded totals table is the ONLY join side — broadcast
+    // is correct there (bounded by the type-pair space, not the corpus)
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    assert(!pt.contains("SortMergeJoin") && !pt.contains("CartesianProduct"),
+      s"unexpected corpus join in transitions plan:\n$pt")
+  }
+
   test("agg_skew_salted: phase-1 exchange keys include the salt") {
     val p = plan(Layouts.queries("agg_skew_salted")(spark, d))
     assert(p.linesIterator.exists(l =>
