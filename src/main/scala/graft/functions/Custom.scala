@@ -153,19 +153,56 @@ object Custom {
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
-  /** mm_dedup_phash band bit-width wb ∈ [8,15] from the hashed-doc count
+  /** mm_dedup_phash band bit-width wb ∈ [8,30] from the hashed-doc count
     * nd: 8 through the whole fixture zone (nd ≤ 8000 — gate-neutral, the
     * pre-round-12 constant), then the smallest w with 2^w ≥ 14.3·√nd —
     * generated as exact integer thresholds 4^w div 205 (not float sqrt)
     * so both engines compute the identical w at every nd. Solved against
     * the √N df cap so expected bucket population ≈ cap/4 (see the
-    * mm_dedup_phash comment); tops out at 15 = 60 bits/4 bands, all of
-    * the h60 hash. Same CASE text runs on both engines.
+    * mm_dedup_phash comment); tops out at 30 (4·30 = 120 bits across the
+    * two per-band hash words — bits ≥ 60 draw from the guarded second
+    * word, computed only when wb > 15). The w = 30 rung's threshold is
+    * 4³⁰ div 205 ≈ 5.6·10¹⁵ docs — the design never saturates on any
+    * real corpus. Same CASE text runs on both engines.
     */
   private val phWbCase: String =
     "CASE WHEN nd <= 8000 THEN 8 " +
-    (11 to 15).map(w => s"WHEN nd <= ${(1L << (2 * w)) / 205} THEN $w")
-      .mkString(" ") + " ELSE 15 END"
+    (11 to 30).map(w => s"WHEN nd <= ${(1L << (2 * w)) / 205} THEN $w")
+      .mkString(" ") + " ELSE 30 END"
+
+  /** The mm_dedup_phash SimHash stage, extracted so the wb > 15 regime —
+    * unreachable by any fixture (it needs > 2·10⁷ docs) — can be driven
+    * directly by a spec with a forged knobs frame (PhashWideSpec):
+    * single definition, two callers. Input: (doc_id, hx); knobs: 1-row
+    * (wb). Output: one row per doc with the four per-band signature
+    * words p0..p3 (band b's wb bits in their own BIGINT; global bit i
+    * sources th for i < 60, the salted second word th2 — computed only
+    * when wb > 15 — for i ≥ 60).
+    */
+  private[graft] def phashWords(hx: DataFrame, knobs: DataFrame): DataFrame = {
+    val feats = hx.crossJoin(broadcast(knobs.select("wb")))
+      .select(col("doc_id"), col("wb"), col("hx"),
+        explode(expr("sequence(1, length(hx) - 3, 2)")).as("i"))
+      .select(col("doc_id"), col("wb"),
+        expr(h60Spark("substring(hx, CAST(i AS INT), 4)")).as("th"),
+        expr("CASE WHEN wb > 15 THEN " +
+          h60Spark("concat('q2', substring(hx, CAST(i AS INT), 4))") +
+          " ELSE CAST(0 AS BIGINT) END").as("th2"))
+    val pcols = (0 to 3).map(b => sum(expr(
+      s"CASE WHEN w > 0 AND bit div wb = $b " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), CAST(bit % wb AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END")).as(s"p$b"))
+    feats
+      .select(col("doc_id"), col("wb"), col("th"), col("th2"),
+        explode(expr("sequence(0, 4 * wb - 1)")).as("bit"))
+      .groupBy("doc_id", "wb", "bit")
+      .agg(sum(expr(
+        "CASE WHEN (shiftright(CASE WHEN bit < 60 THEN th ELSE th2 END, " +
+          "CAST(bit % 60 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as("w"))
+      .groupBy("doc_id", "wb")
+      .agg(pcols.head, pcols.tail: _*)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar" -> ((s, d) => {
@@ -395,15 +432,25 @@ object Custom {
       //         pair work per hot bucket ≤ cap², total ≤ cap²·4·2^wb
       //         ~ N·√N, and a cap ≈ 4× expected population drops only
       //         genuinely non-discriminative (boilerplate) buckets.
-      // wb tops out at 15 (4·15 = 60 bits — all of the h60 family);
-      // expected population re-crosses the cap at ~8·10⁷ docs, the
-      // honest ceiling of this hash width (vs ~10⁴ before — and the
-      // exact-duplicate regime is mm_dedup_ahash's pair-free shape).
-      // The hash table is localCheckpoint'd once for its three
-      // consumers (bands + both verify probes); everything before the
-      // band join is map work. The census join-back is broadcastable by
-      // construction (≤ 4·2^15 rows — bounded by the band value space,
-      // not the corpus); the self-join and verify join-backs are
+      // wb tops out at 30: the SimHash is held as FOUR per-band words
+      // (band b's wb bits in their own BIGINT — hamming over the
+      // concatenation decomposes to Σ_b bit_count(xor), and bucket
+      // values are the words themselves), with global bit i sourcing
+      // from the h60 word for i < 60 and from a second, independently
+      // salted h60 word for i ≥ 60 — the second word is computed ONLY
+      // when wb > 15 (plan-constant guard), so fixture-scale plans
+      // never pay for it. The w = 30 rung's threshold is 4³⁰ div 205
+      // ≈ 5.6·10¹⁵ docs: the width ladder never saturates on a real
+      // corpus (the old single-word ceiling was ~8·10⁷ docs; the old
+      // fixed-8-bit plan collapsed at ~10⁴). At wb ≤ 15 every bit,
+      // bucket value, and hamming total is bit-identical to the packed
+      // single-word form. The hash table is localCheckpoint'd once for
+      // its three consumers (bands + both verify probes); everything
+      // before the band join is map work. The census join-back is
+      // broadcastable by construction (≤ 4·2^wb rows — bounded by the
+      // band value space, not the corpus; at the 2^30 extreme the
+      // census is corpus-bounded instead: ≤ 2 rows/doc survive ≥2
+      // occupancy); the self-join and verify join-backs are
       // corpus-proportional and merge-locked.
       val hx = fanout(documents(s, d))
         .select(col("doc_id"), hex(col("text").cast(BinaryType)).as("hx"))
@@ -412,27 +459,14 @@ object Custom {
         .select(expr(phWbCase).as("wb"),
           expr("greatest(CAST(20 AS BIGINT), CAST(ceil(0.28 * sqrt(nd)) AS BIGINT))")
             .as("df_cap"))
-      val feats = hx
-        .select(col("doc_id"), col("hx"),
-          explode(expr("sequence(1, length(hx) - 3, 2)")).as("i"))
-        .select(col("doc_id"), expr(h60Spark("substring(hx, CAST(i AS INT), 4)")).as("th"))
-      val ph = feats.crossJoin(broadcast(knobs.select("wb")))
-        .select(col("doc_id"), col("wb"), col("th"),
-          explode(expr("sequence(0, 4 * wb - 1)")).as("bit"))
-        .groupBy("doc_id", "wb", "bit")
-        .agg(sum(expr(
-          "CASE WHEN (shiftright(th, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as("w"))
-        .groupBy("doc_id", "wb")
-        .agg(sum(expr(
-          "CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
-          .as("ph"))
-        .localCheckpoint(true)
+      val ph = phashWords(hx, knobs).localCheckpoint(true)
       val bands = ph
-        .select(col("doc_id"), col("wb"), explode(expr("sequence(0, 3)")).as("band"), col("ph"))
-        .select(col("doc_id"), col("band"),
-          expr("shiftright(ph, CAST(band * wb AS INT)) % CAST(shiftleft(CAST(1 AS BIGINT), wb) AS BIGINT)")
-            .as("bv"))
+        .select(col("doc_id"), explode(array(
+          struct(lit(0L).as("band"), col("p0").as("bv")),
+          struct(lit(1L).as("band"), col("p1").as("bv")),
+          struct(lit(2L).as("band"), col("p2").as("bv")),
+          struct(lit(3L).as("band"), col("p3").as("bv")))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
       val kept = bands.join(
         broadcast(bands.groupBy("band", "bv").agg(count(lit(1)).as("n_df"))
           .crossJoin(broadcast(knobs.select("df_cap")))
@@ -443,11 +477,16 @@ object Custom {
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val pa = ph.select(col("doc_id").as("a"), col("p0").as("a0"),
+        col("p1").as("a1"), col("p2").as("a2"), col("p3").as("a3"))
+      val pb = ph.select(col("doc_id").as("b"), col("p0").as("b0"),
+        col("p1").as("b1"), col("p2").as("b2"), col("p3").as("b3"))
       cand
-        .join(ph.select(col("doc_id").as("a"), col("ph").as("pa")).hint("merge"), "a")
-        .join(ph.select(col("doc_id").as("b"), col("ph").as("pb")).hint("merge"), "b")
+        .join(pa.hint("merge"), "a")
+        .join(pb.hint("merge"), "b")
         .select(col("a"), col("b"),
-          expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+          expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) " +
+            "+ bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("a", "b")
     }),
@@ -505,32 +544,50 @@ object Custom {
                      greatest(CAST(20 AS BIGINT),
                               CAST(ceil(0.28 * sqrt(nd)) AS BIGINT)) AS df_cap
                    FROM (SELECT count(*) AS nd FROM hx)),
-         f AS (SELECT doc_id, ${h60Duck("substr(hx, CAST(i AS INT), 4)")} AS th
+         f AS (SELECT doc_id, ${h60Duck("substr(hx, CAST(i AS INT), 4)")} AS th,
+                 CASE WHEN wb > 15
+                      THEN ${h60Duck("concat('q2', substr(hx, CAST(i AS INT), 4))")}
+                      ELSE CAST(0 AS BIGINT) END AS th2
                FROM (SELECT doc_id, hx,
-                       unnest(range(1, length(hx) - 2, 2)) AS i FROM hx)),
+                       unnest(range(1, length(hx) - 2, 2)) AS i FROM hx), knobs),
          w AS (SELECT doc_id, bit,
-                 sum(CASE WHEN ((th >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS w
+                 sum(CASE WHEN (((CASE WHEN bit < 60 THEN th ELSE th2 END)
+                                  >> (bit % 60)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS w
                FROM f CROSS JOIN (SELECT unnest(range(0, 4 * wb)) AS bit
                                   FROM knobs) bits
                GROUP BY 1, 2),
          p AS (SELECT doc_id,
-                 CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit
-                               ELSE 0 END) AS BIGINT) AS ph
-               FROM w GROUP BY 1),
-         bands AS (SELECT doc_id, band,
-                     (ph >> CAST(band * wb AS INT))
-                       % CAST(CAST(1 AS BIGINT) << wb AS BIGINT) AS bv
-                   FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs,
-                        knobs),
+                 CAST(sum(CASE WHEN w > 0 AND bit // wb = 0
+                               THEN CAST(1 AS BIGINT) << CAST(bit % wb AS INT)
+                               ELSE 0 END) AS BIGINT) AS p0,
+                 CAST(sum(CASE WHEN w > 0 AND bit // wb = 1
+                               THEN CAST(1 AS BIGINT) << CAST(bit % wb AS INT)
+                               ELSE 0 END) AS BIGINT) AS p1,
+                 CAST(sum(CASE WHEN w > 0 AND bit // wb = 2
+                               THEN CAST(1 AS BIGINT) << CAST(bit % wb AS INT)
+                               ELSE 0 END) AS BIGINT) AS p2,
+                 CAST(sum(CASE WHEN w > 0 AND bit // wb = 3
+                               THEN CAST(1 AS BIGINT) << CAST(bit % wb AS INT)
+                               ELSE 0 END) AS BIGINT) AS p3
+               FROM w, knobs GROUP BY 1),
+         bands AS (SELECT doc_id, 0 AS band, p0 AS bv FROM p
+                   UNION ALL SELECT doc_id, 1, p1 FROM p
+                   UNION ALL SELECT doc_id, 2, p2 FROM p
+                   UNION ALL SELECT doc_id, 3, p3 FROM p),
          cnt AS (SELECT band, bv, count(*) AS n_df FROM bands GROUP BY 1, 2),
          kept AS (SELECT b.doc_id, b.band, b.bv FROM bands b
                   JOIN cnt USING (band, bv), knobs WHERE n_df <= df_cap),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM kept x JOIN kept y
                     ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         SELECT a, b, CAST(bit_count(xor(pa.ph, pb.ph)) AS BIGINT) AS hamming
+         SELECT a, b,
+           CAST(bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1))
+              + bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3))
+             AS BIGINT) AS hamming
          FROM cand JOIN p pa ON pa.doc_id = a JOIN p pb ON pb.doc_id = b
-         WHERE bit_count(xor(pa.ph, pb.ph)) <= 3
+         WHERE bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1))
+             + bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3)) <= 3
          ORDER BY a NULLS FIRST, b NULLS FIRST""",
     "mm_window_energy" ->
       """WITH b AS (
