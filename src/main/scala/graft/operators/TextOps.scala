@@ -1350,6 +1350,39 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    "text_quality_clf" -> ((s, d) => {
+      // MODEL-based quality filtering — the stage after the heuristic
+      // batteries (quality_gopher / quality_ccnet_bucket) in a modern
+      // pretraining pipeline (the DCLM / FineWeb recipe: a learned
+      // classifier scores every document, a threshold decides keep): a
+      // hashed LINEAR classifier in the fasttext shape — score = mean
+      // over tokens of a hashed weight — with deterministic md5-derived
+      // integer weights standing in for trained ones. The Spark-side
+      // plumbing is the real pipeline (hash → weight as codegen
+      // arithmetic, one explode + one keyed partial agg, threshold at
+      // zero); swapping in trained weights is a broadcast map lookup in
+      // the same plan. Exactness: w(t) = h60(t) % 2001 − 1000 ∈
+      // [−1000, 1000] (h60 ≥ 0, so % agrees in both engines), w_sum is
+      // an exact BIGINT, keep = w_sum > 0, and the 4-dp score
+      // w_sum/(1000·n) goes through the SIGNED ratio4 form (sign
+      // decomposition — Spark div truncates, DuckDB // floors). Docs
+      // with no tokens have no rows post-explode and are absent in both
+      // engines. One shuffle at 100 TB; weights never leave the
+      // expression.
+      toks(s, d)
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .select(col("doc_id"),
+          expr(s"${h60Spark("tok")} % 2001 - 1000").as("wt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("w_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+          (col("w_sum") > 0).as("keep"),
+          expr("IF(w_sum >= 0, 1.0D, -1.0D) * " +
+            "(CAST((2 * abs(w_sum) * 10000 + 1000 * n_tokens) " +
+            "div (2000 * n_tokens) AS DOUBLE) / 10000.0) + 0.0").as("score"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, d) => {
       val t = toks(s, d)
       val n = size(col("t"))
@@ -2403,6 +2436,17 @@ object TextOps {
            CAST(max(n) AS BIGINT) AS max_tokens,
            CAST(sum(n) AS BIGINT) AS sum_tokens
          FROM b GROUP BY 1 ORDER BY bucket NULLS FIRST""",
+    "text_quality_clf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+         w AS (SELECT doc_id, ${h60Duck("tok")} % 2001 - 1000 AS wt FROM tk),
+         a AS (SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(wt) AS BIGINT) AS w_sum FROM w GROUP BY 1)
+         SELECT doc_id, n_tokens, w_sum, w_sum > 0 AS keep,
+           (CASE WHEN w_sum >= 0 THEN 1.0 ELSE -1.0 END) *
+             (CAST((2 * abs(w_sum) * 10000 + 1000 * n_tokens)
+                   // (2000 * n_tokens) AS DOUBLE) / 10000.0) + 0.0 AS score
+         FROM a ORDER BY doc_id NULLS FIRST""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
          SELECT doc_id,

@@ -176,33 +176,8 @@ object VectorOps {
       // cluster_kmeans (iterated inputs may not ride on double summation
       // order). Reconstruction error is emitted per vector in exact
       // micro-units so the compression-quality audit is oracle-checkable.
-      val e = emb(s, d)
-        .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
-          col("embedding"))
-        .select(col("vec_id"), col("sub"),
-          expr("slice(embedding, sub * 16 + 1, 16)").as("sv"))
-        .withColumn("vv", dot("sv", "sv"))
-      def assign(cent: DataFrame): DataFrame = {
-        val scored = e.join(broadcast(cent), "sub")
-          .withColumn("d2", greatest(
-            col("vv") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cc"),
-            lit(0.0)))
-        val w = Window.partitionBy("vec_id", "sub")
-          .orderBy(rankKey(col("d2")), col("cid"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("sub"), col("cid"), posexplode(col("sv")))
-          .groupBy("sub", "cid", "pos")
-          .agg(microMeanAgg.as("m"))
-          .groupBy("sub", "cid")
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
-            .as("cvec"))
-          .withColumn("cc", dot("cvec", "cvec"))
-      val c0 = e.filter(col("vec_id") < 4)
-        .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cvec"),
-          col("vv").as("cc"))
-      assign(update(assign(c0)))
+      val e = pqSubvectors(s, d)
+      pqAssign(e, pqUpdate(pqAssign(e, pqSeed(e))))
         .groupBy("vec_id")
         .agg(
           max(when(col("sub") === 0, col("cid"))).as("code0"),
@@ -392,6 +367,75 @@ object VectorOps {
     }),
 
     "sim_ivf" -> ((s, d) => simIvf(s, d)),
+
+    "sim_ivf_pq" -> ((s, d) => {
+      // IVF + PQ COMPOSED — the production ANN stack (the FAISS IVFPQ
+      // shape): the coarse quantizer prunes the corpus to nprobe = 2
+      // cells per query, PQ codes supply a COMPRESSED approximate
+      // distance for everything in those cells (ADC: per candidate, 4
+      // codebook lookups + precomputed query-subvector terms instead of
+      // a 64-dim dot over raw floats — at 100 TB the raw vectors never
+      // leave parquet for stage 1), and an exact cosine rerank touches
+      // only the 10-deep shortlist. sim_ivf proves the cell pruning and
+      // vec_pq the codebook learning; THIS key proves they COMPOSE —
+      // same deterministic quantizers (first-coarseK centroids; one
+      // Lloyd iteration from the vec_id < 4 seeds via the shared
+      // pqAssign/pqUpdate machinery), so the whole three-stage pipeline
+      // stays DuckDB-oracled end to end. The ADC score is summed in
+      // exact micro-units (per-sub d2 is a deterministic L2R double fold
+      // in both engines; micro-rounding each term before the BIGINT sum
+      // removes double-summation-order hazard from the 4-term add), so
+      // the shortlist is engine-exact, not just rank-key-stable. Scale
+      // shape: codebook (4·4 rows) and query blocks broadcast; codes
+      // and members are corpus-proportional and merge-locked; per-query
+      // stage-1 work is |corpus|·nprobe/K candidates × 4 lookups.
+      val base = withNorm(s, d, "vec_id", "v", "n").select("vec_id", "v", "n")
+      val cents = withNorm(s, d, "c_id", "cv", "cn")
+        .filter(col("c_id") < coarseK(base)).select("c_id", "cv", "cn")
+      val casg = base.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("v", "cv") / (col("n") * col("cn")))
+        .select(col("vec_id"),
+          struct((lit(0d) - rankKey(col("ccos"))).as("nk"), col("c_id")).as("sc"))
+        .groupBy("vec_id")
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, 2).as("top2"))
+        .localCheckpoint(true) // members + probes
+      val members = casg.select(col("vec_id"), expr("top2[0].c_id").as("cluster"))
+      val probes = casg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          explode(expr("transform(top2, t -> t.c_id)")).as("cluster"))
+      val e = pqSubvectors(s, d)
+      val cb = pqUpdate(pqAssign(e, pqSeed(e))) // 16 rows: (sub, cid, cvec, cc)
+      val codes = pqAssign(e, cb).select(col("vec_id"), col("sub"), col("cid"))
+      val qsub = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("sub"),
+          col("sv").as("qsv"), col("vv").as("qvv"))
+      val cand = members.join(broadcast(probes), Seq("cluster"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id").distinct()
+      val adc = cand.join(codes.hint("merge"), "vec_id")
+        .join(broadcast(cb), Seq("sub", "cid"))
+        .join(broadcast(qsub), Seq("q_id", "sub"))
+        .withColumn("d2s", greatest(
+          col("qvv") - lit(2.0) * expr("vec_dot(qsv, cvec)") + col("cc"),
+          lit(0.0)))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(expr("CAST(round(d2s * 1000000, 0) AS BIGINT)")).as("ad2_micro"))
+      val wShort = Window.partitionBy("q_id")
+        .orderBy(col("ad2_micro"), col("vec_id"))
+      val short = adc.withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 10).select("q_id", "vec_id")
+      val qv = withNorm(s, d, "q_id", "qv", "qn").filter(col("q_id") < 10)
+        .select("q_id", "qv", "qn")
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(rankKey(col("cos")).desc, col("vec_id"))
+      short.join(base.hint("merge"), "vec_id").join(broadcast(qv), "q_id")
+        .withColumn("cos", dot("qv", "v") / (col("qn") * col("n")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          (r4(col("cos")) + lit(0.0)).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
 
     "dedup_semantic" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023) — semantic dedup via cluster-bucketed
@@ -760,6 +804,46 @@ object VectorOps {
     * tried and did NOT move the cold number, only the warm one (2.0 s →
     * 1.3 s), so the plan stays lazy and codegen'd like every other key.
     */
+  /** The vec_pq machinery, extracted in round 12 so sim_ivf_pq composes
+    * the SAME codebook pipeline (single definition, two consumers):
+    * 4 subvectors of 16 dims per vector; one Lloyd iteration from the
+    * vec_id < 4 seeds; nearest-codeword assignment ranks on the
+    * 6dp-rounded d2 with cid tie-break; the update step re-estimates
+    * per-dim means in exact micro-units (microMeanAgg — iterated inputs
+    * may not ride on double summation order).
+    */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr("slice(embedding, sub * 16 + 1, 16)").as("sv"))
+      .withColumn("vv", dot("sv", "sv"))
+
+  private def pqSeed(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 4)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cvec"),
+        col("vv").as("cc"))
+
+  private def pqAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = e.join(broadcast(cent), "sub")
+      .withColumn("d2", greatest(
+        col("vv") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cc"),
+        lit(0.0)))
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(rankKey(col("d2")), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("cid"), posexplode(col("sv")))
+      .groupBy("sub", "cid", "pos")
+      .agg(microMeanAgg.as("m"))
+      .groupBy("sub", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+        .as("cvec"))
+      .withColumn("cc", dot("cvec", "cvec"))
+
   private def simIvf(s: SparkSession, d: String): DataFrame = {
       // IVF-style ANN with DETERMINISTIC coarse quantizer (centroids = the
       // first 8 vectors, nearest-centroid assignment, nprobe=2) — unlike
@@ -1091,6 +1175,76 @@ object VectorOps {
          SELECT cid AS cluster_id, count(*) AS n_vecs,
            round(avg(sqrt(d2)), 4) + 0.0 AS avg_dist
          FROM a2 GROUP BY 1 ORDER BY cluster_id NULLS FIRST""",
+    "sim_ivf_pq" ->
+      // the vec_pq codebook CTEs (verbatim through the second assignment)
+      // + sim_ivf's coarse CTEs + the ADC stage in the same micro-unit
+      // integer sum as the Spark side, then the exact rerank
+      s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS sv
+               FROM (SELECT vec_id, v, unnest(range(0, 4)) AS sub FROM emb0)),
+         e2 AS (SELECT vec_id, sub, sv, ${dSql("sv", "sv")} AS vv FROM e),
+         c0 AS (SELECT sub, vec_id AS cid, sv AS cvec, vv AS cc
+                FROM e2 WHERE vec_id < 4),
+         s1 AS (SELECT e2.vec_id, e2.sub, e2.sv, e2.vv, c.cid,
+                  greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0) AS d2
+                FROM e2 JOIN c0 c ON c.sub = e2.sub),
+         a1 AS (SELECT vec_id, sub, sv, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                    ORDER BY round(d2, 6) NULLS FIRST, cid NULLS FIRST) AS rn FROM s1) WHERE rn = 1),
+         m1 AS (SELECT sub, cid, i,
+                  CAST((2 * sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT))
+                          + CASE WHEN sum(CAST(round(sv[i] * 1000000, 0) AS BIGINT)) >= 0
+                                 THEN count(*) ELSE -count(*) END)
+                         // (2 * count(*)) AS DOUBLE) / 1000000.0 AS m FROM (
+                  SELECT sub, cid, sv, unnest(range(1, len(sv) + 1)) AS i FROM a1)
+                GROUP BY 1, 2, 3),
+         c1 AS (SELECT sub, cid, list(m ORDER BY i NULLS FIRST) AS cvec FROM m1 GROUP BY 1, 2),
+         c1n AS (SELECT sub, cid, cvec, ${dSql("cvec", "cvec")} AS cc FROM c1),
+         codes AS (SELECT vec_id, sub, cid FROM (
+                  SELECT e2.vec_id, e2.sub, c.cid,
+                    row_number() OVER (PARTITION BY e2.vec_id, e2.sub
+                      ORDER BY round(greatest(e2.vv - 2 * ${dSql("e2.sv", "c.cvec")} + c.cc, 0), 6) NULLS FIRST,
+                               c.cid NULLS FIRST) AS rn
+                  FROM e2 JOIN c1n c ON c.sub = e2.sub) WHERE rn = 1),
+         cassign AS (
+           SELECT vec_id, c_id, ccos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC NULLS LAST, c_id NULLS FIRST) AS crn
+           FROM (
+             SELECT b.vec_id, c.vec_id AS c_id,
+               ${cosSql("b.embedding", "c.embedding")} AS ccos
+             FROM embeddings b CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $ck) c)),
+         members AS (SELECT vec_id, c_id AS cluster FROM cassign WHERE crn = 1),
+         probes AS (SELECT vec_id AS q_id, c_id AS cluster FROM cassign
+                    WHERE crn <= 2 AND vec_id < 10),
+         qsub AS (SELECT vec_id AS q_id, sub, sv AS qsv, vv AS qvv
+                  FROM e2 WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT p.q_id, m.vec_id
+                  FROM probes p JOIN members m
+                    ON m.cluster = p.cluster AND m.vec_id != p.q_id),
+         adc AS (SELECT c.q_id, c.vec_id,
+                   sum(CAST(round(greatest(qs.qvv - 2 * ${dSql("qs.qsv", "cb.cvec")} + cb.cc, 0)
+                                  * 1000000, 0) AS BIGINT)) AS ad2_micro
+                 FROM cand c
+                 JOIN codes k ON k.vec_id = c.vec_id
+                 JOIN c1n cb ON cb.sub = k.sub AND cb.cid = k.cid
+                 JOIN qsub qs ON qs.q_id = c.q_id AND qs.sub = k.sub
+                 GROUP BY 1, 2),
+         short AS (SELECT q_id, vec_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY ad2_micro NULLS FIRST, vec_id NULLS FIRST) AS srn
+                  FROM adc) WHERE srn <= 10),
+         rr AS (SELECT s.q_id, s.vec_id,
+                  ${cosSql("q.embedding", "v.embedding")} AS cos
+                FROM short s
+                JOIN embeddings q ON q.vec_id = s.q_id
+                JOIN embeddings v ON v.vec_id = s.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC NULLS LAST, vec_id NULLS FIRST) AS rank
+           FROM rr)
+         SELECT q_id, rank, vec_id, round(cos, 4) + 0.0 AS cos_sim
+         FROM ranked WHERE rank <= 3
+         ORDER BY q_id NULLS FIRST, rank NULLS FIRST""",
     "sim_ivf" ->
       s"""WITH assign AS (
            SELECT vec_id, c_id, ccos,
