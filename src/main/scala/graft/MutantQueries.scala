@@ -1024,6 +1024,30 @@ object MutantQueries {
           .orderBy("user_id", "event_type")
       }),
 
+    Mutant("text_quality_clf", "wrong-denominator",
+      "classifier score normalizes by n instead of 1000*n (1000x scores)",
+      "clean", (s, d) => {
+        fanout(documents(s, d))
+          .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+          .select(col("doc_id"), explode(col("t")).as("tok"))
+          .select(col("doc_id"),
+            expr(s"${h60Spark("tok")} % 2001 - 1000").as("wt"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("w_sum"))
+          .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+            (col("w_sum") > 0).as("keep"),
+            expr("IF(w_sum >= 0, 1.0D, -1.0D) * " +
+              "(CAST((2 * abs(w_sum) * 10000 + n_tokens) " + // BUG: /n not /1000n
+              "div (2 * n_tokens) AS DOUBLE) / 10000.0) + 0.0").as("score"))
+          .orderBy("doc_id")
+      }),
+
+    Mutant("sim_ivf_pq", "limit-off-by-one",
+      "rerank rank bound 1 instead of 3 — two of every query's three result rows lost",
+      "clean", (s, d) =>
+        graft.operators.VectorOps.queries("sim_ivf_pq")(s, d)
+          .filter(col("rank") <= 1)), // BUG: the topk limit-off-by-one class
+
     Mutant("event_transitions_bucketed", "dropped-stitch",
       "bucket-boundary transition pairs dropped (within-bucket pairs only)",
       "clean", (s, d) => {

@@ -751,6 +751,25 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"unexpected corpus join in transitions plan:\n$pt")
   }
 
+  test("sim_ivf_pq: bounded sides broadcast, corpus sides merge-locked, no cartesian") {
+    val p = plan(VectorOps.queries("sim_ivf_pq")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVFPQ plan:\n$p")
+    // stage-1 candidates and the code/vector join-backs are
+    // corpus-proportional: at least one sort-merge join must survive
+    // (the merge locks); broadcasts are fine for the 16-row codebook,
+    // the 10-query blocks, and the ≤2·ck-row probe table
+    assert(p.contains("SortMergeJoin"), s"no merge-locked corpus join:\n$p")
+    // windows (shortlist + rerank rank) keyed per query, never global
+    assert(!hasSinglePartitionWindow(p), s"single-partition window:\n$p")
+  }
+
+  test("text_quality_clf: one keyed aggregate over the explode — no joins at all") {
+    val p = plan(TextOps.queries("text_quality_clf")(spark, d))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"unexpected join in classifier plan:\n$p")
+    assert(p.contains("Generate"), s"expected the token explode:\n$p")
+  }
+
   test("agg_skew_salted: phase-1 exchange keys include the salt") {
     val p = plan(Layouts.queries("agg_skew_salted")(spark, d))
     assert(p.linesIterator.exists(l =>
