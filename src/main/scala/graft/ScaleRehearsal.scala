@@ -160,7 +160,8 @@ object ScaleRehearsal {
     "dedup_near", "dedup_minhash", "dedup_cluster", "dedup_ngram",
     "dedup_simhash", "graph_components_hist", "dedup_embed", "sim_ann_lsh",
     "dedup_semantic", "split_leakage", "mm_dedup_phash",
-    "mm_dedup_ahash") // round 11: pair-free hash-groupBy — expected flat
+    "mm_dedup_ahash", // round 11: pair-free hash-groupBy — expected flat
+    "sim_ivf_pq", "text_quality_clf") // round 12, second batch
 
   /** The fact-side family (round 9): the top-cost keys over
     * lineitem/orders/events whose boundedness previously rested on plan
