@@ -213,4 +213,26 @@ object Tables {
   def ratio4Duck(numExpr: String, denExpr: String): String =
     s"CAST((2 * ($numExpr) * 10000 + ($denExpr)) // " +
       s"(2 * ($denExpr)) AS DOUBLE) / 10000.0"
+
+  /** SIGNED exact HALF-UP 4-dp ratio (round 13, ADVICE): [[ratio4]]
+    * assumes num ≥ 0 — on a negative numerator Spark `div` (truncate
+    * toward zero) and DuckDB `//` (floor) silently diverge AND both
+    * round the wrong direction. This is the ts_pct_change
+    * sign-decomposition: run the quotient on |num| (where div == floor
+    * == HALF-UP-away-from-zero) and reapply the sign; `+ 0.0` clears
+    * the -0.0 a negative sign times a zero quotient would leave. NULL
+    * num propagates through the quotient (the sign CASE's else branch
+    * is multiplied by a NULL quotient). Domain: den > 0,
+    * |num| < 2⁵⁹/10⁴.
+    */
+  def sratio4(numExpr: String, denExpr: String): Column =
+    expr(s"IF(($numExpr) >= 0, 1.0D, -1.0D) * " +
+      s"(CAST((2 * abs($numExpr) * 10000 + ($denExpr)) div " +
+      s"(2 * ($denExpr)) AS DOUBLE) / 10000.0) + 0.0")
+
+  /** The DuckDB mirror of [[sratio4]]. */
+  def sratio4Duck(numExpr: String, denExpr: String): String =
+    s"(CASE WHEN ($numExpr) >= 0 THEN 1.0 ELSE -1.0 END) * " +
+      s"(CAST((2 * abs($numExpr) * 10000 + ($denExpr)) // " +
+      s"(2 * ($denExpr)) AS DOUBLE) / 10000.0) + 0.0"
 }

@@ -447,11 +447,13 @@ object Custom {
       // single-word form. The hash table is localCheckpoint'd once for
       // its three consumers (bands + both verify probes); everything
       // before the band join is map work. The census join-back is
-      // broadcastable by construction (≤ 4·2^wb rows — bounded by the
-      // band value space, not the corpus; at the 2^30 extreme the
-      // census is corpus-bounded instead: ≤ 2 rows/doc survive ≥2
-      // occupancy); the self-join and verify join-backs are
-      // corpus-proportional and merge-locked.
+      // broadcastable by construction: the kept filter ENFORCES ≥2
+      // occupancy (singleton buckets produce no x.doc_id < y.doc_id
+      // pair, so the bound is output-neutral — lshCappedBuild's
+      // n_bkt ≥ 2 discipline), so the census is ≤ min(4·2^wb, 2·nd)
+      // rows — bounded by the band value space at small wb AND
+      // corpus-bounded at the 2^30 extreme; the self-join and verify
+      // join-backs are corpus-proportional and merge-locked.
       val hx = fanout(documents(s, d))
         .select(col("doc_id"), hex(col("text").cast(BinaryType)).as("hx"))
         .filter(length(col("hx")) >= 4)
@@ -470,7 +472,7 @@ object Custom {
       val kept = bands.join(
         broadcast(bands.groupBy("band", "bv").agg(count(lit(1)).as("n_df"))
           .crossJoin(broadcast(knobs.select("df_cap")))
-          .filter(col("n_df") <= col("df_cap"))
+          .filter(col("n_df") >= 2 && col("n_df") <= col("df_cap"))
           .select("band", "bv")),
         Seq("band", "bv"))
       val cand = kept.as("x").join(kept.hint("merge").as("y"),
@@ -577,7 +579,8 @@ object Custom {
                    UNION ALL SELECT doc_id, 3, p3 FROM p),
          cnt AS (SELECT band, bv, count(*) AS n_df FROM bands GROUP BY 1, 2),
          kept AS (SELECT b.doc_id, b.band, b.bv FROM bands b
-                  JOIN cnt USING (band, bv), knobs WHERE n_df <= df_cap),
+                  JOIN cnt USING (band, bv), knobs
+                  WHERE n_df >= 2 AND n_df <= df_cap),
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                   FROM kept x JOIN kept y
                     ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)

@@ -514,12 +514,10 @@ object Analytics {
       // shuffle (both sides keyed on orderkey — bucketing co-locates it
       // at scale, join_bucketed shows the exchange-free form); lead days
       // are exact integer datediffs (NEGATIVE leads exist in this
-      // synthetic fixture — ship/order dates are drawn independently.
-      // Both engines' integer division truncates toward zero (verified:
-      // DuckDB 1.0.0 `-7 // 2 = -3`, same as Spark div), so a div column
-      // would agree cross-engine — but truncation-toward-zero on negative
-      // leads is not the flooring a bucketing analysis would want, so the
-      // mean stays a double quotient of exact int64s).
+      // synthetic fixture — ship/order dates are drawn independently —
+      // so a per-supplier SUM can go negative; round 13 ADVICE: ratio4's
+      // div/floor forms diverge on negative numerators, so the mean goes
+      // through the signed sign-decomposition form, sratio4).
       val j = lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -528,7 +526,7 @@ object Analytics {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("bigint"))
       j.groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_lines"),
-          ratio4("sum(lead_days)", "count(1)").as("avg_lead_days"),
+          sratio4("sum(lead_days)", "count(1)").as("avg_lead_days"),
           min(col("lead_days")).as("min_lead"),
           max(col("lead_days")).as("max_lead"))
         .orderBy("l_suppkey")
@@ -794,7 +792,7 @@ object Analytics {
                             CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
          SELECT l_suppkey, count(*) AS n_lines,
-           ${ratio4Duck("sum(lead_days)", "count(*)")} AS avg_lead_days,
+           ${sratio4Duck("sum(lead_days)", "count(*)")} AS avg_lead_days,
            min(lead_days) AS min_lead,
            max(lead_days) AS max_lead
          FROM j GROUP BY 1 ORDER BY l_suppkey NULLS FIRST"""

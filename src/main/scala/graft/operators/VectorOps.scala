@@ -927,8 +927,12 @@ object VectorOps {
   /** Hyperplane index for (band b, bit j). Bits 0-9 keep the original
     * two-band layout (planes 10b..10b+9) so every bucket value at
     * wb ≤ 10 is bit-identical to the pre-round-12 ladder; extension
-    * bits 10-29 draw from the disjoint ranges 20..49 (band 0) and
-    * 50..79 (band 1), keeping the two bands independent.
+    * bits 10-29 draw from the disjoint ranges 20..39 (band 0) and
+    * 50..69 (band 1) — each band RESERVES a 30-wide range (20..49 /
+    * 50..79) of which only the low 20 planes are used at
+    * maxBandBits = 30, so widening past 30 must stay within the
+    * reservation (or extend band 1's base past 79) to keep the bands'
+    * plane sets disjoint.
     */
   private def planeFor(b: Int, j: Int): Int =
     if (j < 10) 10 * b + j else 20 + 30 * b + (j - 10)
