@@ -1048,6 +1048,56 @@ object MutantQueries {
         graft.operators.VectorOps.queries("sim_ivf_pq")(s, d)
           .filter(col("rank") <= 1)), // BUG: the topk limit-off-by-one class
 
+    Mutant("sessionize", "knob-dropped-stitch",
+      "auto-switch knob mutated to cutoff 0 (bucketed leg selected at fixture scale) with the boundary stitch disabled - proves the gate kills bucketed-leg defects when the knob routes fixtures there",
+      "clean", (s, d) => {
+        // the round-13 auto-switch makes `sessionize` a TWO-plan key whose
+        // bucketed leg no fixture naturally selects (cutoff 10^6); this
+        // mutant is the gate-sensitivity evidence for that leg: force the
+        // knob low AND plant the leg's characteristic defect (midnight
+        // sessions stay split). The unchanged plain-sessionize oracle must
+        // fail it — otherwise the auto-switch hid a defect class.
+        val ev = events(s, d)
+        val us = unix_micros(col("ts"))
+        val wLocal = Window.partitionBy("user_id", "__day")
+          .orderBy(col("ts"), col("event_id"))
+        val tagged = ev.withColumn("__day", to_date(col("ts")))
+          .withColumn("__prev_us", lag(us, 1).over(wLocal))
+          .withColumn("__new_local",
+            when(col("__prev_us").isNull ||
+              us - col("__prev_us") > graft.operators.Windows.sessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn("__local_seq", sum(col("__new_local"))
+            .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("__prev_us", "__new_local")
+        val sessLocal = tagged
+          .groupBy(col("user_id"), col("__day"), col("__local_seq"))
+          .agg(min(us).as("__first_us"), max(us).as("__last_us"))
+        val wSess = Window.partitionBy("user_id")
+          .orderBy(col("__day"), col("__local_seq"))
+        val globalMap = sessLocal
+          .withColumn("__new_global", lit(1L)) // BUG: boundary stitch disabled
+          .withColumn("session_seq", sum(col("__new_global"))
+            .over(wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id").as("__m_uid"), col("__day").as("__m_day"),
+            col("__local_seq").as("__m_seq"), col("session_seq"))
+        tagged.join(globalMap.hint("merge"),
+            (tagged("user_id") <=> col("__m_uid")) &&
+              (tagged("__day") <=> col("__m_day")) &&
+              tagged("__local_seq") === col("__m_seq"))
+          .groupBy("user_id", "session_seq")
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            (max(us) - min(us)).as("duration_us"),
+            count(lit(1)).as("n_events"),
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("entry_type"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("exit_type"),
+            outDec(sum(dec(col("value")))).as("sum_value"))
+          .orderBy("user_id", "session_seq")
+      }),
+
     Mutant("event_transitions_bucketed", "dropped-stitch",
       "bucket-boundary transition pairs dropped (within-bucket pairs only)",
       "clean", (s, d) => {

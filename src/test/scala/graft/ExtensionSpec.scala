@@ -321,6 +321,42 @@ class ExtensionSpec extends AnyFunSuite {
     assert(trans.size === 6)
   }
 
+  test("hot-entity auto-switch: plain plan below cutoff, day-bucketed above (round 13)") {
+    // gate-neutrality leg: at fixture scale the knob must choose the
+    // PLAIN plans — the bucketed decomposition's namespaced columns
+    // (__day / __m_day) are the plan fingerprint
+    assert(Windows.maxEventsPerEntity(Tables.events(spark, d)) <=
+      Windows.hotEntityCutoff, "fixture crossed the hot-entity cutoff")
+    def analyzed(key: String, dir: String): String =
+      Windows.queries(key)(spark, dir).queryExecution.analyzed.toString
+    assert(!analyzed("sessionize", d).contains("__day"),
+      "fixture-scale sessionize took the bucketed plan")
+    assert(!analyzed("event_transitions", d).contains("__day"),
+      "fixture-scale event_transitions took the bucketed plan")
+
+    // switch leg: ONE whale entity one event past the cutoff must flip
+    // both keys to the day-bucketed decomposition (HOTPROBE.json measures
+    // the plain plans' one-task cliff past ~1-2M events/entity)
+    val n = Windows.hotEntityCutoff + 1
+    val dir = "target/autoswitch-events"
+    spark.range(n).select(
+        $"id".as("event_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod($"id" * 2654435761L, lit(365L * 24 * 3600 * 1000000L))).as("ts"),
+        lit(0L).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (pmod($"id", lit(3)) + 1).cast("int")).as("event_type"),
+        ($"id" % 100).cast("double").as("value"),
+        lit("{}").as("props"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Windows.maxEventsPerEntity(Tables.events(spark, dir)) === n)
+    assert(analyzed("sessionize", dir).contains("__day"),
+      "whale-scale sessionize stayed on the plain plan")
+    assert(analyzed("event_transitions", dir).contains("__day"),
+      "whale-scale event_transitions stayed on the plain plan")
+  }
+
   test("agg_skew_salted: salted two-phase plan equals the unsalted aggregate") {
     import graft.Tables.{avg4, dec, outDec}
     val got = Layouts.queries("agg_skew_salted")(spark, d).collect().toSeq
