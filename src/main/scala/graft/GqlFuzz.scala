@@ -50,7 +50,7 @@ object GqlFuzz {
       " AS avg_o_totalprice"
   private val joinCust = "LEFT JOIN customer ON o_custkey = c_custkey"
 
-  def matrix: Seq[Q] = {
+  def matrix(sfDir: String): Seq[Q] = {
     val out = Seq.newBuilder[Q]
     var i = 0
     def add(tag: String, gql: String, sql: String = null,
@@ -475,6 +475,61 @@ object GqlFuzz {
     add("rej_schema_with_args",
       """{ __schema(limit: 1) { tables { name } } }""")
 
+    // =====================================================================
+    // F. catalog mutations (round 13, verdict item 7) — asserted BOTH
+    // ways like everything else: claimed mutations must APPLY (the
+    // following claimed query reads the registered name — matrix cases
+    // run in declaration order in one JVM, so the register → read →
+    // unregister → gone sequence is a real lifecycle), unclaimed
+    // mutation shapes must reject loudly.
+    // =====================================================================
+    add("mut_register",
+      s"""mutation { registerDataset(name: "fuzz_regions",
+            path: "$sfDir/region.parquet", format: "parquet") {
+            name format } }""",
+      """SELECT 'fuzz_regions' AS name, 'parquet' AS format""")
+    add("mut_registered_query",
+      // applied+readable: the name registered by the PREVIOUS case
+      // resolves at a raw root exactly like a fixture table
+      """{ fuzz_regions(orderBy: ["r_regionkey"]) { r_regionkey r_name } }""",
+      """SELECT r_regionkey, r_name FROM region
+         ORDER BY r_regionkey NULLS FIRST""")
+    add("mut_registered_introspect",
+      // and in introspection — discovery shares the planning catalog
+      "{ __schema { tables { name } } }",
+      (allTables :+ "fuzz_regions").sorted.map(t => s"SELECT '$t' AS name")
+        .mkString("SELECT name FROM (", " UNION ALL ",
+          ") ORDER BY name NULLS FIRST"))
+    add("mut_unregister",
+      """mutation { unregisterDataset(name: "fuzz_regions") { name } }""",
+      """SELECT 'fuzz_regions' AS name""")
+    add("rej_mut_gone",
+      // the unregistered name must STOP resolving — a stale claim here
+      // means unregister silently failed
+      """{ fuzz_regions(orderBy: ["r_regionkey"]) { r_regionkey } }""")
+    add("rej_mut_unknown_field",
+      """mutation { dropEverything(name: "x") { name } }""")
+    add("rej_mut_missing_arg",
+      """mutation { registerDataset(name: "half_baked") { name } }""")
+    add("rej_mut_bad_format",
+      s"""mutation { registerDataset(name: "evil",
+            path: "$sfDir/region.parquet", format: "jdbc") { name } }""")
+    add("rej_mut_shadow_builtin",
+      s"""mutation { registerDataset(name: "orders",
+            path: "$sfDir/region.parquet", format: "parquet") { name } }""")
+    add("rej_mut_bad_name",
+      s"""mutation { registerDataset(name: "no spaces;",
+            path: "$sfDir/region.parquet", format: "parquet") { name } }""")
+    add("rej_mut_unknown_result_field",
+      s"""mutation { registerDataset(name: "fuzz_tmp",
+            path: "$sfDir/region.parquet", format: "parquet") {
+            name owner } }""")
+    add("rej_mut_unregister_absent",
+      """mutation { unregisterDataset(name: "never_registered") { name } }""")
+    add("rej_mut_query_kw_mutation_field",
+      // a mutation FIELD under a query operation is just an unknown table
+      """{ registerDataset(name: "x") { name } }""")
+
     out.result()
   }
 
@@ -493,7 +548,7 @@ object GqlFuzz {
 
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n")
-    val qs = matrix
+    val qs = matrix(sfDir)
     var bad = 0
     val manifest = qs.map { q =>
       if (q.claimed) {

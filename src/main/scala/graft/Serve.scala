@@ -19,9 +19,13 @@ object Serve {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val api = new Server.HttpApi(spark, port)
+    // durable dataset catalog (POST /datasets + the registerDataset
+    // mutation persist here; registrations survive restarts). Override
+    // with GRAFT_CATALOG_DIR; an embedded Derby directory by default.
+    val catalogDir = sys.env.getOrElse("GRAFT_CATALOG_DIR", "target/graft-catalog")
+    val api = new Server.HttpApi(spark, port, Some(catalogDir))
     api.start()
-    println(s"graft console: http://localhost:${api.boundPort}/")
+    println(s"graft console: http://localhost:${api.boundPort}/  (catalog: $catalogDir)")
     Thread.currentThread().join() // serve until killed
   }
 }

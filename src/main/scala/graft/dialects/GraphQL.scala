@@ -2,7 +2,7 @@ package graft.dialects
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.TableRegistry
+import graft.sources.{CatalogStore, DatasetRegistry, TableRegistry}
 
 /** GraphQL dialect front-end (SURVEY.md §2.9, §3.2 EP3): the reference
   * declares GraphQL as one of its three query languages (reference
@@ -216,11 +216,22 @@ object GraphQL {
       FragDef(name, on, fs.toList)
     }
 
-    /** Optional `query ($a: Type = default, ...)` operation header. */
+    /** The parsed operation type — `query` unless a `mutation` keyword
+      * led the operation (round 13: the catalog write surface).
+      */
+    var operationType: String = "query"
+
+    /** Optional `query|mutation ($a: Type = default, ...)` operation
+      * header.
+      */
     private def varDecls(): List[VarDecl] = {
       ws()
-      if (!input.startsWith("query", pos)) return Nil
-      pos += 5
+      if (input.startsWith("mutation", pos)) {
+        pos += 8
+        operationType = "mutation"
+      } else if (input.startsWith("query", pos)) {
+        pos += 5
+      } else return Nil
       ws()
       if (peek != '(') return Nil
       pos += 1
@@ -308,14 +319,19 @@ object GraphQL {
 
   def parse(q: String): Field = parseOperation(q)._2
 
-  def parseOperation(q: String): (List[VarDecl], Field) = {
-    val (decls, f, frags) = new Parser(q).query()
+  def parseOperation(q: String): (List[VarDecl], Field) =
+    parseDocument(q) match { case (_, decls, f) => (decls, f) }
+
+  /** Full document parse, operation type included (`query` | `mutation`). */
+  def parseDocument(q: String): (String, List[VarDecl], Field) = {
+    val p = new Parser(q)
+    val (decls, f, frags) = p.query()
     // fragment type conditions check against the root FIELD name: an
     // `_agg` root's selection set holds aggregate fields, so its
     // fragments are `on orders_agg`, not `on orders` (GqlFuzz round 12 —
     // the old stripSuffix context rejected every agg-root fragment)
     val inlined = expand(f.name, f.selections, frags, Set.empty)
-    (decls, Field(f.name, f.args, inlined))
+    (p.operationType, decls, Field(f.name, f.args, inlined))
   }
 
   /** Substitute every `$var` reference from `vars` (declared defaults
@@ -698,11 +714,72 @@ object GraphQL {
     val unknown = wanted.toSet -- Set("name", "n_columns")
     require(unknown.isEmpty, s"unknown __schema field(s): ${unknown.mkString(", ")}")
     import s.implicits._
-    TableRegistry.tables.keys.toSeq.sorted
+    // allNames: dynamically registered datasets (POST /datasets or the
+    // registerDataset mutation) appear in introspection the moment they
+    // are registered — discovery and planning share one catalog
+    TableRegistry.allNames.toSeq.sorted
       .map(t => (t, TableRegistry.load(s, dir, t).schema.size.toLong))
       .toDF("name", "n_columns")
       .select(wanted.map(col): _*)
       .orderBy("name")
+  }
+
+  /** Catalog mutations (round 13, verdict item 7 — the reference's
+    * GraphQL surface + Postgres catalog implies WRITES): exactly two
+    * root fields, both routed through [[DatasetRegistry]] — the same
+    * write path as POST /datasets — so a mutation-registered name
+    * immediately resolves in all three dialects and persists when a
+    * durable catalog is attached.
+    *
+    *   mutation { registerDataset(name: "x", path: "/p", format:
+    *     "parquet", options: {k: "v"}) { name path format } }
+    *   mutation { unregisterDataset(name: "x") { name } }
+    *
+    * Unknown mutation fields, missing/ill-typed arguments, disallowed
+    * formats, and unregistering an absent name all fail LOUDLY — a
+    * client can never believe a write happened that didn't.
+    */
+  private def runMutation(s: SparkSession, root: Field): DataFrame = {
+    import s.implicits._
+    def strArg(n: String): String =
+      root.args.collectFirst { case (`n`, VString(v)) => v }.getOrElse(
+        throw new IllegalArgumentException(
+          s"${root.name}: required string argument '$n' missing"))
+    require(root.selections.nonEmpty && root.selections.forall(f =>
+        f.selections.isEmpty && f.alias.isEmpty && f.args.isEmpty),
+      s"${root.name}: select plain scalar result fields")
+    val wanted = root.selections.map(_.name)
+    root.name match {
+      case "registerDataset" =>
+        checkArgs(root.name, root.args, Set("name", "path", "format", "options"))
+        // result-field validation BEFORE the write: a rejected mutation
+        // shape must leave no side effect behind
+        val bad = wanted.toSet -- Set("name", "path", "format")
+        require(bad.isEmpty,
+          s"registerDataset returns {name path format}; unknown: ${bad.mkString(", ")}")
+        val options: Map[String, String] =
+          root.args.collectFirst { case ("options", VObj(fs)) => fs }.getOrElse(Nil)
+            .map {
+              case (k, VString(v)) => k -> v
+              case (k, other) => throw new IllegalArgumentException(
+                s"registerDataset: option '$k' must be a string, got $other")
+            }.toMap
+        val e = DatasetRegistry.register(CatalogStore.Entry(
+          strArg("name"), strArg("path"), strArg("format"), options))
+        Seq((e.name, e.path, e.format)).toDF("name", "path", "format")
+          .select(wanted.map(col): _*)
+      case "unregisterDataset" =>
+        checkArgs(root.name, root.args, Set("name"))
+        val bad = wanted.toSet -- Set("name")
+        require(bad.isEmpty,
+          s"unregisterDataset returns {name}; unknown: ${bad.mkString(", ")}")
+        val n = strArg("name").toLowerCase
+        require(DatasetRegistry.unregister(n), s"no such dataset: '$n'")
+        Seq(n).toDF("name").select(wanted.map(col): _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown mutation: '$other' (registerDataset | unregisterDataset)")
+    }
   }
 
   def run(s: SparkSession, dir: String, q: String): DataFrame =
@@ -717,10 +794,11 @@ object GraphQL {
     */
   def runWithVariables(
       s: SparkSession, dir: String, q: String, vars: Map[String, Value]): DataFrame = {
-    val (decls, rawRoot) = parseOperation(q)
+    val (opType, decls, rawRoot) = parseDocument(q)
     val root = pruneDirectives(bind(rawRoot, resolveVars(decls, vars)))
       .getOrElse(throw new IllegalArgumentException(
         "the root selection was removed by @skip/@include"))
+    if (opType == "mutation") return runMutation(s, root)
     require(root.selections.nonEmpty,
       "every selected field was removed by @skip/@include")
     if (root.name == "__schema") {

@@ -83,6 +83,10 @@ object NlToSql {
   // (?i) case-insensitive keywords; captured VALUES keep their case (column
   // values like status 'F' are case-sensitive), noun captures are
   // lowercased before catalog lookup
+  // generic over ANY resolvable table — fixture or dynamically
+  // registered dataset (round 13: the NL leg of the karna-db surface;
+  // validation defers to TableRegistry.allNames at translate time)
+  private val RowCount = """(?i)how many rows (?:are )?in (\w+)\s*\??""".r
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
   private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
@@ -213,6 +217,14 @@ object NlToSql {
   }
 
   def translate(question: String): String = question.trim match {
+    case RowCount(table) =>
+      // works for dynamically registered datasets too: the check is
+      // against the LIVE registry (fixtures + POST /datasets state), the
+      // same allowlist NlGate enforces downstream
+      val t = table.toLowerCase
+      require(graft.sources.TableRegistry.allNames(t),
+        s"unknown table: $table")
+      s"SELECT count(*) AS n_rows FROM $t"
     // ---- round-11 fuzzer-found compositions, most-specific first ----
     case AvgByDateRange(measure, d, from, to) =>
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,

