@@ -45,7 +45,9 @@ object Streams {
       // the real watermarked plan and its batch result oracles as tumbling
       P.watermarkedTumblingCount(events(s, d)).orderBy("w_start")),
     "stream_custom_state" -> ((s, d) =>
-      // flatMapGroupsWithState custom-state op; batch form = one big
+      // transformWithState custom-state op (ported from
+      // flatMapGroupsWithState, round 13 — STREAMCHECK measured 4.8× vs
+      // 1.3× p50 growth on 10× events/batch); batch form = one big
       // micro-batch over empty state, so the per-user totals oracle exactly
       P.runningUserStats(events(s, d)).orderBy("user_id")),
     "stream_tws" -> ((s, d) =>

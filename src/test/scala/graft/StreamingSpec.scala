@@ -163,7 +163,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
-  test("flatMapGroupsWithState accumulates across micro-batches") {
+  test("custom-state processor (transformWithState) accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
     val q = Streams.runningUserStats(mem.toDF())
