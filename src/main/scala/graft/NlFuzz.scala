@@ -50,6 +50,11 @@ object NlFuzz {
     M("quantity", Seq("return flag"),
       "return flag", "R", "A",
       Some(("1996-01-01", "1997-06-30")), Some("1996"), Some(30)),
+    // round 13: second lineitem measure (added for the ratio production)
+    // — every existing aggregate/filter/time production must hold on it
+    M("extended price", Seq("return flag"),
+      "return flag", "R", "A",
+      Some(("1996-01-01", "1997-06-30")), Some("1996"), Some(30)),
     M("event value", Seq("event type"),
       "event type", "click", "view",
       Some(("2024-01-05", "2024-01-20")), Some("2024"), Some(7)),
@@ -176,6 +181,25 @@ object NlFuzz {
     // shares
     add("share of orders by status", claimed = true)
     add("share of events by event type", claimed = true)
+    // ---- round 13: compositional negation + ratio (verdict item 6) ----
+    add("share of orders where status is not F", claimed = true)
+    add("share of orders where priority is not 1-URGENT", claimed = true)
+    add("share of events where event type is not click", claimed = true)
+    add("share of orders where status is not F by priority", claimed = true)
+    add("share of orders where priority is not 1-URGENT by status", claimed = true)
+    add("share of events where event type is not click by event type", claimed = true)
+    // filter dim off the noun's table must reject loudly
+    add("share of orders where market segment is not BUILDING", claimed = false)
+    add("share of orders where return flag is not R by status", claimed = false)
+    add("ratio of extended price to quantity by return flag", claimed = true)
+    add("ratio of quantity to extended price by return flag", claimed = true)
+    // cross-fact ratio has no defined row basis — loud rejection
+    add("ratio of order price to quantity by status", claimed = false)
+    add("ratio of event value to quantity by return flag", claimed = false)
+    // group dim with no star path from the shared fact rejects
+    add("ratio of extended price to quantity by market segment", claimed = false)
+    // unknown measures reject
+    add("ratio of profit to quantity by return flag", claimed = false)
     out.result()
   }
 

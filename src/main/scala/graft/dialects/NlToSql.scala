@@ -18,6 +18,9 @@ object NlToSql {
   private val measures = Map(
     "order price" -> ("orders", "o_totalprice"),
     "quantity" -> ("lineitem", "l_quantity"),
+    // second lineitem measure (round 13): gives the ratio production a
+    // same-fact measure pair, and every existing production over it
+    "extended price" -> ("lineitem", "l_extendedprice"),
     "account balance" -> ("customer", "c_acctbal"),
     "event value" -> ("events", "value"))
 
@@ -175,6 +178,15 @@ object NlToSql {
     """(?i)total ([a-z ]+) by ([a-z ]+) (?:where ([a-z ]+) is not|excluding ([a-z ]+)) ([\w-]+)(?: or ([\w-]+))?""".r
   private val MinMaxBy = """(?i)(minimum|maximum) ([a-z ]+) by ([a-z ]+)""".r
   private val ShareBy = """(?i)share of (\w+) by ([a-z ]+)""".r
+  // round 13 (verdict item 6): compositional negation + ratio — the two
+  // analyst questions the grammar still rejected. Grouped-negated-share
+  // before scalar (prefix collision).
+  private val ShareNotBy =
+    """(?i)share of (\w+) where ([a-z ]+) is not ([\w-]+) by ([a-z ]+)""".r
+  private val ShareNot =
+    """(?i)share of (\w+) where ([a-z ]+) is not ([\w-]+)""".r
+  private val RatioBy =
+    """(?i)ratio of ([a-z ]+?) to ([a-z ]+?) by ([a-z ]+)""".r
   private val Superlative =
     """(?i)which (\w+) had the (highest|lowest) total ([a-z ]+?)(?: in (\d{4}))?""".r
 
@@ -647,6 +659,60 @@ object NlToSql {
          FROM ${factFrom(table, fact)} GROUP BY $dcol
          HAVING sum(CAST($mcol AS DECIMAL(18,4))) $op $n
          ORDER BY $dcol NULLS FIRST"""
+    case ShareNotBy(entity, fdname, v, dname) =>
+      // compositional negation (round 13): "share of orders where status
+      // is not F by priority" — per-group, what fraction of rows is NOT
+      // the named value. Filter via NOT IN like TotalByWhereNot (catalog
+      // dims are non-null by fixture contract, so the null-semantics
+      // trap can't bite); the share keeps ShareBy's floor-over-exact-
+      // counts discipline (both engines compute the identical double
+      // quotient of exact int64s); nullif guards the degenerate empty
+      // group set.
+      val (dtable, dcol) = dim(dname)
+      requireEntityOn(entity, dtable)
+      val (ftable, fcol) = dim(fdname)
+      require(ftable == dtable, s"filter dimension $fdname not on $dtable")
+      s"""SELECT $dcol,
+         count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
+         count(*) AS cnt,
+         CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
+                    / nullif(count(*), 0)) AS BIGINT) AS share_bp
+         FROM $dtable GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case ShareNot(entity, fdname, v) =>
+      // scalar form: "share of orders where status is not F" — one row,
+      // the corpus-wide negated share
+      val (ftable, fcol) = dim(fdname)
+      requireEntityOn(entity, ftable)
+      s"""SELECT count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
+         count(*) AS cnt,
+         CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
+                    / nullif(count(*), 0)) AS BIGINT) AS share_bp
+         FROM $ftable"""
+    case RatioBy(ma, mb, dname) =>
+      // ratio production (round 13): "ratio of extended price to
+      // quantity by return flag" — both measures must live on the SAME
+      // fact (a cross-fact ratio has no defined row basis and rejects
+      // loudly); the group dim routes through the star schema. Sums are
+      // exact DECIMAL(18,4); the ratio is floor-of-basis-points over the
+      // two sums cast to DOUBLE — both engines perform the identical
+      // correctly-rounded decimal→double conversions, multiply, divide,
+      // floor, so the result is bit-equal (the ShareBy argument); nullif
+      // keeps a zero denominator NULL in both engines instead of ANSI
+      // divide-error vs NULL divergence.
+      val (fa, acol) = measures.getOrElse(ma.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $ma"))
+      val (fb, bcol) = measures.getOrElse(mb.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $mb"))
+      require(fa == fb,
+        s"ratio measures must share a fact table: '$ma' is on $fa, '$mb' on $fb")
+      val (dtable, dcol) = dim(dname)
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($acol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_num,
+         CAST(round(sum(CAST($bcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_den,
+         CAST(floor(CAST(sum(CAST($acol AS DECIMAL(18,4))) AS DOUBLE) * 10000.0
+                    / nullif(CAST(sum(CAST($bcol AS DECIMAL(18,4))) AS DOUBLE), 0.0))
+              AS BIGINT) AS ratio_bp
+         FROM ${factFrom(dtable, fa)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case ShareBy(entity, dname) =>
       // percent-of-total: "share of orders by status" — per-group count
       // plus its share of the table in basis points. The share stays in

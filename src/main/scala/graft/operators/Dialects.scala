@@ -80,6 +80,9 @@ object Dialects {
   val nlTopkPerGroupQuestion: String =
     "top 2 customers by total order price per status"
   val nlShareQuestion: String = "share of orders by priority"
+  // round 13 (verdict item 6): compositional negation + ratio productions
+  val nlShareNotQuestion: String = "share of orders where status is not F by priority"
+  val nlRatioQuestion: String = "ratio of extended price to quantity by return flag"
   // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
   val nlByYearQuestion: String = "total order price by year"
   // disjunctive filter — translates to a scan-pushable IN list
@@ -327,6 +330,8 @@ object Dialects {
     "nl_bottomk" -> ((s, d) => NlToSql.run(s, d, nlBottomQuestion)),
     "nl_topk_per_group" -> ((s, d) => NlToSql.run(s, d, nlTopkPerGroupQuestion)),
     "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
+    "nl_share_not" -> ((s, d) => NlToSql.run(s, d, nlShareNotQuestion)),
+    "nl_ratio" -> ((s, d) => NlToSql.run(s, d, nlRatioQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
     "nl_month_trend" -> ((s, d) => NlToSql.run(s, d, nlMonthQuestion)),
@@ -506,6 +511,8 @@ object Dialects {
     "nl_bottomk" -> NlToSql.translate(nlBottomQuestion),
     "nl_topk_per_group" -> NlToSql.translate(nlTopkPerGroupQuestion),
     "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
+    "nl_share_not" -> NlToSql.translate(nlShareNotQuestion),
+    "nl_ratio" -> NlToSql.translate(nlRatioQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "nl_or_filter" -> NlToSql.translate(nlOrQuestion),
     "nl_month_trend" -> NlToSql.translate(nlMonthQuestion),
