@@ -200,6 +200,12 @@ object NlFuzz {
     add("ratio of extended price to quantity by market segment", claimed = false)
     // unknown measures reject
     add("ratio of profit to quantity by return flag", claimed = false)
+    // generic row count over ANY resolvable table (round 13 — the NL leg
+    // of the dataset-registration surface)
+    add("how many rows are in lineitem", claimed = true)
+    add("how many rows are in documents", claimed = true)
+    add("how many rows are in events?", claimed = true)
+    add("how many rows are in warehouse_42", claimed = false)
     out.result()
   }
 

@@ -83,6 +83,9 @@ object Dialects {
   // round 13 (verdict item 6): compositional negation + ratio productions
   val nlShareNotQuestion: String = "share of orders where status is not F by priority"
   val nlRatioQuestion: String = "ratio of extended price to quantity by return flag"
+  // the generic any-table production (works on dynamically registered
+  // datasets too — the NL leg of the catalog surface)
+  val nlRowCountQuestion: String = "how many rows are in lineitem"
   // GROUP BY a derived calendar bucket (vs nl_year's single-year filter)
   val nlByYearQuestion: String = "total order price by year"
   // disjunctive filter — translates to a scan-pushable IN list
@@ -332,6 +335,7 @@ object Dialects {
     "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
     "nl_share_not" -> ((s, d) => NlToSql.run(s, d, nlShareNotQuestion)),
     "nl_ratio" -> ((s, d) => NlToSql.run(s, d, nlRatioQuestion)),
+    "nl_rowcount" -> ((s, d) => NlToSql.run(s, d, nlRowCountQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
     "nl_month_trend" -> ((s, d) => NlToSql.run(s, d, nlMonthQuestion)),
@@ -513,6 +517,7 @@ object Dialects {
     "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
     "nl_share_not" -> NlToSql.translate(nlShareNotQuestion),
     "nl_ratio" -> NlToSql.translate(nlRatioQuestion),
+    "nl_rowcount" -> NlToSql.translate(nlRowCountQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "nl_or_filter" -> NlToSql.translate(nlOrQuestion),
     "nl_month_trend" -> NlToSql.translate(nlMonthQuestion),
