@@ -684,4 +684,39 @@ class DialectSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException](TableRegistry.load(spark, d, "nope"))
   }
+
+  test("rejected catalog mutations leave NO side effect (validate-before-write)") {
+    import graft.sources.DatasetRegistry
+    // result-field validation fires BEFORE the write: the name must not
+    // appear in the registry after the rejection (GqlFuzz pins the
+    // rejection itself; THIS pins the absence of a half-applied write)
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      s"""mutation { registerDataset(name: "never_applied",
+            path: "$d/region.parquet", format: "parquet") { name owner } }"""))
+    assert(DatasetRegistry.list.forall(_.name != "never_applied"),
+      "a rejected registerDataset mutated the registry")
+    // same for a disallowed format (write-path gate) and a bad name
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      s"""mutation { registerDataset(name: "evil2",
+            path: "$d/region.parquet", format: "jdbc") { name } }"""))
+    assert(DatasetRegistry.list.forall(_.name != "evil2"))
+  }
+
+  test("catalog resolution is plan-transparent: registered name scans like the direct read") {
+    import graft.sources.{CatalogStore, DatasetRegistry}
+    DatasetRegistry.register(CatalogStore.Entry(
+      "plan_regions", s"$d/region.parquet", "parquet"))
+    try {
+      val viaName = graft.server.Server.handle(spark,
+        graft.server.Server.ServeRequest("sql",
+          "SELECT r_regionkey, r_name FROM plan_regions", d))
+      val plan = viaName.queryExecution.executedPlan.toString
+      // one parquet scan of the registered path, no exchange, pruned schema
+      assert(plan.contains("region.parquet"), plan)
+      assert(!plan.contains("Exchange"), s"registered-name scan shuffled:\n$plan")
+      assert(viaName.queryExecution.executedPlan.collectLeaves().size === 1)
+      assert(plan.contains("r_regionkey") && !plan.contains("r_comment"),
+        s"column pruning lost through the catalog seam:\n$plan")
+    } finally DatasetRegistry.unregister("plan_regions")
+  }
 }
