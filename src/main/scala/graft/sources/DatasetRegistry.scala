@@ -54,9 +54,15 @@ object DatasetRegistry {
       s"format must be one of ${AllowedFormats.toSeq.sorted.mkString(", ")}: " +
         s"got '${e0.format}'")
     // validate via the process registry FIRST (name shape, built-in
-    // shadowing) so an invalid entry never reaches the durable store
+    // shadowing) so an invalid entry never reaches the durable store; if
+    // the durable write then FAILS, roll the process entry back — the
+    // two stores must never diverge (an in-memory-only registration
+    // would resolve until restart, then silently vanish)
     TableRegistry.registerDynamic(e)
-    durable.foreach(JdbcCatalog.register(_, e))
+    try durable.foreach(JdbcCatalog.register(_, e))
+    catch { case t: Throwable =>
+      TableRegistry.unregisterDynamic(e.name); throw t
+    }
     e
   }
 

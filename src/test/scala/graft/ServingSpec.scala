@@ -804,6 +804,23 @@ class ServingSpec extends AnyFunSuite {
     finally c.close()
   }
 
+  test("a failed durable write rolls the process registration back (stores never diverge)") {
+    val dbDir = Files.createTempDirectory("graft_rollback_cat").resolve("db").toString
+    val c = JdbcCatalog.connect(dbDir)
+    DatasetRegistry.attach(c)
+    try {
+      c.close() // durable writes now throw
+      intercept[Exception] {
+        DatasetRegistry.register(CatalogStore.Entry(
+          "half_written", s"$d/region.parquet", "parquet"))
+      }
+      // the rollback: an in-memory-only registration would resolve until
+      // restart then silently vanish — the registry must NOT carry it
+      assert(DatasetRegistry.list.forall(_.name != "half_written"),
+        "process registry diverged from the durable store")
+    } finally DatasetRegistry.detach()
+  }
+
   test("/datasets without a configured catalog rejects writes loudly") {
     val api = new Server.HttpApi(spark, 0)
     api.start()
