@@ -17,6 +17,51 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("day-bucketed decompositions equal the plain plans on random event streams") {
+    // the auto-switch (round 13) makes the bucketed legs load-bearing at
+    // exactly the scales no fixture reaches — so their row-for-row
+    // equality with the plain plans is proven on RANDOM streams, not
+    // just the crafted midnight/chain/empty-day fixtures. Timestamps
+    // cluster within ±5h of midnights (the stitch-heavy regime) plus a
+    // uniform tail; NULL users and NULL timestamps are injected.
+    import graft.operators.Windows
+    val dayUs = 24L * 3600 * 1000000L
+    for (seed <- Seq(1L, 7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1700000000000000L
+      val rows = (0 until 3000).map { i =>
+        val user: Option[Long] =
+          if (rnd.nextInt(50) == 0) None else Some(rnd.nextInt(20).toLong)
+        val ts: Option[java.sql.Timestamp] =
+          if (rnd.nextInt(80) == 0) None
+          else {
+            val day = rnd.nextInt(12).toLong
+            val us =
+              if (rnd.nextBoolean()) // ±5h around a midnight boundary
+                base + day * dayUs + (rnd.nextLong(10L * 3600 * 1000000L)
+                  - 5L * 3600 * 1000000L)
+              else base + rnd.nextLong(12L * dayUs)
+            Some(new java.sql.Timestamp(us / 1000))
+          }
+        (i.toLong, ts, user,
+          Seq("view", "click", "purchase")(rnd.nextInt(3)),
+          rnd.nextInt(10000) / 100.0, "{}")
+      }
+      val dir = s"target/prop-sess-$seed"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(5)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val ev = Tables.events(spark, dir)
+      // 3000 events ≪ cutoff ⇒ queries("sessionize") IS the plain plan
+      assert(Windows.queries("sessionize")(spark, dir).collect().toSeq ===
+        Windows.sessionizeBucketed(ev).collect().toSeq,
+        s"sessionize decomposition diverged at seed $seed")
+      assert(Windows.transitionsPlain(ev).collect().toSeq ===
+        Windows.transitionsBucketed(ev).collect().toSeq,
+        s"transitions decomposition diverged at seed $seed")
+    }
+  }
+
   test("globalNtile matches the reference NTILE on random tables (any k)") {
     // the two-phase range-partition + broadcast-offsets plan must equal
     // ANSI NTILE semantics (first n%k buckets one row larger) for every
