@@ -28,6 +28,24 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"unused columns must be pruned from the scan: $readSchema")
   }
 
+  test("hot-entity knob: the counting pass scans user_id only, partial-aggregated") {
+    // the round-13 auto-switch adds one measurement pass per invocation
+    // of sessionize/event_transitions; its cost claim (a map-side-
+    // combined keyed count over ONE column) is asserted on the plan
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, d)
+    val agg = ev.groupBy("user_id").agg(count(lit(1)).as("__n"))
+      .agg(max(org.apache.spark.sql.functions.col("__n")))
+    val p = plan(agg)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id"), readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type")
+      && !readSchema.contains("value"),
+      s"knob scan must prune to user_id: $readSchema")
+    // partial aggregation: two HashAggregate levels below the exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("topk plans TakeOrderedAndProject, never a global sort of all rows") {
     val p = plan(Relational.queries("topk")(spark, d))
     assert(p.contains("TakeOrderedAndProject"), p)
