@@ -138,6 +138,73 @@ object GqlFuzz {
          WHERE l_returnflag = 'R' AND l_quantity > 48
          ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST LIMIT 30""")
 
+    // one-to-many subtrees with per-relation arguments (round 14, verdict
+    // item 1): filter/orderBy/limit/offset select CHILD ROWS per parent,
+    // lowered to a rank window over the child fk (rank-then-join).
+    // Childless parents keep one NULL child row (LEFT join).
+    add("nested_topk",
+      """{ customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+                    orderBy: ["c_custkey", "o_orderkey"]) {
+            c_custkey orders(orderBy: ["-o_totalprice", "o_orderkey"], limit: 2) {
+              o_orderkey o_totalprice } } }""",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
+           FROM orders) t ON c_custkey = o_custkey AND rn <= 2
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")
+    add("nested_topk_filtered",
+      """{ customer(filter: {c_acctbal: {gt: 9000}},
+                    orderBy: ["c_custkey", "o_orderkey"]) {
+            c_custkey orders(filter: {o_orderstatus: {eq: "F"}},
+                             orderBy: ["o_orderdate", "o_orderkey"], limit: 1) {
+              o_orderkey o_orderdate } } }""",
+      """SELECT c_custkey, o_orderkey, o_orderdate
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS rn
+           FROM orders WHERE o_orderstatus = 'F') t
+           ON c_custkey = o_custkey AND rn <= 1
+         WHERE c_acctbal > 9000
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")
+    add("nested_topk_offset",
+      """{ nation(orderBy: ["n_nationkey", "c_custkey"]) {
+            n_nationkey customer(orderBy: ["-c_acctbal", "c_custkey"],
+                                 offset: 1, limit: 2) {
+              c_custkey c_acctbal } } }""",
+      """SELECT n_nationkey, c_custkey, c_acctbal
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST) AS rn
+           FROM customer) t
+           ON n_nationkey = c_nationkey AND rn > 1 AND rn <= 3
+         ORDER BY n_nationkey NULLS FIRST, c_custkey NULLS FIRST""")
+    add("nested_filter_only",
+      // per-relation filter WITHOUT limit: a plain filtered left join —
+      // no window in the plan
+      """{ nation(orderBy: ["n_nationkey", "c_custkey"]) {
+            n_name customer(filter: {c_acctbal: {gt: 9900}}) {
+              c_custkey c_acctbal } } }""",
+      """SELECT n_name, c_custkey, c_acctbal
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > 9900) t ON n_nationkey = c_nationkey
+         ORDER BY n_nationkey NULLS FIRST, c_custkey NULLS FIRST""")
+    // nondeterministic per-parent selection must reject loudly
+    add("rej_nested_limit_no_orderby",
+      """{ customer(orderBy: ["c_custkey"]) {
+            c_custkey orders(limit: 3) { o_orderkey } } }""")
+    // root paging over a row-multiplying subtree pages FLATTENED rows,
+    // not parents — rejected rather than silently mislabeled
+    add("rej_root_limit_with_nested_rows",
+      """{ customer(orderBy: ["c_custkey", "o_orderkey"], limit: 5) {
+            c_custkey orders(orderBy: ["o_orderkey"], limit: 2) {
+              o_orderkey } } }""")
+
     // aliases at both depths; orderBy resolves through the alias
     add("raw_alias",
       """{ orders(filter: {o_orderstatus: {eq: "O"}}, orderBy: ["id"], limit: 30) {

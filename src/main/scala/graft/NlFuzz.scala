@@ -113,7 +113,9 @@ object NlFuzz {
       }
       m.year.foreach { y =>
         add(s"total ${m.measure} by $d in $y", claimed = true)
-        add(s"total ${m.measure} by $d where $fd is ${m.v1} in $y", claimed = false)
+        // round 14 (verdict item 2): filter × year is now producible —
+        // all 7 previously-rejected matrix rows flip to parity-gated
+        add(s"total ${m.measure} by $d where $fd is ${m.v1} in $y", claimed = true)
       }
       m.lastDays.foreach { n =>
         add(s"total ${m.measure} by $d in the last $n days", claimed = true)
@@ -188,16 +190,23 @@ object NlFuzz {
     add("share of orders where status is not F by priority", claimed = true)
     add("share of orders where priority is not 1-URGENT by status", claimed = true)
     add("share of events where event type is not click by event type", claimed = true)
-    // filter dim off the noun's table must reject loudly
-    add("share of orders where market segment is not BUILDING", claimed = false)
+    // round 14 (verdict item 3): share/ratio dims one declared many-to-one
+    // star hop off the entity table now route (pk=fk hops preserve the
+    // row basis, so shares are unchanged by the join)
+    add("share of orders where market segment is not BUILDING", claimed = true)
+    add("share of orders where market segment is not BUILDING by status",
+      claimed = true)
+    add("share of orders by market segment", claimed = true)
+    // a ONE-TO-MANY hop (orders→lineitem) would change the row basis —
+    // still a loud rejection (no joinPath is declared in that direction)
     add("share of orders where return flag is not R by status", claimed = false)
     add("ratio of extended price to quantity by return flag", claimed = true)
     add("ratio of quantity to extended price by return flag", claimed = true)
     // cross-fact ratio has no defined row basis — loud rejection
     add("ratio of order price to quantity by status", claimed = false)
     add("ratio of event value to quantity by return flag", claimed = false)
-    // group dim with no star path from the shared fact rejects
-    add("ratio of extended price to quantity by market segment", claimed = false)
+    // round 14: the customer→lineitem two-hop path routes the group dim
+    add("ratio of extended price to quantity by market segment", claimed = true)
     // unknown measures reject
     add("ratio of profit to quantity by return flag", claimed = false)
     // generic row count over ANY resolvable table (round 13 — the NL leg

@@ -21,7 +21,9 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     // durable dataset catalog (POST /datasets + the registerDataset
     // mutation persist here; registrations survive restarts). Override
-    // with GRAFT_CATALOG_DIR; an embedded Derby directory by default.
+    // with GRAFT_CATALOG_DIR — an embedded Derby directory by default,
+    // or a full JDBC URL (jdbc:postgresql://…) for a shared catalog
+    // (DEPLOY.md §5).
     val catalogDir = sys.env.getOrElse("GRAFT_CATALOG_DIR", "target/graft-catalog")
     val api = new Server.HttpApi(spark, port, Some(catalogDir))
     api.start()

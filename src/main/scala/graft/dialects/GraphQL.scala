@@ -526,13 +526,100 @@ object GraphQL {
         }
         out ++= outNames.map(n => n -> n)
       }
+      else if (!TableRegistry.relations.contains((table, sel.name))
+               && TableRegistry.reverseRelations.contains((table, sel.name))) {
+        // one-to-many subtree with per-parent ROW selection (round 14,
+        // verdict item 1 — the Hasura/Prisma `customer { orders(limit: 3,
+        // orderBy: "-o_totalprice") { … } }` shape): filter/orderBy/limit/
+        // offset apply PER PARENT, lowered to a rank window over the
+        // child's fk — rank-then-join, never join-then-sort: the child is
+        // filtered and rank-limited BEFORE it meets the parent, so the
+        // join input is ≤ k rows per parent (Spark plans the rn filter as
+        // WindowGroupLimit both sides of the exchange — per-partition
+        // top-k heaps, the win_topk_group shape; at 100 TB the fan-out
+        // never materializes). Parents with no surviving children keep
+        // one all-NULL child row (LEFT join — GraphQL's empty-list
+        // semantics in the flattened frame).
+        require(sel.alias.isEmpty,
+          s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
+        val (target, lk, rk) = TableRegistry.reverseRelations((table, sel.name))
+        checkArgs(s"$table.${sel.name}", sel.args,
+          Set("filter", "orderBy", "limit", "offset"))
+        val childScalars = sel.selections.filter(_.selections.isEmpty).map(_.name)
+        val childFks = sel.selections.filter(_.selections.nonEmpty).map { cr =>
+          if (cr.name.endsWith("_agg"))
+            TableRegistry.reverseRelations.getOrElse(
+              (target, cr.name.stripSuffix("_agg")),
+              throw new IllegalArgumentException(
+                s"unknown one-to-many relation $target.${cr.name.stripSuffix("_agg")}"))._2
+          else
+            TableRegistry.relations.getOrElse((target, cr.name),
+              throw new IllegalArgumentException(s"unknown relation $target.${cr.name}"))._2
+        }
+        // raw orderBy column names (sans `-`) must survive the pruned
+        // child projection even when not selected — the rank reads them
+        val orderNames = sel.args.collectFirst {
+          case ("orderBy", VList(cols)) => cols.map {
+            case VString(c) => c.stripPrefix("-")
+            case o => throw new IllegalArgumentException(s"bad orderBy key: $o")
+          }
+          case ("orderBy", VString(c)) => List(c.stripPrefix("-"))
+        }.getOrElse(Nil)
+        val orderKeys = sel.args.collectFirst {
+          case ("orderBy", VList(cols)) => cols.map {
+            case VString(c) => orderKey(c)
+            case o => throw new IllegalArgumentException(s"bad orderBy key: $o")
+          }
+          case ("orderBy", VString(c)) => List(orderKey(c))
+        }.getOrElse(Nil)
+        val limit = sel.args.collectFirst { case ("limit", VInt(n)) => n.toInt }
+        val offset = sel.args.collectFirst { case ("offset", VInt(n)) => n.toInt }
+        var sub = applyFilters(TableRegistry.load(s, dir, target), sel.args)
+          .select(((rk +: childScalars) ++ childFks ++ orderNames).distinct.map(col): _*)
+        if (limit.isDefined || offset.isDefined) {
+          // a nondeterministic per-parent ranking would silently return
+          // arbitrary rows labeled "top k" — require an explicit ordering
+          // (callers should include a unique tie-break column)
+          require(orderKeys.nonEmpty,
+            s"$table.${sel.name}: limit/offset on a nested relation requires " +
+              "orderBy (per-parent row selection must be deterministic; " +
+              "include a unique tie-break column)")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(rk)).orderBy(orderKeys: _*)
+          val rn = col("__rel_rn")
+          val keep = (offset, limit) match {
+            case (Some(o), Some(n)) => rn > o && rn <= o + n
+            case (Some(o), None)    => rn > o
+            case (None, Some(n))    => rn <= n
+            case (None, None)       => lit(true) // unreachable
+          }
+          sub = sub.withColumn("__rel_rn", row_number().over(w))
+            .filter(keep).drop("__rel_rn")
+        }
+        // namespace the child's fk before the join (the parent frame may
+        // carry a same-named column at depth — the `__agg_rk` discipline);
+        // restore the name only when the subtree's own nested relations
+        // need it, failing loudly on a true two-sided collision
+        val needRk = childScalars.contains(rk) || childFks.contains(rk)
+        var joined = df.join(sub.withColumnRenamed(rk, "__rel_rk"),
+          col(lk) === col("__rel_rk"), "left")
+        if (needRk) {
+          require(!df.columns.contains(rk),
+            s"$table.${sel.name}: child key $rk exists on both sides " +
+              "(alias the parent column or restructure the selection)")
+          joined = joined.withColumnRenamed("__rel_rk", rk)
+        } else joined = joined.drop("__rel_rk")
+        val (dfn, colsN) = attach(s, dir, joined, target, sel.selections)
+        df = dfn
+        out ++= colsN
+      }
       else {
         require(sel.alias.isEmpty,
           s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
         // fail-loudly discipline: a plain many-to-one relation join takes
-        // no arguments (filter/orderBy/limit belong on the root or a
-        // `<rel>_agg` rollup, which DOES apply them) — silently dropping
-        // them would return unfiltered joined rows labeled as the answer
+        // no arguments (filter/orderBy/limit make per-parent selections on
+        // ONE-TO-MANY subtrees, handled above) — silently dropping them
+        // would return unfiltered joined rows labeled as the answer
         require(sel.args.isEmpty,
           s"arguments on nested relation ${sel.name} unsupported " +
             s"(filter at the root, or aggregate via ${sel.name}_agg)")
@@ -569,6 +656,23 @@ object GraphQL {
     }
     (df, out.toList)
   }
+
+  /** True when any subtree (at any depth) resolves through the
+    * one-to-many direction — the row-multiplying expansions the root
+    * limit/offset guard must know about. `_agg` rollups stay one row per
+    * parent and don't count.
+    */
+  private def hasOneToMany(table: String, sels: List[Field]): Boolean =
+    sels.exists { f =>
+      f.selections.nonEmpty && !f.name.endsWith("_agg") && {
+        TableRegistry.relations.get((table, f.name)) match {
+          case Some((target, _, _)) => hasOneToMany(target, f.selections)
+          case None =>
+            TableRegistry.reverseRelations.contains((table, f.name)) ||
+              hasOneToMany(f.name, f.selections) // unknown rel: recurse defensively
+        }
+      }
+    }
 
   /** Argument-NAME validation (round 12 — GqlFuzz's first catch): the arg
     * appliers collectFirst their own keys, so an unknown or misspelled
@@ -764,8 +868,12 @@ object GraphQL {
               case (k, other) => throw new IllegalArgumentException(
                 s"registerDataset: option '$k' must be a string, got $other")
             }.toMap
+        // validateWith: the path is probed with a schema-only read BEFORE
+        // any store writes — a mutation can never register an unloadable
+        // dataset (round-14 ADVICE)
         val e = DatasetRegistry.register(CatalogStore.Entry(
-          strArg("name"), strArg("path"), strArg("format"), options))
+          strArg("name"), strArg("path"), strArg("format"), options),
+          validateWith = Some(s))
         Seq((e.name, e.path, e.format)).toDF("name", "path", "format")
           .select(wanted.map(col): _*)
       case "unregisterDataset" =>
@@ -781,6 +889,14 @@ object GraphQL {
           s"unknown mutation: '$other' (registerDataset | unregisterDataset)")
     }
   }
+
+  /** Whether the document's operation is a `mutation` — the serving
+    * layer's pre-flight check (round-14 ADVICE: mutations reaching the
+    * HTTP server on a catalog-less process must be rejected with the
+    * same loud no-catalog error the REST write surface gives, not
+    * silently applied as process-lifetime-only state).
+    */
+  def isMutation(q: String): Boolean = parseDocument(q)._1 == "mutation"
 
   def run(s: SparkSession, dir: String, q: String): DataFrame =
     runWithVariables(s, dir, q, Map.empty)
@@ -807,6 +923,15 @@ object GraphQL {
     }
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
     checkArgs(root.name, root.args, Set("filter", "orderBy", "limit", "offset"))
+    // fail-loudly discipline (round 14, with the one-to-many row surface):
+    // once a one-to-many subtree multiplies rows, root limit/offset would
+    // page the FLATTENED rows, not parents — silently returning "the
+    // first N orders-of-customers" labeled as "the first N customers"
+    if (root.args.exists(a => a._1 == "limit" || a._1 == "offset"))
+      require(!hasOneToMany(root.name, root.selections),
+        s"${root.name}: limit/offset at the root combined with a " +
+          "one-to-many subtree pages flattened rows, not parents — " +
+          "filter at the root, or apply limit on the relation itself")
     val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
 
     // resolve selections: scalars project (applying any `alias: field`

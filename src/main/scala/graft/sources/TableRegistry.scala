@@ -51,17 +51,26 @@ object TableRegistry {
     */
   private val ValidName = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  def registerDynamic(e: CatalogStore.Entry): Unit = {
-    val name = e.name.toLowerCase
+  /** Name-shape + shadowing validation WITHOUT mutating the registry —
+    * callers that must probe other preconditions (path loadability)
+    * before any store is touched run this first.
+    */
+  def checkRegistrable(e: CatalogStore.Entry): Unit = {
     require(ValidName.matches(e.name),
       s"dataset name must match ${ValidName.regex}: '${e.name}'")
-    require(!tables.contains(name),
-      s"'$name' is a built-in table and cannot be re-registered")
-    dynamic.put(name, e.copy(name = name))
+    require(!tables.contains(e.name.toLowerCase),
+      s"'${e.name.toLowerCase}' is a built-in table and cannot be re-registered")
   }
 
-  def unregisterDynamic(name: String): Boolean =
+  def registerDynamic(e: CatalogStore.Entry): Unit = {
+    checkRegistrable(e)
+    dynamic.put(e.name.toLowerCase, e.copy(name = e.name.toLowerCase))
+  }
+
+  def unregisterDynamic(name: String): Boolean = {
+    schemaCache.remove(name.toLowerCase)
     dynamic.remove(name.toLowerCase) != null
+  }
 
   def dynamicEntries: Seq[CatalogStore.Entry] = {
     import scala.jdk.CollectionConverters._
@@ -77,22 +86,55 @@ object TableRegistry {
     tables.keySet ++ dynamic.keySet.asScala
   }
 
-  private def loadDynamic(s: SparkSession, e: CatalogStore.Entry): DataFrame =
-    Tables.pin(s).read.format(e.format).options(e.options).load(e.path)
+  /** Schema cache for dynamic datasets (round-14 ADVICE: registerAll runs
+    * on EVERY SQL serving request, and schema inference — a footer read
+    * for parquet, a full scan for inferSchema csv/json — was paid per
+    * request per healthy dataset). Filled by the register-time loadability
+    * probe or the first load; invalidated on unregister. O(registered
+    * datasets) StructTypes.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Load a registration's data — schema-cached after the first read, so
+    * per-request view registration never re-infers. Public: the register
+    * path uses it as the loadability probe.
+    */
+  def loadEntry(s: SparkSession, e: CatalogStore.Entry): DataFrame = {
+    val reader = Tables.pin(s).read.format(e.format).options(e.options)
+    Option(schemaCache.get(e.name)) match {
+      case Some(schema) => reader.schema(schema).load(e.path)
+      case None =>
+        val df = reader.load(e.path)
+        schemaCache.put(e.name, df.schema)
+        df
+    }
+  }
 
   def load(s: SparkSession, dir: String, name: String): DataFrame =
     tables.get(name).map(_(s, dir))
-      .orElse(Option(dynamic.get(name.toLowerCase)).map(loadDynamic(s, _)))
+      .orElse(Option(dynamic.get(name.toLowerCase)).map(loadEntry(s, _)))
       .getOrElse(throw new IllegalArgumentException(s"unknown table: $name"))
 
   /** Register every table as a temp view (idempotent) — static fixtures
     * against `dir`, plus every dynamic dataset at its own registered
-    * location.
+    * location. A dynamic dataset whose path has gone bad since
+    * registration (deleted/moved file) is SKIPPED with a stderr warning
+    * instead of failing the whole call (round-14 ADVICE: one broken entry
+    * previously broke every SQL request server-wide): queries that
+    * reference the broken name fail with table-not-found; every other
+    * query is unaffected.
     */
   def registerAll(s: SparkSession, dir: String): Unit = {
     tables.foreach { case (name, fn) => fn(s, dir).createOrReplaceTempView(name) }
-    dynamicEntries.foreach(e =>
-      loadDynamic(s, e).createOrReplaceTempView(e.name))
+    dynamicEntries.foreach { e =>
+      try loadEntry(s, e).createOrReplaceTempView(e.name)
+      catch { case t: Throwable =>
+        System.err.println(s"[registry] dataset '${e.name}' is not loadable " +
+          s"at ${e.path} (${t.getMessage}); skipping its view — unregister " +
+          "or re-register it to clear this")
+      }
+    }
   }
 
   /** Foreign-key graph for dialect translators: (table, relation field) →

@@ -802,4 +802,26 @@ class PlanEvidenceSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), s"unexpected join in decode plan:\n$p")
   }
 
+  test("gql_nested_topk: rank-then-join — WindowGroupLimit both sides, filters pushed to both scans") {
+    val p = plan(Dialects.queries("gql_nested_topk")(spark, d))
+    // the rn<=k filter must lower to per-partition top-k heaps (partial)
+    // + a final pass — the plan never materializes per-parent fan-out
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected WindowGroupLimit on both sides of the exchange:\n$p")
+    // both the parent filter and the per-relation child filter reach
+    // their parquet scans
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"root filter must push to the customer scan:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"per-relation filter must push to the orders scan:\n$p")
+    // the join input is the rank-LIMITED child (WindowGroupLimit sits
+    // under the join) — never a join-then-sort fan-out; strategy (BHJ at
+    // fixture scale, SMJ under real stats) is left to the planner
+    assert(!p.contains("CartesianProduct"), p)
+    val joinAt = p.indexOf("Join")
+    val wglAt = p.lastIndexOf("WindowGroupLimit")
+    assert(joinAt >= 0 && wglAt > joinAt,
+      s"rank-limit must sit under the join (rank-then-join):\n$p")
+  }
+
 }

@@ -821,7 +821,7 @@ class ServingSpec extends AnyFunSuite {
     } finally DatasetRegistry.detach()
   }
 
-  test("/datasets without a configured catalog rejects writes loudly") {
+  test("/datasets without a configured catalog rejects writes loudly — and so do gql mutations via /query") {
     val api = new Server.HttpApi(spark, 0)
     api.start()
     try {
@@ -831,9 +831,120 @@ class ServingSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.ofString(
           s"""{"name":"x","path":"$d/part.parquet","format":"parquet"}"""))
         .build()
-      val resp = mapper.readTree(
-        client.send(req, HttpResponse.BodyHandlers.ofString()).body())
-      assert(resp.get("error").asText.contains("no catalog configured"))
+      val raw = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(raw.statusCode === 503, s"no-catalog writes must be 503: ${raw.statusCode}")
+      assert(mapper.readTree(raw.body).get("error").asText
+        .contains("no catalog configured"))
+      // round-14 ADVICE: the SAME durability guard must cover mutations
+      // arriving through POST /query — previously they silently created
+      // process-lifetime-only registrations on a catalog-less server
+      val mresp = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${api.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"dialect":"graphql","dir":"$d","query":"mutation { registerDataset(name: \\"sneaky\\", path: \\"$d/part.parquet\\", format: \\"parquet\\") { name } }"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(mresp.get("error").asText.contains("no catalog configured"),
+        mresp.toString)
+      assert(DatasetRegistry.list.forall(_.name != "sneaky"),
+        "a guarded mutation left registry state behind")
+      // read-only mutations-free queries still flow on the same server
+      val q = mapper.readTree(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${api.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(q.get("rowCount").asInt === 1)
     } finally api.stop()
+  }
+
+  test("/datasets maps outcomes to HTTP status codes (200/400/404/405)") {
+    val catDb = Files.createTempDirectory("graft_status_cat").resolve("db").toString
+    val api = new Server.HttpApi(spark, 0, Some(catDb))
+    api.start()
+    try {
+      val p = api.boundPort
+      val client = HttpClient.newHttpClient()
+      def send(method: String, path: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$p$path"))
+        client.send((method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofString(body))
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      // 200: a valid register + list + delete
+      val ok = send("POST", "/datasets",
+        s"""{"name":"code_ds","path":"$d/region.parquet","format":"parquet"}""")
+      assert(ok.statusCode === 200, ok.body)
+      assert(send("GET", "/datasets").statusCode === 200)
+      assert(send("DELETE", "/datasets/code_ds").statusCode === 200)
+      // 400: validation failures (bad format / bad name / missing field)
+      assert(send("POST", "/datasets",
+        s"""{"name":"e","path":"x","format":"jdbc"}""").statusCode === 400)
+      assert(send("POST", "/datasets",
+        s"""{"name":"bad name;","path":"x","format":"parquet"}""").statusCode === 400)
+      assert(send("POST", "/datasets", """{"name":"half"}""").statusCode === 400)
+      // 400: unloadable path rejected BEFORE any store writes (round-14
+      // ADVICE: a bad-path registration previously poisoned every SQL
+      // request until unregistered)
+      val badPath = send("POST", "/datasets",
+        s"""{"name":"ghost","path":"$d/no_such_file.parquet","format":"parquet"}""")
+      assert(badPath.statusCode === 400, badPath.body)
+      assert(mapper.readTree(badPath.body).get("error").asText
+        .contains("not loadable"), badPath.body)
+      assert(DatasetRegistry.list.forall(_.name != "ghost"))
+      // 404: unknown name; 405: unsupported method
+      assert(send("DELETE", "/datasets/never_was").statusCode === 404)
+      assert(send("PUT", "/datasets", "{}").statusCode === 405)
+    } finally api.stop()
+  }
+
+  test("a failed durable DELETE keeps the process entry (unregister mirrors register's rollback)") {
+    val dbDir = Files.createTempDirectory("graft_unreg_cat").resolve("db").toString
+    val c = JdbcCatalog.connect(dbDir)
+    DatasetRegistry.attach(c)
+    try {
+      DatasetRegistry.register(CatalogStore.Entry(
+        "sticky", s"$d/region.parquet", "parquet"))
+      c.close() // durable deletes now throw
+      intercept[Exception](DatasetRegistry.unregister("sticky"))
+      // durable-first ordering: on failure BOTH stores still hold the
+      // entry — the old order dropped the process entry first, so the
+      // durable row silently resurrected the dataset on restart
+      assert(DatasetRegistry.list.exists(_.name == "sticky"),
+        "unregister dropped the process entry despite the durable failure")
+    } finally {
+      DatasetRegistry.detach()
+      graft.sources.TableRegistry.unregisterDynamic("sticky")
+    }
+  }
+
+  test("a broken registered path no longer poisons unrelated SQL requests") {
+    // register a VALID path, break it afterwards (the register-time probe
+    // can't catch deletion), then prove other SQL requests still answer
+    val tmp = Files.createTempDirectory("graft_fragile")
+    val dataDir = tmp.resolve("frag.parquet").toString
+    spark.read.parquet(s"$d/region.parquet").write.parquet(dataDir)
+    DatasetRegistry.register(CatalogStore.Entry("fragile", dataDir, "parquet"))
+    try {
+      // sanity: resolves while healthy
+      val ok = Server.handle(spark, Server.ServeRequest("sql",
+        "SELECT count(*) AS n FROM fragile", d))
+      assert(ok.collect()(0).getLong(0) === 5L)
+      // break the path
+      import scala.jdk.CollectionConverters._
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // unrelated SQL must still flow (round-14 ADVICE: registerAll
+      // previously threw on the broken entry and took down ALL sql)
+      val n = Server.handle(spark, Server.ServeRequest("sql",
+        "SELECT count(*) AS n FROM nation", d)).collect()(0).getLong(0)
+      assert(n === 25L)
+      // queries naming the broken dataset fail loudly, not silently
+      intercept[Exception](Server.handle(spark, Server.ServeRequest("sql",
+        "SELECT count(*) AS n FROM fragile", d)).collect())
+    } finally DatasetRegistry.unregister("fragile")
   }
 }
