@@ -28,8 +28,21 @@ import org.apache.spark.sql.functions._
   * probe distinguishes the two shapes rather than labeling everything
   * a cliff.
   *
-  * Usage: graft.HotEntityProbe <outBase> [n1,n2,...]  (default 1e5,1e6,4e6)
-  * Emits one JSON line per n with per-key seconds.
+  * Usage: graft.HotEntityProbe <outBase> [n1,n2,...] [alt]
+  * (default n = 1e5,1e6,4e6). Emits one JSON line per n with per-key
+  * seconds.
+  *
+  * `alt` mode (round 14, verdict item 6) is win_streaks' honest-bound
+  * probe: the default shape's event_type is a function of the TIMESTAMP
+  * (6-hour blocks), so runs stay ~1460/user-year no matter how large n
+  * grows — the regime where the round-13 reading declared win_streaks
+  * flat. The alt whale inverts that: ONE user, timestamps strictly
+  * monotone in event_id, event_type alternating EVERY event — runs ≈
+  * events, the worst case for any run-level decomposition (the bucketed
+  * twin's second serial pass is then ~n rows too, so no decomposition
+  * can win; the question alt mode answers is where the PLAIN plan's
+  * one-task lag+cumsum+n-group aggregation actually cliffs, and whether
+  * a runs-per-entity auto-switch would ever have a regime to win in).
   */
 object HotEntityProbe {
 
@@ -43,10 +56,14 @@ object HotEntityProbe {
     ("funnel_conversion", None))
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.HotEntityProbe <outBase> [n1,n2,...]")
+    require(args.nonEmpty, "usage: graft.HotEntityProbe <outBase> [n1,n2,...] [alt]")
     val outBase = args(0)
     val ns = if (args.length > 1) args(1).split(",").map(_.toLong).toSeq
              else Seq(100000L, 1000000L, 4000000L)
+    val alt = args.length > 2 && args(2) == "alt"
+    val measuredPairs =
+      if (alt) Seq(("win_streaks", Some("streaks_bucketed")))
+      else pairs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,9 +88,15 @@ object HotEntityProbe {
       def typed(tsUs: org.apache.spark.sql.Column) =
         element_at(array(lit("view"), lit("click"), lit("purchase")),
           (pmod(tsUs.cast("long") / lit(blockUs), lit(3)) + 1).cast("int"))
+      // alt mode: timestamps strictly monotone in event_id (uniform step
+      // over the same year span) so the per-event alternation below is an
+      // alternation in EVENT-TIME order — runs ≈ events by construction
+      val hotUs =
+        if (alt) lit(1700000000000000L) + col("id") * lit(math.max(1L, yearUs / n))
+        else lit(1700000000000000L) + pmod(col("id") * 2654435761L, lit(yearUs))
       val hot = spark.range(n).select(
         col("id").as("event_id"),
-        (lit(1700000000000000L) + pmod(col("id") * 2654435761L, lit(yearUs))).as("us"),
+        hotUs.as("us"),
         lit(0L).as("user_id"),
         (col("id") % 100).cast("double").as("value"),
         lit("{}").as("props"))
@@ -83,9 +106,13 @@ object HotEntityProbe {
         (col("id") % 1000 + 1).as("user_id"),
         (col("id") % 100).cast("double").as("value"),
         lit("{}").as("props"))
+      val eventType =
+        if (alt) element_at(array(lit("view"), lit("click")),
+          (pmod(col("event_id"), lit(2)) + 1).cast("int"))
+        else typed(col("us"))
       hot.unionByName(bg)
         .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-          col("user_id"), typed(col("us")).as("event_type"),
+          col("user_id"), eventType.as("event_type"),
           col("value"), col("props"))
         .repartition(16)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -95,7 +122,7 @@ object HotEntityProbe {
         val rows = SparkEntry.queries(key)(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      val cells = pairs.flatMap { case (plain, twin) =>
+      val cells = measuredPairs.flatMap { case (plain, twin) =>
         // bucketed first, so any one-time scan warmth favors the PLAIN
         // plan (the conservative direction for the claim under test)
         val b = twin.map(time)
@@ -105,7 +132,8 @@ object HotEntityProbe {
         Seq(f""""${plain}_s":$tp%.2f""") ++
           b.map { case (tb, _) => f""""${twin.get}_s":$tb%.2f""" }
       }
-      println(s"""{"n_hot":$n,${cells.mkString(",")}}""")
+      val modeTag = if (alt) "\"mode\":\"alt\"," else ""
+      println(s"""{$modeTag"n_hot":$n,${cells.mkString(",")}}""")
     }
     spark.stop()
   }

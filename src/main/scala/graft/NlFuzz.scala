@@ -156,8 +156,15 @@ object NlFuzz {
       add(s"number of unique $ent by $d", claimed = true)
       add(s"number of unique $ent by $d where $fd is $fv", claimed = true)
     }
-    // a filter dim OFF the entity's fk fact must still reject loudly
+    // filter dim one declared many-to-one star hop off the fk fact —
+    // routable since round 14 (status is orders'; lineitem → orders is
+    // many-to-one so the distinct basis is untouched)
     add("number of unique suppliers by return flag where status is F",
+      claimed = true)
+    // ... but a filter dim whose route would be ONE-TO-MANY (orders →
+    // lineitem fans out; "where return flag is R" on a customers-count
+    // could mean EXISTS or join — ambiguous basis) must still reject
+    add("number of unique customers by status where return flag is R",
       claimed = false)
     // ---- leaderboards: topk × filter × per-group × range ----
     for ((ent, m, dims) <- leaderboards) {

@@ -237,6 +237,24 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // spill telemetry (round 14, verdict item 7): cumulative task-level
+    // disk/memory spill, read as per-key deltas by timeKeys — the ×100
+    // docs leg's "no hidden spill blow-up" evidence (the ×30 dedup_ngram
+    // lesson was 65 GB of SILENT spill; this makes that class visible in
+    // every future rehearsal row)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          spillMem.addAndGet(m.memoryBytesSpilled); ()
+        }
+      }
+    })
+
     val sb = new StringBuilder
     sb.append("{\"src\":\"").append(src).append("\"")
     if (skewMode) sb.append(s""",\"mode\":\"$mode\",\"hot_frac\":${1.0 / hotDen}""")
@@ -285,11 +303,19 @@ object ScaleRehearsal {
 
       def timeKeys(keys: Seq[String]): String = keys.map { key =>
         val fn = SparkEntry.queries(key)
+        val spill0 = (spillDisk.get, spillMem.get)
         val t = System.nanoTime()
         val rows = fn(spark, dir).count()
         val sec = (System.nanoTime() - t) / 1e9
-        System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s")
-        f""""$key":{"rows":$rows,"sec":$sec%.3f}"""
+        // listener events drain asynchronously; a short settle keeps the
+        // per-key spill attribution honest at MB granularity (the
+        // telemetry is a cap-audit signal, not an exact ledger)
+        Thread.sleep(200)
+        val dMb = (spillDisk.get - spill0._1) / 1048576
+        val mMb = (spillMem.get - spill0._2) / 1048576
+        System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s" +
+          (if (dMb + mMb > 0) s" spill_disk=${dMb}MB spill_mem=${mMb}MB" else ""))
+        f""""$key":{"rows":$rows,"sec":$sec%.3f,"spill_disk_mb":$dMb,"spill_mem_mb":$mMb}"""
       }.mkString(",")
       val keyJson = if (factsOnly) "" else timeKeys(family)
       val factJson = if (docsMode) "" else timeKeys(factFamily)

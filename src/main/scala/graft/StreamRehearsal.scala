@@ -89,14 +89,35 @@ object StreamRehearsal {
     // durations here INCLUDE the sink, by design
     ("stream_foreach_batch", streaming.Streams.tumbling _, "complete", "foreachBatch"))
 
+  /** Whale-mode plan set (round 14, verdict item 4): the per-USER-keyed
+    * state operators, measured when the whole corpus is ONE user — the
+    * stream-mode twin of HotEntityProbe. `stream_session` is the suspect
+    * (worst ×30 grower in normal mode: complete-mode session_window state
+    * is a user's full session history, and the whale concentrates every
+    * event AND every historical session onto one state key).
+    * `stream_session_wm` is the candidate mitigation measured next to it:
+    * watermark + append mode evicts closed sessions, so per-batch cost is
+    * bounded by the OPEN horizon, not lifetime history.
+    * custom_state/tws are single-key controls: per-key O(1)-state updates
+    * that should degrade only to single-partition parallelism, not
+    * super-linear work.
+    */
+  private def whalePlans(spark: SparkSession, src: String)
+      : Seq[(String, DataFrame => DataFrame, String, String)] = Seq(
+    ("stream_session", streaming.Streams.session _, "complete", "noop"),
+    ("stream_session_wm", streaming.Streams.sessionWatermarked _, "append", "noop"),
+    ("stream_custom_state", streaming.Streams.runningUserStats _, "update", "noop"),
+    ("stream_tws", streaming.Streams.userRunningMax _, "update", "noop"))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...]")
+      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [whale]")
     val src = args(0)
     val outBase = args(1)
     val outJson = args(2)
     val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
                  else Seq(1, 10)
+    val whale = args.length > 4 && args(4) == "whale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,7 +128,8 @@ object StreamRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     val sb = new StringBuilder
-    sb.append("{\"src\":\"").append(src).append("\",\"mode\":\"stream\"")
+    sb.append("{\"src\":\"").append(src).append("\",\"mode\":\"")
+      .append(if (whale) "stream_whale" else "stream").append("\"")
       .append(",\"n_files\":").append(NFiles)
       .append(",\"files_per_trigger\":").append(FilesPerTrigger)
       .append(",\"scales\":{")
@@ -126,14 +148,22 @@ object StreamRehearsal {
           .withColumn("event_id", col("event_id") + lit(r * Off))
           .withColumn("user_id", col("user_id") + lit(r * Off))
       }
+      // whale mode: after replication, EVERY event belongs to user 1 —
+      // per-entity density grows ×k while the corpus grows ×k, the
+      // HotEntityProbe model ported to the stream source (event_id stays
+      // offset so dedup identity and tie-breaks remain well-defined)
+      val shaped0 = reps.reduce(_ unionByName _)
+      val shaped = if (whale) shaped0.withColumn("user_id", lit(1L))
+                   else shaped0
       // exactly NFiles part files regardless of ×k — a trigger's file
       // quota then carries ×k the rows as the corpus grows
-      reps.reduce(_ unionByName _).repartition(NFiles)
+      shaped.repartition(NFiles)
         .write.mode("overwrite").parquet(dir)
       val nEvents = spark.read.parquet(dir).count()
       System.err.println(s"[stream] x$k: $nEvents events in $NFiles files")
 
-      val keyJson = plans(spark, src).map { case (key, plan, mode, sink) =>
+      val measured = if (whale) whalePlans(spark, src) else plans(spark, src)
+      val keyJson = measured.map { case (key, plan, mode, sink) =>
         val writer = plan(streaming.Streams.readEventsStream(spark, dir,
             Some(FilesPerTrigger)))
           .writeStream

@@ -64,7 +64,18 @@ object NlToSql {
     // many-to-one pk=fk, so the lineitem row basis is preserved.
     ("customer", "lineitem") ->
       ("lineitem JOIN orders ON l_orderkey = o_orderkey " +
-       "JOIN customer ON o_custkey = c_custkey"))
+       "JOIN customer ON o_custkey = c_custkey"),
+    // one-hop: orders attributes reachable FROM lineitem ("number of
+    // unique suppliers by return flag where status is F", round 14):
+    // l_orderkey → o_orderkey is many-to-one, so the lineitem row basis
+    // is preserved — every path in this map is many-to-one by invariant,
+    // which is what lets filter dims route through it safely. The
+    // REVERSE direction (orders → lineitem) is one-to-many and is
+    // deliberately absent: routing a filter through it would silently
+    // change the row basis (and the question's meaning) — those
+    // questions keep rejecting loudly.
+    ("orders", "lineitem") ->
+      "lineitem JOIN orders ON l_orderkey = o_orderkey")
 
   /** The canonical event-time column of each fact table (date-range
     * productions).
@@ -308,10 +319,15 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (dt, dcol) = dim(dname)
       require(dt == fact, s"dimension $dname not on $fact")
+      // the FILTER dim may live one (or two) declared many-to-one star
+      // hops off the fact ("… suppliers by return flag where STATUS is
+      // F": status is orders', the fk fact is lineitem) — factFrom
+      // resolves the declared path or fails loudly. DISTINCT counting is
+      // basis-insensitive, and every joinPath edge is many-to-one, so
+      // the routed join can neither duplicate nor drop counted keys.
       val (ft, fcol) = dim(fdim)
-      require(ft == fact, s"filter dimension $fdim not on $fact")
       s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
-         FROM $fact WHERE $fcol = ${sqlLit(value)}
+         FROM ${factFrom(ft, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TopNWhereDateRange(n, entity, measure, fdim, value, from, to) =>
       val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,

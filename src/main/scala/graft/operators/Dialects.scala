@@ -110,6 +110,13 @@ object Dialects {
   // shape): TotalByWhere's equality + nl_year's half-open sargable range
   val nlWhereYearQuestion: String =
     "total order price by status where priority is 1-URGENT in 1996"
+  // distinct-count with the FILTER dim routed one many-to-one star hop
+  // off the fk fact (nl_distinct_star, round 14): "status" is orders',
+  // the suppliers fk fact is lineitem — the round-13 fuzzer kept this
+  // shape as a loud-rejection guard; distinct counting is
+  // basis-insensitive and the hop is many-to-one, so it routes safely
+  val nlDistinctStarQuestion: String =
+    "number of unique suppliers by return flag where status is F"
   // equality filter COMPOSED with a calendar range (nl_range_where) — the
   // two most-chained productions; round-8 verdict flagged the composition
   // as unproducible even though each half existed
@@ -332,6 +339,7 @@ object Dialects {
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
     "gql_nested_topk" -> ((s, d) => GraphQL.run(s, d, gqlNestedTopkQuery)),
     "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
+    "nl_distinct_star" -> ((s, d) => NlToSql.run(s, d, nlDistinctStarQuestion)),
     "nl_range_where" -> ((s, d) => NlToSql.run(s, d, nlRangeWhereQuestion)),
     "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
     "nl_topk_range" -> ((s, d) => NlToSql.run(s, d, nlTopkRangeQuestion)),
@@ -509,6 +517,7 @@ object Dialects {
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
     "nl_where_year" -> NlToSql.translate(nlWhereYearQuestion),
+    "nl_distinct_star" -> NlToSql.translate(nlDistinctStarQuestion),
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),

@@ -36,6 +36,27 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("last_ts"), col("n_events"))
 
+  /** Watermark-bounded sessionization — the PRODUCTION shape of
+    * [[session]]. Complete-mode session_window keeps every session a user
+    * has EVER had in the state store, so a whale user's per-batch merge
+    * cost grows with their lifetime history (the stream-mode twin of the
+    * batch hot-entity cliff, StreamRehearsal whale mode measures both).
+    * With a watermark + append mode, Spark emits a session once the
+    * watermark passes its close and EVICTS it: per-batch state for any
+    * user — whale or not — is bounded by the sessions still open inside
+    * the watermark horizon, independent of history length. Output
+    * contract: append-mode rows are CLOSED sessions only; sessions still
+    * open at end-of-stream stay in state (AvailableNow runs a final
+    * no-data batch whose watermark advance flushes them).
+    */
+  def sessionWatermarked(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("last_ts"), col("n_events"))
+
   /** Batch form of the per-window top-3 leaderboard (`stream_window_topk`):
     * rank partitioned by the WINDOW BUCKET — frames bounded by per-window
     * row counts, never global; ties break on event_id so the board is

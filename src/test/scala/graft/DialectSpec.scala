@@ -370,6 +370,22 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("count of orders by priority where language is en"))
   }
 
+  test("NL distinct-count routes the filter dim one many-to-one star hop") {
+    // status is orders'; the suppliers fk fact is lineitem — the filter
+    // routes through lineitem ⋈ orders (many-to-one, distinct basis
+    // untouched); round ≤13 rejected this shape (nl_distinct_star)
+    val sql = NlToSql.translate(
+      "number of unique suppliers by return flag where status is F")
+    assert(sql.contains("JOIN orders ON l_orderkey = o_orderkey"), sql)
+    assert(sql.contains("count(DISTINCT l_suppkey)"), sql)
+    TableRegistry.registerAll(spark, d)
+    assert(spark.sql(sql).count() > 0)
+    // the REVERSE direction would be one-to-many (orders → lineitem fans
+    // out; EXISTS-vs-join ambiguity) — still a loud rejection
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("number of unique customers by status where return flag is R"))
+  }
+
   test("NL superlative: singular top/bottom-1, optional sargable year window") {
     val sql = NlToSql.translate("which supplier had the highest total quantity in 1996")
     assert(sql.contains("LIMIT 1") && sql.contains("DESC"))

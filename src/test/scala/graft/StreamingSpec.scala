@@ -243,6 +243,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getLong(3) === 1)
   }
 
+  test("watermarked sessions emit CLOSED sessions only, once, and evict") {
+    // the production eviction shape behind the StreamRehearsal whale rows
+    // (PERF.md §12.1): append mode emits a session when the watermark
+    // passes its close (+30m gap) and drops its state; sessions still
+    // open at end-of-stream stay unemitted — pinned here so the bounded-
+    // state claim can't drift from the operator's actual contract
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, t(0), 1, "a", 0), Ev(2, t(10), 1, "a", 0), // session 1: closes t40
+      Ev(3, t(120), 1, "a", 0))                        // watermark → t90: still open
+    val q = Streams.sessionWatermarked(mem.toDF())
+      .writeStream.format("memory").queryName("sess_wm")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_wm").orderBy("session_start").collect()
+    assert(out.length === 1, s"only the CLOSED session may emit: ${out.toSeq}")
+    assert(out(0).getLong(3) === 2) // both gap-merged events, emitted once
+  }
+
   test("stateful dedup keeps the earliest event per key") {
     val df = Seq(
       Ev(5, t(1), 1, "click", 0), Ev(3, t(1), 1, "click", 0), // ts tie -> min id
