@@ -794,6 +794,22 @@ object MutantQueries {
       "clean", (s, d) => graft.dialects.NlToSql.run(s, d,
         "number of orders by status where priority is 2-HIGH")), // BUG
 
+    // NOTE: desc must stay ONE string literal — scripts/mutcheck.py
+    // re-parses these constructor calls from source to group by fixture
+    Mutant("nl_where_star", "basis-inflating-route",
+      "filter routed through a ONE-TO-MANY hop (lineitem fan-out inflates the sum the routed filter must not change)",
+      "clean", (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders")
+        customer(s, d).createOrReplaceTempView("customer")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderstatus,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey -- BUG: one-to-many
+                 WHERE c_mktsegment = 'BUILDING'
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")
+      }),
+
     Mutant("dq_quarantine", "dropped-rule",
       "tax rule missing from the quarantine rule set",
       "clean", (s, d) => {

@@ -166,6 +166,20 @@ object NlFuzz {
     // could mean EXISTS or join — ambiguous basis) must still reject
     add("number of unique customers by status where return flag is R",
       claimed = false)
+    // round 14: aggregate FILTER dims routed through declared many-to-one
+    // star hops (factFrom2) — the join cannot change the fact-row basis
+    add("total order price by status where market segment is BUILDING",
+      claimed = true)
+    add("average order price by priority where market segment is BUILDING",
+      claimed = true)
+    add("number of orders by status where market segment is BUILDING",
+      claimed = true)
+    // group AND filter dims both off-fact, carried by ONE declared path
+    // (the nation path passes through customer)
+    add("total order price by nation where market segment is BUILDING",
+      claimed = true)
+    // no single declared path covers both dims -> loud rejection
+    add("total quantity by nation where status is F", claimed = false)
     // ---- leaderboards: topk × filter × per-group × range ----
     for ((ent, m, dims) <- leaderboards) {
       val mm = ms.find(_.measure == m).get

@@ -52,6 +52,13 @@ object StreamRehearsal {
     ("stream_tumbling", streaming.Streams.tumbling _, "complete", "noop"),
     ("stream_sliding", streaming.Streams.sliding _, "complete", "noop"),
     ("stream_session", streaming.Streams.session _, "complete", "noop"),
+    // the watermark+append eviction shape measured NEXT TO the complete-
+    // mode plan (round 14): stream_session's ×30 growth is state-
+    // cardinality-driven (×30 users = ×30 state rows re-emitted every
+    // trigger under complete mode); the watermarked twin evicts closed
+    // sessions, so it must hold ~flat on the same corpus — the row that
+    // proves the production mitigation, not just argues it
+    ("stream_session_wm", streaming.Streams.sessionWatermarked _, "append", "noop"),
     ("stream_watermark", streaming.Streams.watermarkedTumblingCount _, "update", "noop"),
     // dedupBatch's row_number form is batch-only; the stream form is
     // watermarked dedup on the same key. dropDuplicates only evicts state

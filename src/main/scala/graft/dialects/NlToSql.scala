@@ -866,9 +866,10 @@ object NlToSql {
     case CountByWhere(entity, d, fdim, value) =>
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      require(ftable == table, s"filter dimension $fdim not on $table")
       requireEntityOn(entity, table)
-      s"""SELECT $dcol, count(*) AS cnt FROM $table
+      // the filter dim may route one declared many-to-one hop off the
+      // counted table (round 14): the hop cannot change the row count
+      s"""SELECT $dcol, count(*) AS cnt FROM ${factFrom2(table, ftable, table)}
          WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case AvgByWhere(measure, d, fdim, value) =>
@@ -881,26 +882,22 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      // group dim routes through the star schema (round 11: the NL
-      // matrix fuzzer found this modifier x cross-table-dim composition
-      // unproducible); the FILTER dim stays on the fact
-      require(ftable == fact, s"filter dimension not on $fact")
+      // group dim routing since round 11; round 14 lets the FILTER dim
+      // route a many-to-one hop too (factFrom2 — basis unchanged)
       s"""SELECT $dcol,
          ${avgExactSql(mcol)} AS avg
-         FROM ${factFrom(table, fact)} WHERE $fcol = ${sqlLit(value)}
+         FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByWhere(measure, d, fdim, value) =>
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
-      // group dim routes through the star schema (round 11: the NL
-      // matrix fuzzer found this modifier x cross-table-dim composition
-      // unproducible); the FILTER dim stays on the fact
-      require(ftable == fact, s"filter dimension not on $fact")
+      // group dim routing since round 11; round 14 lets the FILTER dim
+      // route a many-to-one hop too (factFrom2 — basis unchanged)
       s"""SELECT $dcol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM ${factFrom(table, fact)} WHERE $fcol = ${sqlLit(value)}
+         FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
          GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case other => translateBase(other.toLowerCase)
   }
@@ -913,6 +910,37 @@ object NlToSql {
     if (dimTable == fact) fact
     else joinPath.getOrElse((dimTable, fact),
       throw new IllegalArgumentException(s"no join path $dimTable -> $fact"))
+
+  /** FROM clause when a production has a GROUP dim AND a FILTER dim, each
+    * possibly on the fact or one-to-two declared many-to-one hops off it
+    * (round 14: "total order price by status where MARKET SEGMENT is
+    * BUILDING" — the filter dim was previously required on the fact).
+    * Every joinPath edge is many-to-one, so routing either dim preserves
+    * the fact-row basis: sums/counts/averages are unchanged by the join.
+    * Resolution: take the group dim's declared path if it already carries
+    * the filter table, else the filter dim's path if it carries the group
+    * table (the two-hop paths pass THROUGH the intermediate dim, so
+    * "by nation where market segment is X" rides the nation path's
+    * customer hop). Two dims needing genuinely disjoint paths reject
+    * loudly — a join-graph merge is not a shape any declared question
+    * needs yet. The containment probe string-matches "JOIN <table> " in
+    * the catalog's own path strings; the map is closed and repo-authored,
+    * so the match is exact by construction.
+    */
+  private def factFrom2(dimTable: String, filterTable: String,
+                        fact: String): String = {
+    def covers(from: String, t: String): Boolean =
+      t == fact || from.contains(s"JOIN $t ")
+    val viaDim =
+      if (dimTable == fact) Some(fact) else joinPath.get((dimTable, fact))
+    val viaFil =
+      if (filterTable == fact) Some(fact) else joinPath.get((filterTable, fact))
+    viaDim.filter(f => filterTable == dimTable || covers(f, filterTable))
+      .orElse(viaFil.filter(f => covers(f, dimTable)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no single declared join path from $fact covers both the grouped " +
+          s"dimension ($dimTable) and the filter dimension ($filterTable)"))
+  }
 
   private def translateBase(question: String): String = question match {
     case Superlative(entity, dirWord, measure, year) =>

@@ -117,6 +117,13 @@ object Dialects {
   // basis-insensitive and the hop is many-to-one, so it routes safely
   val nlDistinctStarQuestion: String =
     "number of unique suppliers by return flag where status is F"
+  // aggregate with the FILTER dim routed through the star schema
+  // (nl_where_star, round 14): the grouped measure stays on the fact,
+  // the equality filter lives one many-to-one hop away on customer —
+  // factFrom2 resolves one declared path carrying both, so the sum's
+  // row basis is untouched
+  val nlWhereStarQuestion: String =
+    "total order price by status where market segment is BUILDING"
   // equality filter COMPOSED with a calendar range (nl_range_where) — the
   // two most-chained productions; round-8 verdict flagged the composition
   // as unproducible even though each half existed
@@ -340,6 +347,7 @@ object Dialects {
     "gql_nested_topk" -> ((s, d) => GraphQL.run(s, d, gqlNestedTopkQuery)),
     "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
     "nl_distinct_star" -> ((s, d) => NlToSql.run(s, d, nlDistinctStarQuestion)),
+    "nl_where_star" -> ((s, d) => NlToSql.run(s, d, nlWhereStarQuestion)),
     "nl_range_where" -> ((s, d) => NlToSql.run(s, d, nlRangeWhereQuestion)),
     "gql_agg_orderby" -> ((s, d) => GraphQL.run(s, d, gqlAggOrderQuery)),
     "nl_topk_range" -> ((s, d) => NlToSql.run(s, d, nlTopkRangeQuestion)),
@@ -518,6 +526,7 @@ object Dialects {
          ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
     "nl_where_year" -> NlToSql.translate(nlWhereYearQuestion),
     "nl_distinct_star" -> NlToSql.translate(nlDistinctStarQuestion),
+    "nl_where_star" -> NlToSql.translate(nlWhereStarQuestion),
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),

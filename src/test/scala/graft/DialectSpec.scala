@@ -386,6 +386,35 @@ class DialectSpec extends AnyFunSuite {
       NlToSql.translate("number of unique customers by status where return flag is R"))
   }
 
+  test("NL aggregate filter dims route through one declared star path") {
+    // filter on customer, measure + group on orders (one hop)
+    val sql = NlToSql.translate(
+      "total order price by status where market segment is BUILDING")
+    assert(sql.contains("JOIN customer ON o_custkey = c_custkey"), sql)
+    assert(sql.contains("c_mktsegment = 'BUILDING'"), sql)
+    // group dim (nation, two hops) AND filter dim (customer, one hop)
+    // carried by the single nation path, which passes through customer
+    val two = NlToSql.translate(
+      "total order price by nation where market segment is BUILDING")
+    assert(two.contains("JOIN nation ON c_nationkey = n_nationkey"), two)
+    assert(two.contains("c_mktsegment = 'BUILDING'"), two)
+    TableRegistry.registerAll(spark, d)
+    assert(spark.sql(sql).count() > 0 && spark.sql(two).count() > 0)
+    // row basis unchanged by the routed filterless join: the filtered
+    // total must equal the same measure filtered via an IN subquery
+    val viaIn = spark.sql(
+      """SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),4) AS DOUBLE)
+         FROM orders WHERE o_custkey IN
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")
+      .first().getDouble(0)
+    val viaJoin = spark.sql(sql).agg(org.apache.spark.sql.functions.sum("total"))
+      .first().getDouble(0)
+    assert(math.abs(viaIn - viaJoin) < 1e-6, s"$viaIn vs $viaJoin")
+    // dims on genuinely disjoint paths must reject loudly
+    assertThrows[IllegalArgumentException](
+      NlToSql.translate("total quantity by nation where status is F"))
+  }
+
   test("NL superlative: singular top/bottom-1, optional sargable year window") {
     val sql = NlToSql.translate("which supplier had the highest total quantity in 1996")
     assert(sql.contains("LIMIT 1") && sql.contains("DESC"))

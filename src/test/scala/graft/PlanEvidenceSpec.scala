@@ -297,6 +297,17 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"date range must reach the orders scan:\n$p")
   }
 
+  test("nl_where_star: routed filter pushes to the dim scan and broadcasts it") {
+    // round 14: the star-routed FILTER dim ("where market segment is
+    // BUILDING" on an orders measure) must plan as a broadcast hash join
+    // with the equality pushed INTO the customer scan — the fact table is
+    // never broadcast and never filtered late
+    val p = plan(operators.Dialects.queries("nl_where_star")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("c_mktsegment"),
+      s"the routed equality must reach the customer scan:\n$p")
+  }
+
   test("gql_agg_page: offset+limit plan never materializes the full leaderboard") {
     // round 10: pagination through the agg root is TakeOrderedAndProject
     // over offset+limit rows (partial per-partition top-(o+l), one final
