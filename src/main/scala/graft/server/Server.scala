@@ -99,6 +99,59 @@ object Server {
 
   private val mapper = new ObjectMapper()
 
+  /** Per-request execution budget (round 14): without one, a single
+    * pathological-but-gated query (NlGate blocks commands, not expensive
+    * SELECTs — a self-join on a non-key column computes fully before the
+    * maxRows cap ever applies) holds its pool thread for as long as the
+    * join takes, and 8 of them make the server unresponsive. Env
+    * GRAFT_QUERY_TIMEOUT_MS (default 5 minutes; <= 0 disables). Enforced
+    * the Spark-native way: each request's actions run under a unique JOB
+    * GROUP on the request thread, and a daemon watchdog cancels the
+    * group at the deadline — executors stop promptly
+    * (interruptOnCancel), the pool thread is freed, and the client gets
+    * a loud timeout error instead of a hung connection. Driver-side
+    * planning is not cancellable this way, but planning is why `explain`
+    * is safe to offer every client; only execution carries the budget.
+    */
+  /** Test seam: specs can't set process env, so the override wins when
+    * present. Production reads the env once per request (cheap, and a
+    * restartless knob would be a lie — document the env in DEPLOY.md).
+    */
+  @volatile private[graft] var timeoutOverrideMs: Option[Long] = None
+  private def queryTimeoutMs: Long = timeoutOverrideMs.getOrElse(
+    sys.env.get("GRAFT_QUERY_TIMEOUT_MS").map(_.trim.toLong).getOrElse(300000L))
+
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
+    })
+
+  private def withJobTimeout[T](sess: SparkSession, what: String)(body: => T): T = {
+    val ms = queryTimeoutMs
+    if (ms <= 0) body
+    else {
+      val sc = sess.sparkContext
+      val group = s"graft-serve-${java.util.UUID.randomUUID()}"
+      sc.setJobGroup(group, s"$what (timeout ${ms}ms)", interruptOnCancel = true)
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val kill = watchdog.schedule(new Runnable {
+        // AndFutureJobs: a deadline that fires between planning and the
+        // first job submission must still take effect, or a
+        // slow-to-plan query would dodge its budget entirely
+        override def run(): Unit = {
+          timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
+        }
+      }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try body
+      catch {
+        case e: Throwable if timedOut.get() =>
+          throw new IllegalStateException(
+            s"query exceeded the ${ms}ms serving timeout and was cancelled " +
+              "(raise GRAFT_QUERY_TIMEOUT_MS or narrow the query)", e)
+      } finally { kill.cancel(false); sc.clearJobGroup() }
+    }
+  }
+
   /** JSON request → JSON response (the HTTP body protocol, also usable
     * in-process). Request: {"dialect": "...", "query": "...", "dir": "...",
     * "maxRows": N?, "explain": bool?}. Response: {"columns": [...],
@@ -140,21 +193,26 @@ object Server {
           }
           b.result()
         }
-      val df = handle(s,
-        ServeRequest(req("dialect"), req("query"), req("dir"), maxRows, params))
-      // {"explain": true} returns the formatted physical plan INSTEAD of
-      // rows — the console's plan-inspection mode. Planning only: the
-      // query is analyzed and optimized but no job runs, so explain on an
-      // expensive query is always cheap and safe to offer every client.
-      if (node.has("explain") && node.get("explain").asBoolean()) {
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        val out = mapper.createObjectNode()
-        val colArr = out.putArray("columns")
-        df.columns.foreach(colArr.add)
-        out.put("plan", plan)
-        mapper.writeValueAsString(out)
-      } else render(df, maxRows)
+      // the whole translate+execute path runs under the request's job
+      // group so the watchdog can cancel a runaway execution; explain
+      // stays planning-only (no job ever starts under it)
+      withJobTimeout(s, s"${req("dialect")} /query") {
+        val df = handle(s,
+          ServeRequest(req("dialect"), req("query"), req("dir"), maxRows, params))
+        // {"explain": true} returns the formatted physical plan INSTEAD of
+        // rows — the console's plan-inspection mode. Planning only: the
+        // query is analyzed and optimized but no job runs, so explain on an
+        // expensive query is always cheap and safe to offer every client.
+        if (node.has("explain") && node.get("explain").asBoolean()) {
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val out = mapper.createObjectNode()
+          val colArr = out.putArray("columns")
+          df.columns.foreach(colArr.add)
+          out.put("plan", plan)
+          mapper.writeValueAsString(out)
+        } else render(df, maxRows)
+      }
     } catch {
       case e: Throwable =>
         val err = mapper.createObjectNode()

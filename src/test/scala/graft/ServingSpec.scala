@@ -109,6 +109,26 @@ class ServingSpec extends AnyFunSuite {
       nl.toString)
   }
 
+  test("a runaway query is cancelled at the serving timeout, loudly") {
+    // NlGate blocks commands, not expensive SELECTs: this theta self-join
+    // (~36M comparisons at fixture scale) runs far past a 300ms budget;
+    // the watchdog must cancel its job group and the client must get a
+    // loud, actionable error — not a hung pool thread
+    Server.timeoutOverrideMs = Some(300L)
+    try {
+      val resp = mapper.readTree(Server.handleJson(spark,
+        s"""{"dialect":"sql","query":"SELECT count(*) AS n FROM lineitem a JOIN lineitem b ON a.l_quantity >= b.l_quantity","dir":"$d"}"""))
+      assert(resp.has("error"), resp.toString)
+      assert(resp.get("error").asText.contains("serving timeout"), resp.toString)
+    } finally Server.timeoutOverrideMs = None
+    // the cancellation is scoped to ITS job group: the session keeps
+    // serving normal queries afterwards
+    val ok = mapper.readTree(Server.handleJson(spark,
+      s"""{"dialect":"sql","query":"SELECT count(*) AS n FROM orders","dir":"$d"}"""))
+    assert(!ok.has("error"), ok.toString)
+    assert(ok.get("rows").get(0).get("n").asLong > 0)
+  }
+
   test("handleJson reports errors as JSON, not exceptions") {
     val bad = mapper.readTree(Server.handleJson(spark, """{"dialect":"sql"}"""))
     assert(bad.get("error").asText.contains("query"))
