@@ -404,6 +404,21 @@ object GqlFuzz {
             ON c_custkey = o_custkey
           WHERE c_mktsegment = 'BUILDING'
           ORDER BY c_custkey NULLS FIRST LIMIT 40""")
+    add("nested_agg_order_by_child",
+      // round 14: parents ORDERED AND PAGED by a child aggregate (the
+      // Hasura order_by-aggregate leaderboard) — the rollup joins before
+      // the root orderBy, so the root sorts on its output column; count
+      // coalesces to 0 so childless parents page deterministically
+      """{ customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+                    orderBy: ["-n_orders", "c_custkey"], limit: 12) {
+            c_custkey orders_agg { n_orders: count } } }""",
+      """SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+          FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders GROUP BY o_custkey) agg ON c_custkey = o_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          ORDER BY coalesce(n_orders, 0) DESC NULLS LAST, c_custkey NULLS FIRST
+          LIMIT 12""")
     add("nested_agg_countd",
       """{ nation(orderBy: ["n_nationkey"]) {
             n_nationkey n_name customer_agg { count countd_c_mktsegment } } }""",
@@ -539,6 +554,11 @@ object GqlFuzz {
     add("rej_nested_agg_orderby",
       """{ customer(orderBy: ["c_custkey"], limit: 5) {
             c_custkey orders_agg(orderBy: ["-count"]) { count } } }""")
+    add("rej_order_by_unselected_agg",
+      // the order-by-child-aggregate shape requires the rollup IN the
+      // selection — ordering by a never-selected aggregate output must
+      // fail loudly (unresolved column), not silently ignore the key
+      """{ customer(orderBy: ["-n_orders"], limit: 5) { c_custkey } }""")
     add("rej_schema_with_args",
       """{ __schema(limit: 1) { tables { name } } }""")
 

@@ -285,6 +285,22 @@ object Dialects {
          orders_agg(filter: {o_orderstatus: {eq: "F"}}) {
            count sum_o_totalprice max_o_orderdate } } }"""
 
+  /** Parents ORDERED (and paged) BY a child aggregate — Hasura's
+    * `order_by: {orders_aggregate: {count: desc}}`, the "top customers by
+    * order count" leaderboard asked in GraphQL (gql_order_child_agg,
+    * round 14). Falls out of the lowering ORDER: the nested `_agg` rollup
+    * left-joins its |parents|-sized aggregate BEFORE the root's
+    * orderBy/limit apply, so the root can sort on the rollup's output
+    * column and the plan stays aggregate-then-join + TakeOrderedAndProject
+    * — the fact table is never sorted, no row fan-out. The pk tie-break
+    * keeps equal counts deterministic; count coalesces to 0 so childless
+    * parents page predictably (not NULLS-first surprises).
+    */
+  val gqlOrderChildAggQuery: String =
+    """{ customer(filter: {c_mktsegment: {eq: "BUILDING"}},
+                  orderBy: ["-n_orders", "c_custkey"], limit: 10) {
+         c_custkey c_name orders_agg { n_orders: count } } }"""
+
   /** GraphQL variables (`query($x: Type = default)`): the parametrized-
     * query surface every GraphQL client uses. One variable takes its
     * declared default (status "O"), two are provided; binding is AST
@@ -345,6 +361,7 @@ object Dialects {
     "gql_agg_join" -> ((s, d) => GraphQL.run(s, d, gqlAggJoinQuery)),
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
     "gql_nested_topk" -> ((s, d) => GraphQL.run(s, d, gqlNestedTopkQuery)),
+    "gql_order_child_agg" -> ((s, d) => GraphQL.run(s, d, gqlOrderChildAggQuery)),
     "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
     "nl_distinct_star" -> ((s, d) => NlToSql.run(s, d, nlDistinctStarQuestion)),
     "nl_where_star" -> ((s, d) => NlToSql.run(s, d, nlWhereStarQuestion)),
@@ -527,6 +544,17 @@ object Dialects {
     "nl_where_year" -> NlToSql.translate(nlWhereYearQuestion),
     "nl_distinct_star" -> NlToSql.translate(nlDistinctStarQuestion),
     "nl_where_star" -> NlToSql.translate(nlWhereStarQuestion),
+    "gql_order_child_agg" ->
+      // the rollup joins BEFORE the root order/page, count coalesced to 0
+      // (GraphQL list semantics); desc NULLS LAST + pk tie-break mirror
+      // the engine's ordering exactly
+      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) agg
+           ON c_custkey = o_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY coalesce(n_orders, 0) DESC NULLS LAST, c_custkey NULLS FIRST
+         LIMIT 10""",
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),

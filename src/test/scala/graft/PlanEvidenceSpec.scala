@@ -308,6 +308,15 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"the routed equality must reach the customer scan:\n$p")
   }
 
+  test("gql_order_child_agg: aggregate-then-join + TakeOrderedAndProject") {
+    // ordering parents by a child aggregate must not sort the fact table:
+    // the rollup joins |parents|-sized, and the root's orderBy+limit plan
+    // as a top-k, never a global sort
+    val p = plan(operators.Dialects.queries("gql_order_child_agg")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
+    assert(p.contains("HashAggregate"), s"child must pre-aggregate:\n$p")
+  }
+
   test("gql_agg_page: offset+limit plan never materializes the full leaderboard") {
     // round 10: pagination through the agg root is TakeOrderedAndProject
     // over offset+limit rows (partial per-partition top-(o+l), one final
