@@ -307,10 +307,12 @@ object ScaleRehearsal {
         val t = System.nanoTime()
         val rows = fn(spark, dir).count()
         val sec = (System.nanoTime() - t) / 1e9
-        // listener events drain asynchronously; a short settle keeps the
-        // per-key spill attribution honest at MB granularity (the
-        // telemetry is a cap-audit signal, not an exact ledger)
-        Thread.sleep(200)
+        // listener events drain asynchronously; waitUntilEmpty is the
+        // deterministic drain (round-15 ADVICE: the old fixed 200 ms sleep
+        // was racy AND added 200 ms × keys of dead wall time). A timeout
+        // only degrades attribution — the telemetry is a cap-audit
+        // signal, not an exact ledger.
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 5000L)
         val dMb = (spillDisk.get - spill0._1) / 1048576
         val mMb = (spillMem.get - spill0._2) / 1048576
         System.err.println(f"[scale]   x$k $key%-22s rows=$rows%-9d ${sec}%.2f s" +

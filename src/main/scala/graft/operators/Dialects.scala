@@ -150,6 +150,19 @@ object Dialects {
   val nlTopkGroupRangeQuestion: String =
     "top 2 customers by total order price per status between 1995-01-01 and 1996-06-30"
 
+  // round 15 (verdict item 3): edge-QUALIFIED star dimensions. lineitem
+  // reaches nation via BOTH supplier and orders→customer, so bare
+  // "total quantity by nation" keeps rejecting loudly — but the
+  // rejection now NAMES the qualifiers, and the qualified forms route
+  // the named edge. The third question needs the MERGED path (the
+  // supplier-nation edge for the group dim + the orders hop for the
+  // filter dim — two disjoint many-to-one chains off the same fact).
+  val nlQualifiedDimQuestion: String = "total quantity by supplier nation"
+  val nlQualifiedDimWhereQuestion: String =
+    "total quantity by customer nation where status is F"
+  val nlQualifiedMergeQuestion: String =
+    "total quantity by supplier nation where status is F"
+
   // round-11 pair, surfaced MECHANICALLY: the NL matrix fuzzer
   // (graft.NlFuzz) enumerated every production × modifier cross and
   // listed these among the 20 unproducible-but-natural compositions its
@@ -373,6 +386,11 @@ object Dialects {
     "gql_agg_page" -> ((s, d) => GraphQL.run(s, d, gqlAggPageQuery)),
     "nl_topk_group_range" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupRangeQuestion)),
     "gql_nested_distinct" -> ((s, d) => GraphQL.run(s, d, gqlNestedDistinctQuery)),
+    "nl_qualified_dim" -> ((s, d) => NlToSql.run(s, d, nlQualifiedDimQuestion)),
+    "nl_qualified_dim_where" -> ((s, d) =>
+      NlToSql.run(s, d, nlQualifiedDimWhereQuestion)),
+    "nl_qualified_merge" -> ((s, d) =>
+      NlToSql.run(s, d, nlQualifiedMergeQuestion)),
     "nl_avg_range" -> ((s, d) => NlToSql.run(s, d, nlAvgRangeQuestion)),
     "nl_topk_group_where" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupWhereQuestion)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
@@ -559,6 +577,9 @@ object Dialects {
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),
     "nl_topk_group_range" -> NlToSql.translate(nlTopkGroupRangeQuestion),
+    "nl_qualified_dim" -> NlToSql.translate(nlQualifiedDimQuestion),
+    "nl_qualified_dim_where" -> NlToSql.translate(nlQualifiedDimWhereQuestion),
+    "nl_qualified_merge" -> NlToSql.translate(nlQualifiedMergeQuestion),
     "nl_avg_range" -> NlToSql.translate(nlAvgRangeQuestion),
     "nl_topk_group_where" -> NlToSql.translate(nlTopkGroupWhereQuestion),
     "gql_nested_distinct" ->

@@ -114,17 +114,58 @@ object Server {
     * is safe to offer every client; only execution carries the budget.
     */
   /** Test seam: specs can't set process env, so the override wins when
-    * present. Production reads the env once per request (cheap, and a
-    * restartless knob would be a lie — document the env in DEPLOY.md).
+    * present. The env is parsed ONCE (first use) with validation: a
+    * malformed value (e.g. '5m', empty) previously threw
+    * NumberFormatException inside EVERY /query request — a confusing
+    * per-request error for a deploy-time mistake. Now it logs one loud
+    * warning and falls back to the default (round-15 ADVICE).
     */
   @volatile private[graft] var timeoutOverrideMs: Option[Long] = None
-  private def queryTimeoutMs: Long = timeoutOverrideMs.getOrElse(
-    sys.env.get("GRAFT_QUERY_TIMEOUT_MS").map(_.trim.toLong).getOrElse(300000L))
+  val DefaultQueryTimeoutMs = 300000L
+  private lazy val envTimeoutMs: Long =
+    sys.env.get("GRAFT_QUERY_TIMEOUT_MS").map(_.trim) match {
+      case Some(v) =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            System.err.println(
+              s"[serve] GRAFT_QUERY_TIMEOUT_MS='$v' is not a whole number of " +
+                s"milliseconds; using the default ${DefaultQueryTimeoutMs}ms")
+            DefaultQueryTimeoutMs
+        }
+      case None => DefaultQueryTimeoutMs
+    }
+  private def queryTimeoutMs: Long = timeoutOverrideMs.getOrElse(envTimeoutMs)
 
   private lazy val watchdog =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-query-watchdog"); t.setDaemon(true); t
     })
+
+  /** Does this exception (or any cause in its chain) look like Spark's
+    * job-group cancellation? Spark signals a watchdog cancel as a
+    * SparkException whose message names the cancelled job / job group
+    * ("cancelled part of cancelled job group …"), or as the executor
+    * thread's InterruptedException (interruptOnCancel). Message matching
+    * is the only stable surface Spark offers here — there is no dedicated
+    * CancellationException subtype — and it runs only when the watchdog
+    * HAS fired, so a false negative merely surfaces the raw SparkException.
+    */
+  private def isCancellation(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      val cancelled = c match {
+        case _: InterruptedException => true
+        case se: org.apache.spark.SparkException =>
+          val m = Option(se.getMessage).getOrElse("").toLowerCase
+          m.contains("cancel") || m.contains("job group")
+        case _ => false
+      }
+      if (cancelled) return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
 
   private def withJobTimeout[T](sess: SparkSession, what: String)(body: => T): T = {
     val ms = queryTimeoutMs
@@ -144,7 +185,11 @@ object Server {
       }, ms, java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
       catch {
-        case e: Throwable if timedOut.get() =>
+        // only a Spark job-CANCELLATION is relabeled as a serving timeout:
+        // an unrelated failure racing the deadline (timedOut flips, then
+        // the query dies of its own bug) must surface its REAL error, not
+        // a misleading timeout wrapper (round-15 ADVICE)
+        case e: Throwable if timedOut.get() && isCancellation(e) =>
           throw new IllegalStateException(
             s"query exceeded the ${ms}ms serving timeout and was cancelled " +
               "(raise GRAFT_QUERY_TIMEOUT_MS or narrow the query)", e)
