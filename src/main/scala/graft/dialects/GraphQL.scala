@@ -616,13 +616,18 @@ object GraphQL {
       else {
         require(sel.alias.isEmpty,
           s"alias on relation ${sel.name} unsupported (alias scalar fields instead)")
-        // fail-loudly discipline: a plain many-to-one relation join takes
-        // no arguments (filter/orderBy/limit make per-parent selections on
-        // ONE-TO-MANY subtrees, handled above) — silently dropping them
-        // would return unfiltered joined rows labeled as the answer
-        require(sel.args.isEmpty,
-          s"arguments on nested relation ${sel.name} unsupported " +
-            s"(filter at the root, or aggregate via ${sel.name}_agg)")
+        // MANY-TO-ONE (object) relations accept a `filter` argument
+        // (round 15, verdict item 5 — Hasura's object-relation
+        // semantics): the parent row is KEPT and the object goes NULL
+        // when the filter misses. Lowered by filtering the child side
+        // BELOW the left join — for a child-only predicate this is
+        // equivalent to folding it into the join condition, and strictly
+        // better at scale: the predicate reaches the child's scan
+        // (PushedFilters) and shrinks the broadcast side instead of
+        // being evaluated per joined row. orderBy/limit stay rejected
+        // (an object relation has at most one row — they'd be
+        // silently-meaningless arguments).
+        checkArgs(s"$table.${sel.name}", sel.args, Set("filter"))
         val (target, lk, rk) = TableRegistry.relations.getOrElse(
           (table, sel.name),
           throw new IllegalArgumentException(s"unknown relation $table.${sel.name}"))
@@ -640,7 +645,7 @@ object GraphQL {
             TableRegistry.relations.getOrElse((target, cr.name),
               throw new IllegalArgumentException(s"unknown relation $target.${cr.name}"))._2
         }
-        val sub = TableRegistry.load(s, dir, target)
+        val sub = applyFilters(TableRegistry.load(s, dir, target), sel.args)
           .select(((rk +: childScalars) ++ childFks).distinct.map(col): _*)
         df = df.join(sub, col(lk) === col(rk), "left")
         // the join key is dropped from the frame only when nothing else
@@ -713,6 +718,53 @@ object GraphQL {
     */
   private def orderKey(c: String): org.apache.spark.sql.Column =
     if (c.startsWith("-")) col(c.drop(1)).desc else col(c)
+
+  /** Hasura's `distinct_on` (round 15, verdict item 4): keep the FIRST
+    * row of each distinct combination of the named columns, "first" as
+    * defined by the orderBy. Requirements mirror Hasura's: orderBy must
+    * be present and START with the distinct_on columns (so pagination
+    * over the reduced rows is well-defined), and — the engine's
+    * determinism discipline, same as gql_nested_topk — must continue
+    * BEYOND them with at least one tie-break key, or "the first row" of
+    * a group would be arbitrary and silently nondeterministic.
+    *
+    * Lowered to a rank window partitioned by the distinct columns and
+    * filtered to rn = 1: Spark plans the filter as WindowGroupLimit on
+    * both sides of the exchange (per-partition top-1 heaps, the
+    * win_topk_group shape), so at scale each partition forwards one
+    * candidate row per group instead of sorting whole groups.
+    */
+  private def applyDistinctOn(root: Field, df: DataFrame): DataFrame = {
+    val distinctCols = root.args.collectFirst {
+      case ("distinct_on", VList(cols)) => cols.map {
+        case VString(c) => c
+        case o => throw new IllegalArgumentException(s"bad distinct_on column: $o")
+      }
+      case ("distinct_on", VString(c)) => List(c)
+    }.getOrElse(return df)
+    require(distinctCols.nonEmpty, s"${root.name}: distinct_on must name a column")
+    val orderCols = root.args.collectFirst {
+      case ("orderBy", VList(cols)) => cols.map {
+        case VString(c) => c
+        case o => throw new IllegalArgumentException(s"bad orderBy key: $o")
+      }
+      case ("orderBy", VString(c)) => List(c)
+    }.getOrElse(Nil)
+    require(orderCols.map(_.stripPrefix("-")).startsWith(distinctCols),
+      s"${root.name}: distinct_on requires orderBy to start with the " +
+        s"distinct_on column(s) ${distinctCols.mkString(", ")} (Hasura's " +
+        "rule — it makes pagination over the reduced rows well-defined)")
+    val tieBreaks = orderCols.drop(distinctCols.size)
+    require(tieBreaks.nonEmpty,
+      s"${root.name}: distinct_on requires orderBy to continue past the " +
+        "distinct_on column(s) with a tie-break key — \"the first row per " +
+        "group\" must be deterministic (include a unique column)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(distinctCols.map(col): _*)
+      .orderBy(tieBreaks.map(orderKey): _*)
+    df.withColumn("__don_rn", row_number().over(w))
+      .filter(col("__don_rn") === 1).drop("__don_rn")
+  }
 
   private def applyOrderPage(df: DataFrame, args: List[(String, Value)]): DataFrame = {
     val ordered = args.collectFirst {
@@ -922,7 +974,8 @@ object GraphQL {
       return introspect(s, dir, root)
     }
     if (root.name.endsWith("_agg")) return runAgg(s, dir, root)
-    checkArgs(root.name, root.args, Set("filter", "orderBy", "limit", "offset"))
+    checkArgs(root.name, root.args,
+      Set("filter", "orderBy", "limit", "offset", "distinct_on"))
     // fail-loudly discipline (round 14, with the one-to-many row surface):
     // once a one-to-many subtree multiplies rows, root limit/offset would
     // page the FLATTENED rows, not parents — silently returning "the
@@ -932,7 +985,8 @@ object GraphQL {
         s"${root.name}: limit/offset at the root combined with a " +
           "one-to-many subtree pages flattened rows, not parents — " +
           "filter at the root, or apply limit on the relation itself")
-    val filtered = applyFilters(TableRegistry.load(s, dir, root.name), root.args)
+    val filtered = applyDistinctOn(root,
+      applyFilters(TableRegistry.load(s, dir, root.name), root.args))
 
     // resolve selections: scalars project (applying any `alias: field`
     // output renames), relations left-join and flatten

@@ -211,6 +211,33 @@ object Dialects {
                 orderBy: ["-o_totalprice", "o_orderkey"], limit: 3) {
            o_orderkey o_totalprice } } }"""
 
+  /** Hasura's `distinct_on` (round 15, verdict item 4): per-customer
+    * FIRST open order by price — one row per distinct o_custkey, "first"
+    * defined by the orderBy's continuation past the distinct column
+    * (price DESC, pk tie-break). Lowered to a rank window filtered to
+    * rn = 1; Spark plans it as WindowGroupLimit on both exchange sides,
+    * so each partition forwards one candidate row per customer.
+    */
+  val gqlDistinctOnQuery: String =
+    """{ orders(distinct_on: ["o_custkey"],
+                filter: {o_orderstatus: {eq: "O"}},
+                orderBy: ["o_custkey", "-o_totalprice", "o_orderkey"], limit: 40) {
+         o_custkey o_orderkey o_totalprice } }"""
+
+  /** Arguments on a MANY-TO-ONE (object) relation (round 15, verdict
+    * item 5 — Hasura's object-relation semantics): the parent order is
+    * KEPT and the customer object goes NULL when the filter misses. The
+    * predicate is applied below the left join (equivalent to an
+    * AND-in-join-condition for a child-only predicate, but it reaches
+    * the child's scan and shrinks the broadcast side).
+    */
+  val gqlObjectFilterQuery: String =
+    """{ orders(filter: {o_orderstatus: {eq: "F"}, o_totalprice: {gt: 250000}},
+                orderBy: ["o_orderkey"], limit: 60) {
+         o_orderkey o_totalprice
+         customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+           c_name c_mktsegment } } }"""
+
   /** Output aliases (`outName: field`) at both nesting depths — GraphQL's
     * column-renaming surface.
     */
@@ -375,6 +402,8 @@ object Dialects {
     "gql_nested_agg" -> ((s, d) => GraphQL.run(s, d, gqlNestedAggQuery)),
     "gql_nested_topk" -> ((s, d) => GraphQL.run(s, d, gqlNestedTopkQuery)),
     "gql_order_child_agg" -> ((s, d) => GraphQL.run(s, d, gqlOrderChildAggQuery)),
+    "gql_distinct_on" -> ((s, d) => GraphQL.run(s, d, gqlDistinctOnQuery)),
+    "gql_object_filter" -> ((s, d) => GraphQL.run(s, d, gqlObjectFilterQuery)),
     "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
     "nl_distinct_star" -> ((s, d) => NlToSql.run(s, d, nlDistinctStarQuestion)),
     "nl_where_star" -> ((s, d) => NlToSql.run(s, d, nlWhereStarQuestion)),
@@ -573,6 +602,27 @@ object Dialects {
          WHERE c_mktsegment = 'BUILDING'
          ORDER BY coalesce(n_orders, 0) DESC NULLS LAST, c_custkey NULLS FIRST
          LIMIT 10""",
+    "gql_distinct_on" ->
+      // rank-subquery mirror of the distinct_on lowering: partition by
+      // the distinct column, order by the orderBy's continuation (DESC
+      // NULLS LAST / ASC NULLS FIRST = both engines' defaults, explicit),
+      // rn = 1; outer order + page over the reduced rows
+      """SELECT o_custkey, o_orderkey, o_totalprice
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
+           FROM orders WHERE o_orderstatus = 'O') t
+         WHERE rn = 1
+         ORDER BY o_custkey NULLS FIRST LIMIT 40""",
+    "gql_object_filter" ->
+      // the object-relation filter folded into the LEFT JOIN condition —
+      // parents survive, the object nulls out when the filter misses
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 60""",
     "nl_range_where" -> NlToSql.translate(nlRangeWhereQuestion),
     "nl_topk_range" -> NlToSql.translate(nlTopkRangeQuestion),
     "nl_nation_range" -> NlToSql.translate(nlNationRangeQuestion),

@@ -462,6 +462,43 @@ class DialectSpec extends AnyFunSuite {
     assert(math.abs(viaIn - viaMerge) < 1e-6, s"$viaIn vs $viaMerge")
   }
 
+  test("gql distinct_on keeps one deterministic row per key; sloppy forms reject") {
+    val out = GraphQL.run(spark, d,
+      """{ orders(distinct_on: ["o_custkey"], filter: {o_orderstatus: {eq: "O"}},
+                  orderBy: ["o_custkey", "-o_totalprice", "o_orderkey"]) {
+           o_custkey o_orderkey o_totalprice } }""").collect()
+    assert(out.nonEmpty)
+    // one row per distinct key, and it is the per-key max price
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // Hasura's rule: orderBy must exist and start with the distinct_on
+    // column(s)…
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(distinct_on: ["o_custkey"]) { o_custkey o_orderkey } }"""))
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(distinct_on: ["o_custkey"],
+                  orderBy: ["-o_totalprice", "o_custkey"]) { o_custkey } }"""))
+    // …and the engine's determinism rule: it must CONTINUE past them
+    // with a tie-break, or "first row per key" is arbitrary
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(distinct_on: ["o_custkey"],
+                  orderBy: ["o_custkey"]) { o_custkey o_orderkey } }"""))
+  }
+
+  test("gql object-relation filter keeps the parent and nulls the object") {
+    val rows = GraphQL.run(spark, d,
+      """{ orders(filter: {o_orderstatus: {eq: "F"}}, orderBy: ["o_orderkey"], limit: 200) {
+           o_orderkey customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+             c_mktsegment } } }""").collect()
+    assert(rows.length == 200, "parents must NOT be dropped by the object filter")
+    val segs = rows.map(r => Option(r.getString(1))).distinct
+    assert(segs.contains(None), "a missed filter must null the object, not drop the row")
+    assert(segs.flatten.forall(_ == "BUILDING"))
+    // ordering/paging on an object relation stays meaningless → loud
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+           o_orderkey customer(limit: 1) { c_name } } }"""))
+  }
+
   test("NL superlative: singular top/bottom-1, optional sargable year window") {
     val sql = NlToSql.translate("which supplier had the highest total quantity in 1996")
     assert(sql.contains("LIMIT 1") && sql.contains("DESC"))

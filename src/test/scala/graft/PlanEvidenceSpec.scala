@@ -844,4 +844,27 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"rank-limit must sit under the join (rank-then-join):\n$p")
   }
 
+  test("gql_distinct_on: rn=1 lowers to WindowGroupLimit; filter pushed to the scan") {
+    val p = plan(Dialects.queries("gql_distinct_on")(spark, d))
+    // per-partition top-1 heaps both sides of the exchange — each
+    // partition forwards ONE candidate row per distinct key, never a
+    // whole-group sort
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected WindowGroupLimit on both sides of the exchange:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      s"root filter must push to the orders scan:\n$p")
+  }
+
+  test("gql_object_filter: relation predicate reaches the child scan below the left join") {
+    val p = plan(Dialects.queries("gql_object_filter")(spark, d))
+    // the object-relation filter is applied BELOW the join (child scan),
+    // not as a post-join filter that would drop parents
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"relation filter must push to the customer scan:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"root filter must push to the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
 }
