@@ -518,9 +518,16 @@ object GqlFuzz {
     add("rej_alias_on_relation",
       """{ orders(orderBy: ["o_orderkey"], limit: 5) {
             o_orderkey buyer: customer { c_name } } }""")
-    add("rej_args_on_relation",
+    add("args_on_relation_filter",
+      // round 15: a FILTER on a many-to-one relation is now supported
+      // (Hasura object semantics — parent kept, object nulled); this row
+      // was a loud rejection through round 14
       """{ orders(orderBy: ["o_orderkey"], limit: 5) {
-            o_orderkey customer(filter: {c_acctbal: {gt: 0}}) { c_name } } }""")
+            o_orderkey customer(filter: {c_acctbal: {gt: 0}}) { c_name } } }""",
+      """SELECT o_orderkey, c_name
+         FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey AND c_acctbal > 0
+         ORDER BY o_orderkey NULLS FIRST LIMIT 5""")
     add("rej_fragment_wrong_type",
       """{ orders(orderBy: ["o_orderkey"], limit: 5) { ...cust } }
          fragment cust on customer { c_name }""")
@@ -616,6 +623,101 @@ object GqlFuzz {
     add("rej_mut_query_kw_mutation_field",
       // a mutation FIELD under a query operation is just an unknown table
       """{ registerDataset(name: "x") { name } }""")
+
+    // =====================================================================
+    // G. round 15: distinct_on, object-relation filters, saved-query
+    // mutations — asserted both ways like everything else.
+    // =====================================================================
+    add("don_basic",
+      """{ orders(distinct_on: ["o_custkey"], filter: {o_orderstatus: {eq: "F"}},
+            orderBy: ["o_custkey", "-o_totalprice", "o_orderkey"], limit: 30) {
+            o_custkey o_orderkey o_totalprice } }""",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
+           FROM orders WHERE o_orderstatus = 'F') t
+         WHERE rn = 1 ORDER BY o_custkey NULLS FIRST LIMIT 30""")
+    add("don_multi_col",
+      // two distinct_on columns: first row per (status, priority) pair
+      """{ orders(distinct_on: ["o_orderstatus", "o_orderpriority"],
+            orderBy: ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_orderkey"]) {
+            o_orderstatus o_orderpriority o_orderkey o_orderdate } }""",
+      """SELECT o_orderstatus, o_orderpriority, o_orderkey, o_orderdate FROM (
+           SELECT o_orderstatus, o_orderpriority, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST) AS rn
+           FROM orders) t
+         WHERE rn = 1
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    add("rej_don_no_orderby",
+      """{ orders(distinct_on: ["o_custkey"]) { o_custkey o_orderkey } }""")
+    add("rej_don_bad_prefix",
+      """{ orders(distinct_on: ["o_custkey"],
+            orderBy: ["-o_totalprice", "o_custkey"]) { o_custkey } }""")
+    add("rej_don_no_tiebreak",
+      """{ orders(distinct_on: ["o_custkey"],
+            orderBy: ["o_custkey"]) { o_custkey o_orderkey } }""")
+    add("objf_basic",
+      """{ orders(filter: {o_orderstatus: {eq: "F"}, o_totalprice: {gt: 250000}},
+            orderBy: ["o_orderkey"], limit: 50) {
+            o_orderkey customer(filter: {c_mktsegment: {eq: "BUILDING"}}) {
+              c_name c_mktsegment } } }""",
+      """SELECT o_orderkey, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+         ORDER BY o_orderkey NULLS FIRST LIMIT 50""")
+    add("objf_nested_subtree",
+      // a filtered-away object must null its OWN subtree too
+      """{ orders(filter: {o_totalprice: {gt: 400000}}, orderBy: ["o_orderkey"]) {
+            o_orderkey customer(filter: {c_acctbal: {gt: 5000}}) {
+              c_name nation { n_name } } } }""",
+      """SELECT o_orderkey, c_name, n_name
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice > 400000
+         ORDER BY o_orderkey NULLS FIRST""")
+    add("rej_objf_limit",
+      // ordering/paging on an at-most-one-row object is meaningless
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey customer(limit: 1) { c_name } } }""")
+    add("rej_objf_orderby",
+      """{ orders(orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey customer(orderBy: ["c_name"]) { c_name } } }""")
+    // saved-query mutation lifecycle (save → duplicate rejects → delete →
+    // delete-again rejects); matrix cases run in declaration order
+    add("mut_save_query",
+      """mutation { saveQuery(name: "fuzz_saved", dialect: "nl",
+            text: "top 3 customers by total order price") { name dialect } }""",
+      """SELECT 'fuzz_saved' AS name, 'nl' AS dialect""")
+    add("rej_mut_save_duplicate",
+      """mutation { saveQuery(name: "fuzz_saved", dialect: "sql",
+            text: "SELECT 1 AS one") { name } }""")
+    add("mut_delete_query",
+      """mutation { deleteQuery(name: "fuzz_saved") { name } }""",
+      """SELECT 'fuzz_saved' AS name""")
+    add("rej_mut_delete_query_absent",
+      """mutation { deleteQuery(name: "fuzz_saved") { name } }""")
+    add("rej_mut_save_mutation_text",
+      // a saved MUTATION would re-run its write on every execution (the
+      // inner text avoids quotes — the int arg keeps it parseable, so the
+      // rejection is the read-only gate, not a parse accident)
+      """mutation { saveQuery(name: "sneaky", dialect: "graphql",
+            text: "mutation { deleteQuery(name: 123) { name } }") { name } }""")
+    add("rej_mut_save_bad_dialect",
+      """mutation { saveQuery(name: "x", dialect: "cypher",
+            text: "MATCH (n) RETURN n") { name } }""")
+    add("rej_mut_save_unparseable_nl",
+      """mutation { saveQuery(name: "x", dialect: "nl",
+            text: "summon the dragons") { name } }""")
+    add("rej_mut_save_sql_unknown_table",
+      """mutation { saveQuery(name: "x", dialect: "sql",
+            text: "SELECT * FROM no_such_tbl") { name } }""")
+    add("rej_mut_save_unknown_result_field",
+      """mutation { saveQuery(name: "x", dialect: "sql",
+            text: "SELECT 1 AS one") { name owner } }""")
 
     out.result()
   }

@@ -47,7 +47,10 @@ object NlFuzz {
     M("order price", Seq("status", "priority", "market segment", "nation"),
       "priority", "1-URGENT", "5-LOW",
       Some(("1995-01-01", "1996-06-30")), Some("1996"), Some(30)),
-    M("quantity", Seq("return flag"),
+    // round 15 (verdict item 3): the EDGE-QUALIFIED nation dims join the
+    // matrix — every aggregate/filter/time production must hold on each
+    // edge (the bare "by nation" stays in the explicit rejection rows)
+    M("quantity", Seq("return flag", "supplier nation", "customer nation"),
       "return flag", "R", "A",
       Some(("1996-01-01", "1997-06-30")), Some("1996"), Some(30)),
     // round 13: second lineitem measure (added for the ratio production)
@@ -128,12 +131,20 @@ object NlFuzz {
         add(s"total ${m.measure} by $d in the last 30 days", claimed = false)
       }
     }
-    // two-dimension group-bys (same-fact dim pairs)
+    // two-dimension group-bys (same-fact dim pairs; the qualified nation
+    // dims are handled explicitly below — their pairwise combination is
+    // the two-edges-to-one-table rejection)
     for (m <- ms; Seq(d1, d2) <- m.dims.filter(d =>
-        d != "nation" && d != "market segment" || m.measure == "account balance")
+        (d != "nation" && d != "market segment" && !d.endsWith(" nation"))
+          || m.measure == "account balance")
         .combinations(2).toSeq) {
       add(s"total ${m.measure} by $d1 and $d2", claimed = true)
     }
+    // one qualified nation dim + one fact dim routes (one declared path)
+    add("total quantity by return flag and supplier nation", claimed = true)
+    add("total quantity by return flag and customer nation", claimed = true)
+    // BOTH edges at once would join the nation table twice — loud rejection
+    add("total quantity by supplier nation and customer nation", claimed = false)
     // cross-table dim pair: TotalByTwoDims routes one off-fact dim
     // through the star schema by design
     add("total order price by status and market segment", claimed = true)
@@ -178,8 +189,23 @@ object NlFuzz {
     // (the nation path passes through customer)
     add("total order price by nation where market segment is BUILDING",
       claimed = true)
-    // no single declared path covers both dims -> loud rejection
+    // round 15 (verdict item 3): bare "nation" off lineitem is genuinely
+    // ambiguous (supplier edge vs orders→customer edge) — both forms keep
+    // rejecting, with the rejection text naming the qualifiers
+    add("total quantity by nation", claimed = false)
     add("total quantity by nation where status is F", claimed = false)
+    // the qualified forms route the named edge, and the supplier-edge +
+    // orders-filter composition rides the mechanical path merge
+    add("total quantity by customer nation where status is F", claimed = true)
+    add("total quantity by supplier nation where status is F", claimed = true)
+    add("total order price by status where customer nation is GERMANY",
+      claimed = true)
+    add("number of unique parts by return flag where supplier nation is GERMANY",
+      claimed = true)
+    // two qualified edges meeting the same physical nation table — the
+    // merge guard must reject, never emit nation-joined-twice SQL
+    add("total quantity by supplier nation where customer nation is GERMANY",
+      claimed = false)
     // ---- leaderboards: topk × filter × per-group × range ----
     for ((ent, m, dims) <- leaderboards) {
       val mm = ms.find(_.measure == m).get

@@ -936,9 +936,32 @@ object GraphQL {
         val n = strArg("name").toLowerCase
         require(DatasetRegistry.unregister(n), s"no such dataset: '$n'")
         Seq(n).toDF("name").select(wanted.map(col): _*)
+      // saved-query twins (round 15, verdict item 1): the GraphQL face of
+      // POST /queries — both route through SavedQueries, the one write
+      // path, so the save-time dialect gate (NlGate for sql, read-only
+      // for graphql, grammar for nl) and the duplicate-name rejection are
+      // identical across surfaces.
+      case "saveQuery" =>
+        checkArgs(root.name, root.args, Set("name", "dialect", "text"))
+        val bad = wanted.toSet -- Set("name", "dialect")
+        require(bad.isEmpty,
+          s"saveQuery returns {name dialect}; unknown: ${bad.mkString(", ")}")
+        val e = SavedQueries.save(s, SavedQueries.Entry(
+          strArg("name"), strArg("dialect"), strArg("text")))
+        Seq((e.name, e.dialect)).toDF("name", "dialect")
+          .select(wanted.map(col): _*)
+      case "deleteQuery" =>
+        checkArgs(root.name, root.args, Set("name"))
+        val bad = wanted.toSet -- Set("name")
+        require(bad.isEmpty,
+          s"deleteQuery returns {name}; unknown: ${bad.mkString(", ")}")
+        val n = strArg("name").toLowerCase
+        require(SavedQueries.delete(n), s"no such saved query: '$n'")
+        Seq(n).toDF("name").select(wanted.map(col): _*)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mutation: '$other' (registerDataset | unregisterDataset)")
+          s"unknown mutation: '$other' (registerDataset | unregisterDataset " +
+            "| saveQuery | deleteQuery)")
     }
   }
 
@@ -948,7 +971,17 @@ object GraphQL {
     * same loud no-catalog error the REST write surface gives, not
     * silently applied as process-lifetime-only state).
     */
-  def isMutation(q: String): Boolean = parseDocument(q)._1 == "mutation"
+  def isMutation(q: String): Boolean = mutationRoot(q).nonEmpty
+
+  /** The mutation's root field name, when the document IS a mutation —
+    * the serving layer guards durability against the registry that root
+    * actually writes (round 15: saveQuery/deleteQuery vs the dataset
+    * mutations).
+    */
+  def mutationRoot(q: String): Option[String] = {
+    val (opType, _, f) = parseDocument(q)
+    if (opType == "mutation") Some(f.name) else None
+  }
 
   def run(s: SparkSession, dir: String, q: String): DataFrame =
     runWithVariables(s, dir, q, Map.empty)

