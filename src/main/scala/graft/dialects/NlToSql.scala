@@ -180,6 +180,16 @@ object NlToSql {
   // registered dataset (round 13: the NL leg of the karna-db surface;
   // validation defers to TableRegistry.allNames at translate time)
   private val RowCount = """(?i)how many rows (?:are )?in (\w+)\s*\??""".r
+  // round 15 (verdict item 6): COLUMN-level generic productions over
+  // dynamically REGISTERED datasets — the registry's schema cache (filled
+  // by the register-time loadability probe) resolves column names and
+  // types at translate time, so a registered CSV/parquet is first-class
+  // in the NL dialect beyond bare row counts. Fixture tables are served
+  // by the catalog-noun grammar and have no cached schema — they reject
+  // here with a pointer to the right phrasing.
+  private val RegCountWhere =
+    """(?i)how many rows (?:are )?in (\w+) where (\w+) is ([\w-]+)\s*\??""".r
+  private val RegTopK = """(?i)top (\d+) rows of (\w+) by (\w+)""".r
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
   private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
@@ -340,7 +350,56 @@ object NlToSql {
       throw new IllegalArgumentException(s"unknown entity table: $entity"))
   }
 
+  /** Resolve (table, column) against a REGISTERED dataset's cached schema
+    * — the round-15 column-level productions' shared front door. Unknown
+    * tables, fixture tables (no cached schema — they have dedicated
+    * grammar), and unknown columns all reject loudly, the last with the
+    * real column list.
+    */
+  private def regColumn(table: String, column: String):
+      (String, org.apache.spark.sql.types.StructField,
+       org.apache.spark.sql.types.StructType) = {
+    val t = table.toLowerCase
+    require(TableRegistry.allNames(t), s"unknown table: $table")
+    val schema = TableRegistry.cachedSchema(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"no cached schema for '$t' — column-level questions work on " +
+          "REGISTERED datasets (fixture tables use the catalog " +
+          "vocabulary, e.g. 'number of orders by status')"))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$t' has no column '$column' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    (t, f, schema)
+  }
+
   def translate(question: String): String = question.trim match {
+    case RegCountWhere(table, column, value) =>
+      // equality-filtered row count over a registered dataset; the
+      // literal is typed from the cached schema (numeric columns take a
+      // bare literal — and reject a non-numeric value loudly — string
+      // columns a quoted one), so the predicate is scan-pushable in both
+      // engines
+      val (t, f, _) = regColumn(table, column)
+      val lit = f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          require(value.matches("-?\\d+(\\.\\d+)?"),
+            s"column '${f.name}' is ${f.dataType.simpleString}; '$value' is not numeric")
+          value
+        case _ => sqlLit(value)
+      }
+      s"SELECT count(*) AS n_rows FROM $t WHERE ${f.name} = $lit"
+    case RegTopK(n, table, column) =>
+      // project-top-k over a registered dataset: all columns, ranked by
+      // the named one. Deterministic by construction: the remaining
+      // columns tie-break in schema order (fully identical rows are
+      // interchangeable — hash-equal either way). Both engines' null
+      // placement is explicit. The plan is TakeOrderedAndProject — the
+      // k rows never materialize a global sort.
+      val (t, f, schema) = regColumn(table, column)
+      val ties = schema.fieldNames.filterNot(_ == f.name)
+        .map(c => s", $c NULLS FIRST").mkString
+      s"SELECT * FROM $t ORDER BY ${f.name} DESC NULLS LAST$ties LIMIT $n"
     case RowCount(table) =>
       // works for dynamically registered datasets too: the check is
       // against the LIVE registry (fixtures + POST /datasets state), the

@@ -96,6 +96,16 @@ object TableRegistry {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** A registered dataset's cached schema, when known (filled by the
+    * register-time loadability probe or the first load). Round 15: the NL
+    * translator's column-level productions over registered tables
+    * ("how many rows in X where COL is V") resolve columns and types here
+    * at TRANSLATE time — no session, no data read — so a typo'd column
+    * rejects loudly with the real column list before any plan exists.
+    */
+  def cachedSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
+    Option(schemaCache.get(name.toLowerCase))
+
   /** Load a registration's data — schema-cached after the first read, so
     * per-request view registration never re-infers. Public: the register
     * path uses it as the loadability probe.
