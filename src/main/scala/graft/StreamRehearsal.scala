@@ -116,15 +116,36 @@ object StreamRehearsal {
     ("stream_custom_state", streaming.Streams.runningUserStats _, "update", "noop"),
     ("stream_tws", streaming.Streams.userRunningMax _, "update", "noop"))
 
+  /** TTL-eviction probe (round 15, verdict item 7): the SAME custom-state
+    * plan run twice on one corpus — processing-time mode without a TTL
+    * (state rows = every user ever seen) vs with a 1 s TTL (idle keys
+    * evicted). The corpus is range-partitioned by user_id into the part
+    * files, so each trigger's file quota brings a DISJOINT key range —
+    * earlier ranges go idle, which is exactly what a TTL can evict (a
+    * random shuffle would refresh every key every trigger and measure
+    * nothing). The slowBatch sink sleeps past the TTL between triggers so
+    * expiry is deterministic, and the JSON carries each run's final
+    * state-store row count + bytes — the eviction evidence.
+    */
+  private def ttlPlans: Seq[(String, DataFrame => DataFrame, String, String)] = Seq(
+    ("custom_state_no_ttl",
+      (e: DataFrame) => streaming.Streams.runningUserStatsTtl(e, None),
+      "update", "slowBatch"),
+    ("custom_state_ttl_1s",
+      (e: DataFrame) => streaming.Streams.runningUserStatsTtl(e, Some(1000L)),
+      "update", "slowBatch"))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [whale]")
+      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [whale|ttl]")
     val src = args(0)
     val outBase = args(1)
     val outJson = args(2)
     val scales = if (args.length > 3) args(3).split(",").map(_.toInt).toSeq
                  else Seq(1, 10)
-    val whale = args.length > 4 && args(4) == "whale"
+    val mode = if (args.length > 4) args(4) else "stream"
+    val whale = mode == "whale"
+    val ttlMode = mode == "ttl"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -136,7 +157,8 @@ object StreamRehearsal {
 
     val sb = new StringBuilder
     sb.append("{\"src\":\"").append(src).append("\",\"mode\":\"")
-      .append(if (whale) "stream_whale" else "stream").append("\"")
+      .append(if (whale) "stream_whale" else if (ttlMode) "stream_ttl" else "stream")
+      .append("\"")
       .append(",\"n_files\":").append(NFiles)
       .append(",\"files_per_trigger\":").append(FilesPerTrigger)
       .append(",\"scales\":{")
@@ -163,13 +185,18 @@ object StreamRehearsal {
       val shaped = if (whale) shaped0.withColumn("user_id", lit(1L))
                    else shaped0
       // exactly NFiles part files regardless of ×k — a trigger's file
-      // quota then carries ×k the rows as the corpus grows
-      shaped.repartition(NFiles)
-        .write.mode("overwrite").parquet(dir)
+      // quota then carries ×k the rows as the corpus grows. TTL mode
+      // range-partitions by user so each trigger brings a disjoint key
+      // range (see ttlPlans — eviction needs keys that go idle)
+      val filed = if (ttlMode) shaped.repartitionByRange(NFiles, col("user_id"))
+                  else shaped.repartition(NFiles)
+      filed.write.mode("overwrite").parquet(dir)
       val nEvents = spark.read.parquet(dir).count()
       System.err.println(s"[stream] x$k: $nEvents events in $NFiles files")
 
-      val measured = if (whale) whalePlans(spark, src) else plans(spark, src)
+      val measured = if (whale) whalePlans(spark, src)
+                     else if (ttlMode) ttlPlans
+                     else plans(spark, src)
       val keyJson = measured.map { case (key, plan, mode, sink) =>
         val writer = plan(streaming.Streams.readEventsStream(spark, dir,
             Some(FilesPerTrigger)))
@@ -182,18 +209,47 @@ object StreamRehearsal {
             writer.foreachBatch { (batch: DataFrame, _: Long) =>
               batch.write.mode("overwrite").parquet(fbOut)
             }.start()
+          case "slowBatch" =>
+            // consume, then sleep PAST the TTL so keys whose file ranges
+            // are already drained expire DURING the run, not just at idle
+            writer.foreachBatch { (batch: DataFrame, _: Long) =>
+              if (batch.count() > 0) Thread.sleep(1500L)
+            }.start()
           case _ => writer.format("noop").start()
         }
-        q.awaitTermination()
+        // a ProcessingTime-mode stateful query never terminates (the
+        // operator keeps requesting batches to advance its clock — that
+        // is HOW TTL expiry fires), so the ttl legs drain the source by
+        // polling cumulative input rows and stop manually; every other
+        // leg runs AvailableNow to completion
+        if (sink == "slowBatch") {
+          val deadline = System.currentTimeMillis() + 600000L
+          while (q.recentProgress.map(_.numInputRows).sum < nEvents &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(200L)
+          // a few more empty batches so the last data batch's expirations
+          // are processed before the final metrics read
+          Thread.sleep(2500L)
+        } else q.awaitTermination()
         val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
         val durs = prog.map(_.durationMs.get("triggerExecution").toLong).sorted
         val rows = prog.map(_.numInputRows)
+        // final state-store footprint (the TTL probe's evidence; harmless
+        // context for every other mode): rows + bytes from the LAST
+        // progress event's state operators
+        val sos = q.recentProgress.toSeq.lastOption.toSeq
+          .flatMap(_.stateOperators.toSeq)
+        val stRows = sos.map(_.numRowsTotal).sum
+        val stMem = sos.map(_.memoryUsedBytes).sum
+        // TWS TTL eviction counter (absent on non-TTL operators → 0)
+        val ttlExpired = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+          .flatMap(so => Option(so.customMetrics.get("numValuesRemovedDueToTTLExpiry"))
+            .map(_.longValue())).sum
         q.stop()
         val p50 = if (durs.isEmpty) 0L else durs(durs.size / 2)
         val mx = if (durs.isEmpty) 0L else durs.last
         System.err.println(
-          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms")
-        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx}"""
+          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms state_rows=$stRows state_mem=${stMem}B ttl_expired=$ttlExpired")
+        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx,"state_rows":$stRows,"state_mem_bytes":$stMem,"ttl_expired":$ttlExpired}"""
       }.mkString(",")
       sb.append(s""""x$k":{"n_events":$nEvents,"keys":{$keyJson}}""")
       if (si < scales.size - 1) sb.append(",")

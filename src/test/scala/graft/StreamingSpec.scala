@@ -183,6 +183,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(1).getLong(1) === 1)
   }
 
+  test("custom-state TTL evicts idle keys: the count restarts after expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // a ProcessingTime-mode stateful query never "settles": the operator
+    // keeps requesting batches to advance its clock (that's how timers and
+    // TTL expiry fire), so processAllAvailable/AvailableNow would wait
+    // forever — the test polls the sink and stops the query manually
+    def awaitSinkRows(table: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table(table).count() < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $n rows in $table")
+        Thread.sleep(100L)
+      }
+    }
+    def counts(table: String): Seq[Long] =
+      spark.table(table).filter(col("user_id") === 7)
+        .select("n_events").as[Long].collect().toSeq.sorted
+    def feed(name: String, ttlMs: Option[Long]): Seq[Long] = {
+      val mem = MemoryStream[Ev]
+      val q = Streams.runningUserStatsTtl(mem.toDF(), ttlMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        mem.addData(Ev(1, t(0), 7, "click", 1.5))
+        awaitSinkRows(name, 1)
+        // idle PAST the TTL while empty batches advance processing time
+        Thread.sleep(1600L)
+        mem.addData(Ev(2, t(1), 7, "click", 2.0))
+        awaitSinkRows(name, 2)
+      } finally q.stop()
+      counts(name)
+    }
+    // TTL'd: user 7's ValueState cells expire during the idle gap, so the
+    // second event restarts the accumulation from zero — the eviction
+    // semantics the 100 TB state bound rests on
+    assert(feed("ttl_test", Some(800L)) === Seq(1L, 1L),
+      "idle state must expire between batches")
+    // control, same plan shape: no TTL ⇒ the same feed accumulates
+    assert(feed("ttl_none_test", None) === Seq(1L, 2L),
+      "the TTL-free twin must accumulate")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Ev]
