@@ -790,10 +790,13 @@ class DialectSpec extends AnyFunSuite {
     assert(!sql.contains("BETWEEN"), s"inclusive-BETWEEN drops the final intraday rows: $sql")
   }
 
-  test("GraphQL rejects args on plain nested relations; supports multi-op ranges") {
+  test("GraphQL rejects non-filter args on object relations; supports multi-op ranges") {
+    // round 15: FILTER on a many-to-one relation is now supported (Hasura
+    // object semantics); orderBy/limit stay loud rejections (an
+    // at-most-one-row object has nothing to order or page)
     assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
       """{ orders(limit: 5) { o_orderkey
-           customer(filter: {c_mktsegment: {eq: "BUILDING"}}) { c_name } } }"""))
+           customer(orderBy: ["c_name"]) { c_name } } }"""))
     val ranged = GraphQL.run(spark, d,
       """{ orders(filter: {o_totalprice: {gte: 100000, lte: 200000}},
                   orderBy: ["o_orderkey"], limit: 50) { o_orderkey o_totalprice } }""")
@@ -925,10 +928,12 @@ class DialectSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
       """{ customer(orderBy: ["c_custkey"], limit: 5) {
            c_custkey orders(orderBy: ["o_orderkey"], limit: 2) { o_orderkey } } }"""))
-    // args on a MANY-TO-ONE relation still reject (no row set to select)
+    // round 15: FILTER on a many-to-one relation now plans (Hasura object
+    // semantics — gql_object_filter); row-SELECTION args stay rejected
+    // because an object has no row set to select from
     assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
       """{ orders(orderBy: ["o_orderkey"], limit: 5) {
-           o_orderkey customer(filter: {c_acctbal: {gt: 0}}) { c_name } } }"""))
+           o_orderkey customer(offset: 1) { c_name } } }"""))
     // unknown argument names on the new surface reject like everywhere
     assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
       """{ customer(orderBy: ["c_custkey"]) {
