@@ -478,6 +478,61 @@ object Server {
     }
   }
 
+  /** The user-management JSON protocol (round 15 — the karna-db trio's
+    * last object). The API key is generated server-side and returned
+    * EXACTLY ONCE in the creation response; only its SHA-256 persists.
+    *
+    *   POST   /users {"name"}   → {"created": {"name", "apiKey"}}
+    *   GET    /users            → {"users": [...]}
+    *   DELETE /users/<name>     → {"deleted": name}
+    *
+    * Enforcement is at the HTTP layer: creating the FIRST user turns
+    * bearer-token authentication on for every data/metadata route
+    * (bootstrap rule: that first creation is itself open; every later
+    * /users write authenticates like everything else).
+    */
+  def handleUsers(method: String, name: Option[String],
+                  body: String): (Int, String) = {
+    try {
+      (method, name) match {
+        case ("GET", None) =>
+          val out = mapper.createObjectNode()
+          val arr = out.putArray("users")
+          graft.sources.UserRegistry.list.foreach(arr.add)
+          (200, mapper.writeValueAsString(out))
+        case ("POST", None) =>
+          val node = mapper.readTree(body)
+          val v = node.get("name")
+          require(v != null && v.isTextual, "missing string field 'name'")
+          val (n, key) = graft.sources.UserRegistry.create(v.asText)
+          val out = mapper.createObjectNode()
+          val c = out.putObject("created")
+          c.put("name", n); c.put("apiKey", key)
+          (200, mapper.writeValueAsString(out))
+        case ("DELETE", Some(n)) =>
+          if (!graft.sources.UserRegistry.delete(n))
+            throw new NoSuchElementException(s"no such user: '$n'")
+          val out = mapper.createObjectNode()
+          out.put("deleted", n.toLowerCase)
+          (200, mapper.writeValueAsString(out))
+        case (m, p) =>
+          throw new UnsupportedOperationException(
+            s"unsupported: $m /users${p.fold("")("/" + _)} " +
+              "(GET | POST | DELETE /users/<name>)")
+      }
+    } catch {
+      case e: Throwable =>
+        val err = mapper.createObjectNode()
+        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        val code = e match {
+          case _: NoSuchElementException => 404
+          case _: UnsupportedOperationException => 405
+          case _ => 400
+        }
+        (code, mapper.writeValueAsString(err))
+    }
+  }
+
   /** The browser console (the reference's headline surface — "a blazingly
     * fast web interface to query tabular files", README.md:2): one
     * self-contained static page, shipped as a classpath resource, that
@@ -510,7 +565,27 @@ object Server {
               else JdbcCatalog.connect(d)
       DatasetRegistry.attach(c) // replay durable rows: the restart path
       graft.dialects.SavedQueries.attach(c) // ditto for saved queries
+      graft.sources.UserRegistry.attach(c)  // ditto for users (auth state)
       c
+    }
+
+    /** Bearer-token gate (round 15): identity function while no users
+      * exist (the embedded/trusted default); once a user is created,
+      * every data/metadata route requires `Authorization: Bearer <key>`.
+      * Returns Some((401, body)) when the request must be rejected.
+      */
+    private def authGate(ex: HttpExchange): Option[(Int, String)] = {
+      import graft.sources.UserRegistry
+      if (!UserRegistry.authRequired) None
+      else {
+        val user = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .map(_.trim).filter(_.regionMatches(true, 0, "Bearer ", 0, 7))
+          .map(_.substring(7).trim)
+          .flatMap(UserRegistry.authenticate)
+        if (user.nonEmpty) None
+        else Some((401,
+          """{"error":"authentication required (Authorization: Bearer <api key>; keys are issued by POST /users)"}"""))
+      }
     }
 
     http.createContext("/", new HttpHandler {
@@ -523,13 +598,15 @@ object Server {
     })
 
     http.createContext("/query", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val resp =
-          if (ex.getRequestMethod == "POST") {
-            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            handleJson(spark, body)
-          } else """{"error":"POST a JSON request to /query"}"""
-        reply(ex, 200, resp)
+      override def handle(ex: HttpExchange): Unit = authGate(ex) match {
+        case Some((code, body)) => reply(ex, code, body)
+        case None =>
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              handleJson(spark, body)
+            } else """{"error":"POST a JSON request to /query"}"""
+          reply(ex, 200, resp)
       }
     })
     http.createContext("/health", new HttpHandler {
@@ -538,7 +615,7 @@ object Server {
 
     http.createContext("/datasets", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val (code, resp) =
+        val (code, resp) = authGate(ex).getOrElse {
           if (catalogConn.isEmpty && ex.getRequestMethod != "GET")
             (503, """{"error":"no catalog configured (start the server with a catalog directory to register datasets)"}""")
           else {
@@ -550,6 +627,7 @@ object Server {
               StandardCharsets.UTF_8)
             handleDatasets(ex.getRequestMethod, name, body, Some(spark))
           }
+        }
         reply(ex, code, resp)
       }
     })
@@ -564,7 +642,7 @@ object Server {
         // survives only until restart is a lie
         val isWrite = ex.getRequestMethod == "DELETE" ||
           (ex.getRequestMethod == "POST" && !name.exists(_.endsWith("/run")))
-        val (code, resp) =
+        val (code, resp) = authGate(ex).getOrElse {
           if (catalogConn.isEmpty && isWrite)
             (503, """{"error":"no catalog configured (start the server with a catalog directory to save queries)"}""")
           else {
@@ -572,6 +650,28 @@ object Server {
               StandardCharsets.UTF_8)
             handleQueries(spark, ex.getRequestMethod, name, body)
           }
+        }
+        reply(ex, code, resp)
+      }
+    })
+
+    http.createContext("/users", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val name = Option(ex.getRequestURI.getPath)
+          .map(_.stripPrefix("/users").stripPrefix("/"))
+          .filter(_.nonEmpty)
+        // bootstrap rule: while NO users exist, POST /users is open (how
+        // else would the first key be issued?); once any user exists,
+        // every /users request authenticates like the data routes
+        val (code, resp) = authGate(ex).getOrElse {
+          if (catalogConn.isEmpty && ex.getRequestMethod != "GET")
+            (503, """{"error":"no catalog configured (start the server with a catalog directory to manage users)"}""")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            handleUsers(ex.getRequestMethod, name, body)
+          }
+        }
         reply(ex, code, resp)
       }
     })
@@ -601,7 +701,8 @@ object Server {
     def stop(): Unit = {
       http.stop(0); pool.shutdown()
       catalogConn.foreach { c =>
-        DatasetRegistry.detach(); graft.dialects.SavedQueries.detach(); c.close()
+        DatasetRegistry.detach(); graft.dialects.SavedQueries.detach()
+        graft.sources.UserRegistry.detach(); c.close()
       }
     }
   }

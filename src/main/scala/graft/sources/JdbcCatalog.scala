@@ -128,6 +128,15 @@ object JdbcCatalog {
            name ${dl.typeName("VARCHAR(128)")} NOT NULL PRIMARY KEY,
            dialect ${dl.typeName("VARCHAR(16)")} NOT NULL,
            qtext ${dl.typeName("VARCHAR(4096)")} NOT NULL,
+           created_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP)"""),
+    // v4: users (round 15 — the metadata trio's last object, SURVEY
+    // §1.1 "registered datasets / saved queries / users"). Only the
+    // SHA-256 of the API key is stored; the plaintext is shown exactly
+    // once at creation and never persists anywhere.
+    Seq(
+      s"""CREATE TABLE users (
+           name ${dl.typeName("VARCHAR(128)")} NOT NULL PRIMARY KEY,
+           api_key_hash ${dl.typeName("VARCHAR(64)")} NOT NULL,
            created_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP)""")
   )
 
@@ -335,6 +344,62 @@ object JdbcCatalog {
       val buf = scala.collection.mutable.ListBuffer.empty[SavedQuery]
       while (rs.next())
         buf += SavedQuery(rs.getString(1), rs.getString(2), rs.getString(3))
+      rs.close()
+      buf.toList
+    } finally st.close()
+  }
+
+  /** One durable user: `name → SHA-256(api key)` (round 15 — the trio's
+    * last object). Storage only; key generation/verification lives at
+    * [[UserRegistry]].
+    */
+  final case class User(name: String, apiKeyHash: String)
+
+  /** INSERT-only like saveQuery — duplicate user names are rejected at
+    * the registry and backstopped by the primary key.
+    */
+  def addUser(c: Connection, u: User): Unit = {
+    val dl = dialectOf(c)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { addUserOnce(c, u); done = true }
+      catch {
+        case ex: SQLException
+            if dl.retryableStates(ex.getSQLState) && attempts < 5 =>
+          Thread.sleep(20L * attempts)
+      }
+    }
+  }
+
+  private def addUserOnce(c: Connection, u: User): Unit = {
+    val auto = c.getAutoCommit
+    c.setAutoCommit(false)
+    try {
+      val ins = c.prepareStatement(
+        "INSERT INTO users (name, api_key_hash) VALUES (?, ?)")
+      try {
+        ins.setString(1, u.name); ins.setString(2, u.apiKeyHash)
+        ins.executeUpdate()
+      } finally ins.close()
+      c.commit()
+    } catch {
+      case t: Throwable => c.rollback(); throw t
+    } finally c.setAutoCommit(auto)
+  }
+
+  def deleteUser(c: Connection, name: String): Unit = {
+    val st = c.prepareStatement("DELETE FROM users WHERE name = ?")
+    try { st.setString(1, name); st.executeUpdate() } finally st.close()
+  }
+
+  def loadUsers(c: Connection): Seq[User] = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT name, api_key_hash FROM users ORDER BY name")
+      val buf = scala.collection.mutable.ListBuffer.empty[User]
+      while (rs.next()) buf += User(rs.getString(1), rs.getString(2))
       rs.close()
       buf.toList
     } finally st.close()

@@ -960,6 +960,75 @@ class ServingSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("users: first key bootstraps auth, 401s without it, survives restart, last delete reopens") {
+    import graft.sources.UserRegistry
+    val catDb = Files.createTempDirectory("graft_users").resolve("db").toString
+    val client = HttpClient.newHttpClient()
+    def raw(port: Int, method: String, path: String, body: String = "",
+            token: Option[String] = None): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      }).build()
+      client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    val q = s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}"""
+    val api1 = new Server.HttpApi(spark, 0, Some(catDb))
+    api1.start()
+    val key: String =
+      try {
+        val p = api1.boundPort
+        // the embedded/trusted default: no users ⇒ open
+        assert(raw(p, "POST", "/query", q).statusCode === 200)
+        // bootstrap: the FIRST user creation is open, returns the key ONCE
+        val created = mapper.readTree(
+          raw(p, "POST", "/users", """{"name":"Alice"}""").body())
+        val k = created.get("created").get("apiKey").asText
+        assert(k.startsWith("gk_"), created.toString)
+        assert(created.get("created").get("name").asText === "alice")
+        // auth is now ON: every data/metadata route 401s without a token…
+        assert(raw(p, "POST", "/query", q).statusCode === 401)
+        assert(raw(p, "GET", "/datasets").statusCode === 401)
+        assert(raw(p, "GET", "/queries").statusCode === 401)
+        // …including /users itself (the bootstrap hole closes)
+        assert(raw(p, "POST", "/users", """{"name":"mallory"}""").statusCode === 401)
+        // wrong key is still 401 — presence of a header is not identity
+        assert(raw(p, "POST", "/query", q, Some("gk_wrong")).statusCode === 401)
+        // with the key, everything flows
+        assert(raw(p, "POST", "/query", q, Some(k)).statusCode === 200)
+        val ls = mapper.readTree(raw(p, "GET", "/users", "", Some(k)).body())
+        assert(ls.get("users").get(0).asText === "alice")
+        // liveness + the console page stay open (a probe can't hold a key)
+        assert(raw(p, "GET", "/health").statusCode === 200)
+        assert(raw(p, "GET", "/").statusCode === 200)
+        // duplicate name rejects — re-keying is DELETE + create
+        assert(mapper.readTree(raw(p, "POST", "/users", """{"name":"alice"}""",
+          Some(k)).body()).get("error").asText.contains("already exists"))
+        k
+      } finally api1.stop()
+
+    // restart: only the HASH persisted; the same key must authenticate
+    UserRegistry.delete("alice") // process-only (stop() detached the store)
+    assert(!UserRegistry.authRequired)
+    val api2 = new Server.HttpApi(spark, 0, Some(catDb))
+    api2.start()
+    try {
+      val p = api2.boundPort
+      assert(raw(p, "POST", "/query", q).statusCode === 401,
+        "auth must survive the restart")
+      assert(raw(p, "POST", "/query", q, Some(key)).statusCode === 200)
+      // deleting the LAST user turns auth back off (documented trust model)
+      assert(raw(p, "DELETE", "/users/alice", "", Some(key)).statusCode === 200)
+      assert(raw(p, "POST", "/query", q).statusCode === 200)
+      assert(raw(p, "DELETE", "/users/alice").statusCode === 404)
+    } finally api2.stop()
+    val c = JdbcCatalog.connect(catDb)
+    try assert(JdbcCatalog.loadUsers(c).isEmpty) finally c.close()
+  }
+
   test("a failed durable saved-query write rolls the process entry back") {
     import graft.dialects.SavedQueries
     val dbDir = Files.createTempDirectory("graft_q_rollback").resolve("db").toString
