@@ -270,6 +270,9 @@ object NlFuzz {
     add("how many rows in reg_nations where n_name is GERMANY", claimed = true)
     add("top 3 rows of reg_nations by n_nationkey", claimed = true)
     // unknown column → loud rejection naming the real columns
+    add("number of rows in reg_nations by n_regionkey", claimed = true)
+    add("count of rows in reg_nations by n_name", claimed = true)
+    add("number of rows in reg_nations by bogus_col", claimed = false)
     add("how many rows in reg_nations where bogus_col is 3", claimed = false)
     // type mismatch: a non-numeric literal on a numeric column
     add("how many rows in reg_nations where n_regionkey is GERMANY",

@@ -190,6 +190,12 @@ object NlToSql {
   private val RegCountWhere =
     """(?i)how many rows (?:are )?in (\w+) where (\w+) is ([\w-]+)\s*\??""".r
   private val RegTopK = """(?i)top (\d+) rows of (\w+) by (\w+)""".r
+  // grouped count over a registered dataset ("number of rows in X by
+  // COL") — cannot collide with CountBy: its entity capture is the
+  // literal word "rows" followed by " in <table>", which CountBy's
+  // `<entity> by <dim>` shape cannot span
+  private val RegCountBy =
+    """(?i)(?:number|count) of rows in (\w+) by (\w+)""".r
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
   private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
@@ -389,6 +395,14 @@ object NlToSql {
         case _ => sqlLit(value)
       }
       s"SELECT count(*) AS n_rows FROM $t WHERE ${f.name} = $lit"
+    case RegCountBy(table, column) =>
+      // grouped row count over a registered dataset — the groupBy column
+      // resolves against the cached schema like the other column-level
+      // productions; plain partial-aggregated count, scan stays pruned to
+      // the one column
+      val (t, f, _) = regColumn(table, column)
+      s"""SELECT ${f.name}, count(*) AS cnt FROM $t
+         GROUP BY ${f.name} ORDER BY ${f.name} NULLS FIRST"""
     case RegTopK(n, table, column) =>
       // project-top-k over a registered dataset: all columns, ranked by
       // the named one. Deterministic by construction: the remaining

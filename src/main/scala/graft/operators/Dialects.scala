@@ -510,6 +510,16 @@ object Dialects {
       finally graft.sources.DatasetRegistry.unregister("reg_nations")
     }),
 
+    "nl_reg_count_by" -> ((s, d) => {
+      // grouped count over a registered dataset — the third column-level
+      // production (count-where, top-k, count-by)
+      graft.sources.DatasetRegistry.register(graft.sources.CatalogStore.Entry(
+        "reg_nations2", s"$d/nation.parquet", "parquet"), Some(s))
+      try Server.handle(s, Server.ServeRequest("nl",
+        "number of rows in reg_nations2 by n_regionkey", d))
+      finally graft.sources.DatasetRegistry.unregister("reg_nations2")
+    }),
+
     "serve_saved_query" -> ((s, d) => {
       // the karna-db saved-query surface end-to-end (round 15, verdict
       // item 1): a PARAMETERIZED query saved through the one write path
@@ -774,6 +784,9 @@ object Dialects {
       // cannot change the selected rows or their order
       """SELECT * FROM nation
          ORDER BY n_nationkey DESC NULLS LAST LIMIT 5""",
+    "nl_reg_count_by" ->
+      """SELECT n_regionkey, count(*) AS cnt FROM nation
+         GROUP BY n_regionkey ORDER BY n_regionkey NULLS FIRST""",
     "serve_saved_query" ->
       // the saved text with its bound literals inlined — identical to the
       // serve_sql_param oracle because running a saved query IS the
