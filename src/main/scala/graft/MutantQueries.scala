@@ -1131,6 +1131,58 @@ object MutantQueries {
           .select(col("from_type"), col("to_type"), col("n"),
             expr("n * 10000 div n_from").as("p_bp"))
           .orderBy("from_type", "to_type")
+      }),
+
+    // ---- round 15: the new dialect surfaces, each with its natural
+    // defect class ----
+
+    Mutant("gql_object_filter", "post-join-filter",
+      "object-relation filter applied ABOVE the left join (inner-join semantics mislabeled as Hasura object semantics: parents whose object missed are silently dropped)",
+      "clean", (s, d) => {
+        val o = orders(s, d)
+          .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000)
+        val c = customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        o.join(c, col("o_custkey") === col("c_custkey"), "left")
+          .filter(col("c_mktsegment") === "BUILDING") // BUG: above the join
+          .orderBy(col("o_orderkey")).limit(60)
+          .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+      }),
+
+    Mutant("gql_distinct_on", "limit-off-by-one",
+      "distinct_on keeps rn <= 2 instead of exactly the first row per key (duplicate keys in a one-per-key surface)",
+      "clean", (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d).filter(col("o_orderstatus") === "O")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2) // BUG: two rows per key
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey").limit(40)
+      }),
+
+    Mutant("nl_qualified_dim", "wrong-join-edge",
+      "supplier-qualified nation routed over the CUSTOMER edge (the silent guess the qualifier grammar exists to prevent)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT n_name,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name NULLS FIRST""")
+      }),
+
+    Mutant("serve_saved_query", "wrong-binding",
+      "the saved query runs with a stale param binding (status O instead of the requested F)",
+      "clean", (s, d) => {
+        graft.dialects.SavedQueries.save(s, graft.dialects.SavedQueries.Entry(
+          "mut_priority_rollup", "sql", graft.operators.Dialects.serveSqlParamQuery))
+        try {
+          val e = graft.dialects.SavedQueries.get("mut_priority_rollup").get
+          graft.server.Server.handle(s, graft.server.Server.ServeRequest(
+            e.dialect, e.text, d,
+            params = Map("status" -> "O", "minTotal" -> 200000))) // BUG: O
+        } finally graft.dialects.SavedQueries.delete("mut_priority_rollup")
       })
   )
 
