@@ -86,6 +86,90 @@ object GqlFuzz {
         s"""SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
             FROM orders WHERE $s ORDER BY o_orderkey NULLS FIRST LIMIT 40""")
 
+    // boolean combinators (round 16, verdict item 1): `_and`/`_or`/`_not`
+    // at every nesting depth, crossed with the existing operator set —
+    // the claimed rows parity-check the lowered boolean tree, the rej_
+    // rows pin the loud-rejection contract (empty list, non-list operand,
+    // non-object _not, unknown column inside a combinator).
+    val boolFilters = Seq(
+      ("or", """_or: [{o_orderstatus: {eq: "P"}}, {o_totalprice: {gt: 320000}}]""",
+        "(o_orderstatus = 'P' OR o_totalprice > 320000)"),
+      ("or_one_col",
+        """_or: [{o_orderpriority: {eq: "1-URGENT"}}, {o_orderpriority: {eq: "5-LOW"}}]""",
+        "(o_orderpriority = '1-URGENT' OR o_orderpriority = '5-LOW')"),
+      ("and", """_and: [{o_orderstatus: {eq: "O"}}, {o_totalprice: {gt: 250000}}]""",
+        "(o_orderstatus = 'O' AND o_totalprice > 250000)"),
+      ("not", """_not: {o_orderstatus: {eq: "O"}}""", "NOT (o_orderstatus = 'O')"),
+      ("not_in", """_not: {o_orderstatus: {in: ["O", "F"]}}""",
+        "NOT (o_orderstatus IN ('O', 'F'))"),
+      ("or_nested_and",
+        """_or: [{_and: [{o_orderstatus: {eq: "F"}}, {o_totalprice: {lt: 30000}}]},
+                {o_orderpriority: {eq: "1-URGENT"}}]""",
+        "((o_orderstatus = 'F' AND o_totalprice < 30000) OR o_orderpriority = '1-URGENT')"),
+      ("not_or",
+        """_not: {_or: [{o_orderstatus: {eq: "O"}}, {o_orderstatus: {eq: "F"}}]}""",
+        "NOT (o_orderstatus = 'O' OR o_orderstatus = 'F')"),
+      ("or_sibling_and",
+        // a combinator ANDs with its sibling column entry
+        """o_totalprice: {gt: 200000},
+           _or: [{o_orderstatus: {eq: "O"}}, {o_orderstatus: {eq: "P"}}]""",
+        "o_totalprice > 200000 AND (o_orderstatus = 'O' OR o_orderstatus = 'P')"))
+    for ((nm, g, s) <- boolFilters)
+      add(s"bool_filter_$nm",
+        s"""{ orders(filter: {$g}, orderBy: ["o_orderkey"], limit: 40) {
+              o_orderkey o_totalprice o_orderstatus o_orderpriority } }""",
+        s"""SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+            FROM orders WHERE $s ORDER BY o_orderkey NULLS FIRST LIMIT 40""")
+    // combinators compose with the _agg root's filter AND having (the one
+    // filterCond lowering serves every surface)
+    add("bool_agg_filter_or",
+      """{ orders_agg(groupBy: ["o_orderstatus"],
+                      filter: {_or: [{o_orderpriority: {eq: "1-URGENT"}},
+                                     {o_orderpriority: {eq: "2-HIGH"}}]},
+                      orderBy: ["o_orderstatus"]) {
+            o_orderstatus count sum_o_totalprice } }""",
+      s"""SELECT o_orderstatus, count(*) AS "count", $sumTP
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""")
+    add("bool_having_or",
+      """{ orders_agg(groupBy: ["o_orderpriority"],
+                      having: {_or: [{count: {gt: 4000}},
+                                     {sum_o_totalprice: {lt: 200000000.0}}]},
+                      orderBy: ["o_orderpriority"]) {
+            o_orderpriority count sum_o_totalprice } }""",
+      s"""SELECT * FROM (
+            SELECT o_orderpriority, count(*) AS "count", $sumTP
+            FROM orders GROUP BY 1)
+          WHERE "count" > 4000 OR sum_o_totalprice < 200000000.0
+          ORDER BY o_orderpriority NULLS FIRST""")
+    // ... and with a relation-level filter (object relation, round 15)
+    add("bool_relation_filter_or",
+      """{ orders(filter: {o_orderstatus: {eq: "P"}}, orderBy: ["o_orderkey"], limit: 30) {
+            o_orderkey customer(filter: {_or: [{c_mktsegment: {eq: "BUILDING"}},
+                                               {c_acctbal: {lt: 0}}]}) { c_name } } }""",
+      """SELECT o_orderkey, c_name
+         FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey AND (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+         WHERE o_orderstatus = 'P'
+         ORDER BY o_orderkey NULLS FIRST LIMIT 30""")
+    // loud-rejection contract for the combinator grammar
+    add("rej_bool_empty_or",
+      """{ orders(filter: {_or: []}, orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey } }""")
+    add("rej_bool_and_not_list",
+      """{ orders(filter: {_and: {o_orderstatus: {eq: "O"}}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_bool_not_not_object",
+      """{ orders(filter: {_not: [{o_orderstatus: {eq: "O"}}]},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_bool_or_item_not_object",
+      """{ orders(filter: {_or: [5, {o_orderstatus: {eq: "O"}}]},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_bool_unknown_col_inside",
+      """{ orders(filter: {_or: [{o_bogus: {eq: 1}}]},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+
     add("raw_order_desc",
       """{ orders(filter: {o_orderstatus: {eq: "F"}},
                   orderBy: ["-o_totalprice", "o_orderkey"], limit: 25) {

