@@ -1172,6 +1172,46 @@ object MutantQueries {
           GROUP BY n_name ORDER BY n_name NULLS FIRST""")
       }),
 
+    // ---- round 16: the boolean-combinator / twin-alias / registered-
+    // aggregate surfaces, each with its natural defect class ----
+
+    Mutant("gql_filter_bool", "dropped-not",
+      "the _not combinator silently ignored (the filter keeps P-status orders the query excludes; ~30 of the top 80 rows are P on the clean fixture)",
+      "clean", (s, d) =>
+        orders(s, d)
+          .filter((col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH") &&
+            col("o_totalprice") > 200000) // BUG: NOT(o_orderstatus = P) gone
+          .orderBy("o_orderkey").limit(80)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice")),
+
+    Mutant("nl_qualified_pair", "alias-collapse",
+      "both qualified output columns read the SUPPLIER alias (the twin nation join exists but the customer qualifier resolves to the wrong alias — the exact collision the aliasing exists to prevent)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT n_sup.n_name AS supplier_nation,
+            n_sup.n_name AS customer_nation,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n_sup ON s_nationkey = n_sup.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey
+          GROUP BY n_sup.n_name
+          ORDER BY supplier_nation NULLS FIRST, customer_nation NULLS FIRST""")
+      }),
+
+    Mutant("nl_reg_total_by", "precision-truncation",
+      "the registered-dataset measure accumulates at DECIMAL(18,0) — per-row rounding to whole units before the sum (the money-discipline scale dropped)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT event_type,
+            CAST(round(sum(CAST(value AS DECIMAL(18,0))), 4) AS DOUBLE) AS total
+          FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")
+      }),
+
     Mutant("serve_saved_query", "wrong-binding",
       "the saved query runs with a stale param binding (status O instead of the requested F)",
       "clean", (s, d) => {

@@ -135,9 +135,28 @@ object StreamRehearsal {
       (e: DataFrame) => streaming.Streams.runningUserStatsTtl(e, Some(1000L)),
       "update", "slowBatch"))
 
+  /** Event-time-timer probe (round 16, verdict item 7): the
+    * [[streaming.Streams.sessionizeStream]] gap sessionizer — one
+    * registered timer per open session, fired by WATERMARK passage, in
+    * TimeMode.EventTime — measured over the file stream at ×k. The gap is
+    * the batch `sessionize` key's 4 hours; the corpus spans a month, so
+    * sessions whose gap elapses inside the run close as the watermark
+    * sweeps forward across triggers (the `emitted` ledger counts them via
+    * the countBatch sink), and still-open sessions remain as state rows —
+    * BOTH numbers land in the JSON. Unlike the TTL probe this leg runs
+    * AvailableNow to natural termination: event-time timers need no
+    * processing-time batches, which is exactly the semantics difference
+    * the probe documents.
+    */
+  private def timerPlans: Seq[(String, DataFrame => DataFrame, String, String)] = Seq(
+    ("session_timer_evt",
+      (e: DataFrame) => streaming.Streams.sessionizeStream(
+        e, gapMs = 4L * 3600 * 1000, delay = "1 minute"),
+      "append", "countBatch"))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [whale|ttl]")
+      "usage: graft.StreamRehearsal <srcSfDir> <outBase> <outJson> [k1,k2,...] [whale|ttl|timer]")
     val src = args(0)
     val outBase = args(1)
     val outJson = args(2)
@@ -146,6 +165,7 @@ object StreamRehearsal {
     val mode = if (args.length > 4) args(4) else "stream"
     val whale = mode == "whale"
     val ttlMode = mode == "ttl"
+    val timerMode = mode == "timer"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -157,7 +177,8 @@ object StreamRehearsal {
 
     val sb = new StringBuilder
     sb.append("{\"src\":\"").append(src).append("\",\"mode\":\"")
-      .append(if (whale) "stream_whale" else if (ttlMode) "stream_ttl" else "stream")
+      .append(if (whale) "stream_whale" else if (ttlMode) "stream_ttl"
+        else if (timerMode) "stream_timer" else "stream")
       .append("\"")
       .append(",\"n_files\":").append(NFiles)
       .append(",\"files_per_trigger\":").append(FilesPerTrigger)
@@ -188,16 +209,35 @@ object StreamRehearsal {
       // quota then carries ×k the rows as the corpus grows. TTL mode
       // range-partitions by user so each trigger brings a disjoint key
       // range (see ttlPlans — eviction needs keys that go idle)
+      // Timer mode range-partitions by ts AND staggers file mod-times in
+      // range order: the file source feeds triggers oldest-time-range
+      // first, so the watermark sweeps FORWARD and closes sessions
+      // incrementally — a random shuffle would jump the watermark to ~max
+      // on trigger 1 and drop every later file's rows as late, measuring
+      // nothing
       val filed = if (ttlMode) shaped.repartitionByRange(NFiles, col("user_id"))
+                  else if (timerMode) shaped.repartitionByRange(NFiles, col("ts"))
                   else shaped.repartition(NFiles)
       filed.write.mode("overwrite").parquet(dir)
+      if (timerMode) {
+        val base = System.currentTimeMillis() - 3600000L
+        new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(base + i * 10000L)
+          }
+      }
       val nEvents = spark.read.parquet(dir).count()
       System.err.println(s"[stream] x$k: $nEvents events in $NFiles files")
 
       val measured = if (whale) whalePlans(spark, src)
                      else if (ttlMode) ttlPlans
+                     else if (timerMode) timerPlans
                      else plans(spark, src)
       val keyJson = measured.map { case (key, plan, mode, sink) =>
+        // cumulative input-row ledger for the slowBatch drain (NOT the
+        // bounded recentProgress buffer; see the slowBatch comment)
+        val drained = new java.util.concurrent.atomic.AtomicLong(0L)
         val writer = plan(streaming.Streams.readEventsStream(spark, dir,
             Some(FilesPerTrigger)))
           .writeStream
@@ -211,20 +251,34 @@ object StreamRehearsal {
             }.start()
           case "slowBatch" =>
             // consume, then sleep PAST the TTL so keys whose file ranges
-            // are already drained expire DURING the run, not just at idle
+            // are already drained expire DURING the run, not just at idle.
+            // Input rows are ledgered HERE (round-15 ADVICE): summing
+            // q.recentProgress is a ring buffer capped at
+            // numRecentProgressUpdates (default 100), and ProcessingTime
+            // mode emits periodic no-data progress events that would evict
+            // data batches on a longer run — the sum would permanently
+            // undercount and the drain would spin to its deadline
             writer.foreachBatch { (batch: DataFrame, _: Long) =>
-              if (batch.count() > 0) Thread.sleep(1500L)
+              val n = batch.count()
+              drained.addAndGet(n)
+              if (n > 0) Thread.sleep(1500L)
+            }.start()
+          case "countBatch" =>
+            // append-mode emission ledger: for the timer leg, each batch's
+            // rows ARE the sessions the watermark just closed
+            writer.foreachBatch { (batch: DataFrame, _: Long) =>
+              drained.addAndGet(batch.count()); ()
             }.start()
           case _ => writer.format("noop").start()
         }
         // a ProcessingTime-mode stateful query never terminates (the
         // operator keeps requesting batches to advance its clock — that
-        // is HOW TTL expiry fires), so the ttl legs drain the source by
-        // polling cumulative input rows and stop manually; every other
+        // is HOW TTL expiry fires), so the ttl legs drain the source via
+        // the sink-side cumulative ledger and stop manually; every other
         // leg runs AvailableNow to completion
         if (sink == "slowBatch") {
           val deadline = System.currentTimeMillis() + 600000L
-          while (q.recentProgress.map(_.numInputRows).sum < nEvents &&
+          while (drained.get() < nEvents &&
                  System.currentTimeMillis() < deadline) Thread.sleep(200L)
           // a few more empty batches so the last data batch's expirations
           // are processed before the final metrics read
@@ -248,8 +302,8 @@ object StreamRehearsal {
         val p50 = if (durs.isEmpty) 0L else durs(durs.size / 2)
         val mx = if (durs.isEmpty) 0L else durs.last
         System.err.println(
-          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms state_rows=$stRows state_mem=${stMem}B ttl_expired=$ttlExpired")
-        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx,"state_rows":$stRows,"state_mem_bytes":$stMem,"ttl_expired":$ttlExpired}"""
+          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms state_rows=$stRows state_mem=${stMem}B ttl_expired=$ttlExpired emitted=${drained.get()}")
+        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx,"state_rows":$stRows,"state_mem_bytes":$stMem,"ttl_expired":$ttlExpired,"emitted":${drained.get()}}"""
       }.mkString(",")
       sb.append(s""""x$k":{"n_events":$nEvents,"keys":{$keyJson}}""")
       if (si < scales.size - 1) sb.append(",")

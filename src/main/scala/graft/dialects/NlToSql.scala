@@ -406,9 +406,16 @@ object NlToSql {
     require(TableRegistry.allNames(t), s"unknown table: $table")
     val schema = TableRegistry.cachedSchema(t).getOrElse(
       throw new IllegalArgumentException(
-        s"no cached schema for '$t' — column-level questions work on " +
-          "REGISTERED datasets (fixture tables use the catalog " +
-          "vocabulary, e.g. 'number of orders by status')"))
+        if (TableRegistry.isDynamic(t))
+          // round-15 ADVICE: a replayed registration whose warm-up probe
+          // failed must not masquerade as the fixture-table rejection
+          s"dataset '$t' is registered but its schema is not loaded yet " +
+            "(its path may be unreadable; run any SQL query against it " +
+            "or re-register to load the schema)"
+        else
+          s"no cached schema for '$t' — column-level questions work on " +
+            "REGISTERED datasets (fixture tables use the catalog " +
+            "vocabulary, e.g. 'number of orders by status')"))
     val f = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
       throw new IllegalArgumentException(
         s"table '$t' has no column '$column' " +
@@ -1047,7 +1054,16 @@ object NlToSql {
         case (Some((j1, q1)), Some((j2, q2))) if t1 != t2 =>
           val a1 = d1.trim.toLowerCase.replace(' ', '_')
           val a2 = d2.trim.toLowerCase.replace(' ', '_')
-          s"""SELECT $q1.$c1 AS $a1, $q2.$c2 AS $a2,
+          // the twice-joined table is the ONE scale-invariant dim in the
+          // catalog (nation: 25 rows at ANY SF), so both aliases carry an
+          // explicit BROADCAST hint — the 100 TB plan, pinned in
+          // PlanEvidenceSpec under autoBroadcastJoinThreshold=-1. The
+          // SF-dependent intermediates (supplier / orders / customer)
+          // deliberately stay Catalyst/AQE's call, per the NL discipline
+          // above. DuckDB reads the hint as a plain block comment, so the
+          // oracle text is THIS string unchanged.
+          s"""SELECT /*+ BROADCAST($q1), BROADCAST($q2) */
+             $q1.$c1 AS $a1, $q2.$c2 AS $a2,
              CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
              FROM $fact $j1 $j2 GROUP BY $q1.$c1, $q2.$c2
              ORDER BY $a1 NULLS FIRST, $a2 NULLS FIRST"""

@@ -116,10 +116,16 @@ object SavedQueries {
   /** Durable-first delete, mirroring DatasetRegistry.unregister: a failed
     * durable delete leaves the entry registered in BOTH stores instead of
     * a row that silently resurrects the "deleted" query on restart.
+    * Returns true if EITHER store held the row — a durable row the process
+    * map lacks (a peer process sharing the catalog wrote it; DEPLOY.md §5)
+    * is still a real delete, not a 404. Note saves/deletes still do not
+    * propagate to live peers until their restart — same single-writer
+    * limitation documented for datasets.
     */
   def delete(name: String): Boolean = synchronized {
-    durable.foreach(JdbcCatalog.deleteQuery(_, name.toLowerCase))
-    process.remove(name.toLowerCase) != null
+    val n = name.toLowerCase
+    val inDurable = durable.exists(JdbcCatalog.deleteQuery(_, n))
+    process.remove(n) != null || inDurable
   }
 
   def get(name: String): Option[Entry] = Option(process.get(name.toLowerCase))

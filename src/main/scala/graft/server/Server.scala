@@ -130,6 +130,21 @@ object Server {
     * warning and falls back to the default (round-15 ADVICE).
     */
   @volatile private[graft] var timeoutOverrideMs: Option[Long] = None
+
+  /** Optional bootstrap gate for the trust-on-first-use window (round-15
+    * verdict item 5): while NO users exist the server is open by design —
+    * but on a networked deploy that means whoever reaches the port first
+    * mints the first key. Setting GRAFT_BOOTSTRAP_TOKEN closes the race:
+    * the FIRST `POST /users` must then present the token as its bearer
+    * credential. Unset (the embedded/trusted default) nothing changes.
+    * Outer Option is the test seam (specs can't set process env);
+    * inner Option is "no token configured".
+    */
+  @volatile private[graft] var bootstrapTokenOverride: Option[Option[String]] = None
+  private lazy val envBootstrapToken: Option[String] =
+    sys.env.get("GRAFT_BOOTSTRAP_TOKEN").map(_.trim).filter(_.nonEmpty)
+  private[graft] def bootstrapToken: Option[String] =
+    bootstrapTokenOverride.getOrElse(envBootstrapToken)
   val DefaultQueryTimeoutMs = 300000L
   private lazy val envTimeoutMs: Long =
     sys.env.get("GRAFT_QUERY_TIMEOUT_MS").map(_.trim) match {
@@ -152,22 +167,26 @@ object Server {
     })
 
   /** Does this exception (or any cause in its chain) look like Spark's
-    * job-group cancellation? Spark signals a watchdog cancel as a
-    * SparkException whose message names the cancelled job / job group
-    * ("cancelled part of cancelled job group …"), or as the executor
-    * thread's InterruptedException (interruptOnCancel). Message matching
-    * is the only stable surface Spark offers here — there is no dedicated
-    * CancellationException subtype — and it runs only when the watchdog
-    * HAS fired, so a false negative merely surfaces the raw SparkException.
+    * cancellation of OUR job group? Spark signals a watchdog cancel as a
+    * SparkException whose message names the cancelled job group ("Job N
+    * cancelled part of cancelled job group graft-serve-…"), or as the
+    * executor thread's InterruptedException (interruptOnCancel). Matching
+    * on the watchdog's own group id — a fresh UUID per request, known at
+    * cancel time — is the narrow test the round-15 ADVICE asked for: a
+    * genuine failure whose message merely mentions "cancel" (e.g. a
+    * user-visible error quoting some other cancelled stage) racing the
+    * deadline is NOT relabeled as a serving timeout. Message matching is
+    * the only surface Spark offers (no CancellationException subtype),
+    * and it runs only when the watchdog HAS fired, so a false negative
+    * merely surfaces the raw SparkException.
     */
-  private def isCancellation(t: Throwable): Boolean = {
+  private def isCancellation(t: Throwable, group: String): Boolean = {
     var c: Throwable = t
     while (c != null) {
       val cancelled = c match {
         case _: InterruptedException => true
         case se: org.apache.spark.SparkException =>
-          val m = Option(se.getMessage).getOrElse("").toLowerCase
-          m.contains("cancel") || m.contains("job group")
+          Option(se.getMessage).getOrElse("").contains(group)
         case _ => false
       }
       if (cancelled) return true
@@ -198,7 +217,7 @@ object Server {
         // an unrelated failure racing the deadline (timedOut flips, then
         // the query dies of its own bug) must surface its REAL error, not
         // a misleading timeout wrapper (round-15 ADVICE)
-        case e: Throwable if timedOut.get() && isCancellation(e) =>
+        case e: Throwable if timedOut.get() && isCancellation(e, group) =>
           throw new IllegalStateException(
             s"query exceeded the ${ms}ms serving timeout and was cancelled " +
               "(raise GRAFT_QUERY_TIMEOUT_MS or narrow the query)", e)
@@ -566,6 +585,7 @@ object Server {
       DatasetRegistry.attach(c) // replay durable rows: the restart path
       graft.dialects.SavedQueries.attach(c) // ditto for saved queries
       graft.sources.UserRegistry.attach(c)  // ditto for users (auth state)
+      DatasetRegistry.warmSchemas(spark) // replayed NL columns work pre-traffic
       c
     }
 
@@ -574,19 +594,39 @@ object Server {
       * every data/metadata route requires `Authorization: Bearer <key>`.
       * Returns Some((401, body)) when the request must be rejected.
       */
+    private def bearer(ex: HttpExchange): Option[String] =
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .map(_.trim).filter(_.regionMatches(true, 0, "Bearer ", 0, 7))
+        .map(_.substring(7).trim)
+
     private def authGate(ex: HttpExchange): Option[(Int, String)] = {
       import graft.sources.UserRegistry
       if (!UserRegistry.authRequired) None
       else {
-        val user = Option(ex.getRequestHeaders.getFirst("Authorization"))
-          .map(_.trim).filter(_.regionMatches(true, 0, "Bearer ", 0, 7))
-          .map(_.substring(7).trim)
-          .flatMap(UserRegistry.authenticate)
+        val user = bearer(ex).flatMap(UserRegistry.authenticate)
         if (user.nonEmpty) None
         else Some((401,
           """{"error":"authentication required (Authorization: Bearer <api key>; keys are issued by POST /users)"}"""))
       }
     }
+
+    /** The trust-on-first-use closure: while no users exist and a
+      * bootstrap token is configured, POST /users must present it.
+      * Constant-time comparison — the token is a credential.
+      */
+    private def bootstrapGate(ex: HttpExchange): Option[(Int, String)] =
+      bootstrapToken match {
+        case Some(tok) if !graft.sources.UserRegistry.authRequired &&
+            ex.getRequestMethod == "POST" =>
+          val ok = bearer(ex).exists(p =>
+            java.security.MessageDigest.isEqual(
+              p.getBytes(StandardCharsets.UTF_8),
+              tok.getBytes(StandardCharsets.UTF_8)))
+          if (ok) None
+          else Some((401,
+            """{"error":"bootstrap token required (Authorization: Bearer <GRAFT_BOOTSTRAP_TOKEN>) to create the first user"}"""))
+        case _ => None
+      }
 
     http.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
@@ -661,9 +701,10 @@ object Server {
           .map(_.stripPrefix("/users").stripPrefix("/"))
           .filter(_.nonEmpty)
         // bootstrap rule: while NO users exist, POST /users is open (how
-        // else would the first key be issued?); once any user exists,
-        // every /users request authenticates like the data routes
-        val (code, resp) = authGate(ex).getOrElse {
+        // else would the first key be issued?) unless GRAFT_BOOTSTRAP_TOKEN
+        // closes that window; once any user exists, every /users request
+        // authenticates like the data routes
+        val (code, resp) = bootstrapGate(ex).orElse(authGate(ex)).getOrElse {
           if (catalogConn.isEmpty && ex.getRequestMethod != "GET")
             (503, """{"error":"no catalog configured (start the server with a catalog directory to manage users)"}""")
           else {

@@ -44,6 +44,24 @@ object DatasetRegistry {
     JdbcCatalog.load(c).foreach(TableRegistry.registerDynamic)
   }
 
+  /** Warm the schema cache for every replayed registration (round-15
+    * ADVICE: after a restart, NL column-level questions over a replayed
+    * dataset rejected until an unrelated SQL/GraphQL request happened to
+    * load it — the same question's outcome depended on request history).
+    * Bad paths are skipped with a warning, the registerAll discipline:
+    * a broken entry must not block startup, and regColumn's miss text
+    * tells the user its schema is unloaded.
+    */
+  def warmSchemas(s: SparkSession): Unit =
+    TableRegistry.dynamicEntries.foreach { e =>
+      try { TableRegistry.loadEntry(s, e); () }
+      catch {
+        case scala.util.control.NonFatal(t) => System.err.println(
+          s"[graft] WARN: schema warm skipped for dataset '${e.name}' at " +
+            s"'${e.path}': ${t.getMessage}")
+      }
+    }
+
   /** Detach (tests / shutdown). Process-registry entries remain until
     * individually unregistered — detaching must not yank tables out from
     * under in-flight queries.
@@ -123,8 +141,10 @@ object DatasetRegistry {
     // left a row that silently resurrected the "unregistered" dataset on
     // restart; durable-first keeps the stores agreeing on failure: the
     // entry stays registered in both)
-    durable.foreach(JdbcCatalog.unregister(_, name.toLowerCase))
-    TableRegistry.unregisterDynamic(name)
+    // success if EITHER store held the row: a durable row this process
+    // never loaded (a peer sharing the catalog wrote it) is a real delete
+    val inDurable = durable.exists(JdbcCatalog.unregister(_, name.toLowerCase))
+    TableRegistry.unregisterDynamic(name) || inDurable
   }
 
   def list: Seq[CatalogStore.Entry] = TableRegistry.dynamicEntries

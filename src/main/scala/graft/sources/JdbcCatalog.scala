@@ -266,9 +266,9 @@ object JdbcCatalog {
     } finally c.setAutoCommit(auto)
   }
 
-  def unregister(c: Connection, name: String): Unit = {
+  def unregister(c: Connection, name: String): Boolean = {
     val st = c.prepareStatement("DELETE FROM datasets WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() } finally st.close()
+    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
   }
 
   def load(c: Connection): Seq[CatalogStore.Entry] = {
@@ -331,9 +331,9 @@ object JdbcCatalog {
     } finally c.setAutoCommit(auto)
   }
 
-  def deleteQuery(c: Connection, name: String): Unit = {
+  def deleteQuery(c: Connection, name: String): Boolean = {
     val st = c.prepareStatement("DELETE FROM saved_queries WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() } finally st.close()
+    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
   }
 
   def loadQueries(c: Connection): Seq[SavedQuery] = {
@@ -389,9 +389,9 @@ object JdbcCatalog {
     } finally c.setAutoCommit(auto)
   }
 
-  def deleteUser(c: Connection, name: String): Unit = {
+  def deleteUser(c: Connection, name: String): Boolean = {
     val st = c.prepareStatement("DELETE FROM users WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() } finally st.close()
+    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
   }
 
   def loadUsers(c: Connection): Seq[User] = {

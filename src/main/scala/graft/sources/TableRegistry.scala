@@ -72,6 +72,8 @@ object TableRegistry {
     dynamic.remove(name.toLowerCase) != null
   }
 
+  def isDynamic(name: String): Boolean = dynamic.containsKey(name.toLowerCase)
+
   def dynamicEntries: Seq[CatalogStore.Entry] = {
     import scala.jdk.CollectionConverters._
     dynamic.values.asScala.toSeq.sortBy(_.name)

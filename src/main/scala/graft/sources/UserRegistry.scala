@@ -36,6 +36,12 @@ object UserRegistry {
   private val process =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** SHA-256(api key) hex → name: the authenticate-path reverse index,
+    * maintained in lockstep with `process` under this object's lock.
+    */
+  private val byHash =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val rng = new java.security.SecureRandom()
 
   def sha256Hex(s: String): String =
@@ -45,7 +51,10 @@ object UserRegistry {
 
   def attach(c: Connection): Unit = synchronized {
     durable = Some(c)
-    JdbcCatalog.loadUsers(c).foreach(u => process.put(u.name, u.apiKeyHash))
+    JdbcCatalog.loadUsers(c).foreach { u =>
+      process.put(u.name, u.apiKeyHash)
+      byHash.put(u.apiKeyHash, u.name)
+    }
   }
 
   def detach(): Unit = synchronized { durable = None }
@@ -71,24 +80,41 @@ object UserRegistry {
       .encodeToString(bytes)
     val hash = sha256Hex(key)
     process.put(name, hash)
+    byHash.put(hash, name)
     try durable.foreach(JdbcCatalog.addUser(_, JdbcCatalog.User(name, hash)))
-    catch { case t: Throwable => process.remove(name); throw t }
+    catch {
+      case t: Throwable =>
+        process.remove(name); byHash.remove(hash); throw t
+    }
     (name, key)
   }
 
-  /** Durable-first delete (the register-rollback mirror). */
+  /** Durable-first delete (the register-rollback mirror). Returns true if
+    * EITHER store held the row: a durable row the process map lacks (e.g.
+    * a peer process sharing the catalog wrote it) is still a real delete,
+    * not a 404.
+    */
   def delete(name: String): Boolean = synchronized {
-    durable.foreach(JdbcCatalog.deleteUser(_, name.toLowerCase))
-    process.remove(name.toLowerCase) != null
+    val n = name.toLowerCase
+    val inDurable = durable.exists(JdbcCatalog.deleteUser(_, n))
+    val prior = process.remove(n)
+    if (prior != null) byHash.remove(prior)
+    prior != null || inDurable
   }
 
-  /** Resolve a presented API key to its user, constant-shape lookup over
-    * the hash map (the key is hashed once; no plaintext comparison).
+  /** Resolve a presented API key to its user: hash once, O(1) lookup on
+    * the hash→name index, then a constant-time byte comparison
+    * (MessageDigest.isEqual) between the presented and stored digests —
+    * never a plaintext or early-exit String comparison.
     */
   def authenticate(apiKey: String): Option[String] = {
     val h = sha256Hex(apiKey)
-    import scala.jdk.CollectionConverters._
-    process.entrySet().asScala.find(_.getValue == h).map(_.getKey)
+    Option(byHash.get(h)).filter { name =>
+      val stored = process.get(name)
+      stored != null && java.security.MessageDigest.isEqual(
+        stored.getBytes(StandardCharsets.UTF_8),
+        h.getBytes(StandardCharsets.UTF_8))
+    }
   }
 
   def list: Seq[String] = {

@@ -275,6 +275,94 @@ object Streams {
           .as("total_value"))
   }
 
+  /** Event-time-timer sessionizer (round 16, verdict item 7 — the timer
+    * surface of `transformWithState`; the TTL probe covers only
+    * processing time). One armed timer per key closes a gap session in
+    * EVENT time: each input batch merges the key's events into the open
+    * session (count, min/max event-time ms) and re-arms the key's single
+    * timer at `last + gapMs`; when the WATERMARK passes that expiry,
+    * `handleExpiredTimer` emits the closed session and clears the state
+    * — so a session closes because the event-time clock moved, never
+    * because a wall clock did. This is the streaming twin of the batch
+    * `sessionize` key's gaps-and-islands definition (Windows.sessionTag):
+    * out-of-order events inside the watermark tolerance land in the
+    * right session because the merge is min/max, not append. At 100 TB
+    * the state store holds one (n, start, last) triple + one timer per
+    * OPEN session — closed sessions leave the store immediately, which
+    * is what keeps an unbounded key population finite without a TTL.
+    * Timer discipline: re-arming DELETES the previous timer first —
+    * Spark keys timers by (key, expiry), so an undeleted stale timer
+    * would close the session at the OLD expiry with the merged state
+    * and leave the re-armed timer to fire on empty state.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var nState: ValueState[Long] = _
+    @transient private var startState: ValueState[Long] = _
+    @transient private var lastState: ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", E.scalaLong, TTLConfig.NONE)
+      startState = getHandle.getValueState[Long]("start", E.scalaLong, TTLConfig.NONE)
+      lastState = getHandle.getValueState[Long]("last", E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val prevLast = if (lastState.exists()) Some(lastState.get()) else None
+      var n = if (nState.exists()) nState.get() else 0L
+      var start = if (startState.exists()) startState.get() else Long.MaxValue
+      var last = prevLast.getOrElse(Long.MinValue)
+      rows.foreach { case (_, ts) =>
+        val ms = ts.getTime
+        n += 1
+        if (ms < start) start = ms
+        if (ms > last) last = ms
+      }
+      if (!prevLast.contains(last)) {
+        prevLast.foreach(pl => getHandle.deleteTimer(pl + gapMs))
+        getHandle.registerTimer(last + gapMs)
+      }
+      nState.update(n); startState.update(start); lastState.update(last)
+      Iterator.empty // sessions emit on CLOSE, not per event
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val out = Iterator((key, nState.get(), startState.get(), lastState.get()))
+      nState.clear(); startState.clear(); lastState.clear()
+      out
+    }
+  }
+
+  /** Streaming gap-sessionization via event-time timers — the
+    * [[SessionTimerProcessor]] wired to a watermarked stream. Emits one
+    * row per CLOSED session: (user_id, n_events, session_start_ms,
+    * session_end_ms). `delay` is the out-of-orderness tolerance
+    * (`withWatermark`); sessions close when the watermark passes
+    * last-event + gap. TimeMode.EventTime requires the watermark — a
+    * stream without one rejects at plan time, loudly.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long,
+                       delay: String = "10 seconds"): DataFrame = {
+    val s = events.sparkSession
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftStateStoreBootstrap.ensureCoordinator()
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "session_start_ms", "session_end_ms")
+  }
+
   /** Spark 4 `transformWithState` processor (the arbitrary-state API that
     * supersedes flatMapGroupsWithState): per-user running (event count,
     * max value) held in two `ValueState` cells. Streaming mode accumulates

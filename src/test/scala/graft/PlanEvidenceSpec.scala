@@ -516,6 +516,23 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("nl_qualified_pair: both aliased nation sides broadcast by OUR hint; fact never broadcast") {
+    // the round-16 twin-qualified production lowers to the
+    // q_volume_shipping join shape (lineitem ⋈ supplier ⋈ nation n_sup;
+    // ⋈ orders ⋈ customer ⋈ nation n_cust). nation is the one
+    // scale-invariant dim (25 rows at ANY SF), so the generated SQL
+    // carries explicit BROADCAST hints on both aliases — asserted here
+    // under autoBroadcastJoinThreshold=-1 so the broadcasts are the
+    // hints, not AQE's small-SF shortcut. The SF-dependent intermediates
+    // (supplier/orders/customer) stay Catalyst/AQE's call per the NL
+    // leave-strategy-to-Catalyst discipline (NlToSql.scala joinPath doc).
+    val p = planNoAutoBroadcast(Dialects.queries("nl_qualified_pair")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both hinted nation aliases must plan broadcast joins:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_promo_revenue broadcasts the part dim; shipdate month pushed to the fact scan") {
     val p = planNoAutoBroadcast(Composites.queries("q_promo_revenue")(spark, d))
     assert(p.contains("BroadcastHashJoin"), p)

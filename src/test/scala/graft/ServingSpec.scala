@@ -1029,6 +1029,137 @@ class ServingSpec extends AnyFunSuite {
     try assert(JdbcCatalog.loadUsers(c).isEmpty) finally c.close()
   }
 
+  test("GRAFT_BOOTSTRAP_TOKEN closes the trust-on-first-use window for POST /users") {
+    val catDb = Files.createTempDirectory("graft_boot").resolve("db").toString
+    val client = HttpClient.newHttpClient()
+    def raw(port: Int, method: String, path: String, body: String = "",
+            token: Option[String] = None): HttpResponse[String] = {
+      var b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      }).build()
+      client.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    val q = s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}"""
+    Server.bootstrapTokenOverride = Some(Some("boot_secret"))
+    val api = new Server.HttpApi(spark, 0, Some(catDb))
+    api.start()
+    try {
+      val p = api.boundPort
+      // the token gates ONLY user creation — data routes stay open while
+      // no users exist (the embedded default is unchanged)
+      assert(raw(p, "POST", "/query", q).statusCode === 200)
+      // first-user creation now requires the bootstrap token
+      val noTok = raw(p, "POST", "/users", """{"name":"alice"}""")
+      assert(noTok.statusCode === 401, noTok.body())
+      assert(noTok.body().contains("bootstrap token"), noTok.body())
+      assert(raw(p, "POST", "/users", """{"name":"alice"}""",
+        Some("wrong")).statusCode === 401)
+      val created = raw(p, "POST", "/users", """{"name":"alice"}""",
+        Some("boot_secret"))
+      assert(created.statusCode === 200, created.body())
+      val key = mapper.readTree(created.body())
+        .get("created").get("apiKey").asText
+      // once a user exists the bootstrap token is no longer a credential:
+      // further /users writes need a real API key
+      assert(raw(p, "POST", "/users", """{"name":"bob"}""",
+        Some("boot_secret")).statusCode === 401)
+      assert(raw(p, "POST", "/users", """{"name":"bob"}""",
+        Some(key)).statusCode === 200)
+      raw(p, "DELETE", "/users/bob", "", Some(key))
+      raw(p, "DELETE", "/users/alice", "", Some(key))
+    } finally {
+      Server.bootstrapTokenOverride = None
+      api.stop()
+      graft.sources.UserRegistry.delete("alice")
+      graft.sources.UserRegistry.delete("bob")
+    }
+  }
+
+  test("replayed registrations answer NL column questions as the FIRST request (schema warm on attach)") {
+    val catDb = Files.createTempDirectory("graft_warm").resolve("db").toString
+    val client = HttpClient.newHttpClient()
+    def call(port: Int, body: String) = {
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    }
+    val nTen = spark.read.parquet(s"$d/part.parquet")
+      .where("p_size = 10").count()
+    val api1 = new Server.HttpApi(spark, 0, Some(catDb))
+    api1.start()
+    try {
+      val p = api1.boundPort
+      val client2 = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$p/datasets"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"name":"warm_parts","path":"$d/part.parquet","format":"parquet"}"""))
+        .build()
+      client2.send(req, HttpResponse.BodyHandlers.ofString())
+    } finally api1.stop()
+
+    // simulate a new JVM: the process registry forgets the name AND its
+    // cached schema (unregisterDynamic clears both)
+    TableRegistry.unregisterDynamic("warm_parts")
+    val api2 = new Server.HttpApi(spark, 0, Some(catDb))
+    api2.start()
+    try {
+      val p = api2.boundPort
+      // round-15 ADVICE: this NL column-level question previously rejected
+      // until an unrelated SQL/GraphQL request warmed the schema cache —
+      // the same question's outcome depended on request history. It must
+      // now work as the very first request after a restart.
+      val nl = call(p,
+        s"""{"dialect":"nl","dir":"$d","query":"how many rows in warm_parts where p_size is 10"}""")
+      assert(!nl.has("error"), nl.toString)
+      assert(nl.get("rows").get(0).get("n_rows").asLong === nTen, nl.toString)
+      val del = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/datasets/warm_parts")).DELETE().build()
+      HttpClient.newHttpClient().send(del, HttpResponse.BodyHandlers.ofString())
+    } finally api2.stop()
+  }
+
+  test("deletes acknowledge durable rows this process never loaded (peer-written catalog rows)") {
+    import graft.dialects.SavedQueries
+    import graft.sources.UserRegistry
+    val catDb = Files.createTempDirectory("graft_peer").resolve("db").toString
+    val c = JdbcCatalog.connect(catDb)
+    try {
+      // attach over an EMPTY catalog first (nothing replays)…
+      DatasetRegistry.attach(c); SavedQueries.attach(c); UserRegistry.attach(c)
+      // …then a PEER process sharing the catalog writes rows directly:
+      // this process's maps never see them (DEPLOY.md §5 shape)
+      JdbcCatalog.register(c, CatalogStore.Entry("peer_ds", s"$d/nation.parquet",
+        "parquet", Map.empty))
+      JdbcCatalog.saveQuery(c,
+        JdbcCatalog.SavedQuery("peer_q", "sql", "SELECT 1 AS one"))
+      JdbcCatalog.addUser(c,
+        JdbcCatalog.User("peer_u", UserRegistry.sha256Hex("gk_peer")))
+      // delete through the registries: the durable row must count as a
+      // real delete (previously: row deleted durably, caller got a 404)
+      assert(TableRegistry.isDynamic("peer_ds") === false)
+      assert(DatasetRegistry.unregister("peer_ds") === true,
+        "durable-only dataset row must acknowledge the delete")
+      assert(JdbcCatalog.load(c).isEmpty)
+      // saved query: simulate the divergence by clearing process state
+      assert(SavedQueries.delete("peer_q") === true)
+      assert(JdbcCatalog.loadQueries(c).isEmpty)
+      assert(UserRegistry.delete("peer_u") === true)
+      assert(JdbcCatalog.loadUsers(c).isEmpty)
+      // and a name NEITHER store holds is still a 404-shaped false
+      assert(DatasetRegistry.unregister("never_was") === false)
+      assert(SavedQueries.delete("never_was") === false)
+      assert(UserRegistry.delete("never_was") === false)
+    } finally {
+      DatasetRegistry.detach(); SavedQueries.detach(); UserRegistry.detach()
+      SavedQueries.delete("peer_q"); UserRegistry.delete("peer_u")
+      c.close()
+    }
+  }
+
   test("a failed durable saved-query write rolls the process entry back") {
     import graft.dialects.SavedQueries
     val dbDir = Files.createTempDirectory("graft_q_rollback").resolve("db").toString

@@ -226,6 +226,50 @@ class StreamingSpec extends AnyFunSuite {
       "the TTL-free twin must accumulate")
   }
 
+  test("event-time timers close gap sessions when the watermark passes — never the wall clock") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 5-minute gap, 1-minute out-of-orderness tolerance. Timestamps sit
+    // WELL past epoch 0: stateful operators drop rows with ts <= the
+    // current watermark, and the initial watermark IS 0 — an event at
+    // exactly t(0) is "late" before the stream ever starts (found
+    // empirically; the same trap applies to ts == watermark with zero
+    // tolerance, which is why each batch's events lead the previous
+    // batch's max by more than the delay).
+    val q = Streams.sessionizeStream(mem.toDF(), gapMs = 300000L,
+        delay = "1 minute")
+      .writeStream.format("memory").queryName("sess_timer")
+      .outputMode("append").start()
+    try {
+      // open two sessions; u1's timer arms at t10+5min
+      mem.addData(Ev(1, t(10), 1, "click", 1.0), Ev(2, t(11), 2, "view", 1.0))
+      q.processAllAvailable()
+      // u1's second event RE-ARMS its one timer (delete t10+gap, register
+      // t12+gap) — the same open session, not a new one
+      mem.addData(Ev(3, t(12), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_timer").count() === 0,
+        "no session may close before the watermark passes a gap")
+      // wall-clock idling must NOT close an event-time session (the TTL
+      // probe covers the processing-time clock; this is the other one)
+      Thread.sleep(1200L)
+      q.processAllAvailable()
+      assert(spark.table("sess_timer").count() === 0,
+        "event-time sessions must ignore the wall clock")
+      // a far-future event drives the watermark past both armed timers
+      mem.addData(Ev(4, t(60), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timer").orderBy("user_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows === Seq(
+        (1L, 2L, t(10).getTime, t(12).getTime), // ONE session — re-arm worked
+        (2L, 1L, t(11).getTime, t(11).getTime)), // single-event session
+        s"got $rows")
+      // u3's session is still open (its timer sits past the watermark)
+      assert(!rows.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Ev]
