@@ -290,6 +290,15 @@ object NlFuzz {
     add("average n_name in reg_nations by n_regionkey", claimed = false)
     // unknown group column → loud rejection naming the real columns
     add("total n_nationkey in reg_nations by bogus_col", claimed = false)
+    // round 16: the equality-FILTERED total — string filter quoted,
+    // numeric filter bare; non-numeric measure and type-mismatched
+    // filter literal both reject loudly
+    add("total n_nationkey in reg_nations where n_regionkey is 1", claimed = true)
+    add("total n_nationkey in reg_nations where n_name is GERMANY", claimed = true)
+    add("total n_name in reg_nations where n_regionkey is 1", claimed = false)
+    add("total n_nationkey in reg_nations where n_regionkey is GERMANY",
+      claimed = false)
+    add("total n_nationkey in reg_nations where bogus_col is 1", claimed = false)
     // fixture tables have no cached schema — the catalog-noun grammar is
     // their surface; column-level forms reject with that pointer
     add("how many rows in nation where n_name is GERMANY", claimed = false)

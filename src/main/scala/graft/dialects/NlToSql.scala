@@ -233,6 +233,14 @@ object NlToSql {
     """(?i)total (\w+) in (\w+)(?: by (\w+))?""".r
   private val RegAvgBy =
     """(?i)average (\w+) in (\w+) by (\w+)""".r
+  // round 16: equality-FILTERED total over a registered dataset ("total
+  // value in X where event_type is click") — the RegCountWhere filter
+  // typing (numeric columns take a bare literal, string columns a quoted
+  // one) composed with the RegTotalBy measure discipline. Cannot collide
+  // with RegTotalBy: Scala regex cases are FULL matches, so the trailing
+  // where-clause keeps this out of its optional-by capture.
+  private val RegTotalWhere =
+    """(?i)total (\w+) in (\w+) where (\w+) is ([\w-]+)\s*\??""".r
   private val TopN = """(?i)top (\d+) (\w+) by total ([a-z ]+)""".r
   private val BottomN = """(?i)bottom (\d+) (\w+) by total ([a-z ]+)""".r
   private val TotalByYearDim = """(?i)total ([a-z ]+) by year""".r
@@ -447,6 +455,25 @@ object NlToSql {
       val (t, f, _) = regColumn(table, column)
       s"""SELECT ${f.name}, count(*) AS cnt FROM $t
          GROUP BY ${f.name} ORDER BY ${f.name} NULLS FIRST"""
+    case RegTotalWhere(column, table, fcol, value) =>
+      // most-specific first: the where-clause form outranks RegTotalBy.
+      // Measure: numeric-only, exact-decimal discipline (its own oracle);
+      // filter: typed from the cached schema so the predicate is
+      // scan-pushable in both engines
+      val (t, f, _) = regColumn(table, column)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"column '${f.name}' is ${f.dataType.simpleString} — 'total' needs a " +
+          "numeric column")
+      val (_, ff, _) = regColumn(table, fcol)
+      val flit = ff.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          require(value.matches("-?\\d+(\\.\\d+)?"),
+            s"column '${ff.name}' is ${ff.dataType.simpleString}; '$value' is not numeric")
+          value
+        case _ => sqlLit(value)
+      }
+      s"""SELECT CAST(round(sum(CAST(${f.name} AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM $t WHERE ${ff.name} = $flit"""
     case RegTotalBy(column, table, group) =>
       // money-disciplined sum over a registered dataset's NUMERIC column
       // (round 16): exact DECIMAL(18,4) accumulation, rounded once, cast

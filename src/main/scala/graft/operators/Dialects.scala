@@ -544,6 +544,18 @@ object Dialects {
       finally graft.sources.DatasetRegistry.unregister("reg_nations2")
     }),
 
+    "nl_reg_total_where" -> ((s, d) => {
+      // equality-filtered total over a registered dataset (round 16): the
+      // measure type-checks numeric against the schema cache, the filter
+      // literal types from the filter column (string here → quoted), and
+      // the predicate is scan-pushable in both engines.
+      graft.sources.DatasetRegistry.register(graft.sources.CatalogStore.Entry(
+        "reg_events_w", s"$d/events.parquet", "parquet"), Some(s))
+      try Server.handle(s, Server.ServeRequest("nl",
+        "total value in reg_events_w where event_type is purchase", d))
+      finally graft.sources.DatasetRegistry.unregister("reg_events_w")
+    }),
+
     "nl_reg_total_by" -> ((s, d) => {
       // money-disciplined aggregate over a registered dataset (round 16,
       // verdict item 3): the measure column resolves AND type-checks
@@ -838,6 +850,9 @@ object Dialects {
       """SELECT event_type,
          CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
          FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
+    "nl_reg_total_where" ->
+      """SELECT CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         FROM events WHERE event_type = 'purchase'""",
     "serve_saved_query" ->
       // the saved text with its bound literals inlined — identical to the
       // serve_sql_param oracle because running a saved query IS the

@@ -233,6 +233,12 @@ object Server {
     * {"error": "..."}.
     */
   def handleJson(s: SparkSession, body: String): String = {
+    // metering wraps the WHOLE request (parse + translate + execute +
+    // render); a request that fails before its dialect parses meters
+    // under "invalid" — Metrics closes the key space
+    val t0 = System.nanoTime()
+    var meterDialect = "invalid"
+    var failed = false
     try {
       val node = mapper.readTree(body)
       def req(f: String): String = {
@@ -269,9 +275,11 @@ object Server {
       // the whole translate+execute path runs under the request's job
       // group so the watchdog can cancel a runaway execution; explain
       // stays planning-only (no job ever starts under it)
-      withJobTimeout(s, s"${req("dialect")} /query") {
+      val dialect = req("dialect")
+      meterDialect = dialect
+      withJobTimeout(s, s"$dialect /query") {
         val df = handle(s,
-          ServeRequest(req("dialect"), req("query"), req("dir"), maxRows, params))
+          ServeRequest(dialect, req("query"), req("dir"), maxRows, params))
         // {"explain": true} returns the formatted physical plan INSTEAD of
         // rows — the console's plan-inspection mode. Planning only: the
         // query is analyzed and optimized but no job runs, so explain on an
@@ -288,9 +296,12 @@ object Server {
       }
     } catch {
       case e: Throwable =>
+        failed = true
         val err = mapper.createObjectNode()
         err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
         mapper.writeValueAsString(err)
+    } finally {
+      Metrics.record(meterDialect, (System.nanoTime() - t0) / 1000000L, failed)
     }
   }
 
@@ -566,7 +577,8 @@ object Server {
 
   /** Thin HTTP wrapper. `port = 0` binds an ephemeral port (tests);
     * `boundPort` reports it. GET / serves the query console; POST /query
-    * runs a request; GET /health for liveness; /datasets manages the
+    * runs a request; GET /health for liveness; GET /metrics for the
+    * per-dialect serving counters; /datasets manages the
     * catalog when `catalogDir` names a JDBC catalog database directory
     * (registrations then survive a server restart — the karna-db
     * contract; without it /datasets rejects writes loudly rather than
@@ -651,6 +663,14 @@ object Server {
     })
     http.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = reply(ex, 200, """{"status":"ok"}""")
+    })
+    http.createContext("/metrics", new HttpHandler {
+      // authenticates like the data routes (usage patterns are
+      // information); /health alone stays open for liveness probes
+      override def handle(ex: HttpExchange): Unit = authGate(ex) match {
+        case Some((code, body)) => reply(ex, code, body)
+        case None => reply(ex, 200, Metrics.snapshotJson(mapper))
+      }
     })
 
     http.createContext("/datasets", new HttpHandler {

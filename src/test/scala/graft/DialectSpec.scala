@@ -591,6 +591,24 @@ class DialectSpec extends AnyFunSuite {
       // fixture tables keep the catalog vocabulary (no cached schema)
       assertThrows[IllegalArgumentException](
         NlToSql.translate("total o_totalprice in orders by o_orderstatus"))
+      // round 16: the equality-filtered total — string filter quoted,
+      // numeric filter bare; both literal typings from the cached schema
+      val fw = NlToSql.translate(
+        "total n_nationkey in reg_nat_agg where n_name is GERMANY")
+      assert(fw.contains("WHERE n_name = 'GERMANY'"), fw)
+      val fn = NlToSql.translate(
+        "total n_nationkey in reg_nat_agg where n_regionkey is 1")
+      assert(fn.contains("WHERE n_regionkey = 1") && !fn.contains("'1'"), fn)
+      assert(spark.sql(fn).columns.toSeq === Seq("total"))
+      // non-numeric measure, type-mismatched literal, unknown filter
+      // column: all loud
+      assertThrows[IllegalArgumentException](NlToSql.translate(
+        "total n_name in reg_nat_agg where n_regionkey is 1"))
+      val e2 = intercept[IllegalArgumentException](NlToSql.translate(
+        "total n_nationkey in reg_nat_agg where n_regionkey is GERMANY"))
+      assert(e2.getMessage.contains("not numeric"), e2.getMessage)
+      assertThrows[IllegalArgumentException](NlToSql.translate(
+        "total n_nationkey in reg_nat_agg where bogus_col is 1"))
     } finally DatasetRegistry.unregister("reg_nat_agg")
   }
 

@@ -1029,6 +1029,49 @@ class ServingSpec extends AnyFunSuite {
     try assert(JdbcCatalog.loadUsers(c).isEmpty) finally c.close()
   }
 
+  test("/metrics meters every /query by dialect — requests, errors, latency buckets") {
+    import graft.server.Metrics
+    Metrics.reset()
+    val api = new Server.HttpApi(spark, 0)
+    api.start()
+    try {
+      val p = api.boundPort
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$p/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      }
+      post(s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}""")
+      post(s"""{"dialect":"sql","dir":"$d","query":"SELECT syntax error"}""")
+      post(s"""{"dialect":"nl","dir":"$d","query":"how many rows are in nation"}""")
+      post(s"""{"dialect":"made_up","dir":"$d","query":"x"}""") // → other
+      post("not json at all")                                   // → invalid
+      val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$p/metrics"))
+        .GET().build()
+      val m = mapper.readTree(
+        client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      assert(m.get("uptime_s").asLong >= 0)
+      val sql = m.get("dialects").get("sql")
+      assert(sql.get("requests").asLong === 2, m.toString)
+      assert(sql.get("errors").asLong === 1, m.toString)
+      assert(sql.get("total_ms").asLong >= 0)
+      assert(sql.get("max_ms").asLong >= 0)
+      // the five fixed buckets partition the request count
+      val buckets = sql.get("latency_buckets")
+      val bSum = Seq("lt_10ms", "lt_100ms", "lt_1s", "lt_10s", "ge_10s")
+        .map(buckets.get(_).asLong).sum
+      assert(bSum === 2, m.toString)
+      assert(m.get("dialects").get("nl").get("requests").asLong === 1)
+      // the key space is CLOSED: unknown dialect strings meter as "other",
+      // pre-routing failures as "invalid" — a client cannot grow the map
+      assert(m.get("dialects").get("other").get("requests").asLong === 1)
+      assert(m.get("dialects").get("other").get("errors").asLong === 1)
+      assert(m.get("dialects").get("invalid").get("requests").asLong === 1)
+      assert(!m.get("dialects").has("made_up"), m.toString)
+    } finally { api.stop(); Metrics.reset() }
+  }
+
   test("GRAFT_BOOTSTRAP_TOKEN closes the trust-on-first-use window for POST /users") {
     val catDb = Files.createTempDirectory("graft_boot").resolve("db").toString
     val client = HttpClient.newHttpClient()
