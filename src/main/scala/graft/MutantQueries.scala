@@ -1212,6 +1212,30 @@ object MutantQueries {
           FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")
       }),
 
+    Mutant("nl_distinct_fanout", "fanout-basis",
+      "the EXISTS filter replaced by a row-duplicating join with a NON-distinct count (the exact basis inflation the EXISTS lowering exists to prevent)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT o_orderstatus, count(o_custkey) AS n_distinct
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")
+      }),
+
+    Mutant("nl_ratio_cross", "single-from-basis",
+      "both sums computed over ONE joined FROM — order price summed per LINE ITEM row, inflated by each order's line count (the undefined-row-basis bug the aggregate-then-join form exists to prevent)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT o_orderstatus,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_num,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_den,
+          CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 10000.0
+                     / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 0.0))
+               AS BIGINT) AS ratio_bp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")
+      }),
+
     Mutant("serve_saved_query", "wrong-binding",
       "the saved query runs with a stale param binding (status O instead of the requested F)",
       "clean", (s, d) => {

@@ -174,11 +174,14 @@ object NlFuzz {
     // many-to-one so the distinct basis is untouched)
     add("number of unique suppliers by return flag where status is F",
       claimed = true)
-    // ... but a filter dim whose route would be ONE-TO-MANY (orders →
-    // lineitem fans out; "where return flag is R" on a customers-count
-    // could mean EXISTS or join — ambiguous basis) must still reject
+    // round 16: a filter dim across the declared ONE-TO-MANY edge lowers
+    // to EXISTS — well-defined for (and ONLY for) distinct counts: the
+    // fact row qualifies iff any child row matches, and EXISTS/semi-join
+    // never duplicates the counted basis. Sum/avg/count(*) productions
+    // keep rejecting the same route (fanoutExists is consulted only by
+    // the distinct-count production).
     add("number of unique customers by status where return flag is R",
-      claimed = false)
+      claimed = true)
     // round 14: aggregate FILTER dims routed through declared many-to-one
     // star hops (factFrom2) — the join cannot change the fact-row basis
     add("total order price by status where market segment is BUILDING",
@@ -247,12 +250,18 @@ object NlFuzz {
       claimed = true)
     add("share of orders by market segment", claimed = true)
     // a ONE-TO-MANY hop (orders→lineitem) would change the row basis —
-    // still a loud rejection (no joinPath is declared in that direction)
+    // still a loud rejection: share-of counts ROWS, and the fan-out edge
+    // would change that basis (fanoutExists serves only distinct counts)
     add("share of orders where return flag is not R by status", claimed = false)
     add("ratio of extended price to quantity by return flag", claimed = true)
     add("ratio of quantity to extended price by return flag", claimed = true)
-    // cross-fact ratio has no defined row basis — loud rejection
-    add("ratio of order price to quantity by status", claimed = false)
+    // round 16: a cross-fact ratio acquires a defined basis by
+    // aggregating EACH side to |dims| rows first, then joining the two
+    // aggregate tables NULL-safely — claimed when both facts reach the
+    // dim over declared many-to-one paths…
+    add("ratio of order price to quantity by status", claimed = true)
+    // …and still rejected when one side cannot (events has no path to
+    // lineitem's return flag)
     add("ratio of event value to quantity by return flag", claimed = false)
     // round 14: the customer→lineitem two-hop path routes the group dim
     add("ratio of extended price to quantity by market segment", claimed = true)

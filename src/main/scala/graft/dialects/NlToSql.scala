@@ -173,6 +173,19 @@ object NlToSql {
       ("dimension 'nation' reaches lineitem via BOTH supplier and " +
         "orders→customer — qualify it: 'supplier nation' or 'customer nation'"))
 
+  /** Declared one-to-MANY edges, usable ONLY through an EXISTS lowering
+    * (round 16, NLFUZZ q201): (manyTable, fact) → the correlated
+    * subquery head joining the many side back to the fact row. Kept
+    * separate from joinPath on purpose — sum/avg/count(*) productions
+    * must never route a dim through a fan-out edge (it changes their row
+    * basis), and keeping the edge out of the many-to-one map makes that
+    * impossible rather than merely unlikely. Only the basis-insensitive
+    * distinct-count production consults this map.
+    */
+  private val fanoutExists: Map[(String, String), String] = Map(
+    ("lineitem", "orders") ->
+      "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey")
+
   /** The canonical event-time column of each fact table (date-range
     * productions).
     */
@@ -573,9 +586,25 @@ object NlToSql {
       // basis-insensitive, and every joinPath edge is many-to-one, so
       // the routed join can neither duplicate nor drop counted keys.
       val (ft, fcol) = dim(fdim)
-      s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
-         FROM ${factFrom(ft, fact)} WHERE $fcol = ${sqlLit(value)}
-         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      if (pathOf(ft, fact).isDefined)
+        s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
+           FROM ${factFrom(ft, fact)} WHERE $fcol = ${sqlLit(value)}
+           GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      else fanoutExists.get((ft, fact)).map { corr =>
+        // round 16 (NLFUZZ q201): the filter dim lives across a declared
+        // ONE-TO-MANY edge ("unique customers by status where RETURN FLAG
+        // is R" — return flag is lineitem's, the fk fact is orders).
+        // Sum/avg productions must keep rejecting this (the fan-out
+        // changes their row basis), but a distinct count composed with an
+        // EXISTS filter is well-defined: the fact row qualifies iff ANY
+        // child row matches. EXISTS — not join+distinct — is also the
+        // 100 TB plan: both engines lower it to a semi join whose probe
+        // side never duplicates fact rows (plan-pinned LeftSemi).
+        s"""SELECT $dcol, count(DISTINCT $fk) AS n_distinct
+           FROM $fact
+           WHERE EXISTS ($corr AND $fcol = ${sqlLit(value)})
+           GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      }.getOrElse(factFrom(ft, fact)) // unreachable path: loud reject
     case TopNWhereDateRange(n, entity, measure, fdim, value, from, to) =>
       val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
         throw new IllegalArgumentException(s"unknown entity: $entity"))
@@ -1017,16 +1046,44 @@ object NlToSql {
         throw new IllegalArgumentException(s"unknown measure: $ma"))
       val (fb, bcol) = measures.getOrElse(mb.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $mb"))
-      require(fa == fb,
-        s"ratio measures must share a fact table: '$ma' is on $fa, '$mb' on $fb")
       val (dtable, dcol) = dim(dname)
-      s"""SELECT $dcol,
-         CAST(round(sum(CAST($acol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_num,
-         CAST(round(sum(CAST($bcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_den,
-         CAST(floor(CAST(sum(CAST($acol AS DECIMAL(18,4))) AS DOUBLE) * 10000.0
-                    / nullif(CAST(sum(CAST($bcol AS DECIMAL(18,4))) AS DOUBLE), 0.0))
-              AS BIGINT) AS ratio_bp
-         FROM ${factFrom(dtable, fa)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      if (fa == fb)
+        s"""SELECT $dcol,
+           CAST(round(sum(CAST($acol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_num,
+           CAST(round(sum(CAST($bcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_den,
+           CAST(floor(CAST(sum(CAST($acol AS DECIMAL(18,4))) AS DOUBLE) * 10000.0
+                      / nullif(CAST(sum(CAST($bcol AS DECIMAL(18,4))) AS DOUBLE), 0.0))
+                AS BIGINT) AS ratio_bp
+           FROM ${factFrom(dtable, fa)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      else {
+        // CROSS-fact ratio (round 16, NLFUZZ q263: "ratio of order price
+        // to quantity by status" — orders vs lineitem). A single-FROM
+        // formulation has no defined row basis, but each side aggregated
+        // INDEPENDENTLY to |dims| rows does: two partial-aggregated fact
+        // scans, then a tiny join of the two aggregate tables on the dim
+        // (NULL-safe via IS NOT DISTINCT FROM; FULL so a dim value with
+        // only one side present surfaces with a NULL ratio, never
+        // disappears). Both facts must reach the dim over declared
+        // many-to-one paths — unreachable sides keep rejecting loudly
+        // (q264's event-value × lineitem-dim cross stays rejected). The
+        // ratio keeps the same floor-basis-points double discipline as
+        // the same-fact form. At scale each side is map-side combined to
+        // |dims| rows before any join — no fact-fact shuffle exists.
+        def side(f: String, mcol: String, alias: String): String = {
+          val from = if (dtable == f) f else factFrom(dtable, f)
+          s"""(SELECT $dcol, sum(CAST($mcol AS DECIMAL(18,4))) AS s$alias
+             FROM $from GROUP BY $dcol) $alias"""
+        }
+        s"""SELECT COALESCE(a.$dcol, b.$dcol) AS $dcol,
+           CAST(round(a.sa, 4) AS DOUBLE) AS total_num,
+           CAST(round(b.sb, 4) AS DOUBLE) AS total_den,
+           CAST(floor(CAST(a.sa AS DOUBLE) * 10000.0
+                      / nullif(CAST(b.sb AS DOUBLE), 0.0)) AS BIGINT) AS ratio_bp
+           FROM ${side(fa, acol, "a")}
+           FULL JOIN ${side(fb, bcol, "b")}
+             ON a.$dcol IS NOT DISTINCT FROM b.$dcol
+           ORDER BY $dcol NULLS FIRST"""
+      }
     case ShareBy(entity, dname) =>
       // percent-of-total: "share of orders by status" — per-group count
       // plus its share of the table in basis points. The share stays in

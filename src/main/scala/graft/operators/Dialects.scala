@@ -83,6 +83,15 @@ object Dialects {
   // round 13 (verdict item 6): compositional negation + ratio productions
   val nlShareNotQuestion: String = "share of orders where status is not F by priority"
   val nlRatioQuestion: String = "ratio of extended price to quantity by return flag"
+
+  /** Round-16 NLFUZZ-mined compositions (q201/q263 — natural questions the
+    * matrix listed as unproducible): the fan-out EXISTS distinct count and
+    * the cross-fact ratio.
+    */
+  val nlDistinctFanoutQuestion: String =
+    "number of unique customers by status where return flag is R"
+  val nlRatioCrossQuestion: String =
+    "ratio of order price to quantity by status"
   // the generic any-table production (works on dynamically registered
   // datasets too — the NL leg of the catalog surface)
   val nlRowCountQuestion: String = "how many rows are in lineitem"
@@ -466,6 +475,8 @@ object Dialects {
     "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
     "nl_share_not" -> ((s, d) => NlToSql.run(s, d, nlShareNotQuestion)),
     "nl_ratio" -> ((s, d) => NlToSql.run(s, d, nlRatioQuestion)),
+    "nl_distinct_fanout" -> ((s, d) => NlToSql.run(s, d, nlDistinctFanoutQuestion)),
+    "nl_ratio_cross" -> ((s, d) => NlToSql.run(s, d, nlRatioCrossQuestion)),
     "nl_rowcount" -> ((s, d) => NlToSql.run(s, d, nlRowCountQuestion)),
     "nl_by_year" -> ((s, d) => NlToSql.run(s, d, nlByYearQuestion)),
     "nl_or_filter" -> ((s, d) => NlToSql.run(s, d, nlOrQuestion)),
@@ -786,6 +797,8 @@ object Dialects {
     "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
     "nl_share_not" -> NlToSql.translate(nlShareNotQuestion),
     "nl_ratio" -> NlToSql.translate(nlRatioQuestion),
+    "nl_distinct_fanout" -> NlToSql.translate(nlDistinctFanoutQuestion),
+    "nl_ratio_cross" -> NlToSql.translate(nlRatioCrossQuestion),
     "nl_rowcount" -> NlToSql.translate(nlRowCountQuestion),
     "nl_by_year" -> NlToSql.translate(nlByYearQuestion),
     "nl_or_filter" -> NlToSql.translate(nlOrQuestion),

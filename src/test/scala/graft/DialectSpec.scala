@@ -380,10 +380,40 @@ class DialectSpec extends AnyFunSuite {
     assert(sql.contains("count(DISTINCT l_suppkey)"), sql)
     TableRegistry.registerAll(spark, d)
     assert(spark.sql(sql).count() > 0)
-    // the REVERSE direction would be one-to-many (orders → lineitem fans
-    // out; EXISTS-vs-join ambiguity) — still a loud rejection
-    assertThrows[IllegalArgumentException](
-      NlToSql.translate("number of unique customers by status where return flag is R"))
+    // the REVERSE (one-to-many) direction lowers to EXISTS (round 16):
+    // well-defined for distinct counts — the order qualifies iff ANY of
+    // its lines matches — and never a row-duplicating join
+    val rev = NlToSql.translate(
+      "number of unique customers by status where return flag is R")
+    assert(rev.contains("EXISTS"), rev)
+    assert(rev.contains("count(DISTINCT o_custkey)"), rev)
+    assert(!rev.toLowerCase.contains("join"), s"EXISTS, not a join: $rev")
+    assert(spark.sql(rev).count() > 0)
+    // the SAME route stays rejected for basis-sensitive aggregates: a
+    // fan-out filter under sum/count(*) would change the row basis
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "total order price by status where return flag is R"))
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "number of orders by status where return flag is R"))
+  }
+
+  test("NL cross-fact ratio aggregates each side to |dims| then joins NULL-safely") {
+    val sql = NlToSql.translate("ratio of order price to quantity by status")
+    assert(sql.contains("FULL JOIN"), sql)
+    assert(sql.contains("IS NOT DISTINCT FROM"), sql)
+    // each measure aggregates over ITS OWN fact (quantity's side routes
+    // the dim through lineitem ⋈ orders; order price's side is orders
+    // alone) — no single FROM mixes the two bases
+    assert(sql.contains("sum(CAST(o_totalprice AS DECIMAL(18,4)))"), sql)
+    assert(sql.contains("sum(CAST(l_quantity AS DECIMAL(18,4)))"), sql)
+    TableRegistry.registerAll(spark, d)
+    val out = spark.sql(sql)
+    assert(out.columns.toSeq ===
+      Seq("o_orderstatus", "total_num", "total_den", "ratio_bp"))
+    assert(out.count() > 0)
+    // one side unreachable from the dim (events ↛ return flag) — loud
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "ratio of event value to quantity by return flag"))
   }
 
   test("NL aggregate filter dims route through one declared star path") {

@@ -533,6 +533,31 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("nl_distinct_fanout: EXISTS lowers to a semi join; child filter pushed to its scan") {
+    // the fan-out filter must NEVER duplicate the counted basis: the plan
+    // is a LeftSemi whose probe side is orders, with the return-flag
+    // equality reaching the lineitem scan
+    val p = plan(Dialects.queries("nl_distinct_fanout")(spark, d))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"child filter must push to the lineitem scan:\n$p")
+  }
+
+  test("nl_ratio_cross: each side aggregates to |dims| BEFORE the join — no fact-fact join") {
+    val p = plan(Dialects.queries("nl_ratio_cross")(spark, d))
+    // the FULL join of the two aggregate tables must sit ABOVE both
+    // aggregates: no join node may have a raw fact scan on both sides
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+    val fullJoinIdx = lines.indexWhere(l =>
+      l.contains("Join") && l.contains("FullOuter"))
+    assert(fullJoinIdx >= 0, s"cross-fact ratio must plan a FULL join:\n$p")
+    val sub = lines.drop(fullJoinIdx + 1)
+      .takeWhile(l => indent(l) > indent(lines(fullJoinIdx)))
+    assert(sub.count(_.contains("HashAggregate")) >= 2,
+      s"both sides must aggregate below the join:\n$p")
+  }
+
   test("q_promo_revenue broadcasts the part dim; shipdate month pushed to the fact scan") {
     val p = planNoAutoBroadcast(Composites.queries("q_promo_revenue")(spark, d))
     assert(p.contains("BroadcastHashJoin"), p)
