@@ -166,6 +166,15 @@ object GqlFuzz {
     add("rej_bool_or_item_not_object",
       """{ orders(filter: {_or: [5, {o_orderstatus: {eq: "O"}}]},
                   orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    // the TOP-LEVEL filter value itself must be an object: a list (the
+    // natural slip given _and/_or take lists) or scalar previously ran
+    // UNFILTERED instead of rejecting (review round 16)
+    add("rej_filter_not_object",
+      """{ orders(filter: [{o_orderstatus: {eq: "O"}}],
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_filter_scalar",
+      """{ orders(filter: 5, orderBy: ["o_orderkey"], limit: 5) {
+            o_orderkey } }""")
     add("rej_bool_unknown_col_inside",
       """{ orders(filter: {_or: [{o_bogus: {eq: 1}}]},
                   orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")

@@ -301,9 +301,20 @@ object StreamRehearsal {
         q.stop()
         val p50 = if (durs.isEmpty) 0L else durs(durs.size / 2)
         val mx = if (durs.isEmpty) 0L else durs.last
+        // the sink-side ledger means something DIFFERENT per leg — name
+        // it accordingly and omit it where no ledger is wired, so a JSON
+        // consumer can never read input rows as sessions or a missing
+        // ledger as "emitted nothing" (review round 16)
+        val ledgerName = sink match {
+          case "countBatch" => Some("sessions_closed")
+          case "slowBatch" => Some("drained_rows")
+          case _ => None
+        }
+        val ledger = ledgerName.map(n => s""","$n":${drained.get()}""").getOrElse("")
+        val ledgerLog = ledgerName.map(n => s" $n=${drained.get()}").getOrElse("")
         System.err.println(
-          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms state_rows=$stRows state_mem=${stMem}B ttl_expired=$ttlExpired emitted=${drained.get()}")
-        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx,"state_rows":$stRows,"state_mem_bytes":$stMem,"ttl_expired":$ttlExpired,"emitted":${drained.get()}}"""
+          f"[stream]   x$k $key%-20s batches=${durs.size} rows_max=${if (rows.isEmpty) 0L else rows.max}%-9d p50=${p50} ms max=${mx} ms state_rows=$stRows state_mem=${stMem}B ttl_expired=$ttlExpired$ledgerLog")
+        s""""$key":{"batches":${durs.size},"rows_max":${if (rows.isEmpty) 0L else rows.max},"p50_ms":$p50,"max_ms":$mx,"state_rows":$stRows,"state_mem_bytes":$stMem,"ttl_expired":$ttlExpired$ledger}"""
       }.mkString(",")
       sb.append(s""""x$k":{"n_events":$nEvents,"keys":{$keyJson}}""")
       if (si < scales.size - 1) sb.append(",")

@@ -743,8 +743,13 @@ object GraphQL {
     * filter is legal — roots, `_agg`, nested relations, object relations.
     */
   private def applyFilters(df0: DataFrame, args: List[(String, Value)]): DataFrame =
-    args.collectFirst { case ("filter", VObj(conds)) => conds } match {
-      case Some(conds) => df0.filter(filterCond(conds))
+    args.collectFirst { case ("filter", v) => v } match {
+      case Some(VObj(conds)) => df0.filter(filterCond(conds))
+      // a non-object filter value (list, scalar — a natural slip given
+      // _and/_or take lists) must reject loudly, never run unfiltered
+      // mislabeled as the filtered result (review round 16)
+      case Some(other) => throw new IllegalArgumentException(
+        s"'filter' must be an object of column/combinator conditions, got: $other")
       case None => df0
     }
 

@@ -604,7 +604,8 @@ object NlToSql {
            FROM $fact
            WHERE EXISTS ($corr AND $fcol = ${sqlLit(value)})
            GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
-      }.getOrElse(factFrom(ft, fact)) // unreachable path: loud reject
+      }.getOrElse(throw new IllegalArgumentException(ambiguousPath.getOrElse(
+        (ft, fact), s"no join path $ft -> $fact")))
     case TopNWhereDateRange(n, entity, measure, fdim, value, from, to) =>
       val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
         throw new IllegalArgumentException(s"unknown entity: $entity"))

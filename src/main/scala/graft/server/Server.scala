@@ -246,6 +246,11 @@ object Server {
         require(v != null && v.isTextual, s"missing string field '$f'")
         v.asText
       }
+      // meter attribution FIRST: a request whose dialect parses but whose
+      // maxRows/params fail validation must meter under ITS dialect, not
+      // "invalid" (review round 16)
+      Option(node.get("dialect")).filter(_.isTextual)
+        .foreach(v => meterDialect = v.asText)
       val maxRows =
         if (node.has("maxRows")) node.get("maxRows").asInt else DefaultMaxRows
       require(maxRows > 0, "maxRows must be positive")
@@ -276,7 +281,6 @@ object Server {
       // group so the watchdog can cancel a runaway execution; explain
       // stays planning-only (no job ever starts under it)
       val dialect = req("dialect")
-      meterDialect = dialect
       withJobTimeout(s, s"$dialect /query") {
         val df = handle(s,
           ServeRequest(dialect, req("query"), req("dir"), maxRows, params))

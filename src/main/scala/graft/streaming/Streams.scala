@@ -277,63 +277,84 @@ object Streams {
 
   /** Event-time-timer sessionizer (round 16, verdict item 7 — the timer
     * surface of `transformWithState`; the TTL probe covers only
-    * processing time). One armed timer per key closes a gap session in
-    * EVENT time: each input batch merges the key's events into the open
-    * session (count, min/max event-time ms) and re-arms the key's single
-    * timer at `last + gapMs`; when the WATERMARK passes that expiry,
-    * `handleExpiredTimer` emits the closed session and clears the state
-    * — so a session closes because the event-time clock moved, never
-    * because a wall clock did. This is the streaming twin of the batch
-    * `sessionize` key's gaps-and-islands definition (Windows.sessionTag):
-    * out-of-order events inside the watermark tolerance land in the
-    * right session because the merge is min/max, not append. At 100 TB
-    * the state store holds one (n, start, last) triple + one timer per
-    * OPEN session — closed sessions leave the store immediately, which
-    * is what keeps an unbounded key population finite without a TTL.
-    * Timer discipline: re-arming DELETES the previous timer first —
-    * Spark keys timers by (key, expiry), so an undeleted stale timer
-    * would close the session at the OLD expiry with the merged state
-    * and leave the re-armed timer to fire on empty state.
+    * processing time). The streaming twin of the batch `sessionize`
+    * key's gaps-and-islands definition (Windows.sessionTag): state is
+    * the LIST of a key's OPEN sessions — not a single merged triple —
+    * because one micro-batch may carry events separated by more than the
+    * gap (several sessions at once), and an out-of-order event inside
+    * the watermark tolerance may extend or even BRIDGE two open sessions
+    * later. Each batch folds its events into the interval list (classic
+    * sorted-merge: neighbors within `gapMs` coalesce, their counts add);
+    * ONE timer per key sits at the EARLIEST open session's `last + gap`.
+    * When the WATERMARK passes it, `handleExpiredTimer` emits every
+    * session whose gap has elapsed in event time, keeps the rest, and
+    * re-arms for the new earliest — so sessions close because the
+    * event-time clock moved, never because a wall clock did, and they
+    * close only once no in-tolerance event can still reopen them. At
+    * 100 TB the store holds (start, last, n) per OPEN session + one
+    * timer per key — closed sessions leave immediately, which keeps an
+    * unbounded key population finite without a TTL. Timer discipline:
+    * re-arming DELETES the stale timer first (Spark keys timers by
+    * (key, expiry)); an undeleted one would fire early and close
+    * sessions with unexpired gaps.
     */
   class SessionTimerProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.{Encoders => E}
-    @transient private var nState: ValueState[Long] = _
-    @transient private var startState: ValueState[Long] = _
-    @transient private var lastState: ValueState[Long] = _
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    // (start ms, last ms, n events) per open session, kept sorted by start
+    @transient private var sessions: ListState[(Long, Long, Long)] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      nState = getHandle.getValueState[Long]("n", E.scalaLong, TTLConfig.NONE)
-      startState = getHandle.getValueState[Long]("start", E.scalaLong, TTLConfig.NONE)
-      lastState = getHandle.getValueState[Long]("last", E.scalaLong, TTLConfig.NONE)
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    /** Sorted-interval coalesce: neighbors whose gap is ≤ `gapMs` merge. */
+    private def coalesce(xs: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+      val sorted = xs.sortBy(s => (s._1, s._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { s =>
+        out.lastOption match {
+          case Some(p) if s._1 <= p._2 + gapMs =>
+            out(out.size - 1) = (p._1, math.max(p._2, s._2), p._3 + s._3)
+          case _ => out += s
+        }
+      }
+      out.toSeq
     }
+
+    private def rearm(prevEarliest: Option[Long], open: Seq[(Long, Long, Long)]): Unit = {
+      val next = open.map(_._2 + gapMs).minOption
+      if (prevEarliest != next) {
+        prevEarliest.foreach(getHandle.deleteTimer)
+        next.foreach(getHandle.registerTimer)
+      }
+    }
+
     override def handleInputRows(key: Long,
                                  rows: Iterator[(Long, java.sql.Timestamp)],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-      val prevLast = if (lastState.exists()) Some(lastState.get()) else None
-      var n = if (nState.exists()) nState.get() else 0L
-      var start = if (startState.exists()) startState.get() else Long.MaxValue
-      var last = prevLast.getOrElse(Long.MinValue)
-      rows.foreach { case (_, ts) =>
-        val ms = ts.getTime
-        n += 1
-        if (ms < start) start = ms
-        if (ms > last) last = ms
-      }
-      if (!prevLast.contains(last)) {
-        prevLast.foreach(pl => getHandle.deleteTimer(pl + gapMs))
-        getHandle.registerTimer(last + gapMs)
-      }
-      nState.update(n); startState.update(start); lastState.update(last)
-      Iterator.empty // sessions emit on CLOSE, not per event
+      val prev = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+      val merged = coalesce(prev ++ rows.map { case (_, ts) =>
+        val ms = ts.getTime; (ms, ms, 1L)
+      })
+      sessions.put(merged.toArray)
+      rearm(prev.map(_._2 + gapMs).minOption, merged)
+      Iterator.empty // sessions emit on CLOSE (watermark passage), never here
     }
+
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
-      val out = Iterator((key, nState.get(), startState.get(), lastState.get()))
-      nState.clear(); startState.clear(); lastState.clear()
-      out
+      val all = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+      val wm = timerValues.getCurrentWatermarkInMs
+      // closed = no event within tolerance can still reach this session
+      val (closed, open) = all.partition(_._2 + gapMs <= wm)
+      if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
+      // this timer just fired; arm the next earliest if any remain
+      open.map(_._2 + gapMs).minOption.foreach(getHandle.registerTimer)
+      closed.sortBy(_._1).iterator.map(s => (key, s._3, s._1, s._2))
     }
   }
 

@@ -1044,6 +1044,10 @@ class ServingSpec extends AnyFunSuite {
       }
       post(s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one"}""")
       post(s"""{"dialect":"sql","dir":"$d","query":"SELECT syntax error"}""")
+      // a valid dialect with invalid maxRows meters under ITS dialect,
+      // not "invalid" (round-16 review: attribution reads the dialect
+      // right after JSON parse, before any validation can throw)
+      post(s"""{"dialect":"sql","dir":"$d","query":"SELECT 1 AS one","maxRows":0}""")
       post(s"""{"dialect":"nl","dir":"$d","query":"how many rows are in nation"}""")
       post(s"""{"dialect":"made_up","dir":"$d","query":"x"}""") // → other
       post("not json at all")                                   // → invalid
@@ -1053,15 +1057,15 @@ class ServingSpec extends AnyFunSuite {
         client.send(req, HttpResponse.BodyHandlers.ofString()).body())
       assert(m.get("uptime_s").asLong >= 0)
       val sql = m.get("dialects").get("sql")
-      assert(sql.get("requests").asLong === 2, m.toString)
-      assert(sql.get("errors").asLong === 1, m.toString)
+      assert(sql.get("requests").asLong === 3, m.toString)
+      assert(sql.get("errors").asLong === 2, m.toString)
       assert(sql.get("total_ms").asLong >= 0)
       assert(sql.get("max_ms").asLong >= 0)
       // the five fixed buckets partition the request count
       val buckets = sql.get("latency_buckets")
       val bSum = Seq("lt_10ms", "lt_100ms", "lt_1s", "lt_10s", "ge_10s")
         .map(buckets.get(_).asLong).sum
-      assert(bSum === 2, m.toString)
+      assert(bSum === 3, m.toString)
       assert(m.get("dialects").get("nl").get("requests").asLong === 1)
       // the key space is CLOSED: unknown dialect strings meter as "other",
       // pre-routing failures as "invalid" — a client cannot grow the map

@@ -229,24 +229,30 @@ class StreamingSpec extends AnyFunSuite {
   test("event-time timers close gap sessions when the watermark passes — never the wall clock") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
-    // 5-minute gap, 1-minute out-of-orderness tolerance. Timestamps sit
+    // 5-minute gap, 30-minute out-of-orderness tolerance. Timestamps sit
     // WELL past epoch 0: stateful operators drop rows with ts <= the
     // current watermark, and the initial watermark IS 0 — an event at
     // exactly t(0) is "late" before the stream ever starts (found
     // empirically; the same trap applies to ts == watermark with zero
-    // tolerance, which is why each batch's events lead the previous
-    // batch's max by more than the delay).
+    // tolerance).
     val q = Streams.sessionizeStream(mem.toDF(), gapMs = 300000L,
-        delay = "1 minute")
+        delay = "30 minutes")
       .writeStream.format("memory").queryName("sess_timer")
       .outputMode("append").start()
     try {
-      // open two sessions; u1's timer arms at t10+5min
-      mem.addData(Ev(1, t(10), 1, "click", 1.0), Ev(2, t(11), 2, "view", 1.0))
+      // one batch may carry SEVERAL of a key's sessions: u4's two events
+      // are 20 min apart (gap 5) — they must NOT merge (the gaps-and-
+      // islands definition, same as batch sessionize). u5 opens two
+      // sessions 6 min apart that a later in-tolerance event will BRIDGE.
+      mem.addData(
+        Ev(1, t(10), 1, "click", 1.0),
+        Ev(2, t(10), 4, "view", 1.0), Ev(3, t(30), 4, "view", 1.0),
+        Ev(4, t(10), 5, "click", 1.0), Ev(5, t(16), 5, "click", 1.0))
       q.processAllAvailable()
-      // u1's second event RE-ARMS its one timer (delete t10+gap, register
-      // t12+gap) — the same open session, not a new one
-      mem.addData(Ev(3, t(12), 1, "click", 1.0))
+      // u1's second event RE-ARMS its one timer (t10+gap → t12+gap) —
+      // same open session; u5's out-of-order t13 bridges t10 and t16
+      // into ONE session (3 min to each neighbor, both ≤ gap)
+      mem.addData(Ev(6, t(12), 1, "click", 1.0), Ev(7, t(13), 5, "click", 1.0))
       q.processAllAvailable()
       assert(spark.table("sess_timer").count() === 0,
         "no session may close before the watermark passes a gap")
@@ -256,14 +262,17 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("sess_timer").count() === 0,
         "event-time sessions must ignore the wall clock")
-      // a far-future event drives the watermark past both armed timers
-      mem.addData(Ev(4, t(60), 3, "click", 1.0))
+      // a far-future event drives the watermark (t300 - 30min = t270)
+      // past every armed timer; u4's ONE firing closes BOTH its sessions
+      mem.addData(Ev(8, t(300), 3, "click", 1.0))
       q.processAllAvailable()
-      val rows = spark.table("sess_timer").orderBy("user_id")
+      val rows = spark.table("sess_timer").orderBy("user_id", "session_start_ms")
         .as[(Long, Long, Long, Long)].collect().toSeq
       assert(rows === Seq(
         (1L, 2L, t(10).getTime, t(12).getTime), // ONE session — re-arm worked
-        (2L, 1L, t(11).getTime, t(11).getTime)), // single-event session
+        (4L, 1L, t(10).getTime, t(10).getTime), // TWO sessions from one batch
+        (4L, 1L, t(30).getTime, t(30).getTime),
+        (5L, 3L, t(10).getTime, t(16).getTime)), // bridged into ONE
         s"got $rows")
       // u3's session is still open (its timer sits past the watermark)
       assert(!rows.exists(_._1 == 3L))
