@@ -71,6 +71,21 @@ object GqlFuzz {
       ("lte", "o_totalprice: {lte: 50000}", "o_totalprice <= 50000"),
       ("like", """o_orderpriority: {like: "1-%"}""", "o_orderpriority LIKE '1-%'"),
       ("in", """o_orderstatus: {in: ["O", "F"]}""", "o_orderstatus IN ('O', 'F')"),
+      // round-16 filter-op breadth: nin / between / is_null / ilike —
+      // each lowered to the scan-pushable SQL twin on the right
+      ("nin", """o_orderpriority: {nin: ["1-URGENT", "5-LOW"]}""",
+        "o_orderpriority NOT IN ('1-URGENT', '5-LOW')"),
+      ("between", """o_totalprice: {between: [50000, 250000]}""",
+        "o_totalprice BETWEEN 50000 AND 250000"),
+      ("is_null_false", """o_orderdate: {is_null: false}""",
+        "o_orderdate IS NOT NULL"),
+      ("is_null_true", """o_orderdate: {is_null: true}""",
+        "o_orderdate IS NULL"),
+      ("ilike", """o_orderpriority: {ilike: "1-urgent"}""",
+        "o_orderpriority ILIKE '1-urgent'"),
+      ("nin_combined",
+        """o_orderstatus: {nin: ["P"]}, o_totalprice: {between: [10000, 400000]}""",
+        "o_orderstatus NOT IN ('P') AND o_totalprice BETWEEN 10000 AND 400000"),
       // two ops on ONE field AND into a range predicate
       ("range", "o_totalprice: {gte: 50000, lt: 200000}",
         "o_totalprice >= 50000 AND o_totalprice < 200000"),
@@ -177,6 +192,23 @@ object GqlFuzz {
             o_orderkey } }""")
     add("rej_bool_unknown_col_inside",
       """{ orders(filter: {_or: [{o_bogus: {eq: 1}}]},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    // round-16 op operand-shape rejections: wrong-arity between, non-bool
+    // is_null, non-list nin, empty in/nin list, non-string (i)like
+    add("rej_between_arity",
+      """{ orders(filter: {o_totalprice: {between: [1, 2, 3]}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_is_null_not_bool",
+      """{ orders(filter: {o_orderdate: {is_null: "yes"}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_nin_not_list",
+      """{ orders(filter: {o_orderstatus: {nin: "P"}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_in_empty_list",
+      """{ orders(filter: {o_orderstatus: {in: []}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+    add("rej_like_not_string",
+      """{ orders(filter: {o_orderpriority: {like: 5}},
                   orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
 
     add("raw_order_desc",

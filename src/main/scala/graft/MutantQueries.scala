@@ -1236,6 +1236,52 @@ object MutantQueries {
           GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST""")
       }),
 
+    Mutant("nl_qualified_pair_where", "wrong-filter-edge",
+      "the buyer-nation filter applied to the SELLER's alias (n_sup instead of n_cust) — the exact mislabeled-edge bug the alias-qualified WHERE exists to prevent",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT /*+ BROADCAST(n_sup), BROADCAST(n_cust) */
+          n_sup.n_name AS supplier_nation,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n_sup ON s_nationkey = n_sup.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey
+          WHERE n_sup.n_name = 'NATION_7'
+          GROUP BY n_sup.n_name ORDER BY supplier_nation NULLS FIRST""")
+      }),
+
+    Mutant("nl_revenue", "dropped-discount",
+      "revenue computed as bare extendedprice — the (1 − discount) factor dropped, inflating every group",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT l_returnflag,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+          FROM lineitem GROUP BY l_returnflag
+          ORDER BY l_returnflag NULLS FIRST""")
+      }),
+
+    Mutant("gql_filter_ops", "exclusive-between",
+      "between lowered to exclusive bounds (> <) — the inclusive-endpoint contract broken on both ends",
+      "ties", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+          FROM orders
+          WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+            AND o_totalprice > 56800 AND o_totalprice < 87800
+            AND o_orderdate IS NOT NULL
+          ORDER BY o_orderkey NULLS FIRST LIMIT 80""")
+      }),
+
+    Mutant("nl_fix_count_where", "untyped-literal",
+      "the fixture raw-column filter compares against the wrong literal (status P instead of F) — the defect class a schema-typed literal catches at translate time",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("SELECT count(*) AS n_rows FROM orders WHERE o_orderstatus = 'P'")
+      }),
+
     Mutant("serve_saved_query", "wrong-binding",
       "the saved query runs with a stale param binding (status O instead of the requested F)",
       "clean", (s, d) => {

@@ -58,6 +58,13 @@ object NlFuzz {
     M("extended price", Seq("return flag"),
       "return flag", "R", "A",
       Some(("1996-01-01", "1997-06-30")), Some("1996"), Some(30)),
+    // round 16: DERIVED measure (revenue = extendedprice × (1−discount),
+    // the TPC-H discounted-revenue expression) — the measure slot carries
+    // a full SQL expression, so every production in this block must hold
+    // with an expression where it previously interpolated a column
+    M("revenue", Seq("return flag"),
+      "return flag", "R", "A",
+      Some(("1996-01-01", "1997-06-30")), Some("1996"), Some(30)),
     M("event value", Seq("event type"),
       "event type", "click", "view",
       Some(("2024-01-05", "2024-01-20")), Some("2024"), Some(7)),
@@ -207,10 +214,20 @@ object NlFuzz {
       claimed = true)
     add("number of unique parts by return flag where supplier nation is GERMANY",
       claimed = true)
-    // two qualified edges meeting the same physical nation table — the
-    // merge guard must reject, never emit nation-joined-twice SQL
+    // round 16: two qualified edges meeting the same physical nation
+    // table now route through the ALIASED twin merge (n_sup/n_cust, the
+    // TotalByTwoDims twin shape) with the filter column qualified by its
+    // edge's alias — never unaliased nation-joined-twice SQL
     add("total quantity by supplier nation where customer nation is GERMANY",
-      claimed = false)
+      claimed = true)
+    add("total quantity by customer nation where supplier nation is GERMANY",
+      claimed = true)
+    // non-empty parity rows for the same twin shape (the fixture nation
+    // domain is NATION_0..24 — GERMANY parity-passes on empty groups)
+    add("total quantity by supplier nation where customer nation is NATION_7",
+      claimed = true)
+    add("total quantity by customer nation where supplier nation is NATION_7",
+      claimed = true)
     // ---- leaderboards: topk × filter × per-group × range ----
     for ((ent, m, dims) <- leaderboards) {
       val mm = ms.find(_.measure == m).get
@@ -265,7 +282,12 @@ object NlFuzz {
     add("ratio of event value to quantity by return flag", claimed = false)
     // round 14: the customer→lineitem two-hop path routes the group dim
     add("ratio of extended price to quantity by market segment", claimed = true)
-    // unknown measures reject
+    // round 16: the derived revenue measure through ratio and topk
+    add("ratio of revenue to quantity by return flag", claimed = true)
+    add("ratio of revenue to extended price by return flag", claimed = true)
+    add("top 3 suppliers by total revenue", claimed = true)
+    // unknown measures reject (profit would need a supply-cost column the
+    // fixture does not carry)
     add("ratio of profit to quantity by return flag", claimed = false)
     // generic row count over ANY resolvable table (round 13 — the NL leg
     // of the dataset-registration surface)
@@ -308,11 +330,26 @@ object NlFuzz {
     add("total n_nationkey in reg_nations where n_regionkey is GERMANY",
       claimed = false)
     add("total n_nationkey in reg_nations where bogus_col is 1", claimed = false)
-    // fixture tables have no cached schema — the catalog-noun grammar is
-    // their surface; column-level forms reject with that pointer
-    add("how many rows in nation where n_name is GERMANY", claimed = false)
-    add("top 3 rows of orders by o_totalprice", claimed = false)
-    add("total o_totalprice in orders by o_orderstatus", claimed = false)
+    // round 16: FIXTURE tables now resolve in the column-level grammar
+    // too (TableRegistry.fixtureSchemas — the declared FIXTURES.md
+    // contract, so translate stays referentially transparent): raw-column
+    // questions are first-class alongside the catalog-noun vocabulary
+    add("how many rows in nation where n_name is GERMANY", claimed = true)
+    add("top 3 rows of orders by o_totalprice", claimed = true)
+    add("total o_totalprice in orders by o_orderstatus", claimed = true)
+    add("average o_totalprice in orders by o_orderstatus", claimed = true)
+    add("number of rows in lineitem by l_returnflag", claimed = true)
+    add("maximum o_totalprice in orders by o_orderstatus", claimed = true)
+    add("minimum l_quantity in lineitem by l_returnflag", claimed = true)
+    add("minimum n_name in nation by n_regionkey", claimed = false)
+    add("maximum n_nationkey in reg_nations by n_regionkey", claimed = true)
+    add("total o_totalprice in orders where o_orderstatus is F", claimed = true)
+    // …with the same loud-rejection discipline as registered datasets:
+    // unknown column (naming the real list), type-mismatched literal,
+    // non-numeric measure
+    add("how many rows in orders where o_bogus is 3", claimed = false)
+    add("how many rows in nation where n_regionkey is GERMANY", claimed = false)
+    add("total n_name in nation by n_regionkey", claimed = false)
     out.result()
   }
 

@@ -398,6 +398,30 @@ object GraphQL {
     case other => throw new IllegalArgumentException(s"unsupported literal: $other")
   }
 
+  /** Loud operand-shape checks (round 16): the like/in family previously
+    * cast with asInstanceOf — a wrong-shaped operand surfaced as a bare
+    * ClassCastException instead of a message naming the op and the fix.
+    */
+  private def strOperand(op: String, v: Value): String = v match {
+    case VString(x) => x
+    case other => throw new IllegalArgumentException(
+      s"'$op' takes a string pattern, got: $other")
+  }
+
+  private def inItems(op: String, v: Value): Seq[Any] = v match {
+    case VList(items) =>
+      require(items.nonEmpty, s"'$op' takes a non-empty list")
+      items.map {
+        case VInt(x) => x: Any
+        case VFloat(x) => x: Any
+        case VString(x) => x: Any
+        case VBool(x) => x: Any
+        case o => throw new IllegalArgumentException(s"bad $op item: $o")
+      }
+    case other => throw new IllegalArgumentException(
+      s"'$op' takes a list of scalars, got: $other")
+  }
+
   private def predicate(colName: String, op: String, v: Value): Column = {
     val c = col(colName)
     op match {
@@ -407,14 +431,30 @@ object GraphQL {
       case "gte" => c >= litOf(v)
       case "lt" => c < litOf(v)
       case "lte" => c <= litOf(v)
-      case "like" => c.like(v.asInstanceOf[VString].v)
-      case "in" => c.isin(v.asInstanceOf[VList].v.map {
-        case VInt(x) => x: Any
-        case VFloat(x) => x: Any
-        case VString(x) => x: Any
-        case VBool(x) => x: Any
-        case o => throw new IllegalArgumentException(s"bad IN item: $o")
-      }: _*)
+      case "like" => c.like(strOperand("like", v))
+      // case-insensitive LIKE (round 16): both engines share ILIKE
+      case "ilike" => c.ilike(strOperand("ilike", v))
+      case "in" => c.isin(inItems("in", v): _*)
+      // round 16 filter-op breadth — the first-day Hasura-style operators
+      // the grammar still lacked. All three stay scan-pushable: NOT IN
+      // lowers to Not(In(...)), BETWEEN to two range predicates, IS
+      // [NOT] NULL to the null filters — each a parquet-pushable shape.
+      case "nin" =>
+        // SQL NOT IN semantics in both engines: a NULL column value never
+        // qualifies (the predicate is NULL, filtered out) — mirrored by
+        // the oracle's NOT IN
+        !c.isin(inItems("nin", v): _*)
+      case "between" => v match {
+        case VList(List(lo, hi)) => c >= litOf(lo) && c <= litOf(hi)
+        case other => throw new IllegalArgumentException(
+          s"'between' takes a two-element list [lo, hi], got: $other")
+      }
+      case "is_null" => v match {
+        case VBool(true) => c.isNull
+        case VBool(false) => c.isNotNull
+        case other => throw new IllegalArgumentException(
+          s"'is_null' takes a boolean, got: $other")
+      }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
   }

@@ -21,6 +21,18 @@ object NlToSql {
     // second lineitem measure (round 13): gives the ratio production a
     // same-fact measure pair, and every existing production over it
     "extended price" -> ("lineitem", "l_extendedprice"),
+    // DERIVED measure (round 16, NLFUZZ q266's family): discounted
+    // revenue = extendedprice × (1 − discount). The slot carries a full
+    // SQL expression — every production interpolates the measure inside
+    // CAST(… AS DECIMAL(18,4)), and the expression computes EXACTLY in
+    // decimal in both engines (2dp × 2dp = 4dp, no rounding at the cast),
+    // so the sum/avg/ratio disciplines hold unchanged. "profit" stays an
+    // unknown measure: it would need a supply-cost column the fixture
+    // does not carry.
+    "revenue" ->
+      ("lineitem",
+        "(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,4))))"),
     "account balance" -> ("customer", "c_acctbal"),
     "event value" -> ("events", "value"))
 
@@ -221,9 +233,9 @@ object NlToSql {
   // dynamically REGISTERED datasets — the registry's schema cache (filled
   // by the register-time loadability probe) resolves column names and
   // types at translate time, so a registered CSV/parquet is first-class
-  // in the NL dialect beyond bare row counts. Fixture tables are served
-  // by the catalog-noun grammar and have no cached schema — they reject
-  // here with a pointer to the right phrasing.
+  // in the NL dialect beyond bare row counts. Round 16: FIXTURE tables
+  // resolve here too, against the declared fixtureSchemas contract — the
+  // catalog-noun grammar and the raw-column grammar are both first-class.
   private val RegCountWhere =
     """(?i)how many rows (?:are )?in (\w+) where (\w+) is ([\w-]+)\s*\??""".r
   private val RegTopK = """(?i)top (\d+) rows of (\w+) by (\w+)""".r
@@ -246,6 +258,13 @@ object NlToSql {
     """(?i)total (\w+) in (\w+)(?: by (\w+))?""".r
   private val RegAvgBy =
     """(?i)average (\w+) in (\w+) by (\w+)""".r
+  // round 16 continuation: grouped extremes over any resolvable table's
+  // raw column ("maximum o_totalprice in orders by o_orderstatus") —
+  // numeric-gated like the other column-level aggregates. Cannot shadow
+  // the catalog-noun MinMaxBy: that production's [a-z ] captures cannot
+  // span an underscored column name or the " in <table>" clause.
+  private val RegMinMaxBy =
+    """(?i)(minimum|maximum) (\w+) in (\w+) by (\w+)""".r
   // round 16: equality-FILTERED total over a registered dataset ("total
   // value in X where event_type is click") — the RegCountWhere filter
   // typing (numeric columns take a bare literal, string columns a quoted
@@ -414,29 +433,30 @@ object NlToSql {
       throw new IllegalArgumentException(s"unknown entity table: $entity"))
   }
 
-  /** Resolve (table, column) against a REGISTERED dataset's cached schema
-    * — the round-15 column-level productions' shared front door. Unknown
-    * tables, fixture tables (no cached schema — they have dedicated
-    * grammar), and unknown columns all reject loudly, the last with the
-    * real column list.
+  /** Resolve (table, column) against a resolvable table's schema — the
+    * column-level productions' shared front door. REGISTERED datasets
+    * resolve against the registry's cached schema (filled by the
+    * register-time loadability probe); FIXTURE tables (round 16) against
+    * the DECLARED fixture contract ([[TableRegistry.fixtureSchemas]] —
+    * static, so `translate` stays referentially transparent), which makes
+    * raw-column questions ("how many rows in nation where n_name is
+    * GERMANY", "total o_totalprice in orders by o_orderstatus") first-class
+    * alongside the catalog-noun grammar. Unknown tables and unknown
+    * columns reject loudly, the last with the real column list.
     */
   private def regColumn(table: String, column: String):
       (String, org.apache.spark.sql.types.StructField,
        org.apache.spark.sql.types.StructType) = {
     val t = table.toLowerCase
     require(TableRegistry.allNames(t), s"unknown table: $table")
-    val schema = TableRegistry.cachedSchema(t).getOrElse(
-      throw new IllegalArgumentException(
-        if (TableRegistry.isDynamic(t))
+    val schema = TableRegistry.cachedSchema(t)
+      .orElse(TableRegistry.fixtureSchemas.get(t)).getOrElse(
+        throw new IllegalArgumentException(
           // round-15 ADVICE: a replayed registration whose warm-up probe
-          // failed must not masquerade as the fixture-table rejection
+          // failed must not masquerade as an unknown-table rejection
           s"dataset '$t' is registered but its schema is not loaded yet " +
             "(its path may be unreadable; run any SQL query against it " +
-            "or re-register to load the schema)"
-        else
-          s"no cached schema for '$t' — column-level questions work on " +
-            "REGISTERED datasets (fixture tables use the catalog " +
-            "vocabulary, e.g. 'number of orders by status')"))
+            "or re-register to load the schema)"))
     val f = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
       throw new IllegalArgumentException(
         s"table '$t' has no column '$column' " +
@@ -518,6 +538,18 @@ object NlToSql {
       val (_, g, _) = regColumn(table, group)
       s"""SELECT ${g.name}, ${avgExactSql(f.name)} AS avg_val FROM $t
          GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
+    case RegMinMaxBy(which, column, table, group) =>
+      // grouped extremes over a raw column — min/max are order- and
+      // parallelism-independent, so the raw column value is exact in both
+      // engines; numeric-gated like the other column-level aggregates
+      val (t, f, _) = regColumn(table, column)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"column '${f.name}' is ${f.dataType.simpleString} — " +
+          s"'${which.toLowerCase}' needs a numeric column")
+      val (_, g, _) = regColumn(table, group)
+      val fn = if (which.toLowerCase == "maximum") "max" else "min"
+      s"""SELECT ${g.name}, $fn(${f.name}) AS extreme FROM $t
+         GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
     case RegTopK(n, table, column) =>
       // project-top-k over a registered dataset: all columns, ranked by
       // the named one. Deterministic by construction: the remaining
@@ -559,7 +591,11 @@ object NlToSql {
         throw new IllegalArgumentException(s"no date column for $fact"))
       val toExcl = java.time.LocalDate.parse(to).plusDays(1)
       val fn = if (which.toLowerCase == "maximum") "max" else "min"
-      s"""SELECT $dcol, $fn($mcol) AS extreme
+      // CAST … AS DOUBLE: a no-op for the DOUBLE fixture columns, and the
+      // type normalizer for the derived decimal-expression measure
+      // (Spark and DuckDB widen decimal products to different precisions;
+      // the values are exact 4dp either way, so the double is identical)
+      s"""SELECT $dcol, CAST($fn($mcol) AS DOUBLE) AS extreme
          FROM ${factFrom(table, fact)}
          WHERE $dateCol >= TIMESTAMP '$from 00:00:00'
            AND $dateCol < TIMESTAMP '$toExcl 00:00:00'
@@ -1118,7 +1154,9 @@ object NlToSql {
       // matrix fuzzer found this modifier x cross-table-dim composition
       // unproducible)
       val fn = if (which.toLowerCase == "maximum") "max" else "min"
-      s"""SELECT $dcol, $fn($mcol) AS extreme
+      // CAST … AS DOUBLE: no-op for DOUBLE columns, type normalizer for
+      // the derived decimal-expression measure (see MinMaxByDateRange)
+      s"""SELECT $dcol, CAST($fn($mcol) AS DOUBLE) AS extreme
          FROM ${factFrom(table, fact)} GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
     case TotalByTwoDims(measure, d1, d2) =>
       // multi-dimension group-by: "total order price by market segment
@@ -1219,10 +1257,31 @@ object NlToSql {
       val (ftable, fcol) = dim(fdim)
       // group dim routing since round 11; round 14 lets the FILTER dim
       // route a many-to-one hop too (factFrom2 — basis unchanged)
-      s"""SELECT $dcol,
-         CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-         FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
-         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      (aliasedQualified.get((table, fact)),
+        aliasedQualified.get((ftable, fact))) match {
+        case (Some((jd, qd)), Some((jf, qf))) if table != ftable =>
+          // TWIN edge-qualified group + FILTER dims (round 16, NLFUZZ
+          // q212: "total quantity by supplier nation where customer
+          // nation is GERMANY"): both qualified edges meet the same
+          // physical nation table over DISJOINT intermediates, so the
+          // merge aliases it twice — the TotalByTwoDims twin shape with
+          // the filter edge's alias qualifying the WHERE column. Both
+          // aliased nation sides carry the explicit BROADCAST hint (the
+          // one scale-invariant dim); the filter predicate sits on the
+          // broadcast side's output, which AQE/Catalyst pushes into the
+          // 25-row aliased scan. DuckDB reads the hint as a comment.
+          val ad = d.trim.toLowerCase.replace(' ', '_')
+          s"""SELECT /*+ BROADCAST($qd), BROADCAST($qf) */
+             $qd.$dcol AS $ad,
+             CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+             FROM $fact $jd $jf WHERE $qf.$fcol = ${sqlLit(value)}
+             GROUP BY $qd.$dcol ORDER BY $ad NULLS FIRST"""
+        case _ =>
+          s"""SELECT $dcol,
+             CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+             FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
+             GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      }
     case other => translateBase(other.toLowerCase)
   }
 

@@ -176,6 +176,28 @@ object Dialects {
   // q_volume_shipping SQL shape); NLFUZZ q168 flips to parity-pass
   val nlQualifiedPairQuestion: String =
     "total quantity by supplier nation and customer nation"
+  // round 16 continuation: the twin-qualified pair as GROUP + FILTER
+  // (NLFUZZ q212) — the aliased merge with the filter column qualified by
+  // its edge's alias (n_cust.n_name = 'GERMANY' filters the BUYER's
+  // nation while grouping by the SELLER's)
+  val nlQualifiedPairWhereQuestion: String =
+    "total quantity by supplier nation where customer nation is NATION_7"
+  // round 16 continuation: DERIVED measure (revenue = extendedprice ×
+  // (1−discount), the TPC-H discounted-revenue expression) through the
+  // standard grouped-total production — the measure slot carries a full
+  // SQL expression that computes exactly in DECIMAL in both engines
+  val nlRevenueQuestion: String = "total revenue by return flag"
+  // round 16 continuation: raw-COLUMN questions over FIXTURE tables
+  // (NLFUZZ q290/q291/q292) — the registered-dataset column-level
+  // productions resolve fixture columns against the DECLARED
+  // TableRegistry.fixtureSchemas contract at translate time
+  val nlFixCountWhereQuestion: String =
+    "how many rows in orders where o_orderstatus is F"
+  val nlFixTotalByQuestion: String =
+    "total o_totalprice in orders by o_orderstatus"
+  val nlFixTopkQuestion: String = "top 3 rows of orders by o_totalprice"
+  val nlFixMinMaxQuestion: String =
+    "maximum o_totalprice in orders by o_orderstatus"
 
   // round-11 pair, surfaced MECHANICALLY: the NL matrix fuzzer
   // (graft.NlFuzz) enumerated every production × modifier cross and
@@ -265,6 +287,18 @@ object Dialects {
                                {o_orderpriority: {eq: "2-HIGH"}}],
                          _and: [{o_totalprice: {gt: 200000}},
                                 {_not: {o_orderstatus: {eq: "P"}}}]},
+                orderBy: ["o_orderkey"], limit: 80) {
+         o_orderkey o_orderstatus o_orderpriority o_totalprice } }"""
+
+  /** Round-16 filter-op breadth: `nin` (NOT IN), `between` (inclusive
+    * range), `is_null` — the first-day operators a Hasura-style client
+    * writes beyond eq/gt/in/like. All three lower to scan-pushable
+    * predicate shapes (Not(In), two range filters, IsNotNull).
+    */
+  val gqlFilterOpsQuery: String =
+    """{ orders(filter: {o_orderpriority: {nin: ["1-URGENT", "5-LOW"]},
+                         o_totalprice: {between: [56800, 87800]},
+                         o_orderdate: {is_null: false}},
                 orderBy: ["o_orderkey"], limit: 80) {
          o_orderkey o_orderstatus o_orderpriority o_totalprice } }"""
 
@@ -435,6 +469,7 @@ object Dialects {
     "gql_distinct_on" -> ((s, d) => GraphQL.run(s, d, gqlDistinctOnQuery)),
     "gql_object_filter" -> ((s, d) => GraphQL.run(s, d, gqlObjectFilterQuery)),
     "gql_filter_bool" -> ((s, d) => GraphQL.run(s, d, gqlFilterBoolQuery)),
+    "gql_filter_ops" -> ((s, d) => GraphQL.run(s, d, gqlFilterOpsQuery)),
     "nl_where_year" -> ((s, d) => NlToSql.run(s, d, nlWhereYearQuestion)),
     "nl_distinct_star" -> ((s, d) => NlToSql.run(s, d, nlDistinctStarQuestion)),
     "nl_where_star" -> ((s, d) => NlToSql.run(s, d, nlWhereStarQuestion)),
@@ -453,6 +488,14 @@ object Dialects {
       NlToSql.run(s, d, nlQualifiedMergeQuestion)),
     "nl_qualified_pair" -> ((s, d) =>
       NlToSql.run(s, d, nlQualifiedPairQuestion)),
+    "nl_qualified_pair_where" -> ((s, d) =>
+      NlToSql.run(s, d, nlQualifiedPairWhereQuestion)),
+    "nl_revenue" -> ((s, d) => NlToSql.run(s, d, nlRevenueQuestion)),
+    "nl_fix_count_where" -> ((s, d) =>
+      NlToSql.run(s, d, nlFixCountWhereQuestion)),
+    "nl_fix_total_by" -> ((s, d) => NlToSql.run(s, d, nlFixTotalByQuestion)),
+    "nl_fix_topk" -> ((s, d) => NlToSql.run(s, d, nlFixTopkQuestion)),
+    "nl_fix_minmax" -> ((s, d) => NlToSql.run(s, d, nlFixMinMaxQuestion)),
     "nl_avg_range" -> ((s, d) => NlToSql.run(s, d, nlAvgRangeQuestion)),
     "nl_topk_group_where" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupWhereQuestion)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
@@ -735,6 +778,16 @@ object Dialects {
          WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
            AND o_totalprice > 200000 AND NOT (o_orderstatus = 'P')
          ORDER BY o_orderkey NULLS FIRST LIMIT 80""",
+    "gql_filter_ops" ->
+      // nin/between/is_null lowered literally: NOT IN keeps SQL's
+      // null-never-qualifies semantics in both engines; BETWEEN is
+      // inclusive both ends; IS NOT NULL mirrors is_null: false
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+         FROM orders
+         WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+           AND o_totalprice BETWEEN 56800 AND 87800
+           AND o_orderdate IS NOT NULL
+         ORDER BY o_orderkey NULLS FIRST LIMIT 80""",
     "gql_object_filter" ->
       // the object-relation filter folded into the LEFT JOIN condition —
       // parents survive, the object nulls out when the filter misses
@@ -751,6 +804,12 @@ object Dialects {
     "nl_qualified_dim_where" -> NlToSql.translate(nlQualifiedDimWhereQuestion),
     "nl_qualified_merge" -> NlToSql.translate(nlQualifiedMergeQuestion),
     "nl_qualified_pair" -> NlToSql.translate(nlQualifiedPairQuestion),
+    "nl_qualified_pair_where" -> NlToSql.translate(nlQualifiedPairWhereQuestion),
+    "nl_revenue" -> NlToSql.translate(nlRevenueQuestion),
+    "nl_fix_count_where" -> NlToSql.translate(nlFixCountWhereQuestion),
+    "nl_fix_total_by" -> NlToSql.translate(nlFixTotalByQuestion),
+    "nl_fix_topk" -> NlToSql.translate(nlFixTopkQuestion),
+    "nl_fix_minmax" -> NlToSql.translate(nlFixMinMaxQuestion),
     "nl_avg_range" -> NlToSql.translate(nlAvgRangeQuestion),
     "nl_topk_group_where" -> NlToSql.translate(nlTopkGroupWhereQuestion),
     "gql_nested_distinct" ->

@@ -108,6 +108,52 @@ object TableRegistry {
   def cachedSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
     Option(schemaCache.get(name.toLowerCase))
 
+  /** DECLARED fixture-table schemas, AS THE DIALECTS SEE THEM (post-shim:
+    * `events.ts` is the reconstructed µs timestamp, `embeddings.embedding`
+    * the array<double> cast — SURVEY.md §1.4). Round 16: the NL column-level
+    * productions ("how many rows in nation where n_name is GERMANY") resolve
+    * fixture columns and types here at TRANSLATE time, exactly like
+    * registered datasets resolve against [[cachedSchema]] — static
+    * declaration rather than a session read keeps `translate` referentially
+    * transparent (no request-history dependence, the round-15 ADVICE
+    * discipline). The declaration is the FIXTURES.md contract verbatim;
+    * FixtureSchemaSpec locks each entry to the actual loaded schema so a
+    * driver-side fixture change breaks the build, not the translation.
+    */
+  val fixtureSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
+    Map(
+      "region" -> st("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> st("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> st("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> st("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> st("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> st("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+      "lineitem" -> st("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampType),
+      "events" -> st("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> st("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> st("vec_id" -> LongType,
+        "embedding" -> ArrayType(DoubleType), "label" -> IntegerType))
+  }
+
   /** Load a registration's data — schema-cached after the first read, so
     * per-request view registration never re-infers. Public: the register
     * path uses it as the loadability probe.

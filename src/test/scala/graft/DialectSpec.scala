@@ -589,9 +589,123 @@ class DialectSpec extends AnyFunSuite {
     val rev = NlToSql.translate("total quantity by customer nation and supplier nation")
     assert(rev.contains("n_cust.n_name AS customer_nation")
       && rev.contains("n_sup.n_name AS supplier_nation"), rev)
-    // the where-twin stays rejected: the filter column would be ambiguous
+    // round-16 continuation: the where-twin now routes too — the filter
+    // column is qualified by ITS edge's alias, so grouping by the
+    // seller's nation while filtering the buyer's is unambiguous
+    val tw = NlToSql.translate(
+      "total quantity by supplier nation where customer nation is NATION_7")
+    assert(tw.contains("n_cust.n_name = 'NATION_7'"), tw)
+    assert(tw.contains("GROUP BY n_sup.n_name"), tw)
+    val twOut = spark.sql(tw)
+    assert(twOut.columns.toSeq === Seq("supplier_nation", "total"))
+    // basis check: the filtered twin's grand total equals the twin
+    // group-by's NATION_7 customer slice
+    val slice = out.where(org.apache.spark.sql.functions
+        .col("customer_nation") === "NATION_7")
+      .agg(org.apache.spark.sql.functions.sum("total")).first().getDouble(0)
+    val twSum = twOut.agg(org.apache.spark.sql.functions.sum("total"))
+      .first().getDouble(0)
+    assert(math.abs(slice - twSum) < 1e-4, s"$slice vs $twSum")
+    // the reversed roles swap alias and filter edge
+    val twRev = NlToSql.translate(
+      "total quantity by customer nation where supplier nation is NATION_7")
+    assert(twRev.contains("n_sup.n_name = 'NATION_7'")
+      && twRev.contains("GROUP BY n_cust.n_name"), twRev)
+    // bare "nation" stays ambiguous in BOTH slots
     assertThrows[IllegalArgumentException](NlToSql.translate(
-      "total quantity by supplier nation where customer nation is GERMANY"))
+      "total quantity by nation where customer nation is NATION_7"))
+  }
+
+  test("NL derived revenue measure: exact decimal expression through the productions") {
+    // revenue = extendedprice × (1−discount) — the measure slot carries a
+    // full SQL expression; the 2dp×2dp product is exact at 4dp, so the
+    // decimal disciplines hold unchanged in both engines
+    TableRegistry.registerAll(spark, d)
+    val sql = NlToSql.translate("total revenue by return flag")
+    assert(sql.contains("l_extendedprice") && sql.contains("1 - CAST(l_discount"), sql)
+    val out = spark.sql(sql).collect()
+    assert(out.nonEmpty)
+    // identity: sum(revenue) <= sum(extendedprice) strictly when any
+    // discount is positive, and both are exact 4dp doubles
+    val rev = out.map(_.getDouble(1)).sum
+    val ext = spark.sql(NlToSql.translate("total extended price by return flag"))
+      .collect().map(_.getDouble(1)).sum
+    assert(rev > 0 && rev < ext, s"rev=$rev ext=$ext")
+    // min/max normalize the widened decimal product to DOUBLE
+    val mm = NlToSql.translate("maximum revenue by return flag")
+    assert(mm.contains("CAST(max(") && mm.contains("AS DOUBLE) AS extreme"), mm)
+    assert(spark.sql(mm).schema("extreme").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // ratio with the derived measure keeps the same-fact basis
+    val ratio = spark.sql(NlToSql.translate(
+      "ratio of revenue to extended price by return flag")).collect()
+    assert(ratio.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 10000),
+      "revenue/extendedprice must sit in (0, 1] basis points")
+    // unknown derived measures keep rejecting
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "total profit by return flag"))
+  }
+
+  test("NL raw-column questions over fixture tables resolve the declared contract") {
+    // round-16: the column-level productions work on fixtures via the
+    // DECLARED TableRegistry.fixtureSchemas (no session, no request
+    // history) — same loud-rejection discipline as registered datasets
+    TableRegistry.registerAll(spark, d)
+    val cnt = NlToSql.translate("how many rows in orders where o_orderstatus is F")
+    assert(cnt.contains("o_orderstatus = 'F'"), cnt)
+    assert(spark.sql(cnt).first().getLong(0) > 0)
+    // numeric filter column types the literal bare (scan-pushable)
+    val numCnt = NlToSql.translate("how many rows in nation where n_regionkey is 1")
+    assert(numCnt.contains("n_regionkey = 1") && !numCnt.contains("'1'"), numCnt)
+    // grouped total + topk over raw fixture columns
+    val tot = spark.sql(NlToSql.translate(
+      "total o_totalprice in orders by o_orderstatus")).collect()
+    assert(tot.length === 3) // F, O, P
+    val topk = spark.sql(NlToSql.translate(
+      "top 3 rows of orders by o_totalprice")).collect()
+    assert(topk.length === 3)
+    assert(topk(0).getAs[Double]("o_totalprice") >=
+      topk(2).getAs[Double]("o_totalprice"))
+    // unknown column rejects naming the real list; type mismatch and
+    // non-numeric measure reject like registered datasets
+    val e = intercept[IllegalArgumentException](NlToSql.translate(
+      "how many rows in orders where o_bogus is 3"))
+    assert(e.getMessage.contains("o_orderkey"), e.getMessage)
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "how many rows in nation where n_regionkey is GERMANY"))
+    assertThrows[IllegalArgumentException](NlToSql.translate(
+      "total n_name in nation by n_regionkey"))
+  }
+
+  test("GraphQL nin/between/is_null/ilike filter and reject malformed operands") {
+    val out = GraphQL.run(spark, d, Dialects.gqlFilterOpsQuery).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val t = r.getAs[Double]("o_totalprice")
+      p != "1-URGENT" && p != "5-LOW" && t >= 56800 && t <= 87800
+    })
+    // ilike is case-insensitive where like is not
+    val il = GraphQL.run(spark, d,
+      """{ orders(filter: {o_orderpriority: {ilike: "1-urgent"}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey o_orderpriority } }""")
+      .collect()
+    assert(il.nonEmpty && il.forall(_.getString(1) == "1-URGENT"))
+    // operand-shape rejections are loud and name the op
+    def rejects(gql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](GraphQL.run(spark, d, gql))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("""{ orders(filter: {o_totalprice: {between: [1, 2, 3]}},
+                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "between")
+    rejects("""{ orders(filter: {o_orderdate: {is_null: "yes"}},
+                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "is_null")
+    rejects("""{ orders(filter: {o_orderstatus: {nin: "P"}},
+                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "nin")
+    rejects("""{ orders(filter: {o_orderstatus: {in: []}},
+                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "in")
+    rejects("""{ orders(filter: {o_orderpriority: {like: 5}},
+                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "like")
   }
 
   test("NL aggregates over a registered dataset: typed, money-disciplined; non-numeric rejects") {
@@ -618,9 +732,8 @@ class DialectSpec extends AnyFunSuite {
       // unknown group column rejects with the real column list
       assertThrows[IllegalArgumentException](
         NlToSql.translate("total n_nationkey in reg_nat_agg by bogus"))
-      // fixture tables keep the catalog vocabulary (no cached schema)
-      assertThrows[IllegalArgumentException](
-        NlToSql.translate("total o_totalprice in orders by o_orderstatus"))
+      // fixture tables resolve too since round 16 (the declared
+      // fixtureSchemas contract) — covered by the raw-column test above
       // round 16: the equality-filtered total — string filter quoted,
       // numeric filter bare; both literal typings from the cached schema
       val fw = NlToSql.translate(

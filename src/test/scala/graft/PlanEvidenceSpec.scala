@@ -533,6 +533,51 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("nl_qualified_pair_where: twin aliases broadcast; the buyer-edge filter prunes before the agg") {
+    // the GROUP+FILTER twin (round-16 continuation): same join shape as
+    // nl_qualified_pair, with n_cust.n_name = 'NATION_7' — the predicate
+    // lands on the broadcast side's 25-row scan, so the filter costs
+    // nothing at any SF and the fact is never broadcast
+    val p = planNoAutoBroadcast(
+      Dialects.queries("nl_qualified_pair_where")(spark, d))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both hinted nation aliases must plan broadcast joins:\n$p")
+    assert(p.contains("EqualTo(n_name,NATION_7)"),
+      s"the buyer-nation equality must push to the nation scan:\n$p")
+    assert(factNeverBroadcast(p), s"lineitem under a BroadcastExchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gql_filter_ops: nin/between/is_null all reach PushedFilters") {
+    val p = plan(Dialects.queries("gql_filter_ops")(spark, d))
+    // Not(In(...)) / the two range predicates / IsNotNull are each a
+    // parquet-pushable shape; the PushedFilters list may truncate, so pin
+    // stable fragments
+    assert(p.contains("Not(In(o_orderpriority"),
+      s"nin must push as Not(In):\n$p")
+    // the PushedFilters list truncates at maxMetadataStringLength — pin
+    // the range on the scan-side codegen'd Filter (and the pushed prefix)
+    assert(p.contains(">= 56800.0)") && p.contains("<= 87800.0)"),
+      s"between's bounds must reach the scan-side Filter:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_totalp"),
+      s"between's lower bound must appear in PushedFilters:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("nl_revenue: derived-measure total is one partial-aggregated scan, no join") {
+    val p = plan(Dialects.queries("nl_revenue")(spark, d))
+    assert(!p.contains("Join"), s"derived measure must not add a join:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"sum must partial-aggregate map-side:\n$p")
+  }
+
+  test("nl_fix_topk plans TakeOrderedAndProject — k rows, no global sort") {
+    val p = plan(Dialects.queries("nl_fix_topk")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k must never global-sort:\n$p")
+  }
+
   test("nl_distinct_fanout: EXISTS lowers to a semi join; child filter pushed to its scan") {
     // the fan-out filter must NEVER duplicate the counted basis: the plan
     // is a LeftSemi whose probe side is orders, with the return-flag
