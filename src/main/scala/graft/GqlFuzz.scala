@@ -204,9 +204,16 @@ object GqlFuzz {
     add("rej_nin_not_list",
       """{ orders(filter: {o_orderstatus: {nin: "P"}},
                   orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
-    add("rej_in_empty_list",
+    // empty lists are NOT rejections — the Hasura contract: in:[] is the
+    // always-false filter, nin:[] the always-true one (review round 16)
+    add("in_empty_list",
       """{ orders(filter: {o_orderstatus: {in: []}},
-                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""",
+      "SELECT o_orderkey FROM orders WHERE FALSE ORDER BY o_orderkey LIMIT 5")
+    add("nin_empty_list",
+      """{ orders(filter: {o_orderstatus: {nin: []}},
+                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""",
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey NULLS FIRST LIMIT 5")
     add("rej_like_not_string",
       """{ orders(filter: {o_orderpriority: {like: 5}},
                   orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""")
@@ -465,6 +472,14 @@ object GqlFuzz {
       aggCase("having_avg", gb, fieldsets(2),
         havingG = "avg_o_totalprice: {gt: 140000.0}",
         havingS = "avg_o_totalprice > 140000.0")
+      // round-16 op breadth composes with having for free: the same
+      // filterCond/predicate lowering serves every filter surface
+      aggCase("having_between", gb, fsSum,
+        havingG = "count: {between: [100, 3000]}",
+        havingS = "\"count\" BETWEEN 100 AND 3000")
+      aggCase("filter_nin", gb, fsSum,
+        filterG = """o_orderpriority: {nin: ["1-URGENT", "5-LOW"]}""",
+        filterS = "o_orderpriority NOT IN ('1-URGENT', '5-LOW')")
     }
 
     // multi-key groupBy (own pair, and dotted+own mix)

@@ -228,6 +228,10 @@ object NlFuzz {
       claimed = true)
     add("total quantity by customer nation where supplier nation is NATION_7",
       claimed = true)
+    // the shared twinAliased merge serves AvgByWhere too (review round 16:
+    // "total" and "average" must carry the same twin surface)
+    add("average quantity by supplier nation where customer nation is NATION_7",
+      claimed = true)
     // ---- leaderboards: topk × filter × per-group × range ----
     for ((ent, m, dims) <- leaderboards) {
       val mm = ms.find(_.measure == m).get

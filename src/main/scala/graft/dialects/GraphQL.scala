@@ -409,15 +409,13 @@ object GraphQL {
   }
 
   private def inItems(op: String, v: Value): Seq[Any] = v match {
-    case VList(items) =>
-      require(items.nonEmpty, s"'$op' takes a non-empty list")
-      items.map {
-        case VInt(x) => x: Any
-        case VFloat(x) => x: Any
-        case VString(x) => x: Any
-        case VBool(x) => x: Any
-        case o => throw new IllegalArgumentException(s"bad $op item: $o")
-      }
+    case VList(items) => items.map {
+      case VInt(x) => x: Any
+      case VFloat(x) => x: Any
+      case VString(x) => x: Any
+      case VBool(x) => x: Any
+      case o => throw new IllegalArgumentException(s"bad $op item: $o")
+    }
     case other => throw new IllegalArgumentException(
       s"'$op' takes a list of scalars, got: $other")
   }
@@ -434,7 +432,12 @@ object GraphQL {
       case "like" => c.like(strOperand("like", v))
       // case-insensitive LIKE (round 16): both engines share ILIKE
       case "ilike" => c.ilike(strOperand("ilike", v))
-      case "in" => c.isin(inItems("in", v): _*)
+      // empty lists keep the Hasura contract a filter-building client
+      // relies on: `in: []` matches NO row, `nin: []` matches EVERY row
+      // (an empty multi-select must not throw — round-16 review)
+      case "in" =>
+        val items = inItems("in", v)
+        if (items.isEmpty) lit(false) else c.isin(items: _*)
       // round 16 filter-op breadth — the first-day Hasura-style operators
       // the grammar still lacked. All three stay scan-pushable: NOT IN
       // lowers to Not(In(...)), BETWEEN to two range predicates, IS
@@ -443,7 +446,8 @@ object GraphQL {
         // SQL NOT IN semantics in both engines: a NULL column value never
         // qualifies (the predicate is NULL, filtered out) — mirrored by
         // the oracle's NOT IN
-        !c.isin(inItems("nin", v): _*)
+        val items = inItems("nin", v)
+        if (items.isEmpty) lit(true) else !c.isin(items: _*)
       case "between" => v match {
         case VList(List(lo, hi)) => c >= litOf(lo) && c <= litOf(hi)
         case other => throw new IllegalArgumentException(

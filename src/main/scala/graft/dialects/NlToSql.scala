@@ -464,6 +464,16 @@ object NlToSql {
     (t, f, schema)
   }
 
+  /** The column-level aggregates' shared numeric gate: 'total'/'average'/
+    * 'minimum'/'maximum' need a numeric measure; the rejection names the
+    * real type and the asking verb.
+    */
+  private def requireNumeric(f: org.apache.spark.sql.types.StructField,
+                             verb: String): Unit =
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"column '${f.name}' is ${f.dataType.simpleString} — '$verb' needs a " +
+        "numeric column")
+
   def translate(question: String): String = question.trim match {
     case RegCountWhere(table, column, value) =>
       // equality-filtered row count over a registered dataset; the
@@ -494,9 +504,7 @@ object NlToSql {
       // filter: typed from the cached schema so the predicate is
       // scan-pushable in both engines
       val (t, f, _) = regColumn(table, column)
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"column '${f.name}' is ${f.dataType.simpleString} — 'total' needs a " +
-          "numeric column")
+      requireNumeric(f, "total")
       val (_, ff, _) = regColumn(table, fcol)
       val flit = ff.dataType match {
         case _: org.apache.spark.sql.types.NumericType =>
@@ -516,9 +524,7 @@ object NlToSql {
       // schema. Plain partial-aggregated sum; the scan stays pruned to
       // the one or two referenced columns.
       val (t, f, _) = regColumn(table, column)
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"column '${f.name}' is ${f.dataType.simpleString} — 'total' needs a " +
-          "numeric column")
+      requireNumeric(f, "total")
       val total =
         s"CAST(round(sum(CAST(${f.name} AS DECIMAL(18,4))), 4) AS DOUBLE) AS total"
       if (group == null) s"SELECT $total FROM $t"
@@ -532,9 +538,7 @@ object NlToSql {
       // discipline (exact scaled-integer rounding in the Spark∩DuckDB
       // common dialect), same numeric type gate as RegTotalBy
       val (t, f, _) = regColumn(table, column)
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"column '${f.name}' is ${f.dataType.simpleString} — 'average' needs a " +
-          "numeric column")
+      requireNumeric(f, "average")
       val (_, g, _) = regColumn(table, group)
       s"""SELECT ${g.name}, ${avgExactSql(f.name)} AS avg_val FROM $t
          GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
@@ -543,9 +547,7 @@ object NlToSql {
       // parallelism-independent, so the raw column value is exact in both
       // engines; numeric-gated like the other column-level aggregates
       val (t, f, _) = regColumn(table, column)
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"column '${f.name}' is ${f.dataType.simpleString} — " +
-          s"'${which.toLowerCase}' needs a numeric column")
+      requireNumeric(f, which.toLowerCase)
       val (_, g, _) = regColumn(table, group)
       val fn = if (which.toLowerCase == "maximum") "max" else "min"
       s"""SELECT ${g.name}, $fn(${f.name}) AS extreme FROM $t
@@ -1173,24 +1175,20 @@ object NlToSql {
       // column under its qualifier-derived output name (both are n_name;
       // unaliased they would collide). Catalyst broadcasts both aliased
       // nation sides like the single-edge paths.
-      (aliasedQualified.get((t1, fact)), aliasedQualified.get((t2, fact))) match {
-        case (Some((j1, q1)), Some((j2, q2))) if t1 != t2 =>
+      twinAliased(t1, t2, fact) match {
+        case Some((from, q1, q2)) =>
           val a1 = d1.trim.toLowerCase.replace(' ', '_')
           val a2 = d2.trim.toLowerCase.replace(' ', '_')
-          // the twice-joined table is the ONE scale-invariant dim in the
-          // catalog (nation: 25 rows at ANY SF), so both aliases carry an
-          // explicit BROADCAST hint — the 100 TB plan, pinned in
-          // PlanEvidenceSpec under autoBroadcastJoinThreshold=-1. The
+          // the shared twinAliased merge (broadcast rationale there); the
           // SF-dependent intermediates (supplier / orders / customer)
           // deliberately stay Catalyst/AQE's call, per the NL discipline
-          // above. DuckDB reads the hint as a plain block comment, so the
-          // oracle text is THIS string unchanged.
+          // above.
           s"""SELECT /*+ BROADCAST($q1), BROADCAST($q2) */
              $q1.$c1 AS $a1, $q2.$c2 AS $a2,
              CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-             FROM $fact $j1 $j2 GROUP BY $q1.$c1, $q2.$c2
+             FROM $from GROUP BY $q1.$c1, $q2.$c2
              ORDER BY $a1 NULLS FIRST, $a2 NULLS FIRST"""
-        case _ =>
+        case None =>
           val offFact = Set(t1, t2) - fact
           require(offFact.size <= 1,
             s"dimensions must share at most one non-fact table, got $offFact")
@@ -1245,11 +1243,22 @@ object NlToSql {
       val (table, dcol) = dim(d)
       val (ftable, fcol) = dim(fdim)
       // group dim routing since round 11; round 14 lets the FILTER dim
-      // route a many-to-one hop too (factFrom2 — basis unchanged)
-      s"""SELECT $dcol,
-         ${avgExactSql(mcol)} AS avg
-         FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
-         GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      // route a many-to-one hop too (factFrom2 — basis unchanged); round
+      // 16 routes the twin-qualified pair via the shared aliased merge,
+      // so "average …" carries the same surface as "total …"
+      twinAliased(table, ftable, fact) match {
+        case Some((from, qd, qf)) =>
+          val ad = d.trim.toLowerCase.replace(' ', '_')
+          s"""SELECT /*+ BROADCAST($qd), BROADCAST($qf) */
+             $qd.$dcol AS $ad, ${avgExactSql(mcol)} AS avg
+             FROM $from WHERE $qf.$fcol = ${sqlLit(value)}
+             GROUP BY $qd.$dcol ORDER BY $ad NULLS FIRST"""
+        case None =>
+          s"""SELECT $dcol,
+             ${avgExactSql(mcol)} AS avg
+             FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
+             GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      }
     case TotalByWhere(measure, d, fdim, value) =>
       val (fact, mcol) = measures.getOrElse(measure.trim.toLowerCase,
         throw new IllegalArgumentException(s"unknown measure: $measure"))
@@ -1257,26 +1266,19 @@ object NlToSql {
       val (ftable, fcol) = dim(fdim)
       // group dim routing since round 11; round 14 lets the FILTER dim
       // route a many-to-one hop too (factFrom2 — basis unchanged)
-      (aliasedQualified.get((table, fact)),
-        aliasedQualified.get((ftable, fact))) match {
-        case (Some((jd, qd)), Some((jf, qf))) if table != ftable =>
-          // TWIN edge-qualified group + FILTER dims (round 16, NLFUZZ
-          // q212: "total quantity by supplier nation where customer
-          // nation is GERMANY"): both qualified edges meet the same
-          // physical nation table over DISJOINT intermediates, so the
-          // merge aliases it twice — the TotalByTwoDims twin shape with
-          // the filter edge's alias qualifying the WHERE column. Both
-          // aliased nation sides carry the explicit BROADCAST hint (the
-          // one scale-invariant dim); the filter predicate sits on the
-          // broadcast side's output, which AQE/Catalyst pushes into the
-          // 25-row aliased scan. DuckDB reads the hint as a comment.
+      // TWIN edge-qualified group + FILTER dims (round 16, NLFUZZ q212:
+      // "total quantity by supplier nation where customer nation is
+      // NATION_7"): the shared twinAliased merge — the filter predicate
+      // sits on the broadcast side's 25-row scan
+      twinAliased(table, ftable, fact) match {
+        case Some((from, qd, qf)) =>
           val ad = d.trim.toLowerCase.replace(' ', '_')
           s"""SELECT /*+ BROADCAST($qd), BROADCAST($qf) */
              $qd.$dcol AS $ad,
              CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-             FROM $fact $jd $jf WHERE $qf.$fcol = ${sqlLit(value)}
+             FROM $from WHERE $qf.$fcol = ${sqlLit(value)}
              GROUP BY $qd.$dcol ORDER BY $ad NULLS FIRST"""
-        case _ =>
+        case None =>
           s"""SELECT $dcol,
              CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
              FROM ${factFrom2(table, ftable, fact)} WHERE $fcol = ${sqlLit(value)}
@@ -1284,6 +1286,26 @@ object NlToSql {
       }
     case other => translateBase(other.toLowerCase)
   }
+
+  /** TWIN edge-qualified (group dim, filter dim) resolution (round 16):
+    * when BOTH dims are qualified pseudo-tables meeting the same physical
+    * table over disjoint edges ("by supplier nation where customer nation
+    * is X"), return the aliased FROM tail plus each side's alias so any
+    * grouped-aggregate production can emit the merge — the group column
+    * qualified by its edge's alias, the filter column by the other's.
+    * One definition serves every production (TotalByWhere, AvgByWhere,
+    * TotalByTwoDims), so the twin shape cannot drift per-production.
+    * Both aliased sides carry the explicit BROADCAST hint — nation is the
+    * one scale-invariant dim (25 rows at ANY SF); DuckDB reads the hint
+    * as a plain block comment, so the SQL stays its own oracle.
+    */
+  private def twinAliased(dTable: String, fTable: String, fact: String):
+      Option[(String, String, String)] =
+    if (dTable == fTable) None
+    else for {
+      (jd, qd) <- aliasedQualified.get((dTable, fact))
+      (jf, qf) <- aliasedQualified.get((fTable, fact))
+    } yield (s"$fact $jd $jf", qd, qf)
 
   /** The (dim table, fact) pair's declared path — the fact itself acts as
     * the trivial path (its covers set is just the fact).

@@ -702,8 +702,13 @@ class DialectSpec extends AnyFunSuite {
                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "is_null")
     rejects("""{ orders(filter: {o_orderstatus: {nin: "P"}},
                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "nin")
-    rejects("""{ orders(filter: {o_orderstatus: {in: []}},
-                 orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "in")
+    // the Hasura empty-list contract: in:[] = no rows, nin:[] = all rows
+    assert(GraphQL.run(spark, d,
+      """{ orders(filter: {o_orderstatus: {in: []}},
+           orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""").count() === 0)
+    assert(GraphQL.run(spark, d,
+      """{ orders(filter: {o_orderstatus: {nin: []}},
+           orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""").count() === 5)
     rejects("""{ orders(filter: {o_orderpriority: {like: 5}},
                  orderBy: ["o_orderkey"], limit: 5) { o_orderkey } }""", "like")
   }
