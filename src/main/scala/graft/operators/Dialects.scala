@@ -544,6 +544,23 @@ object Dialects {
     "serve_nl" -> ((s, d) =>
       Server.handle(s, Server.ServeRequest("nl", nlQuestion, d))),
 
+    "gql_catalog" -> ((s, d) => {
+      // the catalog surface through the GRAPHQL dialect (round 16):
+      // a dataset registered BY PATH is a first-class GraphQL root —
+      // selection, filter ops, orderBy all resolve against the loaded
+      // schema exactly like a fixture root (TableRegistry.load serves
+      // both), proving catalog resolution is dialect-transparent. The
+      // registered path is the fixture's own nation.parquet, so the
+      // oracle is the same query over `nation`.
+      graft.sources.DatasetRegistry.register(graft.sources.CatalogStore.Entry(
+        "gql_nations", s"$d/nation.parquet", "parquet"), Some(s))
+      try GraphQL.run(s, d,
+        """{ gql_nations(filter: {n_regionkey: {between: [1, 3]}},
+                         orderBy: ["n_nationkey"]) {
+             n_nationkey n_name n_regionkey } }""")
+      finally graft.sources.DatasetRegistry.unregister("gql_nations")
+    }),
+
     "serve_catalog" -> ((s, d) => {
       // the karna-db surface end-to-end (round 13, verdict item 2): a
       // dataset registered BY PATH through the one write path every
@@ -905,6 +922,11 @@ object Dialects {
     "serve_catalog" ->
       """SELECT r_regionkey, r_name FROM region
          ORDER BY r_regionkey NULLS FIRST""",
+    "gql_catalog" ->
+      // the registered name resolves to the fixture's own nation.parquet
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_regionkey BETWEEN 1 AND 3
+         ORDER BY n_nationkey NULLS FIRST""",
     "nl_reg_count_where" ->
       // the registered name resolves to the fixture's own region.parquet,
       // so the oracle is the same count over `region`

@@ -677,6 +677,31 @@ class DialectSpec extends AnyFunSuite {
       "total n_name in nation by n_regionkey"))
   }
 
+  test("GraphQL roots resolve registered datasets like fixtures (gql_catalog)") {
+    import graft.sources.{CatalogStore, DatasetRegistry}
+    DatasetRegistry.register(CatalogStore.Entry(
+      "gql_spec_nations", s"$d/nation.parquet", "parquet"), Some(spark))
+    try {
+      val out = GraphQL.run(spark, d,
+        """{ gql_spec_nations(filter: {n_regionkey: {between: [1, 3]}},
+                              orderBy: ["n_nationkey"]) {
+             n_nationkey n_name n_regionkey } }""").collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
+      // unknown columns reject loudly against the LOADED schema — the
+      // same analyzer-level rejection fixture roots give (GqlFuzz's
+      // rej_unknown_column row), naming the missing column
+      val e = intercept[Exception](GraphQL.run(spark, d,
+        """{ gql_spec_nations(orderBy: ["n_nationkey"]) { bogus } }"""))
+      assert(e.getMessage != null && e.getMessage.contains("bogus"),
+        e.getMessage)
+      // introspection lists the registered root alongside the fixtures
+      val names = GraphQL.run(spark, d, Dialects.gqlIntrospectQuery)
+        .collect().map(_.getString(0))
+      assert(names.contains("gql_spec_nations"))
+    } finally DatasetRegistry.unregister("gql_spec_nations")
+  }
+
   test("GraphQL nin/between/is_null/ilike filter and reject malformed operands") {
     val out = GraphQL.run(spark, d, Dialects.gqlFilterOpsQuery).collect()
     assert(out.nonEmpty)
