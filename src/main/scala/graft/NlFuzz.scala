@@ -347,6 +347,9 @@ object NlFuzz {
     add("minimum l_quantity in lineitem by l_returnflag", claimed = true)
     add("minimum n_name in nation by n_regionkey", claimed = false)
     add("maximum n_nationkey in reg_nations by n_regionkey", claimed = true)
+    add("number of distinct l_suppkey in lineitem by l_returnflag", claimed = true)
+    add("count of unique n_regionkey in reg_nations", claimed = true)
+    add("number of distinct bogus_col in lineitem by l_returnflag", claimed = false)
     add("total o_totalprice in orders where o_orderstatus is F", claimed = true)
     // …with the same loud-rejection discipline as registered datasets:
     // unknown column (naming the real list), type-mismatched literal,

@@ -265,6 +265,13 @@ object NlToSql {
   // span an underscored column name or the " in <table>" clause.
   private val RegMinMaxBy =
     """(?i)(minimum|maximum) (\w+) in (\w+) by (\w+)""".r
+  // exact distinct count over a raw column ("number of distinct l_suppkey
+  // in lineitem [by l_returnflag]") — any type counts (strings included;
+  // NULLs not counted, both engines agree). Cannot shadow the catalog-noun
+  // DistinctCountBy: that production has no " in <table>" clause and its
+  // entity capture never carries underscores.
+  private val RegDistinctBy =
+    """(?i)(?:number|count) of (?:unique|distinct) (\w+) in (\w+)(?: by (\w+))?""".r
   // round 16: equality-FILTERED total over a registered dataset ("total
   // value in X where event_type is click") — the RegCountWhere filter
   // typing (numeric columns take a bare literal, string columns a quoted
@@ -542,6 +549,19 @@ object NlToSql {
       val (_, g, _) = regColumn(table, group)
       s"""SELECT ${g.name}, ${avgExactSql(f.name)} AS avg_val FROM $t
          GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
+    case RegDistinctBy(column, table, group) =>
+      // exact distinct count over a raw column — Catalyst expands it to
+      // the two-phase partial-dedup aggregate (shuffle carries distinct
+      // (group, value) pairs, never a per-group set on one reducer);
+      // CAST to BIGINT unifies both engines' count types
+      val (t, f, _) = regColumn(table, column)
+      if (group == null)
+        s"SELECT CAST(count(DISTINCT ${f.name}) AS BIGINT) AS n_distinct FROM $t"
+      else {
+        val (_, g, _) = regColumn(table, group)
+        s"""SELECT ${g.name}, CAST(count(DISTINCT ${f.name}) AS BIGINT) AS n_distinct
+           FROM $t GROUP BY ${g.name} ORDER BY ${g.name} NULLS FIRST"""
+      }
     case RegMinMaxBy(which, column, table, group) =>
       // grouped extremes over a raw column — min/max are order- and
       // parallelism-independent, so the raw column value is exact in both

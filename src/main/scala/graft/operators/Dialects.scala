@@ -198,6 +198,8 @@ object Dialects {
   val nlFixTopkQuestion: String = "top 3 rows of orders by o_totalprice"
   val nlFixMinMaxQuestion: String =
     "maximum o_totalprice in orders by o_orderstatus"
+  val nlFixDistinctQuestion: String =
+    "number of distinct l_suppkey in lineitem by l_returnflag"
 
   // round-11 pair, surfaced MECHANICALLY: the NL matrix fuzzer
   // (graft.NlFuzz) enumerated every production × modifier cross and
@@ -496,6 +498,7 @@ object Dialects {
     "nl_fix_total_by" -> ((s, d) => NlToSql.run(s, d, nlFixTotalByQuestion)),
     "nl_fix_topk" -> ((s, d) => NlToSql.run(s, d, nlFixTopkQuestion)),
     "nl_fix_minmax" -> ((s, d) => NlToSql.run(s, d, nlFixMinMaxQuestion)),
+    "nl_fix_distinct" -> ((s, d) => NlToSql.run(s, d, nlFixDistinctQuestion)),
     "nl_avg_range" -> ((s, d) => NlToSql.run(s, d, nlAvgRangeQuestion)),
     "nl_topk_group_where" -> ((s, d) => NlToSql.run(s, d, nlTopkGroupWhereQuestion)),
     "nl_to_sql" -> ((s, d) => NlToSql.run(s, d, nlQuestion)),
@@ -827,6 +830,7 @@ object Dialects {
     "nl_fix_total_by" -> NlToSql.translate(nlFixTotalByQuestion),
     "nl_fix_topk" -> NlToSql.translate(nlFixTopkQuestion),
     "nl_fix_minmax" -> NlToSql.translate(nlFixMinMaxQuestion),
+    "nl_fix_distinct" -> NlToSql.translate(nlFixDistinctQuestion),
     "nl_avg_range" -> NlToSql.translate(nlAvgRangeQuestion),
     "nl_topk_group_where" -> NlToSql.translate(nlTopkGroupWhereQuestion),
     "gql_nested_distinct" ->

@@ -666,6 +666,16 @@ class DialectSpec extends AnyFunSuite {
     assert(topk.length === 3)
     assert(topk(0).getAs[Double]("o_totalprice") >=
       topk(2).getAs[Double]("o_totalprice"))
+    // grouped min/max and exact distinct counts over raw columns
+    val mm = spark.sql(NlToSql.translate(
+      "maximum o_totalprice in orders by o_orderstatus")).collect()
+    assert(mm.length === 3 && mm.forall(_.getDouble(1) > 0))
+    val dst = spark.sql(NlToSql.translate(
+      "number of distinct l_suppkey in lineitem by l_returnflag")).collect()
+    assert(dst.length === 3 && dst.forall(_.getLong(1) > 0))
+    val dstScalar = spark.sql(NlToSql.translate(
+      "count of unique n_regionkey in nation")).first().getLong(0)
+    assert(dstScalar === 5L)
     // unknown column rejects naming the real list; type mismatch and
     // non-numeric measure reject like registered datasets
     val e = intercept[IllegalArgumentException](NlToSql.translate(
