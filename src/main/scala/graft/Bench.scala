@@ -269,7 +269,12 @@ object Bench {
     val total = (if (results.nonEmpty) results.values.sum else 0.0) +
       derived.map(_._2).sum
     val priorJson = priorPath.map(p => "\"" + p + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"movers":$ms,"prior_record":$priorJson,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir"}""")
+    // `total_s` is duplicated as the LAST field: the driver's BENCH_r{N}
+    // artifact captures only the final 2,000 chars of stdout, and with
+    // ~390 per-key entries the leading "value" field falls off the head.
+    // A trailing copy keeps the headline number inside the captured tail
+    // (round-16 verdict item 8).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"derived_s":$ds,"movers":$ms,"prior_record":$priorJson,"canary_pre_s":$canaryPre,"canary_post_s":$canaryPost,"sf":"$sfDir","total_s":$total}""")
     spark.stop()
   }
 }

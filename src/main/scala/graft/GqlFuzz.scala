@@ -764,6 +764,46 @@ object GqlFuzz {
       // a mutation FIELD under a query operation is just an unknown table
       """{ registerDataset(name: "x") { name } }""")
 
+    // the `_agg` ROOT over a REGISTERED dataset (round 17, verdict item
+    // 2): register → grouped aggregate with filter/having/orderBy at the
+    // registered root (claimed — the oracle is the identical aggregate
+    // over the underlying fixture) → unknown-agg-field and unknown-arg
+    // rejections on the SAME registered root (the fail-loudly contract
+    // must not weaken when the root is dynamic) → unregister → the agg
+    // root must stop resolving.
+    add("mut_register_agg",
+      s"""mutation { registerDataset(name: "fuzz_orders",
+            path: "$sfDir/orders.parquet", format: "parquet") {
+            name format } }""",
+      """SELECT 'fuzz_orders' AS name, 'parquet' AS format""")
+    add("reg_agg_grouped",
+      """{ fuzz_orders_agg(groupBy: ["o_orderstatus"],
+            filter: {o_totalprice: {between: [1000, 300000]}},
+            having: {count: {gt: 10}}, orderBy: ["o_orderstatus"]) {
+            o_orderstatus count sum_o_totalprice avg_o_totalprice } }""",
+      s"""SELECT * FROM (
+           SELECT o_orderstatus, count(*) AS "count", $sumTP, $avgTP
+           FROM orders WHERE o_totalprice BETWEEN 1000 AND 300000
+           GROUP BY 1)
+         WHERE "count" > 10 ORDER BY o_orderstatus NULLS FIRST""")
+    add("rej_reg_agg_unknown_field",
+      // unknown aggregate selection on the REGISTERED root rejects as
+      // loudly as on a fixture root (aggExpr's unknown-aggregate throw)
+      """{ fuzz_orders_agg(groupBy: ["o_orderstatus"]) {
+            o_orderstatus count median_o_totalprice } }""")
+    add("rej_reg_agg_unknown_src",
+      // aggregate over a column the registered schema lacks
+      """{ fuzz_orders_agg(groupBy: ["o_orderstatus"]) {
+            o_orderstatus sum_no_such_col } }""")
+    add("rej_reg_agg_unknown_arg",
+      """{ fuzz_orders_agg(groupby: ["o_orderstatus"]) { count } }""")
+    add("mut_unregister_agg",
+      """mutation { unregisterDataset(name: "fuzz_orders") { name } }""",
+      """SELECT 'fuzz_orders' AS name""")
+    add("rej_reg_agg_gone",
+      """{ fuzz_orders_agg(groupBy: ["o_orderstatus"]) {
+            o_orderstatus count } }""")
+
     // =====================================================================
     // G. round 15: distinct_on, object-relation filters, saved-query
     // mutations — asserted both ways like everything else.

@@ -270,10 +270,14 @@ object NlFuzz {
     add("share of orders where market segment is not BUILDING by status",
       claimed = true)
     add("share of orders by market segment", claimed = true)
-    // a ONE-TO-MANY hop (orders→lineitem) would change the row basis —
-    // still a loud rejection: share-of counts ROWS, and the fan-out edge
-    // would change that basis (fanoutExists serves only distinct counts)
-    add("share of orders where return flag is not R by status", claimed = false)
+    // round 17 (verdict item 3): negation ACROSS the one-to-many hop
+    // (orders→lineitem) is now producible as universal quantification —
+    // "an order is not R when none of its lineitems is" — via correlated
+    // NOT EXISTS inside the aggregate FILTER (the row basis stays the
+    // fact table; the fan-out edge is never joined in). Flipped from the
+    // round-16 rejection; the scalar form rides the same lowering.
+    add("share of orders where return flag is not R by status", claimed = true)
+    add("share of orders where return flag is not R", claimed = true)
     add("ratio of extended price to quantity by return flag", claimed = true)
     add("ratio of quantity to extended price by return flag", claimed = true)
     // round 16: a cross-fact ratio acquires a defined basis by

@@ -409,13 +409,30 @@ object GraphQL {
   }
 
   private def inItems(op: String, v: Value): Seq[Any] = v match {
-    case VList(items) => items.map {
-      case VInt(x) => x: Any
-      case VFloat(x) => x: Any
-      case VString(x) => x: Any
-      case VBool(x) => x: Any
-      case o => throw new IllegalArgumentException(s"bad $op item: $o")
-    }
+    case VList(items) =>
+      // Homogeneity check (round-17, round-16 ADVICE): a mixed list like
+      // `in: [1, "a"]` previously leaked into Spark's isin and surfaced as
+      // a downstream analysis/coercion error instead of the loud op-naming
+      // rejection every other operand-shape defect gets. VInt and VFloat
+      // share one numeric family (mixing [1, 2.5] is well-defined widening
+      // in both engines); everything else must match exactly.
+      def family(x: Value): String = x match {
+        case _: VInt | _: VFloat => "numeric"
+        case _: VString => "string"
+        case _: VBool => "boolean"
+        case o => throw new IllegalArgumentException(s"bad $op item: $o")
+      }
+      val fams = items.map(family).distinct
+      if (fams.lengthCompare(1) > 0) throw new IllegalArgumentException(
+        s"'$op' takes a homogeneous list of scalars; got mixed " +
+          s"${fams.mkString("/")} items: ${items.mkString("[", ", ", "]")}")
+      items.map {
+        case VInt(x) => x: Any
+        case VFloat(x) => x: Any
+        case VString(x) => x: Any
+        case VBool(x) => x: Any
+        case o => throw new IllegalArgumentException(s"bad $op item: $o")
+      }
     case other => throw new IllegalArgumentException(
       s"'$op' takes a list of scalars, got: $other")
   }

@@ -12,6 +12,21 @@ import graft.sources.TableRegistry
   * the oracle can replay its output). The generated SQL stays inside the
   * Spark∩DuckDB common dialect: the SQL string itself IS the oracle.
   */
+/** Typed ambiguous-dimension rejection (round 17, verdict item 5): an
+  * IllegalArgumentException — so every catch-site, fuzzer claim table,
+  * and message-text assertion behaves exactly as before — that ALSO
+  * carries the ambiguous term and the resolving qualifier phrases as
+  * data, letting the serving layer answer with structured JSON
+  * (`{"error":…, "ambiguous":…, "candidates":[…]}`) and the console
+  * render the choices clickably instead of asking the user to parse
+  * prose.
+  */
+final class AmbiguousDimensionException(
+    message: String,
+    val ambiguous: String,
+    val candidates: Seq[String])
+  extends IllegalArgumentException(message)
+
 object NlToSql {
 
   /** Catalog nouns → relations/columns the grammar understands. */
@@ -184,6 +199,33 @@ object NlToSql {
     ("nation", "lineitem") ->
       ("dimension 'nation' reaches lineitem via BOTH supplier and " +
         "orders→customer — qualify it: 'supplier nation' or 'customer nation'"))
+
+  /** The machine-readable half of [[ambiguousPath]] (round 17, verdict
+    * item 5): the ambiguous TERM as the user typed it plus the resolving
+    * qualifier phrases, carried on the typed rejection so the serving
+    * layer can emit `{"error":…, "ambiguous":…, "candidates":[…]}` and
+    * the console can render the choices clickably instead of making the
+    * user parse prose. Keyed identically to ambiguousPath; a key present
+    * in one and not the other is a bug the rejection helper throws on.
+    */
+  private val ambiguousCandidates: Map[(String, String), (String, Seq[String])] =
+    Map(("nation", "lineitem") ->
+      (("nation", Seq("supplier nation", "customer nation"))))
+
+  /** Reject a (dim table, fact) pair with the typed ambiguity error when
+    * one exists — still an IllegalArgumentException, so every existing
+    * rejection path (fuzzer claim tables, serving error mapping, specs
+    * asserting message text) is unchanged; the structured fields ride
+    * along for the layers that want them.
+    */
+  private def rejectPath(dimTable: String, fact: String,
+                         fallback: => String): Nothing =
+    ambiguousPath.get((dimTable, fact)) match {
+      case Some(msg) =>
+        val (term, cands) = ambiguousCandidates((dimTable, fact))
+        throw new AmbiguousDimensionException(msg, term, cands)
+      case None => throw new IllegalArgumentException(fallback)
+    }
 
   /** Declared one-to-MANY edges, usable ONLY through an EXISTS lowering
     * (round 16, NLFUZZ q201): (manyTable, fact) → the correlated
@@ -455,6 +497,13 @@ object NlToSql {
       (String, org.apache.spark.sql.types.StructField,
        org.apache.spark.sql.types.StructType) = {
     val t = table.toLowerCase
+    // round-16 ADVICE: "count of unique parts in 1996" is a YEAR phrasing
+    // that the \w+ table capture swallows — point at the catalog grammar
+    // instead of the baffling "unknown table: 1996"
+    require(!t.matches("\\d+"),
+      s"'$table' looks like a year, not a table — the raw-column grammar " +
+        "is '<verb> <column> in <table>'; for calendar windows use the " +
+        "catalog phrasing, e.g. 'between 1996-01-01 and 1996-12-31'")
     require(TableRegistry.allNames(t), s"unknown table: $table")
     val schema = TableRegistry.cachedSchema(t)
       .orElse(TableRegistry.fixtureSchemas.get(t)).getOrElse(
@@ -662,8 +711,7 @@ object NlToSql {
            FROM $fact
            WHERE EXISTS ($corr AND $fcol = ${sqlLit(value)})
            GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
-      }.getOrElse(throw new IllegalArgumentException(ambiguousPath.getOrElse(
-        (ft, fact), s"no join path $ft -> $fact")))
+      }.getOrElse(rejectPath(ft, fact, s"no join path $ft -> $fact"))
     case TopNWhereDateRange(n, entity, measure, fdim, value, from, to) =>
       val (table, pk, nameCol) = entities.getOrElse(entity.toLowerCase,
         throw new IllegalArgumentException(s"unknown entity: $entity"))
@@ -1067,16 +1115,43 @@ object NlToSql {
       val fact = entityTable(entity)
       val (dtable, dcol) = dim(dname)
       val (ftable, fcol) = dim(fdname)
-      val offFact = Set(dtable, ftable) - fact
-      require(offFact.size <= 1,
-        s"dimensions must share at most one non-$fact table, got $offFact")
-      val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
-      s"""SELECT $dcol,
-         count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
-         count(*) AS cnt,
-         CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
-                    / nullif(count(*), 0)) AS BIGINT) AS share_bp
-         FROM $from GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      fanoutExists.get((ftable, fact)).filter(_ => ftable != fact) match {
+        case Some(corr) =>
+          // round 17 (NLFUZZ q283): the FILTER dim lives across a declared
+          // ONE-TO-MANY edge ("share of orders where RETURN FLAG is not R
+          // by status" — return flag is lineitem's). The share's row basis
+          // is the fact table, which the fan-out edge must never join into
+          // (it would multiply counted rows) — but negation over the edge
+          // is well-defined as universal quantification: the fact row
+          // qualifies iff NO child row carries the value (an order "is not
+          // R" when none of its lineitems is; childless facts qualify
+          // vacuously). Lowered as correlated NOT EXISTS inside the
+          // aggregate FILTER — the same corr head the distinct-count
+          // production uses (q201) — which both engines plan as an
+          // existence/anti semi join on the child key: the fact side is
+          // never duplicated, the child side is aggregated to matching
+          // keys, and at 100 TB that is one key-shuffle with no fan-out.
+          // The group dim may still route its own many-to-one hop.
+          val from = if (dtable == fact) fact else factFrom(dtable, fact)
+          val notHas = s"NOT EXISTS ($corr AND $fcol = ${sqlLit(v)})"
+          s"""SELECT $dcol,
+             count(*) FILTER (WHERE $notHas) AS cnt_not,
+             count(*) AS cnt,
+             CAST(floor(count(*) FILTER (WHERE $notHas) * 10000.0
+                        / nullif(count(*), 0)) AS BIGINT) AS share_bp
+             FROM $from GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+        case None =>
+          val offFact = Set(dtable, ftable) - fact
+          require(offFact.size <= 1,
+            s"dimensions must share at most one non-$fact table, got $offFact")
+          val from = offFact.headOption.map(factFrom(_, fact)).getOrElse(fact)
+          s"""SELECT $dcol,
+             count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
+             count(*) AS cnt,
+             CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
+                        / nullif(count(*), 0)) AS BIGINT) AS share_bp
+             FROM $from GROUP BY $dcol ORDER BY $dcol NULLS FIRST"""
+      }
     case ShareNot(entity, fdname, v) =>
       // scalar form: "share of orders where status is not F" — one row,
       // the corpus-wide negated share. Round 14: the filter dim may sit
@@ -1084,12 +1159,25 @@ object NlToSql {
       // of orders where market segment is not BUILDING" — NLFUZZ q208).
       val fact = entityTable(entity)
       val (ftable, fcol) = dim(fdname)
-      val from = if (ftable == fact) fact else factFrom(ftable, fact)
-      s"""SELECT count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
-         count(*) AS cnt,
-         CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
-                    / nullif(count(*), 0)) AS BIGINT) AS share_bp
-         FROM $from"""
+      fanoutExists.get((ftable, fact)).filter(_ => ftable != fact) match {
+        case Some(corr) =>
+          // scalar twin of the grouped fan-out negation above (round 17):
+          // universal quantification over the one-to-many edge, same
+          // NOT-EXISTS-in-FILTER lowering
+          val notHas = s"NOT EXISTS ($corr AND $fcol = ${sqlLit(v)})"
+          s"""SELECT count(*) FILTER (WHERE $notHas) AS cnt_not,
+             count(*) AS cnt,
+             CAST(floor(count(*) FILTER (WHERE $notHas) * 10000.0
+                        / nullif(count(*), 0)) AS BIGINT) AS share_bp
+             FROM $fact"""
+        case None =>
+          val from = if (ftable == fact) fact else factFrom(ftable, fact)
+          s"""SELECT count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) AS cnt_not,
+             count(*) AS cnt,
+             CAST(floor(count(*) FILTER (WHERE $fcol NOT IN (${sqlLit(v)})) * 10000.0
+                        / nullif(count(*), 0)) AS BIGINT) AS share_bp
+             FROM $from"""
+      }
     case RatioBy(ma, mb, dname) =>
       // ratio production (round 13): "ratio of extended price to
       // quantity by return flag" — both measures must live on the SAME
@@ -1271,7 +1359,7 @@ object NlToSql {
           val ad = d.trim.toLowerCase.replace(' ', '_')
           s"""SELECT /*+ BROADCAST($qd), BROADCAST($qf) */
              $qd.$dcol AS $ad, ${avgExactSql(mcol)} AS avg
-             FROM $from WHERE $qf.$fcol = ${sqlLit(value)}
+             FROM $from WHERE $qf.$fcol = ${twinLit(fcol, value)}
              GROUP BY $qd.$dcol ORDER BY $ad NULLS FIRST"""
         case None =>
           s"""SELECT $dcol,
@@ -1296,7 +1384,7 @@ object NlToSql {
           s"""SELECT /*+ BROADCAST($qd), BROADCAST($qf) */
              $qd.$dcol AS $ad,
              CAST(round(sum(CAST($mcol AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-             FROM $from WHERE $qf.$fcol = ${sqlLit(value)}
+             FROM $from WHERE $qf.$fcol = ${twinLit(fcol, value)}
              GROUP BY $qd.$dcol ORDER BY $ad NULLS FIRST"""
         case None =>
           s"""SELECT $dcol,
@@ -1327,6 +1415,24 @@ object NlToSql {
       (jf, qf) <- aliasedQualified.get((fTable, fact))
     } yield (s"$fact $jd $jf", qd, qf)
 
+  /** Literal typing for the twin-qualified WHERE (round-16 ADVICE):
+    * every aliasedQualified entry today terminates in nation, whose only
+    * filterable dim column (n_name) is a string, so quoting via sqlLit
+    * is correct — but that was an unstated assumption. This makes it a
+    * loud contract: a new qualified pair whose filter column is NUMERIC
+    * must be declared here with bare-literal typing (like RegCountWhere
+    * does from the cached schema), or the quoted literal would silently
+    * defeat typed scan pushdown and risk Spark-vs-DuckDB coercion drift.
+    */
+  private val twinStringFilterCols = Set("n_name")
+  private def twinLit(fcol: String, value: String): String = {
+    require(twinStringFilterCols(fcol),
+      s"twin-qualified filter column '$fcol' has no declared literal " +
+        "type; declare it in twinStringFilterCols (string) or add a " +
+        "numeric-typed branch before quoting")
+    sqlLit(value)
+  }
+
   /** The (dim table, fact) pair's declared path — the fact itself acts as
     * the trivial path (its covers set is just the fact).
     */
@@ -1342,8 +1448,7 @@ object NlToSql {
     */
   private def factFrom(dimTable: String, fact: String): String =
     pathOf(dimTable, fact).map(_.sql).getOrElse(
-      throw new IllegalArgumentException(ambiguousPath.getOrElse(
-        (dimTable, fact), s"no join path $dimTable -> $fact")))
+      rejectPath(dimTable, fact, s"no join path $dimTable -> $fact"))
 
   /** FROM clause when a production has a GROUP dim AND a FILTER dim, each
     * possibly on the fact or one-to-two declared many-to-one hops off it
@@ -1382,11 +1487,11 @@ object NlToSql {
         if (pd.tables intersect pf.tables) == Set(fact)
       } yield pd.sql + " " + pf.sql.stripPrefix(fact).trim)
       .getOrElse {
-        val hint = ambiguousPath.get((dimTable, fact))
-          .orElse(ambiguousPath.get((filterTable, fact)))
-        throw new IllegalArgumentException(hint.getOrElse(
+        val ambKey = Seq((dimTable, fact), (filterTable, fact))
+          .find(ambiguousPath.contains)
+        rejectPath(ambKey.map(_._1).getOrElse(dimTable), fact,
           s"no single declared join path from $fact covers both the grouped " +
-            s"dimension ($dimTable) and the filter dimension ($filterTable)"))
+            s"dimension ($dimTable) and the filter dimension ($filterTable)")
       }
   }
 

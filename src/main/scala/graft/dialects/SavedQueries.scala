@@ -49,6 +49,7 @@ object SavedQueries {
   private val ValidName = "[A-Za-z_][A-Za-z0-9_]*".r
 
   @volatile private var durable: Option[Connection] = None
+  @volatile private var lastSeenSeq: Long = -1L
 
   private val process =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -61,6 +62,32 @@ object SavedQueries {
     durable = Some(c)
     JdbcCatalog.loadQueries(c).foreach(q =>
       process.put(q.name, Entry(q.name, q.dialect, q.text)))
+    lastSeenSeq = JdbcCatalog.readSeq(c)
+  }
+
+  /** Cross-process coherence (round 17 — same stamp-compare-reload
+    * contract as DatasetRegistry.syncIfStale): when the catalog's global
+    * write stamp moved, replace the process map with the durable rows, so
+    * a replica lists/runs a peer's saves (and stops serving a peer's
+    * deletes) on the next request rather than at restart. Saved texts
+    * passed the save-time dialect gate on the WRITING replica; run-time
+    * re-validation on this one comes free via Server.handle, same as for
+    * locally saved queries.
+    */
+  def syncIfStale(): Unit = {
+    val c0 = durable
+    if (c0.isEmpty || JdbcCatalog.readSeq(c0.get) == lastSeenSeq) return
+    synchronized {
+      durable.foreach { c =>
+        val seq = JdbcCatalog.readSeq(c)
+        if (seq != lastSeenSeq) {
+          val rows = JdbcCatalog.loadQueries(c)
+          process.clear()
+          rows.foreach(q => process.put(q.name, Entry(q.name, q.dialect, q.text)))
+          lastSeenSeq = seq
+        }
+      }
+    }
   }
 
   /** Detach (tests / shutdown). Process entries remain until deleted —
@@ -118,9 +145,9 @@ object SavedQueries {
     * a row that silently resurrects the "deleted" query on restart.
     * Returns true if EITHER store held the row — a durable row the process
     * map lacks (a peer process sharing the catalog wrote it; DEPLOY.md §5)
-    * is still a real delete, not a 404. Note saves/deletes still do not
-    * propagate to live peers until their restart — same single-writer
-    * limitation documented for datasets.
+    * is still a real delete, not a 404. Live peers observe the delete at
+    * their next serving read via [[syncIfStale]] (the catalog_seq stamp
+    * this write moved).
     */
   def delete(name: String): Boolean = synchronized {
     val n = name.toLowerCase

@@ -82,6 +82,12 @@ object Dialects {
   val nlShareQuestion: String = "share of orders by priority"
   // round 13 (verdict item 6): compositional negation + ratio productions
   val nlShareNotQuestion: String = "share of orders where status is not F by priority"
+  // round 17 (verdict item 3, NLFUZZ q283): share-of-total × negation
+  // ACROSS the one-to-many edge — universal quantification ("an order is
+  // not R when none of its lineitems is"), lowered as correlated
+  // NOT EXISTS inside the aggregate FILTER
+  val nlShareWhereNotQuestion: String =
+    "share of orders where return flag is not R by status"
   val nlRatioQuestion: String = "ratio of extended price to quantity by return flag"
 
   /** Round-16 NLFUZZ-mined compositions (q201/q263 — natural questions the
@@ -520,6 +526,7 @@ object Dialects {
     "nl_topk_per_group" -> ((s, d) => NlToSql.run(s, d, nlTopkPerGroupQuestion)),
     "nl_share_of_total" -> ((s, d) => NlToSql.run(s, d, nlShareQuestion)),
     "nl_share_not" -> ((s, d) => NlToSql.run(s, d, nlShareNotQuestion)),
+    "nl_share_where_not" -> ((s, d) => NlToSql.run(s, d, nlShareWhereNotQuestion)),
     "nl_ratio" -> ((s, d) => NlToSql.run(s, d, nlRatioQuestion)),
     "nl_distinct_fanout" -> ((s, d) => NlToSql.run(s, d, nlDistinctFanoutQuestion)),
     "nl_ratio_cross" -> ((s, d) => NlToSql.run(s, d, nlRatioCrossQuestion)),
@@ -562,6 +569,31 @@ object Dialects {
                          orderBy: ["n_nationkey"]) {
              n_nationkey n_name n_regionkey } }""")
       finally graft.sources.DatasetRegistry.unregister("gql_nations")
+    }),
+
+    "gql_catalog_agg" -> ((s, d) => {
+      // the `_agg` ROOT over a path-registered dataset (round 17, verdict
+      // item 2): aggregate dialect-transparency's last leg (SQL round 13,
+      // NL round 16, GraphQL now). The lowering is table-generic — runAgg
+      // resolves its root through the same TableRegistry.load that serves
+      // fixtures — so this key is the PROOF, exercising the full aggregate
+      // surface against the registered root: grouped count/sum/avg with
+      // the §7 money discipline, the round-16 filter ops (nin + between)
+      // pushed below the aggregation, and `having` over the emitted
+      // aggregate columns. Routed through the serving seam (Server.handle)
+      // — the HTTP/CLI path, not a direct GraphQL.run call. The registered
+      // path is the fixture's own orders.parquet, so the oracle is the
+      // identical aggregate over `orders`.
+      graft.sources.DatasetRegistry.register(graft.sources.CatalogStore.Entry(
+        "agg_orders", s"$d/orders.parquet", "parquet"), Some(s))
+      try Server.handle(s, Server.ServeRequest("graphql",
+        """{ agg_orders_agg(groupBy: ["o_orderstatus"],
+                            filter: {o_orderpriority: {nin: ["1-URGENT", "5-LOW"]},
+                                     o_totalprice: {between: [1000, 300000]}},
+                            having: {count: {gt: 10}},
+                            orderBy: ["o_orderstatus"]) {
+             o_orderstatus count sum_o_totalprice avg_o_totalprice } }""", d))
+      finally graft.sources.DatasetRegistry.unregister("agg_orders")
     }),
 
     "serve_catalog" -> ((s, d) => {
@@ -876,6 +908,7 @@ object Dialects {
     "nl_topk_per_group" -> NlToSql.translate(nlTopkPerGroupQuestion),
     "nl_share_of_total" -> NlToSql.translate(nlShareQuestion),
     "nl_share_not" -> NlToSql.translate(nlShareNotQuestion),
+    "nl_share_where_not" -> NlToSql.translate(nlShareWhereNotQuestion),
     "nl_ratio" -> NlToSql.translate(nlRatioQuestion),
     "nl_distinct_fanout" -> NlToSql.translate(nlDistinctFanoutQuestion),
     "nl_ratio_cross" -> NlToSql.translate(nlRatioCrossQuestion),
@@ -931,6 +964,22 @@ object Dialects {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          WHERE n_regionkey BETWEEN 1 AND 3
          ORDER BY n_nationkey NULLS FIRST""",
+    "gql_catalog_agg" ->
+      // the registered name resolves to the fixture's own orders.parquet,
+      // so the oracle is the same aggregate over `orders`: NOT IN +
+      // BETWEEN below the grouping, the gql_agg money shapes (exact
+      // decimal sum cast DOUBLE; avg via the shared integer-arithmetic
+      // half-up rounding), HAVING over the emitted count
+      """SELECT * FROM (
+           SELECT o_orderstatus, count(*) AS "count",
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+             CAST((2 * CAST((sum(CAST(o_totalprice AS DECIMAL(18,4)))) * 10000 AS BIGINT) + (count(*))) // (2 * (count(*))) AS DOUBLE) / 10000.0 AS avg_o_totalprice
+           FROM orders
+           WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+             AND o_totalprice BETWEEN 1000 AND 300000
+           GROUP BY 1)
+         WHERE "count" > 10
+         ORDER BY o_orderstatus NULLS FIRST""",
     "nl_reg_count_where" ->
       // the registered name resolves to the fixture's own region.parquet,
       // so the oracle is the same count over `region`

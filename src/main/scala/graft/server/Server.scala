@@ -70,6 +70,11 @@ object Server {
     * params loudly rather than ignore them.
     */
   def handle(s: SparkSession, req: ServeRequest): DataFrame = {
+    // cross-process coherence (round 17): observe peer replicas' dataset
+    // registrations/unregistrations before resolving this request's
+    // tables — one single-row stamp SELECT when nothing changed, a no-op
+    // without an attached catalog
+    DatasetRegistry.syncIfStale(Some(s))
     val sess = s.newSession()
     req.dialect.toLowerCase match {
       case "sql" =>
@@ -303,6 +308,18 @@ object Server {
         failed = true
         val err = mapper.createObjectNode()
         err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        // structured disambiguation (round 17, verdict item 5): an
+        // ambiguous NL dimension carries its term + resolving qualifier
+        // phrases as data — surface them so the console can render
+        // clickable choices. Walk the cause chain: dialect exceptions
+        // occasionally arrive wrapped.
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .collectFirst { case a: graft.dialects.AmbiguousDimensionException => a }
+          .foreach { a =>
+            err.put("ambiguous", a.ambiguous)
+            val arr = err.putArray("candidates")
+            a.candidates.foreach(arr.add)
+          }
         mapper.writeValueAsString(err)
     } finally {
       Metrics.record(meterDialect, (System.nanoTime() - t0) / 1000000L, failed)
@@ -353,6 +370,7 @@ object Server {
   def handleDatasets(method: String, name: Option[String], body: String,
                      validateWith: Option[SparkSession] = None): (Int, String) = {
     try {
+      DatasetRegistry.syncIfStale(validateWith) // list/delete see peer writes
       method match {
         case "GET" =>
           val out = mapper.createObjectNode()
@@ -446,6 +464,7 @@ object Server {
   def handleQueries(spark: SparkSession, method: String, path: Option[String],
                     body: String): (Int, String) = {
     try {
+      graft.dialects.SavedQueries.syncIfStale() // list/run/delete see peer saves
       def node = mapper.readTree(if (body.isEmpty) "{}" else body)
       (method, path) match {
         case ("GET", None) =>
@@ -528,6 +547,7 @@ object Server {
   def handleUsers(method: String, name: Option[String],
                   body: String): (Int, String) = {
     try {
+      graft.sources.UserRegistry.syncIfStale() // list/delete see peer writes
       (method, name) match {
         case ("GET", None) =>
           val out = mapper.createObjectNode()
@@ -617,6 +637,11 @@ object Server {
 
     private def authGate(ex: HttpExchange): Option[(Int, String)] = {
       import graft.sources.UserRegistry
+      // coherence BEFORE the auth decision: a key issued by a peer
+      // replica must authenticate here now, and a peer's user deletion
+      // must revoke access now — auth state is the one registry where
+      // restart-latency staleness is a security property, not a UX nit
+      UserRegistry.syncIfStale()
       if (!UserRegistry.authRequired) None
       else {
         val user = bearer(ex).flatMap(UserRegistry.authenticate)

@@ -34,6 +34,7 @@ object DatasetRegistry {
   val AllowedFormats: Set[String] = Set("parquet", "csv", "json", "orc")
 
   @volatile private var durable: Option[Connection] = None
+  @volatile private var lastSeenSeq: Long = -1L
 
   /** Attach the durable catalog and replay its rows into the process
     * registry — a restarted server resolves every previously registered
@@ -42,6 +43,52 @@ object DatasetRegistry {
   def attach(c: Connection): Unit = synchronized {
     durable = Some(c)
     JdbcCatalog.load(c).foreach(TableRegistry.registerDynamic)
+    lastSeenSeq = JdbcCatalog.readSeq(c)
+  }
+
+  /** Cross-process coherence (round 17, verdict item 4 — the DEPLOY.md §5
+    * multi-replica shape): compare the catalog's global write stamp
+    * against the last value this process saw; when it moved, reconcile
+    * the process registry against the durable rows — peer REGISTRATIONS
+    * appear (with their schema-cache slot invalidated if the entry
+    * changed under the same name), peer UNREGISTRATIONS vanish. Called at
+    * the serving read paths, so a replica observes its peers' writes on
+    * the next request, not at its next restart. Cost when nothing
+    * changed: one single-row SELECT on the catalog connection. No-op
+    * without an attachment (embedded/test use).
+    *
+    * The durable catalog is authoritative while attached: every local
+    * write goes to both stores (register/unregister above), so a
+    * process-only entry the durable store lacks can only mean a peer
+    * deleted it.
+    */
+  def syncIfStale(warmWith: Option[SparkSession] = None): Unit = {
+    val c0 = durable
+    if (c0.isEmpty) return
+    val c = c0.get
+    if (JdbcCatalog.readSeq(c) == lastSeenSeq) return
+    synchronized {
+      durable.foreach { c =>
+        val seq = JdbcCatalog.readSeq(c)
+        if (seq != lastSeenSeq) {
+          val rows = JdbcCatalog.load(c)
+          val byName = rows.map(e => e.name -> e).toMap
+          TableRegistry.dynamicEntries.foreach { cur =>
+            byName.get(cur.name) match {
+              case Some(row) if row != cur =>
+                // same name, different location/format: drop the stale
+                // schema-cache slot so the next load re-infers
+                TableRegistry.unregisterDynamic(cur.name)
+              case None => TableRegistry.unregisterDynamic(cur.name)
+              case _ => ()
+            }
+          }
+          rows.foreach(TableRegistry.registerDynamic)
+          warmWith.foreach(warmSchemas)
+          lastSeenSeq = seq
+        }
+      }
+    }
   }
 
   /** Warm the schema cache for every replayed registration (round-15

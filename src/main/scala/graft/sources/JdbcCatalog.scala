@@ -137,7 +137,18 @@ object JdbcCatalog {
       s"""CREATE TABLE users (
            name ${dl.typeName("VARCHAR(128)")} NOT NULL PRIMARY KEY,
            api_key_hash ${dl.typeName("VARCHAR(64)")} NOT NULL,
-           created_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP)""")
+           created_at ${dl.typeName("TIMESTAMP")} DEFAULT CURRENT_TIMESTAMP)"""),
+    // v5: the cross-process coherence stamp (round 17, verdict item 4 —
+    // the DEPLOY.md §5 multi-replica shape). One global sequence row,
+    // bumped INSIDE every metadata write transaction; replicas sharing
+    // this catalog compare it against their last-seen value on each
+    // serving read and reload the changed registry state when it moved.
+    // A single hot row serializes writers — exactly right for a metadata
+    // catalog (writes are rare, and SERIALIZABLE already serialized
+    // same-table writers); reads of the stamp are one-row SELECTs.
+    Seq(
+      "CREATE TABLE catalog_seq (s BIGINT NOT NULL)",
+      "INSERT INTO catalog_seq VALUES (0)")
   )
 
   private val Migrations: Seq[Seq[String]] = migrationsFor(DerbyDialect)
@@ -166,6 +177,67 @@ object JdbcCatalog {
     c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
     migrate(c, dl)
     c
+  }
+
+  /** The catalog's global write sequence (v5): every committed metadata
+    * write moved it, so `readSeq` ≠ a cached value ⇔ some peer (or this
+    * process) has written since the cache was filled.
+    */
+  def readSeq(c: Connection): Long = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT s FROM catalog_seq")
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    } finally st.close()
+  }
+
+  /** Bump the coherence stamp — called INSIDE an open write transaction,
+    * so the stamp moves iff the write commits.
+    */
+  private def bumpSeq(c: Connection): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate("UPDATE catalog_seq SET s = s + 1") finally st.close()
+  }
+
+  /** Shared transient-conflict retry (deadlock / serialization failure —
+    * the expected cost of SERIALIZABLE under contention, now including
+    * the deliberate single-row hotspot on catalog_seq).
+    */
+  private def withRetry(c: Connection)(body: => Unit): Unit = {
+    val dl = dialectOf(c)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try { body; done = true }
+      catch {
+        case ex: SQLException
+            if dl.retryableStates(ex.getSQLState) && attempts < 5 =>
+          Thread.sleep(20L * attempts)
+      }
+    }
+  }
+
+  /** One parameterized DELETE + conditional stamp bump as a transaction:
+    * the stamp moves only when a row actually went away (a delete of an
+    * absent name must not trigger peer reloads).
+    */
+  private def deleteBump(c: Connection, sql: String, name: String): Boolean = {
+    var deleted = false
+    withRetry(c) {
+      val auto = c.getAutoCommit
+      c.setAutoCommit(false)
+      try {
+        val st = c.prepareStatement(sql)
+        val n = try { st.setString(1, name); st.executeUpdate() } finally st.close()
+        if (n > 0) bumpSeq(c)
+        c.commit()
+        deleted = n > 0
+      } catch {
+        case t: Throwable => c.rollback(); throw t
+      } finally c.setAutoCommit(auto)
+    }
+    deleted
   }
 
   private def hasTable(c: Connection, name: String): Boolean = {
@@ -260,16 +332,15 @@ object JdbcCatalog {
         ins.setString(4, mapper.writeValueAsString(opts))
         ins.executeUpdate()
       } finally ins.close()
+      bumpSeq(c)
       c.commit()
     } catch {
       case t: Throwable => c.rollback(); throw t
     } finally c.setAutoCommit(auto)
   }
 
-  def unregister(c: Connection, name: String): Boolean = {
-    val st = c.prepareStatement("DELETE FROM datasets WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
-  }
+  def unregister(c: Connection, name: String): Boolean =
+    deleteBump(c, "DELETE FROM datasets WHERE name = ?", name)
 
   def load(c: Connection): Seq[CatalogStore.Entry] = {
     val st = c.createStatement()
@@ -325,16 +396,15 @@ object JdbcCatalog {
         ins.setString(1, q.name); ins.setString(2, q.dialect); ins.setString(3, q.text)
         ins.executeUpdate()
       } finally ins.close()
+      bumpSeq(c)
       c.commit()
     } catch {
       case t: Throwable => c.rollback(); throw t
     } finally c.setAutoCommit(auto)
   }
 
-  def deleteQuery(c: Connection, name: String): Boolean = {
-    val st = c.prepareStatement("DELETE FROM saved_queries WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
-  }
+  def deleteQuery(c: Connection, name: String): Boolean =
+    deleteBump(c, "DELETE FROM saved_queries WHERE name = ?", name)
 
   def loadQueries(c: Connection): Seq[SavedQuery] = {
     val st = c.createStatement()
@@ -383,16 +453,15 @@ object JdbcCatalog {
         ins.setString(1, u.name); ins.setString(2, u.apiKeyHash)
         ins.executeUpdate()
       } finally ins.close()
+      bumpSeq(c)
       c.commit()
     } catch {
       case t: Throwable => c.rollback(); throw t
     } finally c.setAutoCommit(auto)
   }
 
-  def deleteUser(c: Connection, name: String): Boolean = {
-    val st = c.prepareStatement("DELETE FROM users WHERE name = ?")
-    try { st.setString(1, name); st.executeUpdate() > 0 } finally st.close()
-  }
+  def deleteUser(c: Connection, name: String): Boolean =
+    deleteBump(c, "DELETE FROM users WHERE name = ?", name)
 
   def loadUsers(c: Connection): Seq[User] = {
     val st = c.createStatement()

@@ -55,6 +55,35 @@ object UserRegistry {
       process.put(u.name, u.apiKeyHash)
       byHash.put(u.apiKeyHash, u.name)
     }
+    lastSeenSeq = JdbcCatalog.readSeq(c)
+  }
+
+  @volatile private var lastSeenSeq: Long = -1L
+
+  /** Cross-process coherence (round 17 — same stamp-compare-reload
+    * contract as DatasetRegistry.syncIfStale). Auth is where this matters
+    * most: a key issued by a peer replica must authenticate HERE on the
+    * next request, and a peer's user deletion must revoke access NOW, not
+    * at this replica's next restart. Both maps are rebuilt together under
+    * the object lock, preserving the process/byHash lockstep invariant.
+    */
+  def syncIfStale(): Unit = {
+    val c0 = durable
+    if (c0.isEmpty || JdbcCatalog.readSeq(c0.get) == lastSeenSeq) return
+    synchronized {
+      durable.foreach { c =>
+        val seq = JdbcCatalog.readSeq(c)
+        if (seq != lastSeenSeq) {
+          val rows = JdbcCatalog.loadUsers(c)
+          process.clear(); byHash.clear()
+          rows.foreach { u =>
+            process.put(u.name, u.apiKeyHash)
+            byHash.put(u.apiKeyHash, u.name)
+          }
+          lastSeenSeq = seq
+        }
+      }
+    }
   }
 
   def detach(): Unit = synchronized { durable = None }

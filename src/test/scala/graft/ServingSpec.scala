@@ -424,7 +424,7 @@ class ServingSpec extends AnyFunSuite {
     val pgVocabulary = Set(
       "CREATE", "TABLE", "ALTER", "ADD", "COLUMN", "NOT", "NULL",
       "PRIMARY", "KEY", "DEFAULT", "CURRENT_TIMESTAMP",
-      "TEXT", "TIMESTAMP", "INT") ++
+      "TEXT", "TIMESTAMP", "INT", "BIGINT", "INSERT", "INTO", "VALUES") ++
       (128 to 4096).map(n => s"VARCHAR($n)") // VARCHAR(n) is PG-legal too
     pg.foreach { sql =>
       tokens(sql).foreach { tok =>
@@ -1204,6 +1204,121 @@ class ServingSpec extends AnyFunSuite {
       DatasetRegistry.detach(); SavedQueries.detach(); UserRegistry.detach()
       SavedQueries.delete("peer_q"); UserRegistry.delete("peer_u")
       c.close()
+    }
+  }
+
+  test("ambiguous NL dimension answers /query with structured candidates") {
+    // round 17 (verdict item 5): the prose rejection already NAMED the
+    // resolving qualifiers; the serving layer now also carries them as
+    // data so the console renders clickable choices
+    def ask(q: String): com.fasterxml.jackson.databind.JsonNode = {
+      val n = mapper.createObjectNode()
+      n.put("dialect", "nl"); n.put("query", q); n.put("dir", d)
+      mapper.readTree(Server.handleJson(spark, mapper.writeValueAsString(n)))
+    }
+    val j = ask("total quantity by nation")
+    assert(j.get("error").asText.contains("supplier nation"))
+    assert(j.get("ambiguous").asText === "nation")
+    val cands = j.get("candidates")
+    assert(cands != null && cands.isArray)
+    assert((0 until cands.size).map(cands.get(_).asText)
+      === Seq("supplier nation", "customer nation"))
+    // clicking a candidate = the substituted question, which must run
+    val resolved = ask("total quantity by supplier nation")
+    assert(resolved.get("error") == null && resolved.get("rowCount").asInt > 0)
+    // a NON-ambiguous rejection carries no candidate fields — the console
+    // key off `ambiguous` must never see it on ordinary errors
+    val plain = ask("total floof by status")
+    assert(plain.get("error") != null && plain.get("ambiguous") == null &&
+      plain.get("candidates") == null)
+  }
+
+  test("cross-process coherence: two replicas on one catalog observe each other's writes live") {
+    // Round 17 (verdict item 4 — the DEPLOY.md §5 multi-replica shape).
+    // This process's registries attach via `mine`; the PEER replica is
+    // simulated by `peer`, a second connection to the same catalog doing
+    // exactly what DatasetRegistry/SavedQueries/UserRegistry do in the
+    // peer JVM (durable write + its own process map we can't see). The
+    // catalog_seq stamp is what carries the change notice across.
+    import graft.dialects.SavedQueries
+    import graft.sources.UserRegistry
+    val catDb = Files.createTempDirectory("graft_coherent").resolve("db").toString
+    val mine = JdbcCatalog.connect(catDb)
+    val peer = JdbcCatalog.connect(catDb)
+    try {
+      DatasetRegistry.attach(mine); SavedQueries.attach(mine); UserRegistry.attach(mine)
+
+      // -- datasets: peer registers; the next serving request HERE sees it
+      JdbcCatalog.register(peer,
+        CatalogStore.Entry("coh_ds", s"$d/nation.parquet", "parquet"))
+      assert(!TableRegistry.isDynamic("coh_ds"), "no sync ran yet")
+      val n = Server.handle(spark, Server.ServeRequest("sql",
+        "SELECT count(*) AS n FROM coh_ds", d)).collect().head.getLong(0)
+      assert(n === 25, "a peer-registered dataset must be queryable on the next request")
+      assert(TableRegistry.isDynamic("coh_ds"))
+
+      // peer REPLACES the entry under the same name: the local entry (and
+      // its schema-cache slot) must follow, not serve the stale path
+      JdbcCatalog.register(peer,
+        CatalogStore.Entry("coh_ds", s"$d/region.parquet", "parquet"))
+      DatasetRegistry.syncIfStale(Some(spark))
+      assert(DatasetRegistry.list.find(_.name == "coh_ds")
+        .get.path.endsWith("region.parquet"))
+      assert(Server.handle(spark, Server.ServeRequest("sql",
+        "SELECT count(*) AS n FROM coh_ds", d)).collect().head.getLong(0) === 5)
+
+      // peer unregisters: gone here without a restart
+      JdbcCatalog.unregister(peer, "coh_ds")
+      DatasetRegistry.syncIfStale(None)
+      assert(!TableRegistry.isDynamic("coh_ds"))
+
+      // and the reverse direction: a LOCAL registry write is immediately
+      // visible to the peer's durable reads (it was always durable-first;
+      // the stamp also moved so the peer's own syncIfStale would fire)
+      val seqBefore = JdbcCatalog.readSeq(peer)
+      DatasetRegistry.register(
+        CatalogStore.Entry("coh_mine", s"$d/region.parquet", "parquet"), Some(spark))
+      assert(JdbcCatalog.load(peer).exists(_.name == "coh_mine"))
+      assert(JdbcCatalog.readSeq(peer) > seqBefore, "local write must move the stamp")
+      DatasetRegistry.unregister("coh_mine")
+
+      // -- saved queries: peer save runs here; peer delete vanishes here
+      JdbcCatalog.saveQuery(peer, JdbcCatalog.SavedQuery(
+        "coh_q", "sql", "SELECT r_regionkey FROM region ORDER BY r_regionkey"))
+      assert(SavedQueries.get("coh_q").isEmpty, "no sync ran yet")
+      SavedQueries.syncIfStale()
+      assert(SavedQueries.get("coh_q").exists(_.dialect == "sql"))
+      JdbcCatalog.deleteQuery(peer, "coh_q")
+      SavedQueries.syncIfStale()
+      assert(SavedQueries.get("coh_q").isEmpty)
+
+      // -- users: a peer-issued key authenticates HERE now, and a peer
+      // deletion revokes NOW — staleness here is a security property
+      val key = "gk_coherence_test_key"
+      JdbcCatalog.addUser(peer,
+        JdbcCatalog.User("coh_user", UserRegistry.sha256Hex(key)))
+      UserRegistry.syncIfStale()
+      assert(UserRegistry.authenticate(key) === Some("coh_user"))
+      JdbcCatalog.deleteUser(peer, "coh_user")
+      UserRegistry.syncIfStale()
+      assert(UserRegistry.authenticate(key) === None)
+      assert(!UserRegistry.authRequired, "revocation must also reopen the server")
+
+      // -- the quiet fast path: syncing with no changes reads the stamp
+      // but never writes it (no reload storms between idle replicas)
+      val s1 = JdbcCatalog.readSeq(mine)
+      DatasetRegistry.syncIfStale(None); SavedQueries.syncIfStale(); UserRegistry.syncIfStale()
+      assert(JdbcCatalog.readSeq(mine) === s1, "sync must never move the stamp")
+
+      // -- a delete of an ABSENT name must not move the stamp either
+      // (peers would reload for nothing)
+      JdbcCatalog.unregister(peer, "never_was")
+      assert(JdbcCatalog.readSeq(mine) === s1)
+    } finally {
+      DatasetRegistry.detach(); SavedQueries.detach(); UserRegistry.detach()
+      TableRegistry.unregisterDynamic("coh_ds"); TableRegistry.unregisterDynamic("coh_mine")
+      SavedQueries.delete("coh_q"); UserRegistry.delete("coh_user")
+      mine.close(); peer.close()
     }
   }
 
