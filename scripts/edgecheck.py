@@ -31,6 +31,22 @@ VARIANTS = ["nulls", "empty", "onerow", "dupkeys", "ties",
 # violates: the operator must fail LOUDLY with its own message (silent
 # wrong answers are the bug class). A missing result + the expected raise
 # in Verify's stderr is a pass for these.
+#
+# These are CONTRACTUAL, not carried debt (round 17, verdict item 6):
+# the prefix-cut keys' dense-from-zero doc_id requirement is documented
+# in SURVEY.md §2.12 ("dense-from-zero prefix-cut contract"). The
+# alternative — exact-row dedup at scan so the duplicated fixture passes
+# — would bolt a corpus-wide extra shuffle onto two hot analytic keys to
+# tolerate input the documents fixture contract (doc_id is the pk,
+# min=0, max=n-1 at every SF) already forbids; the in-plan guard raising
+# loudly IS the designed behavior on violating input. The citation below
+# is emitted into every precondition row of EDGECHECK.json so the
+# artifact is self-explaining.
+DENSE_ID_CONTRACT = ("SURVEY.md §2.12 dense-from-zero prefix-cut "
+                     "contract: doc_id is the documents pk, dense from 0 "
+                     "(fixture contract); the value-prefix 25/50/100% cuts "
+                     "require it and the in-plan guard raises on violation "
+                     "by design")
 EXPECTED_RAISE = {
     "dupkeys": {
         # value-prefix corpus cuts require dense-from-zero doc ids; the
@@ -105,7 +121,8 @@ def main():
                          for ln in r.stderr.splitlines())
             if info and info["status"] == "missing" and raised:
                 res[k] = {"status": "precondition", "rows": None,
-                          "msg": f"raised as designed ({pat})"}
+                          "msg": f"raised as designed ({pat})",
+                          "contract": DENSE_ID_CONTRACT}
             elif info and not raised:
                 # ENFORCED: a guarded key that stops raising on the
                 # violating fixture is a broken precondition guard, even
@@ -128,9 +145,17 @@ def main():
         bad = {k: info for k, info in res.items()
                if info["status"] in ("fail", "error", "missing")}
         any_bad = any_bad or bool(bad)
+        # precondition rows are surfaced BY NAME with their contract
+        # citation (round 17, verdict item 6): the artifact must be
+        # self-explaining about why a designed raise is a pass
+        preconditions = {k: {"status": i["status"], "msg": i["msg"],
+                             "contract": i.get("contract")}
+                         for k, i in sorted(res.items())
+                         if i["status"] == "precondition"}
         report["variants"][v] = {
             "counts": counts,
             "verify_stderr": verify_errs[:50],
+            "preconditions": preconditions,
             "bad": {k: {"status": i["status"], "msg": i["msg"]}
                     for k, i in sorted(bad.items())},
         }
@@ -138,9 +163,18 @@ def main():
               (f"  BAD={sorted(bad)[:12]}{'...' if len(bad) > 12 else ''}"
                if bad else ""), flush=True)
 
+    # a --variants subset run MERGES into the existing report (round 17):
+    # re-auditing two variants must not silently drop the other six from
+    # the artifact; `ok` is recomputed over the merged set
+    out_path = Path(REPO, "EDGECHECK.json")
+    if set(variants) != set(VARIANTS) and out_path.is_file():
+        prior = json.loads(out_path.read_text()).get("variants", {})
+        report["variants"] = {**prior, **report["variants"]}
+    any_bad = any(bool(info.get("bad")) for info in report["variants"].values())
     report["ok"] = not any_bad
-    Path(REPO, "EDGECHECK.json").write_text(json.dumps(report, indent=1))
-    print(f"[edgecheck] wrote EDGECHECK.json ok={report['ok']}")
+    out_path.write_text(json.dumps(report, indent=1))
+    print(f"[edgecheck] wrote EDGECHECK.json ok={report['ok']} "
+          f"({len(report['variants'])} variants)")
     sys.exit(1 if any_bad else 0)
 
 

@@ -1282,6 +1282,37 @@ object MutantQueries {
         s.sql("SELECT count(*) AS n_rows FROM orders WHERE o_orderstatus = 'P'")
       }),
 
+    Mutant("gql_catalog_agg", "dropped-pushed-filter",
+      "the registered-root aggregate loses its nin pre-aggregation filter — every group inflated by the excluded priorities (the defect class a filter silently dropped during catalog resolution would produce)",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT * FROM (
+            SELECT o_orderstatus, count(*) AS count,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_o_totalprice,
+              CAST(round(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+                   / count(*), 4) AS DOUBLE) AS avg_o_totalprice
+            FROM orders
+            WHERE o_totalprice BETWEEN 1000 AND 300000
+            GROUP BY o_orderstatus)
+          WHERE count > 10
+          ORDER BY o_orderstatus NULLS FIRST""")
+      }),
+
+    Mutant("nl_share_where_not", "existential-negation",
+      "the universal NOT EXISTS flipped to existential EXISTS(child <> R) — an order counts as 'not R' if ANY lineitem differs, the exact quantifier bug the fan-out negation lowering exists to prevent",
+      "clean", (s, d) => {
+        graft.sources.TableRegistry.registerAll(s, d)
+        s.sql("""SELECT o_orderstatus,
+          count(*) FILTER (WHERE EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag <> 'R')) AS cnt_not,
+          count(*) AS cnt,
+          CAST(floor(count(*) FILTER (WHERE EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag <> 'R')) * 10000.0
+                     / nullif(count(*), 0)) AS BIGINT) AS share_bp
+          FROM orders GROUP BY o_orderstatus
+          ORDER BY o_orderstatus NULLS FIRST""")
+      }),
+
     Mutant("serve_saved_query", "wrong-binding",
       "the saved query runs with a stale param binding (status O instead of the requested F)",
       "clean", (s, d) => {

