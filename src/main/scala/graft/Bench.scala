@@ -146,6 +146,23 @@ object Bench {
     // artifact is skipped when a SPARK_GRAFT_KEYS subset contains none of
     // its consumers.
     val derivedSpecs: Seq[(String, Set[String], () => Long)] = Seq(
+      ("valid_emb", // round 17: the validated embedding base — every
+        // vector-family key scans it instead of re-running the
+        // validation gate per emb() occurrence
+        Set("vec_centroid_label", "vec_quantize", "sim_cosine_topk",
+          "vec_pq", "cluster_kmeans", "knn_label", "knn_ann", "dedup_embed",
+          "sim_ivf", "sim_ivf_pq", "dedup_semantic", "sim_rerank",
+          "sim_ann_lsh", "sim_ann_recall", "mine_hard_negatives",
+          "sim_threshold_sweep", "vec_dim_stats", "vec_outlier",
+          "vec_pca_power", "vec_norm_stats"),
+        () => operators.Derived.validEmb(spark, sfDir).count()),
+      ("shingles", // round 17: shared raw-shingle prefix of the
+        // hashed_shingles + band_pairs + sim_minhash_est derivations
+        Set("dedup_near", "sim_containment", "split_leakage",
+          "corpus_decontam", "eval_coverage", "sim_minhash_est",
+          "dedup_minhash", "dedup_cluster", "dedup_keep_best",
+          "graph_triangles", "graph_components_hist"),
+        () => operators.Derived.shingles(spark, sfDir).count()),
       ("hashed_shingles",
         Set("dedup_near", "sim_containment", "split_leakage",
           "corpus_decontam", "eval_coverage", "sim_minhash_est"),
@@ -157,6 +174,12 @@ object Bench {
         Set("dedup_minhash", "dedup_cluster", "dedup_keep_best",
           "sim_minhash_est", "graph_triangles", "graph_components_hist"),
         () => operators.Derived.bandPairs(spark, sfDir).count()),
+      ("components", // round 17: shared duplicate-cluster labels
+        Set("dedup_cluster", "dedup_keep_best", "graph_components_hist"),
+        () => operators.Derived.components(spark, sfDir).count()),
+      ("trade_edges", // round 17: shared distinct trade edge list
+        Set("graph_pagerank", "graph_degrees", "graph_bfs"),
+        () => operators.Derived.tradeEdges(spark, sfDir).count()),
       ("lsh_capped",
         Set("dedup_embed", "knn_ann"),
         () => operators.Derived.lshCapped(spark, sfDir).count()))
@@ -212,22 +235,34 @@ object Bench {
     val prior: Map[String, Double] = priorPath.map { p =>
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), "UTF-8")
-      val qStart = txt.indexOf("\"queries\":{")
-      if (qStart < 0) Map.empty[String, Double]
-      else {
+      // WHITESPACE-TOLERANT header match (round-17 measurement fix): the
+      // committed BENCH_local_sf0.1.json is pretty-printed ("queries": {
+      // with a space), and the old indexOf("\"queries\":{") matched only
+      // the compact form — qStart < 0 took the silent Map.empty branch,
+      // so mover adjudication had been OFF for every pretty-printed prior
+      // without the empty-parse warning ever firing (it lived in the
+      // other branch). Round-16's empty `movers` sections are this bug,
+      // not evidence of a quiet window.
+      val hdr = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
+      if (hdr.isEmpty) {
+        System.err.println(
+          s"[bench] WARNING: prior record $p has no queries section — " +
+            "mover adjudication disabled this run")
+        Map.empty[String, Double]
+      } else {
         // brace-matching slice (round-11 advice): indexOf("}") truncated
         // the section at the first nested '}' — fine for today's flat
         // numeric map, silently empty (disabling mover adjudication) if
         // the section ever nests. Strings in this JSON never contain
         // braces (keys are [A-Za-z0-9_], values numeric), so a depth
         // counter is exact here.
-        val open = qStart + 10 // the '{' after "queries":
+        val open = hdr.get.end - 1 // the '{' the header match ends on
         var i = open
         var depth = 0
         while (i < txt.length && { if (txt(i) == '{') depth += 1
           else if (txt(i) == '}') depth -= 1; depth > 0 }) i += 1
         val body = txt.substring(open + 1, math.min(i, txt.length))
-        val m = "\"([A-Za-z0-9_]+)\":([-+0-9.Ee]+)".r.findAllMatchIn(body)
+        val m = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([-+0-9.Ee]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         if (m.isEmpty) System.err.println(
           s"[bench] WARNING: prior record $p parsed to an empty queries " +

@@ -98,6 +98,14 @@ object Derived {
   def hashedShingles(s: SparkSession, d: String): DataFrame =
     dataset(s, d, "hashed_shingles")(TextOps.hashedShinglesBuild(s, d))
 
+  /** Distinct raw 3-word shingles (doc_id, shingle string) — the common
+    * prefix of hashedShingles, the minhash band signatures (bandPairs)
+    * and sim_minhash_est's signature stage (round 17: previously derived
+    * three times per run). Strings round-trip parquet exactly.
+    */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "shingles")(TextOps.shinglesBuild(s, d))
+
   /** Verified candidate pairs with exact intersection/sizes (a, b, i, na,
     * nb — 5 longs/row): dedup_near's machinery, consumed verbatim by
     * sim_containment and split_leakage. Derives FROM the hashed-shingle
@@ -115,4 +123,41 @@ object Derived {
     */
   def lshCapped(s: SparkSession, d: String): DataFrame =
     dataset(s, d, "lsh_capped")(VectorOps.lshCappedBuild(s, d))
+
+  /** The validated embedding base (vec_id, embedding array<double>, label):
+    * non-NULL, full 64 dims, non-zero, pk-deduped — VectorOps.emb's
+    * validation gate, materialized ONCE per sf dir (round 17). Every
+    * vector-family key previously re-ran the gate per emb() OCCURRENCE —
+    * sim_ivf_pq inlines emb eight times, so one key re-scanned the raw
+    * parquet and re-paid the dropDuplicates exchange eight times (76
+    * Exchange nodes in its round-16 plan). Doubles round-trip parquet
+    * exactly, so consumers are value-identical. At 100 TB this is the
+    * ingest-validation table a pipeline materializes anyway — queries run
+    * on the validated store, not the raw drop zone.
+    */
+  def validEmb(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "valid_emb")(VectorOps.validEmbBuild(s, d))
+
+  /** Near-dup duplicate-cluster labels (doc_id, label = min id in
+    * component): connectedComponents over the capped bandPairs candidate
+    * graph, materialized ONCE (round 17). dedup_cluster, dedup_keep_best
+    * and graph_components_hist each re-ran the full label-propagation
+    * loop (~3 keyed-shuffle rounds + convergence checks EACH) over the
+    * same artifact; the labels are exact longs, so the parquet round-trip
+    * is value-identical. Same 100 TB posture as bandPairs: cluster
+    * assignment is computed once and every decision stage scans it.
+    */
+  def components(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "components")(
+      TextOps.connectedComponents(bandPairs(s, d).select("a", "b").distinct()))
+
+  /** The distinct customer↔supplier trade edge list (src, dst — ONE
+    * direction; consumers fan both directions in-row), materialized ONCE
+    * (round 17): graph_pagerank / graph_degrees / graph_bfs each re-ran
+    * orders ⋈ lineitem + distinct per key — and then UNIONED the same
+    * subtree twice to emit both directions, doubling the join work
+    * inside one plan. Edge ids are exact longs.
+    */
+  def tradeEdges(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "trade_edges")(GraphOps.tradeEdgesBuild(s, d))
 }

@@ -39,17 +39,31 @@ object GraphOps {
     * guaranteed to describe the same graph.
     */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    // both endpoints NON-NULL: an edge needs two vertices, and NULL ids
-    // would diverge downstream (Spark's left_anti keeps a NULL probe key,
-    // DuckDB's NOT IN drops it — the graph_bfs frontier prune)
-    val e0 = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // round 17: the one-direction distinct edge list is the materialized
+    // Derived.tradeEdges artifact (pagerank/degrees/bfs each re-derived
+    // it per key), and BOTH directions now fan out IN-ROW from one scan —
+    // the old e0.union(e0.reversed) duplicated the whole orders ⋈ lineitem
+    // + distinct subtree inside every consumer plan (2 scans, 2 joins,
+    // 2 dedup exchanges for one edge list). Same multiset of rows.
+    Derived.tradeEdges(s, d)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** One-direction distinct trade edges — the Derived.tradeEdges build.
+    * Both endpoints NON-NULL: an edge needs two vertices, and NULL ids
+    * would diverge downstream (Spark's left_anti keeps a NULL probe key,
+    * DuckDB's NOT IN drops it — the graph_bfs frontier prune).
+    */
+  private[operators] def tradeEdgesBuild(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-  }
 
   private def pagerank(s: SparkSession, d: String): DataFrame = {
     val edges = tradeEdges(s, d)
@@ -117,7 +131,11 @@ object GraphOps {
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(k.toLong))
           .localCheckpoint(true)
-        visited = visited.union(frontier).localCheckpoint(true)
+        // round 17: the union is NOT checkpointed — every leg is already
+        // a materialized checkpoint, so the union's lineage is a constant-
+        // depth tree of LogicalRDDs; eagerly re-materializing it per level
+        // was one extra copy-the-data job per round for nothing
+        visited = visited.union(frontier)
       }
       visited.groupBy("node").agg(min(col("dist")).as("dist"))
         .orderBy("node")
@@ -191,9 +209,9 @@ object GraphOps {
       // is bounded by |distinct sizes|, never vertices. Singleton docs
       // (no near-dup) are intentionally absent — the histogram reads
       // duplication STRUCTURE, not corpus size.
-      val edges = Derived.bandPairs(s, d)
-        .select("a", "b").distinct()
-      TextOps.connectedComponents(edges)
+      // round 17: labels from the shared Derived.components artifact
+      // (same propagation dedup_cluster/dedup_keep_best consume)
+      Derived.components(s, d)
         .groupBy("label").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("component_size"))
         .agg(count(lit(1)).as("n_components"))

@@ -157,15 +157,27 @@ object TextOps {
           .as("shingle"))
 
   private def shingles(s: SparkSession, d: String): DataFrame =
+    Derived.shingles(s, d)
+
+  /** The distinct raw-shingle build behind Derived.shingles (round 17):
+    * the tokenize → explode → concat → distinct prefix was previously
+    * re-run by hashed_shingles, band_pairs (minhashBands) AND
+    * sim_minhash_est's signature stage — three derivations of the same
+    * string table per run.
+    */
+  private[operators] def shinglesBuild(s: SparkSession, d: String): DataFrame =
     shingleRows(s, d).distinct()
 
   /** Distinct (doc_id, 60-bit-hashed shingle) rows — the hashed-set form
-    * shared by dedup_near / sim_containment / corpus_decontam: hashing at
-    * EXTRACTION (before the distinct) means every downstream shuffle moves
-    * 8-byte longs instead of ~20-char strings.
+    * shared by dedup_near / sim_containment / corpus_decontam: hashing the
+    * distinct shingle table yields the same (doc_id, sh) set as hashing at
+    * extraction (h60 is a deterministic function, so hash-then-distinct ≡
+    * distinct-then-hash as sets); downstream shuffles move 8-byte longs
+    * instead of ~20-char strings. The trailing distinct stays: an in-doc
+    * h60 collision (~1e-7) must collapse here exactly as it always did.
     */
   private[operators] def hashedShinglesBuild(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+    shingles(s, d)
       .select(col("doc_id"), expr(h60Spark("shingle")).as("sh"))
       .distinct()
 
@@ -367,6 +379,21 @@ object TextOps {
     var labels = e.select(col("src").as("doc_id"))
       .distinct().withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    // Convergence by the MONOTONE-SUM invariant (round 17): hash-min
+    // propagation is pointwise non-increasing — next.label =
+    // min(own ∪ neighbors' labels) ≤ own label, over the same doc_id set
+    // (the union keeps every vertex) — so Σlabel unchanged ⟺ every label
+    // unchanged. One tiny aggregate over the just-materialized checkpoint
+    // replaces the old per-round next ⋈ labels merge-join + count (two
+    // sorts + an SMJ over |V| rows per round, purely for the check).
+    // DECIMAL(38,0) sums are exact at any graph size this engine targets
+    // (|V|·max_id ≤ 10³⁸); an empty graph sums to NULL → ZERO in both
+    // rounds and converges on round 1 exactly as the join form did.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     try {
@@ -380,8 +407,9 @@ object TextOps {
         val next = labels.select(col("doc_id"), col("label")).union(prop)
           .groupBy("doc_id").agg(min(col("label")).as("label"))
           .localCheckpoint(true)
-        converged = next.as("n").join(labels.hint("merge").as("o"), "doc_id")
-          .filter(col("n.label") =!= col("o.label")).count() == 0L
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         // `next` is eagerly materialized and its lineage truncated, so the
         // PREVIOUS round's checkpoint blocks are no longer referenced —
         // release them now instead of pinning one label table per round in
@@ -591,8 +619,10 @@ object TextOps {
       // rounds ≤ cluster diameter). The oracle computes the identical
       // transitive closure with a recursive CTE (fine at fixture scale;
       // the Spark side is the one that has to — and does — scale).
-      val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
-      val labels = connectedComponents(pairs)
+      // round 17: cluster labels come from the materialize-once seam
+      // (Derived.components) — dedup_keep_best and graph_components_hist
+      // consume the SAME label propagation, previously re-run per key
+      val labels = Derived.components(s, d)
       // cluster-count-proportional at corpus scale — merge-locked join back
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .hint("merge")
@@ -614,8 +644,8 @@ object TextOps {
       // groupBy(label) arg-max — max(struct(n_chars, -doc_id)) — no
       // per-cluster window/sort; the keeper table (|clusters| rows,
       // corpus-proportional) joins back label-keyed, NOT broadcast.
-      val pairs = Derived.bandPairs(s, d).select("a", "b").distinct()
-      val withLen = connectedComponents(pairs)
+      // round 17: labels from the shared Derived.components artifact
+      val withLen = Derived.components(s, d)
         // distinct: cluster members are DOCS — duplicate pk rows must not
         // fan the audit (the oracle's comp-side join is per distinct doc)
         .join(documents(s, d).select(col("doc_id"), col("n_chars")).distinct(), "doc_id")

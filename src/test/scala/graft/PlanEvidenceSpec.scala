@@ -68,11 +68,25 @@ class PlanEvidenceSpec extends AnyFunSuite {
   private def hasSinglePartitionWindow(p: String): Boolean = {
     val lines = p.linesIterator.toVector
     def indent(l: String): Int = l.takeWhile(ch => " :+|-".contains(ch)).length
+    // A SinglePartition exchange whose PARENT is a bloom_filter_agg
+    // aggregate is Spark's runtime-filter build (a 1-row subquery the
+    // optimizer injects, SPARK-32268) — bounded by construction and not
+    // a window feed; flagging it would veto a beneficial injection
+    // (round 17: it started firing once scans carried accurate stats).
+    def isRuntimeFilterBuild(i: Int): Boolean = {
+      val ei = indent(lines(i))
+      lines.take(i).lastIndexWhere(x => indent(x) < ei) match {
+        case -1 => false
+        case pi => lines(pi).contains("bloom_filter_agg")
+      }
+    }
     lines.zipWithIndex.exists { case (l, i) =>
       l.contains("Window") && {
         val wi = indent(l)
-        lines.drop(i + 1).takeWhile(x => indent(x) > wi)
-          .exists(_.contains("Exchange SinglePartition"))
+        lines.zipWithIndex.slice(i + 1, lines.length)
+          .takeWhile { case (x, _) => indent(x) > wi }
+          .exists { case (x, j) =>
+            x.contains("Exchange SinglePartition") && !isRuntimeFilterBuild(j) }
       }
     }
   }
@@ -331,9 +345,10 @@ class PlanEvidenceSpec extends AnyFunSuite {
   test("vec_dim_stats: dedup + one keyed aggregate over the explode, no join, no window") {
     val p = plan(VectorOps.queries("vec_dim_stats")(spark, d))
     val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // 2 = emb()'s pk-dedup distinct (small embeddings table) + the (dim)
-    // partial agg — nothing else may shuffle
-    assert(hashExchanges === 2, s"expected dedup + dim-agg exchanges, plan:\n$p")
+    // 1 = the (dim) partial agg — emb()'s pk-dedup distinct moved into the
+    // materialize-once valid_emb derivation (round 17), so the query plan
+    // itself carries ONLY the aggregate exchange; nothing else may shuffle
+    assert(hashExchanges === 1, s"expected only the dim-agg exchange, plan:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
