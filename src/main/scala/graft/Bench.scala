@@ -170,6 +170,11 @@ object Bench {
       ("shingle_pair_stats",
         Set("dedup_near", "sim_containment", "split_leakage"),
         () => operators.Derived.shinglePairStats(spark, sfDir).count()),
+      ("minhash_sigs", // round 17: per-(doc, seed) minhash values shared
+        // by the band derivation and sim_minhash_est's signature arrays
+        Set("dedup_minhash", "dedup_cluster", "dedup_keep_best",
+          "sim_minhash_est", "graph_triangles", "graph_components_hist"),
+        () => operators.Derived.minhashSigs(spark, sfDir).count()),
       ("band_pairs",
         Set("dedup_minhash", "dedup_cluster", "dedup_keep_best",
           "sim_minhash_est", "graph_triangles", "graph_components_hist"),
@@ -182,7 +187,10 @@ object Bench {
         () => operators.Derived.tradeEdges(spark, sfDir).count()),
       ("lsh_capped",
         Set("dedup_embed", "knn_ann"),
-        () => operators.Derived.lshCapped(spark, sfDir).count()))
+        () => operators.Derived.lshCapped(spark, sfDir).count()),
+      ("ppl_scores", // round 17: shared CCNet bigram-LM scoring pipeline
+        Set("text_perplexity", "quality_ccnet_bucket"),
+        () => operators.Derived.pplScores(spark, sfDir).count()))
     val derived: Seq[(String, Double)] = derivedSpecs.flatMap {
       case (nm, consumers, run) =>
         if (selected.keysIterator.exists(consumers)) {

@@ -45,6 +45,11 @@ object Analytics {
     val capped = items.join(okOrders, Seq("ok"), "left_semi")
       // 3 consumers (pair join ×2 branches + item counts + order total):
       // materialize once, not three basket-cap recomputes
+      // (round 17: an in-row posting-list pair explode — the dedup_ngram
+      // shape — was tried here and A/B-measured SLOWER: the self-join is
+      // already co-partitioned on ok and codegen'd, while the HOF
+      // flatten/transform enumeration is interpreted; both are linear
+      // under the basket cap, so the codegen'd form stays)
       .localCheckpoint(true)
     val itemN = capped.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val totals = capped.agg(countDistinct(col("ok")).as("n_orders"))

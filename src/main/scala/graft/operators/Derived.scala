@@ -106,6 +106,23 @@ object Derived {
   def shingles(s: SparkSession, d: String): DataFrame =
     dataset(s, d, "shingles")(TextOps.shinglesBuild(s, d))
 
+  /** Per-(doc_id, seed) minhash values (3 ints/longs per row, 16 seeds) —
+    * the md5 fold shared by the band-signature derivation (bandPairs via
+    * minhashBands) and sim_minhash_est's per-doc signature arrays
+    * (round 17: the estimator re-ran the 16-seed fold per run). Chained
+    * derivation: builds FROM the shingles artifact.
+    */
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "minhash_sigs")(TextOps.minhashSigsBuild(s, d))
+
+  /** CCNet bigram-LM surprisal scores (doc_id, n_bigrams, sum_bits,
+    * ppl_bits_x100 — exact BIGINTs): THE text_perplexity pipeline,
+    * consumed by text_perplexity and quality_ccnet_bucket (round 17:
+    * both previously re-trained the bigram LM and re-scored the corpus).
+    */
+  def pplScores(s: SparkSession, d: String): DataFrame =
+    dataset(s, d, "ppl_scores")(TextOps.pplScoresBuild(s, d))
+
   /** Verified candidate pairs with exact intersection/sizes (a, b, i, na,
     * nb — 5 longs/row): dedup_near's machinery, consumed verbatim by
     * sim_containment and split_leakage. Derives FROM the hashed-shingle

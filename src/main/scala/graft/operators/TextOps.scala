@@ -61,7 +61,15 @@ object TextOps {
     (bi, biCnt, ctxCnt)
   }
 
-  private def pplScores(s: SparkSession, d: String): DataFrame = {
+  private def pplScores(s: SparkSession, d: String): DataFrame =
+    Derived.pplScores(s, d)
+
+  /** The CCNet scoring build behind Derived.pplScores (round 17):
+    * text_perplexity and quality_ccnet_bucket previously each re-ran the
+    * whole bigram-LM train + score pipeline; all output columns are exact
+    * BIGINTs, so the parquet round-trip is value-identical.
+    */
+  private[operators] def pplScoresBuild(s: SparkSession, d: String): DataFrame = {
     val (bi, biCnt, ctxCnt) = bigramCounts(s, d)
     bi.join(biCnt, Seq("w1", "bigram")).join(ctxCnt, "w1")
       .withColumn("bits",
@@ -286,14 +294,25 @@ object TextOps {
     * over those pairs). Hash family is the engine-portable md5-derived
     * 60-bit one, so both consumers keep full DuckDB oracles.
     */
-  private[operators] def minhashBands(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashBands(s: SparkSession, d: String): DataFrame =
+    // round 17: the per-(doc, seed) minhash table is the shared
+    // Derived.minhashSigs artifact — sim_minhash_est previously re-ran
+    // the 16-seed md5 fold over its candidate docs' shingles even though
+    // the band_pairs derivation had just computed the same values
+    Derived.minhashSigs(s, d)
+      .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
+      .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
+
+  /** Per-(doc, seed) minhash values — the Derived.minhashSigs build:
+    * min over the doc's shingles of the engine-portable 60-bit
+    * md5(seed:shingle) hash, for 16 seeds. Exact longs.
+    */
+  private[operators] def minhashSigsBuild(s: SparkSession, d: String): DataFrame = {
     val seeds = explode(expr("sequence(0, 15)")).as("seed")
     shingles(s, d).select(col("doc_id"), col("shingle"), seeds)
       .groupBy("doc_id", "seed")
       .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)")))
         .as("mh"))
-      .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
-      .agg(concat_ws(",", sort_array(collect_list(col("mh")))).as("sig"))
   }
 
   /** Band-signature candidate pairs (a < b, distinct) — THE candidate
@@ -575,11 +594,12 @@ object TextOps {
       // beyond the already-capped bandPairs.
       val candDocs = Derived.bandPairs(s, d)
         .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
-      val sigs = shingles(s, d).join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("shingle"),
-          explode(expr("sequence(0, 15)")).as("seed"))
-        .groupBy("doc_id", "seed")
-        .agg(min(expr(h60Spark("concat(CAST(seed AS STRING), ':', shingle)"))).as("mh"))
+      // round 17: per-(doc, seed) minhashes come from the shared
+      // Derived.minhashSigs artifact (semi-join-then-group ≡ the old
+      // group-after-semi-join per doc — minhashes are per-doc-independent)
+      // instead of re-running the 16-seed md5 fold over candidate shingles
+      val sigs = Derived.minhashSigs(s, d)
+        .join(candDocs, Seq("doc_id"), "left_semi")
         .groupBy("doc_id")
         .agg(expr("transform(sort_array(collect_list(struct(seed, mh))), t -> t.mh)")
           .as("sig"))
@@ -766,16 +786,23 @@ object TextOps {
       // stays a broadcast, by construction.
       val candDocs = cand.select(explode(array(col("a"), col("b"))).as("doc_id"))
         .distinct().hint("merge")
-      val gc = g.join(candDocs, "doc_id").hint("merge")
-      val sizes = gc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(gc.as("ga"), col("ga.doc_id") === col("a"))
-        .join(gc.as("gb"), col("gb.doc_id") === col("b") && col("gb.gram") === col("ga.gram"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      // round 17: the verify stage ships each candidate doc's full gram
+      // set ONCE as a sorted array and intersects IN-ROW (array_intersect
+      // over distinct hashed longs — exactly the shinglePairStats shape),
+      // replacing the old pair × shared-gram row join (gc joined twice,
+      // keyed on (doc, gram)) with two doc-keyed joins + map work. Set
+      // sizes fall out of the same arrays. Intersection counts are
+      // identical: both sides are per-doc DISTINCT gram sets.
+      val docSets = g.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(sort_array(collect_list(col("gram"))).as("set"))
+        .hint("merge")
       val jac = col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      cand
+        .join(docSets.select(col("doc_id").as("a"), col("set").as("sa")), "a")
+        .join(docSets.select(col("doc_id").as("b"), col("set").as("sb")), "b")
+        .select(col("a"), col("b"),
+          size(array_intersect(col("sa"), col("sb"))).cast(L).as("i"),
+          size(col("sa")).cast(L).as("na"), size(col("sb")).cast(L).as("nb"))
         .filter(jac >= 0.7)
         .select(col("a"), col("b"), r4(jac).as("jaccard"))
         .orderBy("a", "b")
@@ -1122,8 +1149,10 @@ object TextOps {
       // engines. The 1-row cutoff table cross-joins back broadcast; the
       // corpus is never globally sorted and never shuffled beyond the
       // score aggregation it already pays in text_perplexity.
+      // round 17: the artifact IS already materialized parquet, so the
+      // old localCheckpoint (another copy of the same rows) is dropped
       val ppl = pplScores(s, d)
-        .select(col("doc_id"), col("ppl_bits_x100")).localCheckpoint(true)
+        .select(col("doc_id"), col("ppl_bits_x100"))
       val vc = ppl.groupBy("ppl_bits_x100").agg(count(lit(1)).as("nv"))
       val w = Window.orderBy("ppl_bits_x100")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -939,10 +939,14 @@ object VectorOps {
   private def lshProjSpark(p: Int): String = {
     val signs = (0 until 64)
       .map(i => if (planeSign(p, i) > 0) "1.0D" else "-1.0D").mkString(",")
-    // same op sequence as the runtime form it replaces: x·(±1), then a
-    // deterministic left-to-right double fold — bit-identical
-    s"aggregate(zip_with(embedding, array($signs), (x, s) -> x * s), " +
-    s"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    // round 17: the codegen'd vec_dot expression replaces the interpreted
+    // aggregate(zip_with(...)) HOF fold — DotProduct is documented (and
+    // spec-pinned) as the SAME strict left-to-right multiply-accumulate,
+    // so every projection double is bit-identical, including NULL
+    // semantics (null element ⇒ null fold ⇒ null dot). lshCappedBuild
+    // folds 20 planes per vector and the sim_ann_* keys 8 — all were
+    // paying interpreted-lambda cost on the signature hot path.
+    s"vec_dot(embedding, array($signs))"
   }
 
   private val lshSigSpark: String = (0 until 8).map(p =>
