@@ -180,36 +180,44 @@ object Custom {
     * when wb > 15 — for i ≥ 60).
     */
   private[graft] def phashWords(hx: DataFrame, knobs: DataFrame): DataFrame = {
-    // n = shingles per doc, computed IN-ROW from the hex length (one row
-    // per i ∈ sequence(1, len-3, 2) ⇒ n = (len-4) div 2 + 1) — feeds the
-    // set-bit rewrite below without a per-doc counting join.
     val feats = hx.crossJoin(broadcast(knobs.select("wb")))
-      .select(col("doc_id"), col("wb"),
-        expr("(length(hx) - 4) div 2 + 1").as("n"), col("hx"),
+      .select(col("doc_id"), col("wb"), col("hx"),
         explode(expr("sequence(1, length(hx) - 3, 2)")).as("i"))
-      .select(col("doc_id"), col("wb"), col("n"),
+      .select(col("doc_id"), col("wb"),
         expr(h60Spark("substring(hx, CAST(i AS INT), 4)")).as("th"),
         expr("CASE WHEN wb > 15 THEN " +
           h60Spark("concat('q2', substring(hx, CAST(i AS INT), 4))") +
           " ELSE CAST(0 AS BIGINT) END").as("th2"))
+    // m = TOTAL shingle positions per doc across ALL its input rows —
+    // computed from hex lengths alone (one row in hx contributes
+    // (len-4) div 2 + 1 positions), no hash work. Summing PER DOC is
+    // load-bearing: a duplicated-pk doc (the dupkeys edge fixture)
+    // contributes every position from every duplicate row to the old
+    // ±1 fold, so the majority base must be the SAME total — an earlier
+    // per-ROW n here flipped bits where one row's set count cleared its
+    // own row's half but not the doubled total (caught by edgecheck,
+    // round 17).
+    val mTab = hx.groupBy("doc_id")
+      .agg(sum(expr("(length(hx) - 4) div 2 + 1")).as("m"))
     val pcols = (0 to 3).map(b => sum(expr(
-      s"CASE WHEN 2 * nset > n AND bit div wb = $b " +
+      s"CASE WHEN 2 * nset > m AND bit div wb = $b " +
         s"THEN shiftleft(CAST(1 AS BIGINT), CAST(bit % wb AS INT)) " +
         "ELSE CAST(0 AS BIGINT) END")).as(s"p$b"))
     // SET bits only (round 17): the old form exploded ALL 4·wb bit rows
-    // per shingle and summed ±1 into w = (#set) − (#unset) = 2·nset − n.
+    // per shingle and summed ±1 into w = (#set) − (#unset) = 2·nset − m.
     // Since only w > 0 sets a signature bit and an absent (doc, bit) pair
-    // means nset = 0 ⇒ w = −n < 0 (every doc here has n ≥ 1), exploding
+    // means nset = 0 ⇒ w = −m < 0 (every doc here has m ≥ 1), exploding
     // only the set positions and counting them is output-identical while
     // halving the rows through the partial aggregate (random hash bits
-    // are ~50% set). n rides in-row; w > 0 becomes 2·nset > n.
+    // are ~50% set); w > 0 becomes 2·nset > m with m joined doc-keyed.
     feats
-      .select(col("doc_id"), col("wb"), col("n"),
+      .select(col("doc_id"), col("wb"),
         explode(expr("filter(sequence(0, 4 * wb - 1), b -> " +
           "(shiftright(CASE WHEN b < 60 THEN th ELSE th2 END, " +
           "CAST(b % 60 AS INT)) & 1) = 1)")).as("bit"))
-      .groupBy("doc_id", "wb", "n", "bit")
+      .groupBy("doc_id", "wb", "bit")
       .agg(count(lit(1)).as("nset"))
+      .join(mTab, "doc_id")
       .groupBy("doc_id", "wb")
       .agg(pcols.head, pcols.tail: _*)
   }
